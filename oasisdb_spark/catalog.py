@@ -1,0 +1,285 @@
+"""Collection catalog + document store over Parquet directories.
+
+Reference mapping (SURVEY.md §1.1, §2.1):
+- create/get/list/delete collection  → internal/db/collection.go:37-143 (S2-S5)
+- upsert/batch-upsert document       → internal/db/document.go:53-92,249-347 (S6-S8)
+- get/delete document                → document.go:95-133 (S9-S10)
+- set_params                         → handlers.go:323-354 (S11)
+
+Architecture: the reference splits a document into an LSM KV record
+(metadata) and an in-memory vector index entry, coordinated by WAL +
+snapshot machinery (~1.5k LoC). On Spark all of that collapses into
+immutable Parquet tables (SURVEY.md §1.4): a collection is a directory
+of row-groups, the catalog is a small parquet table, and upsert/delete
+are read-merge-rewrite with an atomic directory swap. Deletes are
+CORRECT here — the reference's IVF delete is a no-op TODO
+(ivf.go:170-173) and HNSW only tombstones (hnswalg.h:925).
+
+Scale notes: per-collection data lives partitioned; rewrite-on-upsert is
+the Parquet-only equivalent of Delta MERGE (documented trade-off — with
+Delta/Iceberg available the write path becomes MERGE INTO and is
+incremental). Point lookups (get_document) push an id predicate to the
+parquet scan (min/max pruning). The catalog table is tiny and always
+broadcast.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from oasisdb_spark import errors
+
+__all__ = ["Catalog", "Collection"]
+
+INDEX_TYPES = ("flat", "ivf_flat", "ivfpq", "hnsw")  # internal/index/const.go:10-15
+SPACES = ("l2", "ip", "cos", "hamming")  # const.go:3-8
+DEFAULT_INDEX_TYPE = "hnsw"  # collection.go:45-47
+DEFAULT_SPACE = "l2"  # collection.go:63
+
+# Default tuning params, mirroring internal/index/const.go:18-36.
+DEFAULT_PARAMS = {
+    "hnsw": {"M": "16", "efConstruction": "200", "efsearch": "10", "maxElements": "100000"},
+    "ivf_flat": {"nlist": "100", "nprobe": "10"},
+    "ivfpq": {"nlist": "100", "nprobe": "10", "m": "8", "nbits": "8"},
+    "flat": {},
+}
+
+_CATALOG_SCHEMA = T.StructType(
+    [
+        T.StructField("name", T.StringType(), False),
+        T.StructField("dimension", T.IntegerType(), False),
+        T.StructField("index_type", T.StringType(), False),
+        T.StructField("space", T.StringType(), False),
+        T.StructField("params", T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField("metadata", T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField("index_version", T.LongType(), False),
+        T.StructField("created_at", T.LongType(), False),
+    ]
+)
+
+_DOC_SCHEMA_FIELDS = [
+    T.StructField("id", T.StringType(), False),
+    T.StructField("vector", T.ArrayType(T.FloatType()), True),
+    T.StructField("parameters", T.MapType(T.StringType(), T.StringType()), True),
+]
+
+
+@dataclass
+class Collection:
+    name: str
+    dimension: int
+    index_type: str
+    space: str
+    params: dict = field(default_factory=dict)
+    metadata: dict = field(default_factory=dict)
+    index_version: int = 0
+
+
+class Catalog:
+    """All collection state under one warehouse directory.
+
+    Layout:
+      warehouse/_collections/            catalog parquet
+      warehouse/collections/{name}/data/ document rows
+      warehouse/collections/{name}/index/v{N}/  index tables (see index/)
+    """
+
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.warehouse = warehouse
+        os.makedirs(warehouse, exist_ok=True)
+
+    # ---------- paths ----------
+    def _catalog_path(self) -> str:
+        return os.path.join(self.warehouse, "_collections")
+
+    def _coll_dir(self, name: str) -> str:
+        return os.path.join(self.warehouse, "collections", name)
+
+    def data_path(self, name: str) -> str:
+        return os.path.join(self._coll_dir(name), "data")
+
+    def index_path(self, name: str, version: int) -> str:
+        return os.path.join(self._coll_dir(name), "index", f"v{version}")
+
+    # ---------- catalog io ----------
+    def _read_catalog(self) -> DataFrame:
+        p = self._catalog_path()
+        if not os.path.exists(p):
+            return self.spark.createDataFrame([], _CATALOG_SCHEMA)
+        return self.spark.read.parquet(p)
+
+    def _write_catalog(self, df: DataFrame) -> None:
+        self._atomic_overwrite(df.coalesce(1), self._catalog_path())
+
+    def _atomic_overwrite(self, df: DataFrame, path: str) -> None:
+        """Write to a temp dir then swap — the immutable-write equivalent
+        of the reference's WAL+snapshot recovery story (SURVEY.md §1.4)."""
+        tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").parquet(tmp)
+        old = f"{path}.old.{uuid.uuid4().hex[:8]}"
+        if os.path.exists(path):
+            os.rename(path, old)
+        os.rename(tmp, path)
+        if os.path.exists(old):
+            shutil.rmtree(old, ignore_errors=True)
+
+    # ---------- collection CRUD (S2-S5) ----------
+    def create_collection(
+        self,
+        name: str,
+        dimension: int,
+        index_type: str = DEFAULT_INDEX_TYPE,
+        space: str = DEFAULT_SPACE,
+        params: dict | None = None,
+        metadata: dict | None = None,
+    ) -> Collection:
+        if not name:
+            raise errors.ErrInvalidCollectionName("collection name must be non-empty")
+        if dimension <= 0:
+            raise errors.ErrInvalidDimension(f"dimension must be > 0, got {dimension}")
+        if index_type not in INDEX_TYPES:
+            raise errors.ErrInvalidParams(f"unknown index type {index_type!r}")
+        if space not in SPACES:
+            raise errors.ErrInvalidParams(f"unknown space {space!r}")
+        merged = dict(DEFAULT_PARAMS.get(index_type, {}))
+        merged.update({k: str(v) for k, v in (params or {}).items()})
+        if index_type == "ivfpq":
+            m = int(merged.get("m", "8"))
+            if dimension % m != 0:
+                raise errors.ErrInvalidParams(
+                    f"ivfpq requires dimension % m == 0, got dim={dimension}, m={m}"
+                )
+            if int(merged.get("nbits", "8")) != 8:
+                raise errors.ErrInvalidParams("ivfpq supports nbits=8 only")
+        cat = self._read_catalog()
+        if cat.filter(F.col("name") == name).limit(1).count() > 0:
+            raise errors.ErrCollectionExists(f"collection {name!r} already exists")
+        row = self.spark.createDataFrame(
+            [(name, dimension, index_type, space, merged, metadata or {}, 0, int(time.time()))],
+            _CATALOG_SCHEMA,
+        )
+        self._write_catalog(cat.unionByName(row))
+        os.makedirs(self._coll_dir(name), exist_ok=True)
+        return Collection(name, dimension, index_type, space, merged, metadata or {}, 0)
+
+    def get_collection(self, name: str) -> Collection:
+        rows = self._read_catalog().filter(F.col("name") == name).collect()
+        if not rows:
+            raise errors.ErrCollectionNotFound(f"collection {name!r} not found")
+        r = rows[0]
+        return Collection(
+            r["name"], r["dimension"], r["index_type"], r["space"],
+            dict(r["params"] or {}), dict(r["metadata"] or {}), r["index_version"],
+        )
+
+    def list_collections(self) -> list[str]:
+        return [r["name"] for r in self._read_catalog().select("name").orderBy("name").collect()]
+
+    def delete_collection(self, name: str) -> None:
+        cat = self._read_catalog()
+        if cat.filter(F.col("name") == name).limit(1).count() == 0:
+            raise errors.ErrCollectionNotFound(f"collection {name!r} not found")
+        self._write_catalog(cat.filter(F.col("name") != name))
+        shutil.rmtree(self._coll_dir(name), ignore_errors=True)
+
+    def set_params(self, name: str, params: dict) -> None:
+        """S11 set_params — runtime knobs (efsearch/nprobe). Stored in the
+        catalog; the search planner reads them (handlers.go:323-354)."""
+        coll = self.get_collection(name)
+        valid = {"efsearch", "nprobe", "M", "efConstruction", "nlist", "m", "nbits", "maxElements"}
+        for k, v in params.items():
+            if k not in valid:
+                raise errors.ErrInvalidParams(f"unknown param {k!r}")
+            try:
+                if int(v) <= 0:
+                    raise errors.ErrInvalidParams(f"param {k} must be positive, got {v}")
+            except (TypeError, ValueError) as e:
+                if isinstance(e, errors.ErrInvalidParams):
+                    raise
+                raise errors.ErrInvalidParams(f"param {k} must be an integer, got {v!r}")
+        merged = dict(coll.params)
+        merged.update({k: str(v) for k, v in params.items()})
+        self._update_catalog_row(name, params=merged)
+
+    def _update_catalog_row(self, name: str, **updates) -> None:
+        cat = self._read_catalog()
+        others = cat.filter(F.col("name") != name)
+        row = cat.filter(F.col("name") == name).collect()[0].asDict()
+        row.update(updates)
+        updated = self.spark.createDataFrame(
+            [tuple(row[f.name] for f in _CATALOG_SCHEMA.fields)], _CATALOG_SCHEMA
+        )
+        self._write_catalog(others.unionByName(updated))
+
+    def bump_index_version(self, name: str) -> int:
+        coll = self.get_collection(name)
+        new_v = coll.index_version + 1
+        self._update_catalog_row(name, index_version=new_v)
+        return new_v
+
+    # ---------- document CRUD (S6-S10) ----------
+    def read_documents(self, name: str) -> DataFrame:
+        self.get_collection(name)  # existence check, matching document.go:136-145
+        p = self.data_path(name)
+        if not os.path.exists(p):
+            return self.spark.createDataFrame([], T.StructType(_DOC_SCHEMA_FIELDS))
+        return self.spark.read.parquet(p)
+
+    def _validate_dims(self, df: DataFrame, dimension: int) -> DataFrame:
+        """Ingest-time dimension assertion (document.go:70-73,280-285)."""
+        bad = df.filter(F.size("vector") != dimension).limit(1).collect()
+        if bad:
+            raise errors.ErrDimensionMismatch(
+                f"vector dimension {len(bad[0]['vector'])} != collection dimension {dimension}"
+            )
+        return df
+
+    def upsert_documents(self, name: str, docs: DataFrame) -> None:
+        """Batch upsert (S6/S7): newest row per id wins. Implemented as
+        union + window-dedupe + atomic rewrite — the Parquet-only MERGE.
+        """
+        coll = self.get_collection(name)
+        docs = docs.select(
+            F.col("id").cast("string").alias("id"),
+            F.col("vector").cast("array<float>").alias("vector"),
+            (docs["parameters"] if "parameters" in docs.columns else F.lit(None)).alias("parameters"),
+        ).withColumn("parameters", F.col("parameters").cast("map<string,string>"))
+        self._validate_dims(docs, coll.dimension)
+        existing = self.read_documents(name)
+        merged = existing.withColumn("_gen", F.lit(0)).unionByName(
+            docs.withColumn("_gen", F.lit(1))
+        )
+        w = Window.partitionBy("id").orderBy(F.col("_gen").desc())
+        deduped = (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_gen")
+        )
+        self._atomic_overwrite(deduped, self.data_path(name))
+
+    def get_document(self, name: str, doc_id: str):
+        rows = self.read_documents(name).filter(F.col("id") == str(doc_id)).collect()
+        if not rows:
+            raise errors.ErrDocumentNotFound(f"document {doc_id!r} not found in {name!r}")
+        return rows[0].asDict()
+
+    def delete_document(self, name: str, doc_id: str) -> None:
+        """Correct delete (the reference's vector delete is partial/broken —
+        ivf.go:170-173 no-op, index_manager.go:537-538 'TODO: fix delete')."""
+        existing = self.read_documents(name)
+        if existing.filter(F.col("id") == str(doc_id)).limit(1).count() == 0:
+            raise errors.ErrDocumentNotFound(f"document {doc_id!r} not found in {name!r}")
+        self._atomic_overwrite(existing.filter(F.col("id") != str(doc_id)), self.data_path(name))
+
+    def count_documents(self, name: str) -> int:
+        return self.read_documents(name).count()

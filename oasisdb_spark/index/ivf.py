@@ -1,0 +1,187 @@
+"""IVF-Flat: inverted-file index with coarse quantization.
+
+Reference: internal/index/ivf.go —
+- Train: k-means over the data (ivf.go:99-127,317-377)
+- Add: assign each vector to its nearest centroid's inverted list
+  (ivf.go:304-315 closestCentroid)
+- Search: rank centroids by distance to the query (ivf.go:186-195), scan
+  the nprobe nearest lists (ivf.go:197-209), sort candidates, take k
+  (ivf.go:211-227).
+
+Spark design (SURVEY.md §4 row 1):
+- The index is a DataFrame (cluster_id, id, vector) written PARTITIONED
+  BY cluster_id, plus a tiny centroids table. Partitioning by cluster_id
+  is the inverted list: a probe of p clusters reads only p/nlist of the
+  data — partition pruning does at scan time what the reference's
+  in-memory list indirection does in RAM.
+- Assignment and probe-selection are vectorized numpy against BROADCAST
+  centroids inside mapInPandas (nlist x dim floats ~ KBs) — no shuffle,
+  no nlist-fold row blowup.
+- The search is then an equi-join (query x probed cluster_id) against
+  the partition-pruned index table + the same top-k window as flat.
+  Shuffle volume is bounded by candidates-after-pruning, i.e. ~nprobe/
+  nlist of the base table per query batch.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from oasisdb_spark.index.flat import topk_per_query
+from oasisdb_spark.index.kmeans import kmeans_fit
+
+__all__ = ["train_centroids", "assign_clusters", "build_ivf", "knn_ivf", "rank_probes"]
+
+DEFAULT_NLIST = 100  # const.go:26-30
+DEFAULT_NPROBE = 10
+TRAIN_SAMPLE_CAP = 200_000  # rows collected to the driver for kmeans fit
+
+
+def train_centroids(
+    base: DataFrame, nlist: int, vec_col: str = "vector", sample_cap: int = TRAIN_SAMPLE_CAP
+) -> np.ndarray:
+    """Fit coarse centroids on a deterministic sample (first rows in
+    storage order, matching the reference's first-k flavor of
+    determinism; ivf.go:321-328). Returns (nlist, dim) float32."""
+    n = base.count()
+    frac = min(1.0, sample_cap / max(n, 1))
+    sample = base.select(vec_col) if frac >= 1.0 else base.select(vec_col).limit(sample_cap)
+    x = np.array(sample.toPandas()[vec_col].tolist(), dtype=np.float32)
+    return kmeans_fit(x, nlist)
+
+
+def assign_clusters(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "vector",
+    out_col: str = "cluster_id",
+) -> DataFrame:
+    """Nearest-centroid assignment (ivf.go:304-315) as a vectorized
+    Arrow-batched map — one pass over the data, centroids broadcast."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(np.ascontiguousarray(centroids, dtype=np.float32))
+    schema = T.StructType(df.schema.fields + [T.StructField(out_col, T.IntegerType(), False)])
+    cols = df.columns
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc.value.astype(np.float64)
+        c2 = (c**2).sum(axis=1)[None, :]
+        for pdf in batches:
+            x = np.array(pdf[vec_col].tolist(), dtype=np.float32).astype(np.float64)
+            if len(x) == 0:
+                pdf[out_col] = np.array([], dtype=np.int32)
+                yield pdf
+                continue
+            d = (x**2).sum(axis=1)[:, None] + c2 - 2.0 * (x @ c.T)
+            pdf = pdf.copy()
+            pdf[out_col] = d.argmin(axis=1).astype(np.int32)
+            yield pdf
+
+    return df.mapInPandas(_map, schema=schema).select(*cols, out_col)
+
+
+def build_ivf(
+    base: DataFrame,
+    nlist: int = DEFAULT_NLIST,
+    id_col: str = "id",
+    vec_col: str = "vector",
+    out_dir: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Index build (S8 / ivf.go Train+AddBatch): returns
+    (centroids_df(cluster_id, centroid), index_df(cluster_id, id, vector)).
+    If out_dir is given, both are persisted — index partitioned by
+    cluster_id (the on-disk inverted lists)."""
+    spark = base.sparkSession
+    centroids = train_centroids(base, nlist, vec_col)
+    cent_df = spark.createDataFrame(
+        [(int(i), [float(v) for v in c]) for i, c in enumerate(centroids)],
+        "cluster_id INT, centroid ARRAY<FLOAT>",
+    )
+    index_df = assign_clusters(
+        base.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vector")), centroids
+    )
+    if out_dir:
+        cent_df.coalesce(1).write.mode("overwrite").parquet(os.path.join(out_dir, "centroids"))
+        index_df.write.mode("overwrite").partitionBy("cluster_id").parquet(
+            os.path.join(out_dir, "lists")
+        )
+        cent_df = spark.read.parquet(os.path.join(out_dir, "centroids"))
+        index_df = spark.read.parquet(os.path.join(out_dir, "lists"))
+    return cent_df, index_df
+
+
+def rank_probes(
+    queries: DataFrame,
+    centroids: np.ndarray,
+    nprobe: int,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Top-nprobe nearest centroids per query (ivf.go:186-195) —
+    vectorized against broadcast centroids; output one row per
+    (query, probed cluster)."""
+    spark = queries.sparkSession
+    bc = spark.sparkContext.broadcast(np.ascontiguousarray(centroids, dtype=np.float32))
+    schema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema[query_id_col].dataType, True),
+            T.StructField("query_vec", T.ArrayType(T.FloatType()), True),
+            T.StructField("cluster_id", T.IntegerType(), False),
+        ]
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("query_vec")
+    )
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc.value.astype(np.float64)
+        c2 = (c**2).sum(axis=1)[None, :]
+        p = min(nprobe, c.shape[0])
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(pdf["query_vec"].tolist(), dtype=np.float32).astype(np.float64)
+            d = (x**2).sum(axis=1)[:, None] + c2 - 2.0 * (x @ c.T)
+            # deterministic top-p: argsort on (distance, cluster_id)
+            probes = np.argsort(d, axis=1, kind="stable")[:, :p]
+            out = pdf.loc[pdf.index.repeat(p)].reset_index(drop=True)
+            out["cluster_id"] = probes.reshape(-1).astype(np.int32)
+            yield out
+
+    return q.mapInPandas(_map, schema=schema)
+
+
+def knn_ivf(
+    queries: DataFrame,
+    centroids_df: DataFrame,
+    index_df: DataFrame,
+    k: int,
+    nprobe: int = DEFAULT_NPROBE,
+    space: str = "l2",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF search (ivf.go:175-228): probe-pruned equi-join + exact
+    distance on the candidates + per-query top-k.
+
+    Note: probe ranking always uses L2 to centroids (as the reference
+    does); the candidate re-ranking uses `space`.
+    """
+    from oasisdb_spark.functions.distance import distance_expr
+
+    centroids = np.array(
+        [r["centroid"] for r in centroids_df.orderBy("cluster_id").collect()], dtype=np.float32
+    )
+    probes = rank_probes(queries, centroids, nprobe, query_id_col, query_vec_col)
+    cand = F.broadcast(probes).join(index_df, on="cluster_id")
+    scored = cand.select(
+        "query_id", "id", distance_expr(space, "query_vec", "vector").alias("distance")
+    )
+    return topk_per_query(scored, k)

@@ -1,0 +1,55 @@
+"""Deterministic Lloyd's k-means for IVF coarse quantization.
+
+Reference: internal/index/ivf.go:317-377 kMeans — first-k-rows init
+(ivf.go:321-328), at most 40 Lloyd iterations, squared-L2 assignment.
+MLlib's KMeans (kmeans||) would work but uses a different init, which
+breaks golden-test determinism (SURVEY.md §7 hard parts); nlist is small
+(100-4096), so the FIT runs on a driver-collected SAMPLE in numpy while
+ASSIGNMENT stays fully distributed (see ivf.py).
+
+Scale: fitting a coarse quantizer on a bounded sample is the standard
+design at any scale (FAISS does the same); sample_cap rows * dim floats
+is driver-memory bounded regardless of table size.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["kmeans_fit", "MAX_KMEANS_ITERS"]
+
+MAX_KMEANS_ITERS = 40  # ivf.go const usage; const.go:26-30
+
+
+def kmeans_fit(x: np.ndarray, k: int, max_iters: int = MAX_KMEANS_ITERS) -> np.ndarray:
+    """Lloyd's with first-k init, squared-L2, empty clusters keep their
+    previous centroid (matching ivf.go:351-371 update step).
+
+    x: (n, dim) float32. Returns (k, dim) float32 centroids.
+    """
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    n = x.shape[0]
+    if n == 0:
+        raise ValueError("cannot fit kmeans on empty data")
+    k = min(k, n)
+    centroids = x[:k].copy()  # first-k init, ivf.go:321-328
+    for _ in range(max_iters):
+        # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; argmin over c
+        assign = _assign(x, centroids)
+        new_centroids = centroids.copy()
+        for j in range(k):
+            members = x[assign == j]
+            if len(members):
+                new_centroids[j] = members.mean(axis=0, dtype=np.float64).astype(np.float32)
+        if np.array_equal(new_centroids, centroids):
+            break
+        centroids = new_centroids
+    return centroids
+
+
+def _assign(x: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    """Vectorized argmin_{c} ||x-c||^2 — (n,) int32."""
+    x2 = (x.astype(np.float64) ** 2).sum(axis=1)[:, None]
+    c2 = (centroids.astype(np.float64) ** 2).sum(axis=1)[None, :]
+    d = x2 + c2 - 2.0 * (x.astype(np.float64) @ centroids.astype(np.float64).T)
+    return d.argmin(axis=1).astype(np.int32)

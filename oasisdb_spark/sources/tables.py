@@ -1,0 +1,60 @@
+"""Readers for the driver's synthetic star schema (TESTDATA.md).
+
+The reference's only ingest paths are its REST API + SSTable/WAL files
+(SURVEY.md §2.1 S13); those formats are replaced wholesale by Parquet.
+This module is the engine's scan layer for the test fixtures.
+
+Note: ``events.parquet`` is written with TIMESTAMP(NANOS), which Spark 4
+refuses to read natively; with spark.sql.legacy.parquet.nanosAsLong the
+column arrives as INT64 nanoseconds and is converted here to a proper
+timestamp (microsecond truncation — all fixture queries bucket to ≥1s
+granularity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        df = spark.read.parquet(path)
+    except Exception as e:  # driver sessions may lack the nanos conf
+        if "NANOS" not in str(e):
+            raise
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        try:
+            df = spark.read.parquet(path)
+        except Exception:
+            df = _load_via_arrow(spark, path)
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def _load_via_arrow(spark: SparkSession, path: str) -> DataFrame:
+    """Last-resort reader: pyarrow → microsecond timestamps → DataFrame.
+    Only used when the session cannot be reconfigured for NANOS parquet;
+    fixture tables at test scale fit comfortably in driver memory."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path)
+    fields = []
+    for f in t.schema:
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns":
+            fields.append(pa.field(f.name, pa.timestamp("us")))
+        else:
+            fields.append(f)
+    return spark.createDataFrame(t.cast(pa.schema(fields)).to_pandas())
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}

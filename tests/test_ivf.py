@@ -1,0 +1,70 @@
+"""IVF-Flat build + search — mirrors internal/index/ivf_test.go:20-96
+(exact nearest on separable data, add-after-train) plus a recall@k
+check vs the Flat oracle mirroring benchmarks/run_benchmarks.py:136-142."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from oasisdb_spark.index.flat import knn_flat
+from oasisdb_spark.index.ivf import build_ivf, knn_ivf
+from oasisdb_spark.index.kmeans import kmeans_fit
+
+
+def test_kmeans_deterministic_and_separable():
+    x = np.array([[0.0, 0], [0.1, 0], [10, 0], [10.1, 0]], dtype=np.float32)
+    c1 = kmeans_fit(x, 2)
+    c2 = kmeans_fit(x, 2)
+    assert np.array_equal(c1, c2)
+    assert sorted(round(float(v[0]), 2) for v in c1) == [0.05, 10.05]
+
+
+def test_ivf_exact_on_separable(spark, tiny_vectors):
+    cent, idx = build_ivf(tiny_vectors, nlist=4)
+    q = spark.createDataFrame(
+        [("10", [10.0, 0.0, 0.0, 0.0])], "query_id STRING, query_vec ARRAY<FLOAT>"
+    )
+    res = knn_ivf(q, cent, idx, k=1, nprobe=4).collect()
+    assert res[0]["id"] == "10" and res[0]["distance"] == 0.0
+
+
+def test_ivf_full_probe_equals_flat(spark, embeddings):
+    """nprobe = nlist ⇒ IVF must return exactly the Flat result."""
+    base = embeddings.select(F.col("vec_id").cast("string").alias("id"), F.col("embedding").alias("vector"))
+    q = (
+        embeddings.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").cast("string").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+    cent, idx = build_ivf(base, nlist=8)
+    ivf_res = {(r["query_id"], r["rank"]): r["id"] for r in knn_ivf(q, cent, idx, k=5, nprobe=8).collect()}
+    flat_res = {(r["query_id"], r["rank"]): r["id"] for r in knn_flat(q, base, k=5).collect()}
+    assert ivf_res == flat_res
+
+
+def test_ivf_recall_at_10(spark, embeddings):
+    """recall@10 with nprobe=4/nlist=16 must clear 0.8 on the sf0.001
+    embeddings (run_benchmarks.py:136-142 semantics)."""
+    base = embeddings.select(F.col("vec_id").cast("string").alias("id"), F.col("embedding").alias("vector"))
+    q = (
+        embeddings.filter(F.col("vec_id") < 20)
+        .select(F.col("vec_id").cast("string").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+    cent, idx = build_ivf(base, nlist=16)
+    approx = knn_ivf(q, cent, idx, k=10, nprobe=4)
+    exact = knn_flat(q, base, k=10)
+    a = {}
+    for r in approx.collect():
+        a.setdefault(r["query_id"], set()).add(r["id"])
+    e = {}
+    for r in exact.collect():
+        e.setdefault(r["query_id"], set()).add(r["id"])
+    recalls = [len(a[qid] & e[qid]) / len(e[qid]) for qid in e]
+    assert sum(recalls) / len(recalls) >= 0.8
+
+
+def test_ivf_persist_roundtrip(spark, tiny_vectors, tmp_path):
+    cent, idx = build_ivf(tiny_vectors, nlist=4, out_dir=str(tmp_path / "ivf"))
+    assert cent.count() == 4
+    assert idx.count() == 20
+    # partitioned layout on disk = on-disk inverted lists
+    assert any(p.name.startswith("cluster_id=") for p in (tmp_path / "ivf" / "lists").iterdir())
