@@ -1,0 +1,143 @@
+"""Search surface: build_index / search_vectors / search_documents.
+
+Reference mapping:
+- build_index       → POST .../buildindex (S8; index_manager.go:473-502)
+- search_vectors    → POST .../vectors/search (Q1; handlers.go:36-74,
+                      db/document.go:136-168)
+- search_documents  → POST .../documents/search (Q2; handlers.go:261-303,
+                      document.go:171-247). The reference ACCEPTS a
+                      metadata filter but IGNORES it (the `filter` param
+                      at document.go:171 is never referenced; confirmed
+                      unimplemented in docs/design.md:58-59). Here the
+                      filter is real and applied as a PRE-filter pushed
+                      below the kNN — candidates are restricted before
+                      distance computation, so the filter prunes the
+                      scan instead of post-truncating results. A
+                      post-filter mode (reference design.md:58's k*2
+                      fallback) is offered for comparison.
+- set_params        → catalog.set_params (S11); efsearch maps to nprobe
+                      for the hnsw tier (SURVEY.md Q6: efsearch⇒nprobe).
+
+Queries always run against the last BUILT index version (catalog
+index_version pinning) — the snapshot-isolation semantic the reference
+leaves undefined (SURVEY.md §4 concurrency notes).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from oasisdb_spark import errors
+from oasisdb_spark.catalog import Catalog
+from oasisdb_spark.index.flat import knn_flat
+from oasisdb_spark.index.ivf import build_ivf, knn_ivf
+from oasisdb_spark.index.ivfpq import build_ivfpq, knn_ivfpq
+
+__all__ = ["build_index", "search_vectors", "search_documents"]
+
+
+def build_index(catalog: Catalog, name: str) -> int:
+    """Build the collection's index tables and bump index_version.
+    Returns the new version. Flat needs no derived table (the collection
+    IS the index, flat.go:14-20); hnsw tier uses IVF tables with an
+    nprobe preset derived from efsearch."""
+    coll = catalog.get_collection(name)
+    data = catalog.read_documents(name)
+    version = coll.index_version + 1
+    out_dir = catalog.index_path(name, version)
+    if coll.index_type in ("ivf_flat", "hnsw"):
+        nlist = int(coll.params.get("nlist", "100"))
+        nlist = max(1, min(nlist, data.count()))
+        build_ivf(data, nlist=nlist, out_dir=out_dir)
+    elif coll.index_type == "ivfpq":
+        nlist = int(coll.params.get("nlist", "100"))
+        nlist = max(1, min(nlist, data.count()))
+        build_ivfpq(data, nlist=nlist, m=int(coll.params.get("m", "8")), out_dir=out_dir)
+    elif coll.index_type == "flat":
+        os.makedirs(out_dir, exist_ok=True)
+    catalog.bump_index_version(name)
+    return version
+
+
+def _load_ivf(catalog: Catalog, name: str, version: int):
+    d = catalog.index_path(name, version)
+    cent = catalog.spark.read.parquet(os.path.join(d, "centroids"))
+    lists = catalog.spark.read.parquet(os.path.join(d, "lists"))
+    return cent, lists
+
+
+def _nprobe_for(coll) -> int:
+    if coll.index_type == "hnsw":
+        # efsearch⇒nprobe mapping: scan roughly efsearch/ef_default
+        # fraction of lists, floor 1 (SURVEY.md §7 phase 3.5)
+        ef = int(coll.params.get("efsearch", "10"))
+        return max(1, ef // 2)
+    return int(coll.params.get("nprobe", "10"))
+
+
+def search_vectors(
+    catalog: Catalog,
+    name: str,
+    queries: DataFrame,
+    k: int,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Top-k kNN against a collection → (query_id, id, distance, rank).
+
+    candidates: optional pre-filtered subset of the collection (used by
+    search_documents' pre-filter pushdown).
+    """
+    coll = catalog.get_collection(name)
+    data = candidates if candidates is not None else catalog.read_documents(name)
+    if coll.index_version == 0 or coll.index_type == "flat" or candidates is not None:
+        # no built index (search-before-build sees current data — strictly
+        # better than the reference's partial-data race, SURVEY.md §4) or
+        # filtered candidate set → exact scan
+        return knn_flat(queries, data, k, space=coll.space)
+    if coll.index_type in ("ivf_flat", "hnsw"):
+        cent, lists = _load_ivf(catalog, name, coll.index_version)
+        return knn_ivf(queries, cent, lists, k, nprobe=_nprobe_for(coll), space=coll.space)
+    if coll.index_type == "ivfpq":
+        d = catalog.index_path(name, coll.index_version)
+        cents = np.load(os.path.join(d, "model", "centroids.npy"))
+        books = np.load(os.path.join(d, "model", "codebooks.npy"))
+        lists = catalog.spark.read.parquet(os.path.join(d, "lists"))
+        return knn_ivfpq(
+            queries, cents, books, lists, k,
+            nprobe=_nprobe_for(coll), refine_base=data, refine_factor=4,
+        )
+    raise errors.ErrInvalidParams(f"unknown index type {coll.index_type!r}")
+
+
+def search_documents(
+    catalog: Catalog,
+    name: str,
+    queries: DataFrame,
+    k: int,
+    metadata_filter: Column | None = None,
+    post_filter: bool = False,
+) -> DataFrame:
+    """kNN + join documents back (document.go:171-247 — but done as one
+    join, not the reference's per-id GetDocument loop) with a WORKING
+    metadata filter.
+
+    pre-filter (default): filter the collection, then exact kNN over
+    survivors — top-k is correct under the predicate.
+    post_filter=True: reference design.md:58 style — fetch k*2 unfiltered
+    candidates, then filter (may return < k rows; kept for parity study).
+    """
+    data = catalog.read_documents(name)
+    if metadata_filter is not None and not post_filter:
+        hits = search_vectors(catalog, name, queries, k, candidates=data.filter(metadata_filter))
+    elif metadata_filter is not None:
+        hits = search_vectors(catalog, name, queries, k * 2)
+    else:
+        hits = search_vectors(catalog, name, queries, k)
+    out = hits.join(data, on="id")
+    if metadata_filter is not None and post_filter:
+        out = out.filter(metadata_filter)
+    return out.select("query_id", "id", "distance", "rank", "vector", "parameters")

@@ -1,0 +1,85 @@
+"""IVFPQ — mirrors internal/index/ivfpq_test.go:20-229 (search finds the
+query's own id; param validation; dim % m rejection) + recall vs Flat."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from oasisdb_spark.errors import ErrInvalidParams
+from oasisdb_spark.index.flat import knn_flat
+from oasisdb_spark.index.ivfpq import build_ivfpq, knn_ivfpq, train_pq
+
+
+def _base(embeddings):
+    return embeddings.select(
+        F.col("vec_id").cast("string").alias("id"), F.col("embedding").alias("vector")
+    )
+
+
+def _queries(embeddings, n):
+    return embeddings.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").cast("string").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def test_ivfpq_dim_not_divisible_rejected(spark, embeddings):
+    cents = np.zeros((4, 64), dtype=np.float32)
+    with pytest.raises(ErrInvalidParams):
+        train_pq(_base(embeddings), cents, m=7)  # 64 % 7 != 0
+
+
+def test_ivfpq_self_recall(spark, embeddings):
+    """Each query vector is in the base set; with full probe its own id
+    must appear in the top-10 (ADC error is small at m=8 on 64-d)."""
+    base = _base(embeddings)
+    cents, books, idx = build_ivfpq(base, nlist=8, m=8)
+    assert books.shape == (8, 256, 8)
+    q = _queries(embeddings, 10)
+    res = knn_ivfpq(q, cents, books, idx, k=10, nprobe=8)
+    rows = res.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["id"])
+    assert all(qid in ids for qid, ids in by_q.items())
+
+
+def test_ivfpq_recall_vs_flat(spark, embeddings):
+    base = _base(embeddings)
+    q = _queries(embeddings, 20)
+    cents, books, idx = build_ivfpq(base, nlist=8, m=8)
+    approx = knn_ivfpq(q, cents, books, idx, k=10, nprobe=8)
+    exact = knn_flat(q, base, k=10)
+    a, e = {}, {}
+    for r in approx.collect():
+        a.setdefault(r["query_id"], set()).add(r["id"])
+    for r in exact.collect():
+        e.setdefault(r["query_id"], set()).add(r["id"])
+    recalls = [len(a[qid] & e[qid]) / 10 for qid in e]
+    assert sum(recalls) / len(recalls) >= 0.45  # pure ADC is lossy at m=8
+
+
+def test_ivfpq_refined_recall_vs_flat(spark, embeddings):
+    """ADC shortlist + exact re-rank (IVFPQR pattern) must recover
+    near-exact recall."""
+    base = _base(embeddings)
+    q = _queries(embeddings, 20)
+    cents, books, idx = build_ivfpq(base, nlist=8, m=8)
+    approx = knn_ivfpq(q, cents, books, idx, k=10, nprobe=8, refine_base=base, refine_factor=4)
+    exact = knn_flat(q, base, k=10)
+    a, e = {}, {}
+    for r in approx.collect():
+        a.setdefault(r["query_id"], set()).add(r["id"])
+    for r in exact.collect():
+        e.setdefault(r["query_id"], set()).add(r["id"])
+    recalls = [len(a[qid] & e[qid]) / 10 for qid in e]
+    assert sum(recalls) / len(recalls) >= 0.9
+
+
+def test_ivfpq_persist_roundtrip(spark, embeddings, tmp_path):
+    base = _base(embeddings)
+    cents, books, idx = build_ivfpq(base, nlist=4, m=8, out_dir=str(tmp_path / "pq"))
+    assert (tmp_path / "pq" / "model" / "codebooks.npy").exists()
+    reloaded = spark.read.parquet(str(tmp_path / "pq" / "lists"))
+    assert reloaded.count() == base.count()
+    row = reloaded.first()
+    assert len(row["codes"]) == 8

@@ -1,0 +1,87 @@
+"""End-to-end search surface: create → upsert → build_index →
+search_vectors / search_documents (with the WORKING metadata filter the
+reference only declares — document.go:171, design.md:58-59)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from oasisdb_spark.catalog import Catalog
+from oasisdb_spark.search import build_index, search_documents, search_vectors
+
+
+@pytest.fixture()
+def loaded(spark, tmp_path, embeddings):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_collection("emb", dimension=64, index_type="ivf_flat", params={"nlist": 8, "nprobe": 8})
+    docs = embeddings.select(
+        F.col("vec_id").cast("string").alias("id"),
+        F.col("embedding").alias("vector"),
+        F.create_map(F.lit("label"), F.col("label").cast("string")).alias("parameters"),
+    )
+    cat.upsert_documents("emb", docs)
+    return cat
+
+
+def _q(spark, embeddings, n=3):
+    return embeddings.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").cast("string").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def test_search_before_build_uses_flat(spark, loaded, embeddings):
+    res = search_vectors(loaded, "emb", _q(spark, embeddings), k=5)
+    rows = res.filter(F.col("rank") == 1).collect()
+    assert {r["query_id"]: r["id"] for r in rows} == {"0": "0", "1": "1", "2": "2"}
+
+
+def test_search_after_build_uses_ivf(spark, loaded, embeddings):
+    v = build_index(loaded, "emb")
+    assert v == 1 and loaded.get_collection("emb").index_version == 1
+    res = search_vectors(loaded, "emb", _q(spark, embeddings), k=5)
+    rows = res.filter(F.col("rank") == 1).collect()
+    assert {r["query_id"]: r["id"] for r in rows} == {"0": "0", "1": "1", "2": "2"}
+
+
+def test_search_documents_prefilter(spark, loaded, embeddings):
+    """Pre-filter: every returned doc satisfies the predicate AND we get
+    exactly k survivors (correct top-k under filter)."""
+    labels = {r["vec_id"]: r["label"] for r in embeddings.collect()}
+    res = search_documents(
+        loaded, "emb", _q(spark, embeddings, 2), k=5,
+        metadata_filter=F.col("parameters")["label"] == "1",
+    ).collect()
+    assert len(res) == 10  # 2 queries x k
+    assert all(labels[int(r["id"])] == 1 for r in res)
+
+
+def test_search_documents_postfilter_maybe_short(spark, loaded, embeddings):
+    """Post-filter (reference design.md:58 k*2 mode): results satisfy the
+    predicate but may be fewer than k — the parity-mode behavior."""
+    res = search_documents(
+        loaded, "emb", _q(spark, embeddings, 2), k=5,
+        metadata_filter=F.col("parameters")["label"] == "1", post_filter=True,
+    ).collect()
+    labels = {r["vec_id"]: r["label"] for r in embeddings.collect()}
+    assert all(labels[int(r["id"])] == 1 for r in res)
+    assert len(res) <= 10
+
+
+def test_search_documents_joins_payload(spark, loaded, embeddings):
+    res = search_documents(loaded, "emb", _q(spark, embeddings, 1), k=3).collect()
+    assert len(res) == 3
+    assert all(r["vector"] is not None and r["parameters"]["label"] is not None for r in res)
+
+
+def test_ivfpq_collection_end_to_end(spark, tmp_path, embeddings):
+    cat = Catalog(spark, str(tmp_path / "wh2"))
+    cat.create_collection("pq", dimension=64, index_type="ivfpq",
+                          params={"nlist": 8, "nprobe": 8, "m": 8})
+    docs = embeddings.select(
+        F.col("vec_id").cast("string").alias("id"), F.col("embedding").alias("vector"),
+        F.lit(None).cast("map<string,string>").alias("parameters"),
+    )
+    cat.upsert_documents("pq", docs)
+    build_index(cat, "pq")
+    res = search_vectors(cat, "pq", _q(spark, embeddings, 3), k=5)
+    top1 = {r["query_id"]: r["id"] for r in res.filter(F.col("rank") == 1).collect()}
+    assert top1 == {"0": "0", "1": "1", "2": "2"}  # refined exact re-rank
