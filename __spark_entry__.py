@@ -2,16 +2,20 @@
 
 Each ``queries()`` entry is an implemented operator from SURVEY.md §2
 (vector-search core) or the LLM-data-pipeline extension scope; each
-``oracle_sql()`` entry is the equivalent DuckDB SQL. Vector distances are
-computed in float64 on both sides (bit-identical left-fold arithmetic —
-verified), so hash-matching is exact.
+``oracle_sql()`` entry is the equivalent DuckDB SQL. Distances and
+hashes are computed identically in both engines (in-order float64
+folds; md5-derived 60-bit integer hashes), so value hashes match at
+full precision. Approximate-index operators (ivf/ivfpq/lsh) are
+deterministic but not SQL-expressible (k-means / random projections) —
+they ship without oracles (rows-only check) and are recall-tested vs
+the Flat oracle in tests/.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 SF0001 = "/root/testdata/sf0.001"
@@ -34,29 +38,106 @@ def entry(spark: SparkSession) -> DataFrame:
 # vector search surface (SURVEY.md §2.2)
 # ---------------------------------------------------------------------------
 
+def _emb_base(spark, sf_dir):
+    emb = _table(spark, sf_dir, "embeddings")
+    return emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
+
+
+def _emb_queries(spark, sf_dir, n):
+    emb = _table(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
 def _knn_flat(spark: SparkSession, sf_dir: str, space: str, n_queries: int = 10, k: int = 10) -> DataFrame:
     from oasisdb_spark.index.flat import knn_flat
 
-    emb = _table(spark, sf_dir, "embeddings")
-    base = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
-    q = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
-    res = knn_flat(q, base, k=k, space=space)
+    res = knn_flat(_emb_queries(spark, sf_dir, n_queries), _emb_base(spark, sf_dir), k=k, space=space)
     return res.select("query_id", "id", "rank", F.col("distance").cast("double").alias("distance"))
+
+
+def _knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe-pruned kNN (rows-only: k-means isn't SQL)."""
+    from oasisdb_spark.index.ivf import build_ivf, knn_ivf
+
+    base = _emb_base(spark, sf_dir)
+    cent, idx = build_ivf(base, nlist=16)
+    res = knn_ivf(_emb_queries(spark, sf_dir, 10), cent, idx, k=10, nprobe=8)
+    return res.select("query_id", "id", "rank", F.col("distance").cast("double").alias("distance"))
+
+
+def _knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ ADC + exact refine (rows-only)."""
+    from oasisdb_spark.index.ivfpq import build_ivfpq, knn_ivfpq
+
+    base = _emb_base(spark, sf_dir)
+    cents, books, idx = build_ivfpq(base, nlist=8, m=8)
+    res = knn_ivfpq(
+        _emb_queries(spark, sf_dir, 10), cents, books, idx, k=10, nprobe=8,
+        refine_base=base, refine_factor=4,
+    )
+    return res.select("query_id", "id", "rank", F.col("distance").cast("double").alias("distance"))
+
+
+def _knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH tier (rows-only: random projections aren't SQL)."""
+    from oasisdb_spark.index.lsh import knn_lsh
+
+    res = knn_lsh(
+        _emb_queries(spark, sf_dir, 10), _emb_base(spark, sf_dir),
+        k=10, bucket_length=4.0, num_hash_tables=4,
+    )
+    return res.select("query_id", "id", "rank", F.col("distance").cast("double").alias("distance"))
+
+
+def _knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-matrix exact kNN (pipeline/ann.py) — the GEMM scale path.
+    Distances rounded to 3dp for the oracle (GEMM vs in-order-fold
+    summation differ in the last ulps)."""
+    from oasisdb_spark.pipeline.ann import knn_brute_batched
+
+    res = knn_brute_batched(_emb_queries(spark, sf_dir, 10), _emb_base(spark, sf_dir), k=10)
+    return res.select("query_id", "id", "rank", F.round(F.col("distance"), 3).alias("distance"))
+
+
+def _search_documents_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """search_documents with a WORKING metadata pre-filter (the reference
+    accepts-and-ignores its filter — document.go:171, design.md:58-59):
+    top-5 among label=1 vectors only."""
+    from oasisdb_spark.index.flat import knn_flat
+
+    emb = _table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("label") == 1).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    res = knn_flat(_emb_queries(spark, sf_dir, 5), base, k=5)
+    out = res.join(emb.select(F.col("vec_id").alias("id"), "label"), on="id")
+    return out.select("query_id", "id", "rank",
+                      F.col("distance").cast("double").alias("distance"), "label")
+
+
+def _vector_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 get-document point lookup (document.go:95-120): id-pruned scan."""
+    emb = _table(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") == 42).select(
+        "vec_id", "label", F.size("embedding").alias("dim"),
+        F.round(F.aggregate(F.col("embedding"), F.lit(0.0),
+                            lambda a, x: a + x.cast("double") * x.cast("double")), 4).alias("norm_sq"),
+    )
 
 
 _KNN_ORACLE_TMPL = """
 WITH scored AS (
   SELECT q.vec_id AS query_id, e.vec_id AS id, {dist} AS distance
   FROM (SELECT * FROM embeddings WHERE vec_id < {nq}) q
-  CROSS JOIN embeddings e
+  CROSS JOIN {base} e
 ), ranked AS (
   SELECT query_id, id, distance,
          row_number() OVER (PARTITION BY query_id ORDER BY distance ASC, id ASC) AS rank
   FROM scored
 )
-SELECT query_id, id, rank, distance FROM ranked WHERE rank <= {k}
+SELECT query_id, id, rank, distance{extra} FROM ranked{join} WHERE rank <= {k}
 """
 
 _L2_SQL = (
@@ -67,9 +148,7 @@ _DOT_SQL = (
     "list_sum(list_transform(list_zip(q.embedding, e.embedding),"
     " p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))"
 )
-_NORM_SQL = (
-    "sqrt(list_sum(list_transform({v}, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))"
-)
+_NORM_SQL = "sqrt(list_sum(list_transform({v}, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))"
 _COS_SQL = (
     f"CASE WHEN {_NORM_SQL.format(v='q.embedding')} = 0 OR {_NORM_SQL.format(v='e.embedding')} = 0"
     f" THEN 1.0 ELSE 1.0 - ({_DOT_SQL}) / ({_NORM_SQL.format(v='q.embedding')} * {_NORM_SQL.format(v='e.embedding')}) END"
@@ -77,7 +156,207 @@ _COS_SQL = (
 
 
 # ---------------------------------------------------------------------------
-# relational / pipeline extension surface
+# text analysis + dedup extension surface (documents/embeddings tables)
+# ---------------------------------------------------------------------------
+
+_TOKS_CTE = (
+    "toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),"
+    " x -> x != '') AS tk FROM documents)"
+)
+_SHINGLES_CTE = (
+    "sh AS (SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 3 THEN"
+    " list_transform(range(1, len(tk)-1), i -> array_to_string(tk[CAST(i AS INT):CAST(i+2 AS INT)], ' '))"
+    " ELSE [array_to_string(tk, ' ')] END) AS s FROM toks)"
+)
+_H31 = "(('0x' || substr(md5({x}), 1, 15))::BIGINT % 2147483647)"
+_SHASH_CTE = f"shh AS (SELECT doc_id, list_distinct(list_transform(s, g -> {_H31.format(x='g')})) AS hs FROM sh)"
+
+
+def _text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oasisdb_spark.pipeline.text import quality_score, text_stats_cols
+
+    docs = _table(spark, sf_dir, "documents")
+    stats = text_stats_cols("text")
+    return docs.select(
+        "doc_id",
+        *(v.alias(k) for k, v in stats.items()),
+        quality_score("text").alias("quality"),
+    )
+
+
+def _langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oasisdb_spark.pipeline.text import langid_expr
+
+    docs = _table(spark, sf_dir, "documents")
+    return docs.select("doc_id", langid_expr("text").alias("lang_pred"))
+
+
+def _exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oasisdb_spark.pipeline.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(_table(spark, sf_dir, "documents"))
+
+
+def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oasisdb_spark.pipeline.dedup import minhash_signature
+
+    docs = _table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.posexplode(minhash_signature("text")).alias("i", "sig")
+    )
+
+
+def _minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oasisdb_spark.pipeline.dedup import jaccard_pairs, minhash_candidate_pairs
+
+    docs = _table(spark, sf_dir, "documents")
+    cand = minhash_candidate_pairs(docs)
+    return jaccard_pairs(docs, threshold=0.5, candidates=cand)
+
+
+def _ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oasisdb_spark.pipeline.dedup import jaccard_pairs
+
+    return jaccard_pairs(_table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oasisdb_spark.pipeline.dedup import simhash_expr
+
+    docs = _table(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash_expr("text").alias("simhash"))
+
+
+def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oasisdb_spark.pipeline.dedup import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(_table(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+def _minhash_oracle() -> str:
+    from oasisdb_spark.pipeline.dedup import MINHASH_P, minhash_coeffs
+
+    a, b = minhash_coeffs()
+    return f"""
+WITH {_TOKS_CTE}, {_SHINGLES_CTE}, {_SHASH_CTE}
+SELECT doc_id, CAST(i AS INT) AS i,
+       list_min(list_transform(hs, h -> (({a})[CAST(i+1 AS INT)] * h + ({b})[CAST(i+1 AS INT)]) % {MINHASH_P})) AS sig
+FROM shh, range(32) t(i)
+"""
+
+
+def _lsh_pairs_oracle(with_banding: bool) -> str:
+    from oasisdb_spark.pipeline.dedup import MINHASH_BANDS, MINHASH_K, MINHASH_P, minhash_coeffs
+
+    a, b = minhash_coeffs()
+    r = MINHASH_K // MINHASH_BANDS
+    jacc = """
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)"""
+    if not with_banding:
+        return f"""
+WITH {_TOKS_CTE}, {_SHINGLES_CTE}, {jacc}
+SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.5
+"""
+    return f"""
+WITH {_TOKS_CTE}, {_SHINGLES_CTE}, {_SHASH_CTE},
+sig AS (
+  SELECT doc_id,
+         list_transform(range(0, {MINHASH_K}), i ->
+           list_min(list_transform(hs, h -> (({a})[CAST(i+1 AS INT)] * h + ({b})[CAST(i+1 AS INT)]) % {MINHASH_P}))) AS sg
+  FROM shh
+),
+banded AS (
+  SELECT doc_id, j AS band_idx,
+         md5(array_to_string(list_transform(sg[CAST(j*{r}+1 AS INT):CAST(j*{r}+{r} AS INT)], x -> CAST(x AS VARCHAR)), ',')) AS band_key
+  FROM sig, range(0, {MINHASH_BANDS}) t(j)
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM banded l JOIN banded r
+    ON l.band_idx = r.band_idx AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+),
+{jacc}
+SELECT p.doc_a, p.doc_b, p.jaccard FROM pairs p JOIN cand c ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b
+WHERE p.jaccard >= 0.5
+"""
+
+
+def _simhash_oracle() -> str:
+    from oasisdb_spark.pipeline.dedup import SIMHASH_BITS
+
+    h60 = "(('0x' || substr(md5(t), 1, 15))::BIGINT)"
+    terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN (x >> {k}) & 1 = 1 THEN 1 ELSE -1 END)) > 0"
+        f" THEN CAST({2**k} AS BIGINT) ELSE 0 END)"
+        for k in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH {_TOKS_CTE},
+hs0 AS (SELECT doc_id, list_distinct(list_transform(tk, t -> {h60})) AS hs FROM toks)
+SELECT doc_id, {terms} AS simhash FROM hs0
+"""
+
+
+def _text_stats_oracle() -> str:
+    from oasisdb_spark.pipeline.text import STOPWORDS
+
+    en = STOPWORDS["en"]
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS tk,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
+  FROM documents
+), s AS (
+  SELECT doc_id, n_chars, len(tk) AS n_tokens,
+         CASE WHEN len(tk) > 0 THEN round(CAST(n_alpha AS DOUBLE) / len(tk), 4) ELSE 0.0 END AS avg_word_len,
+         round(CAST(n_alpha AS DOUBLE) / greatest(n_chars, 1), 4) AS alpha_ratio,
+         round(CAST(n_digit AS DOUBLE) / greatest(n_chars, 1), 4) AS digit_ratio,
+         round(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1), 4) AS punct_ratio,
+         len(list_intersect(list_distinct(tk), {en})) AS stopword_hits
+  FROM base
+)
+SELECT doc_id, n_chars, n_tokens, avg_word_len, alpha_ratio, digit_ratio, punct_ratio, stopword_hits,
+       round(CAST((CASE WHEN n_chars BETWEEN 50 AND 20000 THEN 0.4 ELSE 0.0 END)
+           + (CASE WHEN n_tokens >= 10 THEN 0.3 ELSE 0.0 END)
+           + (CASE WHEN stopword_hits >= 2 THEN 0.2 ELSE 0.0 END)
+           + (CASE WHEN digit_ratio < 0.3 AND punct_ratio < 0.2 THEN 0.1 ELSE 0.0 END) AS DOUBLE), 2) AS quality
+FROM s
+"""
+
+
+def _langid_oracle() -> str:
+    from oasisdb_spark.pipeline.text import STOPWORDS
+
+    score = lambda lang: f"len(list_intersect(dtk, {STOPWORDS[lang]}))"
+    return f"""
+WITH t0 AS (
+  SELECT doc_id, list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')) AS dtk
+  FROM documents
+), sc AS (
+  SELECT doc_id, {score('de')} AS s_de, {score('en')} AS s_en, {score('es')} AS s_es, {score('fr')} AS s_fr
+  FROM t0
+)
+SELECT doc_id,
+       CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+            WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+            WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+            WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+            ELSE 'fr' END AS lang_pred
+FROM sc
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational / streaming-batch extension surface
 # ---------------------------------------------------------------------------
 
 def _q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -95,15 +374,71 @@ def _q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+def _q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + agg + top-10 (broadcast the small dims; the lineitem
+    side never shuffles before aggregation at scale)."""
+    cust = _table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _table(spark, sf_dir, "orders")
+    li = _table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+                li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
 
+
+def _q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way star join: revenue by supplier nation (q5-flavored)."""
+    li = _table(spark, sf_dir, "lineitem")
+    sup = _table(spark, sf_dir, "supplier")
+    nat = _table(spark, sf_dir, "nation")
+    reg = _table(spark, sf_dir, "region")
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def _top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
     return (
         orders.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
         .select("o_custkey", "o_orderkey", "rank", F.col("o_totalprice").cast("double").alias("o_totalprice"))
+    )
+
+
+def _customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-sum window (deterministic in-order accumulation)."""
+    orders = _table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+def _part_brand_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (grouping-sets surface)."""
+    part = _table(spark, sf_dir, "part")
+    return (
+        part.rollup("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_parts"), F.round(F.sum("p_retailprice"), 2).alias("sum_price"))
+        .select(F.coalesce("p_brand", F.lit("ALL")).alias("p_brand"), "n_parts", "sum_price")
     )
 
 
@@ -118,22 +453,109 @@ def _events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (gap > 30 min starts a new session) via lag — the
+    batch twin of the streaming session operator (streaming/events.py)."""
+    ev = _table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gapped = ev.withColumn(
+        "new_sess",
+        F.when(
+            (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))) > 1800, 1
+        ).otherwise(0),
+    )
+    sess = gapped.withColumn(
+        "sess_id", F.sum(F.when(F.lag("ts").over(w).isNull(), 1).otherwise(F.col("new_sess"))).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        sess.groupBy("user_id", "sess_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select("user_id", F.col("sess_id").cast("bigint").alias("sess_id"), "n_events", "sum_value")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # vector core (SURVEY §2.2)
         "knn_flat_l2": lambda s, d: _knn_flat(s, d, "l2"),
         "knn_flat_cos": lambda s, d: _knn_flat(s, d, "cos"),
         "knn_flat_ip": lambda s, d: _knn_flat(s, d, "ip"),
+        "knn_ivf": _knn_ivf,
+        "knn_ivfpq": _knn_ivfpq,
+        "knn_lsh": _knn_lsh,
+        "knn_brute": _knn_brute,
+        "search_documents_filtered": _search_documents_filtered,
+        "vector_lookup": _vector_lookup,
+        # text analysis extension
+        "text_stats": _text_stats,
+        "langid": _langid,
+        # dedup extension
+        "exact_dedup": _exact_dedup,
+        "minhash_signatures": _minhash_signatures,
+        "minhash_lsh_pairs": _minhash_lsh_pairs,
+        "ngram_jaccard_pairs": _ngram_jaccard_pairs,
+        "simhash": _simhash,
+        "embedding_neardup": _embedding_neardup,
+        # relational / windows / rollup / sessionize
         "q1_pricing_summary": _q1_pricing_summary,
+        "q3_shipping_priority": _q3_shipping_priority,
+        "q5_nation_revenue": _q5_nation_revenue,
         "top3_orders_per_customer": _top3_orders_per_customer,
+        "customer_running_spend": _customer_running_spend,
+        "part_brand_rollup": _part_brand_rollup,
         "events_hourly": _events_hourly,
+        "events_sessionize": _events_sessionize,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from oasisdb_spark.pipeline.text import STOPWORDS  # noqa: F401 (constants shared with oracles)
+
     return {
-        "knn_flat_l2": _KNN_ORACLE_TMPL.format(dist=_L2_SQL, nq=10, k=10),
-        "knn_flat_cos": _KNN_ORACLE_TMPL.format(dist=_COS_SQL, nq=10, k=10),
-        "knn_flat_ip": _KNN_ORACLE_TMPL.format(dist=f"-({_DOT_SQL})", nq=10, k=10),
+        "knn_flat_l2": _KNN_ORACLE_TMPL.format(dist=_L2_SQL, nq=10, k=10, base="embeddings", extra="", join=""),
+        "knn_flat_cos": _KNN_ORACLE_TMPL.format(dist=_COS_SQL, nq=10, k=10, base="embeddings", extra="", join=""),
+        "knn_flat_ip": _KNN_ORACLE_TMPL.format(dist=f"-({_DOT_SQL})", nq=10, k=10, base="embeddings", extra="", join=""),
+        "knn_brute": f"""
+            SELECT query_id, id, rank, round(distance, 3) AS distance FROM (
+              {_KNN_ORACLE_TMPL.format(dist=_L2_SQL, nq=10, k=10, base="embeddings", extra="", join="")}
+            )
+        """,
+        "search_documents_filtered": _KNN_ORACLE_TMPL.format(
+            dist=_L2_SQL, nq=5, k=5, base="(SELECT * FROM embeddings WHERE label = 1)",
+            extra=", lbl.label", join=" JOIN embeddings lbl ON ranked.id = lbl.vec_id",
+        ),
+        "vector_lookup": """
+            SELECT vec_id, label, len(embedding) AS dim,
+                   round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))), 4) AS norm_sq
+            FROM embeddings WHERE vec_id = 42
+        """,
+        "text_stats": _text_stats_oracle(),
+        "langid": _langid_oracle(),
+        "exact_dedup": """
+            WITH fp AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 15))::BIGINT AS fingerprint
+              FROM documents
+            )
+            SELECT min(doc_id) AS keep_id, count(*) AS n_dups, fingerprint FROM fp GROUP BY fingerprint
+        """,
+        "minhash_signatures": _minhash_oracle(),
+        "minhash_lsh_pairs": _lsh_pairs_oracle(with_banding=True),
+        "ngram_jaccard_pairs": _lsh_pairs_oracle(with_banding=False),
+        "simhash": _simhash_oracle(),
+        "embedding_neardup": f"""
+            SELECT * FROM (
+              SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+                     round(CASE WHEN {_NORM_SQL.format(v='a.embedding')} = 0 OR {_NORM_SQL.format(v='b.embedding')} = 0
+                           THEN 0.0
+                           ELSE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))
+                                / ({_NORM_SQL.format(v='a.embedding')} * {_NORM_SQL.format(v='b.embedding')}) END, 6) AS cos_sim
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            ) WHERE cos_sim >= 0.4
+        """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
@@ -145,6 +567,26 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
         """,
+        "q3_shipping_priority": """
+            SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderkey
+            ORDER BY revenue DESC, o_orderkey ASC
+            LIMIT 10
+        """,
+        "q5_nation_revenue": """
+            SELECT r_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+        """,
         "top3_orders_per_customer": """
             SELECT o_custkey, o_orderkey, rank, o_totalprice FROM (
               SELECT o_custkey, o_orderkey, o_totalprice,
@@ -152,12 +594,37 @@ def oracle_sql() -> dict[str, str]:
               FROM orders
             ) WHERE rank <= 3
         """,
+        "customer_running_spend": """
+            SELECT o_custkey, o_orderkey,
+                   round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+            FROM orders
+        """,
+        "part_brand_rollup": """
+            SELECT coalesce(p_brand, 'ALL') AS p_brand, count(*) AS n_parts,
+                   round(sum(p_retailprice), 2) AS sum_price
+            FROM part GROUP BY ROLLUP (p_brand)
+        """,
         "events_hourly": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
-                   event_type,
-                   count(*) AS n_events,
+                   event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "events_sessionize": """
+            WITH g AS (
+              SELECT user_id, event_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                          WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+            ), s AS (
+              SELECT user_id, value,
+                     sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+              FROM g
+            )
+            SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id, count(*) AS n_events,
                    round(sum(value), 2) AS sum_value
-            FROM events
-            GROUP BY 1, 2
+            FROM s GROUP BY user_id, sess_id
         """,
     }

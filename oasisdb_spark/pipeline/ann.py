@@ -1,0 +1,114 @@
+"""Similarity search over embedding columns — the scale paths.
+
+Three tiers (SURVEY.md Q3-Q6 capability, re-shaped for 100 TB):
+1. knn_brute_batched (here): exact top-k via per-partition numpy GEMM —
+   queries broadcast, each Arrow batch of the base table scored as one
+   (batch x dim) @ (dim x nq) matrix multiply (BLAS = the reference's
+   SIMD kernels, space_l2.h, but batched), local top-k per partition,
+   then a global top-k over num_partitions*k rows. The base table is
+   scanned once, never shuffled; shuffle volume is O(partitions*nq*k).
+   This is the throughput-optimal exact path.
+2. index/ivf.knn_ivf: probe-pruned approximate path (scan nprobe/nlist
+   of the data).
+3. index/ivfpq.knn_ivfpq: compressed-scan path (32x smaller reads)
+   + exact refine.
+
+knn_flat (index/flat.py) remains the expression-based executable spec —
+bit-reproducible against SQL oracles; this module is the fast twin
+(float32 GEMM, last-ulp differences from fold order, identical id sets
+on non-degenerate data).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["knn_brute_batched", "cosine_topk_batched"]
+
+
+def _topk_merge(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(), F.col("id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def knn_brute_batched(
+    queries: DataFrame,
+    base: DataFrame,
+    k: int,
+    space: str = "l2",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    id_col: str = "id",
+    vec_col: str = "vector",
+) -> DataFrame:
+    """Exact kNN via broadcast queries + per-batch GEMM + two-level top-k.
+
+    space: l2 (squared) | ip (-dot) | cos (1-cos).
+    """
+    if space not in ("l2", "ip", "cos"):
+        raise ValueError(f"knn_brute_batched supports l2/ip/cos, got {space!r}")
+    spark = base.sparkSession
+    q_rows = queries.select(query_id_col, query_vec_col).collect()
+    q_ids = [r[query_id_col] for r in q_rows]
+    Q = np.array([r[query_vec_col] for r in q_rows], dtype=np.float32)
+    bc = spark.sparkContext.broadcast((q_ids, Q))
+
+    id_type = base.schema[id_col].dataType
+    qid_type = queries.schema[query_id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", qid_type, True),
+            T.StructField("id", id_type, True),
+            T.StructField("distance", T.DoubleType(), True),
+        ]
+    )
+    b = base.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vector"))
+
+    def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids, Qm = bc.value
+        Qt = Qm.T  # (dim, nq)
+        q_sq = (Qm.astype(np.float64) ** 2).sum(axis=1)  # (nq,)
+        q_norm = np.sqrt(q_sq)
+        nq = len(qids)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf["vector"].tolist(), dtype=np.float32)  # (nb, dim)
+            G = (X @ Qt).astype(np.float64)  # (nb, nq) dot products
+            if space == "l2":
+                x_sq = (X.astype(np.float64) ** 2).sum(axis=1)
+                # clamp: ||x||²+||q||²-2x·q can go slightly negative from
+                # cancellation when x≈q; true squared distance is >= 0
+                D = np.maximum(x_sq[:, None] + q_sq[None, :] - 2.0 * G, 0.0)
+            elif space == "ip":
+                D = -G
+            else:  # cos
+                x_norm = np.sqrt((X.astype(np.float64) ** 2).sum(axis=1))
+                denom = x_norm[:, None] * q_norm[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    D = np.where(denom > 0, 1.0 - G / denom, 1.0)
+            # local top-k per query inside the batch
+            kk = min(k, len(pdf))
+            part = np.argpartition(D, kk - 1, axis=0)[:kk]  # (kk, nq)
+            rows = {
+                "query_id": np.repeat(qids, kk),
+                "id": pdf["id"].values[part.T.reshape(-1)],
+                "distance": D[part.T.reshape(-1), np.repeat(np.arange(nq), kk)],
+            }
+            yield pd.DataFrame(rows)
+
+    scored = b.mapInPandas(_score, schema=out_schema)
+    return _topk_merge(scored, k)
+
+
+def cosine_topk_batched(
+    queries: DataFrame, base: DataFrame, k: int, **kw
+) -> DataFrame:
+    """Cosine top-k — the embedding-similarity-search entry point."""
+    return knn_brute_batched(queries, base, k, space="cos", **kw)

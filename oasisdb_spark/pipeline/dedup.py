@@ -1,0 +1,273 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Every operator here is deterministic and built from md5-derived integer
+hashes that DuckDB reproduces bit-for-bit, so even the MinHash/SimHash
+paths are hash-match oracle-able (rare for LSH implementations).
+
+Scale design:
+- exact_dedup: hash-groupBy on a 60-bit fingerprint — one shuffle of
+  (hash, id), never the text.
+- minhash: signatures are per-row Column expressions (no shuffle);
+  LSH candidate generation explodes b band keys per doc and self-joins
+  on the band key — the join is equi-key and AQE-skew-handled; the
+  verify step computes exact Jaccard ONLY on candidates.
+- ngram_jaccard_pairs: inverted-index join on shingle hash (the
+  all-pairs-without-crossjoin pattern): |A∩B| from the join, |A∪B| from
+  set sizes.
+- simhash: 48 single-pass conditional aggregates — no row blowup.
+- embedding near-dup: exact pairwise over an LSH/IVF-bucketed candidate
+  set; the brute variant is for oracle checks at small SF.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from oasisdb_spark.pipeline.text import char_hash60, normalize_text, tokens
+
+__all__ = [
+    "MINHASH_K", "MINHASH_BANDS", "MINHASH_P", "MINHASH_H32",
+    "minhash_coeffs", "shingles", "shingle_hashes", "minhash_signature",
+    "exact_dedup_groups", "minhash_candidate_pairs", "jaccard_pairs",
+    "simhash_expr", "embedding_neardup_pairs",
+]
+
+MINHASH_K = 32          # signature length
+MINHASH_BANDS = 8       # 8 bands x 4 rows
+MINHASH_P = 4294967311  # prime > 2^32; a*h32+b stays < 2^63
+MINHASH_H32 = 2147483647  # base hashes reduced mod 2^31-1
+
+
+def minhash_coeffs(k: int = MINHASH_K) -> tuple[list[int], list[int]]:
+    """Deterministic LCG-derived (a, b) coefficient lists — shared by the
+    Spark impl and the generated DuckDB oracle SQL."""
+    a = [((1103515245 * (i + 1) + 12345) % MINHASH_H32) or 1 for i in range(k)]
+    b = [(1103515245 * (i + 101) + 54321) % MINHASH_H32 for i in range(k)]
+    return a, b
+
+
+def shingles(c: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles of the token stream (space-joined), distinct.
+    Docs shorter than n tokens yield their full token-join as 1 shingle."""
+    t = tokens(c)
+    sz = F.size(t)
+    full = F.array(F.concat_ws(" ", t))
+    grams = F.transform(
+        F.sequence(F.lit(1), sz - (n - 1)), lambda i: F.concat_ws(" ", F.slice(t, i, n))
+    )
+    return F.array_distinct(F.when(sz >= n, grams).otherwise(full))
+
+
+def shingle_hashes(c: Column | str, n: int = 3) -> Column:
+    """Distinct 31-bit shingle hashes (md5-derived, cross-engine)."""
+    return F.array_distinct(
+        F.transform(
+            shingles(c, n),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint") % MINHASH_H32,
+        )
+    )
+
+
+def minhash_signature_expr(c: Column | str, n: int = 3, k: int = MINHASH_K) -> Column:
+    """MinHash as a pure Column expression. Semantically identical to
+    ``minhash_signature`` but ~9x slower: Catalyst evaluates nested
+    higher-order lambdas interpreted and re-evaluates the md5-per-shingle
+    subtree per hash function (no CSE across lambda scopes). Kept as the
+    executable spec; the pandas UDF below is the production path."""
+    a, b = minhash_coeffs(k)
+    hashes = shingle_hashes(c, n)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                hashes,
+                lambda h: (F.element_at(F.lit(a), i + 1) * h + F.element_at(F.lit(b), i + 1))
+                % F.lit(MINHASH_P),
+            )
+        ),
+    )
+
+
+def minhash_signature(c: Column | str, n: int = 3, k: int = MINHASH_K) -> Column:
+    """MinHash signature: sig[i] = min over shingles of (a_i*h+b_i) mod P.
+
+    Arrow-batched pandas UDF computing the EXACT same integers as
+    ``minhash_signature_expr`` (same md5-derived shingle hashes, same
+    int64 arithmetic — verified element-equal), with the (k x n_shingles)
+    min computed as one numpy broadcast per doc. Integer math has no
+    float-order hazard, so this stays hash-match oracle-able."""
+    a, b = minhash_coeffs(k)
+    A = np.array(a, dtype=np.int64)[:, None]
+    B = np.array(b, dtype=np.int64)[:, None]
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _mh(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = [x for x in re.split("[^a-z0-9]+", (t or "").lower()) if x]
+            if len(toks) >= n:
+                sh = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+            else:
+                sh = {" ".join(toks)}
+            hs = np.array(
+                [int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % MINHASH_H32 for s in sh],
+                dtype=np.int64,
+            )
+            out.append(((A * hs[None, :] + B) % MINHASH_P).min(axis=1).tolist())
+        return pd.Series(out)
+
+    return _mh(F.col(c) if isinstance(c, str) else c)
+
+
+def exact_dedup_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup on the normalized-text fingerprint: one row per
+    distinct content, keeping the smallest id (the canonical doc), plus
+    the duplicate count. Output: (keep_id, n_dups, fingerprint)."""
+    fp = char_hash60(normalize_text(text_col))
+    return (
+        df.select(F.col(id_col).alias("doc_id"), fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+        .select("keep_id", "n_dups", "fingerprint")
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """LSH banding: docs sharing any band of their signature become a
+    candidate pair. Output: (doc_a, doc_b) distinct, doc_a < doc_b."""
+    r = k // bands
+    sig = df.select(
+        F.col(id_col).alias("doc_id"), minhash_signature(text_col, n, k).alias("sig")
+    )
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda j: F.md5(F.concat_ws(",", F.transform(F.slice("sig", j * r + 1, r), lambda x: x.cast("string")))),
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact shingle-set Jaccard similarity via inverted-index join
+    (never a cross join): intersection from the equi-join on shingle
+    hash, union from set sizes. Optionally restricted to candidate
+    pairs (the LSH verify step). Output: (doc_a, doc_b, jaccard)."""
+    sh = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(shingle_hashes(text_col, n)).alias("sh")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, on=["doc_a", "doc_b"])
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), on="doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), on="doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold)
+
+
+SIMHASH_BITS = 48
+
+
+def simhash_expr(c: Column | str) -> Column:
+    """48-bit SimHash over distinct token hashes: bit k is set when more
+    token-hashes have bit k set than not.
+
+    Arrow-batched pandas UDF (pure integer math — oracle-matchable);
+    the bit-count matrix per doc is one numpy unpackbits-style broadcast
+    instead of 48 interpreted fold expressions."""
+    ks = np.arange(SIMHASH_BITS, dtype=np.int64)
+
+    @F.pandas_udf(T.LongType())
+    def _sh(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = {x for x in re.split("[^a-z0-9]+", (t or "").lower()) if x}
+            if not toks:
+                out.append(0)
+                continue
+            hs = np.array(
+                [int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in toks], dtype=np.int64
+            )
+            bits = (hs[:, None] >> ks[None, :]) & 1       # (n_tokens, 48)
+            score = (2 * bits - 1).sum(axis=0)            # +1/-1 votes
+            out.append(int(((score > 0).astype(np.int64) << ks).sum()))
+        return pd.Series(out)
+
+    return _sh(F.col(c) if isinstance(c, str) else c)
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    blocking: DataFrame | None = None,
+) -> DataFrame:
+    """Embedding near-dup: pairs with cosine similarity >= threshold.
+    Exact pairwise over candidates; `blocking` (doc_a, doc_b) restricts
+    pairs (at scale: LSH buckets or IVF cluster co-membership — without
+    it this is a cross join, acceptable only for oracle-scale checks).
+    Output: (doc_a, doc_b, cos_sim)."""
+    from oasisdb_spark.functions.distance import cosine_distance
+
+    a = emb.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("doc_a") < F.col("doc_b"))
+    if blocking is not None:
+        pairs = pairs.join(blocking, on=["doc_a", "doc_b"])
+    sim = F.round(F.lit(1.0) - cosine_distance("va", "vb"), 6)
+    return pairs.select("doc_a", "doc_b", sim.alias("cos_sim")).filter(
+        F.col("cos_sim") >= threshold
+    )

@@ -1,0 +1,87 @@
+"""Structured Streaming extension over the events table.
+
+The reference has NO streaming surface (SURVEY.md §2.4: its only
+async machinery is LSM compaction and index-snapshot goroutines,
+tree_compact.go / index_manager.go:387-438). This module is the
+north-star extension scope: the same event analytics the batch queries
+compute (__spark_entry__._events_hourly/_events_sessionize), expressed
+as incremental streaming plans with watermarks — the Spark-idiomatic
+continuous version of "keep the derived table fresh".
+
+Design notes for scale:
+- file source reads the events directory incrementally (maxFilesPerTrigger
+  bounds batch size); in production this is Kafka/Kinesis — swap the
+  reader, the plan is unchanged.
+- windowed_counts: tumbling windows + watermark bound state; late rows
+  beyond the watermark are dropped deterministically.
+- sessionize_stream: session windows via the built-in F.session_window
+  (gap-based), watermark-bounded — the streaming twin of the batch
+  lag/gap sessionizer, same 30-min gap semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Incremental parquet-directory source with the events schema.
+    (The driver fixture's TIMESTAMP(NANOS) requires the nanos-as-long
+    conf; streaming tests write their own micros fixtures.)"""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def windowed_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window counts/sums per event_type with late-data bound."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows per user (gap-based) — streaming twin of the
+    batch sessionizer (__spark_entry__._events_sessionize)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("sess.start").alias("sess_start"),
+            F.col("sess.end").alias("sess_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -1,0 +1,91 @@
+"""Dedup operators: exact, minhash LSH, jaccard verify, simhash,
+embedding near-dup — on constructed duplicates + the documents fixture."""
+
+from pyspark.sql import functions as F
+
+from oasisdb_spark.pipeline.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup_groups,
+    jaccard_pairs,
+    minhash_candidate_pairs,
+    minhash_signature,
+    simhash_expr,
+)
+
+
+def _docs_with_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods"
+    near = "the quick brown fox jumps over the lazy dog and runs far away into the forest"
+    other = "completely different content about spark dataframes and distributed query engines"
+    rows = [
+        (1, base),
+        (2, base.upper()),        # exact dup after normalization
+        (3, near),                # near dup (1 word differs)
+        (4, other),
+        (5, "tiny"),
+    ]
+    return spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+
+
+def test_exact_dedup(spark):
+    groups = exact_dedup_groups(_docs_with_dups(spark)).collect()
+    by_keep = {r["keep_id"]: r["n_dups"] for r in groups}
+    assert by_keep[1] == 2       # docs 1+2 collapse
+    assert by_keep[3] == 1 and by_keep[4] == 1 and by_keep[5] == 1
+
+
+def test_minhash_udf_matches_expression_spec(spark, documents):
+    """The production pandas-UDF minhash must produce the EXACT integers
+    of the Column-expression spec (same md5, same int64 arithmetic)."""
+    from oasisdb_spark.pipeline.dedup import minhash_signature_expr
+
+    sample = documents.limit(25)
+    fast = {r["doc_id"]: r["s"] for r in sample.select("doc_id", minhash_signature("text").alias("s")).collect()}
+    spec = {r["doc_id"]: r["s"] for r in sample.select("doc_id", minhash_signature_expr("text").alias("s")).collect()}
+    assert fast == spec
+
+
+def test_minhash_identical_signatures(spark):
+    df = _docs_with_dups(spark)
+    sigs = {r["doc_id"]: r["sig"] for r in df.select("doc_id", minhash_signature("text").alias("sig")).collect()}
+    assert sigs[1] == sigs[2]
+    assert len(sigs[1]) == 32
+    # near-dup shares most minima, different doc shares few
+    shared_near = sum(a == b for a, b in zip(sigs[1], sigs[3]))
+    shared_far = sum(a == b for a, b in zip(sigs[1], sigs[4]))
+    assert shared_near > shared_far
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    pairs = {(r["doc_a"], r["doc_b"]) for r in minhash_candidate_pairs(_docs_with_dups(spark)).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) in pairs or (2, 3) in pairs  # near-dup caught by some band
+    assert (1, 4) not in pairs
+
+
+def test_jaccard_verify(spark):
+    df = _docs_with_dups(spark)
+    cand = minhash_candidate_pairs(df)
+    verified = jaccard_pairs(df, threshold=0.5, candidates=cand).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in verified}
+    assert got[(1, 2)] == 1.0
+    assert (1, 3) in got and 0.5 <= got[(1, 3)] < 1.0
+
+
+def test_simhash_close_for_near_dups(spark):
+    df = _docs_with_dups(spark)
+    sh = {r["doc_id"]: r["sh"] for r in df.select("doc_id", simhash_expr("text").alias("sh")).collect()}
+    assert sh[1] == sh[2]
+    ham = lambda x, y: bin(x ^ y).count("1")
+    assert ham(sh[1], sh[3]) < ham(sh[1], sh[4])
+
+
+def test_embedding_neardup(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),   # near-dup of 1
+        (3, [0.0, 1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    pairs = {(r["doc_a"], r["doc_b"]) for r in embedding_neardup_pairs(emb, threshold=0.99).collect()}
+    assert pairs == {(1, 2)}

@@ -1,0 +1,74 @@
+"""Structured Streaming ops: windowed counts and session windows must
+produce the same results as their batch twins when the stream drains."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from oasisdb_spark.streaming.events import (
+    read_events_stream,
+    sessionize_stream,
+    windowed_counts,
+)
+
+
+@pytest.fixture()
+def events_dir(spark, tmp_path):
+    """Micros-timestamp events fixture (3 files → 3 incremental batches)."""
+    from oasisdb_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    p = str(tmp_path / "events_stream")
+    ev.repartition(3).write.parquet(p)
+    return p
+
+
+def _drain(stream_df, tmp_path, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_windowed_counts_matches_batch(spark, tmp_path, events_dir):
+    stream = read_events_stream(spark, events_dir)
+    _drain(windowed_counts(stream), tmp_path, "win_counts")
+    got = spark.sql("SELECT sum(n_events) AS n FROM win_counts").first()["n"]
+    batch_total = spark.read.parquet(events_dir).count()
+    assert got == batch_total  # every event lands in exactly one window
+
+    # per-(window, type) equality with the batch groupBy
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "n_events")
+    )
+    stream_rows = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in spark.sql("SELECT window_start, event_type, n_events FROM win_counts").collect()
+    }
+    for r in batch.collect():
+        assert stream_rows[(r["window_start"], r["event_type"])] == r["n_events"]
+
+
+def test_sessionize_stream_total_events(spark, tmp_path):
+    """Single time-ordered batch: no late data, every event lands in a
+    session. (The 3-file out-of-order case above exercises the
+    watermark's late-drop path instead.)"""
+    from oasisdb_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    events_dir = str(tmp_path / "events_sorted")
+    ev.orderBy("ts").coalesce(1).write.parquet(events_dir)
+    stream = read_events_stream(spark, events_dir)
+    _drain(sessionize_stream(stream), tmp_path, "sessions")
+    total = spark.sql("SELECT sum(n_events) AS n FROM sessions").first()["n"]
+    assert total == spark.read.parquet(events_dir).count()
+    # session bounds are consistent: start <= end, no zero-event sessions
+    rows = spark.sql("SELECT * FROM sessions").collect()
+    assert all(r["sess_start"] <= r["sess_end"] and r["n_events"] > 0 for r in rows)

@@ -1,0 +1,57 @@
+"""Text-analysis pipeline ops on the documents fixture."""
+
+from pyspark.sql import functions as F
+
+from oasisdb_spark.pipeline.text import (
+    fingerprint_md5,
+    langid_expr,
+    normalize_text,
+    quality_score,
+    text_stats_cols,
+    token_count,
+    tokens,
+)
+
+
+def test_normalize(spark):
+    df = spark.createDataFrame([("  Hello   WORLD \n",)], "t STRING")
+    assert df.select(normalize_text("t").alias("x")).first()["x"] == "hello world"
+
+
+def test_tokens_and_count(spark):
+    df = spark.createDataFrame([("The quick, brown fox!",), ("",)], "t STRING")
+    rows = df.select(tokens("t").alias("tk"), token_count("t").alias("n")).collect()
+    assert rows[0]["tk"] == ["the", "quick", "brown", "fox"] and rows[0]["n"] == 4
+    assert rows[1]["n"] == 0
+
+
+def test_stats_and_quality(spark, documents):
+    stats = text_stats_cols("text")
+    out = documents.select(
+        "doc_id", *(v.alias(k) for k, v in stats.items()), quality_score("text").alias("q")
+    )
+    rows = out.collect()
+    assert all(0.0 <= r["q"] <= 1.0 for r in rows)
+    assert all(r["n_tokens"] > 0 for r in rows)
+    assert all(0.0 <= r["alpha_ratio"] <= 1.0 for r in rows)
+
+
+def test_langid_detects_stopword_language(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat sat of the mat and it is that for",),   # en
+            ("der hund und die katze ist ein mit von zu",),    # de
+            ("le chat et la maison est dans un pour les",),    # fr
+            ("el perro y la casa es un de en por",),           # es
+            ("xyzzy plugh 12345",),                            # none
+        ],
+        "t STRING",
+    )
+    got = [r["lang"] for r in df.select(langid_expr("t").alias("lang")).collect()]
+    assert got == ["en", "de", "fr", "es", "und"]
+
+
+def test_fingerprint_stable_under_whitespace_case(spark):
+    df = spark.createDataFrame([("Hello  World",), ("hello world",)], "t STRING")
+    fps = [r["fp"] for r in df.select(fingerprint_md5("t").alias("fp")).collect()]
+    assert fps[0] == fps[1]
