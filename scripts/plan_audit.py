@@ -1,0 +1,114 @@
+"""Physical-plan audit: prints the executed plan of each key operator
+and checks the scale-critical properties:
+
+- knn_flat:       query side broadcast (no shuffle of the base table)
+- vector_lookup:  id predicate pushed to the parquet scan
+- knn_ivf:        probe join is broadcast + reads the partitioned index
+- q1:             partial aggregation (map-side combine) before shuffle
+- text_stats:     whole-stage codegen covers the projection
+- q3:             broadcast hash joins for the dim tables
+
+Usage: python scripts/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from oasisdb_spark.session import get_spark
+
+CHECKS: list[tuple[str, str, list[str]]] = []
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def audit(name: str, df, must_contain: list[str]) -> bool:
+    plan = plan_of(df)
+    ok = all(m in plan for m in must_contain)
+    print(f"== {name}: {'OK' if ok else 'MISSING ' + str([m for m in must_contain if m not in plan])}")
+    if not ok:
+        print(plan[:4000])
+    return ok
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("plan_audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as m
+
+    failures = 0
+
+    # 1. flat knn: broadcast the query side; base table is streamed, not shuffled
+    failures += not audit(
+        "knn_flat broadcast-queries",
+        m.queries()["knn_flat_l2"](spark, sf_dir),
+        ["BroadcastNestedLoopJoin", "WindowGroupLimit"],
+    )
+
+    # 2. point lookup: predicate reaches the parquet scan
+    failures += not audit(
+        "vector_lookup pushdown",
+        m.queries()["vector_lookup"](spark, sf_dir),
+        ["PushedFilters: [IsNotNull(vec_id), EqualTo(vec_id,42)]"],
+    )
+
+    # 3. q1: map-side combine (partial_sum below the exchange) + pushdown
+    plan = plan_of(m.queries()["q1_pricing_summary"](spark, sf_dir))
+    ok = "partial_sum" in plan and "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    print(f"== q1 partial-agg + shipdate pushdown: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
+    # 4. q3: dimension joins are broadcast, no sort-merge join
+    failures += not audit(
+        "q3 broadcast dims",
+        m.queries()["q3_shipping_priority"](spark, sf_dir),
+        ["BroadcastHashJoin"],
+    )
+    if "SortMergeJoin" in plan_of(m.queries()["q3_shipping_priority"](spark, sf_dir)):
+        print("   WARNING: SortMergeJoin present in q3")
+        failures += 1
+
+    # 5. text_stats: single pass over the scan — no exchange anywhere.
+    # (Higher-order array lambdas are not codegen-supported in Spark, so
+    # the projection is interpreted; the scale property that matters is
+    # shuffle-freedom + column pruning.)
+    plan = plan_of(m.queries()["text_stats"](spark, sf_dir))
+    ok = "Exchange" not in plan and "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+    print(f"== text_stats shuffle-free + column-pruned: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
+    # 6. ivf index build output partitioned + probe join broadcast
+    from oasisdb_spark.index.ivf import build_ivf, knn_ivf
+
+    base = m._emb_base(spark, sf_dir)
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    cent, lists = build_ivf(base, nlist=8, out_dir=d)
+    parts = [p for p in os.listdir(os.path.join(d, "lists")) if p.startswith("cluster_id=")]
+    print(f"== ivf on-disk inverted lists (cluster_id partitions): {len(parts)} {'OK' if parts else 'FAIL'}")
+    failures += not parts
+    q = m._emb_queries(spark, sf_dir, 5)
+    failures += not audit("knn_ivf broadcast probes", knn_ivf(q, cent, lists, 10, nprobe=4), ["BroadcastHashJoin"])
+
+    # 7. exact_dedup: partial agg on the 60-bit hash, shuffling only (hash, id)
+    plan = plan_of(m.queries()["exact_dedup"](spark, sf_dir))
+    ok = plan.index("HashAggregate") < plan.index("Exchange")
+    print(f"== exact_dedup map-side combine: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
+    print(f"\n{'ALL PLANS OK' if not failures else f'{failures} PLAN CHECKS FAILED'}")
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
