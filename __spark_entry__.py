@@ -8,7 +8,8 @@ folds; md5-derived 60-bit integer hashes), so value hashes match at
 full precision. Approximate-index operators (ivf/ivfpq/lsh) are
 deterministic but not SQL-expressible (k-means / random projections) —
 they ship without oracles (rows-only check) and are recall-tested vs
-the Flat oracle in tests/.
+the Flat oracle in tests/. Also rows-only: auto_embed (RNG-seeded hash
+embedder) and multimodal_decode/_frames (binary codec UDFs).
 """
 
 from __future__ import annotations
@@ -153,6 +154,136 @@ _COS_SQL = (
     f"CASE WHEN {_NORM_SQL.format(v='q.embedding')} = 0 OR {_NORM_SQL.format(v='e.embedding')} = 0"
     f" THEN 1.0 ELSE 1.0 - ({_DOT_SQL}) / ({_NORM_SQL.format(v='q.embedding')} * {_NORM_SQL.format(v='e.embedding')}) END"
 )
+_HAM_SQL = (
+    "CAST(list_sum(list_transform(list_zip(q.embedding, e.embedding),"
+    " p -> CASE WHEN p[1] <> p[2] THEN 1 ELSE 0 END)) AS DOUBLE)"
+)
+
+
+def _collection_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full API lifecycle (S2-S11) through the Catalog/search surface:
+    create → batch upsert → build_index (IVF) → set_params → search,
+    plus get/list/delete exercised on a scratch collection. With
+    nprobe=nlist the IVF probe covers every list, so the result is
+    exactly the Flat top-k — SQL-oracle-able end to end."""
+    import tempfile
+
+    from oasisdb_spark.catalog import Catalog
+    from oasisdb_spark.search import build_index, search_vectors
+
+    emb = _table(spark, sf_dir, "embeddings")
+    dim = emb.select(F.size("embedding").alias("d")).first()["d"]
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="oasis_wh_"))
+    cat.create_collection("demo", dimension=dim, index_type="ivf_flat",
+                          space="l2", params={"nlist": 8, "nprobe": 1})
+    docs = emb.filter(F.col("vec_id") < 300).select(
+        F.col("vec_id").cast("string").alias("id"),
+        F.col("embedding").alias("vector"),
+        F.create_map(F.lit("label"), F.col("label").cast("string")).alias("parameters"),
+    )
+    cat.upsert_documents("demo", docs)
+    # re-upsert one doc (S6 newest-wins) + point ops on a scratch collection
+    cat.upsert_documents("demo", docs.filter(F.col("id") == "0"))
+    cat.get_document("demo", "42")
+    cat.create_collection("scratch", dimension=dim)
+    assert cat.list_collections() == ["demo", "scratch"]
+    cat.delete_collection("scratch")
+    build_index(cat, "demo")
+    cat.set_params("demo", {"nprobe": 8})  # nprobe=nlist → exact
+    res = search_vectors(cat, "demo", _emb_queries(spark, sf_dir, 3), k=5)
+    return res.select(
+        "query_id", F.col("id").cast("bigint").alias("id"), "rank",
+        F.col("distance").cast("double").alias("distance"),
+    )
+
+
+def _events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming twin of events_hourly: incremental file
+    source → watermark + 1h tumbling window → memory sink, drained with
+    trigger=availableNow. Same result as the batch query (hour-aligned
+    windows over the full fixture), so it shares the oracle — a
+    hash-matched STREAMING query."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import types as T
+
+    # the file-source requires a DIRECTORY; stage the fixture via symlink
+    src = f"{sf_dir}/events.parquet"
+    stream_dir = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(os.path.abspath(src), os.path.join(stream_dir, "events.parquet"))
+    path = stream_dir
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_dtypes = dict(spark.read.parquet(src).dtypes)
+    ts_is_nanos = batch_dtypes.get("ts") == "bigint"
+    fields = [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType() if ts_is_nanos else T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+    ev = spark.readStream.schema(T.StructType(fields)).parquet(path)
+    if ts_is_nanos:
+        ev = ev.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    name = f"events_hourly_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type", "n_events", "sum_value",
+    )
+
+
+def _multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline: opaque binary payloads + typed metadata →
+    Arrow-batched decode to feature vectors (pipeline/multimodal.py;
+    deterministic FakeCodec — real codecs are stubbed seams)."""
+    from oasisdb_spark.pipeline.multimodal import decode_features, make_fake_media
+
+    media = make_fake_media(spark, 200)
+    feat = decode_features(media, dim=16)
+    return feat.select(
+        "media_id", "kind", "format", "width", "height", "n_frames",
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x.cast("double")), 4).alias("feat_sum"),
+    )
+
+
+def _multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (every 10th frame), row-expanding mapInPandas."""
+    from oasisdb_spark.pipeline.multimodal import make_fake_media, sample_frames
+
+    return sample_frames(make_fake_media(spark, 100), every_nth=10).select(
+        "media_id", "kind", "frame_idx"
+    )
+
+
+def _auto_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 embedding surface: auto-embed rule (embed iff vector absent,
+    document.go:55-68) with the deterministic HashEmbedder provider."""
+    from oasisdb_spark.embed import HashEmbedder, auto_embed
+
+    docs = (
+        _table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text", F.lit(None).cast("array<float>").alias("vector"))
+    )
+    out = auto_embed(docs, HashEmbedder(dim=32))
+    return out.select(
+        "doc_id",
+        F.size("vector").alias("dim"),
+        F.round(F.aggregate("vector", F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")), 4).alias("norm_sq"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -191,6 +322,35 @@ def _langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", langid_expr("text").alias("lang_pred"))
 
 
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting + token counting: md5 content fingerprint,
+    a 31-bit polynomial rolling hash over the token-hash stream
+    (order-sensitive, unlike the set-based MinHash), and two token
+    counts (whitespace split; BPE-ish regex of letter runs / digit runs
+    / single punctuation)."""
+    from oasisdb_spark.pipeline.text import fingerprint_md5, tokens
+
+    docs = _table(spark, sf_dir, "documents")
+    th = F.transform(
+        tokens("text"),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint") % 2147483647,
+    )
+    rolling = F.aggregate(
+        th, F.lit(0).cast("bigint"), lambda acc, x: (acc * 31 + x) % F.lit(2147483647)
+    )
+    ws = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != ""))
+    return docs.select(
+        "doc_id",
+        fingerprint_md5("text").alias("fp_md5"),
+        rolling.alias("rolling_hash"),
+        ws.alias("ws_tokens"),
+        F.regexp_count("text", F.lit(_BPE_RE)).alias("bpe_tokens"),
+    )
+
+
 def _exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oasisdb_spark.pipeline.dedup import exact_dedup_groups
 
@@ -207,11 +367,9 @@ def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from oasisdb_spark.pipeline.dedup import jaccard_pairs, minhash_candidate_pairs
+    from oasisdb_spark.pipeline.dedup import minhash_lsh_dedup
 
-    docs = _table(spark, sf_dir, "documents")
-    cand = minhash_candidate_pairs(docs)
-    return jaccard_pairs(docs, threshold=0.5, candidates=cand)
+    return minhash_lsh_dedup(_table(spark, sf_dir, "documents"), threshold=0.5)
 
 
 def _ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -482,15 +640,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_flat_l2": lambda s, d: _knn_flat(s, d, "l2"),
         "knn_flat_cos": lambda s, d: _knn_flat(s, d, "cos"),
         "knn_flat_ip": lambda s, d: _knn_flat(s, d, "ip"),
+        "knn_flat_hamming": lambda s, d: _knn_flat(s, d, "hamming"),
         "knn_ivf": _knn_ivf,
         "knn_ivfpq": _knn_ivfpq,
         "knn_lsh": _knn_lsh,
         "knn_brute": _knn_brute,
         "search_documents_filtered": _search_documents_filtered,
         "vector_lookup": _vector_lookup,
+        "collection_lifecycle": _collection_lifecycle,
+        "auto_embed": _auto_embed,
         # text analysis extension
         "text_stats": _text_stats,
         "langid": _langid,
+        "doc_fingerprint": _doc_fingerprint,
         # dedup extension
         "exact_dedup": _exact_dedup,
         "minhash_signatures": _minhash_signatures,
@@ -507,6 +669,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_brand_rollup": _part_brand_rollup,
         "events_hourly": _events_hourly,
         "events_sessionize": _events_sessionize,
+        "events_hourly_stream": _events_hourly_stream,
+        # multimodal extension (rows-only: deterministic fake codec)
+        "multimodal_decode": _multimodal_decode,
+        "multimodal_frames": _multimodal_frames,
     }
 
 
@@ -517,6 +683,11 @@ def oracle_sql() -> dict[str, str]:
         "knn_flat_l2": _KNN_ORACLE_TMPL.format(dist=_L2_SQL, nq=10, k=10, base="embeddings", extra="", join=""),
         "knn_flat_cos": _KNN_ORACLE_TMPL.format(dist=_COS_SQL, nq=10, k=10, base="embeddings", extra="", join=""),
         "knn_flat_ip": _KNN_ORACLE_TMPL.format(dist=f"-({_DOT_SQL})", nq=10, k=10, base="embeddings", extra="", join=""),
+        "knn_flat_hamming": _KNN_ORACLE_TMPL.format(dist=_HAM_SQL, nq=10, k=10, base="embeddings", extra="", join=""),
+        "collection_lifecycle": _KNN_ORACLE_TMPL.format(
+            dist=_L2_SQL, nq=3, k=5, base="(SELECT * FROM embeddings WHERE vec_id < 300)",
+            extra="", join="",
+        ),
         "knn_brute": f"""
             SELECT query_id, id, rank, round(distance, 3) AS distance FROM (
               {_KNN_ORACLE_TMPL.format(dist=_L2_SQL, nq=10, k=10, base="embeddings", extra="", join="")}
@@ -533,6 +704,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_stats": _text_stats_oracle(),
         "langid": _langid_oracle(),
+        "doc_fingerprint": r"""
+            WITH toks AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS tk
+              FROM documents
+            )
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5,
+                   list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                       list_transform(tk, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 2147483647)),
+                     (a, x) -> (a * 31 + x) % 2147483647) AS rolling_hash,
+                   len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS ws_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
+            FROM toks
+        """,
         "exact_dedup": """
             WITH fp AS (
               SELECT doc_id,
@@ -606,6 +793,13 @@ def oracle_sql() -> dict[str, str]:
             FROM part GROUP BY ROLLUP (p_brand)
         """,
         "events_hourly": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                   event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        # streaming twin: hour-aligned tumbling windows over the full
+        # fixture equal the batch hourly rollup
+        "events_hourly_stream": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
                    event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
             FROM events GROUP BY 1, 2

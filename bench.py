@@ -37,6 +37,7 @@ HEADLINE = [
     "simhash",
     "text_stats",
     "langid",
+    "doc_fingerprint",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_nation_revenue",

@@ -36,6 +36,7 @@ from oasisdb_spark.pipeline.text import char_hash60, normalize_text, tokens
 __all__ = [
     "MINHASH_K", "MINHASH_BANDS", "MINHASH_P", "MINHASH_H32",
     "minhash_coeffs", "shingles", "shingle_hashes", "minhash_signature",
+    "shingle_minhash_frame", "minhash_lsh_dedup",
     "exact_dedup_groups", "minhash_candidate_pairs", "jaccard_pairs",
     "simhash_expr", "embedding_neardup_pairs",
 ]
@@ -127,6 +128,114 @@ def minhash_signature(c: Column | str, n: int = 3, k: int = MINHASH_K) -> Column
     return _mh(F.col(c) if isinstance(c, str) else c)
 
 
+def shingle_minhash_frame(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = MINHASH_K,
+) -> DataFrame:
+    """One fused Arrow pass producing BOTH the distinct shingle-hash set
+    and the MinHash signature: (doc_id, hs ARRAY<LONG>, sig ARRAY<LONG>).
+
+    This is the production entry for LSH dedup: the expression twins
+    (``shingle_hashes`` / ``minhash_signature_expr``) re-evaluate the
+    tokenize→shingle→md5 subtree per lambda scope (interpreted, no CSE),
+    so computing hs and sig separately costs ~4 full text passes; here
+    the text is shingled and hashed exactly once per doc. Integers are
+    identical to the expression path (same md5-derived 31-bit hashes,
+    same int64 LCG arithmetic), so DuckDB oracles still hash-match."""
+    a, b = minhash_coeffs(k)
+    A = np.array(a, dtype=np.int64)[:, None]
+    B = np.array(b, dtype=np.int64)[:, None]
+
+    @F.pandas_udf("hs: array<bigint>, sig: array<bigint>")
+    def _both(texts: pd.Series) -> pd.DataFrame:
+        hs_out, sig_out = [], []
+        for t in texts:
+            toks = [x for x in re.split("[^a-z0-9]+", (t or "").lower()) if x]
+            if len(toks) >= n:
+                sh = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+            else:
+                sh = {" ".join(toks)}
+            hs = np.unique(np.array(
+                [int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % MINHASH_H32 for s in sh],
+                dtype=np.int64,
+            ))
+            hs_out.append(hs.tolist())
+            sig_out.append(((A * hs[None, :] + B) % MINHASH_P).min(axis=1).tolist())
+        return pd.DataFrame({"hs": hs_out, "sig": sig_out})
+
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col).alias("doc_id"), _both(c).alias("_sm")
+    ).select("doc_id", F.col("_sm.hs").alias("hs"), F.col("_sm.sig").alias("sig"))
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH dedup pipeline: shingle+sign once (persisted),
+    band the signatures, self-join band keys for candidates, verify with
+    exact Jaccard over the stored hash sets. Output: (doc_a, doc_b,
+    jaccard) with jaccard >= threshold.
+
+    Scale shape: one corpus scan + one Python pass; the only shuffles
+    are the (tiny) banded self-join and the two candidate joins, which
+    AQE broadcasts. Nothing recomputes the text pipeline twice.
+
+    base is persisted AND eagerly materialized: the downstream DAG scans
+    it from three join sides, and broadcast-build sides start before a
+    lazily-persisted cache fills — each racing scan would re-run the
+    whole Python pass."""
+    r = k // bands
+    base = shingle_minhash_frame(df, id_col, text_col, n, k).persist()
+    base.count()
+    banded = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda j: F.md5(F.concat_ws(",", F.transform(F.slice("sig", j * r + 1, r), lambda x: x.cast("string")))),
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    left, right = banded.alias("l"), banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    h = base.select("doc_id", "hs")
+    joined = (
+        cand
+        .join(h.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a")), on="doc_a")
+        .join(h.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b")), on="doc_b")
+        .withColumn("inter", F.size(F.array_intersect("hs_a", "hs_b")))
+    )
+    return (
+        joined.select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter").cast("double") / (F.size("hs_a") + F.size("hs_b") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def exact_dedup_groups(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -151,7 +260,12 @@ def minhash_candidate_pairs(
     bands: int = MINHASH_BANDS,
 ) -> DataFrame:
     """LSH banding: docs sharing any band of their signature become a
-    candidate pair. Output: (doc_a, doc_b) distinct, doc_a < doc_b."""
+    candidate pair. Output: (doc_a, doc_b) distinct, doc_a < doc_b.
+
+    The banded frame (doc_id, band_idx, band_key — tiny relative to the
+    corpus) is persisted before the self-join: the join broadcasts one
+    side, which would otherwise re-evaluate the whole signature plan —
+    i.e. re-MinHash the corpus — a second time."""
     r = k // bands
     sig = df.select(
         F.col(id_col).alias("doc_id"), minhash_signature(text_col, n, k).alias("sig")
@@ -164,7 +278,7 @@ def minhash_candidate_pairs(
                 lambda j: F.md5(F.concat_ws(",", F.transform(F.slice("sig", j * r + 1, r), lambda x: x.cast("string")))),
             )
         ).alias("band_idx", "band_key"),
-    )
+    ).persist()
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -187,10 +301,34 @@ def jaccard_pairs(
     threshold: float = 0.5,
     candidates: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact shingle-set Jaccard similarity via inverted-index join
-    (never a cross join): intersection from the equi-join on shingle
-    hash, union from set sizes. Optionally restricted to candidate
-    pairs (the LSH verify step). Output: (doc_a, doc_b, jaccard)."""
+    """Exact shingle-set Jaccard similarity. Two physical strategies,
+    same semantics (hash-set intersection over union):
+
+    - candidates given (the LSH verify step): join each side's shingle-
+      hash ARRAY onto the candidate pairs (two equi-joins on doc id —
+      AQE broadcasts the small candidate side) and intersect per pair
+      with ``array_intersect``. Work is O(|candidates|), never all-pairs.
+    - no candidates: inverted-index join on shingle hash (the all-pairs-
+      without-crossjoin pattern): |A∩B| from the equi-join, |A∪B| from
+      set sizes. Output: (doc_a, doc_b, jaccard)."""
+    if candidates is not None:
+        h = df.select(F.col(id_col).alias("doc_id"), shingle_hashes(text_col, n).alias("hs"))
+        joined = (
+            candidates
+            .join(h.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a")), on="doc_a")
+            .join(h.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b")), on="doc_b")
+            .withColumn("inter", F.size(F.array_intersect("hs_a", "hs_b")))
+        )
+        out = joined.select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.size("hs_a") + F.size("hs_b") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        return out.filter(F.col("jaccard") >= threshold)
     sh = df.select(
         F.col(id_col).alias("doc_id"), F.explode(shingle_hashes(text_col, n)).alias("sh")
     )
@@ -201,8 +339,6 @@ def jaccard_pairs(
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    if candidates is not None:
-        inter = inter.join(candidates, on=["doc_a", "doc_b"])
     out = (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), on="doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), on="doc_b")
