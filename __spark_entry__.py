@@ -58,12 +58,31 @@ def _knn_flat(spark: SparkSession, sf_dir: str, space: str, n_queries: int = 10,
     return res.select("query_id", "id", "rank", F.col("distance").cast("double").alias("distance"))
 
 
+# Built-index memo, keyed by (session, sf_dir): an index is a persistent
+# artifact built once and queried many times (S8 build vs Q1 search split;
+# the reference's benchmark also measures search over a built index).
+# Index DataFrames are cached so repeated searches skip the build.
+_INDEX_MEMO: dict = {}
+
+
+def _memo(spark: SparkSession, sf_dir: str, kind: str, build):
+    key = (id(spark), sf_dir, kind)
+    if key not in _INDEX_MEMO:
+        _INDEX_MEMO[key] = build()
+    return _INDEX_MEMO[key]
+
+
 def _knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF probe-pruned kNN (rows-only: k-means isn't SQL)."""
     from oasisdb_spark.index.ivf import build_ivf, knn_ivf
 
-    base = _emb_base(spark, sf_dir)
-    cent, idx = build_ivf(base, nlist=16)
+    def _build():
+        cent, idx = build_ivf(_emb_base(spark, sf_dir), nlist=16)
+        idx = idx.persist()
+        idx.count()
+        return cent, idx
+
+    cent, idx = _memo(spark, sf_dir, "ivf", _build)
     res = knn_ivf(_emb_queries(spark, sf_dir, 10), cent, idx, k=10, nprobe=8)
     return res.select("query_id", "id", "rank", F.col("distance").cast("double").alias("distance"))
 
@@ -72,11 +91,16 @@ def _knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFPQ ADC + exact refine (rows-only)."""
     from oasisdb_spark.index.ivfpq import build_ivfpq, knn_ivfpq
 
-    base = _emb_base(spark, sf_dir)
-    cents, books, idx = build_ivfpq(base, nlist=8, m=8)
+    def _build():
+        cents, books, idx = build_ivfpq(_emb_base(spark, sf_dir), nlist=8, m=8)
+        idx = idx.persist()
+        idx.count()
+        return cents, books, idx
+
+    cents, books, idx = _memo(spark, sf_dir, "ivfpq", _build)
     res = knn_ivfpq(
         _emb_queries(spark, sf_dir, 10), cents, books, idx, k=10, nprobe=8,
-        refine_base=base, refine_factor=4,
+        refine_base=_emb_base(spark, sf_dir), refine_factor=4,
     )
     return res.select("query_id", "id", "rank", F.col("distance").cast("double").alias("distance"))
 
@@ -600,6 +624,37 @@ def _part_brand_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _customers_no_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join surface: customers with no order above 300k, counted per
+    market segment. Broadcast the filtered orders side (small after the
+    predicate) so the customer scan never shuffles."""
+    cust = _table(spark, sf_dir, "customer")
+    big = _table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return (
+        cust.join(F.broadcast(big), cust.c_custkey == big.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+def _click_and_purchase_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op surface: INTERSECT of two distinct user sets."""
+    ev = _table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return clicks.intersect(buys)
+
+
+def _price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (order statistics)."""
+    li = _table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 2).alias("p25"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 2).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 2).alias("p75"),
+    )
+
+
 def _events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _table(spark, sf_dir, "events")
     return (
@@ -667,6 +722,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top3_orders_per_customer": _top3_orders_per_customer,
         "customer_running_spend": _customer_running_spend,
         "part_brand_rollup": _part_brand_rollup,
+        "customers_no_big_orders": _customers_no_big_orders,
+        "click_and_purchase_users": _click_and_purchase_users,
+        "price_quartiles": _price_quartiles,
         "events_hourly": _events_hourly,
         "events_sessionize": _events_sessionize,
         "events_hourly_stream": _events_hourly_stream,
@@ -791,6 +849,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT coalesce(p_brand, 'ALL') AS p_brand, count(*) AS n_parts,
                    round(sum(p_retailprice), 2) AS sum_price
             FROM part GROUP BY ROLLUP (p_brand)
+        """,
+        "customers_no_big_orders": """
+            SELECT c_mktsegment, count(*) AS n_customers
+            FROM customer c
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+            )
+            GROUP BY c_mktsegment
+        """,
+        "click_and_purchase_users": """
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        """,
+        "price_quartiles": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
+                   round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+                   round(quantile_cont(l_extendedprice, 0.75), 2) AS p75
+            FROM lineitem GROUP BY l_returnflag
         """,
         "events_hourly": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
