@@ -167,21 +167,29 @@ def knn_ivf(
     space: str = "l2",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    kernel: str = "expr",
 ) -> DataFrame:
     """IVF search (ivf.go:175-228): probe-pruned equi-join + exact
     distance on the candidates + per-query top-k.
 
     Note: probe ranking always uses L2 to centroids (as the reference
     does); the candidate re-ranking uses `space`.
+
+    kernel: 'expr' = oracle-bit-exact fold expression (default, fine
+    while nprobe/nlist keeps candidates small); 'pandas' = Arrow-batched
+    numpy kernel for large candidate volumes (see distance_udf).
     """
-    from oasisdb_spark.functions.distance import distance_expr
+    from oasisdb_spark.functions.distance import distance_expr, distance_udf
 
     centroids = np.array(
         [r["centroid"] for r in centroids_df.orderBy("cluster_id").collect()], dtype=np.float32
     )
     probes = rank_probes(queries, centroids, nprobe, query_id_col, query_vec_col)
     cand = F.broadcast(probes).join(index_df, on="cluster_id")
-    scored = cand.select(
-        "query_id", "id", distance_expr(space, "query_vec", "vector").alias("distance")
+    dist = (
+        distance_expr(space, "query_vec", "vector")
+        if kernel == "expr"
+        else distance_udf(space)("query_vec", "vector")
     )
+    scored = cand.select("query_id", "id", dist.alias("distance"))
     return topk_per_query(scored, k)

@@ -37,7 +37,7 @@ from oasisdb_spark.index.flat import knn_flat
 from oasisdb_spark.index.ivf import build_ivf, knn_ivf
 from oasisdb_spark.index.ivfpq import build_ivfpq, knn_ivfpq
 
-__all__ = ["build_index", "search_vectors", "search_documents"]
+__all__ = ["build_index", "search_vectors", "search_documents", "cached_search_vectors"]
 
 
 def build_index(catalog: Catalog, name: str) -> int:
@@ -96,7 +96,14 @@ def search_vectors(
     if coll.index_version == 0 or coll.index_type == "flat" or candidates is not None:
         # no built index (search-before-build sees current data — strictly
         # better than the reference's partial-data race, SURVEY.md §4) or
-        # filtered candidate set → exact scan
+        # filtered candidate set → exact scan. GEMM path for the spaces it
+        # supports (scans base once, no pair materialization — the only
+        # exact strategy that survives large collections; see RECALL.md);
+        # hamming falls back to the expression scan.
+        if coll.space in ("l2", "ip", "cos"):
+            from oasisdb_spark.pipeline.ann import knn_brute_batched
+
+            return knn_brute_batched(queries, data, k, space=coll.space)
         return knn_flat(queries, data, k, space=coll.space)
     if coll.index_type in ("ivf_flat", "hnsw"):
         cent, lists = _load_ivf(catalog, name, coll.index_version)
@@ -111,6 +118,39 @@ def search_vectors(
             nprobe=_nprobe_for(coll), refine_base=data, refine_factor=4,
         )
     raise errors.ErrInvalidParams(f"unknown index type {coll.index_type!r}")
+
+
+def cached_search_vectors(
+    catalog: Catalog,
+    name: str,
+    query_vec: list[float],
+    k: int,
+    cache,
+) -> list:
+    """Q13 result-cache path for the reference's serving pattern
+    (handlers.go:46-54: one query vector per request, cache consulted
+    before the index). Returns collected (id, distance, rank) rows.
+
+    The cache key includes the collection's index_version, so results
+    can never be stale after an upsert+rebuild — the safety the
+    reference lacks (SURVEY.md Q13). Use plain search_vectors for batch
+    query DataFrames; caching collected results only makes sense for
+    repeated point lookups."""
+    coll = catalog.get_collection(name)
+    key = cache.key(name, coll.index_version, [float(x) for x in query_vec], k)
+    hit = cache.get(key)
+    if hit is not None:
+        return hit
+    spark = catalog.spark
+    q = spark.createDataFrame(
+        [(0, [float(x) for x in query_vec])], "query_id INT, query_vec ARRAY<FLOAT>"
+    )
+    rows = [
+        (r["id"], r["distance"], r["rank"])
+        for r in search_vectors(catalog, name, q, k).collect()
+    ]
+    cache.put(key, rows)
+    return rows
 
 
 def search_documents(

@@ -68,6 +68,45 @@ def windowed_counts(
     )
 
 
+def user_running_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running (n_events, sum_value) maintained across micro-batches —
+    the arbitrary-state API the built-in window aggs can't express
+    (e.g. for CDC-style accumulators or custom eviction policies).
+
+    Emits one updated row per user per micro-batch (output mode
+    'update'). State is a (n LONG, s DOUBLE) tuple per user_id; at
+    scale state is partitioned by the grouping key across executors and
+    checkpointed by the state store — no driver-side accumulation."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("sum_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("n", T.LongType()), T.StructField("s", T.DoubleType())]
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 2)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def sessionize_stream(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:

@@ -72,3 +72,40 @@ def test_sessionize_stream_total_events(spark, tmp_path):
     # session bounds are consistent: start <= end, no zero-event sessions
     rows = spark.sql("SELECT * FROM sessions").collect()
     assert all(r["sess_start"] <= r["sess_end"] and r["n_events"] > 0 for r in rows)
+
+
+def test_user_running_totals_state_accumulates(spark, tmp_path, events_dir):
+    """applyInPandasWithState: state carries across micro-batches — the
+    final emitted totals per user equal the batch aggregation."""
+    from oasisdb_spark.streaming.events import user_running_totals
+
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    q = (
+        user_running_totals(stream)
+        .writeStream.format("memory")
+        .queryName("running_totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_rt"))
+        .start()
+    )
+    q.processAllAvailable()
+    n_batches = len(q.recentProgress)
+    q.stop()
+    assert n_batches >= 3  # maxFilesPerTrigger=1 over 3 files → incremental
+
+    # running totals are monotone in n_events: the max row per user is
+    # the final state (collect order across batches is not guaranteed)
+    final: dict = {}
+    for r in spark.sql("SELECT * FROM running_totals").collect():
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            final[r["user_id"]] = (r["n_events"], r["sum_value"])
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("s"))
+    )
+    for r in batch.collect():
+        n, s = final[r["user_id"]]
+        assert n == r["n"]
+        assert abs(s - r["s"]) < 0.02
