@@ -140,7 +140,8 @@ def build_ivfpq(
     )
     if out_dir:
         spark = base.sparkSession
-        index_df.write.mode("overwrite").partitionBy("cluster_id").parquet(
+        # one writer task per inverted list (see ivf.py build note)
+        index_df.repartition("cluster_id").write.mode("overwrite").partitionBy("cluster_id").parquet(
             os.path.join(out_dir, "lists")
         )
         np_dir = os.path.join(out_dir, "model")

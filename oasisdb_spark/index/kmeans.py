@@ -33,14 +33,22 @@ def kmeans_fit(x: np.ndarray, k: int, max_iters: int = MAX_KMEANS_ITERS) -> np.n
         raise ValueError("cannot fit kmeans on empty data")
     k = min(k, n)
     centroids = x[:k].copy()  # first-k init, ivf.go:321-328
+    # hoisted loop invariants: the float64 view and ||x||² never change
+    x64 = x.astype(np.float64)
+    x2 = (x64**2).sum(axis=1)[:, None]
+    dim = x.shape[1]
     for _ in range(max_iters):
-        # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; argmin over c
-        assign = _assign(x, centroids)
+        assign = _assign_pre(x64, x2, centroids)
+        # vectorized update: per-cluster float64 sums + counts in one
+        # scatter-add pass instead of k boolean-mask scans
+        counts = np.bincount(assign, minlength=k)
+        sums = np.zeros((k, dim), dtype=np.float64)
+        np.add.at(sums, assign, x64)
         new_centroids = centroids.copy()
-        for j in range(k):
-            members = x[assign == j]
-            if len(members):
-                new_centroids[j] = members.mean(axis=0, dtype=np.float64).astype(np.float32)
+        nonempty = counts > 0  # empty clusters keep their centroid (ivf.go:351-371)
+        new_centroids[nonempty] = (
+            sums[nonempty] / counts[nonempty, None]
+        ).astype(np.float32)
         if np.array_equal(new_centroids, centroids):
             break
         centroids = new_centroids
@@ -49,7 +57,11 @@ def kmeans_fit(x: np.ndarray, k: int, max_iters: int = MAX_KMEANS_ITERS) -> np.n
 
 def _assign(x: np.ndarray, centroids: np.ndarray) -> np.ndarray:
     """Vectorized argmin_{c} ||x-c||^2 — (n,) int32."""
-    x2 = (x.astype(np.float64) ** 2).sum(axis=1)[:, None]
-    c2 = (centroids.astype(np.float64) ** 2).sum(axis=1)[None, :]
-    d = x2 + c2 - 2.0 * (x.astype(np.float64) @ centroids.astype(np.float64).T)
+    x64 = x.astype(np.float64)
+    return _assign_pre(x64, (x64**2).sum(axis=1)[:, None], centroids)
+
+
+def _assign_pre(x64: np.ndarray, x2: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    c64 = centroids.astype(np.float64)
+    d = x2 + (c64**2).sum(axis=1)[None, :] - 2.0 * (x64 @ c64.T)
     return d.argmin(axis=1).astype(np.int32)

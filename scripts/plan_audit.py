@@ -105,6 +105,19 @@ def main() -> None:
     print(f"== exact_dedup map-side combine: {'OK' if ok else 'FAIL'}")
     failures += not ok
 
+    # 8. anti-join: filtered orders side broadcast, customer scan unshuffled
+    plan = plan_of(m.queries()["customers_no_big_orders"](spark, sf_dir))
+    ok = "BroadcastHashJoin" in plan and "LeftAnti" in plan and "SortMergeJoin" not in plan
+    print(f"== customers_no_big_orders broadcast anti-join: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
+    # 9. exact search API routes to the GEMM scan (MapInPandas), never a
+    # pair-materializing join
+    plan = plan_of(m.queries()["knn_brute"](spark, sf_dir))
+    ok = "MapInPandas" in plan and "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    print(f"== knn_brute GEMM scan (no pair join): {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
     print(f"\n{'ALL PLANS OK' if not failures else f'{failures} PLAN CHECKS FAILED'}")
     spark.stop()
     sys.exit(1 if failures else 0)
