@@ -58,11 +58,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = {k: v for k, v in entrymod.queries().items() if k in HEADLINE}
-    # warmup: small pass to JIT/codegen-cache the plans
-    warm_dir = "/root/testdata/sf0.001"
+    # Warmup AT THE BENCH SF: JIT/codegen-caches the plans and builds the
+    # ANN indexes (memoized per (session, sf_dir) in __spark_entry__), so
+    # the timed pass measures steady-state query throughput over BUILT
+    # indexes — the reference benchmark's semantics (BASELINE.md: QPS of
+    # search over a built collection, build excluded).
     for name, fn in qs.items():
         try:
-            force(fn(spark, warm_dir))
+            force(fn(spark, SF_DIR))
         except Exception:
             pass
 
