@@ -269,6 +269,52 @@ def _events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (F.session_window, 30-min gap) drained
+    with availableNow — the built-in gap-based session operator. Session
+    ordinals per user (row_number over session start) reproduce the
+    batch lag/cumsum sessionizer's sess_id exactly, so this STREAMING
+    query shares the events_sessionize oracle."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import types as T
+
+    src = f"{sf_dir}/events.parquet"
+    stream_dir = tempfile.mkdtemp(prefix="events_sess_stream_")
+    os.symlink(os.path.abspath(src), os.path.join(stream_dir, "events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_is_nanos = dict(spark.read.parquet(src).dtypes).get("ts") == "bigint"
+    fields = [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType() if ts_is_nanos else T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+    ev = spark.readStream.schema(T.StructType(fields)).parquet(stream_dir)
+    if ts_is_nanos:
+        ev = ev.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sess"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    name = f"events_sessionize_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    w = Window.partitionBy("user_id").orderBy(F.col("sess.start").asc())
+    return spark.table(name).select(
+        "user_id", F.row_number().over(w).cast("bigint").alias("sess_id"),
+        "n_events", "sum_value",
+    )
+
+
 def _multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline: opaque binary payloads + typed metadata →
     Arrow-batched decode to feature vectors (pipeline/multimodal.py;
@@ -728,6 +774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _events_hourly,
         "events_sessionize": _events_sessionize,
         "events_hourly_stream": _events_hourly_stream,
+        "events_sessionize_stream": _events_sessionize_stream,
         # multimodal extension (rows-only: deterministic fake codec)
         "multimodal_decode": _multimodal_decode,
         "multimodal_frames": _multimodal_frames,
@@ -884,6 +931,25 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "events_sessionize": """
+            WITH g AS (
+              SELECT user_id, event_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                          WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+            ), s AS (
+              SELECT user_id, value,
+                     sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+              FROM g
+            )
+            SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id, count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM s GROUP BY user_id, sess_id
+        """,
+        # streaming twin: session_window(30 min) sessions, numbered per
+        # user by start time, equal the batch lag/cumsum sessionizer
+        "events_sessionize_stream": """
             WITH g AS (
               SELECT user_id, event_id, ts, value,
                      CASE WHEN lag(ts) OVER w IS NULL THEN 1

@@ -51,10 +51,12 @@ def train_pq(
     centroids: np.ndarray,
     m: int,
     vec_col: str = "vector",
-    sample_cap: int = 100_000,
+    sample_cap: int = 65_536,
 ) -> np.ndarray:
     """Per-subspace codebooks over residuals (ivfpq.go:151-165).
-    Returns (m, KSUB, dim//m) float32."""
+    Returns (m, KSUB, dim//m) float32. sample_cap defaults to 256·KSUB
+    training points — the standard per-code budget; driver-memory
+    bounded at any table size."""
     dim = centroids.shape[1]
     if dim % m != 0:
         raise ErrInvalidParams(f"ivfpq requires dim % m == 0, got dim={dim}, m={m}")
@@ -181,8 +183,19 @@ def knn_ivfpq(
     m, ksub, sub = codebooks.shape
     bc_c = spark.sparkContext.broadcast(centroids.astype(np.float32))
     bc_b = spark.sparkContext.broadcast(codebooks.astype(np.float32))
+    # Broadcast the query vectors (the batch is small by contract — it
+    # is collected/broadcast in every exact path too) instead of
+    # carrying a 64-float query_vec column on every candidate row
+    # through the join + Arrow boundary: ~10× less transfer per
+    # candidate (codes are m bytes; the query column would be dim·4).
+    q_rows = queries.select(query_id_col, query_vec_col).collect()
+    bc_q = spark.sparkContext.broadcast(
+        {r[query_id_col]: np.asarray(r[query_vec_col], dtype=np.float32) for r in q_rows}
+    )
 
-    probes = rank_probes(queries, centroids, nprobe, query_id_col, query_vec_col)
+    probes = rank_probes(queries, centroids, nprobe, query_id_col, query_vec_col).select(
+        "query_id", "cluster_id"
+    )
     cand = F.broadcast(probes).join(index_df, on="cluster_id")
 
     out_schema = T.StructType(
@@ -196,6 +209,7 @@ def knn_ivfpq(
     def _adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cents = bc_c.value
         books = bc_b.value.astype(np.float64)
+        qvecs = bc_q.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -203,7 +217,7 @@ def knn_ivfpq(
             # one distance table per (query, probed cluster) group — the
             # reference's per-probe precompute (ivfpq.go:262-277)
             for (qid, cl), grp in pdf.groupby(["query_id", "cluster_id"], sort=False):
-                qv = np.asarray(grp["query_vec"].iloc[0], dtype=np.float32)
+                qv = qvecs[qid]
                 resid = (qv - cents[cl]).astype(np.float64)
                 rs = resid.reshape(m, sub)
                 # dtable[j, c] = || resid_j - codebook[j, c] ||^2

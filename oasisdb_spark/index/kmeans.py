@@ -33,12 +33,10 @@ def kmeans_fit(x: np.ndarray, k: int, max_iters: int = MAX_KMEANS_ITERS) -> np.n
         raise ValueError("cannot fit kmeans on empty data")
     k = min(k, n)
     centroids = x[:k].copy()  # first-k init, ivf.go:321-328
-    # hoisted loop invariants: the float64 view and ||x||² never change
-    x64 = x.astype(np.float64)
-    x2 = (x64**2).sum(axis=1)[:, None]
+    x64 = x.astype(np.float64)  # float64 sums for the update step
     dim = x.shape[1]
     for _ in range(max_iters):
-        assign = _assign_pre(x64, x2, centroids)
+        assign = _assign(x, centroids)
         # vectorized update: per-cluster float64 sums + counts in one
         # scatter-add pass instead of k boolean-mask scans
         counts = np.bincount(assign, minlength=k)
@@ -55,13 +53,24 @@ def kmeans_fit(x: np.ndarray, k: int, max_iters: int = MAX_KMEANS_ITERS) -> np.n
     return centroids
 
 
+_ASSIGN_CHUNK = 65_536
+
+
 def _assign(x: np.ndarray, centroids: np.ndarray) -> np.ndarray:
-    """Vectorized argmin_{c} ||x-c||^2 — (n,) int32."""
-    x64 = x.astype(np.float64)
-    return _assign_pre(x64, (x64**2).sum(axis=1)[:, None], centroids)
+    """Vectorized argmin_c ||x-c||² — (n,) int32.
 
-
-def _assign_pre(x64: np.ndarray, x2: np.ndarray, centroids: np.ndarray) -> np.ndarray:
-    c64 = centroids.astype(np.float64)
-    d = x2 + (c64**2).sum(axis=1)[None, :] - 2.0 * (x64 @ c64.T)
-    return d.argmin(axis=1).astype(np.int32)
+    Training-loop kernel: float32 GEMM (the reference trains in float32
+    too, ivf.go); the per-row ||x||² term is constant under argmin over
+    c and dropped; chunked so the (chunk, k) score matrix stays cache/
+    memory bounded at any sample size."""
+    c = np.ascontiguousarray(centroids, dtype=np.float32)
+    c2 = (c.astype(np.float64) ** 2).sum(axis=1).astype(np.float32)
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    out = np.empty(len(x), dtype=np.int32)
+    for i in range(0, len(x), _ASSIGN_CHUNK):
+        blk = x[i : i + _ASSIGN_CHUNK]
+        d = blk @ c.T
+        d *= -2.0
+        d += c2[None, :]
+        out[i : i + _ASSIGN_CHUNK] = d.argmin(axis=1)
+    return out
