@@ -691,6 +691,31 @@ def _click_and_purchase_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clicks.intersect(buys)
 
 
+def _suppliers_with_max_qty_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join surface: suppliers having any near-max-quantity lineitem
+    (EXISTS), counted per nation. The filtered lineitem side streams;
+    only (l_suppkey) reaches the join."""
+    sup = _table(spark, sf_dir, "supplier")
+    nat = _table(spark, sf_dir, "nation")
+    big = _table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    return (
+        sup.join(big, sup.s_suppkey == big.l_suppkey, "left_semi")
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+
+
+def _events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) aggregation surface: distinct users and active
+    days per event type (two distinct aggregates in one pass)."""
+    ev = _table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(F.to_date("ts")).alias("n_days"),
+    )
+
+
 def _price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (order statistics)."""
     li = _table(spark, sf_dir, "lineitem")
@@ -769,7 +794,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_running_spend": _customer_running_spend,
         "part_brand_rollup": _part_brand_rollup,
         "customers_no_big_orders": _customers_no_big_orders,
+        "suppliers_with_max_qty_items": _suppliers_with_max_qty_items,
         "click_and_purchase_users": _click_and_purchase_users,
+        "events_distinct_users": _events_distinct_users,
         "price_quartiles": _price_quartiles,
         "events_hourly": _events_hourly,
         "events_sessionize": _events_sessionize,
@@ -910,6 +937,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
             INTERSECT
             SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        """,
+        "suppliers_with_max_qty_items": """
+            SELECT n_name, count(*) AS n_suppliers
+            FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+            WHERE EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 49
+            )
+            GROUP BY n_name
+        """,
+        "events_distinct_users": """
+            SELECT event_type,
+                   count(DISTINCT user_id) AS n_users,
+                   count(DISTINCT CAST(ts AS DATE)) AS n_days
+            FROM events GROUP BY event_type
         """,
         "price_quartiles": """
             SELECT l_returnflag,

@@ -300,6 +300,7 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     candidates: DataFrame | None = None,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard similarity. Two physical strategies,
     same semantics (hash-set intersection over union):
@@ -310,7 +311,17 @@ def jaccard_pairs(
       with ``array_intersect``. Work is O(|candidates|), never all-pairs.
     - no candidates: inverted-index join on shingle hash (the all-pairs-
       without-crossjoin pattern): |A∩B| from the equi-join, |A∪B| from
-      set sizes. Output: (doc_a, doc_b, jaccard)."""
+      set sizes. Output: (doc_a, doc_b, jaccard).
+
+    max_doc_freq (inverted-index path only): drop shingles appearing in
+    more than this many documents BEFORE the self-join. A shingle in f
+    docs contributes f² join rows — boilerplate shingles ("all rights
+    reserved …") are the skew that kills the all-pairs join at corpus
+    scale. Capping df is the standard mitigation; pairs sharing ONLY
+    capped shingles are missed (they are overwhelmingly non-duplicates —
+    at 100 TB run this with a cap, or use the MinHash-LSH pipeline whose
+    banding is frequency-insensitive). None (default) = exact, matching
+    the SQL oracle."""
     if candidates is not None:
         h = df.select(F.col(id_col).alias("doc_id"), shingle_hashes(text_col, n).alias("hs"))
         joined = (
@@ -333,6 +344,15 @@ def jaccard_pairs(
         F.col(id_col).alias("doc_id"), F.explode(shingle_hashes(text_col, n)).alias("sh")
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("sh")
+        )
+        # sizes stay FULL set sizes (true |A|,|B|); only the join input
+        # is pruned, so jaccard is under- never over-estimated
+        sh = sh.join(F.broadcast(hot), on="sh", how="left_anti")
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))

@@ -89,3 +89,31 @@ def test_embedding_neardup(spark):
     emb = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
     pairs = {(r["doc_a"], r["doc_b"]) for r in embedding_neardup_pairs(emb, threshold=0.99).collect()}
     assert pairs == {(1, 2)}
+
+
+def test_jaccard_max_doc_freq_prunes_hot_shingles(spark):
+    """Hot-shingle cap: pairs sharing only a boilerplate shingle vanish;
+    genuinely-similar pairs keep their exact jaccard (sizes stay full)."""
+    from pyspark.sql import functions as F
+
+    from oasisdb_spark.pipeline.dedup import jaccard_pairs
+
+    boiler = "all rights reserved forever"
+    rows = [
+        (0, f"alpha beta gamma delta epsilon {boiler}"),
+        (1, f"alpha beta gamma delta epsilon {boiler}"),   # true dup of 0
+        (2, f"unrelated text one two three {boiler}"),
+        (3, f"totally different words here now {boiler}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    uncapped = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+                for r in jaccard_pairs(df, threshold=0.0).collect()}
+    capped = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+              for r in jaccard_pairs(df, threshold=0.0, max_doc_freq=3).collect()}
+    assert uncapped[(0, 1)] == 1.0
+    # 0/1 also share the pruned boilerplate shingles, so their capped
+    # jaccard UNDER-estimates (5 of 7 shingles survive, sizes stay 7):
+    # 5 / (7 + 7 - 5) = 5/9 — never over-estimates, pair still surfaces.
+    assert (0, 1) in capped and abs(capped[(0, 1)] - 5 / 9) < 1e-4
+    # 2 and 3 share ONLY capped boilerplate shingles -> pair disappears
+    assert (2, 3) in uncapped and (2, 3) not in capped

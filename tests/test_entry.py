@@ -1,0 +1,62 @@
+"""Driver-contract invariants for __spark_entry__.py — keeps the
+contract honest without the DuckDB oracle (scripts/check_oracle.py is
+the full gate)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_oracle_keys_subset_of_queries():
+    qs, os_ = entry.queries(), entry.oracle_sql()
+    assert set(os_) <= set(qs)
+    # every oracle is a non-empty SQL string
+    assert all(isinstance(s, str) and s.strip() for s in os_.values())
+
+
+def test_entry_returns_rows_with_stable_schema(spark):
+    df = entry.entry(spark)
+    assert df.columns == ["query_id", "id", "rank", "distance"]
+    assert len(df.collect()) == 50  # 5 queries x k=10
+
+
+def test_knn_hamming_self_is_rank_one(spark):
+    rows = entry.queries()["knn_flat_hamming"](spark, SF).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], {})[r["rank"]] = r
+    for qid, ranks in by_q.items():
+        assert ranks[1]["id"] == qid  # 0 unequal positions vs itself
+        assert ranks[1]["distance"] == 0.0
+
+
+def test_doc_fingerprint_rolling_hash_matches_python(spark):
+    import hashlib
+    import re
+
+    out = {r["doc_id"]: r for r in entry.queries()["doc_fingerprint"](spark, SF).collect()}
+    docs = {r["doc_id"]: r["text"]
+            for r in spark.read.parquet(f"{SF}/documents.parquet").limit(20).collect()}
+    P = 2147483647
+    for doc_id, text in docs.items():
+        toks = [x for x in re.split("[^a-z0-9]+", (text or "").lower()) if x]
+        h = 0
+        for t in toks:
+            th = int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % P
+            h = (h * 31 + th) % P
+        assert out[doc_id]["rolling_hash"] == h
+        assert out[doc_id]["ws_tokens"] == len([w for w in re.split(r"\s+", text) if w])
+
+
+def test_semi_and_anti_join_queries_disjoint_logic(spark):
+    """Semi (EXISTS) and anti (NOT EXISTS) partition the supplier set."""
+    sup_total = spark.read.parquet(f"{SF}/supplier.parquet").count()
+    semi = entry.queries()["suppliers_with_max_qty_items"](spark, SF)
+    n_semi = semi.agg(F.sum("n_suppliers")).first()[0] or 0
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").filter(F.col("l_quantity") >= 49)
+    sup = spark.read.parquet(f"{SF}/supplier.parquet")
+    n_anti = sup.join(li, sup.s_suppkey == li.l_suppkey, "left_anti").count()
+    assert n_semi + n_anti == sup_total
