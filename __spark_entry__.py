@@ -716,6 +716,97 @@ def _events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan + conjunctive filter + single agg — the
+    canonical pushdown showcase (all three predicates reach the parquet
+    scan; only two columns are read)."""
+    li = _table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+def _customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join surface: every customer with its order count and
+    spend — zero-order customers survive with (0, 0.0). Orders shuffle
+    on o_custkey once; count(o_orderkey) counts matches only."""
+    cust = _table(spark, sf_dir, "customer")
+    orders = _table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.round(F.sum("o_totalprice"), 2), F.lit(0.0)).alias("total_spend"),
+        )
+    )
+
+
+def _click_no_purchase_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op surface: EXCEPT — (user, day) pairs with clicks but no
+    purchase that day; complements the INTERSECT query. Days formatted
+    to strings so both engines hash identical values."""
+    ev = _table(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", day).distinct()
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id", day).distinct()
+    return clicks.exceptAll(buys)
+
+
+def _events_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag window surface: per-user gap to the previous and next
+    event in seconds (one shuffle on user_id; ties broken by event_id)."""
+    ev = _table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    sec = F.unix_timestamp("ts")
+    return ev.select(
+        "event_id", "user_id",
+        (sec - F.lag(sec).over(w)).alias("prev_gap_s"),
+        (F.lead(sec).over(w) - sec).alias("next_gap_s"),
+    )
+
+
+def _part_brand_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping-sets surface (all four (brand, type) marginals)."""
+    part = _table(spark, sf_dir, "part")
+    return (
+        part.cube("p_brand", "p_type")
+        .agg(F.count(F.lit(1)).alias("n_parts"), F.round(F.avg("p_retailprice"), 2).alias("avg_price"))
+        .select(
+            F.coalesce("p_brand", F.lit("ALL")).alias("p_brand"),
+            F.coalesce("p_type", F.lit("ALL")).alias("p_type"),
+            "n_parts", "avg_price",
+        )
+    )
+
+
+def _events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each purchase matched to the same
+    user's most recent click at-or-before it; DuckDB's native ASOF JOIN
+    is the oracle. Clicks are pre-deduplicated per (user_id, ts) for
+    tie determinism."""
+    from oasisdb_spark.operators import asof_join
+
+    ev = _table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    res = asof_join(purchases, clicks, on="user_id", ts_col="ts", how="inner")
+    return res.select(
+        "event_id", "user_id", "r_click_id",
+        (F.unix_timestamp("ts") - F.unix_timestamp("r_ts")).alias("wait_s"),
+    )
+
+
 def _price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (order statistics)."""
     li = _table(spark, sf_dir, "lineitem")
@@ -797,6 +888,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suppliers_with_max_qty_items": _suppliers_with_max_qty_items,
         "click_and_purchase_users": _click_and_purchase_users,
         "events_distinct_users": _events_distinct_users,
+        "q6_forecast_revenue": _q6_forecast_revenue,
+        "customer_order_counts": _customer_order_counts,
+        "click_no_purchase_days": _click_no_purchase_days,
+        "events_lead_lag": _events_lead_lag,
+        "part_brand_cube": _part_brand_cube,
+        "events_asof_join": _events_asof_join,
         "price_quartiles": _price_quartiles,
         "events_hourly": _events_hourly,
         "events_sessionize": _events_sessionize,
@@ -952,6 +1049,57 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS n_users,
                    count(DISTINCT CAST(ts AS DATE)) AS n_days
             FROM events GROUP BY event_type
+        """,
+        "q6_forecast_revenue": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "customer_order_counts": """
+            SELECT c_custkey,
+                   count(o_orderkey) AS n_orders,
+                   coalesce(round(sum(o_totalprice), 2), 0.0) AS total_spend
+            FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey
+        """,
+        "click_no_purchase_days": """
+            SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day
+            FROM events WHERE event_type = 'click'
+            EXCEPT
+            SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day
+            FROM events WHERE event_type = 'purchase'
+        """,
+        "events_lead_lag": """
+            SELECT event_id, user_id,
+                   CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+                     - lag(CAST(epoch(date_trunc('second', ts)) AS BIGINT))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_gap_s,
+                   lead(CAST(epoch(date_trunc('second', ts)) AS BIGINT))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     - CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS next_gap_s
+            FROM events
+        """,
+        "part_brand_cube": """
+            SELECT coalesce(p_brand, 'ALL') AS p_brand,
+                   coalesce(p_type, 'ALL') AS p_type,
+                   count(*) AS n_parts,
+                   round(avg(p_retailprice), 2) AS avg_price
+            FROM part GROUP BY CUBE (p_brand, p_type)
+        """,
+        "events_asof_join": """
+            WITH p AS (
+              SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+            ), c AS (
+              SELECT user_id, ts, max(event_id) AS click_id
+              FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+            )
+            SELECT p.event_id, p.user_id, c.click_id AS r_click_id,
+                   CAST(epoch(date_trunc('second', p.ts)) AS BIGINT)
+                     - CAST(epoch(date_trunc('second', c.ts)) AS BIGINT) AS wait_s
+            FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
         """,
         "price_quartiles": """
             SELECT l_returnflag,

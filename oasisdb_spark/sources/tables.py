@@ -35,7 +35,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         except Exception:
             df = _load_via_arrow(spark, path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # integer `div`, not float `/`: epoch nanos exceed a double's 53-bit
+        # integer range, so float division can drift the microsecond by ±1
+        # vs DuckDB's exact nanos->micros truncation
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 
