@@ -807,6 +807,101 @@ def _events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part avg qty)
+    decorrelated into a window — ONE shuffle on l_partkey computes the
+    threshold and filters in the same pass, instead of the agg +
+    self-join the naive plan would pick. Part keys broadcast."""
+    li = _table(spark, sf_dir, "lineitem")
+    part = _table(spark, sf_dir, "part").filter(F.col("p_size") <= 5).select("p_partkey")
+    w = Window.partitionBy("l_partkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .withColumn("qty_thresh", 0.2 * F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+def _nation_balance_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join surface: high-balance customer vs supplier
+    rollups per nation; nations present on only one side survive with
+    zero-filled counts from the other."""
+    cust = _table(spark, sf_dir, "customer")
+    supp = _table(spark, sf_dir, "supplier")
+    c = (
+        cust.filter(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"), F.round(F.sum("c_acctbal"), 2).alias("cust_bal"))
+    )
+    s = (
+        supp.filter(F.col("s_acctbal") > 9000)
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"), F.round(F.sum("s_acctbal"), 2).alias("supp_bal"))
+    )
+    return (
+        c.join(s, "nk", "full_outer")
+        .select(
+            F.col("nk").alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("cust_bal", F.lit(0.0)).alias("cust_bal"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+            F.coalesce("supp_bal", F.lit(0.0)).alias("supp_bal"),
+        )
+    )
+
+
+def _orders_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot surface: order counts per priority, one column per status.
+    Explicit value list keeps it a single-pass conditional aggregation
+    (no extra distinct-values job, same plan at any scale)."""
+    orders = _table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
+    )
+
+
+def _daily_activity_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL surface: orders and purchase events as one typed
+    activity feed, rolled up per (day, kind)."""
+    orders = _table(spark, sf_dir, "orders")
+    ev = _table(spark, sf_dir, "events")
+    a = orders.select(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+        F.lit("order").alias("kind"),
+        F.col("o_totalprice").alias("amount"),
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.lit("purchase").alias("kind"),
+        F.col("value").alias("amount"),
+    )
+    return (
+        a.unionByName(b)
+        .groupBy("day", "kind")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("amount"), 2).alias("total"))
+    )
+
+
+def _stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (training-data pipeline op):
+    keep ~10% of 'en' docs and ~50% of everything else by comparing a
+    hex prefix of md5(doc_id) — hash-stable across engines and runs,
+    no RNG, no shuffle (pure per-row filter that scales linearly)."""
+    docs = _table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    thresh = F.when(F.col("lang") == "en", F.lit("199a")).otherwise(F.lit("8000"))
+    return docs.filter(bucket < thresh).select("doc_id", "lang", bucket.alias("bucket"))
+
+
 def _price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (order statistics)."""
     li = _table(spark, sf_dir, "lineitem")
@@ -894,6 +989,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_lead_lag": _events_lead_lag,
         "part_brand_cube": _part_brand_cube,
         "events_asof_join": _events_asof_join,
+        "q17_small_qty_revenue": _q17_small_qty_revenue,
+        "nation_balance_full_outer": _nation_balance_full_outer,
+        "orders_status_pivot": _orders_status_pivot,
+        "daily_activity_union": _daily_activity_union,
+        "stratified_sample_documents": _stratified_sample_documents,
         "price_quartiles": _price_quartiles,
         "events_hourly": _events_hourly,
         "events_sessionize": _events_sessionize,
@@ -1100,6 +1200,58 @@ def oracle_sql() -> dict[str, str]:
                    CAST(epoch(date_trunc('second', p.ts)) AS BIGINT)
                      - CAST(epoch(date_trunc('second', c.ts)) AS BIGINT) AS wait_s
             FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "q17_small_qty_revenue": """
+            SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            WHERE p_size <= 5
+              AND l_quantity < (
+                SELECT 0.2 * avg(l2.l_quantity)
+                FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+              )
+        """,
+        "nation_balance_full_outer": """
+            WITH c AS (
+              SELECT c_nationkey AS nk, count(*) AS n_cust,
+                     round(sum(c_acctbal), 2) AS cust_bal
+              FROM customer WHERE c_acctbal > 9000 GROUP BY 1
+            ), s AS (
+              SELECT s_nationkey AS nk, count(*) AS n_supp,
+                     round(sum(s_acctbal), 2) AS supp_bal
+              FROM supplier WHERE s_acctbal > 9000 GROUP BY 1
+            )
+            SELECT coalesce(c.nk, s.nk) AS nationkey,
+                   coalesce(n_cust, 0) AS n_cust,
+                   coalesce(cust_bal, 0.0) AS cust_bal,
+                   coalesce(n_supp, 0) AS n_supp,
+                   coalesce(supp_bal, 0.0) AS supp_bal
+            FROM c FULL OUTER JOIN s ON c.nk = s.nk
+        """,
+        "orders_status_pivot": """
+            SELECT o_orderpriority,
+                   count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+                   count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+                   count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "daily_activity_union": """
+            SELECT day, kind, count(*) AS n, round(sum(amount), 2) AS total
+            FROM (
+              SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+                     'order' AS kind, o_totalprice AS amount
+              FROM orders
+              UNION ALL
+              SELECT strftime(ts, '%Y-%m-%d') AS day,
+                     'purchase' AS kind, value AS amount
+              FROM events WHERE event_type = 'purchase'
+            ) GROUP BY day, kind
+        """,
+        "stratified_sample_documents": """
+            SELECT doc_id, lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS bucket
+            FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                  < CASE WHEN lang = 'en' THEN '199a' ELSE '8000' END
         """,
         "price_quartiles": """
             SELECT l_returnflag,
