@@ -902,6 +902,36 @@ def _stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(bucket < thresh).select("doc_id", "lang", bucket.alias("bucket"))
 
 
+def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the MinHash-LSH
+    pair graph (operators/connected_components.py), labeling each
+    clustered doc with the min doc_id of its component — the canonical
+    keep-one-per-cluster dedup output. Oracle: recursive CTE closure."""
+    from oasisdb_spark.operators import connected_components
+    from oasisdb_spark.pipeline.dedup import minhash_lsh_dedup
+
+    pairs = minhash_lsh_dedup(_table(spark, sf_dir, "documents"), threshold=0.5)
+    return connected_components(pairs, src="doc_a", dst="doc_b", id_col="doc_id")
+
+
+def _price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (operators/range_join.py): parts banded by retail
+    price against an interval dimension; broadcast strategy (the band
+    table is tiny — the bucket strategy is exercised in tests)."""
+    from oasisdb_spark.operators import range_join
+
+    part = _table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("budget", 0.0, 930.0), ("mid", 930.0, 970.0), ("premium", 970.0, 1e9)],
+        "band STRING, lo DOUBLE, hi DOUBLE",
+    )
+    return (
+        range_join(part, bands, point_col="p_retailprice", lo_col="lo", hi_col="hi")
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_parts"), F.round(F.avg("p_retailprice"), 2).alias("avg_price"))
+    )
+
+
 def _price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (order statistics)."""
     li = _table(spark, sf_dir, "lineitem")
@@ -994,6 +1024,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_status_pivot": _orders_status_pivot,
         "daily_activity_union": _daily_activity_union,
         "stratified_sample_documents": _stratified_sample_documents,
+        "dedup_clusters": _dedup_clusters,
+        "price_band_join": _price_band_join,
         "price_quartiles": _price_quartiles,
         "events_hourly": _events_hourly,
         "events_sessionize": _events_sessionize,
@@ -1252,6 +1284,30 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
                   < CASE WHEN lang = 'en' THEN '199a' ELSE '8000' END
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE lshp AS ({_lsh_pairs_oracle(with_banding=True)}),
+            edges AS (
+              SELECT doc_a AS a, doc_b AS b FROM lshp
+              UNION
+              SELECT doc_b, doc_a FROM lshp
+            ),
+            reach AS (
+              SELECT DISTINCT a AS id, a AS r FROM edges
+              UNION
+              SELECT re.id, e.b FROM reach re JOIN edges e ON e.a = re.r
+            )
+            SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+        """,
+        "price_band_join": """
+            SELECT band, count(*) AS n_parts,
+                   round(avg(p_retailprice), 2) AS avg_price
+            FROM part
+            JOIN (VALUES ('budget', 0.0, 930.0),
+                         ('mid', 930.0, 970.0),
+                         ('premium', 970.0, 1e9)) b(band, lo, hi)
+              ON p_retailprice >= lo AND p_retailprice < hi
+            GROUP BY band
         """,
         "price_quartiles": """
             SELECT l_returnflag,
