@@ -932,6 +932,23 @@ def _price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sequence_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data sequence packing, concat-and-chop (pipeline/
+    packing.py chunk_pack): bucket streams + window cumsum, no Python."""
+    from oasisdb_spark.pipeline.packing import chunk_pack
+
+    return chunk_pack(_table(spark, sf_dir, "documents"), seq_len=512, n_buckets=8)
+
+
+def _sequence_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-document first-fit-decreasing packing (greedy_pack) —
+    sequential per bucket, not SQL-expressible: rows-only check;
+    invariants are pinned by tests/test_packing.py."""
+    from oasisdb_spark.pipeline.packing import greedy_pack
+
+    return greedy_pack(_table(spark, sf_dir, "documents"), capacity=512, n_buckets=8)
+
+
 def _price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (order statistics)."""
     li = _table(spark, sf_dir, "lineitem")
@@ -1026,6 +1043,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_documents": _stratified_sample_documents,
         "dedup_clusters": _dedup_clusters,
         "price_band_join": _price_band_join,
+        "sequence_pack_chunks": _sequence_pack_chunks,
+        "sequence_pack_bins": _sequence_pack_bins,
         "price_quartiles": _price_quartiles,
         "events_hourly": _events_hourly,
         "events_sessionize": _events_sessionize,
@@ -1308,6 +1327,22 @@ def oracle_sql() -> dict[str, str]:
                          ('premium', 970.0, 1e9)) b(band, lo, hi)
               ON p_retailprice >= lo AND p_retailprice < hi
             GROUP BY band
+        """,
+        "sequence_pack_chunks": """
+            WITH t AS (
+              SELECT doc_id, doc_id % 8 AS bucket,
+                     len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                     x -> x != '')) AS n_tokens
+              FROM documents
+            ), c AS (
+              SELECT *, sum(n_tokens) OVER (
+                PARTITION BY bucket ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+              FROM t
+            )
+            SELECT doc_id, bucket, n_tokens,
+                   (cum - n_tokens) // 512 AS start_chunk,
+                   (greatest(cum, cum - n_tokens + 1) - 1) // 512 AS end_chunk
+            FROM c
         """,
         "price_quartiles": """
             SELECT l_returnflag,

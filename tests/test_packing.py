@@ -1,0 +1,55 @@
+"""Sequence packing: chunk_pack window math and greedy_pack invariants."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from oasisdb_spark.pipeline.packing import chunk_pack, greedy_pack
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "a b c d"),            # 4 tokens
+        (8, "e f g"),              # 3 tokens, same bucket as 0 (mod 8)
+        (16, ""),                  # empty doc, same bucket
+        (1, " ".join(["w"] * 10)),  # 10 tokens: spans multiple len-4 chunks
+        (9, "x"),
+    ]
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def test_chunk_pack_positions(docs):
+    out = {r["doc_id"]: r for r in chunk_pack(docs, seq_len=4, n_buckets=8).collect()}
+    # bucket 0 stream: doc0 tokens [0,4) -> chunk 0 only; doc8 [4,7) -> chunk 1
+    assert (out[0]["start_chunk"], out[0]["end_chunk"]) == (0, 0)
+    assert (out[8]["start_chunk"], out[8]["end_chunk"]) == (1, 1)
+    # empty doc anchors at its stream position (7 -> chunk 1), zero width
+    assert out[16]["n_tokens"] == 0
+    assert (out[16]["start_chunk"], out[16]["end_chunk"]) == (1, 1)
+    # bucket 1: doc1 [0,10) -> chunks 0..2; doc9 [10,11) -> chunk 2
+    assert (out[1]["start_chunk"], out[1]["end_chunk"]) == (0, 2)
+    assert (out[9]["start_chunk"], out[9]["end_chunk"]) == (2, 2)
+
+
+def test_greedy_pack_invariants(spark):
+    rows = [(i, " ".join(["t"] * n)) for i, n in enumerate([9, 8, 7, 2, 2, 2, 1, 30])]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = greedy_pack(df, capacity=10, n_buckets=1).toPandas()
+    # every doc packed exactly once
+    assert sorted(out["doc_id"]) == list(range(8))
+    # bins respect capacity except the oversize singleton
+    sums = out.groupby("bin_id")["n_tokens"].sum()
+    over = out[out["n_tokens"] > 10]
+    assert set(over["doc_id"]) == {7}
+    oversize_bins = set(over["bin_id"])
+    assert all(s <= 10 for b, s in sums.items() if b not in oversize_bins)
+    # the oversize doc sits alone in its bin
+    assert (out["bin_id"].isin(oversize_bins)).sum() == 1
+    # FFD with capacity 10 on [9,8,7,2,2,2,1] packs tightly: 9+1, 8+2, 7+2, 2
+    assert len(sums) == 5
+
+
+def test_greedy_pack_deterministic(spark, docs):
+    a = sorted(map(tuple, greedy_pack(docs, capacity=8, n_buckets=2).collect()))
+    b = sorted(map(tuple, greedy_pack(docs, capacity=8, n_buckets=2).collect()))
+    assert a == b
