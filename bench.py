@@ -38,9 +38,14 @@ HEADLINE = [
     "text_stats",
     "langid",
     "doc_fingerprint",
+    "dedup_clusters",       # LSH pairs -> connected components
+    "sequence_pack_chunks", # training sequence packing (window cumsum)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_nation_revenue",
+    "q6_forecast_revenue",  # pushdown showcase
+    "q17_small_qty_revenue",  # decorrelated scalar subquery
+    "events_asof_join",     # union+window as-of
     "top3_orders_per_customer",
     "customer_running_spend",
     "part_brand_rollup",

@@ -118,6 +118,53 @@ def main() -> None:
     print(f"== knn_brute GEMM scan (no pair join): {'OK' if ok else 'FAIL'}")
     failures += not ok
 
+    # 10. q6: every predicate reaches the parquet scan; only 2 data cols read
+    plan = plan_of(m.queries()["q6_forecast_revenue"](spark, sf_dir))
+    # (toString truncates the PushedFilters list; match its stable prefix)
+    ok = (
+        "PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), IsNotNull(l_quantity), GreaterThanOrEqual" in plan
+        and "ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate" in plan
+    )
+    print(f"== q6 full predicate pushdown + 4-col scan: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
+    # 11. q17: decorrelated to a window — ONE hash shuffle total, part keys broadcast
+    plan = plan_of(m.queries()["q17_small_qty_revenue"](spark, sf_dir))
+    n_hash_ex = plan.count("Exchange hashpartitioning")
+    ok = "BroadcastHashJoin" in plan and "Window" in plan and n_hash_ex == 1
+    print(f"== q17 single-shuffle window decorrelation: {'OK' if ok else f'FAIL (hash exchanges={n_hash_ex})'}")
+    failures += not ok
+
+    # 12. range join (broadcast strategy): nested-loop against broadcast bands,
+    # no cartesian product
+    plan = plan_of(m.queries()["price_band_join"](spark, sf_dir))
+    ok = "BroadcastNestedLoopJoin" in plan and "CartesianProduct" not in plan
+    print(f"== price_band_join broadcast intervals: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
+    # 13. as-of join: window formulation — no join operator at all, no pair blowup
+    plan = plan_of(m.queries()["events_asof_join"](spark, sf_dir))
+    ok = (
+        "Window" in plan
+        and "SortMergeJoin" not in plan
+        and "CartesianProduct" not in plan
+        and "BroadcastNestedLoopJoin" not in plan
+    )
+    print(f"== events_asof_join union+window (no join blowup): {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
+    # 14. sequence packing (chunked): stays JVM-side — no Python eval in the plan
+    plan = plan_of(m.queries()["sequence_pack_chunks"](spark, sf_dir))
+    ok = "InPandas" not in plan and "EvalPython" not in plan and "Window" in plan
+    print(f"== sequence_pack_chunks JVM-only window: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
+    # 15. stratified sample: pure per-row filter, shuffle-free, 2-col scan
+    plan = plan_of(m.queries()["stratified_sample_documents"](spark, sf_dir))
+    ok = "Exchange" not in plan and "ReadSchema: struct<doc_id:bigint,lang:string>" in plan
+    print(f"== stratified_sample shuffle-free + pruned: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
     print(f"\n{'ALL PLANS OK' if not failures else f'{failures} PLAN CHECKS FAILED'}")
     spark.stop()
     sys.exit(1 if failures else 0)
