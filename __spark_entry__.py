@@ -221,26 +221,22 @@ def _collection_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Structured Streaming twin of events_hourly: incremental file
-    source → watermark + 1h tumbling window → memory sink, drained with
-    trigger=availableNow. Same result as the batch query (hour-aligned
-    windows over the full fixture), so it shares the oracle — a
-    hash-matched STREAMING query."""
+def _stage_events_stream(spark: SparkSession, sf_dir: str, copies: int = 1) -> DataFrame:
+    """Stage the events fixture as a streaming file source (which needs
+    a DIRECTORY): symlink the parquet file `copies` times into a temp
+    dir and return the readStream DataFrame with nanos handled (integer
+    div — float division drifts microseconds at nano epoch scale)."""
     import os
     import tempfile
-    import uuid
 
     from pyspark.sql import types as T
 
-    # the file-source requires a DIRECTORY; stage the fixture via symlink
     src = f"{sf_dir}/events.parquet"
     stream_dir = tempfile.mkdtemp(prefix="events_stream_")
-    os.symlink(os.path.abspath(src), os.path.join(stream_dir, "events.parquet"))
-    path = stream_dir
+    for i in range(copies):
+        os.symlink(os.path.abspath(src), os.path.join(stream_dir, f"events_{i}.parquet"))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch_dtypes = dict(spark.read.parquet(src).dtypes)
-    ts_is_nanos = batch_dtypes.get("ts") == "bigint"
+    ts_is_nanos = dict(spark.read.parquet(src).dtypes).get("ts") == "bigint"
     fields = [
         T.StructField("event_id", T.LongType()),
         T.StructField("ts", T.LongType() if ts_is_nanos else T.TimestampType()),
@@ -249,9 +245,21 @@ def _events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.StructField("value", T.DoubleType()),
         T.StructField("props", T.StringType()),
     ]
-    ev = spark.readStream.schema(T.StructType(fields)).parquet(path)
+    ev = spark.readStream.schema(T.StructType(fields)).parquet(stream_dir)
     if ts_is_nanos:
-        ev = ev.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return ev
+
+
+def _events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming twin of events_hourly: incremental file
+    source → watermark + 1h tumbling window → memory sink, drained with
+    trigger=availableNow. Same result as the batch query (hour-aligned
+    windows over the full fixture), so it shares the oracle — a
+    hash-matched STREAMING query."""
+    import uuid
+
+    ev = _stage_events_stream(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
@@ -275,28 +283,9 @@ def _events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordinals per user (row_number over session start) reproduce the
     batch lag/cumsum sessionizer's sess_id exactly, so this STREAMING
     query shares the events_sessionize oracle."""
-    import os
-    import tempfile
     import uuid
 
-    from pyspark.sql import types as T
-
-    src = f"{sf_dir}/events.parquet"
-    stream_dir = tempfile.mkdtemp(prefix="events_sess_stream_")
-    os.symlink(os.path.abspath(src), os.path.join(stream_dir, "events.parquet"))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ts_is_nanos = dict(spark.read.parquet(src).dtypes).get("ts") == "bigint"
-    fields = [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType() if ts_is_nanos else T.TimestampType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-    ev = spark.readStream.schema(T.StructType(fields)).parquet(stream_dir)
-    if ts_is_nanos:
-        ev = ev.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    ev = _stage_events_stream(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "2 hours")
         .groupBy(F.session_window("ts", "30 minutes").alias("sess"), "user_id")
@@ -312,6 +301,32 @@ def _events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select(
         "user_id", F.row_number().over(w).cast("bigint").alias("sess_id"),
         "n_events", "sum_value",
+    )
+
+
+def _events_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup (streaming/events.py dedup_stream):
+    the fixture is staged TWICE (simulated at-least-once replay) and
+    dropDuplicatesWithinWatermark collapses it back to one row per
+    event_id with watermark-bounded state; the per-type rollup of the
+    deduped sink equals the batch rollup of the single fixture, so this
+    STREAMING query is hash-matched."""
+    import uuid
+
+    from oasisdb_spark.streaming.events import dedup_stream
+
+    ev = _stage_events_stream(spark, sf_dir, copies=2)
+    name = f"events_dedup_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        dedup_stream(ev)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
     )
 
 
@@ -1050,6 +1065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _events_sessionize,
         "events_hourly_stream": _events_hourly_stream,
         "events_sessionize_stream": _events_sessionize_stream,
+        "events_dedup_stream": _events_dedup_stream,
         # multimodal extension (rows-only: deterministic fake codec)
         "multimodal_decode": _multimodal_decode,
         "multimodal_frames": _multimodal_frames,
@@ -1398,5 +1414,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id, count(*) AS n_events,
                    round(sum(value), 2) AS sum_value
             FROM s GROUP BY user_id, sess_id
+        """,
+        # streaming dedup of a doubled (replayed) fixture collapses back
+        # to the plain batch rollup of the single fixture
+        "events_dedup_stream": """
+            SELECT event_type, count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY event_type
         """,
     }

@@ -107,6 +107,50 @@ def user_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exactly-once dedup on event_id with BOUNDED state:
+    dropDuplicatesWithinWatermark keeps each key only until the
+    watermark passes it, so state size tracks the watermark horizon
+    (events/sec x watermark), not the full stream history — the only
+    formulation that survives an unbounded stream. Duplicates arriving
+    within the watermark window are dropped; the first arrival wins."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def purchase_attribution_stream(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    attribution_window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: each purchase paired with every
+    click by the same user in the preceding attribution window. The
+    time-range predicate lets Spark evict join state on both sides once
+    the watermark passes (unbounded state otherwise); at scale both
+    streams hash-partition on user_id — one co-partitioned stateful
+    join, no broadcast."""
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("amount"),
+    )
+    return p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {attribution_window}")),
+        "inner",
+    ).select(
+        F.col("p_user").alias("user_id"), "purchase_id", "click_id", "purchase_ts", "click_ts", "amount"
+    )
+
+
 def sessionize_stream(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:

@@ -109,3 +109,77 @@ def test_user_running_totals_state_accumulates(spark, tmp_path, events_dir):
         n, s = final[r["user_id"]]
         assert n == r["n"]
         assert abs(s - r["s"]) < 0.02
+
+
+def test_dedup_stream_drops_replayed_file(spark, tmp_path):
+    """An at-least-once source replaying the same rows must dedup to
+    one row per event_id (bounded state via watermark)."""
+    from oasisdb_spark.sources.tables import load_table
+    from oasisdb_spark.streaming.events import dedup_stream
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").limit(200)
+    d = str(tmp_path / "dup_events")
+    ev.coalesce(1).write.parquet(d)
+    ev.coalesce(1).write.mode("append").parquet(d)  # the "replay"
+    assert spark.read.parquet(d).count() == 400
+
+    stream = read_events_stream(spark, d, max_files_per_trigger=1)
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("deduped")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dd"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT event_id FROM deduped").collect()
+    ids = [r["event_id"] for r in rows]
+    assert len(ids) == 200 and len(set(ids)) == 200
+
+
+def test_purchase_attribution_matches_batch_join(spark, tmp_path):
+    """Stream-stream interval join drains to the same pairs as the
+    equivalent batch range join."""
+    from oasisdb_spark.sources.tables import load_table
+    from oasisdb_spark.streaming.events import purchase_attribution_stream
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    cd, pd_ = str(tmp_path / "clicks"), str(tmp_path / "purchases")
+    ev.filter(F.col("event_type") == "click").coalesce(1).write.parquet(cd)
+    ev.filter(F.col("event_type") == "purchase").coalesce(1).write.parquet(pd_)
+
+    joined = purchase_attribution_stream(
+        read_events_stream(spark, cd), read_events_stream(spark, pd_)
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attrib")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_at"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        (r["purchase_id"], r["click_id"])
+        for r in spark.sql("SELECT purchase_id, click_id FROM attrib").collect()
+    )
+
+    c = spark.read.parquet(cd).select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+    )
+    p = spark.read.parquet(pd_).select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts")
+    )
+    want = sorted(
+        (r["purchase_id"], r["click_id"])
+        for r in p.join(
+            c,
+            (F.col("pu") == F.col("cu"))
+            & (F.col("cts") <= F.col("pts"))
+            & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 hour")),
+        ).collect()
+    )
+    assert got == want and len(got) > 0
