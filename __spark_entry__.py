@@ -964,6 +964,47 @@ def _sequence_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return greedy_pack(_table(spark, sf_dir, "documents"), capacity=512, n_buckets=8)
 
 
+def _events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar-function surface: extract props.$.k (stored as a
+    JSON string column) and roll up per event type. get_json_object is
+    JVM-side; at scale prefer from_json with an explicit schema once
+    the payload shape is known (single parse, typed struct)."""
+    ev = _table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.count(F.when(F.col("k") > 50, 1)).alias("n_high"),
+        )
+    )
+
+
+def _events_segment_rollup_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join (operators/skew.py): events joined to a
+    derived user dimension through a salted (key, salt) equi-join —
+    hot users spread over 8 tasks — then rolled up per segment.
+    Result-identical to the unsalted join, so it hash-matches."""
+    from oasisdb_spark.operators import salted_join
+
+    ev = _table(spark, sf_dir, "events")
+    user_dim = (
+        ev.select("user_id").distinct()
+        .withColumn("segment", (F.col("user_id") % 4).cast("int"))
+    )
+    return (
+        salted_join(ev, user_dim, on="user_id", n_salts=8, salt_source="event_id")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
 def _price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (order statistics)."""
     li = _table(spark, sf_dir, "lineitem")
@@ -1060,6 +1101,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_band_join": _price_band_join,
         "sequence_pack_chunks": _sequence_pack_chunks,
         "sequence_pack_bins": _sequence_pack_bins,
+        "events_props_json": _events_props_json,
+        "events_segment_rollup_salted": _events_segment_rollup_salted,
         "price_quartiles": _price_quartiles,
         "events_hourly": _events_hourly,
         "events_sessionize": _events_sessionize,
@@ -1359,6 +1402,23 @@ def oracle_sql() -> dict[str, str]:
                    (cum - n_tokens) // 512 AS start_chunk,
                    (greatest(cum, cum - n_tokens + 1) - 1) // 512 AS end_chunk
             FROM c
+        """,
+        "events_props_json": """
+            SELECT event_type,
+                   min(k) AS min_k, max(k) AS max_k,
+                   round(avg(k), 4) AS avg_k,
+                   count(*) FILTER (WHERE k > 50) AS n_high
+            FROM (
+              SELECT event_type,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+              FROM events
+            ) GROUP BY event_type
+        """,
+        "events_segment_rollup_salted": """
+            SELECT CAST(user_id % 4 AS INT) AS segment,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1
         """,
         "price_quartiles": """
             SELECT l_returnflag,
