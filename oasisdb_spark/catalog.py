@@ -283,3 +283,18 @@ class Catalog:
 
     def count_documents(self, name: str) -> int:
         return self.read_documents(name).count()
+
+    def compact_collection(self, name: str, target_files: int = 4) -> int:
+        """Small-file compaction — the Parquet analog of the reference's
+        LSM leveled compaction (tree_compact.go:36-107): many small
+        upsert outputs are rewritten as ``target_files`` id-range-sorted
+        files. Range partitioning + in-file sort give parquet min/max
+        id stats real pruning power, so point lookups (S9) touch one
+        file — the same read-amplification win compaction buys an LSM.
+        Returns the number of data files after the rewrite."""
+        docs = self.read_documents(name)
+        compacted = docs.repartitionByRange(target_files, "id").sortWithinPartitions("id")
+        self._atomic_overwrite(compacted, self.data_path(name))
+        return len(
+            [f for f in os.listdir(self.data_path(name)) if f.endswith(".parquet")]
+        )

@@ -91,3 +91,21 @@ def test_set_params(catalog):
         catalog.set_params("c", {"nprobe": "not_an_int"})
     with pytest.raises(errors.ErrInvalidParams):
         catalog.set_params("c", {"nprobe": 0})
+
+
+def test_compact_collection(catalog, spark):
+    """Compaction rewrites many upsert outputs into few id-sorted files
+    with identical contents (the LSM-compaction analog, K6)."""
+    import os
+
+    catalog.create_collection("c", dimension=4, index_type="flat")
+    catalog.upsert_documents("c", _docs(spark, n=40))
+    before = sorted(
+        r["id"] for r in catalog.read_documents("c").select("id").collect()
+    )
+    n_files = catalog.compact_collection("c", target_files=2)
+    assert n_files <= 2
+    after = sorted(r["id"] for r in catalog.read_documents("c").select("id").collect())
+    assert after == before
+    # point lookup still works post-compaction
+    assert catalog.get_document("c", "7")["vector"] == [7.0] * 4
