@@ -545,6 +545,48 @@ SELECT doc_id, {terms} AS simhash FROM hs0
 """
 
 
+def _training_pipeline_oracle() -> str:
+    from oasisdb_spark.pipeline.text import STOPWORDS
+
+    en = STOPWORDS["en"]
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang, text,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS tk,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
+  FROM documents
+), s AS (
+  SELECT doc_id, lang, text, n_chars, len(tk) AS n_tokens,
+         round(CAST(n_digit AS DOUBLE) / greatest(n_chars, 1), 4) AS digit_ratio,
+         round(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1), 4) AS punct_ratio,
+         len(list_intersect(list_distinct(tk), {en})) AS stopword_hits
+  FROM base
+), q AS (
+  SELECT doc_id, lang, text, n_tokens,
+         round(CAST((CASE WHEN n_chars BETWEEN 50 AND 20000 THEN 0.4 ELSE 0.0 END)
+             + (CASE WHEN n_tokens >= 10 THEN 0.3 ELSE 0.0 END)
+             + (CASE WHEN stopword_hits >= 2 THEN 0.2 ELSE 0.0 END)
+             + (CASE WHEN digit_ratio < 0.3 AND punct_ratio < 0.2 THEN 0.1 ELSE 0.0 END)
+             AS DOUBLE), 2) AS quality
+  FROM s
+), dd AS (
+  SELECT doc_id, lang, n_tokens,
+         row_number() OVER (
+           PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+           ORDER BY doc_id) AS rn
+  FROM q WHERE quality >= 0.7
+)
+SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+FROM dd
+WHERE rn = 1
+  AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+      <= CASE WHEN lang = 'en' THEN '8000' ELSE 'ffff' END
+GROUP BY lang
+"""
+
+
 def _text_stats_oracle() -> str:
     from oasisdb_spark.pipeline.text import STOPWORDS
 
@@ -1005,6 +1047,60 @@ def _events_segment_rollup_salted(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide n-gram counting: tokenize once, form bigrams with a
+    JVM array transform (no Python), explode, partial-agg count, top 20
+    with a total deterministic order (count desc, bigram asc)."""
+    from oasisdb_spark.pipeline.text import tokens
+
+    docs = _table(spark, sf_dir, "documents")
+    tk = tokens("text")
+    # guard: sequence(1, 0) in Spark DESCENDS instead of being empty
+    bigrams = F.when(
+        F.size(tk) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(tk, i), F.element_at(tk, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
+
+
+def _training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus build, composed from the pipeline
+    primitives: quality-filter (score >= 0.7) → exact near-dup removal
+    (keep min doc_id per md5 fingerprint) → deterministic stratified
+    sample (md5 bucket, 50% en / 100% other) → per-language rollup.
+    One shuffle for the dedup window, one for the rollup; everything
+    else is per-row and pipelined."""
+    from oasisdb_spark.pipeline.text import fingerprint_md5, quality_score, token_count
+
+    docs = _table(spark, sf_dir, "documents")
+    scored = docs.filter(quality_score("text") >= 0.7)
+    w = Window.partitionBy("fp").orderBy(F.col("doc_id").asc())
+    deduped = (
+        scored.withColumn("fp", fingerprint_md5("text"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    thresh = F.when(F.col("lang") == "en", F.lit("8000")).otherwise(F.lit("ffff"))
+    sampled = deduped.filter(bucket <= thresh)
+    return (
+        sampled.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count("text").cast("bigint")).alias("total_tokens"),
+        )
+    )
+
+
 def _price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (order statistics)."""
     li = _table(spark, sf_dir, "lineitem")
@@ -1103,6 +1199,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_pack_bins": _sequence_pack_bins,
         "events_props_json": _events_props_json,
         "events_segment_rollup_salted": _events_segment_rollup_salted,
+        "top_bigrams": _top_bigrams,
+        "training_corpus_pipeline": _training_corpus_pipeline,
         "price_quartiles": _price_quartiles,
         "events_hourly": _events_hourly,
         "events_sessionize": _events_sessionize,
@@ -1420,6 +1518,20 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS sum_value
             FROM events GROUP BY 1
         """,
+        "top_bigrams": """
+            WITH toks AS (
+              SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 x -> x != '') AS tk
+              FROM documents
+            ), bg AS (
+              SELECT unnest(list_transform(range(1, len(tk)),
+                            i -> tk[i] || ' ' || tk[i+1])) AS bigram
+              FROM toks WHERE len(tk) >= 2
+            )
+            SELECT bigram, count(*) AS n FROM bg
+            GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20
+        """,
+        "training_corpus_pipeline": _training_pipeline_oracle(),
         "price_quartiles": """
             SELECT l_returnflag,
                    round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
