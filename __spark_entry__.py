@@ -1101,6 +1101,33 @@ def _training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _frequent_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters (exact, support >= 0.1% of events): partial-agg
+    count per user then threshold on the global total via a broadcast
+    scalar — two light shuffles, no sort of the full key space. The
+    sketch-based first pass (count-min) is in tests; at 100 TB you CMS-
+    prefilter candidates, then exact-count only the survivors."""
+    ev = _table(spark, sf_dir, "events")
+    total = ev.count()
+    thresh = max(int(total * 0.001), 1)
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .filter(F.col("n_events") >= thresh)
+    )
+
+
+def _events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct (HyperLogLog++) per event type — the
+    constant-memory path for 100 TB cardinality estimation. HLL sketch
+    internals differ per engine, so no SQL oracle (rows-only);
+    tests/test_approx.py bounds the estimate against the exact count."""
+    ev = _table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )
+
+
 def _price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (order statistics)."""
     li = _table(spark, sf_dir, "lineitem")
@@ -1201,6 +1228,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_segment_rollup_salted": _events_segment_rollup_salted,
         "top_bigrams": _top_bigrams,
         "training_corpus_pipeline": _training_corpus_pipeline,
+        "frequent_users": _frequent_users,
+        "events_approx_distinct": _events_approx_distinct,
         "price_quartiles": _price_quartiles,
         "events_hourly": _events_hourly,
         "events_sessionize": _events_sessionize,
@@ -1532,6 +1561,12 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20
         """,
         "training_corpus_pipeline": _training_pipeline_oracle(),
+        "frequent_users": """
+            SELECT user_id, count(*) AS n_events
+            FROM events GROUP BY user_id
+            HAVING count(*) >= greatest(
+              CAST(trunc((SELECT count(*) FROM events) * 0.001) AS BIGINT), 1)
+        """,
         "price_quartiles": """
             SELECT l_returnflag,
                    round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
