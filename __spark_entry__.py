@@ -1101,6 +1101,36 @@ def _training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HYBRID_TERMS = {0: ["the", "data", "model", "spark", "query"],
+                 1: ["learning", "vector", "index", "search", "fast"]}
+
+
+def _hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (functions/fusion.py): keyword-overlap rank and
+    L2 vector rank fused with RRF (k0=60) over documents joined to
+    their embeddings; fixed literal query terms keep the lexical side
+    engine-reproducible."""
+    from oasisdb_spark.functions.fusion import hybrid_search_rrf
+
+    docs = (
+        _table(spark, sf_dir, "documents")
+        .join(
+            _table(spark, sf_dir, "embeddings"),
+            F.col("doc_id") == F.col("vec_id"),
+        )
+        .select("doc_id", "text", F.col("embedding").alias("vector"))
+    )
+    emb = _table(spark, sf_dir, "embeddings")
+    terms = F.when(F.col("query_id") == 0, F.array(*[F.lit(t) for t in _HYBRID_TERMS[0]])) \
+        .otherwise(F.array(*[F.lit(t) for t in _HYBRID_TERMS[1]]))
+    queries = (
+        emb.filter(F.col("vec_id") < 2)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+        .withColumn("query_terms", terms)
+    )
+    return hybrid_search_rrf(docs, queries, k=10, space="l2")
+
+
 def _frequent_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters (exact, support >= 0.1% of events): partial-agg
     count per user then threshold on the global total via a broadcast
@@ -1230,6 +1260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_corpus_pipeline": _training_corpus_pipeline,
         "frequent_users": _frequent_users,
         "events_approx_distinct": _events_approx_distinct,
+        "hybrid_search_rrf": _hybrid_search,
         "price_quartiles": _price_quartiles,
         "events_hourly": _events_hourly,
         "events_sessionize": _events_sessionize,
@@ -1566,6 +1597,45 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY user_id
             HAVING count(*) >= greatest(
               CAST(trunc((SELECT count(*) FROM events) * 0.001) AS BIGINT), 1)
+        """,
+        "hybrid_search_rrf": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     list_distinct(list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')) AS toks,
+                     e.embedding AS embedding
+              FROM documents JOIN embeddings e ON doc_id = e.vec_id
+            ), q AS (
+              SELECT vec_id AS query_id, embedding,
+                     CASE WHEN vec_id = 0
+                          THEN {_HYBRID_TERMS[0]!r}
+                          ELSE {_HYBRID_TERMS[1]!r} END AS terms
+              FROM embeddings WHERE vec_id < 2
+            ), s AS (
+              SELECT q.query_id, d.doc_id,
+                     len(list_intersect(d.toks, q.terms)) AS text_hits,
+                     list_sum(list_transform(list_zip(q.embedding, d.embedding),
+                       p -> (CAST(p[1] AS DOUBLE)-CAST(p[2] AS DOUBLE))
+                            *(CAST(p[1] AS DOUBLE)-CAST(p[2] AS DOUBLE)))) AS dist
+              FROM d, q
+            ), r AS (
+              SELECT query_id, doc_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY text_hits DESC, doc_id ASC) AS text_rank,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY dist ASC, doc_id ASC) AS vec_rank
+              FROM s
+            ), f AS (
+              SELECT query_id, doc_id, text_rank, vec_rank,
+                     round(CAST(1.0 AS DOUBLE)/(60+text_rank)
+                         + CAST(1.0 AS DOUBLE)/(60+vec_rank), 8) AS rrf_score
+              FROM r
+            )
+            SELECT query_id, doc_id, rank, rrf_score, text_rank, vec_rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY rrf_score DESC, doc_id ASC) AS rank
+              FROM f
+            ) WHERE rank <= 10
         """,
         "price_quartiles": """
             SELECT l_returnflag,

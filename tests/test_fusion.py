@@ -1,0 +1,56 @@
+"""Hybrid RRF fusion: rank math, tie-breaks, and signal dominance."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from oasisdb_spark.functions.fusion import hybrid_search_rrf
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana cherry", [0.0, 0.0]),
+            (2, "apple banana", [1.0, 0.0]),
+            (3, "unrelated words here", [0.1, 0.0]),
+            (4, "apple", [5.0, 5.0]),
+        ],
+        "doc_id LONG, text STRING, vector ARRAY<FLOAT>",
+    )
+    queries = spark.createDataFrame(
+        [(0, [0.0, 0.0], ["apple", "banana", "cherry"])],
+        "query_id LONG, query_vec ARRAY<FLOAT>, query_terms ARRAY<STRING>",
+    )
+    return docs, queries
+
+
+def test_rrf_ranks_and_scores(corpus):
+    docs, queries = corpus
+    out = {r["doc_id"]: r for r in hybrid_search_rrf(docs, queries, k=4).collect()}
+    # doc 1: best text (3 hits) AND best vector (dist 0) -> rank 1 overall
+    assert out[1]["text_rank"] == 1 and out[1]["vec_rank"] == 1 and out[1]["rank"] == 1
+    # doc 3: zero term hits -> worst text rank
+    assert out[3]["text_rank"] == 4
+    # rrf score equals the closed form of its two ranks
+    r = out[2]
+    assert r["rrf_score"] == round(1.0 / (60 + r["text_rank"]) + 1.0 / (60 + r["vec_rank"]), 8)
+    # all 4 docs returned, ranks are 1..4 exactly once
+    assert sorted(v["rank"] for v in out.values()) == [1, 2, 3, 4]
+
+
+def test_k_truncates(corpus):
+    docs, queries = corpus
+    assert hybrid_search_rrf(docs, queries, k=2).count() == 2
+
+
+def test_text_ties_break_by_doc_id(spark):
+    docs = spark.createDataFrame(
+        [(i, "same text", [float(i), 0.0]) for i in (7, 3, 5)],
+        "doc_id LONG, text STRING, vector ARRAY<FLOAT>",
+    )
+    queries = spark.createDataFrame(
+        [(0, [0.0, 0.0], ["same"])],
+        "query_id LONG, query_vec ARRAY<FLOAT>, query_terms ARRAY<STRING>",
+    )
+    out = {r["doc_id"]: r["text_rank"] for r in hybrid_search_rrf(docs, queries).collect()}
+    assert out == {3: 1, 5: 2, 7: 3}
