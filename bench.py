@@ -40,6 +40,9 @@ HEADLINE = [
     "doc_fingerprint",
     "dedup_clusters",       # LSH pairs -> connected components
     "sequence_pack_chunks", # training sequence packing (window cumsum)
+    "training_corpus_pipeline",  # quality -> dedup -> sample composed
+    "hybrid_search_rrf",    # keyword + vector RRF fusion
+    "frequent_users",       # exact heavy hitters
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_nation_revenue",
