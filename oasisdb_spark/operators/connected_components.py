@@ -33,17 +33,61 @@ def connected_components(
     id_col: str = "id",
     component_col: str = "component",
     max_iter: int = 50,
+    driver_cutover: int = 1_000_000,
 ) -> DataFrame:
     """Label each vertex of the (undirected) edge list with the minimum
     vertex id reachable from it. Returns one row per distinct vertex:
     ``(id_col, component_col)``.
+
+    Adaptive execution: below ``driver_cutover`` edges the graph is
+    union-found on the driver (one collect, zero iterative shuffles) —
+    the standard smallest-side coordination cutover; above it, the
+    distributed hash-min loop runs. Both paths produce identical
+    labels (min reachable id), so the choice is invisible to callers.
+    Near-dup graphs are usually tiny relative to the corpus (pairs
+    survive LSH banding + verification), so even 100 TB corpora often
+    take the driver path; the distributed loop is the safety net for
+    pathological duplication.
     """
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    from pyspark.sql import types as T
+
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).persist()
+    n_edges = e.count()  # also materializes the (possibly expensive) pair pipeline
+    if n_edges <= driver_cutover:
+        pairs = e.collect()
+        e.unpersist()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in pairs:
+            a, b = row["a"], row["b"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min id keeps labels = min reachable id
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        labels = [(v, find(v)) for v in parent]
+        vtype = edges.schema[src].dataType
+        schema = T.StructType(
+            [T.StructField(id_col, vtype), T.StructField(component_col, vtype)]
+        )
+        return edges.sparkSession.createDataFrame(labels, schema)
     und = (
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
         .persist()
     )
+    und.count()  # materialize from the cached pair list before dropping it
+    e.unpersist()
     labels = und.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id"))
     labels = labels.localCheckpoint(eager=True)
     for _ in range(max_iter):

@@ -6,30 +6,36 @@ from pyspark.sql import functions as F
 from oasisdb_spark.operators import connected_components, range_join
 
 
-def test_cc_basic(spark):
+@pytest.mark.parametrize("cutover", [1_000_000, 0])  # driver path / distributed path
+def test_cc_basic(spark, cutover):
     # two components: {1,2,3,4} (chain) and {10,11}; 7 isolated via self-pair
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (10, 11), (7, 7)], "src LONG, dst LONG"
     )
-    out = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    out = {
+        r["id"]: r["component"]
+        for r in connected_components(edges, driver_cutover=cutover).collect()
+    }
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 7: 7}
 
 
 def test_cc_long_chain_converges(spark):
-    # worst-case diameter: a 12-vertex path; labels must fully propagate
+    # worst-case diameter for the DISTRIBUTED loop: a 12-vertex path
     n = 12
     edges = spark.createDataFrame([(i, i + 1) for i in range(n)], "src LONG, dst LONG")
-    out = connected_components(edges)
+    out = connected_components(edges, driver_cutover=0)
     assert out.filter(F.col("component") == 0).count() == n + 1
 
 
-def test_cc_matches_duckdb_closure(spark):
+@pytest.mark.parametrize("cutover", [1_000_000, 0])
+def test_cc_matches_duckdb_closure(spark, cutover):
     import duckdb
 
     rows = [(1, 5), (5, 9), (2, 3), (3, 2), (8, 9)]
     edges = spark.createDataFrame(rows, "src LONG, dst LONG")
     got = sorted(
-        (r["id"], r["component"]) for r in connected_components(edges).collect()
+        (r["id"], r["component"])
+        for r in connected_components(edges, driver_cutover=cutover).collect()
     )
     want = sorted(
         duckdb.sql(
