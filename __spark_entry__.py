@@ -880,6 +880,220 @@ def _q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join with a NON-EQUI correlated
+    predicate (lineitem shipped >60 days after the order date), counted
+    per priority. The equi key carries the join; the lag predicate rides
+    along as a join filter, so no theta cross-product ever forms."""
+    orders = _table(spark, sf_dir, "orders")
+    li = _table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (orders.o_orderkey == li.l_orderkey) & (
+        li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def _q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations per
+    ship-year. Supplier nation comes from lineitem->supplier, customer
+    nation from lineitem->orders->customer; both dims broadcast so the
+    only shuffle is the final tiny groupBy."""
+    li = _table(spark, sf_dir, "lineitem")
+    orders = _table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    nat = _table(spark, sf_dir, "nation")
+    sup = (
+        _table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        _table(spark, sf_dir, "customer")
+        .join(F.broadcast(nat), F.col("c_nationkey") == nat.n_nationkey)
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2") | (
+        F.col("supp_nation") == "NATION_2"
+    ) & (F.col("cust_nation") == "NATION_1")
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+              li.l_orderkey == F.col("o_orderkey"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def _q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and year for parts whose
+    name matches a wildcard (LIKE '%red%'). partsupp does not exist in the
+    fixtures, so supply cost is approximated as p_retailprice (documented
+    deviation). Part + supplier + nation all broadcast."""
+    li = _table(spark, sf_dir, "lineitem")
+    part = _table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    nat = _table(spark, sf_dir, "nation")
+    sup = (
+        _table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy("nation", F.year("l_shipdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    - F.col("p_retailprice") * F.col("l_quantity") * 0.1
+                ),
+                2,
+            ).alias("sum_profit")
+        )
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+def _q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns
+    (l_returnflag = 'R') in one quarter. Customer + nation broadcast; the
+    lineitem scan carries the returnflag filter down to parquet."""
+    li = _table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-10-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    nat = _table(spark, sf_dir, "nation")
+    cust = _table(spark, sf_dir, "customer").join(
+        F.broadcast(nat), F.col("c_nationkey") == nat.n_nationkey
+    )
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def _q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo-type revenue share in one month —
+    conditional aggregation over a broadcast part join. Both sums are
+    reported rounded plus the 2dp percentage (round absorbs fold-order
+    ulp drift between engines)."""
+    li = _table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-06-01") & (F.col("l_shipdate") < "1996-07-01")
+    )
+    part = _table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))), 2).alias("promo_revenue"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+        )
+        .select(
+            "promo_revenue",
+            "total_revenue",
+            F.round(F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue"), 2).alias("promo_pct"),
+        )
+    )
+
+
+def _q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct suppliers per (brand, type, size) for
+    selected sizes, excluding one brand and any supplier on a complaints
+    list (NOT IN surrogate: negative account balance). partsupp does not
+    exist, so the distinct (l_partkey, l_suppkey) pairs from lineitem
+    stand in for it — the two-column distinct is the only wide shuffle."""
+    li = _table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    part = _table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45)
+    )
+    bad = _table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+def _q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds 300 (GROUP BY
+    + HAVING subquery turned into a semi-join), joined back to customer.
+    The heavy groupBy on l_orderkey happens once; its tiny survivor set
+    broadcasts into both join-backs."""
+    li = _table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    orders = _table(spark, sf_dir, "orders")
+    cust = _table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("sum_qty", 2).alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+def _q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate spanning both join sides
+    (brand x size-range x quantity-range branches). Catalyst extracts the
+    common partkey equi-key; the disjunction stays a post-join filter
+    with the part-only conjuncts pushed to the broadcast side."""
+    li = _table(spark, sf_dir, "lineitem")
+    part = _table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    branch1 = (F.col("p_brand") == "Brand#12") & (F.col("p_size").between(1, 5)) & (F.col("l_quantity").between(1, 11))
+    branch2 = (F.col("p_brand") == "Brand#23") & (F.col("p_size").between(1, 10)) & (F.col("l_quantity").between(10, 20))
+    branch3 = (F.col("p_brand") == "Brand#34") & (F.col("p_size").between(1, 15)) & (F.col("l_quantity").between(20, 30))
+    return j.filter(branch1 | branch2 | branch3).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def _q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average positive balance and
+    no orders since 2000 (dormant) — scalar aggregate subquery as the
+    threshold plus an anti-join, rolled up per nation. The avg is a
+    one-row broadcast (cross join); orders prune on the date predicate
+    and project to the key column only before the anti."""
+    cust = _table(spark, sf_dir, "customer")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("avg_bal"))
+    orders = (
+        _table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("numcust"), F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
+        .orderBy("c_nationkey")
+    )
+
+
 def _nation_balance_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL OUTER join surface: high-balance customer vs supplier
     rollups per nation; nations present on only one side survive with
@@ -1246,6 +1460,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_brand_cube": _part_brand_cube,
         "events_asof_join": _events_asof_join,
         "q17_small_qty_revenue": _q17_small_qty_revenue,
+        "q4_late_orders": _q4_late_orders,
+        "q7_nation_trade": _q7_nation_trade,
+        "q9_product_profit": _q9_product_profit,
+        "q10_returned_items": _q10_returned_items,
+        "q14_promo_revenue": _q14_promo_revenue,
+        "q16_supplier_counts": _q16_supplier_counts,
+        "q18_large_orders": _q18_large_orders,
+        "q19_disjunctive_revenue": _q19_disjunctive_revenue,
+        "q22_dormant_customers": _q22_dormant_customers,
         "nation_balance_full_outer": _nation_balance_full_outer,
         "orders_status_pivot": _orders_status_pivot,
         "daily_activity_union": _daily_activity_union,
@@ -1478,6 +1701,121 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 0.2 * avg(l2.l_quantity)
                 FROM lineitem l2 WHERE l2.l_partkey = p_partkey
               )
+        """,
+        "q4_late_orders": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders o
+            WHERE EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+            )
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "q7_nation_trade": """
+            SELECT supp_nation, cust_nation, l_year,
+                   round(sum(volume), 2) AS revenue
+            FROM (
+              SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                     year(l_shipdate) AS l_year,
+                     l_extendedprice * (1 - l_discount) AS volume
+              FROM lineitem
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation sn ON s_nationkey = sn.n_nationkey
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation cn ON c_nationkey = cn.n_nationkey
+              WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+                 OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+            )
+            GROUP BY supp_nation, cust_nation, l_year
+            ORDER BY supp_nation, cust_nation, l_year
+        """,
+        "q9_product_profit": """
+            SELECT n_name AS nation, year(l_shipdate) AS o_year,
+                   round(sum(l_extendedprice * (1 - l_discount)
+                             - p_retailprice * l_quantity * 0.1), 2) AS sum_profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%red%'
+            GROUP BY n_name, year(l_shipdate)
+            ORDER BY nation, o_year DESC
+        """,
+        "q10_returned_items": """
+            SELECT c_custkey, c_name, n_name, c_acctbal,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY c_custkey, c_name, n_name, c_acctbal
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
+        """,
+        "q14_promo_revenue": """
+            WITH j AS (
+              SELECT p_type, l_extendedprice * (1 - l_discount) AS rev
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE l_shipdate >= TIMESTAMP '1996-06-01 00:00:00'
+                AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
+            )
+            SELECT promo_revenue, total_revenue,
+                   round(CAST(100.0 AS DOUBLE) * promo_revenue / total_revenue, 2) AS promo_pct
+            FROM (
+              SELECT round(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE CAST(0.0 AS DOUBLE) END), 2) AS promo_revenue,
+                     round(sum(rev), 2) AS total_revenue
+              FROM j
+            )
+        """,
+        "q16_supplier_counts": """
+            SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+            JOIN part ON ps.l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1'
+              AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+              AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_type, p_size
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        "q18_large_orders": """
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+                   round(o_totalprice, 2) AS o_totalprice,
+                   round(big.sum_qty, 2) AS sum_qty
+            FROM orders
+            JOIN (
+              SELECT l_orderkey, sum(l_quantity) AS sum_qty
+              FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+            ) big ON o_orderkey = big.l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 100
+        """,
+        "q19_disjunctive_revenue": """
+            SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "q22_dormant_customers": """
+            SELECT c_nationkey, count(*) AS numcust,
+                   round(sum(c_acctbal), 2) AS totacctbal
+            FROM customer c
+            WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+              AND NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+              )
+            GROUP BY c_nationkey
+            ORDER BY c_nationkey
         """,
         "nation_balance_full_outer": """
             WITH c AS (
