@@ -165,6 +165,53 @@ def main() -> None:
     print(f"== stratified_sample shuffle-free + pruned: {'OK' if ok else 'FAIL'}")
     failures += not ok
 
+    # 16. q4: non-equi EXISTS stays a broadcast semi-join with the lag
+    # predicate as a join condition — never a cartesian/theta product
+    plan = plan_of(m.queries()["q4_late_orders"](spark, sf_dir))
+    ok = "LeftSemi" in plan and "CartesianProduct" not in plan
+    print(f"== q4 non-equi semi-join (no theta product): {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
+    # 17. q7: all dims broadcast; the only hash shuffle is the final groupBy
+    plan = plan_of(m.queries()["q7_nation_trade"](spark, sf_dir))
+    n_hash_ex = plan.count("Exchange hashpartitioning")
+    ok = "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan and n_hash_ex == 1
+    print(f"== q7 broadcast star, single shuffle: {'OK' if ok else f'FAIL (hash exchanges={n_hash_ex})'}")
+    failures += not ok
+
+    # 18. q10: returnflag filter pushed to the lineitem scan; dims broadcast
+    plan = plan_of(m.queries()["q10_returned_items"](spark, sf_dir))
+    ok = (
+        "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)" in plan
+        and "BroadcastHashJoin" in plan
+        and "SortMergeJoin" not in plan
+    )
+    print(f"== q10 returnflag pushdown + broadcast dims: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
+    # 19. q19: Catalyst derives per-side implied disjunctions and pushes
+    # them into BOTH parquet scans (quantity OR-ranges to lineitem,
+    # brand/size OR to part); the full cross-side OR stays on the join
+    plan = plan_of(m.queries()["q19_disjunctive_revenue"](spark, sf_dir))
+    ok = (
+        "BroadcastHashJoin" in plan
+        and "PushedFilters: [IsNotNull(l_partkey), Or(" in plan
+        and plan.count("Or(") >= 2
+    )
+    print(f"== q19 per-side disjunctions pushed to both scans: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
+    # 20. q18: lineitem aggregates once (partial agg before its shuffle),
+    # survivors broadcast into the join-backs — orders never shuffles
+    plan = plan_of(m.queries()["q18_large_orders"](spark, sf_dir))
+    ok = (
+        "partial_sum" in plan
+        and "BroadcastHashJoin" in plan
+        and "SortMergeJoin" not in plan
+    )
+    print(f"== q18 one lineitem agg + broadcast join-backs: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
     print(f"\n{'ALL PLANS OK' if not failures else f'{failures} PLAN CHECKS FAILED'}")
     spark.stop()
     sys.exit(1 if failures else 0)
