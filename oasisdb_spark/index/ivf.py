@@ -37,7 +37,7 @@ from pyspark.sql import types as T
 from oasisdb_spark.index.flat import topk_per_query
 from oasisdb_spark.index.kmeans import kmeans_fit
 
-__all__ = ["train_centroids", "assign_clusters", "build_ivf", "knn_ivf", "rank_probes"]
+__all__ = ["train_centroids", "assign_clusters", "build_ivf", "add_to_ivf", "knn_ivf", "rank_probes"]
 
 DEFAULT_NLIST = 100  # const.go:26-30
 DEFAULT_NPROBE = 10
@@ -125,6 +125,36 @@ def build_ivf(
         cent_df = spark.read.parquet(os.path.join(out_dir, "centroids"))
         index_df = spark.read.parquet(os.path.join(out_dir, "lists"))
     return cent_df, index_df
+
+
+def add_to_ivf(
+    new_df: DataFrame,
+    centroids_df: DataFrame,
+    lists_dir: str,
+    id_col: str = "id",
+    vec_col: str = "vector",
+) -> DataFrame:
+    """Add-after-build (ivf.go:99-127 Add/AddBatch; exercised by the
+    reference's add-after-train test, ivf_test.go:96): assign new vectors
+    to the EXISTING centroids — no retrain — and append them to the
+    on-disk inverted lists.
+
+    The append writes new immutable parquet files into the matching
+    cluster_id partition dirs; a subsequent read of the lists sees them.
+    Centroids drift as data grows, so periodic build_index rebuilds stay
+    the compaction analogue; this is the cheap write path between them.
+    Returns a fresh reader over the updated lists."""
+    spark = new_df.sparkSession
+    centroids = np.array(
+        [r["centroid"] for r in centroids_df.orderBy("cluster_id").collect()], dtype=np.float32
+    )
+    assigned = assign_clusters(
+        new_df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vector")), centroids
+    )
+    assigned.repartition("cluster_id").write.mode("append").partitionBy("cluster_id").parquet(
+        lists_dir
+    )
+    return spark.read.parquet(lists_dir)
 
 
 def rank_probes(

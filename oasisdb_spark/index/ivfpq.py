@@ -41,7 +41,7 @@ from oasisdb_spark.index.flat import topk_per_query
 from oasisdb_spark.index.ivf import rank_probes, train_centroids, assign_clusters
 from oasisdb_spark.index.kmeans import kmeans_fit
 
-__all__ = ["train_pq", "encode_pq", "build_ivfpq", "knn_ivfpq"]
+__all__ = ["train_pq", "encode_pq", "build_ivfpq", "add_to_ivfpq", "knn_ivfpq"]
 
 KSUB = 256  # 2^nbits, nbits=8 only (ivfpq.go:104-106)
 
@@ -152,6 +152,30 @@ def build_ivfpq(
         np.save(os.path.join(np_dir, "codebooks.npy"), codebooks)
         index_df = spark.read.parquet(os.path.join(out_dir, "lists"))
     return centroids, codebooks, index_df
+
+
+def add_to_ivfpq(
+    new_df: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    lists_dir: str,
+    id_col: str = "id",
+    vec_col: str = "vector",
+) -> DataFrame:
+    """Add-after-build (ivfpq.go Add path): encode new vectors against
+    the EXISTING coarse centroids + codebooks — no retrain — and append
+    the codes to the on-disk inverted lists. Same append-only file
+    semantics as ivf.add_to_ivf. Returns a fresh reader."""
+    spark = new_df.sparkSession
+    encoded = encode_pq(
+        new_df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vector")),
+        centroids,
+        codebooks,
+    )
+    encoded.repartition("cluster_id").write.mode("append").partitionBy("cluster_id").parquet(
+        lists_dir
+    )
+    return spark.read.parquet(lists_dir)
 
 
 def knn_ivfpq(

@@ -37,7 +37,13 @@ from oasisdb_spark.index.flat import knn_flat
 from oasisdb_spark.index.ivf import build_ivf, knn_ivf
 from oasisdb_spark.index.ivfpq import build_ivfpq, knn_ivfpq
 
-__all__ = ["build_index", "search_vectors", "search_documents", "cached_search_vectors"]
+__all__ = [
+    "build_index",
+    "add_to_index",
+    "search_vectors",
+    "search_documents",
+    "cached_search_vectors",
+]
 
 
 def build_index(catalog: Catalog, name: str) -> int:
@@ -61,6 +67,37 @@ def build_index(catalog: Catalog, name: str) -> int:
         os.makedirs(out_dir, exist_ok=True)
     catalog.bump_index_version(name)
     return version
+
+
+def add_to_index(catalog: Catalog, name: str, docs: DataFrame) -> None:
+    """Incremental add-after-build (S6/S8 write path between rebuilds;
+    reference Add/AddBatch on a trained index, ivf.go:99-127 /
+    ivf_test.go:96 add-after-train): assign/encode the new vectors
+    against the CURRENT index version's centroids and append to its
+    inverted lists — no retrain, no version bump (the reference's Add
+    mutates the live index the same way; files stay immutable, only the
+    list directory grows). Call upsert_documents first for the document
+    store; periodic build_index remains the centroid-refresh/compaction
+    analogue. Flat collections need nothing (the collection IS the
+    index); unbuilt collections need nothing (searches scan current
+    data)."""
+    coll = catalog.get_collection(name)
+    if coll.index_version == 0 or coll.index_type == "flat":
+        return
+    d = catalog.index_path(name, coll.index_version)
+    if coll.index_type in ("ivf_flat", "hnsw"):
+        from oasisdb_spark.index.ivf import add_to_ivf
+
+        cent = catalog.spark.read.parquet(os.path.join(d, "centroids"))
+        add_to_ivf(docs, cent, os.path.join(d, "lists"))
+    elif coll.index_type == "ivfpq":
+        from oasisdb_spark.index.ivfpq import add_to_ivfpq
+
+        cents = np.load(os.path.join(d, "model", "centroids.npy"))
+        books = np.load(os.path.join(d, "model", "codebooks.npy"))
+        add_to_ivfpq(docs, cents, books, os.path.join(d, "lists"))
+    else:
+        raise errors.ErrInvalidParams(f"unknown index type {coll.index_type!r}")
 
 
 def _load_ivf(catalog: Catalog, name: str, version: int):

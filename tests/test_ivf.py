@@ -68,3 +68,25 @@ def test_ivf_persist_roundtrip(spark, tiny_vectors, tmp_path):
     assert idx.count() == 20
     # partitioned layout on disk = on-disk inverted lists
     assert any(p.name.startswith("cluster_id=") for p in (tmp_path / "ivf" / "lists").iterdir())
+
+
+def test_ivf_add_after_build(spark, tiny_vectors, tmp_path):
+    """Add-after-train (ivf_test.go:96): vectors appended to a built
+    index — no retrain — are found by subsequent searches, and full
+    probing still equals the exact result over the grown set."""
+    from oasisdb_spark.index.ivf import add_to_ivf
+
+    first = tiny_vectors.filter(F.col("id").cast("int") <= 10)
+    rest = tiny_vectors.filter(F.col("id").cast("int") > 10)
+    d = str(tmp_path / "ivf")
+    cent, idx = build_ivf(first, nlist=4, out_dir=d)
+    idx = add_to_ivf(rest, cent, d + "/lists")
+    assert idx.count() == 20
+    q = spark.createDataFrame(
+        [("q", [20.0, 0.0, 0.0, 0.0])], "query_id STRING, query_vec ARRAY<FLOAT>"
+    )
+    res = knn_ivf(q, cent, idx, k=1, nprobe=4).collect()
+    assert res[0]["id"] == "20" and res[0]["distance"] == 0.0
+    full = {r["id"] for r in knn_ivf(q, cent, idx, k=5, nprobe=4).collect()}
+    exact = {r["id"] for r in knn_flat(q, tiny_vectors, k=5).collect()}
+    assert full == exact

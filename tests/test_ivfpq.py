@@ -83,3 +83,28 @@ def test_ivfpq_persist_roundtrip(spark, embeddings, tmp_path):
     assert reloaded.count() == base.count()
     row = reloaded.first()
     assert len(row["codes"]) == 8
+
+
+def test_ivfpq_add_after_build(spark, embeddings, tmp_path):
+    """Add-after-build: new vectors encoded with the existing coarse
+    centroids + codebooks land in the lists and are retrievable (the
+    exact-refine stage pins the added vector to rank 1)."""
+    from pyspark.sql import functions as F
+
+    from oasisdb_spark.index.ivfpq import add_to_ivfpq, build_ivfpq, knn_ivfpq
+
+    base = embeddings.select(
+        F.col("vec_id").cast("string").alias("id"), F.col("embedding").alias("vector")
+    )
+    first = base.filter(F.col("id").cast("int") < 150)
+    rest = base.filter(F.col("id").cast("int") >= 150)
+    d = str(tmp_path / "pq")
+    cents, books, idx = build_ivfpq(first, nlist=4, m=8, out_dir=d)
+    idx = add_to_ivfpq(rest, cents, books, d + "/lists")
+    assert idx.count() == base.count()
+    q = (
+        embeddings.filter(F.col("vec_id") == 180)
+        .select(F.col("vec_id").cast("string").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+    res = knn_ivfpq(q, cents, books, idx, k=3, nprobe=4, refine_base=base, refine_factor=4).collect()
+    assert res[0]["id"] == "180" and res[0]["rank"] == 1

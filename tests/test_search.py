@@ -85,3 +85,32 @@ def test_ivfpq_collection_end_to_end(spark, tmp_path, embeddings):
     res = search_vectors(cat, "pq", _q(spark, embeddings, 3), k=5)
     top1 = {r["query_id"]: r["id"] for r in res.filter(F.col("rank") == 1).collect()}
     assert top1 == {"0": "0", "1": "1", "2": "2"}  # refined exact re-rank
+
+
+def test_add_to_index_incremental(spark, tmp_path, embeddings):
+    """Catalog-level add-after-build: upsert new docs + add_to_index makes
+    them searchable WITHOUT a rebuild or version bump (reference
+    Add-on-trained-index semantics, ivf.go:99-127)."""
+    from pyspark.sql import functions as F
+
+    from oasisdb_spark.search import add_to_index
+
+    cat = Catalog(spark, str(tmp_path / "inc"))
+    cat.create_collection("inc", dimension=64, index_type="ivf_flat",
+                          params={"nlist": 4, "nprobe": 4})
+    first = embeddings.filter(F.col("vec_id") < 150).select(
+        F.col("vec_id").cast("string").alias("id"), F.col("embedding").alias("vector")
+    )
+    cat.upsert_documents("inc", first)
+    v = build_index(cat, "inc")
+    new = embeddings.filter(F.col("vec_id").between(150, 199)).select(
+        F.col("vec_id").cast("string").alias("id"), F.col("embedding").alias("vector")
+    )
+    cat.upsert_documents("inc", new)
+    add_to_index(cat, "inc", new)
+    assert cat.get_collection("inc").index_version == v  # no bump
+    q = embeddings.filter(F.col("vec_id") == 180).select(
+        F.col("vec_id").cast("string").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    res = search_vectors(cat, "inc", q, k=1).collect()
+    assert res[0]["id"] == "180" and abs(res[0]["distance"]) < 1e-6
