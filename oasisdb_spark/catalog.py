@@ -111,6 +111,9 @@ class Catalog:
     def index_path(self, name: str, version: int) -> str:
         return os.path.join(self._coll_dir(name), "index", f"v{version}")
 
+    def tombstone_path(self, name: str) -> str:
+        return os.path.join(self._coll_dir(name), "tombstones")
+
     # ---------- catalog io ----------
     def _read_catalog(self) -> DataFrame:
         p = self._catalog_path()
@@ -225,7 +228,19 @@ class Catalog:
         coll = self.get_collection(name)
         new_v = coll.index_version + 1
         self._update_catalog_row(name, index_version=new_v)
+        # a fresh build reads the live doc store, so deletes accumulated
+        # against the previous version are baked in — clear the tombstones
+        shutil.rmtree(self.tombstone_path(name), ignore_errors=True)
         return new_v
+
+    def read_tombstones(self, name: str) -> DataFrame | None:
+        """Ids deleted since the current index version was built (None if
+        no deletes). Tiny by construction — broadcast anti-joined by the
+        indexed search paths."""
+        p = self.tombstone_path(name)
+        if not os.path.exists(p):
+            return None
+        return self.spark.read.parquet(p)
 
     # ---------- document CRUD (S6-S10) ----------
     def read_documents(self, name: str) -> DataFrame:
@@ -275,11 +290,18 @@ class Catalog:
 
     def delete_document(self, name: str, doc_id: str) -> None:
         """Correct delete (the reference's vector delete is partial/broken —
-        ivf.go:170-173 no-op, index_manager.go:537-538 'TODO: fix delete')."""
+        ivf.go:170-173 no-op, index_manager.go:537-538 'TODO: fix delete').
+        If an index is built, the id is also tombstoned so indexed
+        searches exclude it until the next rebuild bakes the delete in."""
+        coll = self.get_collection(name)
         existing = self.read_documents(name)
         if existing.filter(F.col("id") == str(doc_id)).limit(1).count() == 0:
             raise errors.ErrDocumentNotFound(f"document {doc_id!r} not found in {name!r}")
         self._atomic_overwrite(existing.filter(F.col("id") != str(doc_id)), self.data_path(name))
+        if coll.index_version > 0 and coll.index_type != "flat":
+            self.spark.createDataFrame([(str(doc_id),)], "id STRING").coalesce(1).write.mode(
+                "append"
+            ).parquet(self.tombstone_path(name))
 
     def count_documents(self, name: str) -> int:
         return self.read_documents(name).count()

@@ -85,19 +85,35 @@ def add_to_index(catalog: Catalog, name: str, docs: DataFrame) -> None:
     if coll.index_version == 0 or coll.index_type == "flat":
         return
     d = catalog.index_path(name, coll.index_version)
+    lists_dir = os.path.join(d, "lists")
+    # genuinely-new ids only: an id already in the lists keeps its built
+    # vector until the next rebuild (documented upsert-staleness
+    # semantics) — appending it again would duplicate it in the index
+    existing = catalog.spark.read.parquet(lists_dir).select("id")
+    docs = docs.join(existing, on="id", how="left_anti")
     if coll.index_type in ("ivf_flat", "hnsw"):
         from oasisdb_spark.index.ivf import add_to_ivf
 
         cent = catalog.spark.read.parquet(os.path.join(d, "centroids"))
-        add_to_ivf(docs, cent, os.path.join(d, "lists"))
+        add_to_ivf(docs, cent, lists_dir)
     elif coll.index_type == "ivfpq":
         from oasisdb_spark.index.ivfpq import add_to_ivfpq
 
         cents = np.load(os.path.join(d, "model", "centroids.npy"))
         books = np.load(os.path.join(d, "model", "codebooks.npy"))
-        add_to_ivfpq(docs, cents, books, os.path.join(d, "lists"))
+        add_to_ivfpq(docs, cents, books, lists_dir)
     else:
         raise errors.ErrInvalidParams(f"unknown index type {coll.index_type!r}")
+
+
+def _without_tombstones(catalog: Catalog, name: str, lists: DataFrame) -> DataFrame:
+    """Exclude ids deleted since the index was built. The tombstone set
+    is tiny (deletes between rebuilds), so the anti-join broadcasts —
+    the indexed scan never shuffles. Rebuilds clear the set."""
+    ts = catalog.read_tombstones(name)
+    if ts is None:
+        return lists
+    return lists.join(F.broadcast(ts.select("id")), on="id", how="left_anti")
 
 
 def _load_ivf(catalog: Catalog, name: str, version: int):
@@ -144,12 +160,15 @@ def search_vectors(
         return knn_flat(queries, data, k, space=coll.space)
     if coll.index_type in ("ivf_flat", "hnsw"):
         cent, lists = _load_ivf(catalog, name, coll.index_version)
+        lists = _without_tombstones(catalog, name, lists)
         return knn_ivf(queries, cent, lists, k, nprobe=_nprobe_for(coll), space=coll.space)
     if coll.index_type == "ivfpq":
         d = catalog.index_path(name, coll.index_version)
         cents = np.load(os.path.join(d, "model", "centroids.npy"))
         books = np.load(os.path.join(d, "model", "codebooks.npy"))
-        lists = catalog.spark.read.parquet(os.path.join(d, "lists"))
+        lists = _without_tombstones(
+            catalog, name, catalog.spark.read.parquet(os.path.join(d, "lists"))
+        )
         return knn_ivfpq(
             queries, cents, books, lists, k,
             nprobe=_nprobe_for(coll), refine_base=data, refine_factor=4,

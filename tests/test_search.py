@@ -114,3 +114,31 @@ def test_add_to_index_incremental(spark, tmp_path, embeddings):
     )
     res = search_vectors(cat, "inc", q, k=1).collect()
     assert res[0]["id"] == "180" and abs(res[0]["distance"]) < 1e-6
+
+
+def test_indexed_search_excludes_deleted(spark, tmp_path, embeddings):
+    """Deleting a document after the index is built must remove it from
+    indexed search results too (the reference leaves it in — IVF delete
+    is a no-op, ivf.go:170-173). A rebuild bakes the delete in and
+    clears the tombstones."""
+    from pyspark.sql import functions as F
+
+    cat = Catalog(spark, str(tmp_path / "del"))
+    cat.create_collection("del", dimension=64, index_type="ivf_flat",
+                          params={"nlist": 4, "nprobe": 4})
+    base = embeddings.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").cast("string").alias("id"), F.col("embedding").alias("vector")
+    )
+    cat.upsert_documents("del", base)
+    build_index(cat, "del")
+    q = embeddings.filter(F.col("vec_id") == 7).select(
+        F.col("vec_id").cast("string").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    assert search_vectors(cat, "del", q, k=1).collect()[0]["id"] == "7"
+    cat.delete_document("del", "7")
+    hits = [r["id"] for r in search_vectors(cat, "del", q, k=5).collect()]
+    assert "7" not in hits and len(hits) == 5
+    build_index(cat, "del")
+    assert cat.read_tombstones("del") is None
+    hits = [r["id"] for r in search_vectors(cat, "del", q, k=5).collect()]
+    assert "7" not in hits and len(hits) == 5
