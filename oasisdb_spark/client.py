@@ -100,7 +100,7 @@ class OasisClient:
         vector: Sequence[float],
         parameters: Optional[Mapping[str, Any]] = None,
     ) -> dict[str, Any]:
-        self.catalog.upsert_documents(
+        self._upsert_and_index(
             collection,
             self._docs_df([{"id": doc_id, "vector": vector, "parameters": parameters}]),
         )
@@ -109,7 +109,18 @@ class OasisClient:
     def batch_upsert_documents(
         self, collection: str, documents: Iterable[Mapping[str, Any]]
     ) -> None:
-        self.catalog.upsert_documents(collection, self._docs_df(documents))
+        self._upsert_and_index(collection, self._docs_df(documents))
+
+    def _upsert_and_index(self, collection: str, docs) -> None:
+        """Reference upsert also adds the vector to the live index
+        (db/document.go:53-92 → index_manager.go:441-470 AddVector); the
+        parity here is upsert + incremental add-after-build. Ids already
+        in the built index keep their built vector until the next
+        build_index (documented staleness semantics, SURVEY.md §4)."""
+        from oasisdb_spark.search import add_to_index
+
+        self.catalog.upsert_documents(collection, docs)
+        add_to_index(self.catalog, collection, docs)
 
     def get_document(self, collection: str, doc_id: str) -> dict[str, Any]:
         row = self.catalog.get_document(collection, doc_id)

@@ -89,3 +89,16 @@ def test_missing_collection_errors(client):
         client.search_vectors("nope", [1.0], limit=1)
     with pytest.raises(errors.ErrCollectionNotFound):
         client.batch_upsert_documents("nope", _docs(1))
+
+
+def test_client_upsert_after_build_is_searchable(client):
+    """Reference parity: upsert on a collection with a built index adds
+    the vector to the index (AddVector path) — searchable immediately,
+    no rebuild."""
+    client.create_collection("live", dimension=4, index_type="ivf_flat",
+                             parameters={"nlist": 2, "nprobe": 2})
+    docs = [{"id": str(i), "vector": [float(i), 0.0, 0.0, 0.0]} for i in range(1, 9)]
+    client.build_index("live", docs)
+    client.upsert_document("live", doc_id="99", vector=[99.0, 0.0, 0.0, 0.0])
+    res = client.search_vectors("live", vector=[98.5, 0.0, 0.0, 0.0], limit=1)
+    assert res["ids"] == ["99"]
