@@ -48,6 +48,10 @@ HEADLINE = [
     "q5_nation_revenue",
     "q6_forecast_revenue",  # pushdown showcase
     "q17_small_qty_revenue",  # decorrelated scalar subquery
+    "q4_late_orders",       # non-equi EXISTS semi-join
+    "q9_product_profit",    # LIKE-filtered multiway star
+    "q18_large_orders",     # HAVING-subquery join-back
+    "q19_disjunctive_revenue",  # OR-of-ANDs pushdown
     "events_asof_join",     # union+window as-of
     "top3_orders_per_customer",
     "customer_running_spend",
