@@ -183,3 +183,50 @@ def test_purchase_attribution_matches_batch_join(spark, tmp_path):
         ).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_stream_upsert_makes_arrivals_searchable(spark, tmp_path, embeddings):
+    """Streaming ingest (foreachBatch → upsert + incremental index add):
+    after the stream drains, arrivals are searchable against the BUILT
+    index without a rebuild, and a replayed micro-batch is idempotent."""
+    from pyspark.sql import functions as F
+
+    from oasisdb_spark.catalog import Catalog
+    from oasisdb_spark.search import build_index, search_vectors
+    from oasisdb_spark.streaming.ingest import stream_upsert
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.create_collection("s", dimension=64, index_type="ivf_flat",
+                          params={"nlist": 4, "nprobe": 4})
+    first = embeddings.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").cast("string").alias("id"), F.col("embedding").alias("vector")
+    )
+    cat.upsert_documents("s", first)
+    build_index(cat, "s")
+
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    arrivals = embeddings.filter(F.col("vec_id").between(100, 139)).select(
+        F.col("vec_id").cast("string").alias("id"), F.col("embedding").alias("vector")
+    )
+    arrivals.coalesce(1).write.mode("overwrite").parquet(str(src / "batch1"))
+    stream = spark.readStream.schema("id STRING, vector ARRAY<FLOAT>").parquet(str(src / "batch1"))
+    q = stream_upsert(cat, "s", stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    assert cat.count_documents("s") == 140
+    probe = embeddings.filter(F.col("vec_id") == 120).select(
+        F.col("vec_id").cast("string").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    res = search_vectors(cat, "s", probe, k=1).collect()
+    assert res[0]["id"] == "120" and abs(res[0]["distance"]) < 1e-6
+
+    # replay the same micro-batch manually: both sides idempotent
+    cat.upsert_documents("s", arrivals)
+    from oasisdb_spark.search import add_to_index
+    add_to_index(cat, "s", arrivals)
+    assert cat.count_documents("s") == 140
+    lists = spark.read.parquet(
+        cat.index_path("s", cat.get_collection("s").index_version) + "/lists"
+    )
+    assert lists.count() == 140  # no duplicate index entries
