@@ -1393,6 +1393,49 @@ def _events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per-user rolling 1-hour event count + value
+    sum, frame bounded by event-time VALUE (microseconds), not row
+    count — tie rows share a frame, so the result is order-independent
+    and engine-portable. One shuffle on user_id."""
+    ev = _table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("events_1h"),
+        F.round(F.sum("value").over(w), 2).alias("value_1h"),
+    )
+
+
+def _q2_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per-part argmin join — the supplier offering each
+    part at the lowest unit cost (lineitem-derived surrogate: avg
+    extendedprice/quantity per (part, supplier), rounded to pin
+    cross-engine equality). Window min decorrelates the subquery into
+    the same shuffle that computes the costs; ties keep all rows."""
+    li = _table(spark, sf_dir, "lineitem")
+    part = _table(spark, sf_dir, "part").filter(F.col("p_size") <= 3).select("p_partkey", "p_brand")
+    sup = _table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    cost = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_partkey", "p_brand", "l_suppkey")
+        .agg(F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 2).alias("unit_cost"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        cost.withColumn("min_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+        .select("p_partkey", "p_brand", "s_name", "unit_cost")
+        .orderBy("p_partkey", "s_name")
+    )
+
+
 def _events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization (gap > 30 min starts a new session) via lag — the
     batch twin of the streaming session operator (streaming/events.py)."""
@@ -1486,6 +1529,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search_rrf": _hybrid_search,
         "price_quartiles": _price_quartiles,
         "events_hourly": _events_hourly,
+        "events_rolling_1h": _events_rolling_1h,
+        "q2_cheapest_supplier": _q2_cheapest_supplier,
         "events_sessionize": _events_sessionize,
         "events_hourly_stream": _events_hourly_stream,
         "events_sessionize_stream": _events_sessionize_stream,
@@ -1993,6 +2038,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
                    event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "events_rolling_1h": """
+            SELECT user_id, event_id,
+                   count(*) OVER w AS events_1h,
+                   round(sum(value) OVER w, 2) AS value_1h
+            FROM events
+            WHERE user_id < 20
+            WINDOW w AS (
+              PARTITION BY user_id ORDER BY epoch_us(ts)
+              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+            )
+        """,
+        "q2_cheapest_supplier": """
+            WITH cost AS (
+              SELECT p_partkey, p_brand, l_suppkey,
+                     round(avg(l_extendedprice / l_quantity), 2) AS unit_cost
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+              WHERE p_size <= 3
+              GROUP BY p_partkey, p_brand, l_suppkey
+            )
+            SELECT p_partkey, p_brand, s_name, unit_cost
+            FROM (
+              SELECT *, min(unit_cost) OVER (PARTITION BY p_partkey) AS min_cost
+              FROM cost
+            )
+            JOIN supplier ON l_suppkey = s_suppkey
+            WHERE unit_cost = min_cost
+            ORDER BY p_partkey, s_name
         """,
         "events_sessionize": """
             WITH g AS (
