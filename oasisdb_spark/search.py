@@ -66,6 +66,15 @@ def build_index(catalog: Catalog, name: str) -> int:
     elif coll.index_type == "flat":
         os.makedirs(out_dir, exist_ok=True)
     catalog.bump_index_version(name)
+    # snapshot GC (reference deletes superseded snapshots after save,
+    # index_manager.go:387-438): keep the new version plus its
+    # predecessor for in-flight readers pinned to the old version;
+    # everything older is unreachable (searches always resolve the
+    # catalog's current version) and is removed.
+    import shutil
+
+    for v in range(1, version - 1):
+        shutil.rmtree(catalog.index_path(name, v), ignore_errors=True)
     return version
 
 

@@ -142,3 +142,28 @@ def test_indexed_search_excludes_deleted(spark, tmp_path, embeddings):
     assert cat.read_tombstones("del") is None
     hits = [r["id"] for r in search_vectors(cat, "del", q, k=5).collect()]
     assert "7" not in hits and len(hits) == 5
+
+
+def test_build_index_gc_keeps_two_versions(spark, tmp_path, embeddings):
+    """Rebuilds prune index snapshots older than the previous version
+    (the reference's superseded-snapshot cleanup)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    cat = Catalog(spark, str(tmp_path / "gc"))
+    cat.create_collection("gc", dimension=64, index_type="ivf_flat",
+                          params={"nlist": 2, "nprobe": 2})
+    base = embeddings.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").cast("string").alias("id"), F.col("embedding").alias("vector")
+    )
+    cat.upsert_documents("gc", base)
+    for _ in range(3):
+        build_index(cat, "gc")
+    assert not os.path.exists(cat.index_path("gc", 1))
+    assert os.path.exists(cat.index_path("gc", 2))
+    assert os.path.exists(cat.index_path("gc", 3))
+    q = embeddings.filter(F.col("vec_id") == 9).select(
+        F.col("vec_id").cast("string").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    assert search_vectors(cat, "gc", q, k=1).collect()[0]["id"] == "9"
