@@ -463,6 +463,27 @@ def _ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(_table(spark, sf_dir, "documents"), threshold=0.5)
 
 
+def _cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination: near-duplicate pairs that SPAN sources (an eval
+    document leaking into a training crawl). Shingle-Jaccard pairs via
+    the inverted-index join, then the tiny pair set broadcasts into two
+    source lookups — the full doc table is never shuffled for the
+    attribution step."""
+    from oasisdb_spark.pipeline.dedup import jaccard_pairs
+
+    docs = _table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, threshold=0.5)
+    src = docs.select("doc_id", "source")
+    a = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("source_a"))
+    b = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("source_b"))
+    return (
+        a.join(F.broadcast(pairs), on="doc_a")
+        .join(F.broadcast(b), on="doc_b")
+        .filter(F.col("source_a") != F.col("source_b"))
+        .select("doc_a", "doc_b", "source_a", "source_b", "jaccard")
+    )
+
+
 def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oasisdb_spark.pipeline.dedup import simhash_expr
 
@@ -1483,6 +1504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": _minhash_signatures,
         "minhash_lsh_pairs": _minhash_lsh_pairs,
         "ngram_jaccard_pairs": _ngram_jaccard_pairs,
+        "cross_source_leakage": _cross_source_leakage,
         "simhash": _simhash,
         "embedding_neardup": _embedding_neardup,
         # relational / windows / rollup / sessionize
@@ -1596,6 +1618,14 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": _minhash_oracle(),
         "minhash_lsh_pairs": _lsh_pairs_oracle(with_banding=True),
         "ngram_jaccard_pairs": _lsh_pairs_oracle(with_banding=False),
+        "cross_source_leakage": f"""
+            WITH jp AS ({_lsh_pairs_oracle(with_banding=False)})
+            SELECT doc_a, doc_b, da.source AS source_a, db.source AS source_b, jaccard
+            FROM jp
+            JOIN documents da ON jp.doc_a = da.doc_id
+            JOIN documents db ON jp.doc_b = db.doc_id
+            WHERE da.source <> db.source
+        """,
         "simhash": _simhash_oracle(),
         "embedding_neardup": f"""
             SELECT * FROM (
