@@ -951,6 +951,41 @@ def _q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier-nation's share of a region's yearly
+    revenue — share-of-total as a window over the aggregated year rows
+    (2 shuffles total: the groupBy, then a window over its tiny output;
+    the conditional numerator rides the same aggregate)."""
+    li = _table(spark, sf_dir, "lineitem")
+    nat = _table(spark, sf_dir, "nation")
+    reg = _table(spark, sf_dir, "region")
+    sup = (
+        _table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey", F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    yearly = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .filter(F.col("region") == "AFRICA")
+        .groupBy(F.year("l_shipdate").alias("o_year"), "nation")
+        .agg(F.sum(rev).alias("nation_rev"))
+    )
+    w = Window.partitionBy("o_year")
+    return (
+        yearly.withColumn("total_rev", F.sum("nation_rev").over(w))
+        .filter(F.col("nation") == "NATION_0")
+        .select(
+            "o_year",
+            F.round("nation_rev", 2).alias("nation_rev"),
+            F.round("total_rev", 2).alias("total_rev"),
+            F.round(F.col("nation_rev") / F.col("total_rev"), 4).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
 def _q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape: profit by supplier nation and year for parts whose
     name matches a wildcard (LIKE '%red%'). partsupp does not exist in the
@@ -1527,6 +1562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_qty_revenue": _q17_small_qty_revenue,
         "q4_late_orders": _q4_late_orders,
         "q7_nation_trade": _q7_nation_trade,
+        "q8_market_share": _q8_market_share,
         "q9_product_profit": _q9_product_profit,
         "q10_returned_items": _q10_returned_items,
         "q14_promo_revenue": _q14_promo_revenue,
@@ -1806,6 +1842,27 @@ def oracle_sql() -> dict[str, str]:
             )
             GROUP BY supp_nation, cust_nation, l_year
             ORDER BY supp_nation, cust_nation, l_year
+        """,
+        "q8_market_share": """
+            WITH yearly AS (
+              SELECT year(l_shipdate) AS o_year, n_name AS nation,
+                     sum(l_extendedprice * (1 - l_discount)) AS nation_rev
+              FROM lineitem
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'AFRICA'
+              GROUP BY year(l_shipdate), n_name
+            )
+            SELECT o_year, round(nation_rev, 2) AS nation_rev,
+                   round(total_rev, 2) AS total_rev,
+                   round(nation_rev / total_rev, 4) AS mkt_share
+            FROM (
+              SELECT *, sum(nation_rev) OVER (PARTITION BY o_year) AS total_rev
+              FROM yearly
+            )
+            WHERE nation = 'NATION_0'
+            ORDER BY o_year
         """,
         "q9_product_profit": """
             SELECT n_name AS nation, year(l_shipdate) AS o_year,
