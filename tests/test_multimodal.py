@@ -66,3 +66,29 @@ def test_sample_frames_expands_videos(spark):
 def test_real_codec_seam_raises(spark):
     with pytest.raises(NotImplementedError, match="Pillow"):
         PillowCodec()
+
+
+def test_media_features_to_vector_search(spark, tmp_path):
+    """End-to-end multimodal pipeline: media bytes -> decoded feature
+    vectors -> vector store -> kNN finds the query item itself at
+    distance 0 (the full image-similarity-search composition)."""
+    from pyspark.sql import functions as F
+
+    from oasisdb_spark.catalog import Catalog
+    from oasisdb_spark.pipeline.multimodal import decode_features, make_fake_media
+    from oasisdb_spark.search import build_index, search_vectors
+
+    media = make_fake_media(spark, n=60)
+    feats = decode_features(media, dim=16).select(
+        F.col("media_id").cast("string").alias("id"), F.col("features").alias("vector")
+    )
+    cat = Catalog(spark, str(tmp_path / "mm"))
+    cat.create_collection("media", dimension=16, index_type="ivf_flat",
+                          params={"nlist": 4, "nprobe": 4})
+    cat.upsert_documents("media", feats)
+    build_index(cat, "media")
+    q = feats.filter(F.col("id") == "17").select(
+        F.col("id").alias("query_id"), F.col("vector").alias("query_vec")
+    )
+    res = search_vectors(cat, "media", q, k=3).collect()
+    assert res[0]["id"] == "17" and abs(res[0]["distance"]) < 1e-6
