@@ -1040,6 +1040,70 @@ def _q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional CASE-counts over a join — of
+    lineitems shipped >30 days after ordering, how many belonged to
+    high- vs low-priority orders, per ship-year. The date-lag predicate
+    is a join filter (no shipmode column exists in the fixtures; the
+    late-shipment lag stands in for the receipt-commit comparison)."""
+    li = _table(spark, sf_dir, "lineitem")
+    orders = _table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("ship_year")
+    )
+
+
+def _doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length distribution: fixed-width histogram of document
+    size per language (floor-div binning — a single partial-aggregated
+    groupBy; the standard first look at any new corpus)."""
+    docs = _table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(
+            "lang", (F.floor(F.col("n_chars") / 100) * 100).cast("bigint").alias("bin_lo")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+        .orderBy("lang", "bin_lo")
+    )
+
+
+def _tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinctive vocabulary: TF-IDF over whitespace terms,
+    top-3 per source. Explode → two partial-aggregated shuffles (term
+    frequency, source frequency) → broadcast the tiny df table back →
+    window top-3. Scores round to 6dp BEFORE ranking so cross-engine
+    ties break identically (then by term)."""
+    docs = _table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "source",
+        F.explode(F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != "")).alias("term"),
+    )
+    tf = terms.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.countDistinct("source").alias("df"))
+    n_sources = docs.select("source").distinct().count()
+    scored = tf.join(F.broadcast(df_), "term").select(
+        "source", "term",
+        F.round(F.col("tf") * F.log(F.lit(float(n_sources)) / F.col("df")), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("source").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("source", "term", "tfidf", "rank")
+    )
+
+
 def _q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: promo-type revenue share in one month —
     conditional aggregation over a broadcast part join. Both sums are
@@ -1565,7 +1629,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q8_market_share": _q8_market_share,
         "q9_product_profit": _q9_product_profit,
         "q10_returned_items": _q10_returned_items,
+        "q12_priority_shipping": _q12_priority_shipping,
         "q14_promo_revenue": _q14_promo_revenue,
+        "doc_length_histogram": _doc_length_histogram,
+        "tfidf_top_terms": _tfidf_top_terms,
         "q16_supplier_counts": _q16_supplier_counts,
         "q18_large_orders": _q18_large_orders,
         "q19_disjunctive_revenue": _q19_disjunctive_revenue,
@@ -1889,6 +1956,44 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_custkey, c_name, n_name, c_acctbal
             ORDER BY revenue DESC, c_custkey ASC
             LIMIT 20
+        """,
+        "q12_priority_shipping": """
+            SELECT year(l_shipdate) AS ship_year,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+            GROUP BY year(l_shipdate)
+            ORDER BY ship_year
+        """,
+        "doc_length_histogram": """
+            SELECT lang, CAST(floor(n_chars / 100) * 100 AS BIGINT) AS bin_lo,
+                   count(*) AS n_docs, round(avg(n_chars), 2) AS avg_chars
+            FROM documents
+            GROUP BY lang, bin_lo
+            ORDER BY lang, bin_lo
+        """,
+        "tfidf_top_terms": """
+            WITH terms AS (
+              SELECT source, t AS term
+              FROM documents,
+                   unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')) AS u(t)
+            ),
+            tf AS (
+              SELECT source, term, count(*) AS tf FROM terms GROUP BY source, term
+            ),
+            idf AS (
+              SELECT term, count(DISTINCT source) AS df FROM tf GROUP BY term
+            ),
+            scored AS (
+              SELECT source, tf.term AS term,
+                     round(tf * ln(CAST((SELECT count(DISTINCT source) FROM documents) AS DOUBLE) / df), 6) AS tfidf
+              FROM tf JOIN idf ON tf.term = idf.term
+            )
+            SELECT source, term, tfidf, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY source ORDER BY tfidf DESC, term ASC) AS rank
+              FROM scored
+            ) WHERE rank <= 3
         """,
         "q14_promo_revenue": """
             WITH j AS (
