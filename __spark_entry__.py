@@ -1293,6 +1293,27 @@ def _stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(bucket < thresh).select("doc_id", "lang", bucket.alias("bucket"))
 
 
+def _corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10) by md5(doc_id) hex
+    prefix — reproducible across engines, runs, and cluster sizes; a
+    doc's split never changes as the corpus grows (the property RNG
+    splits lack). Output: per-(split, lang) counts — one
+    partial-aggregated shuffle over a pure per-row classifier."""
+    docs = _table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    split = (
+        F.when(bucket < F.lit("cccd"), "train")  # 0xcccd/0x10000 ~ 0.80
+        .when(bucket < F.lit("e666"), "val")     # ~0.90
+        .otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split", "lang")
+    )
+
+
 def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS: connected components over the MinHash-LSH
     pair graph (operators/connected_components.py), labeling each
@@ -1641,6 +1662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_status_pivot": _orders_status_pivot,
         "daily_activity_union": _daily_activity_union,
         "stratified_sample_documents": _stratified_sample_documents,
+        "corpus_split": _corpus_split,
         "dedup_clusters": _dedup_clusters,
         "price_band_join": _price_band_join,
         "sequence_pack_chunks": _sequence_pack_chunks,
@@ -2095,6 +2117,17 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
                   < CASE WHEN lang = 'en' THEN '199a' ELSE '8000' END
+        """,
+        "corpus_split": """
+            WITH s AS (
+              SELECT lang,
+                     CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd' THEN 'train'
+                          WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+                          ELSE 'test' END AS split
+              FROM documents
+            )
+            SELECT split, lang, count(*) AS n_docs
+            FROM s GROUP BY split, lang ORDER BY split, lang
         """,
         "dedup_clusters": f"""
             WITH RECURSIVE lshp AS ({_lsh_pairs_oracle(with_banding=True)}),
