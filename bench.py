@@ -39,6 +39,7 @@ HEADLINE = [
     "langid",
     "doc_fingerprint",
     "dedup_clusters",       # LSH pairs -> connected components
+    "tfidf_top_terms",      # explode + tf/df aggs + window top-3
     "sequence_pack_chunks", # training sequence packing (window cumsum)
     "training_corpus_pipeline",  # quality -> dedup -> sample composed
     "hybrid_search_rrf",    # keyword + vector RRF fusion
