@@ -203,6 +203,8 @@ class Catalog:
         for k, v in params.items():
             if k not in valid:
                 raise errors.ErrInvalidParams(f"unknown param {k!r}")
+            if k == "nlist" and str(v).lower() == "auto":
+                continue  # sqrt(N) sizing resolved at build time
             try:
                 if int(v) <= 0:
                     raise errors.ErrInvalidParams(f"param {k} must be positive, got {v}")

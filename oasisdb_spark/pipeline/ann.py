@@ -46,15 +46,33 @@ def knn_brute_batched(
     query_vec_col: str = "query_vec",
     id_col: str = "id",
     vec_col: str = "vector",
+    max_query_rows: int = 65_536,
 ) -> DataFrame:
     """Exact kNN via broadcast queries + per-batch GEMM + two-level top-k.
 
     space: l2 (squared) | ip (-dot) | cos (1-cos).
+
+    max_query_rows bounds the broadcast: a query batch larger than this
+    runs as ceil(nq/max) chunks, each its own broadcast + base scan,
+    results unioned. At 64-d float32 the default keeps each broadcast
+    ~16 MB; the trade (extra base scans vs unbounded broadcast) is the
+    scale guard SCALING.md documents.
     """
     if space not in ("l2", "ip", "cos"):
         raise ValueError(f"knn_brute_batched supports l2/ip/cos, got {space!r}")
     spark = base.sparkSession
     q_rows = queries.select(query_id_col, query_vec_col).collect()
+    if len(q_rows) > max_query_rows:
+        out = None
+        for lo in range(0, len(q_rows), max_query_rows):
+            chunk = spark.createDataFrame(
+                q_rows[lo : lo + max_query_rows], queries.select(query_id_col, query_vec_col).schema
+            )
+            part = knn_brute_batched(
+                chunk, base, k, space, query_id_col, query_vec_col, id_col, vec_col, max_query_rows
+            )
+            out = part if out is None else out.unionByName(part)
+        return out
     q_ids = [r[query_id_col] for r in q_rows]
     Q = np.array([r[query_vec_col] for r in q_rows], dtype=np.float32)
     bc = spark.sparkContext.broadcast((q_ids, Q))

@@ -56,12 +56,10 @@ def build_index(catalog: Catalog, name: str) -> int:
     version = coll.index_version + 1
     out_dir = catalog.index_path(name, version)
     if coll.index_type in ("ivf_flat", "hnsw"):
-        nlist = int(coll.params.get("nlist", "100"))
-        nlist = max(1, min(nlist, data.count()))
+        nlist = _resolve_nlist(coll.params.get("nlist", "100"), data.count())
         build_ivf(data, nlist=nlist, out_dir=out_dir)
     elif coll.index_type == "ivfpq":
-        nlist = int(coll.params.get("nlist", "100"))
-        nlist = max(1, min(nlist, data.count()))
+        nlist = _resolve_nlist(coll.params.get("nlist", "100"), data.count())
         build_ivfpq(data, nlist=nlist, m=int(coll.params.get("m", "8")), out_dir=out_dir)
     elif coll.index_type == "flat":
         os.makedirs(out_dir, exist_ok=True)
@@ -76,6 +74,21 @@ def build_index(catalog: Catalog, name: str) -> int:
     for v in range(1, version - 1):
         shutil.rmtree(catalog.index_path(name, v), ignore_errors=True)
     return version
+
+
+def _resolve_nlist(param: str, n_rows: int) -> int:
+    """nlist='auto' → ~sqrt(N) (the standard IVF sizing: probe work and
+    list length both scale as sqrt; SCALING.md — nlist must grow with N
+    for per-query candidate volume to stay flat). Always clamped to
+    [1, n_rows]; the explicit-int path preserves the reference's
+    fixed-nlist behavior (const.go:26-30)."""
+    import math
+
+    if str(param).lower() == "auto":
+        nlist = int(math.sqrt(max(n_rows, 1)))
+    else:
+        nlist = int(param)
+    return max(1, min(nlist, max(n_rows, 1)))
 
 
 def add_to_index(catalog: Catalog, name: str, docs: DataFrame) -> None:

@@ -42,3 +42,22 @@ def test_cosine_entry_point(spark, embeddings):
 def test_unknown_space_rejected(spark, embeddings):
     with pytest.raises(ValueError):
         knn_brute_batched(_q(embeddings), _base(embeddings), k=5, space="hamming")
+
+
+def test_gemm_query_chunking_matches_unchunked(spark, embeddings):
+    """max_query_rows smaller than the batch → chunked passes union to
+    the identical result set."""
+    from pyspark.sql import functions as F
+
+    from oasisdb_spark.pipeline.ann import knn_brute_batched
+
+    base = embeddings.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
+    q = embeddings.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    whole = {(r["query_id"], r["rank"]): r["id"] for r in knn_brute_batched(q, base, k=5).collect()}
+    chunked = {
+        (r["query_id"], r["rank"]): r["id"]
+        for r in knn_brute_batched(q, base, k=5, max_query_rows=3).collect()
+    }
+    assert chunked == whole

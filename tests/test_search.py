@@ -167,3 +167,25 @@ def test_build_index_gc_keeps_two_versions(spark, tmp_path, embeddings):
         F.col("vec_id").cast("string").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     assert search_vectors(cat, "gc", q, k=1).collect()[0]["id"] == "9"
+
+
+def test_nlist_auto_sizes_sqrt_n(spark, tmp_path, embeddings):
+    """nlist='auto' builds ~sqrt(N) inverted lists."""
+    from pyspark.sql import functions as F
+
+    cat = Catalog(spark, str(tmp_path / "auto"))
+    cat.create_collection("a", dimension=64, index_type="ivf_flat",
+                          params={"nlist": "auto", "nprobe": 8})
+    base = embeddings.select(
+        F.col("vec_id").cast("string").alias("id"), F.col("embedding").alias("vector")
+    )
+    cat.upsert_documents("a", base)
+    v = build_index(cat, "a")
+    import math
+    n = base.count()
+    cent = spark.read.parquet(cat.index_path("a", v) + "/centroids")
+    assert cent.count() == int(math.sqrt(n))
+    q = embeddings.filter(F.col("vec_id") == 3).select(
+        F.col("vec_id").cast("string").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    assert search_vectors(cat, "a", q, k=1).collect()[0]["id"] == "3"
