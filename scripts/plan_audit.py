@@ -97,7 +97,13 @@ def main() -> None:
     print(f"== ivf on-disk inverted lists (cluster_id partitions): {len(parts)} {'OK' if parts else 'FAIL'}")
     failures += not parts
     q = m._emb_queries(spark, sf_dir, 5)
-    failures += not audit("knn_ivf broadcast probes", knn_ivf(q, cent, lists, 10, nprobe=4), ["BroadcastHashJoin"])
+    # probe join broadcast AND dynamic partition pruning on the on-disk
+    # lists scan — only the probed cluster_id partitions are read
+    failures += not audit(
+        "knn_ivf broadcast probes + dynamic partition pruning",
+        knn_ivf(q, cent, lists, 10, nprobe=4),
+        ["BroadcastHashJoin", "dynamicpruningexpression(cluster_id"],
+    )
 
     # 7. exact_dedup: partial agg on the 60-bit hash, shuffling only (hash, id)
     plan = plan_of(m.queries()["exact_dedup"](spark, sf_dir))
