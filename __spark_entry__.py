@@ -1040,6 +1040,42 @@ def _q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q11_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose shipped value exceeds a fraction of
+    the GLOBAL total — GROUP BY + HAVING against a scalar aggregate
+    subquery. One shuffle computes the per-part values; the grand total
+    is a one-row broadcast over the same aggregated output (no second
+    pass over lineitem)."""
+    li = _table(spark, sf_dir, "lineitem")
+    val = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = li.groupBy("l_partkey").agg(F.sum(val).alias("part_value"))
+    total = per_part.agg(F.sum("part_value").alias("total_value"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > 0.00075 * F.col("total_value"))
+        .select("l_partkey", F.round("part_value", 2).alias("part_value"))
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+def _order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: two-level aggregation — orders per customer
+    (left join keeps zero-order customers), then customers per order
+    count. The second groupBy runs over the first's tiny output."""
+    cust = _table(spark, sf_dir, "customer").select("c_custkey")
+    orders = _table(spark, sf_dir, "orders").select("o_custkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_custkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
 def _q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape: conditional CASE-counts over a join — of
     lineitems shipped >30 days after ordering, how many belonged to
@@ -1650,6 +1686,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q8_market_share": _q8_market_share,
         "q9_product_profit": _q9_product_profit,
         "q10_returned_items": _q10_returned_items,
+        "q11_value_concentration": _q11_value_concentration,
+        "order_count_distribution": _order_count_distribution,
         "q12_priority_shipping": _q12_priority_shipping,
         "q14_promo_revenue": _q14_promo_revenue,
         "doc_length_histogram": _doc_length_histogram,
@@ -1978,6 +2016,26 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_custkey, c_name, n_name, c_acctbal
             ORDER BY revenue DESC, c_custkey ASC
             LIMIT 20
+        """,
+        "q11_value_concentration": """
+            WITH per_part AS (
+              SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS part_value
+              FROM lineitem GROUP BY l_partkey
+            )
+            SELECT l_partkey, round(part_value, 2) AS part_value
+            FROM per_part
+            WHERE part_value > 0.00075 * (SELECT sum(part_value) FROM per_part)
+            ORDER BY part_value DESC, l_partkey
+        """,
+        "order_count_distribution": """
+            SELECT c_count, count(*) AS custdist
+            FROM (
+              SELECT c_custkey, count(o_custkey) AS c_count
+              FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+              GROUP BY c_custkey
+            )
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
         """,
         "q12_priority_shipping": """
             SELECT year(l_shipdate) AS ship_year,
