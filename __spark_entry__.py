@@ -1164,6 +1164,94 @@ def _q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the top supplier(s) by revenue in one quarter —
+    the revenue 'view' aggregates once, and the max is a one-row
+    broadcast equality against the same output (ties all kept, as the
+    spec requires)."""
+    li = _table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    revenue = (
+        li.groupBy("l_suppkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_revenue"))
+    )
+    top = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    sup = _table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.crossJoin(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def _q20_part_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: a semi-join CHAIN — suppliers who shipped more
+    than 40% of the 1997 volume of some 'red'-named part. Per-(part,
+    supplier) and per-part aggregates come out of ONE shuffle (the
+    second is a window over the first); the survivor pairs semi-join
+    into supplier."""
+    li = _table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    red = _table(spark, sf_dir, "part").filter(F.col("p_name").like("red%")).select("p_partkey")
+    ps = (
+        li.join(F.broadcast(red), li.l_partkey == red.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("supp_qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    qualified = (
+        ps.withColumn("part_qty", F.sum("supp_qty").over(w))
+        .filter(F.col("supp_qty") > 0.4 * F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    sup = _table(spark, sf_dir, "supplier")
+    return (
+        sup.join(qualified, sup.s_suppkey == qualified.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+def _q21_last_to_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS correlated against OTHER
+    rows of the same table — suppliers whose line shipped strictly last
+    on a multi-supplier order (someone else shipped earlier; nobody
+    shipped later). Both existence tests decorrelate into ONE window
+    pass over the order's lines (max shipdate + supplier count) instead
+    of two correlated self-joins. No receipt/commit dates exist in the
+    fixtures, so ship-date order stands in."""
+    li = _table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    w = Window.partitionBy("l_orderkey")
+    marked = li.select(
+        "l_orderkey", "l_suppkey", "l_shipdate",
+        F.max("l_shipdate").over(w).alias("max_ship"),
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supps"),
+    )
+    last = marked.filter(
+        (F.col("n_supps") > 1) & (F.col("l_shipdate") == F.col("max_ship"))
+    )
+    # strictly last: the max-shipdate line is unique within the order
+    only_one_last = (
+        last.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_last"), F.first("l_suppkey").alias("supp"))
+        .filter(F.col("n_last") == 1)
+    )
+    sup = _table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        only_one_last.groupBy("supp")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(sup), F.col("supp") == sup.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
 def _q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape: distinct suppliers per (brand, type, size) for
     selected sizes, excluding one brand and any supplier on a complaints
@@ -1692,7 +1780,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_revenue": _q14_promo_revenue,
         "doc_length_histogram": _doc_length_histogram,
         "tfidf_top_terms": _tfidf_top_terms,
+        "q15_top_supplier": _q15_top_supplier,
         "q16_supplier_counts": _q16_supplier_counts,
+        "q20_part_share_suppliers": _q20_part_share_suppliers,
+        "q21_last_to_ship": _q21_last_to_ship,
         "q18_large_orders": _q18_large_orders,
         "q19_disjunctive_revenue": _q19_disjunctive_revenue,
         "q22_dormant_customers": _q22_dormant_customers,
@@ -2089,6 +2180,59 @@ def oracle_sql() -> dict[str, str]:
                      round(sum(rev), 2) AS total_revenue
               FROM j
             )
+        """,
+        "q15_top_supplier": """
+            WITH revenue AS (
+              SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+              GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, total_revenue
+            FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+            ORDER BY s_suppkey
+        """,
+        "q20_part_share_suppliers": """
+            WITH ps AS (
+              SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+              WHERE p_name LIKE 'red%'
+                AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+              GROUP BY l_partkey, l_suppkey
+            )
+            SELECT s_suppkey, s_name
+            FROM supplier
+            WHERE s_suppkey IN (
+              SELECT l_suppkey FROM (
+                SELECT *, sum(supp_qty) OVER (PARTITION BY l_partkey) AS part_qty FROM ps
+              ) WHERE supp_qty > 0.4 * part_qty
+            )
+            ORDER BY s_suppkey
+        """,
+        "q21_last_to_ship": """
+            WITH per AS (
+              SELECT l_orderkey, count(DISTINCT l_suppkey) AS ns, max(l_shipdate) AS mx
+              FROM lineitem GROUP BY l_orderkey
+            ),
+            last AS (
+              SELECT l.l_orderkey, l.l_suppkey
+              FROM lineitem l JOIN per p
+                ON l.l_orderkey = p.l_orderkey AND l.l_shipdate = p.mx
+              WHERE p.ns > 1
+            ),
+            one AS (
+              SELECT l_orderkey, min(l_suppkey) AS supp
+              FROM last GROUP BY l_orderkey HAVING count(*) = 1
+            )
+            SELECT s_name, count(*) AS numwait
+            FROM one JOIN supplier ON supp = s_suppkey
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name
+            LIMIT 20
         """,
         "q16_supplier_counts": """
             SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
