@@ -277,6 +277,41 @@ def _events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_enriched_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC join: the event stream enriches against a static
+    customer-derived dimension (user_id → mktsegment) before a windowed
+    rollup — the Structured Streaming surface where a batch table joins
+    into a stream without itself being stateful (the static side is
+    re-scanned per micro-batch; at scale it would broadcast). Shares an
+    oracle with the equivalent batch join+rollup."""
+    import uuid
+
+    ev = _stage_events_stream(spark, sf_dir)
+    dim = (
+        _table(spark, sf_dir, "customer")
+        .select((F.col("c_custkey") % 1000).alias("user_id"), "c_mktsegment")
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.min("c_mktsegment").alias("segment"))
+    )
+    agg = (
+        ev.join(dim, on="user_id")  # stream-static inner join
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 day").alias("win"), "segment")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    name = f"events_enriched_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.date_format(F.col("win.start"), "yyyy-MM-dd").alias("day"),
+        "segment", "n_events", "sum_value",
+    )
+
+
 def _events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming session windows (F.session_window, 30-min gap) drained
     with availableNow — the built-in gap-based session operator. Session
@@ -1809,6 +1844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q2_cheapest_supplier": _q2_cheapest_supplier,
         "events_sessionize": _events_sessionize,
         "events_hourly_stream": _events_hourly_stream,
+        "events_enriched_stream": _events_enriched_stream,
         "events_sessionize_stream": _events_sessionize_stream,
         "events_dedup_stream": _events_dedup_stream,
         # multimodal extension (rows-only: deterministic fake codec)
@@ -2458,6 +2494,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
                    event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "events_enriched_stream": """
+            WITH dim AS (
+              SELECT user_id, min(c_mktsegment) AS segment FROM (
+                SELECT DISTINCT c_custkey % 1000 AS user_id, c_mktsegment FROM customer
+              ) GROUP BY user_id
+            )
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, segment,
+                   count(*) AS n_events, round(sum(value), 2) AS sum_value
+            FROM events JOIN dim USING (user_id)
+            GROUP BY day, segment
         """,
         # streaming twin: hour-aligned tumbling windows over the full
         # fixture equal the batch hourly rollup
