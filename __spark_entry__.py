@@ -700,6 +700,49 @@ FROM sc
 # relational / streaming-batch extension surface
 # ---------------------------------------------------------------------------
 
+_BM25_TERMS = ["spark", "table", "query"]
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval for a fixed term set — the standard keyword
+    scoring (tf saturation + doc-length normalization + idf). One
+    explode pass computes tf; df/N/avgdl are tiny broadcast aggregates;
+    scoring is pure JVM arithmetic; top-20 via TakeOrdered. Scores round
+    to 6dp so cross-engine ln/division agree."""
+    docs = _table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != "").alias("tk"),
+    )
+    dl = toks.select("doc_id", F.size("tk").alias("dl"), "tk")
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    terms = dl.select(
+        "doc_id", "dl", F.explode("tk").alias("term")
+    ).filter(F.col("term").isin(_BM25_TERMS))
+    tf = terms.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    k1, b = _BM25_K1, _BM25_B
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "contrib",
+            F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
 def _q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _table(spark, sf_dir, "lineitem")
     return (
@@ -1838,6 +1881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequent_users": _frequent_users,
         "events_approx_distinct": _events_approx_distinct,
         "hybrid_search_rrf": _hybrid_search,
+        "bm25_search": _bm25_search,
         "price_quartiles": _price_quartiles,
         "events_hourly": _events_hourly,
         "events_rolling_1h": _events_rolling_1h,
@@ -1927,6 +1971,31 @@ def oracle_sql() -> dict[str, str]:
                                 / ({_NORM_SQL.format(v='a.embedding')} * {_NORM_SQL.format(v='b.embedding')}) END, 6) AS cos_sim
               FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             ) WHERE cos_sim >= 0.4
+        """,
+        "bm25_search": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS tk
+              FROM documents
+            ),
+            dl AS (SELECT doc_id, len(tk) AS dl, tk FROM toks),
+            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+            terms AS (
+              SELECT doc_id, dl, t AS term
+              FROM dl, unnest(tk) AS u(t)
+              WHERE t IN ('spark', 'table', 'query')
+            ),
+            tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM terms GROUP BY doc_id, dl, term),
+            idf AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term)
+            SELECT doc_id,
+                   round(sum(
+                     ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                     * (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                   ), 6) AS bm25
+            FROM tf JOIN idf USING (term), stats
+            GROUP BY doc_id
+            ORDER BY bm25 DESC, doc_id ASC
+            LIMIT 20
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
