@@ -76,11 +76,12 @@ def main() -> None:
     # the timed pass measures steady-state query throughput over BUILT
     # indexes — the reference benchmark's semantics (BASELINE.md: QPS of
     # search over a built collection, build excluded).
-    for name, fn in qs.items():
-        try:
-            force(fn(spark, SF_DIR))
-        except Exception:
-            pass
+    for _ in range(2):
+        for name, fn in qs.items():
+            try:
+                force(fn(spark, SF_DIR))
+            except Exception:
+                pass
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():
