@@ -30,7 +30,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["HashEmbedder", "HttpEmbedder", "embed_column", "auto_embed"]
+__all__ = ["HashEmbedder", "Md5Embedder", "HttpEmbedder", "embed_column", "auto_embed"]
 
 
 class HashEmbedder:
@@ -47,6 +47,30 @@ class HashEmbedder:
             v = rng.standard_normal(self.dim).astype(np.float32)
             n = float(np.linalg.norm(v))
             out[i] = v / n if n > 0 else v
+        return out
+
+
+class Md5Embedder:
+    """Cross-engine-reproducible embedder: v[i] is an md5-derived integer
+    in [-1000, 1000], so any SQL engine with md5() can recompute the
+    vector exactly (the same cross-engine trick as the MinHash
+    coefficients, pipeline/dedup.py). Integer-valued float32 components
+    keep dot products / norms exact in float64 — no last-ulp drift vs a
+    SQL oracle. DuckDB equivalent of one component:
+    (('0x' || substr(md5(text || ':' || i), 1, 15))::BIGINT % 2001) - 1000
+    """
+
+    def __init__(self, dim: int = 32):
+        self.dim = dim
+
+    def embed_batch(self, texts: list[str]) -> np.ndarray:
+        out = np.empty((len(texts), self.dim), dtype=np.float32)
+        for i, t in enumerate(texts):
+            t = t or ""
+            out[i] = [
+                int(hashlib.md5(f"{t}:{j}".encode()).hexdigest()[:15], 16) % 2001 - 1000
+                for j in range(self.dim)
+            ]
         return out
 
 

@@ -37,9 +37,37 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer `div`, not float `/`: epoch nanos exceed a double's 53-bit
         # integer range, so float division can drift the microsecond by ±1
-        # vs DuckDB's exact nanos->micros truncation
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # vs DuckDB's exact nanos->micros truncation. Produce TIMESTAMP_NTZ
+        # (pure calendar arithmetic, no session-timezone dependence) — the
+        # same type Spark 4.1 yields when it reads TIMESTAMP(NANOS) natively,
+        # so downstream code sees one canonical ts type either way.
+        df = df.withColumn(
+            "ts",
+            F.expr("timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"),
+        )
     return df
+
+
+def event_time_micros(df: DataFrame, col: str = "ts"):
+    """Microseconds-since-epoch Column for either timestamp flavor.
+    TIMESTAMP_NTZ (the canonical events `ts` type) uses pure calendar
+    arithmetic — session-timezone independent, unlike unix_micros, which
+    only accepts (and shifts by the zone of) TIMESTAMP_LTZ."""
+    dtype = dict(df.dtypes).get(col, "")
+    if dtype == "timestamp_ntz":
+        return F.expr(f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})")
+    return F.unix_micros(F.col(col))
+
+
+def event_time_seconds(df: DataFrame, col: str = "ts"):
+    """Whole seconds since epoch (floor), matching DuckDB's
+    epoch(date_trunc('second', ts)) — timezone-independent for NTZ."""
+    dtype = dict(df.dtypes).get(col, "")
+    if dtype == "timestamp_ntz":
+        return F.expr(
+            f"timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', date_trunc('SECOND', {col}))"
+        )
+    return F.unix_timestamp(F.col(col))
 
 
 def _load_via_arrow(spark: SparkSession, path: str) -> DataFrame:
