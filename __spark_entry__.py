@@ -383,27 +383,52 @@ def _events_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal pipeline: opaque binary payloads + typed metadata →
-    Arrow-batched decode to feature vectors (pipeline/multimodal.py;
-    deterministic FakeCodec — real codecs are stubbed seams)."""
-    from oasisdb_spark.pipeline.multimodal import decode_features, make_fake_media
+def _media(spark: SparkSession, n: int = 200) -> DataFrame:
+    from oasisdb_spark.pipeline.multimodal import make_media
 
-    media = make_fake_media(spark, 200)
-    feat = decode_features(media, dim=16)
-    return feat.select(
-        "media_id", "kind", "format", "width", "height", "n_frames",
-        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x.cast("double")), 4).alias("feat_sum"),
-    )
+    return _memo(spark, f"media:{n}", "media", lambda: make_media(spark, n).persist())
+
+
+def _multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline on REAL compressed payloads: metadata filter
+    (kind='image' — prune before any decode) → Arrow-batched PNG decode
+    (pipeline/codecs.py, zlib inflate + unfilter) → per-channel means.
+    Pixel colors are md5-derived (make_media), so the DuckDB oracle
+    recomputes what a CORRECT decode must yield — the codec round-trip
+    is value-verified, not just row-counted."""
+    from oasisdb_spark.pipeline.multimodal import decode_image_stats
+
+    media = _media(spark).filter(F.col("kind") == "image")
+    return decode_image_stats(media)
 
 
 def _multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame sampling (every 10th frame), row-expanding mapInPandas."""
-    from oasisdb_spark.pipeline.multimodal import make_fake_media, sample_frames
+    """REAL video frame sampling: VID0 container walk, PNG-decode only
+    every 5th frame (seek-skip demux), one row per sampled frame with
+    that frame's decoded mean red channel."""
+    from oasisdb_spark.pipeline.multimodal import sample_video_frames
 
-    return sample_frames(make_fake_media(spark, 100), every_nth=10).select(
-        "media_id", "kind", "frame_idx"
-    )
+    media = _media(spark).filter(F.col("kind") == "video")
+    return sample_video_frames(media, every_nth=5)
+
+
+def _multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode: RIFF/WAVE PCM-16 parse → sample count, rate,
+    mean |amplitude| (constant md5-derived amplitude ⇒ oracle-exact)."""
+    from oasisdb_spark.pipeline.multimodal import audio_stats
+
+    media = _media(spark).filter(F.col("kind") == "audio")
+    return audio_stats(media)
+
+
+def _multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize round-trip: PNG decode → nearest-neighbor 16×16 →
+    re-encode → decode again. Both codec directions in one pass; solid
+    fixtures make the post-resize stats oracle-checkable."""
+    from oasisdb_spark.pipeline.multimodal import resize_decode_stats
+
+    media = _media(spark).filter(F.col("kind") == "image")
+    return resize_decode_stats(media, 16, 16)
 
 
 def _auto_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -441,6 +466,8 @@ _SHINGLES_CTE = (
     " ELSE [array_to_string(tk, ' ')] END) AS s FROM toks)"
 )
 _H31 = "(('0x' || substr(md5({x}), 1, 15))::BIGINT % 2147483647)"
+# md5-derived byte in [0, 256) — mirrors pipeline/multimodal.py _md5_byte
+_MD5B = "(('0x' || substr(md5({key}), 1, 15))::BIGINT % 256)"
 _SHASH_CTE = f"shh AS (SELECT doc_id, list_distinct(list_transform(s, g -> {_H31.format(x='g')})) AS hs FROM sh)"
 
 
@@ -1923,9 +1950,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_enriched_stream": _events_enriched_stream,
         "events_sessionize_stream": _events_sessionize_stream,
         "events_dedup_stream": _events_dedup_stream,
-        # multimodal extension (rows-only: deterministic fake codec)
+        # multimodal extension: REAL codecs (pure-Python PNG/WAV/VID0),
+        # md5-derived fixture content so decodes are oracle-verified
         "multimodal_decode": _multimodal_decode,
         "multimodal_frames": _multimodal_frames,
+        "multimodal_audio": _multimodal_audio,
+        "multimodal_resize": _multimodal_resize,
     }
 
 
@@ -2731,5 +2761,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*) AS n_events,
                    round(sum(value), 2) AS sum_value
             FROM events GROUP BY event_type
+        """,
+        # multimodal: the fixture's pixel colors / amplitudes derive from
+        # md5 of the media id (make_media), so the oracle recomputes what
+        # a correct PNG/WAV/VID0 decode must produce — generated inline
+        # from range(), no media table needed
+        "multimodal_decode": f"""
+            SELECT CAST(i AS BIGINT) AS media_id, 'image' AS kind, 'png' AS format,
+                   CAST(32 + (i % 4) * 16 AS INT) AS dec_width,
+                   CAST(32 + (i % 3) * 16 AS INT) AS dec_height,
+                   CAST({_MD5B.format(key="CAST(i AS VARCHAR) || ':r'")} AS DOUBLE) AS mean_r,
+                   CAST({_MD5B.format(key="CAST(i AS VARCHAR) || ':g'")} AS DOUBLE) AS mean_g,
+                   CAST({_MD5B.format(key="CAST(i AS VARCHAR) || ':b'")} AS DOUBLE) AS mean_b
+            FROM range(200) t(i) WHERE i % 5 NOT IN (0, 1)
+        """,
+        "multimodal_frames": f"""
+            SELECT CAST(i AS BIGINT) AS media_id, 'video' AS kind,
+                   CAST(f AS INT) AS frame_idx,
+                   CAST({_MD5B.format(key="CAST(i AS VARCHAR) || ':' || CAST(f AS VARCHAR) || ':r'")} AS DOUBLE) AS mean_r
+            FROM range(200) t(i), unnest(range(0, 12 + (i % 3) * 6, 5)) u(f)
+            WHERE i % 5 = 0
+        """,
+        "multimodal_audio": f"""
+            SELECT CAST(i AS BIGINT) AS media_id,
+                   CAST(800 + (i % 7) * 400 AS INT) AS n_samples,
+                   CAST(16000 AS INT) AS rate,
+                   CAST({_MD5B.format(key="CAST(i AS VARCHAR) || ':a'")} * 16 AS DOUBLE) AS mean_abs
+            FROM range(200) t(i) WHERE i % 5 = 1
+        """,
+        "multimodal_resize": f"""
+            SELECT CAST(i AS BIGINT) AS media_id,
+                   CAST(16 AS INT) AS dec_width, CAST(16 AS INT) AS dec_height,
+                   CAST({_MD5B.format(key="CAST(i AS VARCHAR) || ':r'")} AS DOUBLE) AS mean_r
+            FROM range(200) t(i) WHERE i % 5 NOT IN (0, 1)
         """,
     }

@@ -3,15 +3,16 @@ columns with typed metadata.
 
 No counterpart in the reference (vectors only); this is the north-star
 training-data-pipeline extension. The Spark-side plumbing — schema,
-Arrow batch shape, partition sizing — is real and tested; the actual
-codec work is STUBBED behind a provider seam because the image/audio
-libraries are not in this container:
+Arrow batch shape, partition sizing — is real and tested, and so is
+the codec path, behind a provider seam:
 
-- ``FakeCodec`` (default, deterministic): parses the tiny header format
-  used by the test fixtures and "decodes" to deterministic feature
-  vectors — exercises every seam end-to-end.
-- ``PillowCodec`` / ``AvCodec``: raise NotImplementedError with the
-  dependency name; drop-in once PIL / pyav exist.
+- ``PillowCodec``: REAL image decode/encode/resize — Pillow when
+  installed, else the dependency-free PNG codec in pipeline/codecs.py.
+- ``WavCodec`` / ``FrameContainer``: real RIFF/WAVE PCM audio and a
+  length-prefixed PNG-frame video container (seek-skip demuxing).
+- ``FakeCodec`` (legacy test stand-in): parses a tiny header format and
+  "decodes" to deterministic feature vectors — kept for the
+  feature-extraction seam tests.
 
 Scale notes: binary payloads dominate row size, so ops use mapInPandas
 (Arrow-batched, streaming per batch, never collecting a partition into
@@ -34,8 +35,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 __all__ = [
-    "MEDIA_SCHEMA", "FakeCodec", "PillowCodec",
+    "MEDIA_SCHEMA", "FakeCodec", "PillowCodec", "WavCodec", "FrameContainer",
     "make_fake_media", "decode_features", "resize_images", "sample_frames",
+    "make_media", "decode_image_stats", "resize_decode_stats",
+    "sample_video_frames", "audio_stats",
 ]
 
 # media row: opaque payload + typed, filterable metadata
@@ -79,12 +82,92 @@ class FakeCodec:
 
 
 class PillowCodec:
-    """Real image codec seam — requires Pillow (not in this container)."""
+    """Real image codec: Pillow when installed, else the dependency-free
+    PNG implementation in pipeline/codecs.py (stdlib zlib + numpy; all
+    five scanline filters on decode). Either way the operators below
+    work on REAL compressed image bytes — the provider seam only decides
+    which library does the pixel work."""
 
     def __init__(self):
-        raise NotImplementedError(
-            "PillowCodec requires the 'Pillow' package; use FakeCodec in this environment"
-        )
+        try:
+            from PIL import Image  # noqa: F401
+
+            self._pil = Image
+        except ImportError:
+            self._pil = None
+
+    def encode_image(self, arr: np.ndarray) -> bytes:
+        from oasisdb_spark.pipeline.codecs import png_encode
+
+        if self._pil is not None:
+            import io
+
+            buf = io.BytesIO()
+            self._pil.fromarray(np.asarray(arr, dtype=np.uint8)).save(buf, format="PNG")
+            return buf.getvalue()
+        return png_encode(arr)
+
+    def decode_image(self, payload: bytes) -> np.ndarray:
+        from oasisdb_spark.pipeline.codecs import png_decode
+
+        if self._pil is not None:
+            import io
+
+            return np.asarray(self._pil.open(io.BytesIO(payload)).convert("RGB"))
+        return png_decode(payload)
+
+    def resize(self, payload: bytes, width: int, height: int) -> bytes:
+        from oasisdb_spark.pipeline.codecs import nearest_resize
+
+        return self.encode_image(nearest_resize(self.decode_image(payload), width, height))
+
+
+class WavCodec:
+    """Real audio codec: RIFF/WAVE PCM-16 via pipeline/codecs.py."""
+
+    def encode_audio(self, samples: np.ndarray, rate: int = 16_000) -> bytes:
+        from oasisdb_spark.pipeline.codecs import wav_encode
+
+        return wav_encode(samples, rate)
+
+    def decode_audio(self, payload: bytes):
+        from oasisdb_spark.pipeline.codecs import wav_decode
+
+        return wav_decode(payload)
+
+
+_VID_MAGIC = b"VID0"
+
+
+class FrameContainer:
+    """Minimal real video container: b'VID0' + u32 n_frames, then each
+    frame as u32 length + PNG bytes. Frame-sampling decodes ONLY the
+    sampled frames' bytes (offsets are walked, payloads skipped) — the
+    seek-then-decode pattern a real demuxer gives you."""
+
+    def encode(self, frames: list[np.ndarray]) -> bytes:
+        img = PillowCodec()
+        parts = [_VID_MAGIC + struct.pack("<I", len(frames))]
+        for f in frames:
+            b = img.encode_image(f)
+            parts.append(struct.pack("<I", len(b)) + b)
+        return b"".join(parts)
+
+    def frame_count(self, payload: bytes) -> int:
+        if payload[:4] != _VID_MAGIC:
+            raise ValueError("not a VID0 container")
+        return struct.unpack("<I", payload[4:8])[0]
+
+    def decode_frame(self, payload: bytes, idx: int) -> np.ndarray:
+        n = self.frame_count(payload)
+        if not 0 <= idx < n:
+            raise IndexError(f"frame {idx} of {n}")
+        pos = 8
+        for i in range(idx):
+            (length,) = struct.unpack("<I", payload[pos : pos + 4])
+            pos += 4 + length
+        (length,) = struct.unpack("<I", payload[pos : pos + 4])
+        return PillowCodec().decode_image(payload[pos + 4 : pos + 4 + length])
 
 
 def make_fake_media(spark, n: int = 100) -> DataFrame:
@@ -156,5 +239,164 @@ def sample_frames(df: DataFrame, every_nth: int = 10) -> DataFrame:
                     out.append(r)
             if out:
                 yield pd.DataFrame(out)
+
+    return df.mapInPandas(_map, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# real-codec fixture + operators (PNG / WAV / VID0 payloads)
+# ---------------------------------------------------------------------------
+
+def _md5_byte(key: str) -> int:
+    """md5-derived value in [0, 256) — reproducible by any engine with
+    md5() (DuckDB: ('0x' || substr(md5(key), 1, 15))::BIGINT % 256)."""
+    return int(hashlib.md5(key.encode()).hexdigest()[:15], 16) % 256
+
+
+def make_media(spark, n: int = 200) -> DataFrame:
+    """Deterministic REAL-payload media fixture: solid-color PNGs,
+    constant-amplitude PCM WAVs, and VID0 frame containers of PNGs.
+    Pixel colors / amplitudes derive from md5 of the media id, so a SQL
+    oracle can recompute what a correct decode must produce — the
+    fixture is how the real codec path gets VALUE-verified, not just
+    row-counted. kind cycles video/audio/image by media_id % 5."""
+    img, aud, vid = PillowCodec(), WavCodec(), FrameContainer()
+    rows = []
+    for i in range(n):
+        sel = i % 5
+        if sel == 0:
+            nf = 12 + (i % 3) * 6
+            w, h = 24, 16
+            frames = [
+                np.full((h, w, 3), [_md5_byte(f"{i}:{f}:{c}") for c in "rgb"], dtype=np.uint8)
+                for f in range(nf)
+            ]
+            rows.append((i, "video", "vid0", w, h, nf, bytearray(vid.encode(frames))))
+        elif sel == 1:
+            n_samp = 800 + (i % 7) * 400
+            amp = _md5_byte(f"{i}:a") * 16
+            samples = np.full(n_samp, amp, dtype=np.int16)
+            rows.append((i, "audio", "wav", None, None, None, bytearray(aud.encode_audio(samples))))
+        else:
+            w, h = 32 + (i % 4) * 16, 32 + (i % 3) * 16
+            color = [_md5_byte(f"{i}:{c}") for c in "rgb"]
+            arr = np.full((h, w, 3), color, dtype=np.uint8)
+            rows.append((i, "image", "png", w, h, 1, bytearray(img.encode_image(arr))))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def decode_image_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL image decode: PNG bytes → per-channel means + decoded dims.
+    Arrow-batched mapInPandas; rows should be metadata-filtered to
+    kind='image' BEFORE this op (decode-after-filter)."""
+    codec = PillowCodec()
+    schema = T.StructType(
+        [df.schema["media_id"], df.schema["kind"], df.schema["format"]]
+        + [
+            T.StructField("dec_width", T.IntegerType(), False),
+            T.StructField("dec_height", T.IntegerType(), False),
+            T.StructField("mean_r", T.DoubleType(), False),
+            T.StructField("mean_g", T.DoubleType(), False),
+            T.StructField("mean_b", T.DoubleType(), False),
+        ]
+    )
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                arr = codec.decode_image(bytes(row[payload_col]))
+                out.append(
+                    (
+                        row["media_id"], row["kind"], row["format"],
+                        arr.shape[1], arr.shape[0],
+                        float(arr[:, :, 0].mean()), float(arr[:, :, 1].mean()),
+                        float(arr[:, :, 2].mean()),
+                    )
+                )
+            if out:
+                yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+    return df.mapInPandas(_map, schema=schema)
+
+
+def resize_decode_stats(df: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL resize round-trip: decode → nearest-neighbor resize →
+    re-encode → decode again → stats. Exercises both codec directions
+    inside one Arrow-batched pass."""
+    codec = PillowCodec()
+    schema = T.StructType(
+        [
+            df.schema["media_id"],
+            T.StructField("dec_width", T.IntegerType(), False),
+            T.StructField("dec_height", T.IntegerType(), False),
+            T.StructField("mean_r", T.DoubleType(), False),
+        ]
+    )
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                resized = codec.resize(bytes(row["payload"]), width, height)
+                arr = codec.decode_image(resized)
+                out.append((row["media_id"], arr.shape[1], arr.shape[0], float(arr[:, :, 0].mean())))
+            if out:
+                yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+    return df.mapInPandas(_map, schema=schema)
+
+
+def sample_video_frames(df: DataFrame, every_nth: int = 5) -> DataFrame:
+    """REAL frame sampling: walk the VID0 container, decode ONLY every
+    n-th frame's PNG (seek-skip over the rest), one output row per
+    sampled frame with that frame's mean red channel."""
+    vid = FrameContainer()
+    schema = T.StructType(
+        [
+            df.schema["media_id"], df.schema["kind"],
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("mean_r", T.DoubleType(), False),
+        ]
+    )
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row["payload"])
+                nf = vid.frame_count(payload)
+                for fi in range(0, nf, every_nth):
+                    arr = vid.decode_frame(payload, fi)
+                    out.append((row["media_id"], row["kind"], fi, float(arr[:, :, 0].mean())))
+            if out:
+                yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+    return df.mapInPandas(_map, schema=schema)
+
+
+def audio_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL audio decode: WAV bytes → sample count, rate, mean |amp|."""
+    codec = WavCodec()
+    schema = T.StructType(
+        [
+            df.schema["media_id"],
+            T.StructField("n_samples", T.IntegerType(), False),
+            T.StructField("rate", T.IntegerType(), False),
+            T.StructField("mean_abs", T.DoubleType(), False),
+        ]
+    )
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                samples, rate = codec.decode_audio(bytes(row[payload_col]))
+                out.append(
+                    (row["media_id"], samples.shape[0], rate,
+                     float(np.abs(samples.astype(np.float64)).mean()))
+                )
+            if out:
+                yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
 
     return df.mapInPandas(_map, schema=schema)

@@ -63,9 +63,14 @@ def test_sample_frames_expands_videos(spark):
         assert counts[r["media_id"]] == (3 if r["kind"] == "video" else 1)  # 30 frames / 10
 
 
-def test_real_codec_seam_raises(spark):
-    with pytest.raises(NotImplementedError, match="Pillow"):
-        PillowCodec()
+def test_real_codec_seam_works(spark):
+    """PillowCodec is now a real codec: Pillow when installed, else the
+    pure-Python PNG path — either way it must round-trip pixels."""
+    import numpy as np
+
+    codec = PillowCodec()
+    arr = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    assert np.array_equal(codec.decode_image(codec.encode_image(arr)), arr)
 
 
 def test_media_features_to_vector_search(spark, tmp_path):
