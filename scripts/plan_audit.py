@@ -218,6 +218,24 @@ def main() -> None:
     print(f"== q18 one lineitem agg + broadcast join-backs: {'OK' if ok else 'FAIL'}")
     failures += not ok
 
+    # 21. embedding_neardup: blocked-GEMM all-pairs — only equi-joins of
+    # packed blocks; no row-level CartesianProduct / BNLJ anywhere
+    plan = plan_of(m.queries()["embedding_neardup"](spark, sf_dir))
+    ok = (
+        "MapInPandas" in plan
+        and "CartesianProduct" not in plan
+        and "BroadcastNestedLoopJoin" not in plan
+    )
+    print(f"== embedding_neardup blocked GEMM (no theta join): {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
+    # 22. ngram_jaccard: hot-shingle cap prunes via a broadcast anti-join
+    # before the inverted-index self-join
+    plan = plan_of(m.queries()["ngram_jaccard_pairs"](spark, sf_dir))
+    ok = "LeftAnti" in plan and "CartesianProduct" not in plan
+    print(f"== ngram_jaccard df-capped inverted index: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
     print(f"\n{'ALL PLANS OK' if not failures else f'{failures} PLAN CHECKS FAILED'}")
     spark.stop()
     sys.exit(1 if failures else 0)

@@ -91,6 +91,50 @@ def test_embedding_neardup(spark):
     assert pairs == {(1, 2)}
 
 
+def test_allpairs_cosine_blocked_multiblock(spark):
+    """Blocked GEMM with block_size smaller than the table: cross-block
+    and diagonal-block pairs both surface, each exactly once, and match
+    a numpy reference."""
+    import numpy as np
+
+    from oasisdb_spark.pipeline.dedup import allpairs_cosine_blocked
+
+    rng = np.random.default_rng(9)
+    X = rng.standard_normal((37, 8)).astype(np.float32)
+    rows = [(i, [float(v) for v in X[i]]) for i in range(len(X))]
+    emb = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    got = {(r["doc_a"], r["doc_b"]): r["cos_sim"]
+           for r in allpairs_cosine_blocked(emb, threshold=0.3, block_size=10).collect()}
+    Xd = X.astype(np.float64)
+    S = (Xd @ Xd.T) / np.outer(np.linalg.norm(Xd, axis=1), np.linalg.norm(Xd, axis=1))
+    want = {}
+    for i in range(len(X)):
+        for j in range(i + 1, len(X)):
+            s = round(S[i, j], 6)
+            if s >= 0.3:
+                want[(i, j)] = s
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-9, k
+
+
+def test_embedding_neardup_blocking_first(spark):
+    """blocking given => the plan is driven by the candidate pairs (two
+    equi-joins); no CartesianProduct / BroadcastNestedLoopJoin."""
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.999, 0.01]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    blocking = spark.createDataFrame([(1, 2), (3, 4)], "doc_a BIGINT, doc_b BIGINT")
+    res = embedding_neardup_pairs(emb, threshold=0.99, blocking=blocking)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert {(r["doc_a"], r["doc_b"]) for r in res.collect()} == {(1, 2), (3, 4)}
+
+
 def test_jaccard_max_doc_freq_prunes_hot_shingles(spark):
     """Hot-shingle cap: pairs sharing only a boilerplate shingle vanish;
     genuinely-similar pairs keep their exact jaccard (sizes stay full)."""
