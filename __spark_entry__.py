@@ -134,6 +134,20 @@ def _knn_lsh(spark: SparkSession, sf_dir: str, num_hash_tables: int = 16) -> Dat
     return res.select("query_id", "id", "rank", F.round(F.col("distance"), 3).alias("distance"))
 
 
+def _knn_hamming_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-space SCALE path: sign-binarized vectors → packed-uint64
+    XOR + popcount batch kernel (pipeline/ann.py) — 64 components per
+    compared word, base scanned once, queries broadcast. Integer
+    distances, so the SQL oracle matches exactly."""
+    from oasisdb_spark.pipeline.ann import knn_brute_batched
+
+    binarize = lambda c: F.transform(c, lambda x: F.when(x > 0, F.lit(1.0)).otherwise(F.lit(0.0)).cast("float"))
+    base = _emb_base(spark, sf_dir).withColumn("vector", binarize(F.col("vector")))
+    qs = _emb_queries(spark, sf_dir, 10).withColumn("query_vec", binarize(F.col("query_vec")))
+    res = knn_brute_batched(qs, base, k=10, space="hamming")
+    return res.select("query_id", "id", "rank", F.col("distance").cast("double").alias("distance"))
+
+
 def _knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Block-matrix exact kNN (pipeline/ann.py) — the GEMM scale path.
     Distances rounded to 3dp for the oracle (GEMM vs in-order-fold
@@ -199,6 +213,12 @@ _COS_SQL = (
 _HAM_SQL = (
     "CAST(list_sum(list_transform(list_zip(q.embedding, e.embedding),"
     " p -> CASE WHEN p[1] <> p[2] THEN 1 ELSE 0 END)) AS DOUBLE)"
+)
+# hamming over sign-binarized components (the packed-bits kernel entry)
+_HAM_BIN_SQL = (
+    "CAST(list_sum(list_transform(list_zip(q.embedding, e.embedding),"
+    " p -> CASE WHEN (CASE WHEN p[1] > 0 THEN 1 ELSE 0 END)"
+    " <> (CASE WHEN p[2] > 0 THEN 1 ELSE 0 END) THEN 1 ELSE 0 END)) AS DOUBLE)"
 )
 
 
@@ -1872,6 +1892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivfpq": _knn_ivfpq,
         "knn_lsh": _knn_lsh,
         "knn_brute": _knn_brute,
+        "knn_hamming_packed": _knn_hamming_packed,
         "search_documents_filtered": _search_documents_filtered,
         "vector_lookup": _vector_lookup,
         "collection_lifecycle": _collection_lifecycle,
@@ -1999,6 +2020,9 @@ def oracle_sql() -> dict[str, str]:
               {_KNN_ORACLE_TMPL.format(dist=_L2_SQL, nq=10, k=10, base="embeddings", extra="", join="")}
             )
         """,
+        "knn_hamming_packed": _KNN_ORACLE_TMPL.format(
+            dist=_HAM_BIN_SQL, nq=10, k=10, base="embeddings", extra="", join="",
+        ),
         "events_approx_distinct": """
             WITH h AS (
               SELECT DISTINCT event_type,

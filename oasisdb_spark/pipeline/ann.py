@@ -37,6 +37,41 @@ def _topk_merge(scored: DataFrame, k: int) -> DataFrame:
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _packbits64(M: np.ndarray) -> np.ndarray:
+    """(n, dim) 0/1 floats → (n, ceil(dim/64)) uint64 bit words."""
+    bits = (M != 0).astype(np.uint8)
+    pad = (-bits.shape[1]) % 64
+    if pad:
+        bits = np.pad(bits, ((0, 0), (0, pad)))
+    return np.packbits(bits, axis=1).view(np.uint64)
+
+
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _popcount64(words: np.ndarray) -> np.ndarray:
+    """Popcount over the last axis of a uint64 array via a byte LUT."""
+    b = words.view(np.uint8).reshape(*words.shape[:-1], -1)
+    return _POP8[b].sum(axis=-1, dtype=np.int64)
+
+
+def _emit_topk(pdf: pd.DataFrame, qids, D: np.ndarray, k: int, select_key: np.ndarray | None = None):
+    """Local top-k per query inside one Arrow batch (shared by the GEMM
+    and hamming kernels): (nb, nq) distances → <= k rows per query.
+    select_key: optional tie-deterministic selection key (same shape as
+    D); defaults to D itself (fine for continuous distances)."""
+    nq = D.shape[1]
+    kk = min(k, len(pdf))
+    part = np.argpartition(D if select_key is None else select_key, kk - 1, axis=0)[:kk]
+    yield pd.DataFrame(
+        {
+            "query_id": np.repeat(qids, kk),
+            "id": pdf["id"].values[part.T.reshape(-1)],
+            "distance": D[part.T.reshape(-1), np.repeat(np.arange(nq), kk)],
+        }
+    )
+
+
 def knn_brute_batched(
     queries: DataFrame,
     base: DataFrame,
@@ -50,7 +85,15 @@ def knn_brute_batched(
 ) -> DataFrame:
     """Exact kNN via broadcast queries + per-batch GEMM + two-level top-k.
 
-    space: l2 (squared) | ip (-dot) | cos (1-cos).
+    space: l2 (squared) | ip (-dot) | cos (1-cos) | hamming (#unequal
+    components, distance.go:5-41 parity).
+
+    hamming takes a batch kernel of its own: when both sides are binary
+    (every component 0/1 — the usual hamming regime), components pack
+    into uint64 words and distance is XOR + popcount over the packed
+    words, a 64x cut in compared elements; general float vectors use a
+    vectorized elementwise-inequality count. Both scan the base once
+    with broadcast queries — same shape as the GEMM spaces.
 
     max_query_rows bounds the broadcast: a query batch larger than this
     runs as ceil(nq/max) chunks, each its own broadcast + base scan,
@@ -58,8 +101,8 @@ def knn_brute_batched(
     ~16 MB; the trade (extra base scans vs unbounded broadcast) is the
     scale guard SCALING.md documents.
     """
-    if space not in ("l2", "ip", "cos"):
-        raise ValueError(f"knn_brute_batched supports l2/ip/cos, got {space!r}")
+    if space not in ("l2", "ip", "cos", "hamming"):
+        raise ValueError(f"knn_brute_batched supports l2/ip/cos/hamming, got {space!r}")
     spark = base.sparkSession
     q_rows = queries.select(query_id_col, query_vec_col).collect()
     if len(q_rows) > max_query_rows:
@@ -94,10 +137,39 @@ def knn_brute_batched(
         q_sq = (Qm.astype(np.float64) ** 2).sum(axis=1)  # (nq,)
         q_norm = np.sqrt(q_sq)
         nq = len(qids)
+        q_binary = space == "hamming" and bool(np.isin(Qm, (0.0, 1.0)).all())
+        q_packed = _packbits64(Qm) if q_binary else None
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             X = np.array(pdf["vector"].tolist(), dtype=np.float32)  # (nb, dim)
+            if space == "hamming":
+                # integer distances tie constantly: pre-sort the batch by
+                # id and select on the composite key dist*nb + row, so the
+                # local top-k keeps boundary ties in (distance, id) order
+                # — the same total order the global merge (and the SQL
+                # oracle) uses. Still O(nb) selection per query.
+                order = np.argsort(pdf["id"].values, kind="stable")
+                pdf = pdf.iloc[order]
+                X = X[order]
+                if q_binary and bool(np.isin(X, (0.0, 1.0)).all()):
+                    # packed-bits path: XOR + popcount over uint64 words
+                    xp = _packbits64(X)
+                    D = _popcount64(xp[:, None, :] ^ q_packed[None, :, :])
+                else:
+                    # general floats: elementwise-inequality count, chunked
+                    # over queries to bound the (nb, chunk, dim) bool cube
+                    cols = []
+                    step = max(1, (1 << 24) // max(1, X.shape[0] * X.shape[1]))
+                    for lo in range(0, nq, step):
+                        cols.append(
+                            (X[:, None, :] != Qm[None, lo : lo + step, :]).sum(axis=2)
+                        )
+                    D = np.concatenate(cols, axis=1)
+                nb = len(pdf)
+                key = D.astype(np.int64) * nb + np.arange(nb, dtype=np.int64)[:, None]
+                yield from _emit_topk(pdf, qids, D.astype(np.float64), k, select_key=key)
+                continue
             G = (X @ Qt).astype(np.float64)  # (nb, nq) dot products
             if space == "l2":
                 x_sq = (X.astype(np.float64) ** 2).sum(axis=1)
@@ -111,15 +183,7 @@ def knn_brute_batched(
                 denom = x_norm[:, None] * q_norm[None, :]
                 with np.errstate(divide="ignore", invalid="ignore"):
                     D = np.where(denom > 0, 1.0 - G / denom, 1.0)
-            # local top-k per query inside the batch
-            kk = min(k, len(pdf))
-            part = np.argpartition(D, kk - 1, axis=0)[:kk]  # (kk, nq)
-            rows = {
-                "query_id": np.repeat(qids, kk),
-                "id": pdf["id"].values[part.T.reshape(-1)],
-                "distance": D[part.T.reshape(-1), np.repeat(np.arange(nq), kk)],
-            }
-            yield pd.DataFrame(rows)
+            yield from _emit_topk(pdf, qids, D, k)
 
     scored = b.mapInPandas(_score, schema=out_schema)
     return _topk_merge(scored, k)

@@ -171,15 +171,14 @@ def search_vectors(
     if coll.index_version == 0 or coll.index_type == "flat" or candidates is not None:
         # no built index (search-before-build sees current data — strictly
         # better than the reference's partial-data race, SURVEY.md §4) or
-        # filtered candidate set → exact scan. GEMM path for the spaces it
-        # supports (scans base once, no pair materialization — the only
-        # exact strategy that survives large collections; see RECALL.md);
-        # hamming falls back to the expression scan.
-        if coll.space in ("l2", "ip", "cos"):
-            from oasisdb_spark.pipeline.ann import knn_brute_batched
+        # filtered candidate set → exact scan. Batched kernels for every
+        # space (base scanned once, no pair materialization — the only
+        # exact strategy that survives large collections; see RECALL.md):
+        # GEMM for l2/ip/cos, XOR-popcount over packed bits (or
+        # vectorized inequality for non-binary floats) for hamming.
+        from oasisdb_spark.pipeline.ann import knn_brute_batched
 
-            return knn_brute_batched(queries, data, k, space=coll.space)
-        return knn_flat(queries, data, k, space=coll.space)
+        return knn_brute_batched(queries, data, k, space=coll.space)
     if coll.index_type in ("ivf_flat", "hnsw"):
         cent, lists = _load_ivf(catalog, name, coll.index_version)
         lists = _without_tombstones(catalog, name, lists)

@@ -41,7 +41,31 @@ def test_cosine_entry_point(spark, embeddings):
 
 def test_unknown_space_rejected(spark, embeddings):
     with pytest.raises(ValueError):
-        knn_brute_batched(_q(embeddings), _base(embeddings), k=5, space="hamming")
+        knn_brute_batched(_q(embeddings), _base(embeddings), k=5, space="chebyshev")
+
+
+def test_hamming_float_matches_flat(spark, embeddings):
+    """Generic (non-binary) hamming batch kernel agrees with the
+    expression spec, including tie order (integer distances tie a lot)."""
+    base, q = _base(embeddings), _q(embeddings, 5)
+    fast = {(r["query_id"], r["rank"]): (r["id"], r["distance"])
+            for r in knn_brute_batched(q, base, k=10, space="hamming").collect()}
+    slow = {(r["query_id"], r["rank"]): (r["id"], float(r["distance"]))
+            for r in knn_flat(q, base, k=10, space="hamming").collect()}
+    assert fast == slow
+
+
+def test_hamming_packed_binary_matches_flat(spark, embeddings):
+    """Binary vectors route through the packed XOR-popcount path and
+    still agree exactly with the expression spec."""
+    binarize = lambda c: F.transform(c, lambda x: F.when(x > 0, F.lit(1.0)).otherwise(F.lit(0.0)).cast("float"))
+    base = _base(embeddings).withColumn("vector", binarize(F.col("vector")))
+    q = _q(embeddings, 5).withColumn("query_vec", binarize(F.col("query_vec")))
+    fast = {(r["query_id"], r["rank"]): (r["id"], r["distance"])
+            for r in knn_brute_batched(q, base, k=10, space="hamming").collect()}
+    slow = {(r["query_id"], r["rank"]): (r["id"], float(r["distance"]))
+            for r in knn_flat(q, base, k=10, space="hamming").collect()}
+    assert fast == slow
 
 
 def test_gemm_query_chunking_matches_unchunked(spark, embeddings):
