@@ -199,7 +199,7 @@ class Catalog:
         """S11 set_params — runtime knobs (efsearch/nprobe). Stored in the
         catalog; the search planner reads them (handlers.go:323-354)."""
         coll = self.get_collection(name)
-        valid = {"efsearch", "nprobe", "M", "efConstruction", "nlist", "m", "nbits", "maxElements"}
+        valid = {"efsearch", "nprobe", "M", "efConstruction", "nlist", "m", "nbits", "maxElements", "refine_factor"}
         for k, v in params.items():
             if k not in valid:
                 raise errors.ErrInvalidParams(f"unknown param {k!r}")

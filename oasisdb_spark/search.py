@@ -192,7 +192,8 @@ def search_vectors(
         )
         return knn_ivfpq(
             queries, cents, books, lists, k,
-            nprobe=_nprobe_for(coll), refine_base=data, refine_factor=4,
+            nprobe=_nprobe_for(coll), refine_base=data,
+            refine_factor=int(coll.params.get("refine_factor", "4")),
         )
     raise errors.ErrInvalidParams(f"unknown index type {coll.index_type!r}")
 
