@@ -1,11 +1,19 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "families": {family: sec}, "sf": ...}.
+
+Queries are grouped into FAMILIES so regressions localize round-over-
+round (the relational tier runs the full 22-query TPC-H-shape sweep as
+one subtotal). The ANN family measures the APPROXIMATE plans via
+bench_queries() — the driver's correctness gate runs the exact-mode
+configurations, which would overstate search cost here.
 
 Each query is forced end-to-end with the noop sink (full computation, no
-driver collect overhead). A warmup pass heats the JVM/codegen caches so
-timings measure the plan, not JIT.
+driver collect overhead). A warmup pass heats the JVM/codegen caches and
+builds the memoized ANN indexes, so timings measure steady-state query
+throughput over BUILT indexes — the reference benchmark's semantics
+(BASELINE.md: QPS of search over a built collection, build excluded).
 """
 
 from __future__ import annotations
@@ -22,44 +30,37 @@ from oasisdb_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Headline subset: one representative per operator family (the full set
-# runs in the driver's correctness gate; the bench measures throughput
-# of the plans that matter at scale).
-HEADLINE = [
-    "knn_flat_l2",          # expression-based exact kNN
-    "knn_brute",            # GEMM exact kNN (scale path)
-    "knn_ivf",              # probe-pruned approximate (build + search)
-    "knn_ivfpq",            # compressed-scan + refine (build + search)
-    "knn_lsh",              # random-projection tier
-    "search_documents_filtered",
-    "exact_dedup",
-    "minhash_lsh_pairs",    # signatures + banding + verify
-    "simhash",
-    "text_stats",
-    "langid",
-    "doc_fingerprint",
-    "dedup_clusters",       # LSH pairs -> connected components
-    "tfidf_top_terms",      # explode + tf/df aggs + window top-3
-    "sequence_pack_chunks", # training sequence packing (window cumsum)
-    "training_corpus_pipeline",  # quality -> dedup -> sample composed
-    "hybrid_search_rrf",    # keyword + vector RRF fusion
-    "frequent_users",       # exact heavy hitters
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_nation_revenue",
-    "q6_forecast_revenue",  # pushdown showcase
-    "q17_small_qty_revenue",  # decorrelated scalar subquery
-    "q4_late_orders",       # non-equi EXISTS semi-join
-    "q9_product_profit",    # LIKE-filtered multiway star
-    "q18_large_orders",     # HAVING-subquery join-back
-    "q19_disjunctive_revenue",  # OR-of-ANDs pushdown
-    "events_asof_join",     # union+window as-of
-    "top3_orders_per_customer",
-    "customer_running_spend",
-    "part_brand_rollup",
-    "events_hourly",
-    "events_sessionize",
-]
+# family -> representative queries (registry names, plus bench-only
+# approximate ANN variants from bench_queries())
+FAMILIES: dict[str, list[str]] = {
+    "vector_exact": ["knn_flat_l2", "knn_brute", "knn_hamming_packed"],
+    "vector_approx": ["knn_ivf_probe", "knn_ivfpq_adc", "knn_lsh_fast"],
+    "search_api": ["search_documents_filtered", "hybrid_search_rrf", "bm25_search"],
+    "dedup": [
+        "exact_dedup", "minhash_lsh_pairs", "simhash",
+        "dedup_clusters", "embedding_neardup",
+    ],
+    "text": ["text_stats", "langid", "doc_fingerprint", "tfidf_top_terms"],
+    "corpus_ops": [
+        "sequence_pack_chunks", "training_corpus_pipeline",
+        "frequent_users", "events_approx_distinct",
+    ],
+    "multimodal": ["multimodal_decode", "multimodal_frames"],
+    "tpch_sweep": [
+        "q1_pricing_summary", "q2_cheapest_supplier", "q3_shipping_priority",
+        "q4_late_orders", "q5_nation_revenue", "q6_forecast_revenue",
+        "q7_nation_trade", "q8_market_share", "q9_product_profit",
+        "q10_returned_items", "q11_value_concentration", "q12_priority_shipping",
+        "order_count_distribution", "q14_promo_revenue", "q15_top_supplier",
+        "q16_supplier_counts", "q17_small_qty_revenue", "q18_large_orders",
+        "q19_disjunctive_revenue", "q20_part_share_suppliers",
+        "q21_last_to_ship", "q22_dormant_customers",
+    ],
+    "windows_events": [
+        "top3_orders_per_customer", "customer_running_spend", "part_brand_rollup",
+        "events_asof_join", "events_hourly", "events_sessionize",
+    ],
+}
 
 
 def force(df) -> None:
@@ -70,31 +71,39 @@ def main() -> None:
     spark = get_spark("oasisdb_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    qs = {k: v for k, v in entrymod.queries().items() if k in HEADLINE}
+    qs = dict(entrymod.queries())
+    qs.update(entrymod.bench_queries())
+    names = [n for fam in FAMILIES.values() for n in fam]
+    missing = [n for n in names if n not in qs]
+    if missing:
+        print(f"bench: unknown queries {missing}", file=sys.stderr)
+        sys.exit(2)
+
     # Warmup AT THE BENCH SF: JIT/codegen-caches the plans and builds the
-    # ANN indexes (memoized per (session, sf_dir) in __spark_entry__), so
-    # the timed pass measures steady-state query throughput over BUILT
-    # indexes — the reference benchmark's semantics (BASELINE.md: QPS of
-    # search over a built collection, build excluded).
-    for _ in range(2):
-        for name, fn in qs.items():
-            try:
-                force(fn(spark, SF_DIR))
-            except Exception:
-                pass
+    # ANN indexes (memoized per (session, sf_dir) in __spark_entry__).
+    for name in names:
+        try:
+            force(qs[name](spark, SF_DIR))
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
-    for name, fn in qs.items():
+    for name in names:
         t0 = time.perf_counter()
-        force(fn(spark, SF_DIR))
+        force(qs[name](spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    families = {
+        fam: round(sum(timings[n] for n in members), 3)
+        for fam, members in FAMILIES.items()
+    }
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     out = {
         "metric": "headline_queries_total_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "families": families,
         "sf": float(sf) if sf.replace(".", "").isdigit() else SF_DIR,
     }
     print(json.dumps(out))
