@@ -1635,6 +1635,16 @@ def _sequence_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return greedy_pack(_table(spark, sf_dir, "documents"), capacity=512, n_buckets=8)
 
 
+def _sequence_pack_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-fit whole-document packing (pipeline/packing.py) — the
+    deterministic-from-scan-order packer, so a recursive-CTE oracle
+    replays the exact bin walk; the FFD variant (sequence_pack_bins)
+    stays rows-only by nature."""
+    from oasisdb_spark.pipeline.packing import next_fit_pack
+
+    return next_fit_pack(_table(spark, sf_dir, "documents"), capacity=512, n_buckets=8)
+
+
 def _events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON scalar-function surface: extract props.$.k (stored as a
     JSON string column) and roll up per event type. get_json_object is
@@ -1954,6 +1964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_band_join": _price_band_join,
         "sequence_pack_chunks": _sequence_pack_chunks,
         "sequence_pack_bins": _sequence_pack_bins,
+        "sequence_pack_nextfit": _sequence_pack_nextfit,
         "events_props_json": _events_props_json,
         "events_segment_rollup_salted": _events_segment_rollup_salted,
         "top_bigrams": _top_bigrams,
@@ -2607,6 +2618,27 @@ def oracle_sql() -> dict[str, str]:
                    (cum - n_tokens) // 512 AS start_chunk,
                    (greatest(cum, cum - n_tokens + 1) - 1) // 512 AS end_chunk
             FROM c
+        """,
+        # next-fit packing: the bin walk is sequential per bucket, and
+        # DuckDB replays it exactly with a recursive CTE over the same
+        # (doc_id) scan order
+        "sequence_pack_nextfit": """
+            WITH RECURSIVE t AS (
+              SELECT doc_id, doc_id % 8 AS bucket,
+                     len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                     x -> x != ''))::BIGINT AS n_tokens,
+                     row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+              FROM documents
+            ), walk AS (
+              SELECT bucket, rn, doc_id, n_tokens, 0::BIGINT AS bin_id, n_tokens AS fill
+              FROM t WHERE rn = 1
+              UNION ALL
+              SELECT t.bucket, t.rn, t.doc_id, t.n_tokens,
+                     CASE WHEN w.fill + t.n_tokens > 512 THEN w.bin_id + 1 ELSE w.bin_id END,
+                     CASE WHEN w.fill + t.n_tokens > 512 THEN t.n_tokens ELSE w.fill + t.n_tokens END
+              FROM walk w JOIN t ON t.bucket = w.bucket AND t.rn = w.rn + 1
+            )
+            SELECT doc_id, bucket, n_tokens, bin_id FROM walk
         """,
         "events_props_json": """
             SELECT event_type,

@@ -30,7 +30,7 @@ from pyspark.sql.window import Window
 
 from oasisdb_spark.pipeline.text import token_count
 
-__all__ = ["chunk_pack", "greedy_pack"]
+__all__ = ["chunk_pack", "greedy_pack", "next_fit_pack"]
 
 
 def chunk_pack(
@@ -101,6 +101,54 @@ def greedy_pack(
                 assigned.append(len(bins) - 1)
         pdf = pdf.assign(bin_id=assigned)
         return pdf[["doc_id", "bucket", "n_tokens", "bin_id"]]
+
+    out = t.groupBy("bucket").applyInPandas(
+        pack, "doc_id BIGINT, bucket BIGINT, n_tokens BIGINT, bin_id BIGINT"
+    )
+    if id_col != "doc_id":
+        out = out.withColumnRenamed("doc_id", id_col)
+    return out
+
+
+def next_fit_pack(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    capacity: int = 2048,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Next-fit whole-document packing per hash bucket: walk docs in
+    (doc_id) order, open a new bin whenever the current one can't take
+    the next doc. One sequential pass per bucket (applyInPandas),
+    parallel across buckets — the streaming-friendly packer (bins close
+    as the scan advances; FFD must keep every bin open).
+
+    ~2x looser than FFD on skewed lengths, but fully deterministic from
+    the scan order alone, which makes it the one packing strategy a SQL
+    engine can replay exactly (recursive CTE) — so this variant is the
+    oracle-verified member of the packing family. Oversized docs get a
+    singleton bin.
+
+    Returns (id_col, bucket, n_tokens, bin_id), bucket-local bin ids.
+    """
+    t = docs.select(
+        F.col(id_col).alias("doc_id"),
+        (F.col(id_col) % n_buckets).alias("bucket"),
+        token_count(text_col).cast("bigint").alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id", kind="mergesort")
+        fill, bin_id, assigned = 0, 0, []
+        first = True
+        for n in pdf["n_tokens"]:
+            if not first and fill + n > capacity:
+                bin_id += 1
+                fill = 0
+            fill += n
+            first = False
+            assigned.append(bin_id)
+        return pdf.assign(bin_id=assigned)[["doc_id", "bucket", "n_tokens", "bin_id"]]
 
     out = t.groupBy("bucket").applyInPandas(
         pack, "doc_id BIGINT, bucket BIGINT, n_tokens BIGINT, bin_id BIGINT"

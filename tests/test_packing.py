@@ -53,3 +53,31 @@ def test_greedy_pack_deterministic(spark, docs):
     a = sorted(map(tuple, greedy_pack(docs, capacity=8, n_buckets=2).collect()))
     b = sorted(map(tuple, greedy_pack(docs, capacity=8, n_buckets=2).collect()))
     assert a == b
+
+
+def test_next_fit_invariants(spark):
+    from pyspark.sql import functions as F
+
+    from oasisdb_spark.pipeline.packing import next_fit_pack
+
+    rows = [(i, "tok " * (30 + (i * 37) % 400)) for i in range(64)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = next_fit_pack(docs, capacity=256, n_buckets=4)
+    got = out.collect()
+    assert len(got) == 64
+    # per-(bucket,bin) fill respects capacity unless a lone oversized doc
+    fills = (
+        out.groupBy("bucket", "bin_id")
+        .agg(F.sum("n_tokens").alias("fill"), F.count("*").alias("n"))
+        .collect()
+    )
+    for r in fills:
+        assert r["fill"] <= 256 or r["n"] == 1, r
+    # bins are contiguous per bucket in doc_id order (next-fit never reopens)
+    by_bucket = {}
+    for r in sorted(got, key=lambda r: (r["bucket"], r["doc_id"])):
+        seq = by_bucket.setdefault(r["bucket"], [])
+        seq.append(r["bin_id"])
+    for seq in by_bucket.values():
+        assert seq == sorted(seq)
+        assert seq[0] == 0 and max(seq) == len(set(seq)) - 1
