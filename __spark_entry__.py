@@ -1406,9 +1406,11 @@ def _q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape: distinct suppliers per (brand, type, size) for
     selected sizes, excluding one brand and any supplier on a complaints
     list (NOT IN surrogate: negative account balance). partsupp does not
-    exist, so the distinct (l_partkey, l_suppkey) pairs from lineitem
-    stand in for it — the two-column distinct is the only wide shuffle."""
-    li = _table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    exist, so (l_partkey, l_suppkey) pairs from lineitem stand in for
+    it. No pre-distinct: COUNT(DISTINCT suppkey) per group dedups pairs
+    itself, so the only wide shuffle is the partial-aggregated group
+    count — the broadcast joins prune rows before it."""
+    li = _table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     part = _table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45)
     )

@@ -37,7 +37,7 @@ from pyspark.sql import types as T
 from oasisdb_spark.index.flat import topk_per_query
 from oasisdb_spark.index.kmeans import kmeans_fit
 
-__all__ = ["train_centroids", "assign_clusters", "build_ivf", "add_to_ivf", "knn_ivf", "rank_probes"]
+__all__ = ["train_centroids", "assign_clusters", "build_ivf", "add_to_ivf", "knn_ivf", "rank_probes", "deterministic_sample"]
 
 DEFAULT_NLIST = 100  # const.go:26-30
 DEFAULT_NPROBE = 10
@@ -47,9 +47,12 @@ TRAIN_SAMPLE_CAP = 200_000  # rows collected to the driver for kmeans fit
 def train_centroids(
     base: DataFrame, nlist: int, vec_col: str = "vector", sample_cap: int | None = None
 ) -> np.ndarray:
-    """Fit coarse centroids on a deterministic sample (first rows in
-    storage order, matching the reference's first-k flavor of
-    determinism; ivf.go:321-328). Returns (nlist, dim) float32.
+    """Fit coarse centroids on a deterministic UNBIASED sample: rows
+    whose content hash falls under cap/n of the hash space (xxhash64 of
+    the vector — reproducible across runs/partitionings, no storage-
+    order bias; the reference trains on first-k rows, ivf.go:321-328,
+    which skews centroids toward ingest order). Returns (nlist, dim)
+    float32.
 
     sample_cap defaults to min(TRAIN_SAMPLE_CAP, 256·nlist) — ~256
     training points per centroid is the standard coarse-quantizer
@@ -58,10 +61,20 @@ def train_centroids(
     if sample_cap is None:
         sample_cap = min(TRAIN_SAMPLE_CAP, max(10_000, 256 * nlist))
     n = base.count()
-    frac = min(1.0, sample_cap / max(n, 1))
-    sample = base.select(vec_col) if frac >= 1.0 else base.select(vec_col).limit(sample_cap)
+    sample = deterministic_sample(base.select(vec_col), n, sample_cap, vec_col)
     x = np.array(sample.toPandas()[vec_col].tolist(), dtype=np.float32)
     return kmeans_fit(x, nlist)
+
+
+def deterministic_sample(df: DataFrame, n: int, cap: int, vec_col: str) -> DataFrame:
+    """~cap rows chosen by content hash (keep 1.25x margin, hard limit
+    at cap): deterministic, partitioning-independent, unbiased wrt
+    storage order. The filter runs distributed; only the survivors move."""
+    if n <= cap:
+        return df
+    space = 1 << 20
+    thresh = min(space, int(space * (cap / n) * 1.25) + 1)
+    return df.where(F.pmod(F.xxhash64(F.col(vec_col)), F.lit(space)) < thresh).limit(cap)
 
 
 def assign_clusters(

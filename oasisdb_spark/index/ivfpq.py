@@ -56,14 +56,16 @@ def train_pq(
     """Per-subspace codebooks over residuals (ivfpq.go:151-165).
     Returns (m, KSUB, dim//m) float32. sample_cap defaults to 256·KSUB
     training points — the standard per-code budget; driver-memory
-    bounded at any table size."""
+    bounded at any table size. Sampling is content-hash based (see
+    ivf.deterministic_sample), not storage-order."""
+    from oasisdb_spark.index.ivf import deterministic_sample
+
     dim = centroids.shape[1]
     if dim % m != 0:
         raise ErrInvalidParams(f"ivfpq requires dim % m == 0, got dim={dim}, m={m}")
     sub = dim // m
-    x = np.array(
-        base.select(vec_col).limit(sample_cap).toPandas()[vec_col].tolist(), dtype=np.float32
-    )
+    sample = deterministic_sample(base.select(vec_col), base.count(), sample_cap, vec_col)
+    x = np.array(sample.toPandas()[vec_col].tolist(), dtype=np.float32)
     # residual = vector - nearest coarse centroid
     c = centroids.astype(np.float64)
     d = ((x.astype(np.float64) ** 2).sum(1)[:, None] + (c**2).sum(1)[None, :]
