@@ -1637,6 +1637,17 @@ def _sequence_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return greedy_pack(_table(spark, sf_dir, "documents"), capacity=512, n_buckets=8)
 
 
+def _doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter signals (pipeline/text.py):
+    lexical diversity + duplicate-3-gram mass per document — pure
+    Column expressions, shuffle-free single scan."""
+    from oasisdb_spark.pipeline.text import repetition_cols
+
+    docs = _table(spark, sf_dir, "documents")
+    cols = repetition_cols("text")
+    return docs.select("doc_id", *(v.alias(k) for k, v in cols.items()))
+
+
 def _sequence_pack_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Next-fit whole-document packing (pipeline/packing.py) — the
     deterministic-from-scan-order packer, so a recursive-CTE oracle
@@ -1913,6 +1924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": _text_stats,
         "langid": _langid,
         "doc_fingerprint": _doc_fingerprint,
+        "doc_repetition": _doc_repetition,
         # dedup extension
         "exact_dedup": _exact_dedup,
         "minhash_signatures": _minhash_signatures,
@@ -2036,6 +2048,26 @@ def oracle_sql() -> dict[str, str]:
         "knn_hamming_packed": _KNN_ORACLE_TMPL.format(
             dist=_HAM_BIN_SQL, nq=10, k=10, base="embeddings", extra="", join="",
         ),
+        "doc_repetition": f"""
+            WITH {_TOKS_CTE},
+            g AS (
+              SELECT doc_id, tk,
+                     CASE WHEN len(tk) >= 3 THEN
+                       list_transform(range(1, len(tk)-1),
+                         i -> array_to_string(tk[CAST(i AS INT):CAST(i+2 AS INT)], ' '))
+                     ELSE [] END AS grams
+              FROM toks
+            )
+            SELECT doc_id,
+                   len(tk) AS n_tokens,
+                   CASE WHEN len(tk) > 0
+                        THEN round(CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 6)
+                        ELSE 1.0 END AS token_diversity,
+                   CASE WHEN len(grams) > 0
+                        THEN round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+                        ELSE 0.0 END AS dup_ngram_ratio
+            FROM g
+        """,
         "events_approx_distinct": """
             WITH h AS (
               SELECT DISTINCT event_type,

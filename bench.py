@@ -40,7 +40,7 @@ FAMILIES: dict[str, list[str]] = {
         "exact_dedup", "minhash_lsh_pairs", "simhash",
         "dedup_clusters", "embedding_neardup",
     ],
-    "text": ["text_stats", "langid", "doc_fingerprint", "tfidf_top_terms"],
+    "text": ["text_stats", "langid", "doc_fingerprint", "doc_repetition", "tfidf_top_terms"],
     "corpus_ops": [
         "sequence_pack_chunks", "training_corpus_pipeline",
         "frequent_users", "events_approx_distinct",

@@ -24,6 +24,7 @@ __all__ = [
     "fingerprint_md5",
     "text_stats_cols",
     "quality_score",
+    "repetition_cols",
     "langid_expr",
     "STOPWORDS",
 ]
@@ -101,6 +102,41 @@ def quality_score(c: Column | str) -> Column:
     stop_ok = F.when(s["stopword_hits"] >= 2, F.lit(0.2)).otherwise(F.lit(0.0))
     clean = F.when((s["digit_ratio"] < 0.3) & (s["punct_ratio"] < 0.2), F.lit(0.1)).otherwise(F.lit(0.0))
     return F.round(len_ok + word_ok + stop_ok + clean, 2)
+
+
+def repetition_cols(c: Column | str, ngram: int = 3) -> dict[str, Column]:
+    """Gopher-style repetition signals: lexical diversity (distinct /
+    total tokens) and duplicate n-gram mass (1 - distinct/total
+    n-grams). Repetitive boilerplate and degenerate generations score
+    low diversity / high dup mass — the standard pre-training filter
+    axis alongside length/punct quality. Pure Column expressions, one
+    scan, SQL-twinnable."""
+    col = _col(c)
+    toks = tokens(col)
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    # n-grams as joined strings over a sliding index window
+    grams = F.when(
+        n_tokens >= ngram,
+        F.transform(
+            F.sequence(F.lit(0), n_tokens - ngram),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, ngram)),
+        ),
+    ).otherwise(F.array())
+    n_grams = F.size(grams)
+    n_gram_distinct = F.size(F.array_distinct(grams))
+    diversity = F.when(
+        n_tokens > 0, F.round(n_distinct.cast("double") / n_tokens, 6)
+    ).otherwise(F.lit(1.0))
+    dup_mass = F.when(
+        n_grams > 0,
+        F.round(F.lit(1.0) - n_gram_distinct.cast("double") / n_grams, 6),
+    ).otherwise(F.lit(0.0))
+    return {
+        "n_tokens": n_tokens,
+        "token_diversity": diversity,
+        "dup_ngram_ratio": dup_mass,
+    }
 
 
 # Small deterministic stopword inventories for the langid heuristic.

@@ -55,3 +55,26 @@ def test_fingerprint_stable_under_whitespace_case(spark):
     df = spark.createDataFrame([("Hello  World",), ("hello world",)], "t STRING")
     fps = [r["fp"] for r in df.select(fingerprint_md5("t").alias("fp")).collect()]
     assert fps[0] == fps[1]
+
+
+def test_repetition_cols(spark):
+    from pyspark.sql import functions as F
+
+    from oasisdb_spark.pipeline.text import repetition_cols
+
+    rows = [
+        (0, "spam spam spam spam spam spam"),          # degenerate repetition
+        (1, "the quick brown fox jumps over lazy dog"),  # all distinct
+        (2, "ab"),                                      # shorter than ngram
+        (3, ""),                                        # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id", *(v.alias(k) for k, v in repetition_cols("text").items())
+    ).collect()}
+    assert out[0]["token_diversity"] == round(1 / 6, 6)
+    assert out[0]["dup_ngram_ratio"] == 0.75  # 4 grams, 1 distinct
+    assert out[1]["token_diversity"] == 1.0
+    assert out[1]["dup_ngram_ratio"] == 0.0
+    assert out[2]["dup_ngram_ratio"] == 0.0  # no grams
+    assert out[3]["token_diversity"] == 1.0 and out[3]["n_tokens"] == 0
