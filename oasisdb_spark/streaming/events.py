@@ -168,3 +168,30 @@ def sessionize_stream(
             "sum_value",
         )
     )
+
+
+def run_to_parquet_sink(
+    agg: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+):
+    """PRODUCTION sink shape: watermarked aggregation → append-mode
+    parquet file sink with a checkpoint. Unlike the memory/complete
+    combo used by correctness entries (which re-emits full state each
+    trigger and holds it on the driver), append mode writes each window
+    exactly once when the watermark closes it, the checkpoint makes the
+    query restartable, and output lands as immutable files a downstream
+    batch reader picks up — constant driver memory at any scale.
+    Drains with trigger=availableNow; returns the finished query.
+    """
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

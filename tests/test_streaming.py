@@ -230,3 +230,40 @@ def test_stream_upsert_makes_arrivals_searchable(spark, tmp_path, embeddings):
         cat.index_path("s", cat.get_collection("s").index_version) + "/lists"
     )
     assert lists.count() == 140  # no duplicate index entries
+
+
+def test_windowed_counts_parquet_sink_append(spark, tmp_path):
+    """Production sink shape: append-mode file sink + checkpoint emits
+    exactly the windows the watermark has closed, as immutable parquet;
+    a second run with the same checkpoint is a no-op (exactly-once)."""
+    import datetime as dt
+
+    from oasisdb_spark.streaming.events import (
+        EVENT_SCHEMA, read_events_stream, run_to_parquet_sink, windowed_counts,
+    )
+
+    src = tmp_path / "src"
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=i * 5), i % 7, "click", float(i), "{}")
+        for i in range(100)
+    ]
+    # late sentinel far ahead so every earlier 1h window is watermark-closed
+    rows.append((999, base + dt.timedelta(hours=24), 1, "click", 1.0, "{}"))
+    spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.parquet(str(src))
+
+    ev = read_events_stream(spark, str(src), max_files_per_trigger=10)
+    agg = windowed_counts(ev, window="1 hour", watermark="2 hours")
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    run_to_parquet_sink(agg, str(out), str(ckpt))
+
+    got = spark.read.parquet(str(out))
+    # 100 events over ~8.3h -> windows 0..8 exist; watermark = 24h-2h
+    # closes all of them (the sentinel's own window stays open)
+    closed = got.filter("window_start < timestamp'2024-01-01 22:00:00'")
+    assert closed.count() == 9
+    assert got.agg({"n_events": "sum"}).collect()[0][0] == 100  # sentinel window open
+    # restart with same checkpoint: no new files, same counts
+    ev2 = read_events_stream(spark, str(src), max_files_per_trigger=10)
+    run_to_parquet_sink(windowed_counts(ev2, "1 hour", "2 hours"), str(out), str(ckpt))
+    assert spark.read.parquet(str(out)).count() == got.count()
