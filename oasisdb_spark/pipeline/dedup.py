@@ -444,7 +444,7 @@ def allpairs_cosine_blocked(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    block_size: int = 4096,
+    block_size: int | None = None,
 ) -> DataFrame:
     """Exact all-pairs cosine >= threshold as a blocked matrix product.
 
@@ -462,6 +462,15 @@ def allpairs_cosine_blocked(
 
     spark = emb.sparkSession
     src = emb.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("vec"))
+    if block_size is None:
+        # auto-size: enough block pairs to occupy the cluster ((n/B)²/2
+        # >= ~8 tasks/core), capped at 4096 so per-task GEMMs stay
+        # cache-friendly and block payloads stay ~1 MB-scale
+        import math
+
+        n = src.count()
+        par = max(spark.sparkContext.defaultParallelism, 1)
+        block_size = min(4096, max(256, math.ceil(n / (4 * par))))
     # deterministic, dense block ids: order by doc_id (one window shuffle;
     # at cluster scale, substitute a pre-sorted/bucketed id → block map)
     from pyspark.sql import Window
