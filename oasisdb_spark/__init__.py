@@ -15,8 +15,13 @@ surface as DataFrame plans:
                        (internal/index/{flat,ivf,ivfpq,hnsw}.go)
 - ``search``           search_vectors / search_documents (internal/server/handlers.go)
 - ``embed``            embedding providers (internal/embedding/)
-- ``pipeline.*``       LLM-data-pipeline extensions: dedup, ANN, text
-                       analysis, multimodal (beyond reference surface)
+- ``client`` / ``server``  the reference SDK surface (client-sdk/Python)
+                       and its 13 HTTP routes (internal/server/server.go)
+- ``functions.sketch`` KMV distinct-count sketch (mergeable, oracle-exact)
+- ``pipeline.*``       LLM-data-pipeline extensions: dedup (incl. blocked-
+                       GEMM near-dup), ANN (GEMM + packed-bits hamming),
+                       text analysis, sequence packing, multimodal over
+                       real PNG/WAV/VID0 codecs (beyond reference surface)
 - ``streaming.*``      Structured Streaming extensions over the events table
 
 Everything is Parquet tables + Catalyst plans; pandas UDFs appear only

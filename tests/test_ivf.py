@@ -90,3 +90,24 @@ def test_ivf_add_after_build(spark, tiny_vectors, tmp_path):
     full = {r["id"] for r in knn_ivf(q, cent, idx, k=5, nprobe=4).collect()}
     exact = {r["id"] for r in knn_flat(q, tiny_vectors, k=5).collect()}
     assert full == exact
+
+
+def test_deterministic_sample_unbiased_and_stable(spark):
+    from pyspark.sql import functions as F
+
+    from oasisdb_spark.index.ivf import deterministic_sample
+
+    df = spark.range(10_000).select(
+        F.col("id"), F.array(F.col("id").cast("float")).alias("vector")
+    )
+    s1 = deterministic_sample(df.select("vector"), 10_000, 500, "vector")
+    s2 = deterministic_sample(df.select("vector"), 10_000, 500, "vector")
+    a = sorted(r["vector"][0] for r in s1.collect())
+    b = sorted(r["vector"][0] for r in s2.collect())
+    assert a == b  # deterministic across invocations
+    assert 300 <= len(a) <= 500  # ~cap with margin, hard-limited at cap
+    # unbiased wrt storage order: the sample spans the id range rather
+    # than clustering at the head
+    assert min(a) < 2000 and max(a) > 8000
+    # small inputs pass through whole
+    assert deterministic_sample(df.select("vector"), 400, 500, "vector").count() == 10_000
