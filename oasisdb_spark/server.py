@@ -234,3 +234,26 @@ def _make_handler(srv: OasisServer):
             self._dispatch("DELETE")
 
     return Handler
+
+
+def main(argv=None) -> None:
+    """CLI entrypoint (the reference's cmd/main.go):
+    python -m oasisdb_spark.server --warehouse ./wh --port 8080"""
+    import argparse
+
+    from oasisdb_spark.session import get_spark
+
+    ap = argparse.ArgumentParser(description="OasisDB-on-Spark REST server")
+    ap.add_argument("--warehouse", required=True, help="collection warehouse directory")
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--cache-capacity", type=int, default=10)
+    args = ap.parse_args(argv)
+
+    spark = get_spark("oasisdb_spark_server")
+    client = OasisClient(spark, args.warehouse, cache_capacity=args.cache_capacity)
+    print(f"oasisdb_spark serving on http://127.0.0.1:{args.port} (warehouse: {args.warehouse})")
+    serve(client, port=args.port)
+
+
+if __name__ == "__main__":
+    main()

@@ -125,3 +125,41 @@ def test_real_media_operators(spark):
 
     au = audio_stats(media.filter("kind = 'audio'")).collect()
     assert au and all(r["rate"] == 16_000 for r in au)
+
+
+def test_png_roundtrip_property():
+    """Property: any uint8 RGB/RGBA image round-trips bit-exactly."""
+    from hypothesis import given, settings, strategies as st
+
+    import numpy as np
+
+    from oasisdb_spark.pipeline.codecs import png_decode, png_encode
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 24), w=st.integers(1, 24),
+        ch=st.sampled_from([3, 4]), seed=st.integers(0, 2**31),
+    )
+    def check(h, w, ch, seed):
+        a = np.random.default_rng(seed).integers(0, 256, (h, w, ch), dtype=np.uint8)
+        assert np.array_equal(png_decode(png_encode(a)), a)
+
+    check()
+
+
+def test_wav_roundtrip_property():
+    from hypothesis import given, settings, strategies as st
+
+    import numpy as np
+
+    from oasisdb_spark.pipeline.codecs import wav_decode, wav_encode
+
+    @settings(max_examples=25, deadline=None)
+    @given(n=st.integers(1, 2000), ch=st.sampled_from([1, 2]),
+           rate=st.sampled_from([8000, 16000, 44100]), seed=st.integers(0, 2**31))
+    def check(n, ch, rate, seed):
+        s = np.random.default_rng(seed).integers(-32768, 32767, (n, ch), dtype=np.int16)
+        d, r = wav_decode(wav_encode(s, rate))
+        assert r == rate and np.array_equal(d, s)
+
+    check()
