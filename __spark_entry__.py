@@ -125,12 +125,13 @@ def _knn_lsh(spark: SparkSession, sf_dir: str, num_hash_tables: int = 16) -> Dat
     rounded to 3dp — MLlib computes sqrt-then-square, which differs from
     the in-order fold in the last ulps (same convention as knn_brute).
     The fast plan (4 tables) is benchmarked via bench_queries()."""
-    from oasisdb_spark.index.lsh import knn_lsh
+    from oasisdb_spark.index.lsh import fit_lsh, search_lsh
 
-    res = knn_lsh(
-        _emb_queries(spark, sf_dir, 10), _emb_base(spark, sf_dir),
-        k=10, bucket_length=4.0, num_hash_tables=num_hash_tables,
+    model, hashed = _memo(
+        spark, sf_dir, f"lsh:{num_hash_tables}",
+        lambda: fit_lsh(_emb_base(spark, sf_dir), bucket_length=4.0, num_hash_tables=num_hash_tables),
     )
+    res = search_lsh(model, hashed, _emb_queries(spark, sf_dir, 10), k=10)
     return res.select("query_id", "id", "rank", F.round(F.col("distance"), 3).alias("distance"))
 
 

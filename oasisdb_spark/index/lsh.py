@@ -25,7 +25,62 @@ from pyspark.sql import functions as F
 
 from oasisdb_spark.index.flat import topk_per_query
 
-__all__ = ["knn_lsh"]
+__all__ = ["knn_lsh", "fit_lsh", "search_lsh"]
+
+
+def fit_lsh(
+    base: DataFrame,
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 3,
+    id_col: str = "id",
+    vec_col: str = "vector",
+):
+    """Build step (S8 for the LSH tier): fit the random projections and
+    pre-hash the base table once. Returns (model, hashed_base) — the
+    persisted hashed base is the index artifact; searches against it
+    skip both the fit and the base-side re-hash (build-once/query-many,
+    like the IVF build/search split)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    b = base.select(
+        F.col(id_col).alias("id"), array_to_vector(F.col(vec_col)).alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=42,
+    )
+    model = lsh.fit(b)
+    hashed = model.transform(b).persist()
+    hashed.count()
+    return model, hashed
+
+
+def search_lsh(
+    model,
+    hashed_base: DataFrame,
+    queries: DataFrame,
+    k: int,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Search step over a fitted model + pre-hashed base."""
+    from pyspark.ml.functions import array_to_vector
+
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        array_to_vector(F.col(query_vec_col)).alias("features"),
+    )
+    joined = model.approxSimilarityJoin(q, hashed_base, float("inf"), distCol="l2_dist")
+    scored = joined.select(
+        F.col("datasetA.query_id").alias("query_id"),
+        F.col("datasetB.id").alias("id"),
+        (F.col("l2_dist") * F.col("l2_dist")).alias("distance"),
+    )
+    return topk_per_query(scored, k)
 
 
 def knn_lsh(
@@ -43,29 +98,6 @@ def knn_lsh(
     MLlib hash family is Euclidean). Returns (query_id, id, distance,
     rank) with distance = SQUARED L2 to match the engine's l2 space
     (distance.go:33-39); MLlib reports sqrt distances, so we square.
-    """
-    from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.functions import array_to_vector
-
-    b = base.select(
-        F.col(id_col).alias("id"), array_to_vector(F.col(vec_col)).alias("features")
-    )
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        array_to_vector(F.col(query_vec_col)).alias("features"),
-    )
-    lsh = BucketedRandomProjectionLSH(
-        inputCol="features",
-        outputCol="hashes",
-        bucketLength=bucket_length,
-        numHashTables=num_hash_tables,
-        seed=42,
-    )
-    model = lsh.fit(b)
-    joined = model.approxSimilarityJoin(q, b, float("inf"), distCol="l2_dist")
-    scored = joined.select(
-        F.col("datasetA.query_id").alias("query_id"),
-        F.col("datasetB.id").alias("id"),
-        (F.col("l2_dist") * F.col("l2_dist")).alias("distance"),
-    )
-    return topk_per_query(scored, k)
+    One-shot convenience over fit_lsh + search_lsh."""
+    model, hashed = fit_lsh(base, bucket_length, num_hash_tables, id_col, vec_col)
+    return search_lsh(model, hashed, queries, k, query_id_col, query_vec_col)
