@@ -497,10 +497,11 @@ def _text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _table(spark, sf_dir, "documents")
     stats = text_stats_cols("text")
-    return docs.select(
-        "doc_id",
-        *(v.alias(k) for k, v in stats.items()),
-        quality_score("text").alias("quality"),
+    base = docs.select("doc_id", *(v.alias(k) for k, v in stats.items()))
+    # quality from the PROJECTED (rounded) stats — no re-tokenization,
+    # and exactly how the SQL oracle derives it from its stats CTE
+    return base.select(
+        "*", quality_score(stats={k: F.col(k) for k in stats}).alias("quality")
     )
 
 

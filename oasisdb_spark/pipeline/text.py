@@ -92,11 +92,16 @@ def text_stats_cols(c: Column | str) -> dict[str, Column]:
     }
 
 
-def quality_score(c: Column | str) -> Column:
+def quality_score(c: Column | str | None = None, stats: dict[str, Column] | None = None) -> Column:
     """Heuristic quality in [0,1]: rewards mid-length docs with words and
     some stopword mass; penalizes digit/punct-heavy content. Deterministic
-    and SQL-twinnable (no floats beyond round-4 arithmetic)."""
-    s = text_stats_cols(c)
+    and SQL-twinnable (no floats beyond round-4 arithmetic).
+
+    Pass `stats` (columns named as text_stats_cols returns, e.g. already
+    projected in a prior select) to avoid re-deriving the statistics —
+    tokenization dominates, so score-from-projected-stats is the cheap
+    path when both are emitted together."""
+    s = stats if stats is not None else text_stats_cols(c)
     len_ok = F.when((s["n_chars"] >= 50) & (s["n_chars"] <= 20000), F.lit(0.4)).otherwise(F.lit(0.0))
     word_ok = F.when(s["n_tokens"] >= 10, F.lit(0.3)).otherwise(F.lit(0.0))
     stop_ok = F.when(s["stopword_hits"] >= 2, F.lit(0.2)).otherwise(F.lit(0.0))
