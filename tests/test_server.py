@@ -128,3 +128,40 @@ def test_missing_collection_404_over_http(srv):
     assert code == 404
     code, _ = _req(srv, "GET", "/no/such/route")
     assert code == 404
+
+
+def test_http_client_sdk_end_to_end(srv):
+    """HttpOasisClient (the reference SDK's method surface over urllib)
+    against our own server: full lifecycle — create, batch upsert, build,
+    search, filtered search, set_params, delete — plus OasisDBError on
+    missing resources."""
+    import pytest
+
+    from oasisdb_spark.http_client import HttpOasisClient, OasisDBError
+
+    c = HttpOasisClient(f"http://127.0.0.1:{srv.port}")
+    assert c.health_check()
+    c.create_collection("sdk", 4, index_type="ivf_flat",
+                        parameters={"nlist": "4", "nprobe": "4"})
+    c.build_index("sdk", _docs(40))
+    res = c.search_vectors("sdk", [10.2, 0.0, 0.0, 0.0], limit=3)
+    assert res["ids"] == ["10", "11", "9"]
+
+    docs = c.search_documents("sdk", [2.2, 0.0, 0.0, 0.0], limit=3, filter={"label": "1"})
+    assert [d["id"] for d in docs["documents"]] == ["3", "1", "5"]
+
+    c.upsert_document("sdk", doc_id="99", vector=[99.0, 0.0, 0.0, 0.0])
+    got = c.get_document("sdk", "99")
+    assert got["vector"][0] == 99.0 and got["dimension"] == 4
+
+    c.set_params("sdk", {"nprobe": 2})
+    assert c.get_collection("sdk")["parameters"]["nprobe"] == "2"
+    assert c.list_collections()["collections"] == ["sdk"]
+
+    c.delete_document("sdk", "99")
+    with pytest.raises(OasisDBError) as ei:
+        c.get_document("sdk", "99")
+    assert ei.value.status_code == 404
+    c.delete_collection("sdk")
+    with pytest.raises(OasisDBError):
+        c.get_collection("sdk")
