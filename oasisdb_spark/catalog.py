@@ -40,7 +40,7 @@ from oasisdb_spark import errors
 
 __all__ = ["Catalog", "Collection"]
 
-INDEX_TYPES = ("flat", "ivf_flat", "ivfpq", "hnsw")  # internal/index/const.go:10-15
+INDEX_TYPES = ("flat", "ivf_flat", "ivfpq", "ivfsq", "hnsw")  # const.go:10-15 + the SQ8 extension tier
 SPACES = ("l2", "ip", "cos", "hamming")  # const.go:3-8
 DEFAULT_INDEX_TYPE = "hnsw"  # collection.go:45-47
 DEFAULT_SPACE = "l2"  # collection.go:63
@@ -50,6 +50,7 @@ DEFAULT_PARAMS = {
     "hnsw": {"M": "16", "efConstruction": "200", "efsearch": "10", "maxElements": "100000"},
     "ivf_flat": {"nlist": "100", "nprobe": "10"},
     "ivfpq": {"nlist": "100", "nprobe": "10", "m": "8", "nbits": "8"},
+    "ivfsq": {"nlist": "100", "nprobe": "10"},
     "flat": {},
 }
 

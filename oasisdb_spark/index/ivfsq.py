@@ -1,0 +1,187 @@
+"""IVF-SQ8: inverted file + per-dimension scalar quantization.
+
+No direct counterpart in the reference (it ships flat/ivf_flat/ivfpq/
+hnsw); SQ8 is the standard middle tier between IVF-Flat and IVF-PQ
+(FAISS `IndexIVFScalarQuantizer`): each float32 component quantizes to
+one uint8 against a per-dimension [vmin, vmax] range learned at train
+time — 4× smaller list scans than raw float32 with far less distortion
+than PQ's 32× (one code per component vs one per 8-dim subspace), so
+recall stays near-exact without a refine pass.
+
+Spark design mirrors index/ivf.py: the index is a DataFrame
+(cluster_id, id, codes BINARY) partitioned by cluster_id (partition-
+pruned probes), the quantizer state (centroids + vmin/vmax vectors) is
+broadcast, and search decodes candidates batch-wise in an Arrow pass —
+dequantize is a fused multiply-add, then the same GEMM + top-k shape as
+the other kernels.
+
+Add-after-build quantizes arrivals against the TRAINED [vmin, vmax]
+(values outside the trained range clamp to the boundary code — the same
+drift-until-rebuild semantics as IVF centroids; periodic build_index
+refreshes both).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from oasisdb_spark.index.flat import topk_per_query
+from oasisdb_spark.index.ivf import (
+    deterministic_sample, rank_probes, train_centroids,
+)
+
+__all__ = ["train_sq", "encode_sq", "build_ivfsq", "knn_ivfsq"]
+
+
+def train_sq(base: DataFrame, vec_col: str = "vector", sample_cap: int = 65_536):
+    """Per-dimension [vmin, vmax] from a deterministic content-hash
+    sample, widened by 1% margin so out-of-sample values clamp rather
+    than fold. Returns (vmin, vmax) float32 vectors."""
+    sample = deterministic_sample(base.select(vec_col), base.count(), sample_cap, vec_col)
+    x = np.array(sample.toPandas()[vec_col].tolist(), dtype=np.float32)
+    vmin, vmax = x.min(axis=0), x.max(axis=0)
+    span = np.maximum(vmax - vmin, 1e-12)
+    return (vmin - 0.01 * span).astype(np.float32), (vmax + 0.01 * span).astype(np.float32)
+
+
+def _quantize(x: np.ndarray, vmin: np.ndarray, vmax: np.ndarray) -> np.ndarray:
+    scale = (vmax - vmin).astype(np.float64)
+    q = np.rint((x.astype(np.float64) - vmin) / scale * 255.0)
+    return np.clip(q, 0, 255).astype(np.uint8)
+
+
+def _dequantize(codes: np.ndarray, vmin: np.ndarray, vmax: np.ndarray) -> np.ndarray:
+    scale = (vmax - vmin).astype(np.float64) / 255.0
+    return codes.astype(np.float64) * scale + vmin.astype(np.float64)
+
+
+def encode_sq(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vmin: np.ndarray,
+    vmax: np.ndarray,
+    vec_col: str = "vector",
+) -> DataFrame:
+    """Assign cluster + quantize in one Arrow pass. Output: input
+    columns − vector + (cluster_id INT, codes BINARY dim bytes)."""
+    spark = df.sparkSession
+    bc_c = spark.sparkContext.broadcast(centroids.astype(np.float32))
+    bc_r = spark.sparkContext.broadcast((vmin, vmax))
+    keep = [f.name for f in df.schema.fields if f.name != vec_col]
+    out_fields = [f for f in df.schema.fields if f.name != vec_col] + [
+        T.StructField("cluster_id", T.IntegerType(), False),
+        T.StructField("codes", T.BinaryType(), False),
+    ]
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc_c.value.astype(np.float64)
+        c2 = (c**2).sum(1)[None, :]
+        lo, hi = bc_r.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(pdf[vec_col].tolist(), dtype=np.float32)
+            xd = x.astype(np.float64)
+            assign = ((xd**2).sum(1)[:, None] + c2 - 2.0 * (xd @ c.T)).argmin(1)
+            codes = _quantize(x, lo, hi)
+            out = pdf[keep].copy()
+            out["cluster_id"] = assign.astype(np.int32)
+            out["codes"] = [bytearray(row.tobytes()) for row in codes]
+            yield out
+
+    return df.mapInPandas(_map, schema=T.StructType(out_fields))
+
+
+def build_ivfsq(
+    base: DataFrame,
+    nlist: int = 100,
+    id_col: str = "id",
+    vec_col: str = "vector",
+    out_dir: str | None = None,
+):
+    """Returns (centroids, vmin, vmax, index_df(cluster_id, id, codes)).
+    Same persistence layout as the other tiers: cluster_id-partitioned
+    lists + npy quantizer state."""
+    centroids = train_centroids(base, nlist, vec_col)
+    vmin, vmax = train_sq(base, vec_col)
+    index_df = encode_sq(
+        base.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vector")),
+        centroids, vmin, vmax,
+    )
+    if out_dir:
+        spark = base.sparkSession
+        index_df.repartition("cluster_id").write.mode("overwrite").partitionBy("cluster_id").parquet(
+            os.path.join(out_dir, "lists")
+        )
+        np_dir = os.path.join(out_dir, "model")
+        os.makedirs(np_dir, exist_ok=True)
+        np.save(os.path.join(np_dir, "centroids.npy"), centroids)
+        np.save(os.path.join(np_dir, "vmin.npy"), vmin)
+        np.save(os.path.join(np_dir, "vmax.npy"), vmax)
+        index_df = spark.read.parquet(os.path.join(out_dir, "lists"))
+    return centroids, vmin, vmax, index_df
+
+
+def knn_ivfsq(
+    queries: DataFrame,
+    centroids: np.ndarray,
+    vmin: np.ndarray,
+    vmax: np.ndarray,
+    index_df: DataFrame,
+    k: int,
+    nprobe: int = 10,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Probe-pruned search with asymmetric distance (exact query vs
+    dequantized candidates): probes broadcast-join the partition-pruned
+    lists, each Arrow batch dequantizes its codes and scores one GEMM
+    against the broadcast query block, then the usual top-k merge."""
+    spark = queries.sparkSession
+    dim = centroids.shape[1]
+    q_rows = queries.select(query_id_col, query_vec_col).collect()
+    qids = [r[query_id_col] for r in q_rows]
+    Q = np.array([r[query_vec_col] for r in q_rows], dtype=np.float64)
+    bc_q = spark.sparkContext.broadcast((qids, Q))
+    bc_r = spark.sparkContext.broadcast((vmin, vmax))
+
+    probes = rank_probes(queries, centroids, nprobe, query_id_col, query_vec_col).select(
+        "query_id", "cluster_id"
+    )
+    cand = F.broadcast(probes).join(index_df, on="cluster_id")
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema[query_id_col].dataType, True),
+            T.StructField("id", index_df.schema["id"].dataType, True),
+            T.StructField("distance", T.DoubleType(), False),
+        ]
+    )
+
+    def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_qids, Qm = bc_q.value
+        qpos = {q: i for i, q in enumerate(all_qids)}
+        q_sq = (Qm**2).sum(axis=1)
+        lo, hi = bc_r.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.frombuffer(b"".join(bytes(b) for b in pdf["codes"]), dtype=np.uint8)
+            X = _dequantize(codes.reshape(len(pdf), dim), lo, hi)
+            x_sq = (X**2).sum(axis=1)
+            cols = np.array([qpos[q] for q in pdf["query_id"]])
+            # row-wise distance to each row's own query (candidates come
+            # pre-paired with a query by the probe join)
+            d = x_sq + q_sq[cols] - 2.0 * np.einsum("ij,ij->i", X, Qm[cols])
+            yield pd.DataFrame(
+                {"query_id": pdf["query_id"], "id": pdf["id"], "distance": np.maximum(d, 0.0)}
+            )
+
+    scored = cand.mapInPandas(_score, schema=out_schema)
+    return topk_per_query(scored, k)

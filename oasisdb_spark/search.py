@@ -61,6 +61,11 @@ def build_index(catalog: Catalog, name: str) -> int:
     elif coll.index_type == "ivfpq":
         nlist = _resolve_nlist(coll.params.get("nlist", "100"), data.count())
         build_ivfpq(data, nlist=nlist, m=int(coll.params.get("m", "8")), out_dir=out_dir)
+    elif coll.index_type == "ivfsq":
+        from oasisdb_spark.index.ivfsq import build_ivfsq
+
+        nlist = _resolve_nlist(coll.params.get("nlist", "100"), data.count())
+        build_ivfsq(data, nlist=nlist, out_dir=out_dir)
     elif coll.index_type == "flat":
         os.makedirs(out_dir, exist_ok=True)
     catalog.bump_index_version(name)
@@ -124,6 +129,16 @@ def add_to_index(catalog: Catalog, name: str, docs: DataFrame) -> None:
         cents = np.load(os.path.join(d, "model", "centroids.npy"))
         books = np.load(os.path.join(d, "model", "codebooks.npy"))
         add_to_ivfpq(docs, cents, books, lists_dir)
+    elif coll.index_type == "ivfsq":
+        from oasisdb_spark.index.ivfsq import encode_sq
+
+        cents = np.load(os.path.join(d, "model", "centroids.npy"))
+        vmin = np.load(os.path.join(d, "model", "vmin.npy"))
+        vmax = np.load(os.path.join(d, "model", "vmax.npy"))
+        encoded = encode_sq(
+            docs.select(F.col("id"), F.col("vector")), cents, vmin, vmax
+        )
+        encoded.repartition("cluster_id").write.mode("append").partitionBy("cluster_id").parquet(lists_dir)
     else:
         raise errors.ErrInvalidParams(f"unknown index type {coll.index_type!r}")
 
@@ -183,6 +198,17 @@ def search_vectors(
         cent, lists = _load_ivf(catalog, name, coll.index_version)
         lists = _without_tombstones(catalog, name, lists)
         return knn_ivf(queries, cent, lists, k, nprobe=_nprobe_for(coll), space=coll.space)
+    if coll.index_type == "ivfsq":
+        from oasisdb_spark.index.ivfsq import knn_ivfsq
+
+        d = catalog.index_path(name, coll.index_version)
+        cents = np.load(os.path.join(d, "model", "centroids.npy"))
+        vmin = np.load(os.path.join(d, "model", "vmin.npy"))
+        vmax = np.load(os.path.join(d, "model", "vmax.npy"))
+        lists = _without_tombstones(
+            catalog, name, catalog.spark.read.parquet(os.path.join(d, "lists"))
+        )
+        return knn_ivfsq(queries, cents, vmin, vmax, lists, k, nprobe=_nprobe_for(coll))
     if coll.index_type == "ivfpq":
         d = catalog.index_path(name, coll.index_version)
         cents = np.load(os.path.join(d, "model", "centroids.npy"))
