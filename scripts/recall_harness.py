@@ -125,6 +125,19 @@ def main() -> None:
                           "knob": {"nlist": nlist, "nprobe": nprobe, "m": 8, "refine_factor": refine},
                           "recall_at_10": round(recall(rows, exact), 4), "qps": round(n_q / dt, 2)}))
 
+    from oasisdb_spark.index.ivfsq import build_ivfsq, knn_ivfsq
+
+    scents, vmin, vmax, slists = build_ivfsq(base, nlist=nlist)
+    slists = slists.cache(); slists.count()
+    for nprobe in (4, 16, nlist):
+        if nprobe > nlist:
+            continue
+        t0 = time.perf_counter()
+        rows = knn_ivfsq(queries, scents, vmin, vmax, slists, K, nprobe=nprobe).collect()
+        dt = time.perf_counter() - t0
+        print(json.dumps({"index": "ivfsq8", "knob": {"nlist": nlist, "nprobe": nprobe},
+                          "recall_at_10": round(recall(rows, exact), 4), "qps": round(n_q / dt, 2)}))
+
     for nt in (2, 4, 8):
         t0 = time.perf_counter()
         rows = knn_lsh(queries, base, K, bucket_length=4.0, num_hash_tables=nt).collect()
