@@ -118,6 +118,35 @@ def _knn_ivfpq(spark: SparkSession, sf_dir: str, nprobe: int = 8, refine_factor:
     return res.select("query_id", "id", "rank", F.col("distance").cast("double").alias("distance"))
 
 
+def _knn_ivfsq(spark: SparkSession, sf_dir: str, nprobe: int = 16, refine_factor: int = 50) -> DataFrame:
+    """IVF-SQ8 tier (index/ivfsq.py), driver entry in EXACT mode:
+    nprobe=nlist probes every list and refine_factor·k (=500) covers the
+    sf0.01 base, so the exact-L2 refine re-ranks every vector —
+    identical to Flat, L2-oracle-able (dequantized-distance quality at
+    production settings is recall-tested in tests/test_ivfsq.py +
+    RECALL.md: 0.936 at nprobe=4 on the clustered fixture). The
+    approximate plan (nprobe=4, no refine) is benchmarked via
+    bench_queries()."""
+    from oasisdb_spark.index.ivfsq import build_ivfsq, knn_ivfsq
+
+    def _build():
+        cents, vmin, vmax, idx = build_ivfsq(_emb_base(spark, sf_dir), nlist=16)
+        idx = idx.persist()
+        idx.count()
+        return cents, vmin, vmax, idx
+
+    cents, vmin, vmax, idx = _memo(spark, sf_dir, "ivfsq", _build)
+    kwargs = (
+        dict(refine_base=_emb_base(spark, sf_dir), refine_factor=refine_factor)
+        if refine_factor
+        else {}
+    )
+    res = knn_ivfsq(
+        _emb_queries(spark, sf_dir, 10), cents, vmin, vmax, idx, k=10, nprobe=nprobe, **kwargs
+    )
+    return res.select("query_id", "id", "rank", F.col("distance").cast("double").alias("distance"))
+
+
 def _knn_lsh(spark: SparkSession, sf_dir: str, num_hash_tables: int = 16) -> DataFrame:
     """LSH tier, driver entry at the measured-recall-1.0 setting
     (numHashTables=16, verified vs Flat at sf0.01): the bucket union covers every true
@@ -1910,61 +1939,27 @@ def _events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
+    # entries. Round-3 rotation (VERDICT r02 next-round #1): the 10 §2-core
+    # entries stay in the window (every §2 operator keeps a live row),
+    # followed by the 40 entries that had no driver row in r01/r02
+    # (TPC-H tail, pivot/set-ops, packing, streaming, multimodal, …).
+    # The 40 entries verified green in r02 move behind position 50 — with
+    # this rotation every one of the 91 entries has a green driver row in
+    # r02 ∪ r03.
     return {
-        # vector core (SURVEY §2.2)
+        # --- §2-core window (positions 1-10) ---
         "knn_flat_l2": lambda s, d: _knn_flat(s, d, "l2"),
-        "knn_flat_cos": lambda s, d: _knn_flat(s, d, "cos"),
-        "knn_flat_ip": lambda s, d: _knn_flat(s, d, "ip"),
-        "knn_flat_hamming": lambda s, d: _knn_flat(s, d, "hamming"),
         "knn_ivf": _knn_ivf,
         "knn_ivfpq": _knn_ivfpq,
+        "knn_ivfsq": _knn_ivfsq,
         "knn_lsh": _knn_lsh,
-        "knn_brute": _knn_brute,
         "knn_hamming_packed": _knn_hamming_packed,
         "search_documents_filtered": _search_documents_filtered,
         "vector_lookup": _vector_lookup,
         "collection_lifecycle": _collection_lifecycle,
         "auto_embed": _auto_embed,
-        # text analysis extension
-        "text_stats": _text_stats,
-        "langid": _langid,
-        "doc_fingerprint": _doc_fingerprint,
-        "doc_repetition": _doc_repetition,
-        # dedup extension
-        "exact_dedup": _exact_dedup,
-        "minhash_signatures": _minhash_signatures,
-        "minhash_lsh_pairs": _minhash_lsh_pairs,
-        "ngram_jaccard_pairs": _ngram_jaccard_pairs,
-        "cross_source_leakage": _cross_source_leakage,
-        "simhash": _simhash,
-        "embedding_neardup": _embedding_neardup,
-        # relational / windows / rollup / sessionize
-        "q1_pricing_summary": _q1_pricing_summary,
-        "q3_shipping_priority": _q3_shipping_priority,
-        "q5_nation_revenue": _q5_nation_revenue,
-        "top3_orders_per_customer": _top3_orders_per_customer,
-        "customer_running_spend": _customer_running_spend,
-        "part_brand_rollup": _part_brand_rollup,
-        "customers_no_big_orders": _customers_no_big_orders,
-        "suppliers_with_max_qty_items": _suppliers_with_max_qty_items,
-        "click_and_purchase_users": _click_and_purchase_users,
-        "events_distinct_users": _events_distinct_users,
-        "q6_forecast_revenue": _q6_forecast_revenue,
-        "customer_order_counts": _customer_order_counts,
-        "click_no_purchase_days": _click_no_purchase_days,
-        "events_lead_lag": _events_lead_lag,
-        "part_brand_cube": _part_brand_cube,
-        "events_asof_join": _events_asof_join,
-        "q17_small_qty_revenue": _q17_small_qty_revenue,
-        "q4_late_orders": _q4_late_orders,
-        "q7_nation_trade": _q7_nation_trade,
-        "q8_market_share": _q8_market_share,
-        "q9_product_profit": _q9_product_profit,
-        "q10_returned_items": _q10_returned_items,
-        "q11_value_concentration": _q11_value_concentration,
-        "order_count_distribution": _order_count_distribution,
-        "q12_priority_shipping": _q12_priority_shipping,
-        "q14_promo_revenue": _q14_promo_revenue,
+        # --- r02-unchecked rotation (positions 11-50) ---
         "doc_length_histogram": _doc_length_histogram,
         "tfidf_top_terms": _tfidf_top_terms,
         "q15_top_supplier": _q15_top_supplier,
@@ -2007,6 +2002,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": _multimodal_frames,
         "multimodal_audio": _multimodal_audio,
         "multimodal_resize": _multimodal_resize,
+        # --- r02-verified (green driver rows in CORRECTNESS_r02) ---
+        "knn_flat_cos": lambda s, d: _knn_flat(s, d, "cos"),
+        "knn_flat_ip": lambda s, d: _knn_flat(s, d, "ip"),
+        "knn_flat_hamming": lambda s, d: _knn_flat(s, d, "hamming"),
+        "knn_brute": _knn_brute,
+        "text_stats": _text_stats,
+        "langid": _langid,
+        "doc_fingerprint": _doc_fingerprint,
+        "doc_repetition": _doc_repetition,
+        "exact_dedup": _exact_dedup,
+        "minhash_signatures": _minhash_signatures,
+        "minhash_lsh_pairs": _minhash_lsh_pairs,
+        "ngram_jaccard_pairs": _ngram_jaccard_pairs,
+        "cross_source_leakage": _cross_source_leakage,
+        "simhash": _simhash,
+        "embedding_neardup": _embedding_neardup,
+        "q1_pricing_summary": _q1_pricing_summary,
+        "q3_shipping_priority": _q3_shipping_priority,
+        "q5_nation_revenue": _q5_nation_revenue,
+        "top3_orders_per_customer": _top3_orders_per_customer,
+        "customer_running_spend": _customer_running_spend,
+        "part_brand_rollup": _part_brand_rollup,
+        "customers_no_big_orders": _customers_no_big_orders,
+        "suppliers_with_max_qty_items": _suppliers_with_max_qty_items,
+        "click_and_purchase_users": _click_and_purchase_users,
+        "events_distinct_users": _events_distinct_users,
+        "q6_forecast_revenue": _q6_forecast_revenue,
+        "customer_order_counts": _customer_order_counts,
+        "click_no_purchase_days": _click_no_purchase_days,
+        "events_lead_lag": _events_lead_lag,
+        "part_brand_cube": _part_brand_cube,
+        "events_asof_join": _events_asof_join,
+        "q17_small_qty_revenue": _q17_small_qty_revenue,
+        "q4_late_orders": _q4_late_orders,
+        "q7_nation_trade": _q7_nation_trade,
+        "q8_market_share": _q8_market_share,
+        "q9_product_profit": _q9_product_profit,
+        "q10_returned_items": _q10_returned_items,
+        "q11_value_concentration": _q11_value_concentration,
+        "order_count_distribution": _order_count_distribution,
+        "q12_priority_shipping": _q12_priority_shipping,
+        "q14_promo_revenue": _q14_promo_revenue,
     }
 
 
@@ -2018,6 +2055,7 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_ivf_probe": lambda s, d: _knn_ivf(s, d, nprobe=4),
         "knn_ivfpq_adc": lambda s, d: _knn_ivfpq(s, d, nprobe=4, refine_factor=4),
+        "knn_ivfsq_probe": lambda s, d: _knn_ivfsq(s, d, nprobe=4, refine_factor=0),
         "knn_lsh_fast": lambda s, d: _knn_lsh(s, d, num_hash_tables=4),
     }
 
@@ -2045,6 +2083,7 @@ def oracle_sql() -> dict[str, str]:
         # recall-tested (RECALL.md, tests/)
         "knn_ivf": _KNN_ORACLE_TMPL.format(dist=_L2_SQL, nq=10, k=10, base="embeddings", extra="", join=""),
         "knn_ivfpq": _KNN_ORACLE_TMPL.format(dist=_L2_SQL, nq=10, k=10, base="embeddings", extra="", join=""),
+        "knn_ivfsq": _KNN_ORACLE_TMPL.format(dist=_L2_SQL, nq=10, k=10, base="embeddings", extra="", join=""),
         "knn_lsh": f"""
             SELECT query_id, id, rank, round(distance, 3) AS distance FROM (
               {_KNN_ORACLE_TMPL.format(dist=_L2_SQL, nq=10, k=10, base="embeddings", extra="", join="")}

@@ -34,7 +34,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # approximate ANN variants from bench_queries())
 FAMILIES: dict[str, list[str]] = {
     "vector_exact": ["knn_flat_l2", "knn_brute", "knn_hamming_packed"],
-    "vector_approx": ["knn_ivf_probe", "knn_ivfpq_adc", "knn_lsh_fast"],
+    "vector_approx": ["knn_ivf_probe", "knn_ivfpq_adc", "knn_ivfsq_probe", "knn_lsh_fast"],
     "search_api": ["search_documents_filtered", "hybrid_search_rrf", "bm25_search"],
     "dedup": [
         "exact_dedup", "minhash_lsh_pairs", "simhash",

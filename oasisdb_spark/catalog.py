@@ -165,6 +165,12 @@ class Catalog:
                 )
             if int(merged.get("nbits", "8")) != 8:
                 raise errors.ErrInvalidParams("ivfpq supports nbits=8 only")
+        if index_type in ("ivfpq", "ivfsq") and space == "hamming":
+            # quantized codes are not a binary representation; hamming
+            # collections use flat (packed XOR-popcount kernel) or IVF
+            raise errors.ErrInvalidParams(
+                f"{index_type} does not support the hamming space; use flat or ivf_flat"
+            )
         cat = self._read_catalog()
         if cat.filter(F.col("name") == name).limit(1).count() > 0:
             raise errors.ErrCollectionExists(f"collection {name!r} already exists")

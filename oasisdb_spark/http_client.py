@@ -17,6 +17,7 @@ from __future__ import annotations
 import json
 import urllib.error
 import urllib.request
+from urllib.parse import quote
 from typing import Any, Iterable, Mapping, Optional, Sequence
 
 __all__ = ["HttpOasisClient", "OasisDBError"]
@@ -28,6 +29,13 @@ class OasisDBError(RuntimeError):
     def __init__(self, status_code: int, message: Optional[str] = None):
         self.status_code = status_code
         super().__init__(message or f"HTTP {status_code}")
+
+
+def _seg(value) -> str:
+    """Percent-encode one URL path segment (safe='' so '/', '?', '#',
+    spaces and non-ASCII in collection/document ids route correctly —
+    the server unquotes symmetrically)."""
+    return quote(str(value), safe="")
 
 
 class HttpOasisClient:
@@ -75,13 +83,13 @@ class HttpOasisClient:
         return self._request("POST", "/v1/collections", payload)
 
     def get_collection(self, name: str) -> dict:
-        return self._request("GET", f"/v1/collections/{name}")
+        return self._request("GET", f"/v1/collections/{_seg(name)}")
 
     def list_collections(self) -> dict:
         return self._request("GET", "/v1/collections")
 
     def delete_collection(self, name: str) -> None:
-        self._request("DELETE", f"/v1/collections/{name}")
+        self._request("DELETE", f"/v1/collections/{_seg(name)}")
 
     # Documents ---------------------------------------------------------
     def upsert_document(
@@ -95,33 +103,33 @@ class HttpOasisClient:
         payload: dict[str, Any] = {"id": doc_id, "vector": list(vector)}
         if parameters:
             payload["parameters"] = dict(parameters)
-        return self._request("POST", f"/v1/collections/{collection}/documents", payload)
+        return self._request("POST", f"/v1/collections/{_seg(collection)}/documents", payload)
 
     def batch_upsert_documents(self, collection: str, documents: Iterable[Mapping[str, Any]]) -> None:
         self._request(
             "POST",
-            f"/v1/collections/{collection}/documents/batchupsert",
+            f"/v1/collections/{_seg(collection)}/documents/batchupsert",
             {"documents": [dict(d) for d in documents]},
         )
 
     def get_document(self, collection: str, doc_id: str) -> dict:
-        return self._request("GET", f"/v1/collections/{collection}/documents/{doc_id}")
+        return self._request("GET", f"/v1/collections/{_seg(collection)}/documents/{_seg(doc_id)}")
 
     def delete_document(self, collection: str, doc_id: str) -> None:
-        self._request("DELETE", f"/v1/collections/{collection}/documents/{doc_id}")
+        self._request("DELETE", f"/v1/collections/{_seg(collection)}/documents/{_seg(doc_id)}")
 
     # Index -------------------------------------------------------------
     def build_index(self, collection: str, documents: Iterable[Mapping[str, Any]] = ()) -> None:
         self._request(
             "POST",
-            f"/v1/collections/{collection}/buildindex",
+            f"/v1/collections/{_seg(collection)}/buildindex",
             {"documents": [dict(d) for d in documents]},
         )
 
     def set_params(self, collection: str, parameters: Mapping[str, Any]) -> None:
         self._request(
             "POST",
-            f"/v1/collections/{collection}/documents/setparams",
+            f"/v1/collections/{_seg(collection)}/documents/setparams",
             {"parameters": dict(parameters)},
         )
 
@@ -129,7 +137,7 @@ class HttpOasisClient:
     def search_vectors(self, collection: str, vector: Sequence[float], *, limit: int = 10) -> dict:
         return self._request(
             "POST",
-            f"/v1/collections/{collection}/vectors/search",
+            f"/v1/collections/{_seg(collection)}/vectors/search",
             {"vector": list(vector), "limit": limit},
         )
 
@@ -144,7 +152,7 @@ class HttpOasisClient:
         payload: dict[str, Any] = {"vector": list(vector), "limit": limit}
         if filter:
             payload["filter"] = dict(filter)
-        return self._request("POST", f"/v1/collections/{collection}/documents/search", payload)
+        return self._request("POST", f"/v1/collections/{_seg(collection)}/documents/search", payload)
 
     # Lifecycle ---------------------------------------------------------
     def close(self) -> None:

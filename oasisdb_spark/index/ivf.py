@@ -67,14 +67,18 @@ def train_centroids(
 
 
 def deterministic_sample(df: DataFrame, n: int, cap: int, vec_col: str) -> DataFrame:
-    """~cap rows chosen by content hash (keep 1.25x margin, hard limit
-    at cap): deterministic, partitioning-independent, unbiased wrt
-    storage order. The filter runs distributed; only the survivors move."""
+    """~cap rows chosen by content hash: the threshold ALONE defines the
+    sample (no trailing .limit, whose partition-order dependence would
+    make trained centroids/SQ ranges vary across runs — round-2 advisory
+    fix), so membership is a pure function of row content:
+    deterministic, partitioning-independent, unbiased wrt storage order.
+    Yields ~cap rows in expectation (training is insensitive to a few %
+    jitter). The filter runs distributed; only the survivors move."""
     if n <= cap:
         return df
     space = 1 << 20
-    thresh = min(space, int(space * (cap / n) * 1.25) + 1)
-    return df.where(F.pmod(F.xxhash64(F.col(vec_col)), F.lit(space)) < thresh).limit(cap)
+    thresh = min(space, int(space * (cap / n)) + 1)
+    return df.where(F.pmod(F.xxhash64(F.col(vec_col)), F.lit(space)) < thresh)
 
 
 def assign_clusters(

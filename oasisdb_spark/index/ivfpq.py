@@ -187,10 +187,12 @@ def knn_ivfpq(
     index_df: DataFrame,
     k: int,
     nprobe: int = 10,
+    space: str = "l2",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     refine_base: DataFrame | None = None,
     refine_factor: int = 4,
+    max_query_rows: int = 65_536,
 ) -> DataFrame:
     """ADC search (ivfpq.go:230-304): probe -> partition-pruned join ->
     per-(query,cluster) distance-table lookup -> top-k.
@@ -198,23 +200,50 @@ def knn_ivfpq(
     Approximate distances (like the reference): returns
     (query_id, id, distance, rank) where distance is the ADC estimate.
 
+    space: l2 (squared, residual distance tables) | ip (-dot: the dot
+    decomposes as q·centroid + Σ_j q_j·codebook[j,code_j], still one
+    table per (query, cluster)) | cos (1-cos: same dot tables plus a
+    query-independent reconstruction-norm table). Probe ranking stays
+    L2-to-centroid (reference ivf.go:186-195). Hamming is rejected —
+    PQ codes are not a binary representation (Catalog.create_collection
+    enforces the same at declaration time).
+
     refine_base: optional (id, vector) table. When given, an ADC
-    shortlist of k*refine_factor candidates is re-ranked with EXACT L2
-    against the original vectors (the FAISS IVFPQR pattern — the
-    reference has no refinement, ADC error is its floor; ours recovers
-    exact-rank quality at shortlist cost: the join touches only
-    k*refine_factor rows per query, id-pruned at the parquet scan).
+    shortlist of k*refine_factor candidates is re-ranked with the EXACT
+    declared metric against the original vectors (the FAISS IVFPQR
+    pattern — the reference has no refinement, ADC error is its floor;
+    ours recovers exact-rank quality at shortlist cost: the join touches
+    only k*refine_factor rows per query, id-pruned at the parquet scan).
+
+    max_query_rows bounds the driver collect/broadcast of the query
+    batch: larger batches run as chunks, results unioned (ann.py's
+    scale guard).
     """
+    if space not in ("l2", "ip", "cos"):
+        raise ValueError(f"knn_ivfpq supports l2/ip/cos, got {space!r}")
     spark = queries.sparkSession
     m, ksub, sub = codebooks.shape
-    bc_c = spark.sparkContext.broadcast(centroids.astype(np.float32))
-    bc_b = spark.sparkContext.broadcast(codebooks.astype(np.float32))
     # Broadcast the query vectors (the batch is small by contract — it
     # is collected/broadcast in every exact path too) instead of
     # carrying a 64-float query_vec column on every candidate row
     # through the join + Arrow boundary: ~10× less transfer per
     # candidate (codes are m bytes; the query column would be dim·4).
     q_rows = queries.select(query_id_col, query_vec_col).collect()
+    if len(q_rows) > max_query_rows:
+        out = None
+        for lo in range(0, len(q_rows), max_query_rows):
+            chunk = spark.createDataFrame(
+                q_rows[lo : lo + max_query_rows],
+                queries.select(query_id_col, query_vec_col).schema,
+            )
+            part = knn_ivfpq(
+                chunk, centroids, codebooks, index_df, k, nprobe, space,
+                query_id_col, query_vec_col, refine_base, refine_factor, max_query_rows,
+            )
+            out = part if out is None else out.unionByName(part)
+        return out
+    bc_c = spark.sparkContext.broadcast(centroids.astype(np.float32))
+    bc_b = spark.sparkContext.broadcast(codebooks.astype(np.float32))
     bc_q = spark.sparkContext.broadcast(
         {r[query_id_col]: np.asarray(r[query_vec_col], dtype=np.float32) for r in q_rows}
     )
@@ -236,6 +265,7 @@ def knn_ivfpq(
         cents = bc_c.value
         books = bc_b.value.astype(np.float64)
         qvecs = bc_q.value
+        jj = np.arange(m)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -243,13 +273,26 @@ def knn_ivfpq(
             # one distance table per (query, probed cluster) group — the
             # reference's per-probe precompute (ivfpq.go:262-277)
             for (qid, cl), grp in pdf.groupby(["query_id", "cluster_id"], sort=False):
-                qv = qvecs[qid]
-                resid = (qv - cents[cl]).astype(np.float64)
-                rs = resid.reshape(m, sub)
-                # dtable[j, c] = || resid_j - codebook[j, c] ||^2
-                dtable = ((rs[:, None, :] - books) ** 2).sum(axis=2)
+                qv = qvecs[qid].astype(np.float64)
                 codes = np.array(grp["codes"].tolist(), dtype=np.int64)
-                dist = dtable[np.arange(m)[None, :], codes].sum(axis=1)
+                if space == "l2":
+                    rs = (qv - cents[cl].astype(np.float64)).reshape(m, sub)
+                    # dtable[j, c] = || resid_j - codebook[j, c] ||^2
+                    dtable = ((rs[:, None, :] - books) ** 2).sum(axis=2)
+                    dist = dtable[jj[None, :], codes].sum(axis=1)
+                else:
+                    # dot(q, x̂) = q·centroid + Σ_j q_j·codebook[j,code_j]
+                    qrs = qv.reshape(m, sub)
+                    dtable = np.einsum("ms,mcs->mc", qrs, books)
+                    dot = qv @ cents[cl].astype(np.float64) + dtable[jj[None, :], codes].sum(axis=1)
+                    if space == "ip":
+                        dist = -dot
+                    else:  # cos: reconstruction-norm table (query-independent)
+                        crs = cents[cl].astype(np.float64).reshape(m, 1, sub)
+                        ntable = ((crs + books) ** 2).sum(axis=2)
+                        x_norm = np.sqrt(np.maximum(ntable[jj[None, :], codes].sum(axis=1), 1e-30))
+                        q_norm = max(float(np.sqrt((qv**2).sum())), 1e-30)
+                        dist = 1.0 - dot / (x_norm * q_norm)
                 outs.append(pd.DataFrame({"query_id": qid, "id": grp["id"].values, "distance": dist}))
             if outs:
                 yield pd.concat(outs, ignore_index=True)
@@ -261,11 +304,11 @@ def knn_ivfpq(
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("query_vec")
     )
-    from oasisdb_spark.functions.distance import l2_squared
+    from oasisdb_spark.functions.distance import distance_expr
 
     rescored = (
         shortlist.join(refine_base.select("id", "vector"), on="id")
         .join(F.broadcast(q), on="query_id")
-        .select("query_id", "id", l2_squared("query_vec", "vector").alias("distance"))
+        .select("query_id", "id", distance_expr(space, "query_vec", "vector").alias("distance"))
     )
     return topk_per_query(rescored, k)

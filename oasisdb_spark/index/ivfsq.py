@@ -137,16 +137,51 @@ def knn_ivfsq(
     index_df: DataFrame,
     k: int,
     nprobe: int = 10,
+    space: str = "l2",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    refine_base: DataFrame | None = None,
+    refine_factor: int = 4,
+    max_query_rows: int = 65_536,
 ) -> DataFrame:
     """Probe-pruned search with asymmetric distance (exact query vs
     dequantized candidates): probes broadcast-join the partition-pruned
     lists, each Arrow batch dequantizes its codes and scores one GEMM
-    against the broadcast query block, then the usual top-k merge."""
+    against the broadcast query block, then the usual top-k merge.
+
+    space: l2 (squared) | ip (-dot) | cos (1-cos) — the collection's
+    declared metric is honored end-to-end (probe ranking stays L2-to-
+    centroid, as in knn_ivf / the reference ivf.go:186-195). Hamming is
+    rejected: SQ8 codes are not a binary representation (Catalog.
+    create_collection enforces the same rule at declaration time).
+
+    refine_base: optional (id, vector) table. When given, a k*refine_
+    factor shortlist of dequantized-distance candidates is re-ranked
+    with the EXACT metric against original vectors (same FAISS IVFPQR
+    pattern as knn_ivfpq) — with refine_factor*k >= N this makes the
+    search metric-exact end-to-end, the driver-gate configuration.
+
+    max_query_rows bounds the driver collect/broadcast of the query
+    batch: larger batches run as chunks, each its own probe join,
+    results unioned (ann.py's scale guard)."""
+    if space not in ("l2", "ip", "cos"):
+        raise ValueError(f"knn_ivfsq supports l2/ip/cos, got {space!r}")
     spark = queries.sparkSession
     dim = centroids.shape[1]
     q_rows = queries.select(query_id_col, query_vec_col).collect()
+    if len(q_rows) > max_query_rows:
+        out = None
+        for lo in range(0, len(q_rows), max_query_rows):
+            chunk = spark.createDataFrame(
+                q_rows[lo : lo + max_query_rows],
+                queries.select(query_id_col, query_vec_col).schema,
+            )
+            part = knn_ivfsq(
+                chunk, centroids, vmin, vmax, index_df, k, nprobe, space,
+                query_id_col, query_vec_col, refine_base, refine_factor, max_query_rows,
+            )
+            out = part if out is None else out.unionByName(part)
+        return out
     qids = [r[query_id_col] for r in q_rows]
     Q = np.array([r[query_vec_col] for r in q_rows], dtype=np.float64)
     bc_q = spark.sparkContext.broadcast((qids, Q))
@@ -168,20 +203,40 @@ def knn_ivfsq(
         all_qids, Qm = bc_q.value
         qpos = {q: i for i, q in enumerate(all_qids)}
         q_sq = (Qm**2).sum(axis=1)
+        q_norm = np.sqrt(q_sq)
         lo, hi = bc_r.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             codes = np.frombuffer(b"".join(bytes(b) for b in pdf["codes"]), dtype=np.uint8)
             X = _dequantize(codes.reshape(len(pdf), dim), lo, hi)
-            x_sq = (X**2).sum(axis=1)
             cols = np.array([qpos[q] for q in pdf["query_id"]])
             # row-wise distance to each row's own query (candidates come
             # pre-paired with a query by the probe join)
-            d = x_sq + q_sq[cols] - 2.0 * np.einsum("ij,ij->i", X, Qm[cols])
-            yield pd.DataFrame(
-                {"query_id": pdf["query_id"], "id": pdf["id"], "distance": np.maximum(d, 0.0)}
-            )
+            dot = np.einsum("ij,ij->i", X, Qm[cols])
+            if space == "l2":
+                x_sq = (X**2).sum(axis=1)
+                d = np.maximum(x_sq + q_sq[cols] - 2.0 * dot, 0.0)
+            elif space == "ip":
+                d = -dot
+            else:  # cos
+                x_norm = np.sqrt((X**2).sum(axis=1))
+                denom = np.maximum(x_norm * q_norm[cols], 1e-30)
+                d = 1.0 - dot / denom
+            yield pd.DataFrame({"query_id": pdf["query_id"], "id": pdf["id"], "distance": d})
 
     scored = cand.mapInPandas(_score, schema=out_schema)
-    return topk_per_query(scored, k)
+    if refine_base is None:
+        return topk_per_query(scored, k)
+    shortlist = topk_per_query(scored, k * refine_factor).select("query_id", "id")
+    from oasisdb_spark.functions.distance import distance_expr
+
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("query_vec")
+    )
+    rescored = (
+        shortlist.join(refine_base.select("id", "vector"), on="id")
+        .join(F.broadcast(q), on="query_id")
+        .select("query_id", "id", distance_expr(space, "query_vec", "vector").alias("distance"))
+    )
+    return topk_per_query(rescored, k)

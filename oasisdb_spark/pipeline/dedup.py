@@ -431,7 +431,20 @@ def embedding_neardup_pairs(
     if blocking is not None:
         a = emb.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("va"))
         b = emb.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vb"))
-        pairs = blocking.select("doc_a", "doc_b").join(a, on="doc_a").join(b, on="doc_b")
+        # normalize candidate orientation BEFORE the vector joins: a
+        # blocking table may emit (b,a), (a,a) or duplicate rows — keep
+        # exactly the doc_a < doc_b triangle, once (round-2 advisory fix;
+        # the no-blocking GEMM path enumerates the triangle by
+        # construction)
+        cand = (
+            blocking.select(
+                F.least("doc_a", "doc_b").alias("doc_a"),
+                F.greatest("doc_a", "doc_b").alias("doc_b"),
+            )
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .distinct()
+        )
+        pairs = cand.join(a, on="doc_a").join(b, on="doc_b")
         sim = F.round(F.lit(1.0) - cosine_distance("va", "vb"), 6)
         return pairs.select("doc_a", "doc_b", sim.alias("cos_sim")).filter(
             F.col("cos_sim") >= threshold

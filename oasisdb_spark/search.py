@@ -208,7 +208,12 @@ def search_vectors(
         lists = _without_tombstones(
             catalog, name, catalog.spark.read.parquet(os.path.join(d, "lists"))
         )
-        return knn_ivfsq(queries, cents, vmin, vmax, lists, k, nprobe=_nprobe_for(coll))
+        return knn_ivfsq(
+            queries, cents, vmin, vmax, lists, k,
+            nprobe=_nprobe_for(coll), space=coll.space,
+            refine_base=data if coll.params.get("refine_factor") else None,
+            refine_factor=int(coll.params.get("refine_factor", "4")),
+        )
     if coll.index_type == "ivfpq":
         d = catalog.index_path(name, coll.index_version)
         cents = np.load(os.path.join(d, "model", "centroids.npy"))
@@ -218,7 +223,7 @@ def search_vectors(
         )
         return knn_ivfpq(
             queries, cents, books, lists, k,
-            nprobe=_nprobe_for(coll), refine_base=data,
+            nprobe=_nprobe_for(coll), space=coll.space, refine_base=data,
             refine_factor=int(coll.params.get("refine_factor", "4")),
         )
     raise errors.ErrInvalidParams(f"unknown index type {coll.index_type!r}")

@@ -34,6 +34,7 @@ malformed JSON / invalid params → 400, everything else → 500.
 from __future__ import annotations
 
 import json
+from urllib.parse import unquote
 import re
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -152,7 +153,7 @@ def _make_handler(srv: OasisServer):
                 return
             m = _COLL_RE.match(path)
             if m:
-                name = m.group(1)
+                name = unquote(m.group(1))
                 if method == "GET":
                     self._json(200, client.get_collection(name))
                 elif method == "DELETE":
@@ -162,28 +163,28 @@ def _make_handler(srv: OasisServer):
                     self._json(405, {"error": "method not allowed"})
                 return
             if method == "POST" and path.endswith("/buildindex"):
-                name = path.split("/")[3]
+                name = unquote(path.split("/")[3])
                 req = self._body()
                 client.build_index(name, req.get("documents") or [])
                 self._json(200)
                 return
             if method == "POST" and path.endswith("/documents/batchupsert"):
-                name = path.split("/")[3]
+                name = unquote(path.split("/")[3])
                 client.batch_upsert_documents(name, self._body()["documents"])
                 self._json(200)
                 return
             if method == "POST" and path.endswith("/documents/setparams"):
-                name = path.split("/")[3]
+                name = unquote(path.split("/")[3])
                 client.set_params(name, self._body()["parameters"])
                 self._json(200)
                 return
             if method == "POST" and path.endswith("/vectors/search"):
-                name = path.split("/")[3]
+                name = unquote(path.split("/")[3])
                 req = self._body()
                 self._json(200, client.search_vectors(name, req["vector"], limit=int(req.get("limit", 10))))
                 return
             if method == "POST" and path.endswith("/documents/search"):
-                name = path.split("/")[3]
+                name = unquote(path.split("/")[3])
                 req = self._body()
                 out = client.search_documents(
                     name, req["vector"], limit=int(req.get("limit", 10)), filter=req.get("filter"),
@@ -194,7 +195,7 @@ def _make_handler(srv: OasisServer):
                 self._json(200, out)
                 return
             if method == "POST" and path.endswith("/documents"):
-                name = path.split("/")[3]
+                name = unquote(path.split("/")[3])
                 req = self._body()
                 doc_id = req["id"]
                 vector = req["vector"]
@@ -210,7 +211,7 @@ def _make_handler(srv: OasisServer):
                 return
             m = _DOC_RE.match(path)
             if m:
-                name, doc_id = m.group(1), m.group(2)
+                name, doc_id = unquote(m.group(1)), unquote(m.group(2))
                 if method == "GET":
                     doc = client.get_document(name, doc_id)
                     doc["dimension"] = len(doc["vector"])
