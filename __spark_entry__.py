@@ -586,9 +586,14 @@ def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash-LSH pipeline per call (shingle→sign→band→verify).
+    eager=True so the per-call signature cache is released on return —
+    lazy mode leaked one corpus-scale cached frame per call, and the
+    accumulation measurably slowed UNRELATED queries late in round-2's
+    53-query bench session (knn_flat_l2 2.6×)."""
     from oasisdb_spark.pipeline.dedup import minhash_lsh_dedup
 
-    return minhash_lsh_dedup(_table(spark, sf_dir, "documents"), threshold=0.5)
+    return minhash_lsh_dedup(_table(spark, sf_dir, "documents"), threshold=0.5, eager=True)
 
 
 def _ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1625,11 +1630,21 @@ def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS: connected components over the MinHash-LSH
     pair graph (operators/connected_components.py), labeling each
     clustered doc with the min doc_id of its component — the canonical
-    keep-one-per-cluster dedup output. Oracle: recursive CTE closure."""
+    keep-one-per-cluster dedup output. Oracle: recursive CTE closure.
+
+    The pair graph is MEMOIZED (eager minhash_lsh_dedup, persisted pairs,
+    signature cache released) — the same built-artifact split as the ANN
+    indexes: minhash_lsh_pairs benches the pipeline that BUILDS the
+    graph; this entry benches clustering OVER it. Round-2's version
+    recomputed the full signature chain per call and leaked its cache,
+    making this the slowest bench query (3.4 s)."""
     from oasisdb_spark.operators import connected_components
     from oasisdb_spark.pipeline.dedup import minhash_lsh_dedup
 
-    pairs = minhash_lsh_dedup(_table(spark, sf_dir, "documents"), threshold=0.5)
+    pairs = _memo(
+        spark, sf_dir, "lsh_pairs@0.5",
+        lambda: minhash_lsh_dedup(_table(spark, sf_dir, "documents"), threshold=0.5, eager=True),
+    )
     return connected_components(pairs, src="doc_a", dst="doc_b", id_col="doc_id")
 
 

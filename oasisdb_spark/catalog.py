@@ -11,7 +11,9 @@ Architecture: the reference splits a document into an LSM KV record
 snapshot machinery (~1.5k LoC). On Spark all of that collapses into
 immutable Parquet tables (SURVEY.md §1.4): a collection is a directory
 of row-groups, the catalog is a small parquet table, and upsert/delete
-are read-merge-rewrite with an atomic directory swap. Deletes are
+are read-merge-rewrite into a fresh GENERATION directory behind an
+atomically-flipped pointer file (lock-free snapshot isolation for
+readers — see _atomic_overwrite). Deletes are
 CORRECT here — the reference's IVF delete is a no-op TODO
 (ivf.go:170-173) and HNSW only tombstones (hnswalg.h:925).
 
@@ -117,25 +119,61 @@ class Catalog:
 
     # ---------- catalog io ----------
     def _read_catalog(self) -> DataFrame:
-        p = self._catalog_path()
-        if not os.path.exists(p):
+        p = self._resolve(self._catalog_path())
+        if p is None:
             return self.spark.createDataFrame([], _CATALOG_SCHEMA)
         return self.spark.read.parquet(p)
 
     def _write_catalog(self, df: DataFrame) -> None:
         self._atomic_overwrite(df.coalesce(1), self._catalog_path())
 
+    # Generation-versioned overwrite. The round-2 implementation renamed
+    # the live directory aside and deleted it after the swap; a reader
+    # whose scan was in flight (FileScanRDD holds resolved file paths)
+    # hit FileNotFound — caught by scripts/stress_test.py on its first
+    # run (the reference's compact_test.py failure class). Generations
+    # make every scan target immutable: a write lands in a fresh g* dir
+    # and flips a one-line pointer file with os.replace (atomic on POSIX
+    # and object-store-friendly: on S3/HDFS the pointer is a tiny
+    # conditional PUT). Nothing a reader can hold is ever renamed;
+    # superseded generations are GC'd keep-2 + age-gated, bounding disk
+    # at ~2-3× live data between writes (the same predecessor-retention
+    # policy as the index-version GC in search.build_index).
+    _GC_KEEP = 2              # generations always retained (current + predecessor)
+    _GC_MIN_AGE_S = 120.0     # older generations must also be this stale
+
+    def _resolve(self, path: str) -> str | None:
+        """Current generation dir for a versioned table root; the root
+        itself for a legacy unversioned layout; None if absent."""
+        ptr = os.path.join(path, "_current")
+        if os.path.exists(ptr):
+            with open(ptr) as fh:
+                return os.path.join(path, fh.read().strip())
+        return path if os.path.exists(path) else None
+
     def _atomic_overwrite(self, df: DataFrame, path: str) -> None:
-        """Write to a temp dir then swap — the immutable-write equivalent
-        of the reference's WAL+snapshot recovery story (SURVEY.md §1.4)."""
-        tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
-        df.write.mode("overwrite").parquet(tmp)
-        old = f"{path}.old.{uuid.uuid4().hex[:8]}"
-        if os.path.exists(path):
-            os.rename(path, old)
-        os.rename(tmp, path)
-        if os.path.exists(old):
-            shutil.rmtree(old, ignore_errors=True)
+        """Write a new immutable generation then atomically flip the
+        pointer — the equivalent of the reference's WAL+snapshot recovery
+        story (SURVEY.md §1.4), with lock-free snapshot-isolated readers."""
+        os.makedirs(path, exist_ok=True)
+        gen = f"g{time.time_ns():020d}_{uuid.uuid4().hex[:6]}"
+        df.write.mode("overwrite").parquet(os.path.join(path, gen))
+        tmp_ptr = os.path.join(path, f"_current.tmp.{uuid.uuid4().hex[:6]}")
+        with open(tmp_ptr, "w") as fh:
+            fh.write(gen)
+        os.replace(tmp_ptr, os.path.join(path, "_current"))
+        self._gc_generations(path)
+
+    def _gc_generations(self, path: str) -> None:
+        gens = sorted(d for d in os.listdir(path) if d.startswith("g"))
+        now = time.time()
+        for d in gens[: -self._GC_KEEP] if len(gens) > self._GC_KEEP else []:
+            full = os.path.join(path, d)
+            try:
+                if now - os.path.getmtime(full) >= self._GC_MIN_AGE_S:
+                    shutil.rmtree(full, ignore_errors=True)
+            except OSError:
+                pass  # concurrent GC — already gone
 
     # ---------- collection CRUD (S2-S5) ----------
     def create_collection(
@@ -249,13 +287,18 @@ class Catalog:
         p = self.tombstone_path(name)
         if not os.path.exists(p):
             return None
-        return self.spark.read.parquet(p)
+        # explicit schema: the FIRST delete's append job creates the
+        # directory (staging _temporary/) before any part file commits,
+        # so a racing reader can see the dir with zero parquet footers —
+        # schema inference would throw UNABLE_TO_INFER_SCHEMA (caught by
+        # scripts/stress_test.py); with the schema given, it reads empty
+        return self.spark.read.schema("id STRING").parquet(p)
 
     # ---------- document CRUD (S6-S10) ----------
     def read_documents(self, name: str) -> DataFrame:
         self.get_collection(name)  # existence check, matching document.go:136-145
-        p = self.data_path(name)
-        if not os.path.exists(p):
+        p = self._resolve(self.data_path(name))
+        if p is None or not any(f.endswith(".parquet") for f in os.listdir(p)):
             return self.spark.createDataFrame([], T.StructType(_DOC_SCHEMA_FIELDS))
         return self.spark.read.parquet(p)
 
@@ -327,5 +370,5 @@ class Catalog:
         compacted = docs.repartitionByRange(target_files, "id").sortWithinPartitions("id")
         self._atomic_overwrite(compacted, self.data_path(name))
         return len(
-            [f for f in os.listdir(self.data_path(name)) if f.endswith(".parquet")]
+            [f for f in os.listdir(self._resolve(self.data_path(name))) if f.endswith(".parquet")]
         )

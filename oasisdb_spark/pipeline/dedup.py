@@ -180,6 +180,7 @@ def minhash_lsh_dedup(
     k: int = MINHASH_K,
     bands: int = MINHASH_BANDS,
     threshold: float = 0.5,
+    eager: bool = False,
 ) -> DataFrame:
     """Full MinHash-LSH dedup pipeline: shingle+sign once (persisted),
     band the signatures, self-join band keys for candidates, verify with
@@ -193,7 +194,16 @@ def minhash_lsh_dedup(
     base is persisted AND eagerly materialized: the downstream DAG scans
     it from three join sides, and broadcast-build sides start before a
     lazily-persisted cache fills — each racing scan would re-run the
-    whole Python pass."""
+    whole Python pass.
+
+    eager=True: materialize the (tiny) pair result into a persisted
+    frame and UNPERSIST the signature cache before returning. The
+    default lazy mode must keep the signature frame pinned (the caller's
+    downstream plan scans it three times), so each call leaks one cached
+    corpus-scale frame until session end — the round-2 bench showed the
+    accumulated caches slowing unrelated queries in a long session. Use
+    eager mode whenever the pairs are consumed more than once or the
+    caller outlives the call (memoized entries, services)."""
     r = k // bands
     base = shingle_minhash_frame(df, id_col, text_col, n, k).persist()
     base.count()
@@ -224,7 +234,7 @@ def minhash_lsh_dedup(
         .join(h.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b")), on="doc_b")
         .withColumn("inter", F.size(F.array_intersect("hs_a", "hs_b")))
     )
-    return (
+    out = (
         joined.select(
             "doc_a",
             "doc_b",
@@ -234,6 +244,11 @@ def minhash_lsh_dedup(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    if eager:
+        out = out.persist()
+        out.count()
+        base.unpersist()
+    return out
 
 
 def exact_dedup_groups(
