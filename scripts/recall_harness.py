@@ -8,6 +8,13 @@ Prints one JSON line per (index, knob) point:
 
 Usage: python scripts/recall_harness.py [sf_dir] [n_queries]
        python scripts/recall_harness.py --clustered [n_base] [n_queries]
+       python scripts/recall_harness.py --dataset fashion-mnist|sift [n_queries]
+
+--dataset: the reference harness's real corpora (run_benchmarks.py:24-38:
+Fashion-MNIST 60k x 784, SIFT1M 1M x 128) fetched from the public
+ann-benchmarks mirror into /tmp on first use. Needs network + h5py;
+when either is missing the harness prints one explanatory JSON line and
+exits 0 (the synthetic modes remain the offline path).
 
 --clustered: generate a clustered synthetic corpus instead of reading a
 fixture dir — 64-d points around 100 gaussian centers with sigma=0.15
@@ -62,12 +69,76 @@ def clustered_base(spark, n: int, dim: int = 64, n_centers: int = 100, sigma: fl
     return spark.range(n).mapInPandas(gen, "id LONG, vector ARRAY<FLOAT>")
 
 
+# ann-benchmarks public HDF5 mirrors — the same fixtures the reference
+# downloads (benchmarks/run_benchmarks.py:24-38)
+_DATASETS = {
+    "fashion-mnist": "http://ann-benchmarks.com/fashion-mnist-784-euclidean.hdf5",
+    "sift": "http://ann-benchmarks.com/sift-128-euclidean.hdf5",
+}
+
+
+def real_dataset(spark, name: str, nq: int):
+    """(base_df, queries_df) from an ann-benchmarks HDF5 fixture, or None
+    with one explanatory JSON line when offline / h5py-less — callers
+    fall back to exiting cleanly so the harness is safe in sandboxes."""
+    url = _DATASETS[name]
+    path = os.path.join("/tmp", "annbench", os.path.basename(url))
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        try:
+            import urllib.request
+
+            urllib.request.urlretrieve(url, path + ".part")
+            os.replace(path + ".part", path)
+        except Exception as e:  # noqa: BLE001 — offline sandbox is the normal case
+            print(json.dumps({"dataset": name, "skipped": f"download failed ({type(e).__name__}); offline? synthetic modes still available"}))
+            return None
+    try:
+        import h5py
+    except ImportError:
+        print(json.dumps({"dataset": name, "skipped": "h5py not installed; pip install h5py to read ann-benchmarks HDF5"}))
+        return None
+    import numpy as np
+    import pandas as pd
+
+    with h5py.File(path, "r") as f:
+        train = np.asarray(f["train"], dtype=np.float32)
+        test = np.asarray(f["test"][:nq], dtype=np.float32)
+    chunk = 100_000
+    parts = [
+        pd.DataFrame({"id": range(lo, min(lo + chunk, len(train))),
+                      "vector": [v.tolist() for v in train[lo : lo + chunk]]})
+        for lo in range(0, len(train), chunk)
+    ]
+    schema = "id BIGINT, vector ARRAY<FLOAT>"
+    base = spark.createDataFrame(pd.concat(parts, ignore_index=True), schema)
+    queries = spark.createDataFrame(
+        pd.DataFrame({"query_id": range(len(test)), "query_vec": [v.tolist() for v in test]}),
+        "query_id BIGINT, query_vec ARRAY<FLOAT>",
+    )
+    return base, queries
+
+
 def main() -> None:
     clustered = len(sys.argv) > 1 and sys.argv[1] == "--clustered"
+    dataset = sys.argv[2] if len(sys.argv) > 2 and sys.argv[1] == "--dataset" else None
     spark = get_spark("recall_harness")
     spark.sparkContext.setLogLevel("ERROR")
 
-    if clustered:
+    if dataset:
+        if dataset not in _DATASETS:
+            print(json.dumps({"error": f"unknown dataset {dataset}; choose from {sorted(_DATASETS)}"}))
+            spark.stop()
+            return
+        nq = int(sys.argv[3]) if len(sys.argv) > 3 else 100
+        pair = real_dataset(spark, dataset, nq)
+        if pair is None:
+            spark.stop()
+            return
+        base, queries = pair
+        base = base.cache()
+        queries = queries.cache()
+    elif clustered:
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
         nq = int(sys.argv[3]) if len(sys.argv) > 3 else 50
         base = clustered_base(spark, n).cache()

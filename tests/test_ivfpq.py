@@ -108,3 +108,39 @@ def test_ivfpq_add_after_build(spark, embeddings, tmp_path):
     )
     res = knn_ivfpq(q, cents, books, idx, k=3, nprobe=4, refine_base=base, refine_factor=4).collect()
     assert res[0]["id"] == "180" and res[0]["rank"] == 1
+
+
+def test_ivfpq_spaces_match_flat(spark, embeddings):
+    """ip/cos ADC tables (dot decomposition + reconstruction norms) rank
+    near the exact kernel; a covering refine makes them metric-exact."""
+    base = embeddings.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    ).cache()
+    q = base.filter(F.col("id") < 5).select(
+        F.col("id").alias("query_id"), F.col("vector").alias("query_vec")
+    )
+    cents, books, idx = build_ivfpq(base, nlist=8, m=8)
+    idx = idx.cache(); idx.count()
+    n = base.count()
+    for space in ("ip", "cos"):
+        exact = {(r["query_id"], r["id"]) for r in knn_flat(q, base, k=10, space=space).collect()}
+        got = {
+            (r["query_id"], r["id"])
+            for r in knn_ivfpq(
+                q, cents, books, idx, k=10, nprobe=8, space=space,
+                refine_base=base, refine_factor=(n // 10) + 1,
+            ).collect()
+        }
+        assert got == exact, f"space={space}: covering refine must equal Flat"
+
+
+def test_create_collection_rejects_hamming_for_quantized(spark, tmp_path):
+    from oasisdb_spark import errors
+    from oasisdb_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    for itype in ("ivfpq", "ivfsq"):
+        import pytest as _pytest
+
+        with _pytest.raises(errors.ErrInvalidParams, match="hamming"):
+            cat.create_collection(f"h_{itype}", 16, index_type=itype, space="hamming")

@@ -99,3 +99,29 @@ def test_ivfsq_through_catalog_lifecycle(spark, tmp_path):
     add_to_index(cat, "sq", new)
     q2 = spark.createDataFrame([(0, [98.5, 0.0, 0.0, 0.0])], "query_id INT, query_vec ARRAY<FLOAT>")
     assert search_vectors(cat, "sq", q2, 1).first()["id"] == "99"
+
+
+def test_ivfsq_spaces_match_flat(spark, base):
+    """space threading (round-2 advisory fix): ip/cos rank like the exact
+    kernel; with a covering refine the distances are metric-exact."""
+    q = base.filter(F.col("id") < 5).select(
+        F.col("id").alias("query_id"), F.col("vector").alias("query_vec")
+    )
+    cents, vmin, vmax, idx = build_ivfsq(base, nlist=8)
+    idx = idx.cache(); idx.count()
+    n = base.count()
+    for space in ("ip", "cos"):
+        exact = {(r["query_id"], r["id"]) for r in knn_flat(q, base, k=10, space=space).collect()}
+        got_rows = knn_ivfsq(
+            q, cents, vmin, vmax, idx, k=10, nprobe=8, space=space,
+            refine_base=base, refine_factor=(n // 10) + 1,
+        ).collect()
+        got = {(r["query_id"], r["id"]) for r in got_rows}
+        assert got == exact, f"space={space}: covering refine must equal Flat"
+
+
+def test_ivfsq_rejects_hamming(spark, base):
+    q = base.limit(1).select(F.col("id").alias("query_id"), F.col("vector").alias("query_vec"))
+    cents, vmin, vmax, idx = build_ivfsq(base, nlist=4)
+    with pytest.raises(ValueError, match="hamming"):
+        knn_ivfsq(q, cents, vmin, vmax, idx, k=5, space="hamming")
