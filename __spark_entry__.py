@@ -1953,6 +1953,100 @@ def _events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# round-3 curation extension (pipeline/curate.py): the standard passes a
+# pretraining pipeline runs between crawl and tokenizer — PII redaction,
+# n-gram decontamination, line-level dedup, mixture weights, Gopher filter
+# ---------------------------------------------------------------------------
+
+
+def _pii_augment(docs: DataFrame) -> DataFrame:
+    """Deterministic synthetic-PII augmentation: the fixture corpus is
+    PII-free, so the entry plants reproducible emails / IPv4s / phone
+    numbers derived from doc_id (identical arithmetic in the SQL
+    oracle) before counting+scrubbing — redaction is value-verified,
+    not vacuously zero."""
+    did = F.col("doc_id").cast("bigint")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" contact user"), did.cast("string"),
+                F.lit("@ex"), (did % 7).cast("string"), F.lit(".com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit(" ip 10."), (did % 256).cast("string"),
+                F.lit(".0."), (did % 100).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit(" tel +1555"), F.lpad(did.cast("string"), 7, "0")),
+        ).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", aug.alias("text"))
+
+
+def _pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (pipeline/curate.py): per-type match
+    counts and the scrubbed text, pure regexp Column expressions in the
+    scan stage — zero shuffle at any corpus size."""
+    from oasisdb_spark.pipeline.curate import pii_count_cols, scrub_pii
+
+    aug = _pii_augment(_table(spark, sf_dir, "documents"))
+    cnts = pii_count_cols("text")
+    return aug.select(
+        "doc_id",
+        *[c.alias(k) for k, c in cnts.items()],
+        scrub_pii("text").alias("scrubbed"),
+    )
+
+
+def _ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style n-gram decontamination: eval slice = source 'src0',
+    train = the rest; per-eval-doc count of 8-gram verbatim overlaps.
+    Gram 60-bit hashes shuffle, never text (pipeline/curate.py)."""
+    from oasisdb_spark.pipeline.curate import ngram_contamination
+
+    docs = _table(spark, sf_dir, "documents")
+    return ngram_contamination(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n=8,
+    )
+
+
+def _line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/RefinedWeb line-level dedup stats: fraction of each doc
+    made of corpus-duplicated 12-token lines (pipeline/curate.py)."""
+    from oasisdb_spark.pipeline.curate import line_dedup_stats
+
+    return line_dedup_stats(_table(spark, sf_dir, "documents"), line_len=12)
+
+
+def _source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source sampling weights (alpha=0.7): one
+    partial-agg groupBy to per-source token counts, window-normalized
+    over the tiny aggregate (pipeline/curate.py)."""
+    from oasisdb_spark.pipeline.curate import source_mixture_weights
+
+    return source_mixture_weights(_table(spark, sf_dir, "documents"), alpha=0.7)
+
+
+def _gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule composite quality filter: per-rule flags + keep,
+    pure Column expressions (pipeline/curate.py)."""
+    from oasisdb_spark.pipeline.curate import gopher_filter_cols
+
+    docs = _table(spark, sf_dir, "documents")
+    cols = gopher_filter_cols("text")
+    return docs.select("doc_id", *[c.alias(k) for k, c in cols.items()])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries. Round-3 rotation (VERDICT r02 next-round #1): the 10 §2-core
@@ -2059,6 +2153,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_count_distribution": _order_count_distribution,
         "q12_priority_shipping": _q12_priority_shipping,
         "q14_promo_revenue": _q14_promo_revenue,
+        # --- round-3 curation extension (appended AFTER the gate window
+        # so positions 1-50 stay the planned rotation) ---
+        "pii_scrub": _pii_scrub,
+        "ngram_contamination": _ngram_contamination,
+        "line_dedup": _line_dedup,
+        "source_mixture": _source_mixture,
+        "gopher_filter": _gopher_filter,
     }
 
 
@@ -2073,6 +2174,128 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivfsq_probe": lambda s, d: _knn_ivfsq(s, d, nprobe=4, refine_factor=0),
         "knn_lsh_fast": lambda s, d: _knn_lsh(s, d, num_hash_tables=4),
     }
+
+
+_H60 = "(('0x' || substr(md5({s}), 1, 15))::BIGINT)"
+
+
+def _pii_scrub_oracle() -> str:
+    from oasisdb_spark.pipeline.curate import PII_PATTERNS, PII_REPLACEMENTS
+
+    e, i, p = PII_PATTERNS["email"], PII_PATTERNS["ipv4"], PII_PATTERNS["phone"]
+    re_, ri, rp = PII_REPLACEMENTS["email"], PII_REPLACEMENTS["ipv4"], PII_REPLACEMENTS["phone"]
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || (CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@ex' || CAST(doc_id % 7 AS VARCHAR) || '.com' ELSE '' END)
+         || (CASE WHEN doc_id % 4 = 0 THEN ' ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.0.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END)
+         || (CASE WHEN doc_id % 5 = 0 THEN ' tel +1555' || lpad(CAST(doc_id AS VARCHAR), 7, '0')
+              ELSE '' END) AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{e}')) AS n_email,
+       len(regexp_extract_all(text, '{i}')) AS n_ipv4,
+       len(regexp_extract_all(text, '{p}')) AS n_phone,
+       regexp_replace(regexp_replace(regexp_replace(text,
+         '{e}', '{re_}', 'g'), '{i}', '{ri}', 'g'), '{p}', '{rp}', 'g') AS scrubbed
+FROM aug
+"""
+
+
+def _ngram_grams_cte(n: int) -> str:
+    """Distinct word n-grams per doc (short docs contribute the whole
+    token string), twin of curate._distinct_ngrams."""
+    return (
+        f"g AS (SELECT doc_id, source, list_distinct(CASE WHEN len(tk) >= {n} THEN"
+        f" list_transform(range(1, len(tk)-{n}+2),"
+        f" i -> array_to_string(tk[CAST(i AS INT):CAST(i+{n}-1 AS INT)], ' '))"
+        " ELSE [array_to_string(tk, ' ')] END) AS grams"
+        " FROM toks JOIN documents USING (doc_id))"
+    )
+
+
+def _ngram_contamination_oracle(n: int = 8) -> str:
+    gh = _H60.format(s="gram")
+    return f"""
+WITH {_TOKS_CTE},
+{_ngram_grams_cte(n)},
+evh AS (SELECT doc_id, {gh} AS gh FROM (SELECT doc_id, unnest(grams) AS gram FROM g WHERE source = 'src0')),
+trh AS (SELECT DISTINCT {gh} AS gh FROM (SELECT unnest(grams) AS gram FROM g WHERE source != 'src0')),
+tot AS (SELECT doc_id, count(*) AS n_grams FROM evh GROUP BY doc_id),
+hits AS (SELECT doc_id, count(*) AS n_contaminated FROM evh WHERE gh IN (SELECT gh FROM trh) GROUP BY doc_id)
+SELECT doc_id, n_grams,
+       coalesce(n_contaminated, 0) AS n_contaminated,
+       round(CAST(coalesce(n_contaminated, 0) AS DOUBLE) / n_grams, 6) AS contamination
+FROM tot LEFT JOIN hits USING (doc_id)
+"""
+
+
+def _line_dedup_oracle(line_len: int = 12) -> str:
+    lh = _H60.format(s="line")
+    return f"""
+WITH {_TOKS_CTE},
+lines AS (
+  SELECT doc_id, unnest(list_transform(range(0, CAST(ceil(len(tk) / {line_len}.0) AS INT)),
+    j -> array_to_string(tk[CAST(j*{line_len}+1 AS INT):CAST(j*{line_len}+{line_len} AS INT)], ' '))) AS line
+  FROM toks
+),
+lh AS (SELECT doc_id, {lh} AS lh FROM lines),
+freq AS (SELECT lh, count(*) AS freq FROM lh GROUP BY lh)
+SELECT doc_id, count(*) AS n_lines,
+       CAST(sum(CASE WHEN freq > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines,
+       round(CAST(sum(CASE WHEN freq > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_line_ratio
+FROM lh JOIN freq USING (lh) GROUP BY doc_id
+"""
+
+
+def _source_mixture_oracle(alpha: float = 0.7) -> str:
+    return f"""
+WITH t AS (
+  SELECT source, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS tk
+  FROM documents
+),
+a AS (SELECT source, count(*) AS n_docs, CAST(sum(len(tk)) AS BIGINT) AS n_tokens FROM t GROUP BY source)
+SELECT source, n_docs, n_tokens,
+       round(CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE), 9) AS raw_share,
+       round(pow(CAST(n_tokens AS DOUBLE), {alpha}) / sum(pow(CAST(n_tokens AS DOUBLE), {alpha})) OVER (), 9) AS weight
+FROM a
+"""
+
+
+def _gopher_filter_oracle() -> str:
+    from oasisdb_spark.pipeline.text import STOPWORDS
+
+    en = STOPWORDS["en"]
+    return f"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS tk
+  FROM documents
+),
+s AS (
+  SELECT doc_id, len(tk) AS n_words,
+         CASE WHEN len(tk) > 0 THEN
+           round(CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / len(tk), 6)
+         ELSE 0.0 END AS mean_word_len,
+         CASE WHEN length(text) > 0 THEN
+           round(CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / length(text), 6)
+         ELSE 0.0 END AS symbol_ratio,
+         len(list_intersect(list_distinct(tk), {en})) AS stopword_hits
+  FROM t
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, stopword_hits,
+       (n_words BETWEEN 20 AND 100000) AS ok_words,
+       (mean_word_len BETWEEN 2.0 AND 10.0) AS ok_word_len,
+       (symbol_ratio <= 0.3) AS ok_symbols,
+       (stopword_hits >= 2) AS ok_stopwords,
+       ((n_words BETWEEN 20 AND 100000) AND (mean_word_len BETWEEN 2.0 AND 10.0)
+        AND (symbol_ratio <= 0.3) AND (stopword_hits >= 2)) AS keep
+FROM s
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2944,4 +3167,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST({_MD5B.format(key="CAST(i AS VARCHAR) || ':r'")} AS DOUBLE) AS mean_r
             FROM range(200) t(i) WHERE i % 5 NOT IN (0, 1)
         """,
+        "pii_scrub": _pii_scrub_oracle(),
+        "ngram_contamination": _ngram_contamination_oracle(),
+        "line_dedup": _line_dedup_oracle(),
+        "source_mixture": _source_mixture_oracle(),
+        "gopher_filter": _gopher_filter_oracle(),
     }

@@ -56,6 +56,12 @@ FAMILIES: dict[str, list[str]] = {
         "q19_disjunctive_revenue", "q20_part_share_suppliers",
         "q21_last_to_ship", "q22_dormant_customers",
     ],
+    # round-3 addition (families above are unchanged so r02→r03 diffs
+    # stay mechanical)
+    "curation": [
+        "pii_scrub", "ngram_contamination", "line_dedup",
+        "source_mixture", "gopher_filter",
+    ],
     "windows_events": [
         "top3_orders_per_customer", "customer_running_spend", "part_brand_rollup",
         "events_asof_join", "events_hourly", "events_sessionize",

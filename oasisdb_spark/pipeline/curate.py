@@ -1,0 +1,312 @@
+"""Corpus-curation operators for LLM training-data pipelines.
+
+Extends the dedup/text families (SURVEY §2 extensions) with the
+standard curation passes a 100 TB pretraining pipeline runs between
+crawl and tokenizer:
+
+- PII detection + redaction (regex: email / IPv4 / intl phone) — pure
+  Column expressions, zero shuffle, codegen-eligible; patterns are
+  written in the common Java-regex ∩ RE2 dialect so the DuckDB oracle
+  twin matches byte-for-byte.
+- N-gram train/eval contamination (the GPT-3 appendix-C style
+  decontamination check: which eval documents share verbatim n-grams
+  with the training corpus) — distinct-gram semi-join, shuffles only
+  (gram, id) pairs, never document text.
+- Line-level dedup stats (CCNet / RefinedWeb style: how much of each
+  document is made of corpus-duplicated lines) — explode lines, one
+  hash-groupBy for global line frequency, broadcast-join back.
+- Source mixture weights (temperature-scaled sampling à la multilingual
+  pretraining: w_i ∝ tokens_i^alpha) — one partial-agg groupBy over
+  the corpus, window-normalized on the tiny per-source aggregate.
+- Gopher-style composite quality filter (Rae et al. 2021 §A1.1 rule
+  shapes: word count, mean word length, symbol ratio, stopword hits)
+  — pure Column expressions over text_stats_cols.
+
+The reference engine (lizzy-0323/oasisdb) stops at vector search; these
+document-curation passes are the workload its users run UPSTREAM of
+embedding, so they live here as first-class oracled operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import STOPWORDS, char_hash60, tokens
+
+__all__ = [
+    "PII_PATTERNS",
+    "PII_REPLACEMENTS",
+    "pii_count_cols",
+    "scrub_pii",
+    "ngram_contamination",
+    "line_dedup_stats",
+    "source_mixture_weights",
+    "gopher_filter_cols",
+]
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+# Patterns deliberately restricted to the Java-regex ∩ RE2 subset (no
+# lookaround, no backreferences) so Spark's regexp_* and DuckDB's
+# regexp_* (RE2) agree exactly.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d{7,15}\b",
+}
+PII_REPLACEMENTS: dict[str, str] = {
+    "email": "<EMAIL>",
+    "ipv4": "<IP>",
+    "phone": "<PHONE>",
+}
+# Redaction order matters: emails contain dot-runs an IPv4 pattern could
+# clip, and '+' phone prefixes can abut emails — scrub email → ipv4 →
+# phone, most-specific first.
+_PII_ORDER = ("email", "ipv4", "phone")
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def pii_count_cols(c: Column | str) -> dict[str, Column]:
+    """Per-type PII match counts (n_email / n_ipv4 / n_phone).
+
+    Pure `regexp_count` Column expressions: run in the scan stage, no
+    shuffle, no Python. DuckDB twin:
+    `len(regexp_extract_all(text, pattern))`."""
+    col = _col(c)
+    return {f"n_{name}": F.regexp_count(col, F.lit(pat)) for name, pat in PII_PATTERNS.items()}
+
+
+def scrub_pii(c: Column | str) -> Column:
+    """Redact all PII_PATTERNS with typed placeholders (<EMAIL> / <IP> /
+    <PHONE>), most-specific pattern first. One chained regexp_replace —
+    single pass over the scan, 100 TB-safe."""
+    out = _col(c)
+    for name in _PII_ORDER:
+        out = F.regexp_replace(out, PII_PATTERNS[name], PII_REPLACEMENTS[name])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# N-gram train/eval contamination
+# ---------------------------------------------------------------------------
+
+
+def _distinct_ngrams(c: Column | str, n: int) -> Column:
+    """Distinct word n-grams (space-joined) of the token stream; a
+    document shorter than n tokens contributes its whole token string
+    as one gram (mirrors dedup.shingles)."""
+    tk = tokens(c)
+    grams = F.when(
+        F.size(tk) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tk) - n),
+            lambda i: F.array_join(F.slice(tk, i + 1, n), " "),
+        ),
+    ).otherwise(F.array(F.array_join(tk, " ")))
+    return F.array_distinct(grams)
+
+
+def ngram_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """GPT-3-style decontamination scan: for each EVAL document, how many
+    of its distinct word n-grams appear verbatim anywhere in the TRAIN
+    corpus. Returns (doc_id, n_grams, n_contaminated, contamination) —
+    eval docs with contamination > 0 are the leak candidates.
+
+    Plan shape (100 TB train side):
+    - both sides explode to (gram_hash, id) pairs — the 60-bit md5-hash
+      (cross-engine `char_hash60`) is what shuffles, never gram strings
+      or document text;
+    - train grams are DISTINCT-ed (partial agg before the shuffle) then
+      semi-joined: the join output is at most one row per eval gram, so
+      skew on hot grams collapses map-side;
+    - per-doc totals are a second partial agg on the already-exploded
+      eval side. No full-corpus sort, no driver collect.
+
+    Reference parity: the reference has no decontamination operator;
+    this extends its document search surface (SURVEY §2.4 extension).
+    """
+    ev = eval_df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_distinct_ngrams(text_col, n)).alias("gram"),
+    ).select("doc_id", char_hash60("gram").alias("gh"))
+    tr = (
+        train.select(F.explode(_distinct_ngrams(text_col, n)).alias("gram"))
+        .select(char_hash60("gram").alias("gh"))
+        .distinct()
+    )
+    hits = (
+        ev.join(tr, on="gh", how="left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    totals = ev.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    return (
+        totals.join(hits, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination",
+            F.round(F.col("n_contaminated") / F.col("n_grams"), 6),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Line-level dedup (CCNet / RefinedWeb)
+# ---------------------------------------------------------------------------
+
+
+def line_dedup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_len: int = 12,
+) -> DataFrame:
+    """Per-document duplicated-line statistics: a 'line' is a
+    non-overlapping run of `line_len` tokens (web corpora split on
+    newline; this fixture is newline-free, so fixed token windows are
+    the line analogue — the operator is the same groupBy shape either
+    way). A line is DUPLICATED if its hash occurs more than once in the
+    whole corpus. Returns (doc_id, n_lines, n_dup_lines,
+    dup_line_ratio) — CCNet drops docs with high ratios.
+
+    Plan: explode lines → hash (60-bit, cross-engine) → one groupBy for
+    global frequency (partial agg map-side) → join frequencies back on
+    the hash → per-doc agg. Shuffles carry (hash, id) only; document
+    text never reshuffles. The frequency table is corpus-distinct-lines
+    sized; at 100 TB it stays a plain shuffle join (both sides keyed by
+    the same hash — AQE handles hot duplicated lines)."""
+    tk = tokens(text_col)
+    n_lines = F.ceil(F.size(tk) / F.lit(line_len)).cast("int")
+    # guard: sequence(0, -1) DESCENDS in Spark, so an empty doc would
+    # fabricate two empty lines — emit an empty array instead (DuckDB's
+    # range(0, 0) twin is naturally empty)
+    lines = F.when(
+        F.size(tk) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda j: F.array_join(F.slice(tk, j * line_len + 1, line_len), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(lines).alias("line")
+    ).select("doc_id", char_hash60("line").alias("lh"))
+    freq = exploded.groupBy("lh").agg(F.count("*").alias("freq"))
+    return (
+        exploded.join(freq, on="lh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.when(F.col("freq") > 1, 1).otherwise(0)).alias("n_dup_lines"),
+        )
+        .withColumn("dup_line_ratio", F.round(F.col("n_dup_lines") / F.col("n_lines"), 6))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Source mixture weights (temperature sampling)
+# ---------------------------------------------------------------------------
+
+
+def source_mixture_weights(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    alpha: float = 0.7,
+) -> DataFrame:
+    """Temperature-scaled source sampling weights: w_i ∝ tokens_i^alpha
+    (alpha < 1 upsamples small sources — the standard multilingual /
+    multi-domain pretraining mixture rule). Returns (source, n_docs,
+    n_tokens, raw_share, weight), weights summing to 1.
+
+    One corpus groupBy (partial-agg, map-side combine) to per-source
+    token counts; the normalization window runs over the tiny
+    source-count aggregate (#sources rows), not the corpus. Weights are
+    rounded to 9 dp so libm pow() ulp differences can't break the
+    cross-engine oracle."""
+    from pyspark.sql import Window
+
+    agg = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens(text_col))).alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    powered = F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.sum("n_tokens").over(w), 9).alias("raw_share"),
+        F.round(powered / F.sum(powered).over(w), 9).alias("weight"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style composite quality filter
+# ---------------------------------------------------------------------------
+
+
+def gopher_filter_cols(
+    c: Column | str,
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.3,
+    min_stopword_hits: int = 2,
+) -> dict[str, Column]:
+    """Gopher rule-shaped document filter (Rae et al. 2021 §A1.1):
+    word-count window, mean-word-length window, symbol-to-alpha ratio
+    cap, minimum distinct-stopword hits. Returns the per-rule boolean
+    flags plus the composite `keep`. Thresholds are parameters; the
+    defaults suit this fixture's short synthetic docs.
+
+    Pure Column expressions (single scan-stage projection, no shuffle,
+    no Python)."""
+    col = _col(c)
+    tk = tokens(col)
+    n_words = F.size(tk)
+    mean_wlen = F.when(
+        n_words > 0,
+        F.aggregate(tk, F.lit(0).cast("bigint"), lambda a, x: a + F.length(x)).cast("double")
+        / n_words,
+    ).otherwise(F.lit(0.0))
+    n_sym = F.length(F.regexp_replace(col, r"[A-Za-z0-9 ]", ""))
+    symbol_ratio = F.when(
+        F.length(col) > 0, n_sym.cast("double") / F.length(col)
+    ).otherwise(F.lit(0.0))
+    stop_hits = F.size(F.array_intersect(F.array_distinct(tk), F.lit(STOPWORDS["en"])))
+    # flags derive from the ROUNDED stats (the values this operator
+    # emits), so flag and stat can never disagree — and the SQL twin,
+    # which also flags on the rounded value, matches exactly
+    mean_wlen = F.round(mean_wlen, 6)
+    symbol_ratio = F.round(symbol_ratio, 6)
+    ok_words = (n_words >= min_words) & (n_words <= max_words)
+    ok_wlen = (mean_wlen >= min_mean_word_len) & (mean_wlen <= max_mean_word_len)
+    ok_symbols = symbol_ratio <= max_symbol_ratio
+    ok_stop = stop_hits >= min_stopword_hits
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_wlen,
+        "symbol_ratio": symbol_ratio,
+        "stopword_hits": stop_hits,
+        "ok_words": ok_words,
+        "ok_word_len": ok_wlen,
+        "ok_symbols": ok_symbols,
+        "ok_stopwords": ok_stop,
+        "keep": ok_words & ok_wlen & ok_symbols & ok_stop,
+    }

@@ -1,0 +1,127 @@
+"""Curation pipeline ops (pipeline/curate.py): PII redaction, n-gram
+contamination, line-level dedup, source mixture weights, Gopher filter.
+Semantics pinned on tiny hand-computable frames; cross-engine oracle
+parity is covered by scripts/check_oracle.py on the registry entries."""
+
+from pyspark.sql import functions as F
+
+from oasisdb_spark.pipeline.curate import (
+    gopher_filter_cols,
+    line_dedup_stats,
+    ngram_contamination,
+    pii_count_cols,
+    scrub_pii,
+    source_mixture_weights,
+)
+
+
+def test_pii_counts_and_scrub(spark):
+    df = spark.createDataFrame(
+        [
+            ("mail a@b.com and c.d@e.org, ip 10.0.0.1, call +123456789",),
+            ("clean text with no pii at all",),
+        ],
+        "t STRING",
+    )
+    cnts = pii_count_cols("t")
+    rows = df.select(
+        *[c.alias(k) for k, c in cnts.items()], scrub_pii("t").alias("s")
+    ).collect()
+    assert (rows[0]["n_email"], rows[0]["n_ipv4"], rows[0]["n_phone"]) == (2, 1, 1)
+    assert rows[0]["s"] == "mail <EMAIL> and <EMAIL>, ip <IP>, call <PHONE>"
+    assert (rows[1]["n_email"], rows[1]["n_ipv4"], rows[1]["n_phone"]) == (0, 0, 0)
+    assert rows[1]["s"] == "clean text with no pii at all"
+
+
+def test_pii_email_pattern_spans_full_address():
+    import re
+
+    from oasisdb_spark.pipeline.curate import PII_PATTERNS
+
+    s = "reach john.doe+tag@mail-server.example.com today"
+    assert re.search(PII_PATTERNS["email"], s).group(0) == "john.doe+tag@mail-server.example.com"
+    # IPv4 never fires inside an already-alpha-hosted address
+    assert re.search(PII_PATTERNS["ipv4"], s) is None
+
+
+def test_ngram_contamination_basic(spark):
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], "doc_id BIGINT, text STRING"
+    )
+    ev = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma zeta"),     # 1 of 2 trigrams contaminated
+            (11, "totally novel words here"),  # 0 of 2
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in ngram_contamination(train, ev, n=3).collect()
+    }
+    assert out[10]["n_grams"] == 2 and out[10]["n_contaminated"] == 1
+    assert out[10]["contamination"] == 0.5
+    assert out[11]["n_grams"] == 2 and out[11]["n_contaminated"] == 0
+
+
+def test_ngram_contamination_short_doc_whole_text_gram(spark):
+    train = spark.createDataFrame([(1, "tiny doc")], "doc_id BIGINT, text STRING")
+    ev = spark.createDataFrame([(2, "tiny doc")], "doc_id BIGINT, text STRING")
+    r = ngram_contamination(train, ev, n=8).first()
+    assert r["n_grams"] == 1 and r["n_contaminated"] == 1 and r["contamination"] == 1.0
+
+
+def test_line_dedup_stats(spark):
+    # line_len=2: doc 1 = [a b][c d], doc 2 = [a b][x y], doc 3 = [q r]
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b x y"), (3, "q r")],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {r["doc_id"]: r for r in line_dedup_stats(df, line_len=2).collect()}
+    assert out[1]["n_lines"] == 2 and out[1]["n_dup_lines"] == 1
+    assert out[1]["dup_line_ratio"] == 0.5
+    assert out[2]["n_dup_lines"] == 1
+    assert out[3]["n_lines"] == 1 and out[3]["n_dup_lines"] == 0
+
+
+def test_line_dedup_empty_doc_emits_no_lines(spark):
+    df = spark.createDataFrame([(1, ""), (2, "a b")], "doc_id BIGINT, text STRING")
+    rows = line_dedup_stats(df, line_len=2).collect()
+    assert [r["doc_id"] for r in rows] == [2]  # empty doc has no lines at all
+
+
+def test_source_mixture_weights(spark):
+    df = spark.createDataFrame(
+        [("s1", "a b c d"), ("s1", "e f g h"), ("s2", "i j")],
+        "source STRING, text STRING",
+    )
+    out = {r["source"]: r for r in source_mixture_weights(df, alpha=0.5).collect()}
+    assert out["s1"]["n_docs"] == 2 and out["s1"]["n_tokens"] == 8
+    assert out["s2"]["n_tokens"] == 2
+    total = out["s1"]["weight"] + out["s2"]["weight"]
+    assert abs(total - 1.0) < 1e-8
+    # alpha < 1 upsamples the small source above its raw share
+    assert out["s2"]["weight"] > out["s2"]["raw_share"]
+
+
+def test_gopher_filter_flags(spark):
+    long_ok = "the data of a table " * 10  # 50 words, 4 distinct stopwords
+    too_short = "tiny doc"
+    no_stop = "zz yy xx ww vv uu tt ss rr qq pp oo nn mm ll kk jj ii hh gg"
+    df = spark.createDataFrame(
+        [(1, long_ok), (2, too_short), (3, no_stop)], "doc_id BIGINT, text STRING"
+    )
+    cols = gopher_filter_cols("text")
+    out = {
+        r["doc_id"]: r
+        for r in df.select("doc_id", *[c.alias(k) for k, c in cols.items()]).collect()
+    }
+    assert out[1]["keep"] is True
+    assert out[2]["keep"] is False and out[2]["ok_words"] is False
+    assert out[3]["ok_stopwords"] is False and out[3]["keep"] is False
+
+
+def test_gopher_symbol_ratio(spark):
+    df = spark.createDataFrame([(1, "ab!!")], "doc_id BIGINT, text STRING")
+    r = df.select(gopher_filter_cols("text")["symbol_ratio"].alias("s")).first()
+    assert r["s"] == 0.5
