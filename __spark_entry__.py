@@ -75,14 +75,10 @@ def _memo(spark: SparkSession, sf_dir: str, kind: str, build):
     return _INDEX_MEMO[key]
 
 
-def _knn_ivf(spark: SparkSession, sf_dir: str, nprobe: int = 16) -> DataFrame:
-    """IVF probe-pruned kNN, driver entry in EXACT mode: nprobe=nlist
-    probes every inverted list, so the result is identical to the Flat
-    top-k and the L2 SQL oracle applies (k-means itself isn't SQL, but
-    full-probe IVF ≡ Flat — same trick as collection_lifecycle; recall
-    at nprobe<nlist is measured in RECALL.md / tests/test_ivf.py).
-    The approximate plan (nprobe=4) is benchmarked via bench_queries()."""
-    from oasisdb_spark.index.ivf import build_ivf, knn_ivf
+def _ivf_memo(spark: SparkSession, sf_dir: str):
+    """Build-once IVF over the embeddings fixture (nlist=16), persisted —
+    shared by the knn_ivf and search_filtered_ivf entries."""
+    from oasisdb_spark.index.ivf import build_ivf
 
     def _build():
         cent, idx = build_ivf(_emb_base(spark, sf_dir), nlist=16)
@@ -90,8 +86,38 @@ def _knn_ivf(spark: SparkSession, sf_dir: str, nprobe: int = 16) -> DataFrame:
         idx.count()
         return cent, idx
 
-    cent, idx = _memo(spark, sf_dir, "ivf", _build)
+    return _memo(spark, sf_dir, "ivf", _build)
+
+
+def _knn_ivf(spark: SparkSession, sf_dir: str, nprobe: int = 16) -> DataFrame:
+    """IVF probe-pruned kNN, driver entry in EXACT mode: nprobe=nlist
+    probes every inverted list, so the result is identical to the Flat
+    top-k and the L2 SQL oracle applies (k-means itself isn't SQL, but
+    full-probe IVF ≡ Flat — same trick as collection_lifecycle; recall
+    at nprobe<nlist is measured in RECALL.md / tests/test_ivf.py).
+    The approximate plan (nprobe=4) is benchmarked via bench_queries()."""
+    from oasisdb_spark.index.ivf import knn_ivf
+
+    cent, idx = _ivf_memo(spark, sf_dir)
     res = knn_ivf(_emb_queries(spark, sf_dir, 10), cent, idx, k=10, nprobe=nprobe)
+    return res.select("query_id", "id", "rank", F.col("distance").cast("double").alias("distance"))
+
+
+def _search_filtered_ivf(spark: SparkSession, sf_dir: str, nprobe: int = 16) -> DataFrame:
+    """Filtered ANN over the BUILT IVF index: the label=1 predicate's id
+    set semi-joins the candidates AFTER probe pruning (knn_ivf
+    id_filter) — the filter costs |probed candidates|, never an index
+    reshuffle. EXACT mode (nprobe=nlist) ≡ filtered Flat top-k, so the
+    filtered L2 oracle applies; partial-probe filtered recall follows
+    the IVF curve (RECALL.md)."""
+    from oasisdb_spark.index.ivf import knn_ivf
+
+    cent, idx = _ivf_memo(spark, sf_dir)
+    emb = _table(spark, sf_dir, "embeddings")
+    ids = emb.filter(F.col("label") == 1).select(F.col("vec_id").alias("id"))
+    res = knn_ivf(
+        _emb_queries(spark, sf_dir, 10), cent, idx, k=10, nprobe=nprobe, id_filter=ids
+    )
     return res.select("query_id", "id", "rank", F.col("distance").cast("double").alias("distance"))
 
 
@@ -2039,11 +2065,14 @@ def _source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rule composite quality filter: per-rule flags + keep,
-    pure Column expressions (pipeline/curate.py)."""
+    pure Column expressions; tokens projected once (pipeline/curate.py)."""
     from oasisdb_spark.pipeline.curate import gopher_filter_cols
+    from oasisdb_spark.pipeline.text import tokens
 
-    docs = _table(spark, sf_dir, "documents")
-    cols = gopher_filter_cols("text")
+    docs = _table(spark, sf_dir, "documents").select(
+        "doc_id", "text", tokens("text").alias("__tk")
+    )
+    cols = gopher_filter_cols("text", tk=F.col("__tk"))
     return docs.select("doc_id", *[c.alias(k) for k, c in cols.items()])
 
 
@@ -2160,6 +2189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _line_dedup,
         "source_mixture": _source_mixture,
         "gopher_filter": _gopher_filter,
+        "search_filtered_ivf": _search_filtered_ivf,
     }
 
 
@@ -2170,6 +2200,7 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     exact-mode (oracle-able) configurations registered in queries()."""
     return {
         "knn_ivf_probe": lambda s, d: _knn_ivf(s, d, nprobe=4),
+        "search_filtered_ivf_probe": lambda s, d: _search_filtered_ivf(s, d, nprobe=4),
         "knn_ivfpq_adc": lambda s, d: _knn_ivfpq(s, d, nprobe=4, refine_factor=4),
         "knn_ivfsq_probe": lambda s, d: _knn_ivfsq(s, d, nprobe=4, refine_factor=0),
         "knn_lsh_fast": lambda s, d: _knn_lsh(s, d, num_hash_tables=4),
@@ -3167,6 +3198,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST({_MD5B.format(key="CAST(i AS VARCHAR) || ':r'")} AS DOUBLE) AS mean_r
             FROM range(200) t(i) WHERE i % 5 NOT IN (0, 1)
         """,
+        # filtered ANN in exact mode (nprobe=nlist ≡ Flat over the
+        # filtered base) — same trick as knn_ivf
+        "search_filtered_ivf": _KNN_ORACLE_TMPL.format(
+            dist=_L2_SQL, nq=10, k=10,
+            base="(SELECT * FROM embeddings WHERE label = 1)", extra="", join="",
+        ),
         "pii_scrub": _pii_scrub_oracle(),
         "ngram_contamination": _ngram_contamination_oracle(),
         "line_dedup": _line_dedup_oracle(),

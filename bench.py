@@ -62,6 +62,7 @@ FAMILIES: dict[str, list[str]] = {
         "pii_scrub", "ngram_contamination", "line_dedup",
         "source_mixture", "gopher_filter",
     ],
+    "filtered_ann": ["search_filtered_ivf", "search_filtered_ivf_probe"],
     "windows_events": [
         "top3_orders_per_customer", "customer_running_spend", "part_brand_rollup",
         "events_asof_join", "events_hourly", "events_sessionize",

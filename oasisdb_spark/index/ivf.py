@@ -225,6 +225,7 @@ def knn_ivf(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     kernel: str = "expr",
+    id_filter: DataFrame | None = None,
 ) -> DataFrame:
     """IVF search (ivf.go:175-228): probe-pruned equi-join + exact
     distance on the candidates + per-query top-k.
@@ -235,6 +236,14 @@ def knn_ivf(
     kernel: 'expr' = oracle-bit-exact fold expression (default, fine
     while nprobe/nlist keeps candidates small); 'pandas' = Arrow-batched
     numpy kernel for large candidate volumes (see distance_udf).
+
+    id_filter: optional one-column (id) frame — filtered ANN: candidates
+    are semi-joined against it AFTER probe pruning, so the filter costs
+    |probed candidates|, never a reshuffle of the whole index (AQE turns
+    the semi-join into a broadcast when the filter is selective — the
+    common case). With nprobe=nlist this is exact filtered kNN; at
+    partial probes it inherits IVF recall, and selective filters warrant
+    a higher nprobe (the standard filtered-ANN tradeoff).
     """
     from oasisdb_spark.functions.distance import distance_expr, distance_udf
 
@@ -243,6 +252,8 @@ def knn_ivf(
     )
     probes = rank_probes(queries, centroids, nprobe, query_id_col, query_vec_col)
     cand = F.broadcast(probes).join(index_df, on="cluster_id")
+    if id_filter is not None:
+        cand = cand.join(id_filter.select("id"), on="id", how="left_semi")
     dist = (
         distance_expr(space, "query_vec", "vector")
         if kernel == "expr"

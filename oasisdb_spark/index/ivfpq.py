@@ -193,6 +193,7 @@ def knn_ivfpq(
     refine_base: DataFrame | None = None,
     refine_factor: int = 4,
     max_query_rows: int = 65_536,
+    id_filter: DataFrame | None = None,
 ) -> DataFrame:
     """ADC search (ivfpq.go:230-304): probe -> partition-pruned join ->
     per-(query,cluster) distance-table lookup -> top-k.
@@ -238,7 +239,7 @@ def knn_ivfpq(
             )
             part = knn_ivfpq(
                 chunk, centroids, codebooks, index_df, k, nprobe, space,
-                query_id_col, query_vec_col, refine_base, refine_factor, max_query_rows,
+                query_id_col, query_vec_col, refine_base, refine_factor, max_query_rows, id_filter,
             )
             out = part if out is None else out.unionByName(part)
         return out
@@ -252,6 +253,11 @@ def knn_ivfpq(
         "query_id", "cluster_id"
     )
     cand = F.broadcast(probes).join(index_df, on="cluster_id")
+    if id_filter is not None:
+        # filtered ANN: semi-join AFTER probe pruning — costs |probed
+        # candidates|, never a reshuffle of the whole index (AQE
+        # broadcasts the filter when selective)
+        cand = cand.join(id_filter.select("id"), on="id", how="left_semi")
 
     out_schema = T.StructType(
         [

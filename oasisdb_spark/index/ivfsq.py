@@ -143,6 +143,7 @@ def knn_ivfsq(
     refine_base: DataFrame | None = None,
     refine_factor: int = 4,
     max_query_rows: int = 65_536,
+    id_filter: DataFrame | None = None,
 ) -> DataFrame:
     """Probe-pruned search with asymmetric distance (exact query vs
     dequantized candidates): probes broadcast-join the partition-pruned
@@ -178,7 +179,7 @@ def knn_ivfsq(
             )
             part = knn_ivfsq(
                 chunk, centroids, vmin, vmax, index_df, k, nprobe, space,
-                query_id_col, query_vec_col, refine_base, refine_factor, max_query_rows,
+                query_id_col, query_vec_col, refine_base, refine_factor, max_query_rows, id_filter,
             )
             out = part if out is None else out.unionByName(part)
         return out
@@ -191,6 +192,11 @@ def knn_ivfsq(
         "query_id", "cluster_id"
     )
     cand = F.broadcast(probes).join(index_df, on="cluster_id")
+    if id_filter is not None:
+        # filtered ANN: semi-join AFTER probe pruning — costs |probed
+        # candidates|, never a reshuffle of the whole index (AQE
+        # broadcasts the filter when selective)
+        cand = cand.join(id_filter.select("id"), on="id", how="left_semi")
     out_schema = T.StructType(
         [
             T.StructField("query_id", queries.schema[query_id_col].dataType, True),

@@ -96,19 +96,23 @@ def scrub_pii(c: Column | str) -> Column:
 # ---------------------------------------------------------------------------
 
 
-def _distinct_ngrams(c: Column | str, n: int) -> Column:
-    """Distinct word n-grams (space-joined) of the token stream; a
-    document shorter than n tokens contributes its whole token string
-    as one gram (mirrors dedup.shingles)."""
-    tk = tokens(c)
-    grams = F.when(
-        F.size(tk) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(tk) - n),
-            lambda i: F.array_join(F.slice(tk, i + 1, n), " "),
-        ),
-    ).otherwise(F.array(F.array_join(tk, " ")))
-    return F.array_distinct(grams)
+def _distinct_ngrams(tk: Column, n: int) -> Column:
+    """Distinct word n-grams (space-joined) from an ALREADY-PROJECTED
+    token array column; a document shorter than n tokens contributes its
+    whole token string as one gram (mirrors dedup.shingles).
+
+    Built by zipping n shifted slices (the repetition_cols trick) —
+    O(n·len) total. The naive per-position `slice` inside a `transform`
+    lambda re-evaluates the token expression per element, which measured
+    ~7× slower end-to-end at sf0.1; callers must pass a projected token
+    COLUMN, never the raw tokens(text) expression."""
+    cnt = F.greatest(F.size(tk) - n + 1, F.lit(0))
+    grams = F.slice(tk, n, cnt)
+    for j in range(n - 1, 0, -1):
+        grams = F.zip_with(F.slice(tk, j, cnt), grams, lambda x, y: F.concat(x, F.lit(" "), y))
+    return F.array_distinct(
+        F.when(F.size(tk) >= n, grams).otherwise(F.array(F.array_join(tk, " ")))
+    )
 
 
 def ngram_contamination(
@@ -136,12 +140,14 @@ def ngram_contamination(
     Reference parity: the reference has no decontamination operator;
     this extends its document search surface (SURVEY §2.4 extension).
     """
-    ev = eval_df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(_distinct_ngrams(text_col, n)).alias("gram"),
-    ).select("doc_id", char_hash60("gram").alias("gh"))
+    ev = (
+        eval_df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("tk"))
+        .select("doc_id", F.explode(_distinct_ngrams(F.col("tk"), n)).alias("gram"))
+        .select("doc_id", char_hash60("gram").alias("gh"))
+    )
     tr = (
-        train.select(F.explode(_distinct_ngrams(text_col, n)).alias("gram"))
+        train.select(tokens(text_col).alias("tk"))
+        .select(F.explode(_distinct_ngrams(F.col("tk"), n)).alias("gram"))
         .select(char_hash60("gram").alias("gh"))
         .distinct()
     )
@@ -190,7 +196,10 @@ def line_dedup_stats(
     text never reshuffles. The frequency table is corpus-distinct-lines
     sized; at 100 TB it stays a plain shuffle join (both sides keyed by
     the same hash — AQE handles hot duplicated lines)."""
-    tk = tokens(text_col)
+    # project tokens ONCE — slicing a materialized array column is
+    # cheap; slicing the tokens(text) expression inside the transform
+    # lambda would re-tokenize per line (see _distinct_ngrams)
+    tk = F.col("__tk")
     n_lines = F.ceil(F.size(tk) / F.lit(line_len)).cast("int")
     # guard: sequence(0, -1) DESCENDS in Spark, so an empty doc would
     # fabricate two empty lines — emit an empty array instead (DuckDB's
@@ -202,9 +211,11 @@ def line_dedup_stats(
             lambda j: F.array_join(F.slice(tk, j * line_len + 1, line_len), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    exploded = df.select(
-        F.col(id_col).alias("doc_id"), F.explode(lines).alias("line")
-    ).select("doc_id", char_hash60("line").alias("lh"))
+    exploded = (
+        df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("__tk"))
+        .select("doc_id", F.explode(lines).alias("line"))
+        .select("doc_id", char_hash60("line").alias("lh"))
+    )
     freq = exploded.groupBy("lh").agg(F.count("*").alias("freq"))
     return (
         exploded.join(freq, on="lh")
@@ -268,6 +279,7 @@ def gopher_filter_cols(
     max_mean_word_len: float = 10.0,
     max_symbol_ratio: float = 0.3,
     min_stopword_hits: int = 2,
+    tk: Column | None = None,
 ) -> dict[str, Column]:
     """Gopher rule-shaped document filter (Rae et al. 2021 §A1.1):
     word-count window, mean-word-length window, symbol-to-alpha ratio
@@ -276,9 +288,11 @@ def gopher_filter_cols(
     defaults suit this fixture's short synthetic docs.
 
     Pure Column expressions (single scan-stage projection, no shuffle,
-    no Python)."""
+    no Python). Pass `tk` = an already-projected token array column to
+    avoid re-tokenizing per derived stat (tokenization dominates)."""
     col = _col(c)
-    tk = tokens(col)
+    if tk is None:
+        tk = tokens(col)
     n_words = F.size(tk)
     mean_wlen = F.when(
         n_words > 0,

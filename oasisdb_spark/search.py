@@ -183,21 +183,32 @@ def search_vectors(
     """
     coll = catalog.get_collection(name)
     data = candidates if candidates is not None else catalog.read_documents(name)
-    if coll.index_version == 0 or coll.index_type == "flat" or candidates is not None:
+    brute_only = coll.index_version == 0 or coll.index_type == "flat"
+    if brute_only or (candidates is not None and coll.space == "hamming"):
         # no built index (search-before-build sees current data — strictly
-        # better than the reference's partial-data race, SURVEY.md §4) or
-        # filtered candidate set → exact scan. Batched kernels for every
-        # space (base scanned once, no pair materialization — the only
-        # exact strategy that survives large collections; see RECALL.md):
-        # GEMM for l2/ip/cos, XOR-popcount over packed bits (or
-        # vectorized inequality for non-binary floats) for hamming.
+        # better than the reference's partial-data race, SURVEY.md §4) →
+        # exact scan; hamming keeps the brute path under filters too (its
+        # IVF lists store packed bits the semi-join would re-read anyway).
+        # Batched kernels for every space (base scanned once, no pair
+        # materialization — the only exact strategy that survives large
+        # collections; see RECALL.md): GEMM for l2/ip/cos, XOR-popcount
+        # over packed bits for hamming.
         from oasisdb_spark.pipeline.ann import knn_brute_batched
 
         return knn_brute_batched(queries, data, k, space=coll.space)
+    # Filtered ANN: a metadata pre-filter no longer forfeits the index —
+    # the filtered id set semi-joins the candidates AFTER probe pruning
+    # (id_filter in knn_ivf/knn_ivfsq/knn_ivfpq), so the filter costs
+    # |probed candidates|, not an index reshuffle. Exactness under a
+    # filter matches the index's usual contract (exact at nprobe=nlist).
+    id_filter = candidates.select("id") if candidates is not None else None
     if coll.index_type in ("ivf_flat", "hnsw"):
         cent, lists = _load_ivf(catalog, name, coll.index_version)
         lists = _without_tombstones(catalog, name, lists)
-        return knn_ivf(queries, cent, lists, k, nprobe=_nprobe_for(coll), space=coll.space)
+        return knn_ivf(
+            queries, cent, lists, k, nprobe=_nprobe_for(coll), space=coll.space,
+            id_filter=id_filter,
+        )
     if coll.index_type == "ivfsq":
         from oasisdb_spark.index.ivfsq import knn_ivfsq
 
@@ -213,6 +224,7 @@ def search_vectors(
             nprobe=_nprobe_for(coll), space=coll.space,
             refine_base=data if coll.params.get("refine_factor") else None,
             refine_factor=int(coll.params.get("refine_factor", "4")),
+            id_filter=id_filter,
         )
     if coll.index_type == "ivfpq":
         d = catalog.index_path(name, coll.index_version)
@@ -225,6 +237,7 @@ def search_vectors(
             queries, cents, books, lists, k,
             nprobe=_nprobe_for(coll), space=coll.space, refine_base=data,
             refine_factor=int(coll.params.get("refine_factor", "4")),
+            id_filter=id_filter,
         )
     raise errors.ErrInvalidParams(f"unknown index type {coll.index_type!r}")
 
@@ -274,8 +287,11 @@ def search_documents(
     join, not the reference's per-id GetDocument loop) with a WORKING
     metadata filter.
 
-    pre-filter (default): filter the collection, then exact kNN over
-    survivors — top-k is correct under the predicate.
+    pre-filter (default): filter the collection, then kNN over the
+    survivors — top-k is correct under the predicate. With a built
+    non-flat index the filter pushes INTO the index as a post-probe
+    semi-join (filtered ANN: costs |probed candidates|, exact at
+    nprobe=nlist); without one it's an exact brute scan.
     post_filter=True: reference design.md:58 style — fetch k*2 unfiltered
     candidates, then filter (may return < k rows; kept for parity study).
     """

@@ -111,3 +111,24 @@ def test_deterministic_sample_unbiased_and_stable(spark):
     assert min(a) < 2000 and max(a) > 8000
     # small inputs pass through whole
     assert deterministic_sample(df.select("vector"), 400, 500, "vector").count() == 10_000
+
+
+def test_knn_ivf_id_filter_exact_under_full_probe(spark, embeddings):
+    """id_filter semi-joins candidates after probe pruning; at
+    nprobe=nlist the filtered result is the exact filtered top-k."""
+    from pyspark.sql import functions as F
+
+    from oasisdb_spark.index.flat import knn_flat
+    from oasisdb_spark.index.ivf import build_ivf, knn_ivf
+
+    base = embeddings.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
+    cent, idx = build_ivf(base, nlist=4)
+    q = embeddings.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    ids = embeddings.filter(F.col("label") == 1).select(F.col("vec_id").alias("id"))
+    got = knn_ivf(q, cent, idx, k=5, nprobe=4, id_filter=ids).collect()
+    want = knn_flat(q, base.join(ids, on="id", how="left_semi"), k=5).collect()
+    assert {(r["query_id"], r["id"], r["rank"]) for r in got} == {
+        (r["query_id"], r["id"], r["rank"]) for r in want
+    }

@@ -189,3 +189,24 @@ def test_nlist_auto_sizes_sqrt_n(spark, tmp_path, embeddings):
         F.col("vec_id").cast("string").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     assert search_vectors(cat, "a", q, k=1).collect()[0]["id"] == "3"
+
+
+def test_filtered_search_pushes_into_ivf_index(spark, loaded, embeddings):
+    """Filtered ANN: with a built index the pre-filter semi-joins probed
+    candidates (no brute fallback); at nprobe=nlist the result equals
+    exact kNN over the filtered survivors."""
+    build_index(loaded, "emb")
+    pred = F.col("parameters")["label"] == "1"
+    res = search_documents(
+        loaded, "emb", _q(spark, embeddings, 2), k=5, metadata_filter=pred
+    ).collect()
+    from oasisdb_spark.pipeline.ann import knn_brute_batched
+
+    ref = knn_brute_batched(
+        _q(spark, embeddings, 2), loaded.read_documents("emb").filter(pred), 5, space="l2"
+    ).collect()
+    assert {(r["query_id"], r["id"], r["rank"]) for r in res} == {
+        (r["query_id"], r["id"], r["rank"]) for r in ref
+    }
+    labels = {r["vec_id"]: r["label"] for r in embeddings.collect()}
+    assert len(res) == 10 and all(labels[int(r["id"])] == 1 for r in res)
