@@ -236,6 +236,42 @@ def main() -> None:
     print(f"== ngram_jaccard df-capped inverted index: {'OK' if ok else 'FAIL'}")
     failures += not ok
 
+    # 23. filtered ANN: id filter is a SEMI join applied to probed
+    # candidates — no brute pair join, no cartesian
+    plan = plan_of(m.queries()["search_filtered_ivf"](spark, sf_dir))
+    ok = "LeftSemi" in plan and "CartesianProduct" not in plan
+    print(f"== search_filtered_ivf post-probe semi-join: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
+    # 24. ngram_contamination: train grams semi-join (hot-gram safe),
+    # no cartesian/BNLJ anywhere
+    plan = plan_of(m.queries()["ngram_contamination"](spark, sf_dir))
+    ok = (
+        "LeftSemi" in plan
+        and "CartesianProduct" not in plan
+        and "BroadcastNestedLoopJoin" not in plan
+    )
+    print(f"== ngram_contamination semi-join plan: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
+    # 25. pii_scrub: pure scan-stage projection — no shuffle at all
+    plan = plan_of(m.queries()["pii_scrub"](spark, sf_dir))
+    ok = "Exchange" not in plan and "*(1)" in plan  # *(N) = codegen stage
+    print(f"== pii_scrub shuffle-free codegen projection: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
+    # 26. gopher_filter: same — single projection, no shuffle
+    plan = plan_of(m.queries()["gopher_filter"](spark, sf_dir))
+    ok = "Exchange" not in plan
+    print(f"== gopher_filter shuffle-free projection: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
+    # 27. line_dedup: line-frequency agg is partial (map-side combine)
+    plan = plan_of(m.queries()["line_dedup"](spark, sf_dir))
+    ok = "partial_count" in plan and "CartesianProduct" not in plan
+    print(f"== line_dedup partial-agg frequency: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
     print(f"\n{'ALL PLANS OK' if not failures else f'{failures} PLAN CHECKS FAILED'}")
     spark.stop()
     sys.exit(1 if failures else 0)
