@@ -276,22 +276,32 @@ class Catalog:
         new_v = coll.index_version + 1
         self._update_catalog_row(name, index_version=new_v)
         # a fresh build reads the live doc store, so deletes accumulated
-        # against the previous version are baked in — clear the tombstones
-        shutil.rmtree(self.tombstone_path(name), ignore_errors=True)
+        # against the previous version are baked in — clear the
+        # tombstones by flipping to an EMPTY generation. Never rmtree:
+        # an in-flight search holds resolved file paths into the
+        # superseded generation (FileScanRDD), and deleting it under the
+        # reader raced to FAILED_READ_FILE.FILE_NOT_EXIST in
+        # scripts/stress_test.py — the same reader-race class the
+        # generation-versioned doc store fixed.
+        if os.path.exists(self.tombstone_path(name)):
+            self._atomic_overwrite(
+                self.spark.createDataFrame([], "id STRING").coalesce(1),
+                self.tombstone_path(name),
+            )
         return new_v
 
     def read_tombstones(self, name: str) -> DataFrame | None:
         """Ids deleted since the current index version was built (None if
         no deletes). Tiny by construction — broadcast anti-joined by the
-        indexed search paths."""
-        p = self.tombstone_path(name)
-        if not os.path.exists(p):
+        indexed search paths. Generation-versioned like the doc store:
+        every scan targets an immutable g* dir, so concurrent delete /
+        rebuild-clear can never unlink files under a reader."""
+        p = self._resolve(self.tombstone_path(name))
+        if p is None:
             return None
-        # explicit schema: the FIRST delete's append job creates the
-        # directory (staging _temporary/) before any part file commits,
-        # so a racing reader can see the dir with zero parquet footers —
-        # schema inference would throw UNABLE_TO_INFER_SCHEMA (caught by
-        # scripts/stress_test.py); with the schema given, it reads empty
+        # explicit schema: an empty generation (post-rebuild clear) or a
+        # legacy append layout mid-commit can present zero parquet
+        # footers; schema inference would throw UNABLE_TO_INFER_SCHEMA
         return self.spark.read.schema("id STRING").parquet(p)
 
     # ---------- document CRUD (S6-S10) ----------
@@ -351,9 +361,14 @@ class Catalog:
             raise errors.ErrDocumentNotFound(f"document {doc_id!r} not found in {name!r}")
         self._atomic_overwrite(existing.filter(F.col("id") != str(doc_id)), self.data_path(name))
         if coll.index_version > 0 and coll.index_type != "flat":
-            self.spark.createDataFrame([(str(doc_id),)], "id STRING").coalesce(1).write.mode(
-                "append"
-            ).parquet(self.tombstone_path(name))
+            # read-merge-flip (not append): the tombstone set is tiny by
+            # construction, and a generation flip keeps every scan target
+            # immutable for concurrent readers. Like the reference's
+            # global-lock writes, concurrent deleters are last-writer-wins.
+            new = self.spark.createDataFrame([(str(doc_id),)], "id STRING")
+            prev = self.read_tombstones(name)
+            ts = new if prev is None else prev.unionByName(new).distinct()
+            self._atomic_overwrite(ts.coalesce(1), self.tombstone_path(name))
 
     def count_documents(self, name: str) -> int:
         return self.read_documents(name).count()

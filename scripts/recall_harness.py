@@ -183,6 +183,28 @@ def main() -> None:
         print(json.dumps({"index": "ivf", "knob": {"nlist": nlist, "nprobe": nprobe},
                           "recall_at_10": round(recall(rows, exact), 4), "qps": round(n_q / dt, 2)}))
 
+    # filtered ANN: recall under a selective predicate (id % s == 0).
+    # Selective filters thin every probed list, so fixed-nprobe recall
+    # degrades with selectivity — the standard filtered-ANN tradeoff the
+    # id_filter docstring points at. Ground truth = brute over survivors.
+    for sel in (2, 10):
+        fbase = base.filter(F.col("id") % sel == 0)
+        fexact_rows = knn_brute_batched(queries, fbase, K).collect()
+        fexact: dict[object, set] = {}
+        for r in fexact_rows:
+            fexact.setdefault(r["query_id"], set()).add(r["id"])
+        ids = fbase.select("id")
+        for nprobe in (4, 16, nlist):
+            if nprobe > nlist:
+                continue
+            t0 = time.perf_counter()
+            rows = knn_ivf(queries, cent, lists, K, nprobe=nprobe, id_filter=ids).collect()
+            dt = time.perf_counter() - t0
+            print(json.dumps({"index": "ivf+filter", "knob": {"nlist": nlist, "nprobe": nprobe,
+                              "keep_1_in": sel},
+                              "recall_at_10": round(recall(rows, fexact), 4),
+                              "qps": round(n_q / dt, 2)}))
+
     cents, books, plists = build_ivfpq(base, nlist=nlist, m=8)
     plists = plists.cache(); plists.count()
     for nprobe, refine in ((4, 4), (8, 4), (16, 4), (16, 8), (16, 16), (nlist, 4)):
