@@ -2076,6 +2076,47 @@ def _gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", *[c.alias(k) for k, c in cols.items()])
 
 
+def _curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation compose (the curate.py ops chained the way a
+    pretraining corpus build chains them): Gopher keep → drop docs with
+    >50% corpus-duplicated lines → exact dedup (keep min doc_id per
+    normalized fingerprint) → per-source doc/token totals. Tokens are
+    projected once and every stage derives from that projection; the
+    line-frequency groupBy and the final rollup are the only shuffles
+    beyond the dedup window."""
+    from pyspark.sql import Window
+
+    from oasisdb_spark.pipeline.curate import gopher_filter_cols, line_dedup_stats
+    from oasisdb_spark.pipeline.text import char_hash60, normalize_text, tokens
+
+    docs = _table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text", tokens("text").alias("__tk")
+    )
+    cols = gopher_filter_cols("text", tk=F.col("__tk"))
+    base = docs.select(
+        "doc_id", "source",
+        cols["n_words"].alias("n_words"),
+        cols["keep"].alias("keep"),
+        char_hash60(normalize_text("text")).alias("fp"),
+    )
+    ld = line_dedup_stats(_table(spark, sf_dir, "documents"), line_len=12)
+    survivors = (
+        base.filter(F.col("keep"))
+        .join(ld.select("doc_id", "dup_line_ratio"), on="doc_id")
+        .filter(F.col("dup_line_ratio") <= 0.5)
+    )
+    deduped = (
+        survivors.withColumn(
+            "_rn", F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
+        )
+        .filter(F.col("_rn") == 1)
+    )
+    return (
+        deduped.groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_words").alias("n_tokens"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries. Round-3 rotation (VERDICT r02 next-round #1): the 10 §2-core
@@ -2190,6 +2231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mixture": _source_mixture,
         "gopher_filter": _gopher_filter,
         "search_filtered_ivf": _search_filtered_ivf,
+        "curation_pipeline": _curation_pipeline,
     }
 
 
@@ -2294,6 +2336,29 @@ SELECT source, n_docs, n_tokens,
        round(CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE), 9) AS raw_share,
        round(pow(CAST(n_tokens AS DOUBLE), {alpha}) / sum(pow(CAST(n_tokens AS DOUBLE), {alpha})) OVER (), 9) AS weight
 FROM a
+"""
+
+
+def _curation_pipeline_oracle() -> str:
+    return f"""
+WITH g AS ({_gopher_filter_oracle()}),
+l AS ({_line_dedup_oracle()}),
+fp AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 15))::BIGINT AS fp
+  FROM documents
+),
+surv AS (
+  SELECT fp.doc_id, fp.source, fp.fp, g.n_words
+  FROM fp
+  JOIN g ON fp.doc_id = g.doc_id AND g.keep
+  JOIN l ON fp.doc_id = l.doc_id AND l.dup_line_ratio <= 0.5
+),
+dd AS (
+  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM surv
+)
+SELECT source, count(*) AS n_docs, CAST(sum(n_words) AS BIGINT) AS n_tokens
+FROM dd WHERE rn = 1 GROUP BY source
 """
 
 
@@ -3209,4 +3274,5 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": _line_dedup_oracle(),
         "source_mixture": _source_mixture_oracle(),
         "gopher_filter": _gopher_filter_oracle(),
+        "curation_pipeline": _curation_pipeline_oracle(),
     }

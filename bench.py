@@ -60,7 +60,7 @@ FAMILIES: dict[str, list[str]] = {
     # stay mechanical)
     "curation": [
         "pii_scrub", "ngram_contamination", "line_dedup",
-        "source_mixture", "gopher_filter",
+        "source_mixture", "gopher_filter", "curation_pipeline",
     ],
     "filtered_ann": ["search_filtered_ivf", "search_filtered_ivf_probe"],
     "windows_events": [
