@@ -244,12 +244,16 @@ class Catalog:
         """S11 set_params — runtime knobs (efsearch/nprobe). Stored in the
         catalog; the search planner reads them (handlers.go:323-354)."""
         coll = self.get_collection(name)
-        valid = {"efsearch", "nprobe", "M", "efConstruction", "nlist", "m", "nbits", "maxElements", "refine_factor"}
+        valid = {"efsearch", "nprobe", "M", "efConstruction", "nlist", "m", "nbits", "maxElements", "refine_factor", "adaptive_nprobe"}
         for k, v in params.items():
             if k not in valid:
                 raise errors.ErrInvalidParams(f"unknown param {k!r}")
             if k == "nlist" and str(v).lower() == "auto":
                 continue  # sqrt(N) sizing resolved at build time
+            if k == "adaptive_nprobe":
+                if str(v) not in ("0", "1"):
+                    raise errors.ErrInvalidParams(f"adaptive_nprobe must be 0 or 1, got {v!r}")
+                continue
             try:
                 if int(v) <= 0:
                     raise errors.ErrInvalidParams(f"param {k} must be positive, got {v}")

@@ -25,6 +25,7 @@ leaves undefined (SURVEY.md §4 concurrency notes).
 
 from __future__ import annotations
 
+import math
 import os
 
 import numpy as np
@@ -202,11 +203,24 @@ def search_vectors(
     # |probed candidates|, not an index reshuffle. Exactness under a
     # filter matches the index's usual contract (exact at nprobe=nlist).
     id_filter = candidates.select("id") if candidates is not None else None
+    nprobe_boost = 1
+    if id_filter is not None and coll.params.get("adaptive_nprobe", "0") not in ("0", "", "false"):
+        # opt-in (set_params(adaptive_nprobe=1)): scale nprobe by
+        # ~1/selectivity — a 1-in-s filter thins every probed list by s,
+        # so fixed nprobe loses recall proportionally (RECALL.md filtered
+        # curve). Costs two count jobs per search (pushdown-pruned
+        # scans); serving paths that know their selectivity should set
+        # nprobe directly instead.
+        n_filtered = candidates.count()
+        n_total = catalog.read_documents(name).count()
+        if n_filtered > 0:
+            nprobe_boost = max(1, math.ceil(n_total / n_filtered))
     if coll.index_type in ("ivf_flat", "hnsw"):
         cent, lists = _load_ivf(catalog, name, coll.index_version)
         lists = _without_tombstones(catalog, name, lists)
+        nprobe = _nprobe_for(coll) * nprobe_boost  # knn_ivf caps at nlist
         return knn_ivf(
-            queries, cent, lists, k, nprobe=_nprobe_for(coll), space=coll.space,
+            queries, cent, lists, k, nprobe=nprobe, space=coll.space,
             id_filter=id_filter,
         )
     if coll.index_type == "ivfsq":
@@ -221,7 +235,7 @@ def search_vectors(
         )
         return knn_ivfsq(
             queries, cents, vmin, vmax, lists, k,
-            nprobe=_nprobe_for(coll), space=coll.space,
+            nprobe=_nprobe_for(coll) * nprobe_boost, space=coll.space,
             refine_base=data if coll.params.get("refine_factor") else None,
             refine_factor=int(coll.params.get("refine_factor", "4")),
             id_filter=id_filter,
@@ -235,7 +249,7 @@ def search_vectors(
         )
         return knn_ivfpq(
             queries, cents, books, lists, k,
-            nprobe=_nprobe_for(coll), space=coll.space, refine_base=data,
+            nprobe=_nprobe_for(coll) * nprobe_boost, space=coll.space, refine_base=data,
             refine_factor=int(coll.params.get("refine_factor", "4")),
             id_filter=id_filter,
         )

@@ -213,3 +213,23 @@ def test_filtered_search_pushes_into_ivf_index(spark, loaded, embeddings):
     }
     labels = {r["vec_id"]: r["label"] for r in embeddings.collect()}
     assert len(res) == 10 and all(labels[int(r["id"])] == 1 for r in res)
+
+
+def test_adaptive_nprobe_recovers_filtered_recall(spark, loaded, embeddings):
+    """adaptive_nprobe=1 scales nprobe by ~1/selectivity: with nprobe=1
+    and a selective filter, the boosted probe count recovers the exact
+    filtered top-k (boost pushes nprobe past nlist, capped there)."""
+    build_index(loaded, "emb")
+    loaded.set_params("emb", {"nprobe": 1, "adaptive_nprobe": 1})
+    pred = F.col("parameters")["label"] == "1"
+    res = search_documents(
+        loaded, "emb", _q(spark, embeddings, 2), k=5, metadata_filter=pred
+    ).collect()
+    from oasisdb_spark.pipeline.ann import knn_brute_batched
+
+    ref = knn_brute_batched(
+        _q(spark, embeddings, 2), loaded.read_documents("emb").filter(pred), 5, space="l2"
+    ).collect()
+    assert {(r["query_id"], r["id"], r["rank"]) for r in res} == {
+        (r["query_id"], r["id"], r["rank"]) for r in ref
+    }
