@@ -2064,16 +2064,19 @@ def _source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-rule composite quality filter: per-rule flags + keep,
-    pure Column expressions; tokens projected once (pipeline/curate.py)."""
-    from oasisdb_spark.pipeline.curate import gopher_filter_cols
+    """Gopher-rule composite quality filter: per-rule flags + keep.
+    Two-step projection — stats once, flags as column references — so
+    no stat expression evaluates more than once (pipeline/curate.py)."""
+    from oasisdb_spark.pipeline.curate import gopher_flag_cols, gopher_stats_cols
     from oasisdb_spark.pipeline.text import tokens
 
     docs = _table(spark, sf_dir, "documents").select(
         "doc_id", "text", tokens("text").alias("__tk")
     )
-    cols = gopher_filter_cols("text", tk=F.col("__tk"))
-    return docs.select("doc_id", *[c.alias(k) for k, c in cols.items()])
+    stats = gopher_stats_cols("text", tk=F.col("__tk"))
+    projected = docs.select("doc_id", *[c.alias(k) for k, c in stats.items()])
+    flags = gopher_flag_cols()
+    return projected.select("*", *[c.alias(k) for k, c in flags.items()])
 
 
 def _curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2086,19 +2089,22 @@ def _curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     beyond the dedup window."""
     from pyspark.sql import Window
 
-    from oasisdb_spark.pipeline.curate import gopher_filter_cols, line_dedup_stats
+    from oasisdb_spark.pipeline.curate import (
+        gopher_flag_cols,
+        gopher_stats_cols,
+        line_dedup_stats,
+    )
     from oasisdb_spark.pipeline.text import char_hash60, normalize_text, tokens
 
     docs = _table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text", tokens("text").alias("__tk")
     )
-    cols = gopher_filter_cols("text", tk=F.col("__tk"))
+    stats = gopher_stats_cols("text", tk=F.col("__tk"))
     base = docs.select(
         "doc_id", "source",
-        cols["n_words"].alias("n_words"),
-        cols["keep"].alias("keep"),
+        *[c.alias(k) for k, c in stats.items()],
         char_hash60(normalize_text("text")).alias("fp"),
-    )
+    ).select("doc_id", "source", "n_words", "fp", gopher_flag_cols()["keep"].alias("keep"))
     ld = line_dedup_stats(_table(spark, sf_dir, "documents"), line_len=12)
     survivors = (
         base.filter(F.col("keep"))
@@ -2375,7 +2381,7 @@ WITH t AS (
 s AS (
   SELECT doc_id, len(tk) AS n_words,
          CASE WHEN len(tk) > 0 THEN
-           round(CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / len(tk), 6)
+           round(CAST(length(array_to_string(tk, '')) AS DOUBLE) / len(tk), 6)
          ELSE 0.0 END AS mean_word_len,
          CASE WHEN length(text) > 0 THEN
            round(CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / length(text), 6)

