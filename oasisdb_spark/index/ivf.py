@@ -37,7 +37,7 @@ from pyspark.sql import types as T
 from oasisdb_spark.index.flat import topk_per_query
 from oasisdb_spark.index.kmeans import kmeans_fit
 
-__all__ = ["train_centroids", "assign_clusters", "build_ivf", "add_to_ivf", "knn_ivf", "rank_probes", "deterministic_sample"]
+__all__ = ["train_centroids", "assign_clusters", "build_ivf", "add_to_ivf", "knn_ivf", "rank_probes", "deterministic_sample", "ivf_search_stats"]
 
 DEFAULT_NLIST = 100  # const.go:26-30
 DEFAULT_NPROBE = 10
@@ -261,3 +261,37 @@ def knn_ivf(
     )
     scored = cand.select("query_id", "id", dist.alias("distance"))
     return topk_per_query(scored, k)
+
+
+def ivf_search_stats(
+    queries: DataFrame,
+    centroids_df: DataFrame,
+    index_df: DataFrame,
+    nprobe: int = DEFAULT_NPROBE,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Per-query search-cost counters — the Spark analogue of the
+    reference's HNSW runtime statistics (avg hops / distance
+    computations / query count, hnswalg.h:67-68,215-221, surfaced via
+    hnsw_go_api.go:247-257). In a probe-pruned plan the 'distance
+    computations' a query pays is exactly its probed-candidate volume;
+    'hops' has no analogue in a flat probe join.
+
+    Returns (query_id, n_probes, n_candidates). Cost: one probe ranking
+    pass + a broadcast join against the per-cluster size table (nlist
+    rows) — the index itself is scanned only for its per-cluster counts
+    (metadata-level parquet count), never for vectors."""
+    sizes = index_df.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    centroids = np.array(
+        [r["centroid"] for r in centroids_df.orderBy("cluster_id").collect()], dtype=np.float32
+    )
+    probes = rank_probes(queries, centroids, nprobe, query_id_col, query_vec_col)
+    return (
+        probes.join(F.broadcast(sizes), on="cluster_id", how="left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_probes"),
+            F.coalesce(F.sum("cluster_size"), F.lit(0)).cast("bigint").alias("n_candidates"),
+        )
+    )

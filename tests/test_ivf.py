@@ -132,3 +132,22 @@ def test_knn_ivf_id_filter_exact_under_full_probe(spark, embeddings):
     assert {(r["query_id"], r["id"], r["rank"]) for r in got} == {
         (r["query_id"], r["id"], r["rank"]) for r in want
     }
+
+
+def test_ivf_search_stats_counts_probed_candidates(spark, embeddings):
+    """Counters parity (reference HNSW runtime stats): n_candidates is
+    the exact probed-list volume; full probe counts the whole base."""
+    from pyspark.sql import functions as F
+
+    from oasisdb_spark.index.ivf import build_ivf, ivf_search_stats
+
+    base = embeddings.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
+    n = base.count()
+    cent, idx = build_ivf(base, nlist=4)
+    q = embeddings.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    full = ivf_search_stats(q, cent, idx, nprobe=4).collect()
+    assert all(r["n_probes"] == 4 and r["n_candidates"] == n for r in full)
+    partial = {r["query_id"]: r for r in ivf_search_stats(q, cent, idx, nprobe=1).collect()}
+    assert all(r["n_probes"] == 1 and 0 < r["n_candidates"] < n for r in partial.values())
