@@ -156,15 +156,40 @@ class Catalog:
         pointer — the equivalent of the reference's WAL+snapshot recovery
         story (SURVEY.md §1.4), with lock-free snapshot-isolated readers."""
         os.makedirs(path, exist_ok=True)
+        prev = self._resolve(path)
         gen = f"g{time.time_ns():020d}_{uuid.uuid4().hex[:6]}"
         df.write.mode("overwrite").parquet(os.path.join(path, gen))
         tmp_ptr = os.path.join(path, f"_current.tmp.{uuid.uuid4().hex[:6]}")
         with open(tmp_ptr, "w") as fh:
             fh.write(gen)
         os.replace(tmp_ptr, os.path.join(path, "_current"))
+        # stamp the SUPERSEDED target's mtime = flip time, so the GC age
+        # gate measures time-since-supersession, not time-since-creation.
+        # Gating on creation mtime left a hole: a table idle >120 s then
+        # written twice quickly would GC the old generation with zero
+        # grace for a reader that resolved it moments earlier (the
+        # FileNotFound race the generations exist to prevent). Stamping
+        # legacy root part files at the upgrade flip also lets the GC
+        # retire them later (they are superseded data like any g*).
+        if prev is not None:
+            try:
+                if os.path.basename(prev).startswith("g"):
+                    os.utime(prev)
+                else:  # legacy unversioned root upgraded in place
+                    for entry in os.listdir(prev):
+                        full = os.path.join(prev, entry)
+                        if os.path.isfile(full) and not entry.startswith(("_current", "g")):
+                            os.utime(full)
+            except OSError:
+                pass  # concurrent GC already removed it
         self._gc_generations(path)
 
     def _gc_generations(self, path: str) -> None:
+        """Remove superseded scan targets once they are both (a) older
+        than the keep-2 window and (b) stale for _GC_MIN_AGE_S since
+        SUPERSESSION (mtime stamped at pointer flip) — long enough for
+        any in-flight reader's job to finish. Covers g* generations and
+        root-level parquet files left by a legacy-layout upgrade."""
         gens = sorted(d for d in os.listdir(path) if d.startswith("g"))
         now = time.time()
         for d in gens[: -self._GC_KEEP] if len(gens) > self._GC_KEEP else []:
@@ -174,6 +199,18 @@ class Catalog:
                     shutil.rmtree(full, ignore_errors=True)
             except OSError:
                 pass  # concurrent GC — already gone
+        if gens and os.path.exists(os.path.join(path, "_current")):
+            # versioned layout: any plain files at the root are legacy
+            # upgrade leftovers, unreachable since the first flip
+            for entry in os.listdir(path):
+                full = os.path.join(path, entry)
+                if not os.path.isfile(full) or entry.startswith("_current"):
+                    continue
+                try:
+                    if now - os.path.getmtime(full) >= self._GC_MIN_AGE_S:
+                        os.remove(full)
+                except OSError:
+                    pass
 
     # ---------- collection CRUD (S2-S5) ----------
     def create_collection(

@@ -251,9 +251,7 @@ def knn_ivf(
         [r["centroid"] for r in centroids_df.orderBy("cluster_id").collect()], dtype=np.float32
     )
     probes = rank_probes(queries, centroids, nprobe, query_id_col, query_vec_col)
-    cand = F.broadcast(probes).join(index_df, on="cluster_id")
-    if id_filter is not None:
-        cand = cand.join(id_filter.select("id"), on="id", how="left_semi")
+    cand = apply_id_filter(F.broadcast(probes).join(index_df, on="cluster_id"), id_filter)
     dist = (
         distance_expr(space, "query_vec", "vector")
         if kernel == "expr"
@@ -295,3 +293,28 @@ def ivf_search_stats(
             F.coalesce(F.sum("cluster_size"), F.lit(0)).cast("bigint").alias("n_candidates"),
         )
     )
+
+
+def apply_id_filter(cand: DataFrame, id_filter: DataFrame | None) -> DataFrame:
+    """Filtered ANN, shared by knn_ivf / knn_ivfsq / knn_ivfpq: semi-join
+    candidates against the filter id set AFTER probe pruning, so the
+    filter costs |probed candidates|, never a reshuffle of the whole
+    index (AQE broadcasts the filter side when it is selective — the
+    common case)."""
+    if id_filter is None:
+        return cand
+    return cand.join(id_filter.select("id"), on="id", how="left_semi")
+
+
+def run_query_chunks(spark, q_rows, schema, max_rows: int, search_chunk):
+    """Scale guard shared by the collect-and-broadcast searchers: if the
+    collected query batch exceeds max_rows, re-run `search_chunk` per
+    max_rows-sized chunk DataFrame and union the results; returns None
+    when the batch fits (caller proceeds unchunked)."""
+    if len(q_rows) <= max_rows:
+        return None
+    out = None
+    for lo in range(0, len(q_rows), max_rows):
+        part = search_chunk(spark.createDataFrame(q_rows[lo : lo + max_rows], schema))
+        out = part if out is None else out.unionByName(part)
+    return out

@@ -38,7 +38,7 @@ from pyspark.sql import types as T
 
 from oasisdb_spark.errors import ErrInvalidParams
 from oasisdb_spark.index.flat import topk_per_query
-from oasisdb_spark.index.ivf import rank_probes, train_centroids, assign_clusters
+from oasisdb_spark.index.ivf import apply_id_filter, rank_probes, run_query_chunks, train_centroids, assign_clusters
 from oasisdb_spark.index.kmeans import kmeans_fit
 
 __all__ = ["train_pq", "encode_pq", "build_ivfpq", "add_to_ivfpq", "knn_ivfpq"]
@@ -230,19 +230,15 @@ def knn_ivfpq(
     # through the join + Arrow boundary: ~10× less transfer per
     # candidate (codes are m bytes; the query column would be dim·4).
     q_rows = queries.select(query_id_col, query_vec_col).collect()
-    if len(q_rows) > max_query_rows:
-        out = None
-        for lo in range(0, len(q_rows), max_query_rows):
-            chunk = spark.createDataFrame(
-                q_rows[lo : lo + max_query_rows],
-                queries.select(query_id_col, query_vec_col).schema,
-            )
-            part = knn_ivfpq(
-                chunk, centroids, codebooks, index_df, k, nprobe, space,
-                query_id_col, query_vec_col, refine_base, refine_factor, max_query_rows, id_filter,
-            )
-            out = part if out is None else out.unionByName(part)
-        return out
+    chunked = run_query_chunks(
+        spark, q_rows, queries.select(query_id_col, query_vec_col).schema, max_query_rows,
+        lambda chunk: knn_ivfpq(
+            chunk, centroids, codebooks, index_df, k, nprobe, space,
+            query_id_col, query_vec_col, refine_base, refine_factor, max_query_rows, id_filter,
+        ),
+    )
+    if chunked is not None:
+        return chunked
     bc_c = spark.sparkContext.broadcast(centroids.astype(np.float32))
     bc_b = spark.sparkContext.broadcast(codebooks.astype(np.float32))
     bc_q = spark.sparkContext.broadcast(
@@ -252,12 +248,7 @@ def knn_ivfpq(
     probes = rank_probes(queries, centroids, nprobe, query_id_col, query_vec_col).select(
         "query_id", "cluster_id"
     )
-    cand = F.broadcast(probes).join(index_df, on="cluster_id")
-    if id_filter is not None:
-        # filtered ANN: semi-join AFTER probe pruning — costs |probed
-        # candidates|, never a reshuffle of the whole index (AQE
-        # broadcasts the filter when selective)
-        cand = cand.join(id_filter.select("id"), on="id", how="left_semi")
+    cand = apply_id_filter(F.broadcast(probes).join(index_df, on="cluster_id"), id_filter)
 
     out_schema = T.StructType(
         [

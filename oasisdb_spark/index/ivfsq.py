@@ -34,7 +34,7 @@ from pyspark.sql import types as T
 
 from oasisdb_spark.index.flat import topk_per_query
 from oasisdb_spark.index.ivf import (
-    deterministic_sample, rank_probes, train_centroids,
+    apply_id_filter, deterministic_sample, rank_probes, run_query_chunks, train_centroids,
 )
 
 __all__ = ["train_sq", "encode_sq", "build_ivfsq", "knn_ivfsq"]
@@ -170,19 +170,15 @@ def knn_ivfsq(
     spark = queries.sparkSession
     dim = centroids.shape[1]
     q_rows = queries.select(query_id_col, query_vec_col).collect()
-    if len(q_rows) > max_query_rows:
-        out = None
-        for lo in range(0, len(q_rows), max_query_rows):
-            chunk = spark.createDataFrame(
-                q_rows[lo : lo + max_query_rows],
-                queries.select(query_id_col, query_vec_col).schema,
-            )
-            part = knn_ivfsq(
-                chunk, centroids, vmin, vmax, index_df, k, nprobe, space,
-                query_id_col, query_vec_col, refine_base, refine_factor, max_query_rows, id_filter,
-            )
-            out = part if out is None else out.unionByName(part)
-        return out
+    chunked = run_query_chunks(
+        spark, q_rows, queries.select(query_id_col, query_vec_col).schema, max_query_rows,
+        lambda chunk: knn_ivfsq(
+            chunk, centroids, vmin, vmax, index_df, k, nprobe, space,
+            query_id_col, query_vec_col, refine_base, refine_factor, max_query_rows, id_filter,
+        ),
+    )
+    if chunked is not None:
+        return chunked
     qids = [r[query_id_col] for r in q_rows]
     Q = np.array([r[query_vec_col] for r in q_rows], dtype=np.float64)
     bc_q = spark.sparkContext.broadcast((qids, Q))
@@ -191,12 +187,7 @@ def knn_ivfsq(
     probes = rank_probes(queries, centroids, nprobe, query_id_col, query_vec_col).select(
         "query_id", "cluster_id"
     )
-    cand = F.broadcast(probes).join(index_df, on="cluster_id")
-    if id_filter is not None:
-        # filtered ANN: semi-join AFTER probe pruning — costs |probed
-        # candidates|, never a reshuffle of the whole index (AQE
-        # broadcasts the filter when selective)
-        cand = cand.join(id_filter.select("id"), on="id", how="left_semi")
+    cand = apply_id_filter(F.broadcast(probes).join(index_df, on="cluster_id"), id_filter)
     out_schema = T.StructType(
         [
             T.StructField("query_id", queries.schema[query_id_col].dataType, True),

@@ -131,11 +131,12 @@ def ngram_contamination(
     - both sides explode to (gram_hash, id) pairs — the 60-bit md5-hash
       (cross-engine `char_hash60`) is what shuffles, never gram strings
       or document text;
-    - train grams are DISTINCT-ed (partial agg before the shuffle) then
-      semi-joined: the join output is at most one row per eval gram, so
-      skew on hot grams collapses map-side;
-    - per-doc totals are a second partial agg on the already-exploded
-      eval side. No full-corpus sort, no driver collect.
+    - train grams are DISTINCT-ed (partial agg before the shuffle), then
+      LEFT-joined with a hit marker: because the right side is distinct,
+      output stays at exactly one row per eval gram (no fan-out on hot
+      grams), and one groupBy produces both n_grams and n_contaminated —
+      the eval explode chain runs ONCE (a semi-join + separate totals
+      agg scanned it twice). No full-corpus sort, no driver collect.
 
     Reference parity: the reference has no decontamination operator;
     this extends its document search surface (SURVEY §2.4 extension).
@@ -150,19 +151,14 @@ def ngram_contamination(
         .select(F.explode(_distinct_ngrams(F.col("tk"), n)).alias("gram"))
         .select(char_hash60("gram").alias("gh"))
         .distinct()
+        .withColumn("_hit", F.lit(1))
     )
-    hits = (
-        ev.join(tr, on="gh", how="left_semi")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_contaminated"))
-    )
-    totals = ev.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     return (
-        totals.join(hits, on="doc_id", how="left")
-        .select(
-            "doc_id",
-            "n_grams",
-            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+        ev.join(tr, on="gh", how="left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("bigint").alias("n_contaminated"),
         )
         .withColumn(
             "contamination",
@@ -308,16 +304,23 @@ def gopher_flag_cols(
     max_mean_word_len: float = 10.0,
     max_symbol_ratio: float = 0.3,
     min_stopword_hits: int = 2,
+    stats: dict[str, Column] | None = None,
 ) -> dict[str, Column]:
-    """Per-rule flags + composite keep, built from the PROJECTED
-    gopher_stats_cols columns (by name) — cheap column references, so
-    stacking them in a second select costs nothing."""
-    ok_words = (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
-    ok_wlen = (F.col("mean_word_len") >= min_mean_word_len) & (
-        F.col("mean_word_len") <= max_mean_word_len
+    """Per-rule flags + composite keep. By default the flags reference
+    the PROJECTED gopher_stats_cols columns by name — cheap column
+    references, so stacking them in a second select costs nothing. Pass
+    `stats` (a gopher_stats_cols mapping) to build flags from inline
+    expressions instead (the single-projection convenience path) — this
+    is the ONLY copy of the rule logic either way."""
+    s = stats if stats is not None else {
+        k: F.col(k) for k in ("n_words", "mean_word_len", "symbol_ratio", "stopword_hits")
+    }
+    ok_words = (s["n_words"] >= min_words) & (s["n_words"] <= max_words)
+    ok_wlen = (s["mean_word_len"] >= min_mean_word_len) & (
+        s["mean_word_len"] <= max_mean_word_len
     )
-    ok_symbols = F.col("symbol_ratio") <= max_symbol_ratio
-    ok_stop = F.col("stopword_hits") >= min_stopword_hits
+    ok_symbols = s["symbol_ratio"] <= max_symbol_ratio
+    ok_stop = s["stopword_hits"] >= min_stopword_hits
     return {
         "ok_words": ok_words,
         "ok_word_len": ok_wlen,
@@ -352,17 +355,8 @@ def gopher_filter_cols(
     can never disagree — and the SQL twin, which also flags on the
     rounded value, matches exactly."""
     stats = gopher_stats_cols(c, tk=tk)
-    n_words, mean_wlen = stats["n_words"], stats["mean_word_len"]
-    symbol_ratio, stop_hits = stats["symbol_ratio"], stats["stopword_hits"]
-    ok_words = (n_words >= min_words) & (n_words <= max_words)
-    ok_wlen = (mean_wlen >= min_mean_word_len) & (mean_wlen <= max_mean_word_len)
-    ok_symbols = symbol_ratio <= max_symbol_ratio
-    ok_stop = stop_hits >= min_stopword_hits
-    return {
-        **stats,
-        "ok_words": ok_words,
-        "ok_word_len": ok_wlen,
-        "ok_symbols": ok_symbols,
-        "ok_stopwords": ok_stop,
-        "keep": ok_words & ok_wlen & ok_symbols & ok_stop,
-    }
+    flags = gopher_flag_cols(
+        min_words, max_words, min_mean_word_len, max_mean_word_len,
+        max_symbol_ratio, min_stopword_hits, stats=stats,
+    )
+    return {**stats, **flags}

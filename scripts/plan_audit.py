@@ -243,15 +243,15 @@ def main() -> None:
     print(f"== search_filtered_ivf post-probe semi-join: {'OK' if ok else 'FAIL'}")
     failures += not ok
 
-    # 24. ngram_contamination: train grams semi-join (hot-gram safe),
-    # no cartesian/BNLJ anywhere
+    # 24. ngram_contamination: one explode per side (eval chain is NOT
+    # scanned twice), distinct train side joined without any product join
     plan = plan_of(m.queries()["ngram_contamination"](spark, sf_dir))
     ok = (
-        "LeftSemi" in plan
+        plan.count("Generate explode") == 2
         and "CartesianProduct" not in plan
         and "BroadcastNestedLoopJoin" not in plan
     )
-    print(f"== ngram_contamination semi-join plan: {'OK' if ok else 'FAIL'}")
+    print(f"== ngram_contamination single-scan join plan: {'OK' if ok else 'FAIL'}")
     failures += not ok
 
     # 25. pii_scrub: pure scan-stage projection — no shuffle at all

@@ -101,17 +101,24 @@ def real_dataset(spark, name: str, nq: int):
     import numpy as np
     import pandas as pd
 
-    with h5py.File(path, "r") as f:
-        train = np.asarray(f["train"], dtype=np.float32)
-        test = np.asarray(f["test"][:nq], dtype=np.float32)
-    chunk = 100_000
-    parts = [
-        pd.DataFrame({"id": range(lo, min(lo + chunk, len(train))),
-                      "vector": [v.tolist() for v in train[lo : lo + chunk]]})
-        for lo in range(0, len(train), chunk)
-    ]
+    # Per-chunk createDataFrame + union so peak driver memory is ONE
+    # chunk's Python lists (~100k rows), not the whole dataset — a
+    # single pd.concat of SIFT1M as Python float lists is several GB
+    # and OOMs a default-heap driver.
     schema = "id BIGINT, vector ARRAY<FLOAT>"
-    base = spark.createDataFrame(pd.concat(parts, ignore_index=True), schema)
+    chunk = 100_000
+    base = None
+    with h5py.File(path, "r") as f:
+        n_train = f["train"].shape[0]
+        for lo in range(0, n_train, chunk):
+            arr = np.asarray(f["train"][lo : lo + chunk], dtype=np.float32)
+            part = spark.createDataFrame(
+                pd.DataFrame({"id": range(lo, lo + len(arr)),
+                              "vector": [v.tolist() for v in arr]}),
+                schema,
+            )
+            base = part if base is None else base.unionByName(part)
+        test = np.asarray(f["test"][:nq], dtype=np.float32)
     queries = spark.createDataFrame(
         pd.DataFrame({"query_id": range(len(test)), "query_vec": [v.tolist() for v in test]}),
         "query_id BIGINT, query_vec ARRAY<FLOAT>",

@@ -109,3 +109,34 @@ def test_compact_collection(catalog, spark):
     assert after == before
     # point lookup still works post-compaction
     assert catalog.get_document("c", "7")["vector"] == [7.0] * 4
+
+
+def test_gc_grace_measured_from_supersession(spark, catalog):
+    """The GC age gate must measure time since a generation was
+    SUPERSEDED (stamped at pointer flip), not since it was created —
+    otherwise an idle table's old generation gets zero grace on the
+    next write and in-flight readers race FileNotFound."""
+    import os
+    import time
+
+    catalog.create_collection("g", dimension=4, index_type="flat")
+    catalog.upsert_documents("g", _docs(spark))
+    data = catalog.data_path("g")
+    gen1 = catalog._resolve(data)
+    # simulate a long-idle table: generation created long ago
+    old = time.time() - 10_000
+    os.utime(gen1, (old, old))
+    catalog.upsert_documents("g", _docs(spark))  # flip: gen1 superseded
+    # gen1 survives (keep-2) and its mtime was re-stamped at the flip,
+    # so its 120s grace period starts NOW, not 10000s ago
+    assert os.path.exists(gen1)
+    assert time.time() - os.path.getmtime(gen1) < 60
+    # a third write makes gen1 GC-eligible by count, but the fresh
+    # supersession stamp keeps it alive for in-flight readers
+    catalog.upsert_documents("g", _docs(spark))
+    assert os.path.exists(gen1)
+    # once the grace period has genuinely elapsed since supersession,
+    # the next write retires it
+    os.utime(gen1, (old, old))
+    catalog.upsert_documents("g", _docs(spark))
+    assert not os.path.exists(gen1)
