@@ -2079,6 +2079,40 @@ def _gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return projected.select("*", *[c.alias(k) for k, c in flags.items()])
 
 
+def _docs_gopher_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING curation: the Gopher quality filter over a documents
+    FILE STREAM (the continuous-crawl shape — new corpus files land in a
+    directory, curation streams over them). The stats/flags are
+    stateless scan-stage projections, so they stream in append mode with
+    no watermark or state store, and the drained result is identical to
+    the batch operator — it shares gopher_filter's oracle (a
+    hash-matched streaming query, like events_hourly_stream)."""
+    import os
+    import tempfile
+    import uuid
+
+    from oasisdb_spark.pipeline.curate import gopher_flag_cols, gopher_stats_cols
+    from oasisdb_spark.pipeline.text import tokens
+
+    src = f"{sf_dir}/documents.parquet"
+    stream_dir = tempfile.mkdtemp(prefix="docs_stream_")
+    os.symlink(os.path.abspath(src), os.path.join(stream_dir, "documents_0.parquet"))
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(stream_dir)
+    stats = gopher_stats_cols("text", tk=F.col("__tk"))
+    proj = (
+        stream.select("doc_id", "text", tokens("text").alias("__tk"))
+        .select("doc_id", *[c.alias(k) for k, c in stats.items()])
+        .select("*", *[c.alias(k) for k, c in gopher_flag_cols().items()])
+    )
+    name = f"docs_gopher_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        proj.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def _curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation compose (the curate.py ops chained the way a
     pretraining corpus build chains them): Gopher keep → drop docs with
@@ -2238,6 +2272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter": _gopher_filter,
         "search_filtered_ivf": _search_filtered_ivf,
         "curation_pipeline": _curation_pipeline,
+        "docs_gopher_stream": _docs_gopher_stream,
     }
 
 
@@ -3280,5 +3315,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": _line_dedup_oracle(),
         "source_mixture": _source_mixture_oracle(),
         "gopher_filter": _gopher_filter_oracle(),
+        # stateless streaming projection ≡ batch result — shares the oracle
+        "docs_gopher_stream": _gopher_filter_oracle(),
         "curation_pipeline": _curation_pipeline_oracle(),
     }

@@ -125,3 +125,60 @@ def test_gopher_symbol_ratio(spark):
     df = spark.createDataFrame([(1, "ab!!")], "doc_id BIGINT, text STRING")
     r = df.select(gopher_filter_cols("text")["symbol_ratio"].alias("s")).first()
     assert r["s"] == 0.5
+
+
+# --- property tests (pure-Python regex semantics; no Spark per example) ---
+
+def test_pii_scrub_idempotent_property():
+    """scrub(scrub(x)) == scrub(x): placeholders contain no scannable
+    PII, so a second pass is a no-op — the property that makes the
+    redaction safe to re-run over partially-scrubbed corpora."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from oasisdb_spark.pipeline.curate import _PII_ORDER, PII_PATTERNS, PII_REPLACEMENTS
+
+    def scrub(s: str) -> str:
+        for name in _PII_ORDER:
+            s = re.sub(PII_PATTERNS[name], PII_REPLACEMENTS[name], s)
+        return s
+
+    pii_frags = st.sampled_from([
+        "a@b.com", "john.doe+x@mail.example.org", "10.0.0.1", "255.1.2.3",
+        "+123456789", "+4915551234567", "<EMAIL>", "<IP>", "<PHONE>",
+    ])
+    filler = st.text(alphabet="abc XYZ.@+123\n", max_size=20)
+    doc = st.lists(st.one_of(pii_frags, filler), max_size=8).map(" ".join)
+
+    @settings(max_examples=200, deadline=None)
+    @given(doc)
+    def check(s):
+        once = scrub(s)
+        assert scrub(once) == once
+
+    check()
+
+
+def test_contamination_bounds_property(spark):
+    """0 <= contamination <= 1 and n_contaminated <= n_grams on a mixed
+    batch; a doc identical to a train doc is fully contaminated."""
+    from oasisdb_spark.pipeline.curate import ngram_contamination
+
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id BIGINT, text STRING",
+    )
+    ev = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta eta theta"),
+         (11, "iota kappa lamda mu nu xi omicron pi rho"),
+         (12, "x")],
+        "doc_id BIGINT, text STRING",
+    )
+    rows = {r["doc_id"]: r for r in ngram_contamination(train, ev, n=5).collect()}
+    for r in rows.values():
+        assert 0 <= r["n_contaminated"] <= r["n_grams"]
+        assert 0.0 <= r["contamination"] <= 1.0
+    assert rows[10]["contamination"] == 1.0
+    assert rows[11]["n_contaminated"] == 0
