@@ -103,6 +103,30 @@ def _knn_ivf(spark: SparkSession, sf_dir: str, nprobe: int = 16) -> DataFrame:
     return res.select("query_id", "id", "rank", F.col("distance").cast("double").alias("distance"))
 
 
+def _knn_binq(spark: SparkSession, sf_dir: str, refine_factor: int = 50) -> DataFrame:
+    """Binary-quantization kNN (index/binq.py): sign-bit codes + packed
+    XOR-popcount hamming scan + exact refine. Driver entry in EXACT
+    mode: refine_factor·k (=500) covers the whole sf0.01 base, so the
+    exact-L2 re-rank scores every vector — identical to Flat and
+    L2-oracle-able (shortlist recall at production refine_factor=8 is
+    pinned in tests/test_binq.py + RECALL.md). The approximate plan is
+    benchmarked via bench_queries()."""
+    from oasisdb_spark.index.binq import build_binq, knn_binq
+
+    def _build():
+        means, codes = build_binq(_emb_base(spark, sf_dir))
+        codes = codes.persist()
+        codes.count()
+        return means, codes
+
+    means, codes = _memo(spark, sf_dir, "binq", _build)
+    res = knn_binq(
+        _emb_queries(spark, sf_dir, 10), means, codes, k=10,
+        refine_base=_emb_base(spark, sf_dir), refine_factor=refine_factor,
+    )
+    return res.select("query_id", "id", "rank", F.col("distance").cast("double").alias("distance"))
+
+
 def _search_filtered_ivf(spark: SparkSession, sf_dir: str, nprobe: int = 16) -> DataFrame:
     """Filtered ANN over the BUILT IVF index: the label=1 predicate's id
     set semi-joins the candidates AFTER probe pruning (knn_ivf
@@ -2273,6 +2297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_filtered_ivf": _search_filtered_ivf,
         "curation_pipeline": _curation_pipeline,
         "docs_gopher_stream": _docs_gopher_stream,
+        "knn_binq": _knn_binq,
     }
 
 
@@ -2286,6 +2311,7 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_filtered_ivf_probe": lambda s, d: _search_filtered_ivf(s, d, nprobe=4),
         "knn_ivfpq_adc": lambda s, d: _knn_ivfpq(s, d, nprobe=4, refine_factor=4),
         "knn_ivfsq_probe": lambda s, d: _knn_ivfsq(s, d, nprobe=4, refine_factor=0),
+        "knn_binq_fast": lambda s, d: _knn_binq(s, d, refine_factor=8),
         "knn_lsh_fast": lambda s, d: _knn_lsh(s, d, num_hash_tables=4),
     }
 
@@ -2459,6 +2485,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivf": _KNN_ORACLE_TMPL.format(dist=_L2_SQL, nq=10, k=10, base="embeddings", extra="", join=""),
         "knn_ivfpq": _KNN_ORACLE_TMPL.format(dist=_L2_SQL, nq=10, k=10, base="embeddings", extra="", join=""),
         "knn_ivfsq": _KNN_ORACLE_TMPL.format(dist=_L2_SQL, nq=10, k=10, base="embeddings", extra="", join=""),
+        "knn_binq": _KNN_ORACLE_TMPL.format(dist=_L2_SQL, nq=10, k=10, base="embeddings", extra="", join=""),
         "knn_lsh": f"""
             SELECT query_id, id, rank, round(distance, 3) AS distance FROM (
               {_KNN_ORACLE_TMPL.format(dist=_L2_SQL, nq=10, k=10, base="embeddings", extra="", join="")}

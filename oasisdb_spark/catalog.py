@@ -42,7 +42,7 @@ from oasisdb_spark import errors
 
 __all__ = ["Catalog", "Collection"]
 
-INDEX_TYPES = ("flat", "ivf_flat", "ivfpq", "ivfsq", "hnsw")  # const.go:10-15 + the SQ8 extension tier
+INDEX_TYPES = ("flat", "ivf_flat", "ivfpq", "ivfsq", "binq", "hnsw")  # const.go:10-15 + the SQ8/BQ extension tiers
 SPACES = ("l2", "ip", "cos", "hamming")  # const.go:3-8
 DEFAULT_INDEX_TYPE = "hnsw"  # collection.go:45-47
 DEFAULT_SPACE = "l2"  # collection.go:63
@@ -53,6 +53,7 @@ DEFAULT_PARAMS = {
     "ivf_flat": {"nlist": "100", "nprobe": "10"},
     "ivfpq": {"nlist": "100", "nprobe": "10", "m": "8", "nbits": "8"},
     "ivfsq": {"nlist": "100", "nprobe": "10"},
+    "binq": {"refine_factor": "8"},
     "flat": {},
 }
 
@@ -240,7 +241,7 @@ class Catalog:
                 )
             if int(merged.get("nbits", "8")) != 8:
                 raise errors.ErrInvalidParams("ivfpq supports nbits=8 only")
-        if index_type in ("ivfpq", "ivfsq") and space == "hamming":
+        if index_type in ("ivfpq", "ivfsq", "binq") and space == "hamming":
             # quantized codes are not a binary representation; hamming
             # collections use flat (packed XOR-popcount kernel) or IVF
             raise errors.ErrInvalidParams(

@@ -67,6 +67,10 @@ def build_index(catalog: Catalog, name: str) -> int:
 
         nlist = _resolve_nlist(coll.params.get("nlist", "100"), data.count())
         build_ivfsq(data, nlist=nlist, out_dir=out_dir)
+    elif coll.index_type == "binq":
+        from oasisdb_spark.index.binq import build_binq
+
+        build_binq(data, out_dir=out_dir)
     elif coll.index_type == "flat":
         os.makedirs(out_dir, exist_ok=True)
     catalog.bump_index_version(name)
@@ -113,7 +117,7 @@ def add_to_index(catalog: Catalog, name: str, docs: DataFrame) -> None:
     if coll.index_version == 0 or coll.index_type == "flat":
         return
     d = catalog.index_path(name, coll.index_version)
-    lists_dir = os.path.join(d, "lists")
+    lists_dir = os.path.join(d, "codes" if coll.index_type == "binq" else "lists")
     # genuinely-new ids only: an id already in the lists keeps its built
     # vector until the next rebuild (documented upsert-staleness
     # semantics) — appending it again would duplicate it in the index
@@ -140,6 +144,11 @@ def add_to_index(catalog: Catalog, name: str, docs: DataFrame) -> None:
             docs.select(F.col("id"), F.col("vector")), cents, vmin, vmax
         )
         encoded.repartition("cluster_id").write.mode("append").partitionBy("cluster_id").parquet(lists_dir)
+    elif coll.index_type == "binq":
+        from oasisdb_spark.index.binq import encode_binq
+
+        means = np.load(os.path.join(d, "model", "means.npy"))
+        encode_binq(docs.select("id", "vector"), means).write.mode("append").parquet(lists_dir)
     else:
         raise errors.ErrInvalidParams(f"unknown index type {coll.index_type!r}")
 
@@ -239,6 +248,19 @@ def search_vectors(
             refine_base=data if coll.params.get("refine_factor") else None,
             refine_factor=int(coll.params.get("refine_factor", "4")),
             id_filter=id_filter,
+        )
+    if coll.index_type == "binq":
+        from oasisdb_spark.index.binq import knn_binq
+
+        d = catalog.index_path(name, coll.index_version)
+        means = np.load(os.path.join(d, "model", "means.npy"))
+        codes = _without_tombstones(
+            catalog, name, catalog.spark.read.parquet(os.path.join(d, "codes"))
+        )
+        return knn_binq(
+            queries, means, codes, k, refine_base=data,
+            refine_factor=int(coll.params.get("refine_factor", "8")),
+            space=coll.space, id_filter=id_filter,
         )
     if coll.index_type == "ivfpq":
         d = catalog.index_path(name, coll.index_version)

@@ -238,6 +238,20 @@ def main() -> None:
         print(json.dumps({"index": "ivfsq8", "knob": {"nlist": nlist, "nprobe": nprobe},
                           "recall_at_10": round(recall(rows, exact), 4), "qps": round(n_q / dt, 2)}))
 
+    from oasisdb_spark.index.binq import build_binq, knn_binq
+
+    means, codes = build_binq(base)
+    codes = codes.cache(); codes.count()
+    for refine in (0, 2, 4, 8, 16):
+        t0 = time.perf_counter()
+        rows = knn_binq(
+            queries, means, codes, K,
+            refine_base=base if refine else None, refine_factor=refine,
+        ).collect()
+        dt = time.perf_counter() - t0
+        print(json.dumps({"index": "binq", "knob": {"refine_factor": refine},
+                          "recall_at_10": round(recall(rows, exact), 4), "qps": round(n_q / dt, 2)}))
+
     for nt in (2, 4, 8):
         t0 = time.perf_counter()
         rows = knn_lsh(queries, base, K, bucket_length=4.0, num_hash_tables=nt).collect()
