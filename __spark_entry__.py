@@ -2137,6 +2137,73 @@ def _docs_gopher_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _docs_neardup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING near-dup at ingest (decontamination-at-ingest shape):
+    incoming documents (a file stream of the non-src0 corpus) MinHash-
+    banded on the fly and equi-joined against a STATIC banded reference
+    set (src0 = the eval/blocklist side), then band candidates are
+    verified with exact Jaccard — all inside one availableNow drain.
+    The stream-static inner join is stateless (static side broadcast);
+    dropDuplicates collapses multi-band hits within the run. Result ≡
+    the batch banded-LSH pairs restricted to pairs that span src0, so
+    the banded SQL oracle applies (hash-matched streaming query)."""
+    import os
+    import tempfile
+    import uuid
+
+    from oasisdb_spark.pipeline.dedup import MINHASH_BANDS, MINHASH_K, shingle_minhash_frame
+
+    r = MINHASH_K // MINHASH_BANDS
+
+    def banded(frame: DataFrame) -> DataFrame:
+        return frame.select(
+            "doc_id", "hs",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(MINHASH_BANDS - 1)),
+                    lambda j: F.md5(F.concat_ws(",", F.transform(
+                        F.slice("sig", j * r + 1, r), lambda x: x.cast("string")))),
+                )
+            ).alias("band_idx", "band_key"),
+        )
+
+    docs = _table(spark, sf_dir, "documents")
+    static = banded(shingle_minhash_frame(docs.filter(F.col("source") == "src0"))).select(
+        F.col("doc_id").alias("ref_id"), F.col("hs").alias("hs_ref"), "band_idx", "band_key"
+    ).persist()
+    static.count()
+
+    src = f"{sf_dir}/documents.parquet"
+    stream_dir = tempfile.mkdtemp(prefix="docs_nd_stream_")
+    os.symlink(os.path.abspath(src), os.path.join(stream_dir, "documents_0.parquet"))
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema).parquet(stream_dir)
+        .filter(F.col("source") != "src0")
+    )
+    s_banded = banded(shingle_minhash_frame(stream))
+    inter = F.size(F.array_intersect("hs", "hs_ref"))
+    cand = (
+        s_banded.join(F.broadcast(static), on=["band_idx", "band_key"])
+        .select(
+            F.least(F.col("doc_id"), F.col("ref_id")).alias("doc_a"),
+            F.greatest(F.col("doc_id"), F.col("ref_id")).alias("doc_b"),
+            F.round(
+                inter.cast("double") / (F.size("hs") + F.size("hs_ref") - inter), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    name = f"docs_neardup_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        cand.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    static.unpersist()
+    return spark.table(name)
+
+
 def _curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation compose (the curate.py ops chained the way a
     pretraining corpus build chains them): Gopher keep → drop docs with
@@ -2298,6 +2365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": _curation_pipeline,
         "docs_gopher_stream": _docs_gopher_stream,
         "knn_binq": _knn_binq,
+        "docs_neardup_stream": _docs_neardup_stream,
     }
 
 
@@ -3344,5 +3412,15 @@ def oracle_sql() -> dict[str, str]:
         "gopher_filter": _gopher_filter_oracle(),
         # stateless streaming projection ≡ batch result — shares the oracle
         "docs_gopher_stream": _gopher_filter_oracle(),
+        # streaming band-join vs static src0 side ≡ batch banded pairs
+        # restricted to pairs spanning src0
+        "docs_neardup_stream": f"""
+            WITH p AS ({_lsh_pairs_oracle(with_banding=True)})
+            SELECT p.doc_a, p.doc_b, p.jaccard
+            FROM p
+            JOIN documents a ON p.doc_a = a.doc_id
+            JOIN documents b ON p.doc_b = b.doc_id
+            WHERE (a.source = 'src0') <> (b.source = 'src0')
+        """,
         "curation_pipeline": _curation_pipeline_oracle(),
     }
