@@ -2137,6 +2137,61 @@ def _docs_gopher_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _token_vecs() -> F.Column:
+    """Deterministic multi-vector synthesis: the 64-d embedding sliced
+    into 4 token vectors of 16 dims (the fixture has no native
+    multi-vector column; the identical slicing runs in the SQL oracle,
+    so MaxSim scores are value-verified)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(3)),
+        lambda t: F.slice("embedding", t * 16 + 1, 16),
+    )
+
+
+def _maxsim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction retrieval
+    (pipeline/late_interaction.py): score(q,d) = Σ_i max_j q_i·d_j over
+    token-level vectors, one GEMM + two reduceat passes per Arrow batch,
+    base scanned once. Top-10 for 10 queries over the 4×16-d token
+    matrices sliced from the embeddings fixture."""
+    from oasisdb_spark.pipeline.late_interaction import maxsim_topk
+
+    emb = _table(spark, sf_dir, "embeddings")
+    base = emb.select(F.col("vec_id").alias("id"), _token_vecs().alias("vectors"))
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), _token_vecs().alias("query_vecs")
+    )
+    return maxsim_topk(queries, base, k=10)
+
+
+_MAXSIM_ORACLE = """
+WITH qt AS (
+  SELECT vec_id AS query_id, t.i AS qt_idx,
+         embedding[CAST(t.i*16+1 AS INT):CAST(t.i*16+16 AS INT)] AS qv
+  FROM embeddings, unnest(range(0, 4)) t(i) WHERE vec_id < 10
+),
+dt AS (
+  SELECT vec_id AS id,
+         embedding[CAST(t.i*16+1 AS INT):CAST(t.i*16+16 AS INT)] AS dv
+  FROM embeddings, unnest(range(0, 4)) t(i)
+),
+sim AS (
+  SELECT qt.query_id, qt.qt_idx, dt.id,
+         max(list_sum(list_transform(list_zip(qt.qv, dt.dv),
+             p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))) AS mx
+  FROM qt CROSS JOIN dt
+  GROUP BY qt.query_id, qt.qt_idx, dt.id
+),
+sc AS (SELECT query_id, id, -sum(mx) AS distance FROM sim GROUP BY query_id, id),
+ranked AS (
+  SELECT query_id, id, distance,
+         row_number() OVER (PARTITION BY query_id ORDER BY distance ASC, id ASC) AS rank
+  FROM sc
+)
+SELECT query_id, id, rank, round(distance, 3) AS distance FROM ranked WHERE rank <= 10
+"""
+
+
 def _docs_neardup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING near-dup at ingest (decontamination-at-ingest shape):
     incoming documents (a file stream of the non-src0 corpus) MinHash-
@@ -2366,6 +2421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_gopher_stream": _docs_gopher_stream,
         "knn_binq": _knn_binq,
         "docs_neardup_stream": _docs_neardup_stream,
+        "maxsim_search": _maxsim_search,
     }
 
 
@@ -2554,6 +2610,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivfpq": _KNN_ORACLE_TMPL.format(dist=_L2_SQL, nq=10, k=10, base="embeddings", extra="", join=""),
         "knn_ivfsq": _KNN_ORACLE_TMPL.format(dist=_L2_SQL, nq=10, k=10, base="embeddings", extra="", join=""),
         "knn_binq": _KNN_ORACLE_TMPL.format(dist=_L2_SQL, nq=10, k=10, base="embeddings", extra="", join=""),
+        "maxsim_search": _MAXSIM_ORACLE,
         "knn_lsh": f"""
             SELECT query_id, id, rank, round(distance, 3) AS distance FROM (
               {_KNN_ORACLE_TMPL.format(dist=_L2_SQL, nq=10, k=10, base="embeddings", extra="", join="")}
