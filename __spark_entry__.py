@@ -1458,25 +1458,35 @@ def _q21_last_to_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows of the same table — suppliers whose line shipped strictly last
     on a multi-supplier order (someone else shipped earlier; nobody
     shipped later). Both existence tests decorrelate into ONE window
-    pass over the order's lines (max shipdate + supplier count) instead
-    of two correlated self-joins. No receipt/commit dates exist in the
-    fixtures, so ship-date order stands in."""
+    pass over the order's lines instead of two correlated self-joins.
+    No receipt/commit dates exist in the fixtures, so ship-date order
+    stands in.
+
+    Window exprs chosen for scale: "more than one distinct supplier"
+    is min(suppkey)!=max(suppkey) (O(1) state per row — round-2's
+    size(collect_set) materialized a set PER ROW and was the slowest
+    TPC-H entry at 2.1 s), and "the last-shipped line is unique" is
+    row_number==1 with a strictly-smaller lead — which also replaces
+    the follow-up count-the-last-lines groupBy. All three window
+    specs share one (l_orderkey, l_shipdate desc) sort."""
     li = _table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
-    w = Window.partitionBy("l_orderkey")
+    whole = Window.partitionBy("l_orderkey").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ordered = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_shipdate").desc(), F.col("l_suppkey")
+    )
     marked = li.select(
         "l_orderkey", "l_suppkey", "l_shipdate",
-        F.max("l_shipdate").over(w).alias("max_ship"),
-        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supps"),
+        (F.min("l_suppkey").over(whole) != F.max("l_suppkey").over(whole)).alias("multi_supp"),
+        F.row_number().over(ordered).alias("rn"),
+        F.lead("l_shipdate").over(ordered).alias("next_ship"),
     )
-    last = marked.filter(
-        (F.col("n_supps") > 1) & (F.col("l_shipdate") == F.col("max_ship"))
-    )
-    # strictly last: the max-shipdate line is unique within the order
-    only_one_last = (
-        last.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("n_last"), F.first("l_suppkey").alias("supp"))
-        .filter(F.col("n_last") == 1)
-    )
+    # strictly last: first row by shipdate desc, and the runner-up line
+    # shipped strictly earlier (two lines tied at max => not strict)
+    only_one_last = marked.filter(
+        F.col("multi_supp") & (F.col("rn") == 1) & (F.col("next_ship") < F.col("l_shipdate"))
+    ).select("l_orderkey", F.col("l_suppkey").alias("supp"))
     sup = _table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         only_one_last.groupBy("supp")
@@ -2305,26 +2315,22 @@ def _curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
-    # entries. Round-3 rotation (VERDICT r02 next-round #1): the 10 §2-core
-    # entries stay in the window (every §2 operator keeps a live row),
-    # followed by the 40 entries that had no driver row in r01/r02
-    # (TPC-H tail, pivot/set-ops, packing, streaming, multimodal, …).
-    # The 40 entries verified green in r02 move behind position 50 — with
-    # this rotation every one of the 91 entries has a green driver row in
-    # r02 ∪ r03.
+    # entries (observed: r01 and r02 rows == registry[0:50]). Round-3
+    # rotation (VERDICT r02 next-round #1): window = 2 anchors that have
+    # no driver row yet or carry the widest §2 surface
+    # (collection_lifecycle = S2-S11; knn_ivfsq = new tier, verdict #6),
+    # + the 40 entries that had no driver row in r01/r02 (TPC-H tail,
+    # pivot/set-ops, packing, streaming, multimodal, …), + 8 of the 11
+    # round-3 curation/index entries. Everything behind position 50 has a
+    # green r02 row except maxsim_search / docs_gopher_stream /
+    # docs_neardup_stream (window is full; verified by the local gate
+    # replica scripts/check_oracle.py, see COVERAGE.md) — so r02 ∪ r03
+    # covers 99 of 102 entries, the max the 50-row window allows.
     return {
-        # --- §2-core window (positions 1-10) ---
-        "knn_flat_l2": lambda s, d: _knn_flat(s, d, "l2"),
-        "knn_ivf": _knn_ivf,
-        "knn_ivfpq": _knn_ivfpq,
-        "knn_ivfsq": _knn_ivfsq,
-        "knn_lsh": _knn_lsh,
-        "knn_hamming_packed": _knn_hamming_packed,
-        "search_documents_filtered": _search_documents_filtered,
-        "vector_lookup": _vector_lookup,
+        # --- anchors (positions 1-2) ---
         "collection_lifecycle": _collection_lifecycle,
-        "auto_embed": _auto_embed,
-        # --- r02-unchecked rotation (positions 11-50) ---
+        "knn_ivfsq": _knn_ivfsq,
+        # --- r02-unchecked rotation (positions 3-42) ---
         "doc_length_histogram": _doc_length_histogram,
         "tfidf_top_terms": _tfidf_top_terms,
         "q15_top_supplier": _q15_top_supplier,
@@ -2367,7 +2373,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": _multimodal_frames,
         "multimodal_audio": _multimodal_audio,
         "multimodal_resize": _multimodal_resize,
+        # --- round-3 curation/index entries (positions 43-50) ---
+        "pii_scrub": _pii_scrub,
+        "ngram_contamination": _ngram_contamination,
+        "line_dedup": _line_dedup,
+        "source_mixture": _source_mixture,
+        "gopher_filter": _gopher_filter,
+        "search_filtered_ivf": _search_filtered_ivf,
+        "curation_pipeline": _curation_pipeline,
+        "knn_binq": _knn_binq,
         # --- r02-verified (green driver rows in CORRECTNESS_r02) ---
+        "knn_flat_l2": lambda s, d: _knn_flat(s, d, "l2"),
+        "knn_ivf": _knn_ivf,
+        "knn_ivfpq": _knn_ivfpq,
+        "knn_lsh": _knn_lsh,
+        "knn_hamming_packed": _knn_hamming_packed,
+        "search_documents_filtered": _search_documents_filtered,
+        "vector_lookup": _vector_lookup,
+        "auto_embed": _auto_embed,
         "knn_flat_cos": lambda s, d: _knn_flat(s, d, "cos"),
         "knn_flat_ip": lambda s, d: _knn_flat(s, d, "ip"),
         "knn_flat_hamming": lambda s, d: _knn_flat(s, d, "hamming"),
@@ -2409,19 +2432,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_count_distribution": _order_count_distribution,
         "q12_priority_shipping": _q12_priority_shipping,
         "q14_promo_revenue": _q14_promo_revenue,
-        # --- round-3 curation extension (appended AFTER the gate window
-        # so positions 1-50 stay the planned rotation) ---
-        "pii_scrub": _pii_scrub,
-        "ngram_contamination": _ngram_contamination,
-        "line_dedup": _line_dedup,
-        "source_mixture": _source_mixture,
-        "gopher_filter": _gopher_filter,
-        "search_filtered_ivf": _search_filtered_ivf,
-        "curation_pipeline": _curation_pipeline,
-        "docs_gopher_stream": _docs_gopher_stream,
-        "knn_binq": _knn_binq,
-        "docs_neardup_stream": _docs_neardup_stream,
+        # --- round-3 entries the 50-row window could not fit (locally
+        # gate-verified via scripts/check_oracle.py; streaming family is
+        # driver-covered by the four events_*_stream entries above) ---
         "maxsim_search": _maxsim_search,
+        "docs_gopher_stream": _docs_gopher_stream,
+        "docs_neardup_stream": _docs_neardup_stream,
     }
 
 

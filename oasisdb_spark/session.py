@@ -28,7 +28,11 @@ def get_spark(app_name: str = "oasisdb_spark", shuffle_partitions: int | None = 
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode is a single JVM: driver memory IS executor memory.
+        # 8g was enough for one query but a 50+-query bench session holds
+        # several persisted index frames; GC/eviction pressure showed up
+        # as a 2.6x swing in the r02 bench (VERDICT r02 "what's wrong" #1).
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.sql.parquet.filterPushdown", "true")
         # the driver's events fixture uses TIMESTAMP(NANOS); read as long
         # and convert (see sources/tables.py)
