@@ -2313,6 +2313,43 @@ def _curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality pruning (pipeline/sampling.py): keep the best
+    40% of each source by heuristic quality, rank-deterministic under
+    heavy score ties. One shuffle on source; see the module docstring
+    for the histogram refinement that replaces the within-group sort at
+    extreme group sizes."""
+    from oasisdb_spark.pipeline.sampling import quality_prune
+
+    return quality_prune(
+        _table(spark, sf_dir, "documents"), keep_frac=0.4, group_col="source"
+    ).withColumn("q_rank", F.col("q_rank").cast("int"))
+
+
+def _token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-mixture materialization (pipeline/sampling.py): draw each
+    language up to a token budget in salted-hash order — reproducible,
+    storage-order-independent; zh absent from the budget dict and so
+    dropped entirely (mixture exclusion semantics)."""
+    from oasisdb_spark.pipeline.sampling import token_budget_sample
+
+    budgets = {"en": 400, "fr": 150, "es": 150, "de": 150}
+    return token_budget_sample(
+        _table(spark, sf_dir, "documents"), budget=budgets, group_col="lang"
+    )
+
+
+def _sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style overlapping token chunking (pipeline/sampling.py):
+    40-token windows at stride 30 with the sliced chunk text. Pure
+    projection + posexplode — shuffle-free at any corpus size."""
+    from oasisdb_spark.pipeline.sampling import sliding_chunks
+
+    return sliding_chunks(
+        _table(spark, sf_dir, "documents"), chunk_len=40, stride=30
+    ).withColumn("chunk_idx", F.col("chunk_idx").cast("int"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries (observed: r01 and r02 rows == registry[0:50]). Round-3
@@ -2438,6 +2475,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maxsim_search": _maxsim_search,
         "docs_gopher_stream": _docs_gopher_stream,
         "docs_neardup_stream": _docs_neardup_stream,
+        "quality_prune": _quality_prune,
+        "token_budget_sample": _token_budget_sample,
+        "sliding_chunks": _sliding_chunks,
     }
 
 
@@ -2598,6 +2638,84 @@ SELECT doc_id, n_words, mean_word_len, symbol_ratio, stopword_hits,
        ((n_words BETWEEN 20 AND 100000) AND (mean_word_len BETWEEN 2.0 AND 10.0)
         AND (symbol_ratio <= 0.3) AND (stopword_hits >= 2)) AS keep
 FROM s
+"""
+
+
+def _quality_prune_oracle() -> str:
+    from oasisdb_spark.pipeline.text import STOPWORDS
+
+    en = STOPWORDS["en"]
+    return f"""
+WITH base AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS tk,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
+  FROM documents
+), s AS (
+  SELECT doc_id, source, n_chars, len(tk) AS n_tokens,
+         round(CAST(n_digit AS DOUBLE) / greatest(n_chars, 1), 4) AS digit_ratio,
+         round(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1), 4) AS punct_ratio,
+         len(list_intersect(list_distinct(tk), {en})) AS stopword_hits
+  FROM base
+), q AS (
+  SELECT doc_id, source,
+         round(CAST((CASE WHEN n_chars BETWEEN 50 AND 20000 THEN 0.4 ELSE 0.0 END)
+             + (CASE WHEN n_tokens >= 10 THEN 0.3 ELSE 0.0 END)
+             + (CASE WHEN stopword_hits >= 2 THEN 0.2 ELSE 0.0 END)
+             + (CASE WHEN digit_ratio < 0.3 AND punct_ratio < 0.2 THEN 0.1 ELSE 0.0 END)
+             AS DOUBLE), 2) AS quality
+  FROM s
+), r AS (
+  SELECT doc_id, source, quality,
+         row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS q_rank,
+         count(*) OVER (PARTITION BY source) AS _n
+  FROM q
+)
+SELECT doc_id, source, quality, CAST(q_rank AS INT) AS q_rank
+FROM r WHERE q_rank <= greatest(1, ceil(0.4 * _n))
+"""
+
+
+_TOKEN_BUDGET_ORACLE = """
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')) AS BIGINT) AS n_tokens,
+         md5('oasis' || CAST(doc_id AS VARCHAR)) AS h,
+         CASE lang WHEN 'en' THEN 400 WHEN 'fr' THEN 150 WHEN 'es' THEN 150 WHEN 'de' THEN 150 END AS budget
+  FROM documents
+), c AS (
+  SELECT doc_id, lang, n_tokens, budget,
+         sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
+         row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+  FROM t WHERE budget IS NOT NULL
+)
+SELECT doc_id, lang, n_tokens, cum_tokens
+FROM c WHERE cum_tokens <= budget OR rn = 1
+"""
+
+
+_SLIDING_CHUNKS_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS tk
+  FROM documents
+), s AS (
+  SELECT doc_id, tk, len(tk) AS n FROM t WHERE len(tk) > 0
+), e AS (
+  SELECT doc_id, tk, n,
+         CAST(CASE WHEN n > 40 THEN ceil(CAST(n - 40 AS DOUBLE) / 30) + 1 ELSE 1 END AS INT) AS n_chunks
+  FROM s
+)
+SELECT doc_id,
+       CAST(u.i AS INT) AS chunk_idx,
+       CAST(u.i * 30 AS BIGINT) AS start_tok,
+       CAST(least(u.i * 30 + 40, n) AS BIGINT) AS end_tok,
+       CAST(least(u.i * 30 + 40, n) - u.i * 30 AS BIGINT) AS chunk_tokens,
+       array_to_string(tk[u.i * 30 + 1 : least(u.i * 30 + 40, n)], ' ') AS chunk_text
+FROM e, unnest(generate_series(0, CAST(n_chunks - 1 AS BIGINT))) AS u(i)
 """
 
 
@@ -3496,4 +3614,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE (a.source = 'src0') <> (b.source = 'src0')
         """,
         "curation_pipeline": _curation_pipeline_oracle(),
+        "quality_prune": _quality_prune_oracle(),
+        "token_budget_sample": _TOKEN_BUDGET_ORACLE,
+        "sliding_chunks": _SLIDING_CHUNKS_ORACLE,
     }

@@ -65,6 +65,7 @@ FAMILIES: dict[str, list[str]] = {
     "filtered_ann": ["search_filtered_ivf", "search_filtered_ivf_probe"],
     "binary_quant": ["knn_binq_fast"],
     "late_interaction": ["maxsim_search"],
+    "sampling": ["quality_prune", "token_budget_sample", "sliding_chunks"],
     "windows_events": [
         "top3_orders_per_customer", "customer_running_spend", "part_brand_rollup",
         "events_asof_join", "events_hourly", "events_sessionize",

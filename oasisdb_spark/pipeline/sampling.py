@@ -1,0 +1,178 @@
+"""Corpus sampling & chunking operators for LLM training/RAG pipelines.
+
+Three operators a large-scale data pipeline needs between curation and
+training, all pure Column expressions (no Python rows, no UDFs) so they
+stay inside whole-stage codegen and carry exact DuckDB oracles:
+
+- ``quality_prune``: keep the top ``keep_frac`` of each group (source /
+  lang) by heuristic quality score — per-group rank pruning, the
+  "keep the best half of every source" step of mixture construction.
+- ``token_budget_sample``: deterministic subsample of each group up to a
+  token budget — the "2 B tokens of web, 500 M of code" epoch-mixture
+  materialization. Order within a group is a salted content hash, so
+  the sample is reproducible and independent of storage order.
+- ``sliding_chunks``: overlapping token-window spans per document (RAG /
+  context-window chunking with stride). One projection + posexplode —
+  shuffle-free.
+
+Scale notes (the 100 TB plan):
+- ``quality_prune`` / ``token_budget_sample`` shuffle once on the group
+  key and window-sort within groups. Group count is small (sources,
+  languages) but groups can be huge — at the extreme, replace the full
+  within-group sort with the two-phase histogram refinement: quality
+  (resp. hash-prefix) has low cardinality, so a tiny
+  (group, value, count) aggregate locates the boundary value, and only
+  rows AT the boundary need ranking. The window form here is the exact
+  spec both paths must match.
+- ``sliding_chunks`` never shuffles: chunk spans derive from the row
+  alone, and output order is irrelevant (downstream writers partition
+  by doc hash anyway).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from oasisdb_spark.pipeline.text import quality_score, text_stats_cols, token_count, tokens
+
+__all__ = ["quality_prune", "token_budget_sample", "sliding_chunks"]
+
+
+def quality_prune(
+    docs: DataFrame,
+    keep_frac: float = 0.5,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keep the best ``ceil(keep_frac * n)`` docs of each group by quality.
+
+    Rank within group by (quality desc, id asc) — the id tiebreak makes
+    the cut deterministic even though quality is coarse (step-function
+    score, heavy ties). Returns (id, group, quality, q_rank) for the
+    kept rows. At least one doc per group survives.
+    """
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
+    stats = text_stats_cols(text_col)
+    scored = docs.select(
+        F.col(id_col),
+        F.col(group_col),
+        quality_score(stats=stats).alias("quality"),
+    )
+    w = Window.partitionBy(group_col).orderBy(F.col("quality").desc(), F.col(id_col).asc())
+    wn = Window.partitionBy(group_col)
+    return (
+        scored.select(
+            id_col, group_col, "quality",
+            F.row_number().over(w).alias("q_rank"),
+            F.count(F.lit(1)).over(wn).alias("_n"),
+        )
+        .filter(F.col("q_rank") <= F.greatest(F.lit(1), F.ceil(F.lit(float(keep_frac)) * F.col("_n"))))
+        .drop("_n")
+    )
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    budget: int | dict[str, int],
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "oasis",
+) -> DataFrame:
+    """Deterministic per-group subsample up to a token budget.
+
+    Docs are ordered within each group by md5(salt || id) — a stable
+    pseudo-random shuffle that is a pure function of content, so the
+    sample is identical across runs, partitionings, and engines — and
+    taken while the running token total stays within the group's budget
+    (the first doc of a group is always taken, so a budget smaller than
+    the first doc still yields one doc, matching "at least one shard"
+    semantics). ``budget`` is one int for all groups or a {group: budget}
+    dict (groups absent from the dict are dropped).
+
+    Returns (id, group, n_tokens, cum_tokens) of the sampled docs.
+    """
+    if isinstance(budget, dict):
+        if not budget:
+            raise ValueError("budget dict must be non-empty")
+        budget_col = reduce(
+            lambda acc, kv: acc.when(F.col(group_col) == kv[0], F.lit(int(kv[1]))),
+            budget.items(),
+            F.when(F.lit(False), F.lit(0)),
+        ).otherwise(F.lit(None).cast("bigint"))
+    else:
+        budget_col = F.lit(int(budget))
+    t = docs.select(
+        F.col(id_col),
+        F.col(group_col),
+        token_count(text_col).cast("bigint").alias("n_tokens"),
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))).alias("_h"),
+        budget_col.alias("_budget"),
+    ).filter(F.col("_budget").isNotNull())
+    order = Window.partitionBy(group_col).orderBy(F.col("_h").asc(), F.col(id_col).asc())
+    w = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        t.select(
+            id_col, group_col, "n_tokens", "_budget",
+            F.sum("n_tokens").over(w).alias("cum_tokens"),
+            F.row_number().over(order).alias("_rn"),
+        )
+        .filter((F.col("cum_tokens") <= F.col("_budget")) | (F.col("_rn") == 1))
+        .select(id_col, group_col, "n_tokens", "cum_tokens")
+    )
+
+
+def sliding_chunks(
+    docs: DataFrame,
+    chunk_len: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    with_text: bool = True,
+) -> DataFrame:
+    """Overlapping token-window spans per document (RAG-style chunking).
+
+    Chunk i covers token positions [i*stride, min(i*stride + chunk_len,
+    n_tokens)); the last chunk may be short; a document with n_tokens in
+    (0, chunk_len] yields exactly one chunk; empty docs yield none.
+    Returns (id, chunk_idx, start_tok, end_tok, chunk_tokens[, chunk_text]).
+
+    chunk_text is the space-joined token slice (the normalized form the
+    tokenizer produced — embedding/indexing consumes tokens, not raw
+    bytes). Plan shape: one projection + posexplode, no shuffle; output
+    size is n_tokens/stride rows per doc by construction.
+    """
+    if chunk_len <= 0 or stride <= 0:
+        raise ValueError(f"chunk_len and stride must be positive, got {chunk_len}, {stride}")
+    n = F.col("_n")
+    n_chunks = F.when(
+        n > chunk_len, F.ceil((n - F.lit(chunk_len)).cast("double") / stride) + 1
+    ).otherwise(F.lit(1)).cast("int")
+    t = docs.select(
+        F.col(id_col), tokens(text_col).alias("_tk"), token_count(text_col).alias("_n")
+    ).filter(F.col("_n") > 0)
+    exploded = t.select(
+        id_col, "_tk", "_n",
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx", "_i"),
+    )
+    start = (F.col("chunk_idx") * stride).cast("bigint")
+    end = F.least(start + chunk_len, F.col("_n").cast("bigint"))
+    out = exploded.select(
+        id_col,
+        "chunk_idx",
+        start.alias("start_tok"),
+        end.alias("end_tok"),
+        (end - start).alias("chunk_tokens"),
+        *(
+            [F.array_join(F.slice("_tk", start + 1, end - start), " ").alias("chunk_text")]
+            if with_text
+            else []
+        ),
+    )
+    return out

@@ -1,0 +1,143 @@
+"""Tests for pipeline/sampling.py (quality prune, token-budget sample,
+sliding chunks)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from oasisdb_spark.pipeline.sampling import (
+    quality_prune,
+    sliding_chunks,
+    token_budget_sample,
+)
+
+GOOD = (
+    "this is a reasonably long document with plenty of common english "
+    "words so that the quality heuristics see stopwords and letters "
+    "and no digit noise at all in the body of the text here"
+)
+BAD = "000 111 222 333!!!???"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = []
+    for i in range(10):
+        rows.append((i, GOOD + f" tail{i}", "en", "srcA"))
+    for i in range(10, 14):
+        rows.append((i, BAD, "en", "srcA"))
+    for i in range(20, 26):
+        rows.append((i, GOOD + f" other{i}", "fr", "srcB"))
+    rows.append((30, "", "de", "srcC"))
+    return spark.createDataFrame(rows, "doc_id BIGINT, text STRING, lang STRING, source STRING")
+
+
+def test_quality_prune_keeps_best_per_group(docs):
+    out = quality_prune(docs, keep_frac=0.5, group_col="source").collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    # srcA: 14 docs -> ceil(0.5*14)=7 kept, all from the GOOD block
+    a = by_src["srcA"]
+    assert len(a) == 7
+    assert all(r["doc_id"] < 10 for r in a)
+    # ranks are 1..7, deterministic by (quality desc, doc_id)
+    assert sorted(r["q_rank"] for r in a) == list(range(1, 8))
+    assert [r["doc_id"] for r in sorted(a, key=lambda r: r["q_rank"])] == list(range(7))
+    # srcB: 6 -> 3; srcC: single (empty) doc still yields its 1 survivor
+    assert len(by_src["srcB"]) == 3
+    assert len(by_src["srcC"]) == 1
+
+
+def test_quality_prune_frac_bounds(docs):
+    with pytest.raises(ValueError):
+        quality_prune(docs, keep_frac=0.0)
+    all_kept = quality_prune(docs, keep_frac=1.0).count()
+    assert all_kept == docs.count()
+
+
+def test_token_budget_sample_budget_respected(docs):
+    out = token_budget_sample(docs, budget=100, group_col="lang").collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rows in by_lang.items():
+        top = max(r["cum_tokens"] for r in rows)
+        n_tok = {r["doc_id"]: r["n_tokens"] for r in rows}
+        # every row within budget, except possibly the forced first row
+        over = [r for r in rows if r["cum_tokens"] > 100]
+        assert len(over) <= 1
+        if over:
+            assert over[0]["cum_tokens"] == over[0]["n_tokens"]  # it IS the first row
+        assert top <= 100 or len(rows) == 1
+    # de's only doc is empty (0 tokens) but the first row is always taken
+    assert len(by_lang["de"]) == 1 and by_lang["de"][0]["n_tokens"] == 0
+
+
+def test_token_budget_sample_deterministic_and_order_free(docs):
+    a = sorted(map(tuple, token_budget_sample(docs, 120).collect()))
+    b = sorted(map(tuple, token_budget_sample(docs.orderBy(F.rand(7)), 120).collect()))
+    assert a == b
+
+
+def test_token_budget_sample_dict_drops_absent_groups(docs):
+    out = token_budget_sample(docs, budget={"en": 50, "fr": 10_000}, group_col="lang")
+    langs = {r["lang"] for r in out.collect()}
+    assert langs == {"en", "fr"}
+    fr = out.filter(F.col("lang") == "fr").count()
+    assert fr == 6  # generous budget takes every fr doc
+
+
+def test_sliding_chunks_spans(spark):
+    text = " ".join(f"w{i}" for i in range(100))
+    docs = spark.createDataFrame(
+        [(1, text), (2, "a b c"), (3, "")], "doc_id BIGINT, text STRING"
+    )
+    out = sliding_chunks(docs, chunk_len=64, stride=48)
+    rows = {r["doc_id"]: [] for r in out.collect()}
+    for r in out.collect():
+        rows[r["doc_id"]].append(r)
+    # doc 1: 100 tokens -> ceil((100-64)/48)+1 = 2 chunks [0,64) [48,100)
+    c1 = sorted(rows[1], key=lambda r: r["chunk_idx"])
+    assert [(r["start_tok"], r["end_tok"]) for r in c1] == [(0, 64), (48, 100)]
+    assert c1[0]["chunk_text"].split(" ")[0] == "w0"
+    assert c1[1]["chunk_text"].split(" ")[0] == "w48"
+    assert c1[1]["chunk_tokens"] == 52
+    # doc 2: one short chunk; doc 3 (empty): no rows
+    assert [(r["start_tok"], r["end_tok"]) for r in rows[2]] == [(0, 3)]
+    assert 3 not in rows
+
+
+def test_sliding_chunks_exact_fit(spark):
+    docs = spark.createDataFrame(
+        [(1, " ".join("x" for _ in range(64)))], "doc_id BIGINT, text STRING"
+    )
+    out = sliding_chunks(docs, chunk_len=64, stride=48).collect()
+    assert len(out) == 1 and out[0]["chunk_tokens"] == 64
+
+
+def test_sliding_chunks_coverage_property(spark):
+    # every token position is covered by at least one chunk
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{j}" for j in range(n))) for i, n in enumerate([1, 39, 40, 41, 95, 130])],
+        "doc_id BIGINT, text STRING",
+    )
+    for r in sliding_chunks(docs, chunk_len=40, stride=30).groupBy("doc_id").agg(
+        F.max("end_tok").alias("maxe"), F.min("start_tok").alias("mins"),
+        F.count("*").alias("n_chunks"),
+    ).collect():
+        assert r["mins"] == 0
+    # and the last chunk ends exactly at n_tokens
+    got = {
+        r["doc_id"]: r["maxe"]
+        for r in sliding_chunks(docs, chunk_len=40, stride=30)
+        .groupBy("doc_id").agg(F.max("end_tok").alias("maxe")).collect()
+    }
+    assert got == {0: 1, 1: 39, 2: 40, 3: 41, 4: 95, 5: 130}
+
+
+def test_sliding_chunks_validation(spark):
+    docs = spark.createDataFrame([(1, "a b")], "doc_id BIGINT, text STRING")
+    with pytest.raises(ValueError):
+        sliding_chunks(docs, chunk_len=0)
+    with pytest.raises(ValueError):
+        sliding_chunks(docs, stride=-1)
