@@ -2313,6 +2313,17 @@ def _curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of the documents table
+    (operators/profile.py): one aggregation pass → long-form
+    (column, n_rows, n_nulls, n_distinct, min, max). Exact distinct
+    (Expand plan) here so the oracle hash-matches; the 100 TB switch is
+    exact_distinct=False (HLL++, single input replica)."""
+    from oasisdb_spark.operators.profile import profile_table
+
+    return profile_table(_table(spark, sf_dir, "documents"))
+
+
 def _quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quality pruning (pipeline/sampling.py): keep the best
     40% of each source by heuristic quality, rank-deterministic under
@@ -2478,6 +2489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_prune": _quality_prune,
         "token_budget_sample": _token_budget_sample,
         "sliding_chunks": _sliding_chunks,
+        "table_profile": _table_profile,
     }
 
 
@@ -2717,6 +2729,20 @@ SELECT doc_id,
        array_to_string(tk[u.i * 30 + 1 : least(u.i * 30 + 40, n)], ' ') AS chunk_text
 FROM e, unnest(generate_series(0, CAST(n_chunks - 1 AS BIGINT))) AS u(i)
 """
+
+
+def _table_profile_oracle() -> str:
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    parts = [
+        f"""SELECT '{c}' AS "column", count(*) AS n_rows,
+               count(*) - count({c}) AS n_nulls,
+               count(DISTINCT {c}) AS n_distinct,
+               CAST(min({c}) AS VARCHAR) AS min_value,
+               CAST(max({c}) AS VARCHAR) AS max_value
+        FROM documents"""
+        for c in cols
+    ]
+    return "\nUNION ALL\n".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3617,4 +3643,5 @@ def oracle_sql() -> dict[str, str]:
         "quality_prune": _quality_prune_oracle(),
         "token_budget_sample": _TOKEN_BUDGET_ORACLE,
         "sliding_chunks": _SLIDING_CHUNKS_ORACLE,
+        "table_profile": _table_profile_oracle(),
     }

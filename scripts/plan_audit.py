@@ -272,6 +272,32 @@ def main() -> None:
     print(f"== line_dedup partial-agg frequency: {'OK' if ok else 'FAIL'}")
     failures += not ok
 
+    # 28. sliding_chunks: projection + explode only — no shuffle at any size
+    plan = plan_of(m.queries()["sliding_chunks"](spark, sf_dir))
+    ok = "Exchange" not in plan and "Generate" in plan
+    print(f"== sliding_chunks shuffle-free explode: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
+    # 29. quality_prune / token_budget_sample: exactly ONE hash shuffle
+    # (the group-key window sort) — stats/score never force a second pass
+    for q in ("quality_prune", "token_budget_sample"):
+        plan = plan_of(m.queries()[q](spark, sf_dir))
+        n_hash_ex = plan.count("Exchange hashpartitioning")
+        ok = n_hash_ex == 1 and "CartesianProduct" not in plan
+        print(f"== {q} single group-shuffle window: {'OK' if ok else f'FAIL (hash exchanges={n_hash_ex})'}")
+        failures += not ok
+
+    # 30. q21: one shuffle on l_orderkey feeds every window spec (min/max,
+    # row_number, lead share the sort) — the old plan's per-row collect_set
+    # and follow-up groupBy re-shuffle are gone
+    plan = plan_of(m.queries()["q21_last_to_ship"](spark, sf_dir))
+    ok = (
+        plan.count("Exchange hashpartitioning(l_orderkey") == 1
+        and "collect_set" not in plan
+    )
+    print(f"== q21 single-sort window rewrite: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
     print(f"\n{'ALL PLANS OK' if not failures else f'{failures} PLAN CHECKS FAILED'}")
     spark.stop()
     sys.exit(1 if failures else 0)
