@@ -857,6 +857,34 @@ FROM sc
 _BM25_TERMS = ["spark", "table", "query"]
 _BM25_K1, _BM25_B = 1.2, 0.75
 
+# shared by bm25_search (ad-hoc) and bm25_search_indexed (over the built
+# inverted index) — both must produce identical rankings
+_BM25_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS tk
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, len(tk) AS dl, tk FROM toks),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    terms AS (
+      SELECT doc_id, dl, t AS term
+      FROM dl, unnest(tk) AS u(t)
+      WHERE t IN ('spark', 'table', 'query')
+    ),
+    tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM terms GROUP BY doc_id, dl, term),
+    idf AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term)
+    SELECT doc_id,
+           round(sum(
+             ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+             * (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+           ), 6) AS bm25
+    FROM tf JOIN idf USING (term), stats
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id ASC
+    LIMIT 20
+"""
+
 
 def _bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 ranked retrieval for a fixed term set — the standard keyword
@@ -2313,6 +2341,33 @@ def _curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bm25_index_memo(spark: SparkSession, sf_dir: str):
+    """Build-once BM25 inverted index over documents (index/text.py):
+    postings with denormalized doc length, per-term df, corpus stats —
+    persisted like the ANN index memos (S8 build vs Q1 search split)."""
+    from oasisdb_spark.index.text import build_text_index
+
+    def _build():
+        idx = build_text_index(_table(spark, sf_dir, "documents"))
+        for name in ("postings", "termdf", "stats"):
+            idx[name] = idx[name].persist()
+            idx[name].count()
+        return idx
+
+    return _memo(spark, sf_dir, "bm25_index", _build)
+
+
+def _bm25_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over the BUILT inverted index (index/text.py): scans only
+    the query terms' postings (doc length denormalized into each
+    posting, df/stats broadcast after being cut to the query's terms).
+    Identical ranking to the ad-hoc bm25_search — shares its oracle —
+    but the corpus tokenize/explode cost was paid once at build."""
+    from oasisdb_spark.index.text import bm25_search_indexed
+
+    return bm25_search_indexed(_bm25_index_memo(spark, sf_dir), _BM25_TERMS, k=20)
+
+
 def _table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column profile of the documents table
     (operators/profile.py): one aggregation pass → long-form
@@ -2490,6 +2545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample": _token_budget_sample,
         "sliding_chunks": _sliding_chunks,
         "table_profile": _table_profile,
+        "bm25_search_indexed": _bm25_search_indexed,
     }
 
 
@@ -2880,31 +2936,7 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             ) WHERE cos_sim >= 0.4
         """,
-        "bm25_search": """
-            WITH toks AS (
-              SELECT doc_id,
-                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS tk
-              FROM documents
-            ),
-            dl AS (SELECT doc_id, len(tk) AS dl, tk FROM toks),
-            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
-            terms AS (
-              SELECT doc_id, dl, t AS term
-              FROM dl, unnest(tk) AS u(t)
-              WHERE t IN ('spark', 'table', 'query')
-            ),
-            tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM terms GROUP BY doc_id, dl, term),
-            idf AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term)
-            SELECT doc_id,
-                   round(sum(
-                     ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-                     * (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
-                   ), 6) AS bm25
-            FROM tf JOIN idf USING (term), stats
-            GROUP BY doc_id
-            ORDER BY bm25 DESC, doc_id ASC
-            LIMIT 20
-        """,
+        "bm25_search": _BM25_ORACLE,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
@@ -3644,4 +3676,5 @@ def oracle_sql() -> dict[str, str]:
         "token_budget_sample": _TOKEN_BUDGET_ORACLE,
         "sliding_chunks": _SLIDING_CHUNKS_ORACLE,
         "table_profile": _table_profile_oracle(),
+        "bm25_search_indexed": _BM25_ORACLE,
     }

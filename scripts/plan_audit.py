@@ -298,6 +298,19 @@ def main() -> None:
     print(f"== q21 single-sort window rewrite: {'OK' if ok else 'FAIL'}")
     failures += not ok
 
+    # 31. bm25_search_indexed: the query's term IN-filter reaches the
+    # postings side (sorted-by-term row groups make it a pruned seek on
+    # the persisted index; over the in-memory memo it shows as a filter
+    # ahead of the partial agg) and df/stats join as broadcasts
+    plan = plan_of(m.queries()["bm25_search_indexed"](spark, sf_dir))
+    ok = (
+        plan.count("BroadcastHashJoin") >= 1
+        and "SortMergeJoin" not in plan
+        and ("term#" in plan and " IN " in plan)
+    )
+    print(f"== bm25_indexed term-pruned scan + broadcast df: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
     print(f"\n{'ALL PLANS OK' if not failures else f'{failures} PLAN CHECKS FAILED'}")
     spark.stop()
     sys.exit(1 if failures else 0)
