@@ -2341,6 +2341,27 @@ def _curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine retrieval evaluation (operators/evalmetrics.py): recall
+    and precision of the MinHash-LSH banded near-dup pairs against the
+    exact shingle-Jaccard pair set at the same threshold — the
+    reference's recall-as-correctness-oracle semantic
+    (run_benchmarks.py:136-142) as a distributed join instead of a
+    driver loop. Verified pairs are a subset of the exact set, so
+    precision is 1.0 by construction and recall measures what the
+    banding kept."""
+    from oasisdb_spark.operators.evalmetrics import pair_retrieval_metrics
+    from oasisdb_spark.pipeline.dedup import jaccard_pairs, minhash_lsh_dedup
+
+    docs = _table(spark, sf_dir, "documents")
+    cand = _memo(
+        spark, sf_dir, "lsh_pairs@0.5",
+        lambda: minhash_lsh_dedup(docs, threshold=0.5, eager=True),
+    )
+    truth = jaccard_pairs(docs, threshold=0.5, max_doc_freq=None)
+    return pair_retrieval_metrics(cand, truth)
+
+
 def _bm25_index_memo(spark: SparkSession, sf_dir: str):
     """Build-once BM25 inverted index over documents (index/text.py):
     postings with denormalized doc length, per-term df, corpus stats —
@@ -2546,6 +2567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_chunks": _sliding_chunks,
         "table_profile": _table_profile,
         "bm25_search_indexed": _bm25_search_indexed,
+        "lsh_recall_eval": _lsh_recall_eval,
     }
 
 
@@ -3677,4 +3699,18 @@ def oracle_sql() -> dict[str, str]:
         "sliding_chunks": _SLIDING_CHUNKS_ORACLE,
         "table_profile": _table_profile_oracle(),
         "bm25_search_indexed": _BM25_ORACLE,
+        "lsh_recall_eval": f"""
+            WITH candq AS (SELECT doc_a, doc_b FROM ({_lsh_pairs_oracle(with_banding=True)})),
+            truthq AS (SELECT doc_a, doc_b FROM ({_lsh_pairs_oracle(with_banding=False)})),
+            m AS (
+              SELECT (SELECT count(*) FROM truthq) AS n_truth,
+                     (SELECT count(*) FROM candq) AS n_candidates,
+                     (SELECT count(*) FROM truthq t
+                        JOIN candq c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS n_hits
+            )
+            SELECT n_truth, n_candidates, n_hits,
+                   round(CAST(n_hits AS DOUBLE) / n_truth, 6) AS recall,
+                   round(CAST(n_hits AS DOUBLE) / n_candidates, 6) AS precision
+            FROM m
+        """,
     }

@@ -74,6 +74,7 @@ FAMILIES: dict[str, list[str]] = {
     "sampling": ["quality_prune", "token_budget_sample", "sliding_chunks"],
     "profiling": ["table_profile"],
     "text_index": ["bm25_search_indexed"],
+    "evaluation": ["lsh_recall_eval"],
     "windows_events": [
         "top3_orders_per_customer", "customer_running_spend", "part_brand_rollup",
         "events_asof_join", "events_hourly", "events_sessionize",

@@ -1,0 +1,57 @@
+"""Tests for operators/evalmetrics.py (in-engine retrieval evaluation)."""
+
+import pytest
+
+from oasisdb_spark.operators.evalmetrics import pair_retrieval_metrics, recall_at_k
+
+
+@pytest.fixture(scope="module")
+def ranked(spark):
+    truth = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3), (2, 20, 1), (2, 21, 2), (2, 22, 3)],
+        "query_id BIGINT, id BIGINT, rank INT",
+    )
+    results = spark.createDataFrame(
+        # q1: got 2 of top-3 right (plus a junk id); q2: nothing returned
+        [(1, 10, 1), (1, 99, 2), (1, 12, 3), (1, 11, 4)],
+        "query_id BIGINT, id BIGINT, rank INT",
+    )
+    return results, truth
+
+
+def test_recall_at_k(ranked):
+    results, truth = ranked
+    out = {r["query_id"]: r for r in recall_at_k(results, truth, k=3).collect()}
+    assert out[1]["n_hits"] == 2
+    assert out[1]["recall"] == pytest.approx(2 / 3, abs=1e-6)
+    # query 2 missing from results entirely -> recall 0, still a row
+    assert out[2]["n_hits"] == 0 and out[2]["recall"] == 0.0
+    # rank > k rows ignored: id 11 at rank 4 did not count for q1
+
+
+def test_recall_at_k_full(ranked):
+    results, truth = ranked
+    out = {r["query_id"]: r for r in recall_at_k(truth, truth, k=3).collect()}
+    assert all(r["recall"] == 1.0 for r in out.values())
+
+
+def test_pair_metrics_orientation_and_dedup(spark):
+    truth = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "doc_a BIGINT, doc_b BIGINT"
+    )
+    # candidates: one reversed pair, one duplicate, one false positive
+    cand = spark.createDataFrame(
+        [(2, 1), (1, 2), (3, 2), (7, 8)], "doc_a BIGINT, doc_b BIGINT"
+    )
+    r = pair_retrieval_metrics(cand, truth).collect()[0]
+    assert (r["n_truth"], r["n_candidates"], r["n_hits"]) == (3, 3, 2)
+    assert r["recall"] == pytest.approx(2 / 3, abs=1e-6)
+    assert r["precision"] == pytest.approx(2 / 3, abs=1e-6)
+
+
+def test_pair_metrics_empty_candidates(spark):
+    truth = spark.createDataFrame([(1, 2)], "doc_a BIGINT, doc_b BIGINT")
+    empty = truth.filter("doc_a < 0")
+    r = pair_retrieval_metrics(empty, truth).collect()[0]
+    assert (r["n_truth"], r["n_candidates"], r["n_hits"]) == (1, 0, 0)
+    assert r["recall"] == 0.0 and r["precision"] is None
