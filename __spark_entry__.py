@@ -857,9 +857,10 @@ FROM sc
 _BM25_TERMS = ["spark", "table", "query"]
 _BM25_K1, _BM25_B = 1.2, 0.75
 
-# shared by bm25_search (ad-hoc) and bm25_search_indexed (over the built
-# inverted index) — both must produce identical rankings
-_BM25_ORACLE = """
+# shared by bm25_search (ad-hoc), bm25_search_indexed (over the built
+# inverted index), and the lexical leg of hybrid_search_indexed — all
+# must produce identical rankings
+_BM25_ORACLE_TMPL = """
     WITH toks AS (
       SELECT doc_id,
              list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS tk
@@ -882,8 +883,9 @@ _BM25_ORACLE = """
     FROM tf JOIN idf USING (term), stats
     GROUP BY doc_id
     ORDER BY bm25 DESC, doc_id ASC
-    LIMIT 20
+    LIMIT {limit}
 """
+_BM25_ORACLE = _BM25_ORACLE_TMPL.format(limit=20)
 
 
 def _bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2389,6 +2391,28 @@ def _bm25_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_search_indexed(_bm25_index_memo(spark, sf_dir), _BM25_TERMS, k=20)
 
 
+def _hybrid_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval composed from BUILT indexes: the BM25 inverted
+    index's top-50 (index/text.py) RRF-fused with the exact vector
+    top-50 via the generic rrf_fuse operator (functions/fusion.py) —
+    the production shape where both legs are index scans, unlike
+    hybrid_search_rrf's from-scratch scoring. One query: embedding
+    vec_id 0 + the fixed BM25 term set."""
+    from oasisdb_spark.functions.fusion import rrf_fuse
+    from oasisdb_spark.index.flat import knn_flat
+    from oasisdb_spark.index.text import bm25_search_indexed
+
+    lex = bm25_search_indexed(_bm25_index_memo(spark, sf_dir), _BM25_TERMS, k=50)
+    w = Window.partitionBy(F.lit(0)).orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    lex_ranked = lex.select(
+        F.lit(0).cast("bigint").alias("query_id"), "doc_id", F.row_number().over(w).alias("rank")
+    )
+    vec_ranked = knn_flat(
+        _emb_queries(spark, sf_dir, 1), _emb_base(spark, sf_dir), k=50, space="l2"
+    ).select("query_id", F.col("id").alias("doc_id"), "rank")
+    return rrf_fuse([lex_ranked, vec_ranked], k=10)
+
+
 def _table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column profile of the documents table
     (operators/profile.py): one aggregation pass → long-form
@@ -2446,10 +2470,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # + the 40 entries that had no driver row in r01/r02 (TPC-H tail,
     # pivot/set-ops, packing, streaming, multimodal, …), + 8 of the 11
     # round-3 curation/index entries. Everything behind position 50 has a
-    # green r02 row except maxsim_search / docs_gopher_stream /
-    # docs_neardup_stream (window is full; verified by the local gate
-    # replica scripts/check_oracle.py, see COVERAGE.md) — so r02 ∪ r03
-    # covers 99 of 102 entries, the max the 50-row window allows.
+    # green r02 row except the entries added after the window filled
+    # (maxsim_search, docs_*_stream, the sampling/profile/text-index/eval
+    # block at the tail) — all verified by the local gate replica
+    # scripts/check_oracle.py (see COVERAGE.md) and due to rotate into
+    # the window next round. r02 ∪ r03 covers 99 of 105 entries, the max
+    # the 50-row window allows.
     return {
         # --- anchors (positions 1-2) ---
         "collection_lifecycle": _collection_lifecycle,
@@ -2568,6 +2594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": _table_profile,
         "bm25_search_indexed": _bm25_search_indexed,
         "lsh_recall_eval": _lsh_recall_eval,
+        "hybrid_search_indexed": _hybrid_search_indexed,
     }
 
 
@@ -3712,5 +3739,25 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(n_hits AS DOUBLE) / n_truth, 6) AS recall,
                    round(CAST(n_hits AS DOUBLE) / n_candidates, 6) AS precision
             FROM m
+        """,
+        "hybrid_search_indexed": f"""
+            WITH bm AS (
+              SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rnk
+              FROM ({_BM25_ORACLE_TMPL.format(limit=50)})
+            ),
+            vs AS (
+              SELECT id AS doc_id, rank AS rnk
+              FROM ({_KNN_ORACLE_TMPL.format(dist=_L2_SQL, nq=1, k=50, base="embeddings", extra="", join="")})
+            ),
+            u AS (
+              SELECT doc_id, 1.0 / (60 + rnk) AS c FROM bm
+              UNION ALL
+              SELECT doc_id, 1.0 / (60 + rnk) AS c FROM vs
+            ),
+            f AS (SELECT doc_id, round(sum(c), 8) AS rrf_score FROM u GROUP BY doc_id)
+            SELECT CAST(0 AS BIGINT) AS query_id, doc_id,
+                   CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS INT) AS rank,
+                   rrf_score
+            FROM f ORDER BY rrf_score DESC, doc_id ASC LIMIT 10
         """,
     }

@@ -73,7 +73,7 @@ FAMILIES: dict[str, list[str]] = {
     "late_interaction": ["maxsim_search"],
     "sampling": ["quality_prune", "token_budget_sample", "sliding_chunks"],
     "profiling": ["table_profile"],
-    "text_index": ["bm25_search_indexed"],
+    "text_index": ["bm25_search_indexed", "hybrid_search_indexed"],
     "evaluation": ["lsh_recall_eval"],
     "windows_events": [
         "top3_orders_per_customer", "customer_running_spend", "part_brand_rollup",

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from oasisdb_spark.functions.distance import distance_expr
 from oasisdb_spark.pipeline.text import distinct_tokens
 
-__all__ = ["hybrid_search_rrf"]
+__all__ = ["hybrid_search_rrf", "rrf_fuse"]
 
 
 def hybrid_search_rrf(
@@ -83,4 +83,47 @@ def hybrid_search_rrf(
         .withColumn("rank", F.row_number().over(w_out))
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "rank", "rrf_score", "text_rank", "vec_rank")
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    rrf_k: int = 60,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion of ANY ranked lists (the composition
+    primitive behind hybrid retrieval over BUILT indexes: feed it a BM25
+    ranking from index/text.py and a kNN ranking from any vector tier).
+
+    Each input is (query_col, id_col, rank_col); a document absent from
+    a list simply contributes nothing for that list (standard RRF over
+    the union). Returns (query_col, id_col, rank, rrf_score) — per-query
+    top-k by fused score, doc-id tiebreak.
+
+    Plan shape: union of the (small, already-top-k) ranked lists → one
+    partial-aggregated groupBy on (query, doc) → window top-k. Nothing
+    corpus-sized is touched; fusion cost scales with k·n_lists·queries.
+    """
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    parts = [
+        r.select(
+            F.col(query_col).alias("query_id"),
+            F.col(id_col).alias("doc_id"),
+            (F.lit(1.0) / (F.lit(rrf_k) + F.col(rank_col).cast("double"))).alias("_c"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy("query_id", "doc_id").agg(F.round(F.sum("_c"), 8).alias("rrf_score"))
+    w = Window.partitionBy("query_id").orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rank", "rrf_score")
     )

@@ -54,3 +54,32 @@ def test_text_ties_break_by_doc_id(spark):
     )
     out = {r["doc_id"]: r["text_rank"] for r in hybrid_search_rrf(docs, queries).collect()}
     assert out == {3: 1, 5: 2, 7: 3}
+
+
+def test_rrf_fuse_union_semantics(spark):
+    from oasisdb_spark.functions.fusion import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)], "query_id LONG, doc_id LONG, rank INT"
+    )
+    b = spark.createDataFrame(
+        [(0, 11, 1), (0, 13, 2)], "query_id LONG, doc_id LONG, rank INT"
+    )
+    out = {r["doc_id"]: r for r in rrf_fuse([a, b], k=10, rrf_k=60).collect()}
+    # doc 11 appears in both lists -> sum of both contributions
+    assert out[11]["rrf_score"] == round(1 / 62 + 1 / 61, 8)
+    # doc 10 only in a, doc 13 only in b
+    assert out[10]["rrf_score"] == round(1 / 61, 8)
+    assert out[13]["rrf_score"] == round(1 / 62, 8)
+    # fused order: 11 (two hits) first, then 10 (rank1), 13 (rank2), 12
+    ordered = sorted(out.values(), key=lambda r: r["rank"])
+    assert [r["doc_id"] for r in ordered] == [11, 10, 13, 12]
+
+
+def test_rrf_fuse_validation(spark):
+    import pytest as _pytest
+
+    from oasisdb_spark.functions.fusion import rrf_fuse
+
+    with _pytest.raises(ValueError):
+        rrf_fuse([])
