@@ -2391,6 +2391,30 @@ def _bm25_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_search_indexed(_bm25_index_memo(spark, sf_dir), _BM25_TERMS, k=20)
 
 
+def _pca_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding compression end-to-end (functions/dimred.py): fit
+    PCA-16 over the embeddings fixture (one distributed Gram pass,
+    memoized like the index builds), project base + queries (Arrow
+    GEMM, shuffle-free), exact kNN in the 16-d space. Rows-only entry:
+    the eigendecomposition is deterministic given the Gram matrix, but
+    cross-partitioning float reductions differ in the last ulp, so
+    ranks near ties are not hash-stable — recall properties are
+    test-verified instead (test_dimred.py neighborhood test)."""
+    from oasisdb_spark.functions.dimred import fit_pca, pca_project
+    from oasisdb_spark.index.flat import knn_flat
+
+    model = _memo(
+        spark, sf_dir, "pca16",
+        lambda: fit_pca(_table(spark, sf_dir, "embeddings"), n_components=16),
+    )
+    projected = pca_project(_table(spark, sf_dir, "embeddings"), model, out_col="proj")
+    base = projected.select(F.col("vec_id").alias("id"), F.col("proj").alias("vector"))
+    queries = projected.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("proj").alias("query_vec")
+    )
+    return knn_flat(queries, base, k=10, space="l2").select("query_id", "id", "rank")
+
+
 def _hybrid_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval composed from BUILT indexes: the BM25 inverted
     index's top-50 (index/text.py) RRF-fused with the exact vector
@@ -2595,6 +2619,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search_indexed": _bm25_search_indexed,
         "lsh_recall_eval": _lsh_recall_eval,
         "hybrid_search_indexed": _hybrid_search_indexed,
+        # rows-only by nature (last-ulp float reductions across
+        # partitionings; see docstring) — like sequence_pack_bins
+        "pca_knn": _pca_knn,
     }
 
 

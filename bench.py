@@ -75,6 +75,7 @@ FAMILIES: dict[str, list[str]] = {
     "profiling": ["table_profile"],
     "text_index": ["bm25_search_indexed", "hybrid_search_indexed"],
     "evaluation": ["lsh_recall_eval"],
+    "dimred": ["pca_knn"],
     "windows_events": [
         "top3_orders_per_customer", "customer_running_spend", "part_brand_rollup",
         "events_asof_join", "events_hourly", "events_sessionize",

@@ -1,0 +1,151 @@
+"""PCA dimensionality reduction for embedding columns.
+
+Embedding compression is a standard pre-index step at corpus scale:
+project d-dim vectors onto the top-k principal components, index the
+projections (IVF/BinQ over 16 floats instead of 64), and refine the
+shortlist against the full vectors — the same scan-shrinking economics
+as SQ8/BinQ, but along directions chosen from the data.
+
+Fit is one distributed pass: each Arrow batch contributes its partial
+(count, sum, Gram matrix X'X); partials reduce on the driver (a d×d
+float64 matrix — tiny for any embedding width) and a dense symmetric
+eigendecomposition yields the components. The reference keeps quantizer
+TRAINING driver-side over distributed data the same way (k-means in
+`ivf.go:317-377`); this follows index/kmeans.py's pattern.
+
+Determinism: the eigendecomposition is deterministic given the
+accumulated Gram matrix; eigenvector SIGN is normalized (largest-|x|
+coordinate made positive) so models are comparable across fits. The
+float64 partial sums make the Gram matrix reproducible to last-ulp
+under a fixed partitioning; across different partitionings, reductions
+can differ in the last ulp — models are equal to ~1e-12, not
+bit-identical, which is why PCA entries are rows-only rather than
+hash-oracled.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["PCAModel", "fit_pca", "pca_project"]
+
+
+@dataclass
+class PCAModel:
+    mean: np.ndarray          # (d,)
+    components: np.ndarray    # (d, k) orthonormal columns
+    explained_variance: np.ndarray  # (k,) descending
+
+    @property
+    def dim(self) -> int:
+        return self.components.shape[0]
+
+    @property
+    def n_components(self) -> int:
+        return self.components.shape[1]
+
+    def explained_ratio(self) -> np.ndarray:
+        tot = float(self.explained_variance.sum())
+        return self.explained_variance / tot if tot > 0 else self.explained_variance
+
+
+def fit_pca(df: DataFrame, vec_col: str = "embedding", n_components: int = 16) -> PCAModel:
+    """Fit PCA over a vector column in one distributed pass.
+
+    Emits one partial (n, Σx, X'X) row per partition via mapInPandas;
+    the driver reduces them and eigendecomposes the covariance. Only
+    O(num_partitions · d²) floats ever reach the driver.
+    """
+    schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.ArrayType(T.DoubleType())),
+            T.StructField("g", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n, s, g = 0, None, None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            n += x.shape[0]
+            s = x.sum(axis=0) if s is None else s + x.sum(axis=0)
+            gg = x.T @ x
+            g = gg if g is None else g + gg
+        if n:
+            yield pd.DataFrame({"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]})
+
+    rows = df.select(vec_col).mapInPandas(partials, schema=schema).collect()
+    if not rows:
+        raise ValueError("fit_pca: empty input")
+    n = sum(r["n"] for r in rows)
+    d = len(rows[0]["s"])
+    if not 1 <= n_components <= d:
+        raise ValueError(f"n_components must be in [1, {d}], got {n_components}")
+    s = np.zeros(d)
+    g = np.zeros((d, d))
+    # fixed reduce order (collect returns partitions in index order)
+    for r in rows:
+        s += np.asarray(r["s"])
+        g += np.asarray(r["g"]).reshape(d, d)
+    mean = s / n
+    denom = max(n - 1, 1)
+    cov = (g - n * np.outer(mean, mean)) / denom
+    evals, evecs = np.linalg.eigh(cov)          # ascending
+    order = np.argsort(evals)[::-1][:n_components]
+    comp = evecs[:, order]
+    # sign normalization: per component, largest-|coordinate| positive
+    flips = np.sign(comp[np.abs(comp).argmax(axis=0), np.arange(comp.shape[1])])
+    flips[flips == 0] = 1.0
+    return PCAModel(
+        mean=mean,
+        components=comp * flips,
+        explained_variance=np.maximum(evals[order], 0.0),
+    )
+
+
+def pca_project(
+    df: DataFrame,
+    model: PCAModel,
+    vec_col: str = "embedding",
+    out_col: str = "proj",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Project the vector column onto the model's components.
+
+    One Arrow-batched GEMM per batch against the broadcast (d×k)
+    component matrix — no shuffle, output rows = input rows. ``keep_cols``
+    defaults to every column except the input vector."""
+    if keep_cols is None:
+        keep_cols = [c for c in df.columns if c != vec_col]
+    spark = df.sparkSession
+    b_mean = spark.sparkContext.broadcast(model.mean)
+    b_comp = spark.sparkContext.broadcast(model.components)
+
+    in_schema = df.select(*keep_cols, vec_col).schema
+    out_schema = T.StructType(
+        [f for f in in_schema if f.name != vec_col]
+        + [T.StructField(out_col, T.ArrayType(T.DoubleType()))]
+    )
+
+    def proj(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mean, comp = b_mean.value, b_comp.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            p = (x - mean) @ comp
+            out = pdf[keep_cols].copy()
+            out[out_col] = list(p)
+            yield out
+
+    return df.select(*keep_cols, vec_col).mapInPandas(proj, schema=out_schema)

@@ -1,0 +1,79 @@
+"""Tests for functions/dimred.py (distributed PCA)."""
+
+import numpy as np
+import pytest
+
+from oasisdb_spark.functions.dimred import fit_pca, pca_project
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    rng = np.random.RandomState(7)
+    # anisotropic: variance concentrated in 2 latent directions of a 6-d space
+    latent = rng.randn(400, 2) * np.array([5.0, 2.0])
+    basis = np.linalg.qr(rng.randn(6, 6))[0][:, :2]
+    x = latent @ basis.T + rng.randn(400, 6) * 0.05 + np.array([1, 2, 3, 4, 5, 6])
+    rows = [(i, x[i].tolist()) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>").repartition(7)
+    return df, x
+
+
+def test_fit_matches_numpy(data):
+    df, x = data
+    m = fit_pca(df, n_components=3)
+    # numpy reference
+    c = x - x.mean(axis=0)
+    cov = c.T @ c / (len(x) - 1)
+    evals = np.sort(np.linalg.eigvalsh(cov))[::-1][:3]
+    assert np.allclose(m.mean, x.mean(axis=0), atol=1e-9)
+    assert np.allclose(m.explained_variance, evals, rtol=1e-8)
+    # components orthonormal
+    assert np.allclose(m.components.T @ m.components, np.eye(3), atol=1e-9)
+    # two dominant components explain ~everything
+    assert m.explained_ratio()[:2].sum() > 0.99
+
+
+def test_projection_variance_and_reconstruction(data):
+    df, x = data
+    m = fit_pca(df, n_components=2)
+    out = pca_project(df, m).orderBy("vec_id").collect()
+    p = np.array([r["proj"] for r in out])
+    assert p.shape == (400, 2)
+    # projection variance equals the eigenvalues (component-wise)
+    assert np.allclose(p.var(axis=0, ddof=1), m.explained_variance, rtol=1e-6)
+    # reconstruction error is the residual variance — tiny here
+    recon = p @ m.components.T + m.mean
+    rel = np.linalg.norm(recon - x) / np.linalg.norm(x - x.mean(axis=0))
+    assert rel < 0.05
+
+
+def test_projection_preserves_neighborhoods(data):
+    # kNN over the 2-d projection agrees with full-space kNN when the
+    # data is intrinsically 2-d: the embedding-compression use case
+    df, x = data
+    m = fit_pca(df, n_components=2)
+    out = pca_project(df, m).orderBy("vec_id").collect()
+    p = np.array([r["proj"] for r in out])
+    q = 0
+    full = np.argsort(((x - x[q]) ** 2).sum(axis=1))[1:11]
+    proj = np.argsort(((p - p[q]) ** 2).sum(axis=1))[1:11]
+    assert len(set(full) & set(proj)) >= 8
+
+
+def test_sign_deterministic_across_partitionings(data):
+    df, _ = data
+    a = fit_pca(df.repartition(3), n_components=2)
+    b = fit_pca(df.repartition(11), n_components=2)
+    assert np.allclose(a.components, b.components, atol=1e-9)
+    assert np.allclose(a.mean, b.mean, atol=1e-10)
+
+
+def test_validation(data, spark):
+    df, _ = data
+    with pytest.raises(ValueError):
+        fit_pca(df, n_components=0)
+    with pytest.raises(ValueError):
+        fit_pca(df, n_components=99)
+    empty = df.filter("vec_id < 0")
+    with pytest.raises(ValueError):
+        fit_pca(empty, n_components=1)
