@@ -42,6 +42,7 @@ class PCAModel:
     mean: np.ndarray          # (d,)
     components: np.ndarray    # (d, k) orthonormal columns
     explained_variance: np.ndarray  # (k,) descending
+    total_variance: float     # trace of the full covariance (all d dims)
 
     @property
     def dim(self) -> int:
@@ -52,8 +53,11 @@ class PCAModel:
         return self.components.shape[1]
 
     def explained_ratio(self) -> np.ndarray:
-        tot = float(self.explained_variance.sum())
-        return self.explained_variance / tot if tot > 0 else self.explained_variance
+        """Per-component fraction of the FULL d-dim variance (sums to
+        < 1 when k < d — the honest compression-quality number)."""
+        if self.total_variance > 0:
+            return self.explained_variance / self.total_variance
+        return self.explained_variance
 
 
 def fit_pca(df: DataFrame, vec_col: str = "embedding", n_components: int = 16) -> PCAModel:
@@ -110,6 +114,7 @@ def fit_pca(df: DataFrame, vec_col: str = "embedding", n_components: int = 16) -
         mean=mean,
         components=comp * flips,
         explained_variance=np.maximum(evals[order], 0.0),
+        total_variance=float(np.maximum(evals, 0.0).sum()),
     )
 
 
