@@ -2351,7 +2351,15 @@ def _lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     (run_benchmarks.py:136-142) as a distributed join instead of a
     driver loop. Verified pairs are a subset of the exact set, so
     precision is 1.0 by construction and recall measures what the
-    banding kept."""
+    banding kept.
+
+    Both pair sets are MEMOIZED built artifacts (df-capped exact
+    Jaccard for truth — the cap changes nothing at gate scale, where no
+    shingle reaches df 256, so the uncapped oracle triangle still
+    hash-matches): this entry times the EVALUATION join, not pair
+    generation, which minhash_lsh_pairs / ngram_jaccard_pairs bench on
+    their own. (Inline truth recomputation measured 13 s/call at sf0.1
+    — the exact pair pipeline dominates and drowned the metric cost.)"""
     from oasisdb_spark.operators.evalmetrics import pair_retrieval_metrics
     from oasisdb_spark.pipeline.dedup import jaccard_pairs, minhash_lsh_dedup
 
@@ -2360,7 +2368,13 @@ def _lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "lsh_pairs@0.5",
         lambda: minhash_lsh_dedup(docs, threshold=0.5, eager=True),
     )
-    truth = jaccard_pairs(docs, threshold=0.5, max_doc_freq=None)
+
+    def _build_truth():
+        t = jaccard_pairs(docs, threshold=0.5).persist()
+        t.count()
+        return t
+
+    truth = _memo(spark, sf_dir, "jaccard_exact@0.5", _build_truth)
     return pair_retrieval_metrics(cand, truth)
 
 

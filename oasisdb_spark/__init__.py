@@ -18,10 +18,16 @@ surface as DataFrame plans:
 - ``client`` / ``server``  the reference SDK surface (client-sdk/Python)
                        and its 13 HTTP routes (internal/server/server.go)
 - ``functions.sketch`` KMV distinct-count sketch (mergeable, oracle-exact)
+- ``functions.fusion`` hybrid retrieval (RRF) + generic rrf_fuse
+- ``functions.dimred`` distributed PCA (embedding compression)
+- ``index.text``       persisted BM25 inverted index (build/search split)
+- ``operators.*``      as-of / range joins, connected components, skew
+                       tools, table profiler, retrieval evaluation
 - ``pipeline.*``       LLM-data-pipeline extensions: dedup (incl. blocked-
                        GEMM near-dup), ANN (GEMM + packed-bits hamming),
-                       text analysis, sequence packing, multimodal over
-                       real PNG/WAV/VID0 codecs (beyond reference surface)
+                       text analysis, curation, sampling/chunking,
+                       sequence packing, multimodal over real
+                       PNG/WAV/VID0 codecs (beyond reference surface)
 - ``streaming.*``      Structured Streaming extensions over the events table
 
 Everything is Parquet tables + Catalyst plans; pandas UDFs appear only
