@@ -2499,6 +2499,95 @@ def _sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("chunk_idx", F.col("chunk_idx").cast("int"))
 
 
+def _event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view→click→purchase (operators/funnel.py): filter
+    to step types at the scan, ONE shuffle on user_id, per-user greedy
+    fold to the max stage (pure Column F.aggregate — no Python), tiny
+    rollup. The greedy earliest-match scan equals the oracle's chained
+    min-timestamp CTEs (matching earliest never blocks later steps)."""
+    from oasisdb_spark.operators.funnel import funnel_steps
+
+    return funnel_steps(_table(spark, sf_dir, "events"), ["view", "click", "purchase"])
+
+
+def _cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-cohort retention matrix (operators/funnel.py): first-activity
+    cohort per user × calendar-day offset, distinct-user counts,
+    retention vs the cohort's offset-0 cell (broadcast). Both heavy
+    aggregations hash on user_id (co-partitioned join), one small
+    rollup after."""
+    from oasisdb_spark.operators.funnel import cohort_retention
+
+    return cohort_retention(_table(spark, sf_dir, "events"), granularity="day")
+
+
+def _fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance self-join (operators/fuzzy.py): part-name
+    pairs within 2 edits inside a brand. The brand equi-join is the
+    only shuffle; |len diff| prunes ahead of the bounded
+    levenshtein(l, r, threshold) JVM intrinsic (early-exit DP)."""
+    from oasisdb_spark.operators.fuzzy import fuzzy_self_join
+
+    return fuzzy_self_join(
+        _table(spark, sf_dir, "part"), "p_partkey", "p_name", ["p_brand"], max_dist=2
+    )
+
+
+def _bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction (functions/bloom.py): revenue of
+    URGENT orders — the filtered orders keys build a 2^18-bit Bloom
+    bitset (per-partition bitsets OR-reduced, driver never sees keys)
+    that prunes ~4/5 of lineitem BEFORE the shuffle join. Result is
+    row-identical to the plain join (no false negatives; FPs die in the
+    exact join), which is exactly what the oracle checks."""
+    from oasisdb_spark.functions.bloom import bloom_pruned_join
+
+    li = _table(spark, sf_dir, "lineitem")
+    orders = _table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    # prices/discounts are 2dp-exact: decimal arithmetic makes the
+    # per-order sum independent of partition/accumulation order, so the
+    # hash compare is exact (double sums round-trip differently at the
+    # .xx5 representation edge)
+    rev = F.col("l_extendedprice").cast("decimal(14,2)") * (
+        F.lit(1).cast("decimal(14,2)") - F.col("l_discount").cast("decimal(14,2)")
+    )
+    return (
+        bloom_pruned_join(li, orders, "l_orderkey", "o_orderkey", num_bits=1 << 18)
+        .groupBy("o_orderkey")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def _semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (pipeline/semantic_dedup.py, arXiv:2303.09540) in EXACT
+    mode (n_clusters=1 — whole table one comparison scope, oracle-able
+    as a single theta-join aggregate); the clustered scale path
+    (k-means cells + per-cell GEMM, one shuffle total) is benched as
+    semantic_dedup_fast in bench_queries()."""
+    from oasisdb_spark.pipeline.semantic_dedup import semantic_dedup
+
+    return semantic_dedup(_table(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+def _semantic_dedup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup at production shape: ~√N k-means cells (the IVF coarse
+    quantizer), per-cell row-chunked GEMM — quadratic work confined to
+    balanced per-cell tasks, one shuffle total. Bench-only: cell
+    boundaries make results approximate vs the exact-mode oracle."""
+    import math
+
+    from oasisdb_spark.pipeline.semantic_dedup import semantic_dedup
+
+    emb = _table(spark, sf_dir, "embeddings")
+    k = max(4, int(math.sqrt(emb.count())))
+    return semantic_dedup(emb, threshold=0.4, n_clusters=k)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries (observed: r01 and r02 rows == registry[0:50]). Round-3
@@ -2633,6 +2722,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search_indexed": _bm25_search_indexed,
         "lsh_recall_eval": _lsh_recall_eval,
         "hybrid_search_indexed": _hybrid_search_indexed,
+        "event_funnel": _event_funnel,
+        "cohort_retention": _cohort_retention,
+        "fuzzy_name_pairs": _fuzzy_name_pairs,
+        "bloom_semijoin": _bloom_semijoin,
+        "semantic_dedup": _semantic_dedup,
         # rows-only by nature (last-ulp float reductions across
         # partitionings; see docstring) — like sequence_pack_bins
         "pca_knn": _pca_knn,
@@ -2651,6 +2745,10 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivfsq_probe": lambda s, d: _knn_ivfsq(s, d, nprobe=4, refine_factor=0),
         "knn_binq_fast": lambda s, d: _knn_binq(s, d, refine_factor=8),
         "knn_lsh_fast": lambda s, d: _knn_lsh(s, d, num_hash_tables=4),
+        # SemDeDup scale path: √N k-means cells, per-cell GEMM — one
+        # shuffle on cluster_id instead of the exact mode's single
+        # whole-table cell (pipeline/semantic_dedup.py)
+        "semantic_dedup_fast": _semantic_dedup_fast,
     }
 
 
@@ -3800,5 +3898,73 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS INT) AS rank,
                    rrf_score
             FROM f ORDER BY rrf_score DESC, doc_id ASC LIMIT 10
+        """,
+        # funnel: chained earliest-match CTEs == the Spark fold's greedy
+        # scan (earliest-first matching is optimal for subsequence
+        # existence; both use strict ts ordering)
+        "event_funnel": """
+            WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+                        WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 ON e.user_id = s1.user_id
+                   WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 ON e.user_id = s2.user_id
+                   WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id),
+            c AS (SELECT (SELECT count(*) FROM s1) AS c1,
+                         (SELECT count(*) FROM s2) AS c2,
+                         (SELECT count(*) FROM s3) AS c3)
+            SELECT 1 AS step, 'view' AS step_name, c1 AS n_users,
+                   round(CAST(c1 AS DOUBLE) / c1, 6) AS conversion FROM c
+            UNION ALL SELECT 2, 'click', c2, round(CAST(c2 AS DOUBLE) / c1, 6) FROM c
+            UNION ALL SELECT 3, 'purchase', c3, round(CAST(c3 AS DOUBLE) / c2, 6) FROM c
+        """,
+        "cohort_retention": """
+            WITH acts AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS period FROM events),
+            firsts AS (SELECT user_id, min(period) AS cohort FROM acts GROUP BY user_id),
+            cells AS (SELECT a.user_id, f.cohort,
+                             CAST(date_diff('day', f.cohort, a.period) AS INT) AS "offset"
+                      FROM acts a JOIN firsts f ON a.user_id = f.user_id),
+            counts AS (SELECT cohort, "offset", count(DISTINCT user_id) AS n_users
+                       FROM cells GROUP BY cohort, "offset")
+            SELECT CAST(c.cohort AS DATE) AS cohort, c."offset" AS "offset", c.n_users,
+                   round(CAST(c.n_users AS DOUBLE) / b.n_users, 6) AS retention
+            FROM counts c
+            JOIN (SELECT cohort, n_users FROM counts WHERE "offset" = 0) b ON c.cohort = b.cohort
+        """,
+        "fuzzy_name_pairs": """
+            SELECT a.p_partkey AS id_a, b.p_partkey AS id_b, a.p_brand,
+                   CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+            FROM part a JOIN part b
+            ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+            WHERE levenshtein(a.p_name, b.p_name) <= 2
+        """,
+        # bloom_semijoin's oracle is the PLAIN join: the Bloom prune is
+        # row-invisible by construction (no false negatives, FPs removed
+        # by the exact join) — the oracle proves exactly that
+        "bloom_semijoin": """
+            SELECT o.o_orderkey,
+                   CAST(sum(CAST(l.l_extendedprice AS DECIMAL(14,2))
+                            * (CAST(1 AS DECIMAL(14,2)) - CAST(l.l_discount AS DECIMAL(14,2)))) AS DOUBLE) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderpriority = '1-URGENT'
+            GROUP BY o.o_orderkey
+        """,
+        "semantic_dedup": f"""
+            WITH p AS (
+              SELECT * FROM (
+                SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+                       round(CASE WHEN {_NORM_SQL.format(v='a.embedding')} = 0 OR {_NORM_SQL.format(v='b.embedding')} = 0
+                             THEN 0.0
+                             ELSE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                  p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))
+                                  / ({_NORM_SQL.format(v='a.embedding')} * {_NORM_SQL.format(v='b.embedding')}) END, 6) AS cos_sim
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              ) WHERE cos_sim >= 0.4
+            ),
+            d AS (SELECT doc_b AS vec_id, count(*) AS n FROM p GROUP BY doc_b)
+            SELECT e.vec_id, CAST(0 AS INT) AS cluster_id,
+                   CAST(coalesce(d.n, 0) AS INT) AS n_dups,
+                   coalesce(d.n, 0) = 0 AS kept
+            FROM embeddings e LEFT JOIN d ON e.vec_id = d.vec_id
         """,
     }

@@ -76,6 +76,11 @@ FAMILIES: dict[str, list[str]] = {
     "text_index": ["bm25_search_indexed", "hybrid_search_indexed"],
     "evaluation": ["lsh_recall_eval"],
     "dimred": ["pca_knn"],
+    # round-3 batch 2 (additive — earlier families untouched)
+    "analytics": ["event_funnel", "cohort_retention"],
+    "fuzzy_join": ["fuzzy_name_pairs"],
+    "bloom_join": ["bloom_semijoin"],
+    "semantic_dedup": ["semantic_dedup", "semantic_dedup_fast"],
     "windows_events": [
         "top3_orders_per_customer", "customer_running_spend", "part_brand_rollup",
         "events_asof_join", "events_hourly", "events_sessionize",

@@ -1,0 +1,183 @@
+"""Event-sequence analytics: ordered funnels and cohort retention.
+
+The reference engine has no event-analytics surface; these operators
+extend the events table (TESTDATA.md) with the two shapes every
+product-analytics workload needs, expressed so one shuffle does the
+heavy lifting:
+
+- ``funnel_steps``: how many users completed step 1, steps 1-2,
+  steps 1-2-3 … in timestamp order. One ``groupBy(user)`` with a
+  higher-order-function fold over the per-user event sequence — the
+  greedy earliest-match scan, which is exact for subsequence
+  existence (matching the earliest possible event for a step never
+  prevents a later step from matching).
+- ``cohort_retention``: users bucketed by first-activity period
+  (their cohort) × activity-period offset, with retention relative
+  to cohort size.
+
+100 TB posture: ``funnel_steps`` pre-filters to the step event types
+BEFORE the shuffle (only funnel-relevant rows move), then shuffles
+once on ``user_col``; the per-user list is bounded by that user's
+step-type events. ``cohort_retention`` is two aggregations that both
+hash-partition on ``user_col`` (the join between them co-locates)
+plus one small final rollup. No windows over the raw table, no
+driver-side state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["funnel_steps", "cohort_retention"]
+
+
+def max_funnel_stage(
+    seq_col: Column | str, steps: list[str], ts_field: str = "ts", type_field: str = "event_type"
+) -> Column:
+    """Fold a time-sorted array<struct(ts, event_type)> into the highest
+    funnel stage reached (0..len(steps)). Greedy earliest-first scan:
+    advance to stage k+1 at the first event strictly after the stage-k
+    match whose type equals steps[k]. Pure Column expression
+    (F.aggregate), so the whole funnel is one whole-stage-codegen pass
+    after the groupBy."""
+    steps_lit = F.array(*[F.lit(s) for s in steps])
+    n = len(steps)
+    init = F.struct(
+        F.lit(0).cast("int").alias("stage"),
+        F.lit(None).cast("timestamp").alias("last_ts"),
+    )
+
+    def step_fn(acc: Column, ev: Column) -> Column:
+        wants = F.element_at(steps_lit, acc["stage"] + 1)  # 1-based
+        after = acc["last_ts"].isNull() | (ev[ts_field] > acc["last_ts"])
+        advance = (acc["stage"] < n) & after & (ev[type_field] == wants)
+        return F.when(
+            advance,
+            F.struct(
+                (acc["stage"] + 1).alias("stage"), ev[ts_field].alias("last_ts")
+            ),
+        ).otherwise(acc)
+
+    seq = F.col(seq_col) if isinstance(seq_col, str) else seq_col
+    return F.aggregate(seq, init, step_fn)["stage"]
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel completion counts.
+
+    A user completes stage k when their event stream contains events of
+    type ``steps[0] .. steps[k-1]`` at strictly increasing timestamps.
+    Returns one row per stage: (step, step_name, n_users, conversion)
+    where conversion = n_users / stage-1 users, rounded to 6 places
+    (stage 1's conversion is vs all users that emitted any step event).
+
+    Plan: filter to step types (scan-level pushdown) -> one shuffle on
+    ``user_col`` collecting the sorted (ts, type) list -> fold to the
+    max stage per user (Column expression, no Python) -> tiny rollup.
+    Ties in ts never advance two stages (strict >), matching the SQL
+    oracle's chained min-timestamp CTEs exactly.
+    """
+    per_user = (
+        events.filter(F.col(type_col).isin(steps))
+        .select(
+            F.col(user_col).alias("user_id"),
+            F.struct(F.col(ts_col).alias("ts"), F.col(type_col).alias("event_type")).alias("ev"),
+        )
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("ev")).alias("seq"))
+        .select("user_id", max_funnel_stage("seq", steps).alias("stage"))
+    )
+    counts = (
+        per_user.groupBy()
+        .agg(
+            *[
+                F.sum(F.when(F.col("stage") >= k, 1).otherwise(0)).alias(f"_s{k}")
+                for k in range(1, len(steps) + 1)
+            ]
+        )
+    )
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("step"),
+                F.lit(steps[k - 1]).alias("step_name"),
+                F.col(f"_s{k}").cast("bigint").alias("n_users"),
+                F.round(
+                    F.try_divide(
+                        F.col(f"_s{k}"),
+                        F.col(f"_s{k - 1}") if k > 1 else F.col("_s1"),
+                    ),
+                    6,
+                ).alias("conversion"),
+            )
+            for k in range(1, len(steps) + 1)
+        ]
+    )
+    return (
+        counts.select(F.explode(stages).alias("r"))
+        .select("r.step", "r.step_name", "r.n_users", "r.conversion")
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    granularity: str = "week",
+    max_offset: int | None = None,
+) -> DataFrame:
+    """Cohort-retention matrix.
+
+    Cohort = the user's first activity period (``date_trunc`` at
+    ``granularity``); for every (cohort, offset) cell, counts the
+    distinct users of that cohort active ``offset`` periods after
+    their first one. Returns (cohort, offset, n_users, retention)
+    with retention = n_users / cohort size at offset 0.
+
+    Both aggregations hash on ``user_col``; the first-activity frame
+    joins back user-to-user (co-partitioned, no extra shuffle under
+    AQE), then one rollup on (cohort, offset). ``max_offset`` prunes
+    far-tail offsets before the rollup.
+    """
+    unit_days = {"day": 1, "week": 7}[granularity]
+    period = F.date_trunc(granularity, F.col(ts_col))
+    acts = events.select(
+        F.col(user_col).alias("user_id"), period.alias("period")
+    ).distinct()
+    firsts = acts.groupBy("user_id").agg(F.min("period").alias("cohort"))
+    # offset in calendar days (datediff is timezone/DST-proof), exact
+    # multiples of the granularity by construction of date_trunc
+    cells = (
+        acts.join(firsts, on="user_id")
+        .select(
+            "user_id",
+            "cohort",
+            (F.datediff(F.col("period"), F.col("cohort")) / unit_days)
+            .cast("int")
+            .alias("offset"),
+        )
+    )
+    if max_offset is not None:
+        cells = cells.filter(F.col("offset") <= max_offset)
+    counts = cells.groupBy("cohort", "offset").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+    base = counts.filter(F.col("offset") == 0).select(
+        "cohort", F.col("n_users").alias("_cohort_size")
+    )
+    return (
+        counts.join(F.broadcast(base), on="cohort")
+        .select(
+            F.col("cohort").cast("date").alias("cohort"),
+            "offset",
+            "n_users",
+            F.round(F.col("n_users") / F.col("_cohort_size"), 6).alias("retention"),
+        )
+    )

@@ -298,6 +298,51 @@ def main() -> None:
     print(f"== q21 single-sort window rewrite: {'OK' if ok else 'FAIL'}")
     failures += not ok
 
+    # 31. event_funnel: step-type filter reaches the events scan, exactly
+    # ONE hash shuffle (the user_id groupBy), fold stays Column-side
+    plan = plan_of(m.queries()["event_funnel"](spark, sf_dir))
+    ok = (
+        "PushedFilters: [In(event_type" in plan
+        and plan.count("Exchange hashpartitioning") == 1
+        and "InPandas" not in plan
+        and "EvalPython" not in plan
+    )
+    print(f"== event_funnel scan-filtered single-shuffle fold: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
+    # 32. fuzzy_name_pairs: block equi-join only — no CartesianProduct /
+    # BNLJ; levenshtein evaluated post-join as a JVM expression
+    plan = plan_of(m.queries()["fuzzy_name_pairs"](spark, sf_dir))
+    ok = (
+        "CartesianProduct" not in plan
+        and "BroadcastNestedLoopJoin" not in plan
+        and "levenshtein" in plan
+    )
+    print(f"== fuzzy_name_pairs blocked equi-join: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
+    # 33. bloom_semijoin: the Bloom prune (MapInPandas) sits BELOW the
+    # join's fact-side exchange — pruned rows never reach the shuffle
+    plan = plan_of(m.queries()["bloom_semijoin"](spark, sf_dir))
+    ok = (
+        "MapInPandas" in plan
+        and "CartesianProduct" not in plan
+        and plan.index("MapInPandas") > plan.index("HashJoin" if "HashJoin" in plan else "Join")
+    )  # executed plans print top-down: the join node appears before its child
+    print(f"== bloom_semijoin prune below the join: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
+    # 34. semantic_dedup: ONE hash shuffle (cluster_id groupBy into the
+    # per-cell GEMM); no pair-level join operators anywhere
+    plan = plan_of(m.queries()["semantic_dedup"](spark, sf_dir))
+    ok = (
+        "FlatMapGroupsInPandas" in plan
+        and plan.count("Exchange hashpartitioning") == 1
+        and "Join" not in plan
+    )
+    print(f"== semantic_dedup single-shuffle per-cell GEMM: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
     # 31. bm25_search_indexed: the query's term IN-filter reaches the
     # postings side (sorted-by-term row groups make it a pruned seek on
     # the persisted index; over the in-memory memo it shows as a filter
