@@ -2574,6 +2574,36 @@ def _semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(_table(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+def _heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact frequency heavy-hitters over the corpus token stream at
+    phi=0.5% (functions/sketch.py): per-partition local-threshold
+    candidates (pigeonhole superset, <= 1/phi rows per partition
+    regardless of key cardinality — here the key space is the whole
+    vocabulary) + broadcast exact verify; the full-vocabulary groupBy
+    never happens. Token shares are Zipfian, so the result is
+    scale-invariant (~30 hitters at every SF). Result equals the
+    oracle's GROUP BY/HAVING."""
+    from oasisdb_spark.functions.sketch import heavy_hitters
+    from oasisdb_spark.pipeline.text import tokens
+
+    toks = (
+        _table(spark, sf_dir, "documents")
+        .select(F.explode(tokens("text")).alias("token"))
+    )
+    return heavy_hitters(toks, "token", phi=0.005)
+
+
+def _weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis weighted sample without replacement
+    (pipeline/sampling.py): 50 documents drawn proportional to n_chars,
+    uniform draws replaced by the md5 content hash so the sample is
+    engine-reproducible (the kmv_hash trick). Global top-n compiles to
+    TakeOrderedAndProject — per-partition heaps, no sort shuffle."""
+    from oasisdb_spark.pipeline.sampling import weighted_sample
+
+    return weighted_sample(_table(spark, sf_dir, "documents"), "n_chars", n=50)
+
+
 def _semantic_dedup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup at production shape: ~√N k-means cells (the IVF coarse
     quantizer), per-cell row-chunked GEMM — quadratic work confined to
@@ -2727,6 +2757,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_name_pairs": _fuzzy_name_pairs,
         "bloom_semijoin": _bloom_semijoin,
         "semantic_dedup": _semantic_dedup,
+        "heavy_hitters": _heavy_hitters,
+        "weighted_sample": _weighted_sample,
         # rows-only by nature (last-ulp float reductions across
         # partitionings; see docstring) — like sequence_pack_bins
         "pca_knn": _pca_knn,
@@ -3966,5 +3998,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(d.n, 0) AS INT) AS n_dups,
                    coalesce(d.n, 0) = 0 AS kept
             FROM embeddings e LEFT JOIN d ON e.vec_id = d.vec_id
+        """,
+        # heavy_hitters' candidates+verify plan is result-identical to
+        # the exact GROUP BY / HAVING — that equality IS the check
+        "heavy_hitters": f"""
+            WITH {_TOKS_CTE},
+            e AS (SELECT unnest(tk) AS value FROM toks),
+            n AS (SELECT count(*) AS n FROM e),
+            t AS (SELECT value, count(*) AS cnt FROM e GROUP BY value)
+            SELECT value, cnt,
+                   round(CAST(cnt AS DOUBLE) / (SELECT n FROM n), 6) AS share
+            FROM t WHERE cnt >= ceil(0.005 * (SELECT n FROM n))
+        """,
+        # A-ES keys: ln((md5_60(doc_id)+1)/2^60)/n_chars — the md5 draw
+        # makes the "random" sample recomputable in any engine
+        "weighted_sample": """
+            SELECT doc_id, text, lang, source, n_chars FROM (
+              SELECT *, ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)
+                           / pow(2, 60)) / n_chars AS k
+              FROM documents WHERE n_chars > 0
+              ORDER BY k DESC, doc_id ASC LIMIT 50
+            )
         """,
     }

@@ -77,7 +77,8 @@ FAMILIES: dict[str, list[str]] = {
     "evaluation": ["lsh_recall_eval"],
     "dimred": ["pca_knn"],
     # round-3 batch 2 (additive — earlier families untouched)
-    "analytics": ["event_funnel", "cohort_retention"],
+    "analytics": ["event_funnel", "cohort_retention", "heavy_hitters"],
+    "weighted_sampling": ["weighted_sample"],
     "fuzzy_join": ["fuzzy_name_pairs"],
     "bloom_join": ["bloom_semijoin"],
     "semantic_dedup": ["semantic_dedup", "semantic_dedup_fast"],

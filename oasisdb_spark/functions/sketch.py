@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["kmv_hash", "kmv_distinct"]
+__all__ = ["kmv_hash", "kmv_distinct", "heavy_hitters"]
 
 _TWO60 = float(1 << 60)
 
@@ -73,3 +73,66 @@ def kmv_distinct(
     return ranked.filter(
         ((F.col("_n") < k) & (F.col("_r") == F.col("_n"))) | (F.col("_r") == k)
     ).select(*group_cols, F.round(est, 4).alias(out_col))
+
+
+def heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    phi: float,
+    out_value: str = "value",
+) -> DataFrame:
+    """EXACT frequency-heavy-hitters (all values with count >= phi*N)
+    without ever shuffling the full key space.
+
+    Two phases, the candidates-then-verify shape (same contract as the
+    Bloom semi-join and the LSH banding):
+
+    1. candidates — per-partition local counts keep only values with
+       local_count >= phi * local_rows. Pigeonhole guarantees the
+       superset: a value below the local threshold in EVERY partition
+       sums to < phi*N globally, so no true hitter is lost. Emitted
+       rows per partition are <= 1/phi, independent of the partition's
+       key cardinality.
+    2. verify — the (tiny) distinct candidate set broadcasts back into
+       one exact conditional count over the raw rows; false candidates
+       die on the final >= ceil(phi*N) filter.
+
+    Returns (out_value, cnt, share) — identical to the exact
+    GROUP BY / HAVING, which is what the oracle runs. The full-shuffle
+    groupBy this replaces moves O(distinct values) rows; this moves
+    O(partitions / phi) candidate rows plus one broadcast.
+    """
+    import math
+
+    import pandas as pd
+
+    n = df.count()
+    thresh = max(1, math.ceil(phi * n))
+    src = df.select(F.col(value_col).alias("_v")).where(F.col("_v").isNotNull())
+
+    def _local(batches):
+        # one pandas pass per partition: exact local counts, emit only
+        # values at/above the local phi threshold
+        counts: dict = {}
+        rows = 0
+        for pdf in batches:
+            rows += len(pdf)
+            for v, c in pdf["_v"].value_counts().items():
+                counts[v] = counts.get(v, 0) + int(c)
+        cut = phi * rows
+        cand = [v for v, c in counts.items() if c >= cut]
+        if cand:
+            yield pd.DataFrame({"_v": cand})
+
+    cand = src.mapInPandas(_local, schema=src.schema).distinct()
+    return (
+        src.join(F.broadcast(cand), on="_v", how="leftsemi")
+        .groupBy("_v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= thresh)
+        .select(
+            F.col("_v").alias(out_value),
+            "cnt",
+            F.round(F.col("cnt") / F.lit(float(n)), 6).alias("share"),
+        )
+    )

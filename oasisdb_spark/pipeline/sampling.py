@@ -39,7 +39,42 @@ from pyspark.sql.window import Window
 
 from oasisdb_spark.pipeline.text import quality_score, text_stats_cols, token_count, tokens
 
-__all__ = ["quality_prune", "token_budget_sample", "sliding_chunks"]
+__all__ = ["quality_prune", "token_budget_sample", "sliding_chunks", "weighted_sample"]
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, deterministic: the
+    Efraimidis–Spirakis A-ES scheme with the uniform draw replaced by
+    the md5 content hash (the engine-reproducibility trick shared with
+    ``kmv_hash`` / the MinHash coefficients). Each row gets key
+    ln(u)/w for u = (h+1)/2^60 in (0,1]; the n largest keys are the
+    sample — provably equivalent to drawing n items sequentially with
+    probability proportional to remaining weight.
+
+    Rows with weight <= 0 are excluded (they cannot be drawn). Pure
+    Column expressions; the global top-n compiles to
+    TakeOrderedAndProject — per-partition heaps of n rows, no full
+    sort shuffle, so the cost is one scan at any corpus size.
+    Deterministic tie-break on ``id_col`` (keys are continuous, ties
+    effectively impossible, but the spec stays total).
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    key = F.log(u) / F.col(weight_col)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_aes_key", key)
+        .orderBy(F.col("_aes_key").desc(), F.col(id_col).asc())
+        .limit(n)
+        .drop("_aes_key")
+    )
 
 
 def quality_prune(

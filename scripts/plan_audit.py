@@ -343,6 +343,26 @@ def main() -> None:
     print(f"== semantic_dedup single-shuffle per-cell GEMM: {'OK' if ok else 'FAIL'}")
     failures += not ok
 
+    # 35. heavy_hitters: candidate set broadcast back as a SEMI join
+    # (never a full-vocabulary shuffle of distinct keys to one agg);
+    # the verify groupBy partial-aggregates map-side
+    plan = plan_of(m.queries()["heavy_hitters"](spark, sf_dir))
+    ok = (
+        "MapInPandas" in plan
+        and "BroadcastHashJoin" in plan
+        and "LeftSemi" in plan
+        and "partial_count" in plan
+    )
+    print(f"== heavy_hitters broadcast-verify semi-join: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
+    # 36. weighted_sample: global top-n is TakeOrderedAndProject —
+    # per-partition heaps, no sort shuffle
+    plan = plan_of(m.queries()["weighted_sample"](spark, sf_dir))
+    ok = "TakeOrderedAndProject" in plan and "Exchange" not in plan
+    print(f"== weighted_sample heap top-n (no sort shuffle): {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
     # 31. bm25_search_indexed: the query's term IN-filter reaches the
     # postings side (sorted-by-term row groups make it a pruned seek on
     # the persisted index; over the in-memory memo it shows as a filter

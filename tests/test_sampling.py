@@ -141,3 +141,43 @@ def test_sliding_chunks_validation(spark):
         sliding_chunks(docs, chunk_len=0)
     with pytest.raises(ValueError):
         sliding_chunks(docs, stride=-1)
+
+
+class TestWeightedSample:
+    def test_deterministic_and_sized(self, spark, documents):
+        from oasisdb_spark.pipeline.sampling import weighted_sample
+
+        a = weighted_sample(documents, "n_chars", 20)
+        b = weighted_sample(documents.repartition(7), "n_chars", 20)
+        ra = sorted(r["doc_id"] for r in a.collect())
+        rb = sorted(r["doc_id"] for r in b.collect())
+        assert len(ra) == 20
+        assert ra == rb  # storage-order / partitioning independent
+
+    def test_matches_bruteforce_keys(self, spark, documents):
+        import math
+
+        from oasisdb_spark.pipeline.sampling import weighted_sample
+
+        rows = documents.select("doc_id", "n_chars").collect()
+        import hashlib
+
+        def key(doc_id, w):
+            h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+            return math.log((h + 1) / 2**60) / w
+
+        want = sorted(
+            (r["doc_id"] for r in rows if r["n_chars"] > 0),
+            key=lambda d: -key(d, next(r["n_chars"] for r in rows if r["doc_id"] == d)),
+        )[:15]
+        got = [r["doc_id"] for r in weighted_sample(documents, "n_chars", 15).collect()]
+        assert sorted(got) == sorted(want)
+
+    def test_zero_weight_excluded(self, spark):
+        from oasisdb_spark.pipeline.sampling import weighted_sample
+
+        df = spark.createDataFrame(
+            [(1, 10), (2, 0), (3, -5), (4, 3)], "doc_id BIGINT, w BIGINT"
+        )
+        got = {r["doc_id"] for r in weighted_sample(df, "w", 10).collect()}
+        assert got == {1, 4}
