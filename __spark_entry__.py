@@ -2604,6 +2604,44 @@ def _weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(_table(spark, sf_dir, "documents"), "n_chars", n=50)
 
 
+def _zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional pruned scan over a Z-ORDERED copy of events
+    (sources/layout.py): the Morton-clustered layout (memoized write,
+    like the index builds) makes parquet row-group min/max tight on
+    BOTH user_id and value, so the two pushed range predicates skip row
+    groups — Delta/Iceberg OPTIMIZE ZORDER, from plain Column exprs.
+    Results are layout-independent; the oracle runs the same query on
+    the original table, and that equality is the correctness check."""
+    import tempfile
+
+    from oasisdb_spark.sources.layout import write_zordered
+
+    def _build() -> str:
+        d = tempfile.mkdtemp(prefix="zorder_events_")
+        write_zordered(
+            _table(spark, sf_dir, "events").select("event_id", "user_id", "value"),
+            d,
+            ["user_id", "value"],
+            bits=16,
+            file_count=16,
+        )
+        return d
+
+    path = _memo(spark, sf_dir, "zorder_events", _build)
+    ev = spark.read.parquet(path)
+    # value is 2dp-exact: decimal sum is independent of the (layout-
+    # dependent!) accumulation order — exactly what a layout-invariance
+    # oracle needs
+    return (
+        ev.filter((F.col("user_id").between(10, 60)) & (F.col("value") > 100))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
 def _semantic_dedup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup at production shape: ~√N k-means cells (the IVF coarse
     quantizer), per-cell row-chunked GEMM — quadratic work confined to
@@ -2759,6 +2797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _semantic_dedup,
         "heavy_hitters": _heavy_hitters,
         "weighted_sample": _weighted_sample,
+        "zorder_scan": _zorder_scan,
         # rows-only by nature (last-ulp float reductions across
         # partitionings; see docstring) — like sequence_pack_bins
         "pca_knn": _pca_knn,
@@ -4009,6 +4048,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT value, cnt,
                    round(CAST(cnt AS DOUBLE) / (SELECT n FROM n), 6) AS share
             FROM t WHERE cnt >= ceil(0.005 * (SELECT n FROM n))
+        """,
+        # zorder_scan's oracle runs on the ORIGINAL events table: layout
+        # must not change results (the decimal sum makes the aggregate
+        # accumulation-order-independent)
+        "zorder_scan": """
+            SELECT user_id, count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+            FROM events
+            WHERE user_id BETWEEN 10 AND 60 AND value > 100
+            GROUP BY user_id
         """,
         # A-ES keys: ln((md5_60(doc_id)+1)/2^60)/n_chars — the md5 draw
         # makes the "random" sample recomputable in any engine

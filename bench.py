@@ -79,6 +79,7 @@ FAMILIES: dict[str, list[str]] = {
     # round-3 batch 2 (additive — earlier families untouched)
     "analytics": ["event_funnel", "cohort_retention", "heavy_hitters"],
     "weighted_sampling": ["weighted_sample"],
+    "layout": ["zorder_scan"],
     "fuzzy_join": ["fuzzy_name_pairs"],
     "bloom_join": ["bloom_semijoin"],
     "semantic_dedup": ["semantic_dedup", "semantic_dedup_fast"],
