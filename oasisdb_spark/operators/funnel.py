@@ -49,7 +49,10 @@ def max_funnel_stage(
     )
 
     def step_fn(acc: Column, ev: Column) -> Column:
-        wants = F.element_at(steps_lit, acc["stage"] + 1)  # 1-based
+        # try_element_at: once stage == n the 1-based index n+1 is out of
+        # bounds — must yield NULL (so advance is false), never an
+        # ANSI-mode error
+        wants = F.try_element_at(steps_lit, acc["stage"] + 1)
         after = acc["last_ts"].isNull() | (ev[ts_field] > acc["last_ts"])
         advance = (acc["stage"] < n) & after & (ev[type_field] == wants)
         return F.when(
