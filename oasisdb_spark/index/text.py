@@ -34,6 +34,7 @@ from oasisdb_spark.pipeline.text import tokens
 
 __all__ = [
     "build_text_index",
+    "add_to_text_index",
     "save_text_index",
     "load_text_index",
     "bm25_search_indexed",
@@ -55,6 +56,63 @@ def build_text_index(
     stats = doclens.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
+    return {"postings": postings, "doclens": doclens, "termdf": termdf, "stats": stats}
+
+
+def add_to_text_index(
+    index: dict[str, DataFrame],
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict[str, DataFrame]:
+    """Incremental index maintenance (the S8 ``add_to_index`` contract
+    the vector tiers carry — `internal/index/ivf.go` AddBatch — applied
+    to the text tier). Returns a NEW index dict; inputs are untouched.
+
+    Everything merges without rescanning the existing corpus:
+    - re-added doc_ids REPLACE their old postings (broadcast anti-join
+      on the new batch's ids — newest-wins, the catalog's upsert rule),
+    - postings/doclens union the delta,
+    - termdf merges by summing per-term dfs (full-outer of two
+      vocab-sized frames; the removed docs' df decrements come from a
+      delta aggregate, not a corpus rescan),
+    - stats re-derive from merged doclens counts/sums (one tiny agg
+      over an already-small frame).
+    """
+    new_ids = new_docs.select(F.col(id_col).alias("doc_id")).distinct()
+    old_postings = index["postings"].join(F.broadcast(new_ids), "doc_id", "left_anti")
+    removed_df = (
+        index["postings"]
+        .join(F.broadcast(new_ids), "doc_id", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("_removed"))
+    )
+    delta = build_text_index(new_docs, id_col=id_col, text_col=text_col)
+
+    postings = old_postings.unionByName(delta["postings"]).select(
+        "term", "doc_id", "dl", "tf"
+    )
+    doclens = (
+        index["doclens"]
+        .join(F.broadcast(new_ids), "doc_id", "left_anti")
+        .unionByName(delta["doclens"])
+        .select("doc_id", "dl")
+    )
+    termdf = (
+        index["termdf"]
+        .join(removed_df, "term", "full")
+        .select(
+            "term",
+            (F.coalesce(F.col("df"), F.lit(0)) - F.coalesce(F.col("_removed"), F.lit(0))).alias("df"),
+        )
+        .join(delta["termdf"].withColumnRenamed("df", "_new"), "term", "full")
+        .select(
+            "term",
+            (F.coalesce(F.col("df"), F.lit(0)) + F.coalesce(F.col("_new"), F.lit(0))).alias("df"),
+        )
+        .filter(F.col("df") > 0)
+    )
+    stats = doclens.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
     return {"postings": postings, "doclens": doclens, "termdf": termdf, "stats": stats}
 
 

@@ -89,3 +89,43 @@ def test_duplicate_query_terms_not_double_counted(spark, index):
     batch = {r["doc_id"]: r["bm25"] for r in bm25_search_indexed(index, qs, k=5).collect()}
     single = {r["doc_id"]: r["bm25"] for r in bm25_search_indexed(index, ["spark"], k=5).collect()}
     assert batch == single
+
+
+class TestIncrementalAdd:
+    def test_build_half_add_half_equals_full(self, spark, documents):
+        from oasisdb_spark.index.text import add_to_text_index, bm25_search_indexed, build_text_index
+
+        half_a = documents.filter("doc_id % 2 = 0")
+        half_b = documents.filter("doc_id % 2 = 1")
+        merged = add_to_text_index(build_text_index(half_a), half_b)
+        full = build_text_index(documents)
+
+        # postings and termdf are row-identical to the full build
+        assert sorted(map(tuple, merged["postings"].collect())) == \
+               sorted(map(tuple, full["postings"].collect()))
+        assert sorted(map(tuple, merged["termdf"].collect())) == \
+               sorted(map(tuple, full["termdf"].collect()))
+        s_m, s_f = merged["stats"].collect()[0], full["stats"].collect()[0]
+        assert s_m["n_docs"] == s_f["n_docs"]
+        assert abs(s_m["avgdl"] - s_f["avgdl"]) < 1e-9
+
+        terms = ["the", "data", "model"]
+        got = [(r["doc_id"], r["bm25"]) for r in bm25_search_indexed(merged, terms, k=10).collect()]
+        want = [(r["doc_id"], r["bm25"]) for r in bm25_search_indexed(full, terms, k=10).collect()]
+        assert got == want
+
+    def test_readd_replaces(self, spark):
+        from oasisdb_spark.index.text import add_to_text_index, build_text_index
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta"), (2, "beta gamma")], "doc_id BIGINT, text STRING"
+        )
+        idx = build_text_index(docs)
+        updated = spark.createDataFrame([(1, "delta delta")], "doc_id BIGINT, text STRING")
+        merged = add_to_text_index(idx, updated)
+        post = {(r["term"], r["doc_id"]): r["tf"] for r in merged["postings"].collect()}
+        assert ("alpha", 1) not in post          # old posting gone
+        assert post[("delta", 1)] == 2           # replaced content indexed
+        df = {r["term"]: r["df"] for r in merged["termdf"].collect()}
+        assert df == {"beta": 1, "gamma": 1, "delta": 1}  # alpha df dropped to 0 and pruned
+        assert merged["stats"].collect()[0]["n_docs"] == 2
