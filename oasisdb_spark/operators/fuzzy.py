@@ -26,7 +26,7 @@ JVM intrinsic inside whole-stage codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["fuzzy_self_join", "fuzzy_join"]
@@ -38,32 +38,165 @@ def fuzzy_self_join(
     text_col: str,
     block_cols: list[str],
     max_dist: int = 2,
+    filter_mode: str = "length",
 ) -> DataFrame:
     """Distinct unordered pairs (id_a < id_b) sharing all ``block_cols``
     with levenshtein(text_a, text_b) <= max_dist. Returns
-    (id_a, id_b, dist) plus the blocking columns."""
+    (id_a, id_b, dist) plus the blocking columns.
+
+    ``filter_mode`` — both are EXACT (identical results, property-
+    tested); they differ only in how candidates are generated:
+    - ``"length"`` (default): the plain block equi-join with the
+      |len diff| prune. Per-block cost is quadratic, so it is the
+      right plan when blocks are small or matches are dense (short
+      strings over a small vocabulary — measured on the part-name
+      fixture it beats segment mode ~2x, because the output itself is
+      near-quadratic there and segment buckets collapse onto the few
+      common words).
+    - ``"segment"``: PassJoin-style candidate generation (Li, Deng,
+      Feng — VLDB 2011, public): each string is partitioned into
+      max_dist+1 segments; any string within max_dist edits must
+      contain one of those segments VERBATIM at a position shifted by
+      at most max_dist (pigeonhole over the edit script), so
+      candidates come from (block, length, segment#, text) equi-join
+      buckets whose size tracks string diversity, not block size. The
+      scale path for LONG, DIVERSE strings (URLs, titles, addresses)
+      where true matches are sparse and a block's pair space is
+      prohibitive. Strings of length <= max_dist (whose segments can
+      all be empty) go through a bounded fallback pair join so the
+      pigeonhole gap cannot drop pairs. CAVEAT (measured): a COMMON
+      PREFIX puts every string's segment 0 in one bucket — 15k
+      same-prefix URLs took 361 s here vs seconds for "qgram"; prefer
+      "qgram" when strings share affixes.
+    - ``"qgram"``: ED-Join-style positional q-gram prefix filter —
+      candidates share a gram among each side's q*max_dist+1 globally
+      RAREST q-grams (at positions within max_dist). Rarest-first
+      ordering means shared affixes (max df) never key a bucket, so
+      this survives both the common-prefix case that breaks "segment"
+      and the big-block case that breaks "length". Costs one gram-df
+      aggregate + one per-string top-k window (two extra shuffles) —
+      the default scale path for long strings when you cannot
+      characterize the data in advance.
+
+    Measured (local[32]): 15k same-prefix URLs, d=2 — qgram 8.0 s,
+    segment 361 s, length (225M pairs) impractical. 20k short part
+    names (dense matches, tiny vocabulary) — length 5.5 s, qgram 11 s.
+    Pick by string regime; all three return identical rows.
+    """
     base = df.select(
         F.col(id_col).alias("_id"), F.col(text_col).alias("_txt"),
         F.length(text_col).alias("_len"), *block_cols,
     )
-    a = base.select(
-        F.col("_id").alias("id_a"), F.col("_txt").alias("_txt_a"),
-        F.col("_len").alias("_len_a"), *block_cols,
-    )
-    b = base.select(
-        F.col("_id").alias("id_b"), F.col("_txt").alias("_txt_b"),
-        F.col("_len").alias("_len_b"), *block_cols,
-    )
-    joined = a.join(b, on=block_cols, how="inner").filter(
-        (F.col("id_a") < F.col("id_b"))
-        & (F.abs(F.col("_len_a") - F.col("_len_b")) <= max_dist)
-    )
+    if filter_mode == "segment":
+        pairs = _segment_candidates(base, block_cols, max_dist)
+    elif filter_mode == "qgram":
+        pairs = _qgram_prefix_candidates(base, block_cols, max_dist)
+    elif filter_mode == "length":
+        a = base.select(
+            F.col("_id").alias("id_a"), F.col("_len").alias("_len_a"), *block_cols
+        )
+        b = base.select(
+            F.col("_id").alias("id_b"), F.col("_len").alias("_len_b"), *block_cols
+        )
+        pairs = (
+            a.join(b, on=block_cols, how="inner")
+            .filter(
+                (F.col("id_a") < F.col("id_b"))
+                & (F.abs(F.col("_len_a") - F.col("_len_b")) <= max_dist)
+            )
+            .select("id_a", "id_b", *block_cols)
+        )
+    else:
+        raise ValueError(f"unknown filter_mode {filter_mode!r}")
+    ta = base.select(F.col("_id").alias("id_a"), F.col("_txt").alias("_txt_a"))
+    tb = base.select(F.col("_id").alias("id_b"), F.col("_txt").alias("_txt_b"))
     dist = F.levenshtein(F.col("_txt_a"), F.col("_txt_b"), max_dist)
     return (
-        joined.withColumn("dist", dist)
+        pairs.join(ta, on="id_a").join(tb, on="id_b")
+        .withColumn("dist", dist)
         .filter(F.col("dist") >= 0)  # bounded form returns -1 past threshold
         .select("id_a", "id_b", *block_cols, "dist")
     )
+
+
+def _segment_candidates(
+    base: DataFrame, block_cols: list[str], d: int
+) -> DataFrame:
+    """PassJoin candidate pairs: (id_a, id_b, block_cols...) distinct,
+    id_a < id_b — a SUPERSET of the true within-distance pairs.
+
+    Index side: string B of length L splits into d+1 even segments
+    (segment j spans [j*L div (d+1), (j+1)*L div (d+1))). Probe side:
+    string A emits, for every target length L in [len(A)-d, len(A)+d]
+    and segment number j, every substring of A with segment j's length
+    at start positions within ±d of segment j's start — if
+    ed(A, B) <= d, some segment of B survives verbatim in A inside that
+    window, so the (block, L, j, substring) equi-join finds every true
+    pair. Probe fan-out is O(d^2) rows per string — independent of
+    block size, which is what removes the quadratic.
+
+    Strings with length <= d can have every nonempty segment destroyed
+    by d edits; they fall back to a plain bounded pair join against
+    strings of length <= 2d (the only possible partners)."""
+    dd = d + 1
+    seg_expr = f"""
+        filter(
+          transform(sequence(0, {d}), j -> named_struct(
+            'j', j,
+            'L', _len,
+            'sub', substring(_txt, ((j * _len) div {dd}) + 1,
+                             (((j + 1) * _len) div {dd}) - ((j * _len) div {dd})))),
+          s -> length(s.sub) > 0)
+    """
+    probe_expr = f"""
+        flatten(transform(sequence(greatest(1, _len - {d}), _len + {d}), L ->
+          flatten(transform(sequence(0, {d}), j ->
+            transform(
+              filter(transform(sequence(0, {2 * d}), t -> ((j * L) div {dd}) - {d} + t),
+                     p -> p >= 0
+                          AND (((j + 1) * L) div {dd}) - ((j * L) div {dd}) > 0
+                          AND p <= _len - ((((j + 1) * L) div {dd}) - ((j * L) div {dd}))),
+              p -> named_struct(
+                'j', j,
+                'L', L,
+                'sub', substring(_txt, p + 1,
+                                 (((j + 1) * L) div {dd}) - ((j * L) div {dd})))
+            )))))
+    """
+    segs = base.select(
+        F.col("_id").alias("id_b"), *block_cols, F.explode(F.expr(seg_expr)).alias("s")
+    ).select("id_b", *block_cols, "s.j", "s.L", "s.sub")
+    probes = base.select(
+        F.col("_id").alias("id_a"), *block_cols, F.explode(F.expr(probe_expr)).alias("s")
+    ).select("id_a", *block_cols, "s.j", "s.L", "s.sub")
+    cand = (
+        probes.join(segs, on=[*block_cols, "j", "L", "sub"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            *block_cols,
+        )
+        .distinct()
+    )
+    # pigeonhole gap: both strings short (len <= d can pair only with
+    # len <= 2d) — exhaustive bounded join on that sliver
+    shorts_a = base.filter(F.col("_len") <= d).select(
+        F.col("_id").alias("id_a"), *block_cols
+    )
+    shorts_b = base.filter(F.col("_len") <= 2 * d).select(
+        F.col("_id").alias("id_b"), *block_cols
+    )
+    short_pairs = (
+        shorts_a.join(shorts_b, on=block_cols)
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            *block_cols,
+        )
+    )
+    return cand.unionByName(short_pairs).distinct()
 
 
 def fuzzy_join(
@@ -95,3 +228,90 @@ def fuzzy_join(
         .filter(F.col("dist") >= 0)
         .select("id_l", "id_r", *block_cols, "dist")
     )
+
+
+_QGRAM_Q = 3
+
+
+def _qgram_prefix_candidates(
+    base: DataFrame, block_cols: list[str], d: int, q: int = _QGRAM_Q
+) -> DataFrame:
+    """ED-Join-style positional q-gram prefix filter (Xiao, Wang, Lin —
+    PVLDB 2008, public): candidate pairs share a q-gram among each
+    side's q*d+1 globally RAREST grams, at positions within d.
+
+    Soundness: one edit destroys at most q positional q-grams, so
+    ed(A, B) <= d implies the gram multisets mismatch in at most q*d
+    grams per side; order every string's grams by a global total order
+    (document frequency asc, then gram, then position) and the first
+    q*d+1 of each side must contain a matching pair (equal gram,
+    |pos_a - pos_b| <= d) — the classic prefix-filter argument applied
+    per side.
+
+    Why this is the scale path where segments are not: bucket size is
+    driven by the df of the RAREST grams a string has — common
+    prefixes/suffixes ("https://", "@example.com") have huge df, land
+    at the END of the order, and never key a bucket, whereas PassJoin's
+    position-0 segment IS the shared prefix (measured: 361 s vs sub-10s
+    on 15k same-prefix URLs).
+
+    Strings with fewer than q+d characters carry too few grams for the
+    bound; they fall back to a bounded pair join against their only
+    possible partners (length < q + 2d).
+    """
+    k = q * d + 1
+    long_rows = base.filter(F.col("_len") >= q + d)
+    grams = long_rows.select(
+        "_id", *block_cols,
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, _len - {q} + 1),"
+                f" p -> named_struct('pos', p, 'gram', substring(_txt, p, {q})))"
+            )
+        ).alias("g"),
+    ).select("_id", *block_cols, "g.pos", "g.gram")
+    df_tbl = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy("_id").orderBy("_df", "gram", "pos")
+    prefix = (
+        grams.join(df_tbl, on="gram")
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .select("_id", *block_cols, "gram", "pos")
+    )
+    a = prefix.select(
+        F.col("_id").alias("id_a"), *block_cols,
+        F.col("gram"), F.col("pos").alias("_pa"),
+    )
+    b = prefix.select(
+        F.col("_id").alias("id_b"), *block_cols,
+        F.col("gram"), F.col("pos").alias("_pb"),
+    )
+    cand = (
+        a.join(b, on=[*block_cols, "gram"])
+        .filter(
+            (F.col("id_a") != F.col("id_b"))
+            & (F.abs(F.col("_pa") - F.col("_pb")) <= d)
+        )
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            *block_cols,
+        )
+        .distinct()
+    )
+    shorts_a = base.filter(F.col("_len") < q + d).select(
+        F.col("_id").alias("id_a"), *block_cols
+    )
+    shorts_b = base.filter(F.col("_len") < q + 2 * d).select(
+        F.col("_id").alias("id_b"), *block_cols
+    )
+    short_pairs = (
+        shorts_a.join(shorts_b, on=block_cols)
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            *block_cols,
+        )
+    )
+    return cand.unionByName(short_pairs).distinct()
