@@ -2671,6 +2671,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # scripts/check_oracle.py (see COVERAGE.md) and due to rotate into
     # the window next round. r02 ∪ r03 covers 99 of 105 entries, the max
     # the 50-row window allows.
+    #
+    # ROUND-4 ROTATION TODO: swap into the window the entries added
+    # after this round's snapshot — the tail block from maxsim_search
+    # through weighted_sample/zorder_scan (event_funnel,
+    # cohort_retention, fuzzy_name_pairs, bloom_semijoin,
+    # semantic_dedup, heavy_hitters, weighted_sample, zorder_scan,
+    # sampling/profile/text-index/eval entries) — displacing r02+r03
+    # double-green rows (the q4-q14 TPC-H block and the dedup
+    # extension rows are the safest to rotate out).
     return {
         # --- anchors (positions 1-2) ---
         "collection_lifecycle": _collection_lifecycle,
