@@ -87,12 +87,17 @@ def heavy_hitters(
     Two phases, the candidates-then-verify shape (same contract as the
     Bloom semi-join and the LSH banding):
 
-    1. candidates — per-partition local counts keep only values with
-       local_count >= phi * local_rows. Pigeonhole guarantees the
-       superset: a value below the local threshold in EVERY partition
-       sums to < phi*N globally, so no true hitter is lost. Emitted
-       rows per partition are <= 1/phi, independent of the partition's
-       key cardinality.
+    1. candidates — a per-partition Misra–Gries summary with
+       cap = ceil(2/phi) counters (batched decrement: when the summary
+       overflows, subtract the smallest counts and drop zeros — total
+       decrement per item <= local_rows/cap = phi*local_rows/2).
+       Pigeonhole guarantees the superset: a true hitter has local
+       frequency >= phi*local_rows in SOME partition (else its global
+       sum is < phi*N), and there its MG estimate stays
+       >= phi*local_rows/2 > 0, so it survives. Per-partition memory
+       and emitted rows are O(1/phi), independent of the partition's
+       key cardinality — this is what lets the operator run over a
+       100 TB token stream without a vocabulary-sized shuffle.
     2. verify — the (tiny) distinct candidate set broadcasts back into
        one exact conditional count over the raw rows; false candidates
        die on the final >= ceil(phi*N) filter.
@@ -108,21 +113,24 @@ def heavy_hitters(
 
     n = df.count()
     thresh = max(1, math.ceil(phi * n))
+    cap = max(1, math.ceil(2.0 / phi))
     src = df.select(F.col(value_col).alias("_v")).where(F.col("_v").isNotNull())
 
     def _local(batches):
-        # one pandas pass per partition: exact local counts, emit only
-        # values at/above the local phi threshold
+        # Misra–Gries per partition: merge each Arrow batch's exact
+        # counts into the summary, then batch-decrement down to cap
         counts: dict = {}
-        rows = 0
         for pdf in batches:
-            rows += len(pdf)
             for v, c in pdf["_v"].value_counts().items():
                 counts[v] = counts.get(v, 0) + int(c)
-        cut = phi * rows
-        cand = [v for v, c in counts.items() if c >= cut]
-        if cand:
-            yield pd.DataFrame({"_v": cand})
+            if len(counts) > cap:
+                # subtract the (len-cap)-th smallest count from all;
+                # drops >= len-cap items, error per surviving item is
+                # bounded by total_decrements/cap
+                m = sorted(counts.values())[len(counts) - cap - 1]
+                counts = {v: c - m for v, c in counts.items() if c > m}
+        if counts:
+            yield pd.DataFrame({"_v": list(counts.keys())})
 
     cand = src.mapInPandas(_local, schema=src.schema).distinct()
     return (

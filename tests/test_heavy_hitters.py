@@ -50,3 +50,13 @@ def test_nulls_ignored(spark):
     df = spark.createDataFrame([(1,), (1,), (None,), (None,), (None,)], "v BIGINT")
     out = heavy_hitters(df, "v", 0.3).collect()
     assert {r["value"] for r in out} == {1}
+
+
+def test_mg_cap_under_high_cardinality(spark):
+    """Adversarial: ~50k near-unique values around two true hitters —
+    the Misra-Gries summary (cap = ceil(2/phi)) must still surface
+    both, exactly."""
+    rows = [(f"hot{i % 2}",) for i in range(20000)] + [(f"u{i}",) for i in range(50000)]
+    df = spark.createDataFrame(rows, "v STRING").repartition(16)
+    out = {r["value"]: r["cnt"] for r in heavy_hitters(df, "v", 0.1).collect()}
+    assert out == {"hot0": 10000, "hot1": 10000}
