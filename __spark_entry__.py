@@ -2642,6 +2642,21 @@ def _zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual hashing over REAL decoded images
+    (pipeline/multimodal.py image_dhash): block-patterned PNG fixture
+    (pixels md5-derived, so the oracle recomputes the exact 64-bit
+    dHash a correct decode → grayscale → 9x8 NN-resize → gradient-bit
+    pipeline must produce — the hash is decode-derived, not a payload
+    hash; re-encoding the same pixels hashes identically,
+    test-verified). Near-dup follow-up is the existing hamming
+    machinery over the codes (planted single-block edits in the
+    fixture's second half sit ≤ 6 bits from their source)."""
+    from oasisdb_spark.pipeline.multimodal import image_dhash, make_patterned_media
+
+    return image_dhash(make_patterned_media(spark, 64))
+
+
 def _semantic_dedup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup at production shape: ~√N k-means cells (the IVF coarse
     quantizer), per-cell row-chunked GEMM — quadratic work confined to
@@ -2807,6 +2822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": _heavy_hitters,
         "weighted_sample": _weighted_sample,
         "zorder_scan": _zorder_scan,
+        "image_dhash": _image_dhash,
         # rows-only by nature (last-ulp float reductions across
         # partitionings; see docstring) — like sequence_pack_bins
         "pca_knn": _pca_knn,
@@ -4067,6 +4083,32 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE user_id BETWEEN 10 AND 60 AND value > 100
             GROUP BY user_id
+        """,
+        # image_dhash: the oracle re-derives the dHash from the md5
+        # pixel construction (no decode) — block (bx, r) gray =
+        # md5_byte(src:bx:r), NN-resize picks bx = ((c*32)//9)//4, the
+        # planted edit flips block (0,0) for ids >= 32
+        "image_dhash": """
+            WITH ids AS (SELECT CAST(i AS BIGINT) AS media_id,
+                                CASE WHEN i < 32 THEN i ELSE i - 32 END AS src,
+                                i >= 32 AS edited
+                         FROM range(64) t(i)),
+            cells AS (SELECT media_id, src, edited, r, c
+                      FROM ids, range(8) rr(r), range(9) cc(c)),
+            g AS (SELECT media_id, r, c,
+                    CASE WHEN edited AND ((c*32)//9)//4 = 0 AND r = 0
+                         THEN ((('0x' || substr(md5(CAST(src AS VARCHAR) || ':' || CAST(((c*32)//9)//4 AS VARCHAR) || ':' || CAST(r AS VARCHAR)), 1, 15))::BIGINT % 256) + 128) % 256
+                         ELSE (('0x' || substr(md5(CAST(src AS VARCHAR) || ':' || CAST(((c*32)//9)//4 AS VARCHAR) || ':' || CAST(r AS VARCHAR)), 1, 15))::BIGINT % 256)
+                    END AS gray
+                  FROM cells),
+            bits AS (SELECT a.media_id, a.r * 8 + a.c AS k,
+                            CASE WHEN a.gray < b.gray THEN 1 ELSE 0 END AS b
+                     FROM g a JOIN g b ON a.media_id = b.media_id AND a.r = b.r AND b.c = a.c + 1
+                     WHERE a.c < 8)
+            SELECT media_id,
+                   CAST(sum(CASE WHEN k >= 32 THEN b * (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END) AS BIGINT) AS dhash_hi,
+                   CAST(sum(CASE WHEN k < 32 THEN b * (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS dhash_lo
+            FROM bits GROUP BY media_id
         """,
         # A-ES keys: ln((md5_60(doc_id)+1)/2^60)/n_chars — the md5 draw
         # makes the "random" sample recomputable in any engine

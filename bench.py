@@ -80,6 +80,7 @@ FAMILIES: dict[str, list[str]] = {
     "analytics": ["event_funnel", "cohort_retention", "heavy_hitters"],
     "weighted_sampling": ["weighted_sample"],
     "layout": ["zorder_scan"],
+    "perceptual_hash": ["image_dhash"],
     "fuzzy_join": ["fuzzy_name_pairs"],
     "bloom_join": ["bloom_semijoin"],
     "semantic_dedup": ["semantic_dedup", "semantic_dedup_fast"],

@@ -38,7 +38,7 @@ __all__ = [
     "MEDIA_SCHEMA", "FakeCodec", "PillowCodec", "WavCodec", "FrameContainer",
     "make_fake_media", "decode_features", "resize_images", "sample_frames",
     "make_media", "decode_image_stats", "resize_decode_stats",
-    "sample_video_frames", "audio_stats",
+    "sample_video_frames", "audio_stats", "make_patterned_media", "image_dhash",
 ]
 
 # media row: opaque payload + typed, filterable metadata
@@ -398,5 +398,64 @@ def audio_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                 )
             if out:
                 yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+    return df.mapInPandas(_map, schema=schema)
+
+
+def make_patterned_media(spark, n: int = 64) -> DataFrame:
+    """Block-patterned grayscale PNG fixture for perceptual hashing:
+    image i is 32x32, an 8x8 grid of 4x4 blocks, block (bx, by) filled
+    with the md5-derived gray _md5_byte(f"{i}:{bx}:{by}") in all three
+    channels. Solid-color images (make_media) hash identically under
+    any gradient hash; these have md5-recomputable STRUCTURE, so a SQL
+    oracle can derive the exact dHash a correct decode+resize must
+    produce. The second half of the fixture (i >= n/2) repeats image
+    i - n/2 with ONE block changed — planted near-duplicates for the
+    hamming-dedup path."""
+    img = PillowCodec()
+    rows = []
+    for i in range(n):
+        src = i if i < n // 2 else i - n // 2
+        arr = np.zeros((32, 32, 3), dtype=np.uint8)
+        for by in range(8):
+            for bx in range(8):
+                g = _md5_byte(f"{src}:{bx}:{by}")
+                if i >= n // 2 and bx == 0 and by == 0:
+                    g = (g + 128) % 256  # the planted single-block edit
+                arr[by * 4:(by + 1) * 4, bx * 4:(bx + 1) * 4, :] = g
+        rows.append((i, "image", "png", 32, 32, 1, bytearray(img.encode_image(arr))))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def image_dhash(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Perceptual difference hash (dHash) over REAL decoded images:
+    decode -> grayscale (channel mean) -> nearest-neighbor resize to
+    9x8 -> 64 horizontal-gradient bits (bit r*8+c set iff
+    gray[r][c] < gray[r][c+1]). Returns (media_id, dhash_hi, dhash_lo)
+    — two unsigned 32-bit halves in BIGINTs, avoiding sign games with
+    a full 64-bit code. Arrow-batched mapInPandas; filter to
+    kind='image' BEFORE this op (decode-after-filter).
+
+    Near-identical images differ in few bits, so downstream dedup is
+    the existing hamming machinery (pipeline/ann.py packed kernel /
+    simhash-style banding) over the codes."""
+    codec = PillowCodec()
+    schema = "media_id BIGINT, dhash_hi BIGINT, dhash_lo BIGINT"
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                arr = codec.decode_image(bytes(row[payload_col]))
+                gray = arr.astype(np.float64).mean(axis=2)
+                h, w = gray.shape
+                ys = (np.arange(8) * h) // 8
+                xs = (np.arange(9) * w) // 9
+                g = gray[np.ix_(ys, xs)]
+                bits = (g[:, :-1] < g[:, 1:]).astype(np.uint64).ravel()  # k = r*8+c
+                code = int((bits << np.arange(64, dtype=np.uint64)).sum())
+                out.append((row["media_id"], (code >> 32) & 0xFFFFFFFF, code & 0xFFFFFFFF))
+            if out:
+                yield pd.DataFrame(out, columns=["media_id", "dhash_hi", "dhash_lo"])
 
     return df.mapInPandas(_map, schema=schema)
