@@ -208,22 +208,41 @@ def fuzzy_join(
     right_text: str,
     block_cols: list[str],
     max_dist: int = 2,
+    filter_mode: str = "length",
 ) -> DataFrame:
     """Two-table fuzzy equi-block join: (left_id, right_id, dist) for
     rows sharing ``block_cols`` (present in both inputs) within
-    ``max_dist`` edits."""
+    ``max_dist`` edits. ``filter_mode`` as in ``fuzzy_self_join``
+    ("length" or "qgram"; the q-gram global order is taken over the
+    UNION of both sides, so the prefix-filter soundness argument is
+    unchanged)."""
     a = left.select(
-        F.col(left_id).alias("id_l"), F.col(left_text).alias("_txt_l"),
-        F.length(left_text).alias("_len_l"), *block_cols,
+        F.col(left_id).alias("_id"), F.col(left_text).alias("_txt"),
+        F.length(left_text).alias("_len"), *block_cols,
     )
     b = right.select(
-        F.col(right_id).alias("id_r"), F.col(right_text).alias("_txt_r"),
-        F.length(right_text).alias("_len_r"), *block_cols,
+        F.col(right_id).alias("_id"), F.col(right_text).alias("_txt"),
+        F.length(right_text).alias("_len"), *block_cols,
     )
+    if filter_mode == "qgram":
+        pairs = _qgram_prefix_pairs(a, b, block_cols, max_dist).select(
+            F.col("id_a").alias("id_l"), F.col("id_b").alias("id_r"), *block_cols
+        )
+    elif filter_mode == "length":
+        pa = a.select(F.col("_id").alias("id_l"), F.col("_len").alias("_len_l"), *block_cols)
+        pb = b.select(F.col("_id").alias("id_r"), F.col("_len").alias("_len_r"), *block_cols)
+        pairs = (
+            pa.join(pb, on=block_cols, how="inner")
+            .filter(F.abs(F.col("_len_l") - F.col("_len_r")) <= max_dist)
+            .select("id_l", "id_r", *block_cols)
+        )
+    else:
+        raise ValueError(f"unknown filter_mode {filter_mode!r}")
+    ta = a.select(F.col("_id").alias("id_l"), F.col("_txt").alias("_txt_l"))
+    tb = b.select(F.col("_id").alias("id_r"), F.col("_txt").alias("_txt_r"))
     dist = F.levenshtein(F.col("_txt_l"), F.col("_txt_r"), max_dist)
     return (
-        a.join(b, on=block_cols, how="inner")
-        .filter(F.abs(F.col("_len_l") - F.col("_len_r")) <= max_dist)
+        pairs.join(ta, on="id_l").join(tb, on="id_r")
         .withColumn("dist", dist)
         .filter(F.col("dist") >= 0)
         .select("id_l", "id_r", *block_cols, "dist")
@@ -236,17 +255,40 @@ _QGRAM_Q = 3
 def _qgram_prefix_candidates(
     base: DataFrame, block_cols: list[str], d: int, q: int = _QGRAM_Q
 ) -> DataFrame:
+    """Self-join wrapper over ``_qgram_prefix_pairs`` (see there for the
+    algorithm): normalizes to the id_a < id_b triangle."""
+    pairs = _qgram_prefix_pairs(base, base, block_cols, d, q)
+    return (
+        pairs.filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            *block_cols,
+        )
+        .distinct()
+    )
+
+
+def _qgram_prefix_pairs(
+    a_base: DataFrame,
+    b_base: DataFrame,
+    block_cols: list[str],
+    d: int,
+    q: int = _QGRAM_Q,
+) -> DataFrame:
     """ED-Join-style positional q-gram prefix filter (Xiao, Wang, Lin —
     PVLDB 2008, public): candidate pairs share a q-gram among each
-    side's q*d+1 globally RAREST grams, at positions within d.
+    side's q*d+1 globally RAREST grams, at positions within d. Inputs
+    are (_id, _txt, _len, block_cols...) frames; output is a distinct
+    (id_a, id_b, block_cols...) SUPERSET of the true pairs.
 
     Soundness: one edit destroys at most q positional q-grams, so
     ed(A, B) <= d implies the gram multisets mismatch in at most q*d
-    grams per side; order every string's grams by a global total order
-    (document frequency asc, then gram, then position) and the first
-    q*d+1 of each side must contain a matching pair (equal gram,
-    |pos_a - pos_b| <= d) — the classic prefix-filter argument applied
-    per side.
+    grams per side; order every string's grams by ONE global total
+    order (document frequency over the union of both sides asc, then
+    gram, then position) and the first q*d+1 of each side must contain
+    a matching pair (equal gram, |pos_a - pos_b| <= d) — the classic
+    prefix-filter argument applied per side.
 
     Why this is the scale path where segments are not: bucket size is
     driven by the df of the RAREST grams a string has — common
@@ -255,63 +297,62 @@ def _qgram_prefix_candidates(
     position-0 segment IS the shared prefix (measured: 361 s vs sub-10s
     on 15k same-prefix URLs).
 
-    Strings with fewer than q+d characters carry too few grams for the
-    bound; they fall back to a bounded pair join against their only
-    possible partners (length < q + 2d).
+    Coverage argument for the prefix sizes: let A be the side with more
+    grams. If |G(A)| >= q*d + 1, at least one of A's first q*d+1 grams
+    survives in B, and the global-order intersection lemma places a
+    match inside both prefixes (B's prefix holds min(q*d+1, |G(B)|)
+    grams — all of them when B is short). Pairs where BOTH sides have
+    fewer than q*d+1 grams (length < q*(d+1)) carry no guarantee and
+    fall back to a bounded both-short pair join; a side with no grams
+    at all (length < q) only has partners inside that fallback, so
+    nothing else is needed.
     """
     k = q * d + 1
-    long_rows = base.filter(F.col("_len") >= q + d)
-    grams = long_rows.select(
-        "_id", *block_cols,
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, _len - {q} + 1),"
-                f" p -> named_struct('pos', p, 'gram', substring(_txt, p, {q})))"
-            )
-        ).alias("g"),
-    ).select("_id", *block_cols, "g.pos", "g.gram")
-    df_tbl = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("_df"))
-    w = Window.partitionBy("_id").orderBy("_df", "gram", "pos")
-    prefix = (
-        grams.join(df_tbl, on="gram")
-        .withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= k)
-        .select("_id", *block_cols, "gram", "pos")
+    short_cut = q * (d + 1)
+
+    def gramify(side: DataFrame, out_id: str) -> DataFrame:
+        return side.filter(F.col("_len") >= q).select(
+            F.col("_id").alias(out_id), *block_cols,
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, _len - {q} + 1),"
+                    f" p -> named_struct('pos', p, 'gram', substring(_txt, p, {q})))"
+                )
+            ).alias("g"),
+        ).select(out_id, *block_cols, "g.pos", "g.gram")
+
+    ga, gb = gramify(a_base, "id_a"), gramify(b_base, "id_b")
+    df_tbl = (
+        ga.select("gram").unionByName(gb.select("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_df"))
     )
-    a = prefix.select(
-        F.col("_id").alias("id_a"), *block_cols,
-        F.col("gram"), F.col("pos").alias("_pa"),
-    )
-    b = prefix.select(
-        F.col("_id").alias("id_b"), *block_cols,
-        F.col("gram"), F.col("pos").alias("_pb"),
-    )
+
+    def prefix(grams: DataFrame, id_name: str, pos_name: str) -> DataFrame:
+        w = Window.partitionBy(id_name).orderBy("_df", "gram", "pos")
+        return (
+            grams.join(df_tbl, on="gram")
+            .withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= k)
+            .select(id_name, *block_cols, "gram", F.col("pos").alias(pos_name))
+        )
+
     cand = (
-        a.join(b, on=[*block_cols, "gram"])
-        .filter(
-            (F.col("id_a") != F.col("id_b"))
-            & (F.abs(F.col("_pa") - F.col("_pb")) <= d)
-        )
-        .select(
-            F.least("id_a", "id_b").alias("id_a"),
-            F.greatest("id_a", "id_b").alias("id_b"),
-            *block_cols,
-        )
+        prefix(ga, "id_a", "_pa")
+        .join(prefix(gb, "id_b", "_pb"), on=[*block_cols, "gram"])
+        .filter(F.abs(F.col("_pa") - F.col("_pb")) <= d)
+        .select("id_a", "id_b", *block_cols)
         .distinct()
     )
-    shorts_a = base.filter(F.col("_len") < q + d).select(
-        F.col("_id").alias("id_a"), *block_cols
+    sa = a_base.filter(F.col("_len") < short_cut).select(
+        F.col("_id").alias("id_a"), F.col("_len").alias("_la"), *block_cols
     )
-    shorts_b = base.filter(F.col("_len") < q + 2 * d).select(
-        F.col("_id").alias("id_b"), *block_cols
+    sb = b_base.filter(F.col("_len") < short_cut).select(
+        F.col("_id").alias("id_b"), F.col("_len").alias("_lb"), *block_cols
     )
     short_pairs = (
-        shorts_a.join(shorts_b, on=block_cols)
-        .filter(F.col("id_a") != F.col("id_b"))
-        .select(
-            F.least("id_a", "id_b").alias("id_a"),
-            F.greatest("id_a", "id_b").alias("id_b"),
-            *block_cols,
-        )
+        sa.join(sb, on=block_cols)
+        .filter(F.abs(F.col("_la") - F.col("_lb")) <= d)
+        .select("id_a", "id_b", *block_cols)
     )
     return cand.unionByName(short_pairs).distinct()

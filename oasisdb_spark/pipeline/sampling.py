@@ -47,6 +47,7 @@ def weighted_sample(
     weight_col: str,
     n: int,
     id_col: str = "doc_id",
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Weighted sampling WITHOUT replacement, deterministic: the
     Efraimidis–Spirakis A-ES scheme with the uniform draw replaced by
@@ -62,16 +63,30 @@ def weighted_sample(
     sort shuffle, so the cost is one scan at any corpus size.
     Deterministic tie-break on ``id_col`` (keys are continuous, ties
     effectively impossible, but the spec stays total).
+
+    With ``group_cols`` the draw is STRATIFIED: n rows per group,
+    independently weighted within each stratum (one hash shuffle on
+    the group key + a rank window — the same shape as
+    ``quality_prune``, including its histogram-refinement escape hatch
+    for enormous groups).
     """
     h = F.conv(
         F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
     ).cast("long")
     u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
     key = F.log(u) / F.col(weight_col)
+    src = df.filter(F.col(weight_col) > 0).withColumn("_aes_key", key)
+    if group_cols:
+        w = Window.partitionBy(*group_cols).orderBy(
+            F.col("_aes_key").desc(), F.col(id_col).asc()
+        )
+        return (
+            src.withColumn("_aes_r", F.row_number().over(w))
+            .filter(F.col("_aes_r") <= n)
+            .drop("_aes_key", "_aes_r")
+        )
     return (
-        df.filter(F.col(weight_col) > 0)
-        .withColumn("_aes_key", key)
-        .orderBy(F.col("_aes_key").desc(), F.col(id_col).asc())
+        src.orderBy(F.col("_aes_key").desc(), F.col(id_col).asc())
         .limit(n)
         .drop("_aes_key")
     )

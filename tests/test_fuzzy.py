@@ -115,3 +115,19 @@ def test_qgram_matches_bruteforce_part(spark, sf_dir):
         ).fetchall()
     )
     assert got == want
+
+
+def test_two_table_qgram_equals_length(spark):
+    import random
+
+    rng = random.Random(3)
+    mk = lambda n: [(i, "".join(rng.choice("abcdef") for _ in range(rng.randint(0, 10))), i % 2)
+                    for i in range(n)]
+    left = spark.createDataFrame(mk(150), "id BIGINT, name STRING, grp INT")
+    right = spark.createDataFrame(mk(150), "id BIGINT, name STRING, grp INT")
+    for d in (1, 2):
+        a = sorted(map(tuple, fuzzy_join(left, right, "id", "id", "name", "name",
+                                         ["grp"], d, "qgram").collect()))
+        b = sorted(map(tuple, fuzzy_join(left, right, "id", "id", "name", "name",
+                                         ["grp"], d, "length").collect()))
+        assert a == b, f"max_dist={d}"

@@ -181,3 +181,19 @@ class TestWeightedSample:
         )
         got = {r["doc_id"] for r in weighted_sample(df, "w", 10).collect()}
         assert got == {1, 4}
+
+    def test_stratified_by_group(self, spark, documents):
+        from oasisdb_spark.pipeline.sampling import weighted_sample
+
+        out = weighted_sample(documents, "n_chars", 5, group_cols=["lang"])
+        rows = out.collect()
+        from collections import Counter
+
+        per = Counter(r["lang"] for r in rows)
+        langs = {r["lang"] for r in documents.collect()}
+        assert set(per) == langs
+        assert all(c == min(5, sum(1 for r in documents.collect() if r["lang"] == g and r["n_chars"] > 0)) for g, c in per.items())
+        # stratified draw agrees with running the global sampler per group
+        for g in list(langs)[:2]:
+            solo = weighted_sample(documents.filter(F.col("lang") == g), "n_chars", 5)
+            assert {r["doc_id"] for r in solo.collect()} == {r["doc_id"] for r in rows if r["lang"] == g}
