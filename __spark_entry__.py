@@ -457,6 +457,68 @@ def _events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ordered funnel (streaming/events.py funnel_stream):
+    the fixture is staged as FOUR ts-ranged files consumed one per
+    micro-batch (maxFilesPerTrigger=1, ascending mtimes), so the
+    per-user (stage, last_ts) state genuinely carries across batches;
+    the greedy fold's strict-ts advance makes the result split-
+    invariant, so the final per-user stages — and therefore the
+    stage_rollup — equal the batch fold's exactly and this entry SHARES
+    the event_funnel oracle (hash-matched streaming funnel)."""
+    import os
+    import tempfile
+    import time
+    import uuid
+
+    from oasisdb_spark.operators.funnel import stage_rollup
+    from oasisdb_spark.streaming.events import funnel_stream
+
+    steps = ["view", "click", "purchase"]
+    key = "funnel_stream_dir"
+
+    def _stage() -> str:
+        import glob
+        import shutil
+
+        ev = _table(spark, sf_dir, "events").filter(F.col("event_type").isin(steps))
+        d = tempfile.mkdtemp(prefix="events_funnel_stream_")
+        # ts-ranged quartile chunks, one flat parquet FILE each, with
+        # ascending mtimes (the file source processes in mtime order)
+        ranked = ev.withColumn("_b", F.ntile(4).over(Window.orderBy("ts", "event_id")))
+        now = time.time()
+        for i in range(1, 5):
+            tmp = os.path.join(d, f"_w{i}")
+            ranked.filter(F.col("_b") == i).drop("_b").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(d, f"chunk_{i}.parquet")
+            shutil.copyfile(src, dst)
+            t = now - (4 - i) * 10
+            os.utime(dst, (t, t))
+            shutil.rmtree(tmp)
+        return d
+
+    d = _memo(spark, sf_dir, key, _stage)
+    schema = _table(spark, sf_dir, "events").filter(F.col("event_type").isin(steps)).schema
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(d)
+    )
+    name = f"events_funnel_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        funnel_stream(ev, steps)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    per_user = spark.table(name).groupBy("user_id").agg(F.max("stage").alias("stage"))
+    return stage_rollup(per_user, steps)
+
+
 def _events_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exactly-once dedup (streaming/events.py dedup_stream):
     the fixture is staged TWICE (simulated at-least-once replay) and
@@ -2823,6 +2885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": _weighted_sample,
         "zorder_scan": _zorder_scan,
         "image_dhash": _image_dhash,
+        "events_funnel_stream": _events_funnel_stream,
         # rows-only by nature (last-ulp float reductions across
         # partitionings; see docstring) — like sequence_pack_bins
         "pca_knn": _pca_knn,
@@ -3083,6 +3146,23 @@ def _table_profile_oracle() -> str:
         for c in cols
     ]
     return "\nUNION ALL\n".join(parts)
+
+
+_FUNNEL_ORACLE = """
+    WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id),
+    c AS (SELECT (SELECT count(*) FROM s1) AS c1,
+                 (SELECT count(*) FROM s2) AS c2,
+                 (SELECT count(*) FROM s3) AS c3)
+    SELECT 1 AS step, 'view' AS step_name, c1 AS n_users,
+           round(CAST(c1 AS DOUBLE) / c1, 6) AS conversion FROM c
+    UNION ALL SELECT 2, 'click', c2, round(CAST(c2 AS DOUBLE) / c1, 6) FROM c
+    UNION ALL SELECT 3, 'purchase', c3, round(CAST(c3 AS DOUBLE) / c2, 6) FROM c
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3998,21 +4078,10 @@ def oracle_sql() -> dict[str, str]:
         # funnel: chained earliest-match CTEs == the Spark fold's greedy
         # scan (earliest-first matching is optimal for subsequence
         # existence; both use strict ts ordering)
-        "event_funnel": """
-            WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
-                        WHERE event_type = 'view' GROUP BY user_id),
-            s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 ON e.user_id = s1.user_id
-                   WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id),
-            s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 ON e.user_id = s2.user_id
-                   WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id),
-            c AS (SELECT (SELECT count(*) FROM s1) AS c1,
-                         (SELECT count(*) FROM s2) AS c2,
-                         (SELECT count(*) FROM s3) AS c3)
-            SELECT 1 AS step, 'view' AS step_name, c1 AS n_users,
-                   round(CAST(c1 AS DOUBLE) / c1, 6) AS conversion FROM c
-            UNION ALL SELECT 2, 'click', c2, round(CAST(c2 AS DOUBLE) / c1, 6) FROM c
-            UNION ALL SELECT 3, 'purchase', c3, round(CAST(c3 AS DOUBLE) / c2, 6) FROM c
-        """,
+        "event_funnel": _FUNNEL_ORACLE,
+        # the streaming funnel is split-invariant (strict-ts advance),
+        # so it shares the batch funnel's oracle verbatim
+        "events_funnel_stream": _FUNNEL_ORACLE,
         "cohort_retention": """
             WITH acts AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS period FROM events),
             firsts AS (SELECT user_id, min(period) AS cohort FROM acts GROUP BY user_id),

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["funnel_steps", "cohort_retention"]
+__all__ = ["funnel_steps", "stage_rollup", "cohort_retention"]
 
 
 def max_funnel_stage(
@@ -97,11 +97,18 @@ def funnel_steps(
         .agg(F.sort_array(F.collect_list("ev")).alias("seq"))
         .select("user_id", max_funnel_stage("seq", steps).alias("stage"))
     )
+    return stage_rollup(per_user, steps)
+
+
+def stage_rollup(per_user: DataFrame, steps: list[str], stage_col: str = "stage") -> DataFrame:
+    """(user, stage) table → per-step completion counts + conversion —
+    the funnel's final tiny aggregate, shared by the batch fold and the
+    streaming stateful operator (streaming/events.py funnel_stream)."""
     counts = (
         per_user.groupBy()
         .agg(
             *[
-                F.sum(F.when(F.col("stage") >= k, 1).otherwise(0)).alias(f"_s{k}")
+                F.sum(F.when(F.col(stage_col) >= k, 1).otherwise(0)).alias(f"_s{k}")
                 for k in range(1, len(steps) + 1)
             ]
         )

@@ -195,3 +195,60 @@ def run_to_parquet_sink(
     )
     q.awaitTermination()
     return q
+
+
+def funnel_stream(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Streaming ordered funnel: per-user (stage, last_ts) carried
+    across micro-batches via applyInPandasWithState — the stateful twin
+    of the batch fold (operators/funnel.py funnel_steps), emitting the
+    user's current stage each time it can change.
+
+    Order-robustness: the greedy fold only advances on STRICTLY
+    increasing timestamps, and within one timestamp at most one advance
+    is possible — so any batch split or same-ts reordering yields the
+    same final stage as the global batch fold (the property the entry's
+    shared oracle checks). Events should be pre-filtered to the step
+    types before the groupBy, and batches must arrive in ts order
+    (stage the source in ts-ranged files); late events BEFORE the
+    state's last_ts cannot rewind a stage — that is inherent to any
+    single-pass funnel and documented here rather than hidden.
+
+    State per user is two scalars; at scale it lives partitioned in the
+    state store, checkpointed, never on the driver."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [T.StructField("user_id", T.LongType()), T.StructField("stage", T.IntegerType())]
+    )
+    state_schema = T.StructType(
+        [T.StructField("stage", T.IntegerType()), T.StructField("last_us", T.LongType())]
+    )
+    n = len(steps)
+
+    def fn(key, pdfs, state: GroupState):
+        stage, last_us = state.get if state.exists else (0, None)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values([ts_col, id_col])
+            # Arrow may hand datetime64[ns] or [us]; normalize to ns first
+            us = pd.to_datetime(pdf[ts_col]).astype("datetime64[ns]").astype("int64") // 1000
+            types = pdf[type_col].tolist()
+            for t_us, typ in zip(us.tolist(), types):
+                if stage < n and typ == steps[stage] and (last_us is None or t_us > last_us):
+                    stage += 1
+                    last_us = t_us
+        state.update((stage, last_us if last_us is not None else -1))
+        yield pd.DataFrame({"user_id": [key[0]], "stage": [stage]})
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -267,3 +267,59 @@ def test_windowed_counts_parquet_sink_append(spark, tmp_path):
     ev2 = read_events_stream(spark, str(src), max_files_per_trigger=10)
     run_to_parquet_sink(windowed_counts(ev2, "1 hour", "2 hours"), str(out), str(ckpt))
     assert spark.read.parquet(str(out)).count() == got.count()
+
+
+def test_funnel_stream_state_carries_across_batches(spark, tmp_path):
+    """Split a funnel across three micro-batches: stage state must
+    carry (view in batch 1, click in batch 2, purchase in batch 3) and
+    out-of-order step types must not advance."""
+    import os
+    import time
+    from datetime import datetime
+
+    from oasisdb_spark.streaming.events import funnel_stream
+
+    steps = ["view", "click", "purchase"]
+    d = str(tmp_path / "funnel_src")
+    os.makedirs(d)
+    batches = [
+        # u1 progresses one step per batch; u2 does click-first (stuck at 0 until its view)
+        [(1, datetime(2024, 1, 1, 9), 1, "view"), (2, datetime(2024, 1, 1, 9), 2, "click")],
+        [(3, datetime(2024, 1, 1, 10), 1, "click"), (4, datetime(2024, 1, 1, 10), 2, "view")],
+        [(5, datetime(2024, 1, 1, 11), 1, "purchase"), (6, datetime(2024, 1, 1, 11), 2, "click")],
+    ]
+    now = time.time()
+    for i, rows in enumerate(batches):
+        tmp = str(tmp_path / f"w{i}")
+        spark.createDataFrame(
+            rows, "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, event_type STRING"
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        import glob, shutil
+
+        src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(d, f"b{i}.parquet")
+        shutil.copyfile(src, dst)
+        os.utime(dst, (now - (3 - i) * 10, now - (3 - i) * 10))
+    ev = (
+        spark.readStream.schema(
+            "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, event_type STRING"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    q = (
+        funnel_stream(ev, steps)
+        .writeStream.format("memory").queryName("funnel_state_test")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = spark.table("funnel_state_test").collect()
+    import collections
+
+    final = collections.defaultdict(int)
+    for r in rows:
+        final[r["user_id"]] = max(final[r["user_id"]], r["stage"])
+    assert final[1] == 3   # advanced once per batch — state carried
+    assert final[2] == 2   # click-before-view ignored; view then click counted
+    # more than one micro-batch actually ran (one update row per user per batch)
+    assert len(rows) >= 4
