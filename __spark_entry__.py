@@ -2704,6 +2704,19 @@ def _zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _jaccard_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ppjoin-style EXACT Jaccard pairs (pipeline/dedup.py
+    jaccard_pairs_prefix): candidates keyed by each document's RAREST
+    shingles (prefix-filter lemma + size filter), so boilerplate never
+    keys a bucket and no lossy df cap is needed — same results as the
+    uncapped inverted index (shares ngram_jaccard_pairs' oracle), with
+    a scale plan the cap can't give: the cap DROPS pairs sharing only
+    hot shingles; the prefix filter keeps them (test-proven)."""
+    from oasisdb_spark.pipeline.dedup import jaccard_pairs_prefix
+
+    return jaccard_pairs_prefix(_table(spark, sf_dir, "documents"), threshold=0.5)
+
+
 def _image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual hashing over REAL decoded images
     (pipeline/multimodal.py image_dhash): block-patterned PNG fixture
@@ -2886,6 +2899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_scan": _zorder_scan,
         "image_dhash": _image_dhash,
         "events_funnel_stream": _events_funnel_stream,
+        "jaccard_pairs_prefix": _jaccard_pairs_prefix,
         # rows-only by nature (last-ulp float reductions across
         # partitionings; see docstring) — like sequence_pack_bins
         "pca_knn": _pca_knn,
@@ -4082,6 +4096,9 @@ def oracle_sql() -> dict[str, str]:
         # the streaming funnel is split-invariant (strict-ts advance),
         # so it shares the batch funnel's oracle verbatim
         "events_funnel_stream": _FUNNEL_ORACLE,
+        # exact by construction — shares the uncapped inverted-index
+        # pairs oracle
+        "jaccard_pairs_prefix": _lsh_pairs_oracle(with_banding=False),
         "cohort_retention": """
             WITH acts AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS period FROM events),
             firsts AS (SELECT user_id, min(period) AS cohort FROM acts GROUP BY user_id),

@@ -81,6 +81,7 @@ FAMILIES: dict[str, list[str]] = {
     "weighted_sampling": ["weighted_sample"],
     "layout": ["zorder_scan"],
     "perceptual_hash": ["image_dhash"],
+    "setsim_join": ["jaccard_pairs_prefix"],
     "fuzzy_join": ["fuzzy_name_pairs"],
     "bloom_join": ["bloom_semijoin"],
     "semantic_dedup": ["semantic_dedup", "semantic_dedup_fast"],

@@ -38,6 +38,7 @@ __all__ = [
     "minhash_coeffs", "shingles", "shingle_hashes", "minhash_signature",
     "shingle_minhash_frame", "minhash_lsh_dedup",
     "exact_dedup_groups", "minhash_candidate_pairs", "jaccard_pairs",
+    "jaccard_pairs_prefix",
     "simhash_expr", "embedding_neardup_pairs", "allpairs_cosine_blocked",
 ]
 
@@ -575,3 +576,63 @@ def allpairs_cosine_blocked(
                 yield pd.concat(outs, ignore_index=True)
 
     return joined.mapInPandas(_gemm, "doc_a BIGINT, doc_b BIGINT, cos_sim DOUBLE")
+
+
+def jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT shingle-set Jaccard >= threshold via ppjoin-style prefix
+    filtering (Bayardo et al. WWW'07 all-pairs; Xiao et al. WWW'08
+    ppjoin — public): the scale path that needs NO df cap.
+
+    Candidate generation: each document's distinct shingle hashes are
+    ordered by ONE global total order (document frequency asc, then
+    hash — rarest first); for J(A, B) >= t the overlap is at least
+    ceil(t*|X|) on each side, so the first |X| - ceil(t*|X|) + 1
+    shingles of BOTH documents must share an element (prefix-filter
+    lemma), and a size filter t*|A| <= |B| prunes the rest. Join
+    buckets are keyed by documents' RAREST shingles — boilerplate
+    ("all rights reserved ...") has maximal df, lands at the END of
+    every prefix order, and never keys a bucket, which is exactly the
+    hot-shingle skew the inverted-index path's max_doc_freq cap exists
+    to suppress — but the cap is LOSSY (pairs sharing only hot
+    shingles are dropped) while the prefix is not.
+
+    Verification reuses jaccard_pairs(candidates=...): two id joins +
+    array_intersect per surviving pair. At t = 0.5 the prefix is half
+    the document; higher thresholds shrink it (t = 0.9 -> 10%).
+    """
+    h = df.select(F.col(id_col).alias("doc_id"), shingle_hashes(text_col, n).alias("hs"))
+    sh = h.select("doc_id", F.size("hs").alias("sz"), F.explode("hs").alias("sh"))
+    df_tbl = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy("doc_id").orderBy("_df", "sh")
+    prefix = (
+        sh.join(df_tbl, on="sh")
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+        .select("doc_id", "sz", "sh")
+    )
+    a = prefix.select(
+        F.col("doc_id").alias("doc_a"), F.col("sz").alias("_sza"), "sh"
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("doc_b"), F.col("sz").alias("_szb"), "sh"
+    )
+    cand = (
+        a.join(b, on="sh")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("_szb") * F.lit(threshold) <= F.col("_sza"))
+            & (F.col("_sza") * F.lit(threshold) <= F.col("_szb"))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return jaccard_pairs(
+        df, id_col=id_col, text_col=text_col, n=n,
+        threshold=threshold, candidates=cand,
+    )

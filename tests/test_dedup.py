@@ -161,3 +161,34 @@ def test_jaccard_max_doc_freq_prunes_hot_shingles(spark):
     assert (0, 1) in capped and abs(capped[(0, 1)] - 5 / 9) < 1e-4
     # 2 and 3 share ONLY capped boilerplate shingles -> pair disappears
     assert (2, 3) in uncapped and (2, 3) not in capped
+
+
+class TestJaccardPrefix:
+    def test_equals_uncapped_inverted_index(self, spark, documents):
+        from oasisdb_spark.pipeline.dedup import jaccard_pairs, jaccard_pairs_prefix
+
+        got = sorted(map(tuple, jaccard_pairs_prefix(documents, threshold=0.5).collect()))
+        want = sorted(map(tuple,
+                          jaccard_pairs(documents, threshold=0.5, max_doc_freq=None).collect()))
+        assert got == want and want  # non-trivial fixture
+
+    def test_finds_pairs_the_df_cap_drops(self, spark):
+        """Docs sharing ONLY a hot boilerplate shingle set: the capped
+        inverted index misses them; the prefix filter must not."""
+        from oasisdb_spark.pipeline.dedup import jaccard_pairs, jaccard_pairs_prefix
+
+        boiler = "all rights reserved contact the owner for permission"
+        rows = [(i, f"{boiler}") for i in range(40)]          # identical hot docs
+        rows += [(100 + i, f"unique text number {i} entirely fresh words {i}") for i in range(10)]
+        df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+        capped = jaccard_pairs(df, threshold=0.9, max_doc_freq=5)
+        exact = jaccard_pairs_prefix(df, threshold=0.9)
+        assert capped.count() == 0                    # cap drops every hot pair
+        assert exact.count() == 40 * 39 // 2          # prefix filter keeps them
+
+    def test_threshold_monotone(self, spark, documents):
+        from oasisdb_spark.pipeline.dedup import jaccard_pairs_prefix
+
+        lo = jaccard_pairs_prefix(documents, threshold=0.3).count()
+        hi = jaccard_pairs_prefix(documents, threshold=0.7).count()
+        assert hi <= lo
