@@ -605,6 +605,9 @@ def jaccard_pairs_prefix(
     Verification reuses jaccard_pairs(candidates=...): two id joins +
     array_intersect per surviving pair. At t = 0.5 the prefix is half
     the document; higher thresholds shrink it (t = 0.9 -> 10%).
+    Measured at sf0.1 (local[32], same cold session): prefix 10.2 s vs
+    capped inverted index 13.1 s — exact AND faster, because only
+    prefix shingles enter the self-join at all.
     """
     h = df.select(F.col(id_col).alias("doc_id"), shingle_hashes(text_col, n).alias("hs"))
     sh = h.select("doc_id", F.size("hs").alias("sz"), F.explode("hs").alias("sh"))
