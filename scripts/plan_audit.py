@@ -363,6 +363,18 @@ def main() -> None:
     print(f"== weighted_sample heap top-n (no sort shuffle): {'OK' if ok else 'FAIL'}")
     failures += not ok
 
+    # 37. jaccard_pairs_prefix: candidate generation is equi-joins on
+    # the rarest-shingle prefix — no CartesianProduct/BNLJ anywhere,
+    # and the df aggregate partial-aggregates map-side
+    plan = plan_of(m.queries()["jaccard_pairs_prefix"](spark, sf_dir))
+    ok = (
+        "CartesianProduct" not in plan
+        and "BroadcastNestedLoopJoin" not in plan
+        and "partial_count" in plan
+    )
+    print(f"== jaccard_pairs_prefix equi-join candidates: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
     # 31. bm25_search_indexed: the query's term IN-filter reaches the
     # postings side (sorted-by-term row groups make it a pruned seek on
     # the persisted index; over the in-memory memo it shows as a filter
