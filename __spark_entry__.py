@@ -2717,6 +2717,40 @@ def _jaccard_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs_prefix(_table(spark, sf_dir, "documents"), threshold=0.5)
 
 
+def _substring_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span dedup (pipeline/dedup.py
+    duplicate_substring_stats; Lee et al. ACL 2022's suffix-array tool
+    re-expressed as 3 Spark shuffles): per-document merged duplicated
+    30-gram spans — dup_ratio 1.0 flags exact-duplicate docs, mid
+    ratios flag boilerplate templates. Gram generation is a pure
+    Column expression; duplicate detection is one partial-agg shuffle
+    on the gram; span merging is one doc_id window pass. The scrub
+    companion (scrub_duplicate_substrings) cuts the spans with a
+    codegen HOF fold — test-verified vs brute force."""
+    from oasisdb_spark.pipeline.dedup import duplicate_substring_stats
+
+    return duplicate_substring_stats(
+        _table(spark, sf_dir, "documents"), min_length=30,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+
+
+def _lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/KenLM-style perplexity quality filter (pipeline/lm.py;
+    Wenzek et al. 2020): train an MLE bigram LM on the corpus (one
+    bigram partial-agg shuffle + one w1 context agg), score every doc
+    by quantized micro-nat log-probability (integer sums — order-
+    independent and bit-exact cross-engine; ln() itself differs between
+    JVM and C libm at the ulp level, see lm.py docstring for the
+    measured-zero rounding-flip contract). avg_logp is nats/bigram;
+    perplexity = exp(-avg_logp) left to callers because exp is
+    engine-dependent while this frame is exactly comparable."""
+    from oasisdb_spark.pipeline.lm import bigram_lm, lm_score
+
+    docs = _table(spark, sf_dir, "documents")
+    return lm_score(docs, bigram_lm(docs))
+
+
 def _image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual hashing over REAL decoded images
     (pipeline/multimodal.py image_dhash): block-patterned PNG fixture
@@ -2900,6 +2934,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dhash": _image_dhash,
         "events_funnel_stream": _events_funnel_stream,
         "jaccard_pairs_prefix": _jaccard_pairs_prefix,
+        "substring_dup_stats": _substring_dup_stats,
+        "lm_perplexity": _lm_perplexity,
         # rows-only by nature (last-ulp float reductions across
         # partitionings; see docstring) — like sequence_pack_bins
         "pca_knn": _pca_knn,
@@ -4099,6 +4135,73 @@ def oracle_sql() -> dict[str, str]:
         # exact by construction — shares the uncapped inverted-index
         # pairs oracle
         "jaccard_pairs_prefix": _lsh_pairs_oracle(with_banding=False),
+        "substring_dup_stats": """
+WITH grams AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos, substr(text, CAST(i AS INT), 30) AS gram
+  FROM documents, LATERAL (SELECT unnest(range(1, length(text) - 30 + 2)) AS i)
+  WHERE length(text) >= 30
+),
+dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+hits AS (SELECT doc_id, pos FROM grams SEMI JOIN dup USING (gram)),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 30
+              THEN 0 ELSE 1 END AS is_new
+  FROM hits
+),
+grouped AS (
+  SELECT doc_id, pos, SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM flagged
+),
+spans AS (
+  SELECT doc_id, grp, MAX(pos) - MIN(pos) + 30 AS span_len
+  FROM grouped GROUP BY doc_id, grp
+),
+per_doc AS (
+  SELECT doc_id, SUM(span_len) AS dc, COUNT(*) AS ns FROM spans GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS doc_len,
+       CAST(COALESCE(p.dc, 0) AS BIGINT) AS dup_chars,
+       CAST(COALESCE(p.ns, 0) AS BIGINT) AS dup_spans,
+       CAST(COALESCE(p.dc, 0) AS DOUBLE) / length(d.text) AS dup_ratio
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+""",
+        # lm_perplexity: MLE bigram LM self-score; lmic quantization
+        # makes the per-doc sums integer-exact (pipeline/lm.py contract)
+        "lm_perplexity": f"""
+WITH {_TOKS_CTE},
+bgl AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) >= 2 THEN
+           list_transform(range(1, len(tk)), i -> array_to_string(tk[CAST(i AS INT):CAST(i+1 AS INT)], ' '))
+         ELSE [] END AS bgs
+  FROM toks
+),
+bg AS (SELECT doc_id, unnest(bgs) AS bg FROM bgl),
+c12 AS (SELECT bg, count(*) AS c12 FROM bg GROUP BY bg),
+c1t AS (SELECT split_part(bg, ' ', 1) AS w1, SUM(c12) AS c1 FROM c12 GROUP BY 1),
+model AS (
+  SELECT bg,
+         CAST(round(ln(CAST(c12 AS DOUBLE)) * 1000000) AS BIGINT)
+         - CAST(round(ln(CAST(c1 AS DOUBLE)) * 1000000) AS BIGINT) AS lp
+  FROM c12 JOIN c1t ON split_part(bg, ' ', 1) = w1
+),
+n_tbl AS (SELECT doc_id, count(*) AS n FROM bg GROUP BY doc_id),
+matched AS (
+  SELECT b.doc_id, count(*) AS m, SUM(lp) AS lp
+  FROM bg b JOIN model USING (bg) GROUP BY b.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(n_tbl.n, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(n_tbl.n, 0) - COALESCE(matched.m, 0) AS BIGINT) AS oov_bigrams,
+       CAST(COALESCE(matched.lp, 0) AS BIGINT) AS logprob_micro,
+       CASE WHEN COALESCE(matched.m, 0) > 0
+            THEN CAST(matched.lp AS DOUBLE) / 1000000 / matched.m
+            ELSE 0.0 END AS avg_logp
+FROM documents d
+LEFT JOIN n_tbl USING (doc_id)
+LEFT JOIN matched USING (doc_id)
+""",
         "cohort_retention": """
             WITH acts AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS period FROM events),
             firsts AS (SELECT user_id, min(period) AS cohort FROM acts GROUP BY user_id),

@@ -44,9 +44,9 @@ FAMILIES: dict[str, list[str]] = {
     "search_api": ["search_documents_filtered", "hybrid_search_rrf", "bm25_search"],
     "dedup": [
         "exact_dedup", "minhash_lsh_pairs", "simhash",
-        "dedup_clusters", "embedding_neardup",
+        "dedup_clusters", "embedding_neardup", "substring_dup_stats",
     ],
-    "text": ["text_stats", "langid", "doc_fingerprint", "doc_repetition", "tfidf_top_terms"],
+    "text": ["text_stats", "langid", "doc_fingerprint", "doc_repetition", "tfidf_top_terms", "lm_perplexity"],
     "corpus_ops": [
         "sequence_pack_chunks", "training_corpus_pipeline",
         "frequent_users", "events_approx_distinct",

@@ -40,6 +40,8 @@ __all__ = [
     "exact_dedup_groups", "minhash_candidate_pairs", "jaccard_pairs",
     "jaccard_pairs_prefix",
     "simhash_expr", "embedding_neardup_pairs", "allpairs_cosine_blocked",
+    "duplicate_substring_positions", "duplicate_substring_stats",
+    "scrub_duplicate_substrings",
 ]
 
 MINHASH_K = 32          # signature length
@@ -638,4 +640,172 @@ def jaccard_pairs_prefix(
     return jaccard_pairs(
         df, id_col=id_col, text_col=text_col, n=n,
         threshold=threshold, candidates=cand,
+    )
+
+
+def duplicate_substring_positions(
+    df: DataFrame,
+    min_length: int = 30,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+    hash_grams: bool = False,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """ExactSubstr duplicated-span detection (Lee et al., ACL 2022,
+    "Deduplicating Training Data Makes Language Models Better" — public;
+    their suffix-array ExactSubstr tool, re-expressed as three Spark
+    shuffles): every maximal character span covered by some
+    ``min_length``-gram that occurs >= ``min_count`` times ANYWHERE in
+    the corpus (across documents or repeated within one).
+
+    Returns one row per merged span: (doc_id, span_start, span_end),
+    1-based inclusive character positions. A duplicated substring of
+    length m >= L contributes all m - L + 1 of its L-gram start
+    positions; overlapping/adjacent windows are merged by an
+    islands-and-gaps window pass, so the output spans are exactly the
+    maximal duplicated regions — equivalent to the suffix-array
+    formulation without ever materializing a global sorted order.
+
+    Scale design (the 100 TB plan — no suffix array needed):
+    - gram generation is a per-row Column expression
+      (transform(sequence) + posexplode): no shuffle, no Python.
+    - duplicate detection is ONE partial-agg shuffle keyed by the gram
+      (map-side combine collapses within-partition repeats first).
+    - the position join-back is a left-semi equi-join on the same key
+      (AQE handles hot grams — corpus-wide boilerplate — by splitting
+      skewed partitions; the dup set it joins against is tiny because
+      HAVING count >= min_count already collapsed it to distinct grams).
+    - span merging is one window pass partitioned by doc_id: state is
+      O(positions-in-dup-grams per doc), never the text.
+    - ``hash_grams=True`` shuffles xxhash64(gram) (8 bytes) instead of
+      the L-char gram string (~L bytes): ~L/8x less shuffle IO, exact
+      up to 64-bit collisions (~n^2/2^65 — negligible, but the default
+      stays collision-free so the oracle match is unconditional).
+
+    Reference parity: the reference engine has no corpus-dedup surface
+    (SURVEY §2.4); this extends the dedup family alongside MinHash/
+    SimHash/Jaccard per the training-pipeline mandate.
+    """
+    L = int(min_length)
+    if L < 2:
+        raise ValueError("min_length must be >= 2")
+    if parallelism:
+        # Gram generation multiplies each text row ~len(text)-fold and is
+        # the CPU-heavy stage; when the input arrives in fewer splits than
+        # cores (one small parquet file), spreading the CHEAP pre-explode
+        # rows costs a tiny text shuffle and parallelizes the expensive
+        # part. At warehouse scale input splits are plentiful — leave None.
+        df = df.repartition(parallelism)
+    grams = (
+        df.filter(F.length(text_col) >= L)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, length({text_col}) - {L} + 1),"
+                    f" i -> substring({text_col}, i, {L}))"
+                )
+            ).alias("off", "gram"),
+        )
+        .select(
+            "doc_id",
+            (F.col("off") + 1).cast("long").alias("pos"),
+            (F.xxhash64("gram") if hash_grams else F.col("gram")).alias("gkey"),
+        )
+    )
+    dup = grams.groupBy("gkey").agg(F.count(F.lit(1)).alias("_n")).filter(
+        F.col("_n") >= int(min_count)
+    ).select("gkey")
+    hits = grams.join(dup, on="gkey", how="left_semi").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = hits.withColumn(
+        "_new",
+        F.when(F.col("pos") - F.lag("pos").over(w) <= L, F.lit(0)).otherwise(F.lit(1)),
+    )
+    grouped = flagged.withColumn("_grp", F.sum("_new").over(w))
+    return grouped.groupBy("doc_id", "_grp").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + L - 1).alias("span_end"),
+    ).select("doc_id", "span_start", "span_end")
+
+
+def duplicate_substring_stats(
+    df: DataFrame,
+    min_length: int = 30,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+    hash_grams: bool = False,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Per-document duplicated-span statistics over
+    duplicate_substring_positions: (doc_id, doc_len, dup_chars,
+    dup_spans, dup_ratio) for EVERY input document (0s for clean docs).
+    dup_ratio == 1.0 flags exact/near-exact duplicate documents;
+    mid-range ratios flag template boilerplate — the two standard
+    ExactSubstr filter axes. The span aggregate is doc-count-sized, so
+    the final join back to the corpus broadcasts."""
+    spans = duplicate_substring_positions(
+        df, min_length=min_length, id_col=id_col, text_col=text_col,
+        min_count=min_count, hash_grams=hash_grams, parallelism=parallelism,
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("_dc"),
+        F.count(F.lit(1)).alias("_ns"),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.length(text_col).cast("long").alias("doc_len"))
+        .join(per_doc, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            "doc_len",
+            F.coalesce("_dc", F.lit(0)).cast("long").alias("dup_chars"),
+            F.coalesce("_ns", F.lit(0)).cast("long").alias("dup_spans"),
+            (F.coalesce("_dc", F.lit(0)).cast("double") / F.col("doc_len")).alias("dup_ratio"),
+        )
+    )
+
+
+def scrub_duplicate_substrings(
+    df: DataFrame,
+    min_length: int = 30,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+    hash_grams: bool = False,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Remove every duplicated span (ALL copies, the ExactSubstr paper's
+    policy) from the text, keeping the segments between spans. The cut
+    is a pure higher-order-function fold over the per-doc sorted span
+    list — no Python in the path: collect_list is bounded by spans per
+    document (small by construction: spans are maximal and disjoint),
+    and the fold runs inside codegen. Output: (doc_id, text) with the
+    scrubbed text; clean documents pass through unchanged."""
+    spans = duplicate_substring_positions(
+        df, min_length=min_length, id_col=id_col, text_col=text_col,
+        min_count=min_count, hash_grams=hash_grams, parallelism=parallelism,
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("span_start").alias("s"), F.col("span_end").alias("e")))
+        ).alias("_spans")
+    )
+    base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
+    cut = (
+        "aggregate(_spans,"
+        " struct(CAST(1 AS BIGINT) AS cur, '' AS acc),"
+        " (a, sp) -> struct(sp.e + CAST(1 AS BIGINT) AS cur,"
+        "   concat(a.acc, substring(_text, CAST(a.cur AS INT), CAST(sp.s - a.cur AS INT))) AS acc),"
+        " a -> concat(a.acc, substring(_text, CAST(a.cur AS INT), length(_text))))"
+    )
+    return (
+        base.join(per_doc, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.when(F.col("_spans").isNull(), F.col("_text"))
+            .otherwise(F.expr(cut))
+            .alias("text"),
+        )
     )

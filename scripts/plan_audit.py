@@ -388,6 +388,32 @@ def main() -> None:
     print(f"== bm25_indexed term-pruned scan + broadcast df: {'OK' if ok else 'FAIL'}")
     failures += not ok
 
+    # 38. substring_dup_stats: ExactSubstr stays equi-join shaped — the
+    # duplicate-gram detector partial-aggregates map-side before its one
+    # shuffle, the position join-back is a LeftSemi equi-join (never a
+    # pair join), and the scans read only (doc_id, text)
+    plan = plan_of(m.queries()["substring_dup_stats"](spark, sf_dir))
+    ok = (
+        "CartesianProduct" not in plan
+        and "BroadcastNestedLoopJoin" not in plan
+        and "LeftSemi" in plan
+        and "partial_count" in plan
+        and "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+    )
+    print(f"== substring_dup_stats semi-join span dedup: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
+    # 39. lm_perplexity: model build and scoring stay equi-join shaped
+    # with map-side combine on the bigram key; no pair joins anywhere
+    plan = plan_of(m.queries()["lm_perplexity"](spark, sf_dir))
+    ok = (
+        "CartesianProduct" not in plan
+        and "BroadcastNestedLoopJoin" not in plan
+        and "partial_count" in plan
+    )
+    print(f"== lm_perplexity equi-join bigram LM: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
     print(f"\n{'ALL PLANS OK' if not failures else f'{failures} PLAN CHECKS FAILED'}")
     spark.stop()
     sys.exit(1 if failures else 0)

@@ -1,0 +1,115 @@
+"""Bigram-LM perplexity scoring (pipeline/lm.py) vs a brute-force
+Python reference, plus the cross-engine lmic() quantization contract."""
+
+from __future__ import annotations
+
+import math
+import re
+
+import duckdb
+import pytest
+
+from oasisdb_spark.pipeline.lm import bigram_lm, lm_score
+
+
+def toks(t: str) -> list[str]:
+    return [x for x in re.split("[^a-z0-9]+", t.lower()) if x]
+
+
+def brute(texts: dict, min_count: int = 1) -> dict:
+    """Reference scorer: MLE bigram LM, micro-nat quantized logs."""
+    from collections import Counter
+
+    c12, c1 = Counter(), Counter()
+    for t in texts.values():
+        tk = toks(t)
+        for a, b in zip(tk, tk[1:]):
+            c12[(a, b)] += 1
+            c1[a] += 1
+    lmic = lambda c: round(math.log(c) * 1e6)
+    out = {}
+    for d, t in texts.items():
+        tk = toks(t)
+        bgs = list(zip(tk, tk[1:]))
+        lp, oov = 0, 0
+        for p in bgs:
+            if c12[p] >= min_count:
+                lp += lmic(c12[p]) - lmic(c1[p[0]])
+            else:
+                oov += 1
+        n_sc = len(bgs) - oov
+        out[d] = (len(bgs), oov, lp, (lp / 1e6 / n_sc) if n_sc else 0.0)
+    return out
+
+
+CORPUS = {
+    1: "the cat sat on the mat",
+    2: "the cat sat on the hat and the cat ran",
+    3: "a dog ran fast",
+    4: "the dog sat",
+    5: "x",  # single token: zero bigrams
+}
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    return spark.createDataFrame([(k, v) for k, v in CORPUS.items()], ["doc_id", "text"])
+
+
+def test_model_counts(spark, corpus_df):
+    m = {r.bg: (r.c12, r.c1) for r in bigram_lm(corpus_df).collect()}
+    # "the cat" occurs 3x; "the" starts 6 bigrams total
+    assert m["the cat"] == (3, 6)
+    assert m["cat sat"] == (2, 3)
+    assert m["a dog"] == (1, 1)
+    assert all(c12 <= c1 for c12, c1 in m.values())
+
+
+def test_scores_match_brute(spark, corpus_df):
+    model = bigram_lm(corpus_df)
+    got = {r.doc_id: (r.n_bigrams, r.oov_bigrams, r.logprob_micro, r.avg_logp)
+           for r in lm_score(corpus_df, model).collect()}
+    want = brute(CORPUS)
+    assert set(got) == set(CORPUS)  # every doc present, even the 1-token one
+    for d in CORPUS:
+        assert got[d][:3] == want[d][:3], d
+        assert got[d][3] == pytest.approx(want[d][3])
+    assert got[5] == (0, 0, 0, 0.0)
+
+
+def test_min_count_prunes_to_oov(spark, corpus_df):
+    model = bigram_lm(corpus_df, min_count=2)
+    got = {r.doc_id: (r.n_bigrams, r.oov_bigrams, r.logprob_micro)
+           for r in lm_score(corpus_df, model).collect()}
+    want = brute(CORPUS, min_count=2)
+    for d in CORPUS:
+        assert got[d] == want[d][:3], d
+    assert got[3][1] == got[3][0]  # doc 3's bigrams are all singletons -> all OOV
+
+
+def test_lmic_cross_engine_over_corpus_range(spark, documents):
+    """The module contract: round(ln(c)*1e6) agrees between the JVM and
+    DuckDB over every count value this corpus can produce."""
+    from pyspark.sql import functions as F
+
+    model = bigram_lm(documents)
+    cmax = model.agg(F.max("c1")).collect()[0][0]
+    n = max(int(cmax), 1000)
+    sdf = spark.range(1, n + 1).select(
+        "id", F.round(F.log(F.col("id").cast("double")) * 1e6).cast("long").alias("lmic")
+    )
+    s = {r.id: r.lmic for r in sdf.collect()}
+    d = dict(duckdb.sql(
+        f"SELECT i, CAST(round(ln(CAST(i AS DOUBLE))*1000000) AS BIGINT)"
+        f" FROM range(1,{n+1}) t(i)").fetchall())
+    assert s == d
+
+
+def test_fixture_self_score_sanity(spark, documents):
+    model = bigram_lm(documents)
+    scores = lm_score(documents, model)
+    rows = scores.collect()
+    assert len(rows) == documents.count()
+    assert all(r.oov_bigrams == 0 for r in rows)  # self-scored: every bigram known
+    assert all(r.logprob_micro <= 0 for r in rows)
+    assert any(r.avg_logp < 0 for r in rows)
