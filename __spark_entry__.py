@@ -2958,6 +2958,17 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # shuffle on cluster_id instead of the exact mode's single
         # whole-table cell (pipeline/semantic_dedup.py)
         "semantic_dedup_fast": _semantic_dedup_fast,
+        # ExactSubstr scale path: shuffle 8-byte xxhash64 gram codes
+        # instead of L-char gram strings (~L/8x less shuffle IO; exact
+        # up to 64-bit collisions). sf0.1 min-of-3: 1.26 s vs 1.46 s
+        # string-grams — the gap widens with corpus size as the gram
+        # shuffle dominates (pipeline/dedup.py)
+        "substring_dup_fast": lambda s, d: __import__(
+            "oasisdb_spark.pipeline.dedup", fromlist=["duplicate_substring_stats"]
+        ).duplicate_substring_stats(
+            _table(s, d, "documents"), min_length=30, hash_grams=True,
+            parallelism=s.sparkContext.defaultParallelism,
+        ),
     }
 
 

@@ -45,6 +45,7 @@ FAMILIES: dict[str, list[str]] = {
     "dedup": [
         "exact_dedup", "minhash_lsh_pairs", "simhash",
         "dedup_clusters", "embedding_neardup", "substring_dup_stats",
+        "substring_dup_fast",
     ],
     "text": ["text_stats", "langid", "doc_fingerprint", "doc_repetition", "tfidf_top_terms", "lm_perplexity"],
     "corpus_ops": [
