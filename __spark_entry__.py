@@ -632,6 +632,44 @@ _H31 = "(('0x' || substr(md5({x}), 1, 15))::BIGINT % 2147483647)"
 _MD5B = "(('0x' || substr(md5({key}), 1, 15))::BIGINT % 256)"
 _SHASH_CTE = f"shh AS (SELECT doc_id, list_distinct(list_transform(s, g -> {_H31.format(x='g')})) AS hs FROM sh)"
 
+# MLE bigram-LM self-score (pipeline/lm.py twin); shared by the
+# lm_perplexity and perplexity_buckets oracles
+_LM_SCORES_SQL = f"""
+WITH {_TOKS_CTE},
+bgl AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) >= 2 THEN
+           list_transform(range(1, len(tk)), i -> array_to_string(tk[CAST(i AS INT):CAST(i+1 AS INT)], ' '))
+         ELSE [] END AS bgs
+  FROM toks
+),
+bg AS (SELECT doc_id, unnest(bgs) AS bg FROM bgl),
+c12 AS (SELECT bg, count(*) AS c12 FROM bg GROUP BY bg),
+c1t AS (SELECT split_part(bg, ' ', 1) AS w1, SUM(c12) AS c1 FROM c12 GROUP BY 1),
+model AS (
+  SELECT bg,
+         CAST(round(ln(CAST(c12 AS DOUBLE)) * 1000000) AS BIGINT)
+         - CAST(round(ln(CAST(c1 AS DOUBLE)) * 1000000) AS BIGINT) AS lp
+  FROM c12 JOIN c1t ON split_part(bg, ' ', 1) = w1
+),
+n_tbl AS (SELECT doc_id, count(*) AS n FROM bg GROUP BY doc_id),
+matched AS (
+  SELECT b.doc_id, count(*) AS m, SUM(lp) AS lp
+  FROM bg b JOIN model USING (bg) GROUP BY b.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(n_tbl.n, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(n_tbl.n, 0) - COALESCE(matched.m, 0) AS BIGINT) AS oov_bigrams,
+       CAST(COALESCE(matched.lp, 0) AS BIGINT) AS logprob_micro,
+       CASE WHEN COALESCE(matched.m, 0) > 0
+            THEN CAST(matched.lp AS DOUBLE) / 1000000 / matched.m
+            ELSE 0.0 END AS avg_logp
+FROM documents d
+LEFT JOIN n_tbl USING (doc_id)
+LEFT JOIN matched USING (doc_id)
+"""
+
+
 
 def _text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oasisdb_spark.pipeline.text import quality_score, text_stats_cols
@@ -2751,6 +2789,17 @@ def _lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score(docs, bigram_lm(docs))
 
 
+def _perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail perplexity gate (pipeline/lm.py
+    perplexity_buckets): per-source ntile(3) over the LM scores —
+    bucket 1 is the fluent keep set. Deterministic because avg_logp is
+    cross-engine exact and ties break on doc_id."""
+    from oasisdb_spark.pipeline.lm import bigram_lm, lm_score, perplexity_buckets
+
+    docs = _table(spark, sf_dir, "documents")
+    return perplexity_buckets(lm_score(docs, bigram_lm(docs)), docs)
+
+
 def _image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual hashing over REAL decoded images
     (pipeline/multimodal.py image_dhash): block-patterned PNG fixture
@@ -2936,6 +2985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs_prefix": _jaccard_pairs_prefix,
         "substring_dup_stats": _substring_dup_stats,
         "lm_perplexity": _lm_perplexity,
+        "perplexity_buckets": _perplexity_buckets,
         # rows-only by nature (last-ulp float reductions across
         # partitionings; see docstring) — like sequence_pack_bins
         "pca_knn": _pca_knn,
@@ -4179,39 +4229,14 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """,
         # lm_perplexity: MLE bigram LM self-score; lmic quantization
         # makes the per-doc sums integer-exact (pipeline/lm.py contract)
-        "lm_perplexity": f"""
-WITH {_TOKS_CTE},
-bgl AS (
-  SELECT doc_id,
-         CASE WHEN len(tk) >= 2 THEN
-           list_transform(range(1, len(tk)), i -> array_to_string(tk[CAST(i AS INT):CAST(i+1 AS INT)], ' '))
-         ELSE [] END AS bgs
-  FROM toks
-),
-bg AS (SELECT doc_id, unnest(bgs) AS bg FROM bgl),
-c12 AS (SELECT bg, count(*) AS c12 FROM bg GROUP BY bg),
-c1t AS (SELECT split_part(bg, ' ', 1) AS w1, SUM(c12) AS c1 FROM c12 GROUP BY 1),
-model AS (
-  SELECT bg,
-         CAST(round(ln(CAST(c12 AS DOUBLE)) * 1000000) AS BIGINT)
-         - CAST(round(ln(CAST(c1 AS DOUBLE)) * 1000000) AS BIGINT) AS lp
-  FROM c12 JOIN c1t ON split_part(bg, ' ', 1) = w1
-),
-n_tbl AS (SELECT doc_id, count(*) AS n FROM bg GROUP BY doc_id),
-matched AS (
-  SELECT b.doc_id, count(*) AS m, SUM(lp) AS lp
-  FROM bg b JOIN model USING (bg) GROUP BY b.doc_id
-)
-SELECT d.doc_id,
-       CAST(COALESCE(n_tbl.n, 0) AS BIGINT) AS n_bigrams,
-       CAST(COALESCE(n_tbl.n, 0) - COALESCE(matched.m, 0) AS BIGINT) AS oov_bigrams,
-       CAST(COALESCE(matched.lp, 0) AS BIGINT) AS logprob_micro,
-       CASE WHEN COALESCE(matched.m, 0) > 0
-            THEN CAST(matched.lp AS DOUBLE) / 1000000 / matched.m
-            ELSE 0.0 END AS avg_logp
-FROM documents d
-LEFT JOIN n_tbl USING (doc_id)
-LEFT JOIN matched USING (doc_id)
+        "lm_perplexity": _LM_SCORES_SQL,
+        # perplexity_buckets: CCNet head/middle/tail tiling over the
+        # exact scores; ties break on doc_id so NTILE is deterministic
+        "perplexity_buckets": f"""
+WITH scores AS ({_LM_SCORES_SQL})
+SELECT s.doc_id, d.source, s.avg_logp,
+       CAST(NTILE(3) OVER (PARTITION BY d.source ORDER BY s.avg_logp DESC, s.doc_id) AS INT) AS ppl_bucket
+FROM scores s JOIN documents d USING (doc_id)
 """,
         "cohort_retention": """
             WITH acts AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS period FROM events),

@@ -47,7 +47,7 @@ FAMILIES: dict[str, list[str]] = {
         "dedup_clusters", "embedding_neardup", "substring_dup_stats",
         "substring_dup_fast",
     ],
-    "text": ["text_stats", "langid", "doc_fingerprint", "doc_repetition", "tfidf_top_terms", "lm_perplexity"],
+    "text": ["text_stats", "langid", "doc_fingerprint", "doc_repetition", "tfidf_top_terms", "lm_perplexity", "perplexity_buckets"],
     "corpus_ops": [
         "sequence_pack_chunks", "training_corpus_pipeline",
         "frequent_users", "events_approx_distinct",

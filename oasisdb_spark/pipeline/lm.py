@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from oasisdb_spark.pipeline.text import tokens
 
-__all__ = ["bigram_expr", "bigram_lm", "lm_score"]
+__all__ = ["bigram_expr", "bigram_lm", "lm_score", "perplexity_buckets"]
 
 
 def lmic(c: Column) -> Column:
@@ -121,4 +121,32 @@ def lm_score(
         "doc_id", "n_bigrams", "oov_bigrams", "logprob_micro",
         F.when(n_scored > 0, F.col("logprob_micro").cast("double") / 1e6 / n_scored)
         .otherwise(F.lit(0.0)).alias("avg_logp"),
+    )
+
+
+def perplexity_buckets(
+    scores: DataFrame,
+    docs_meta: DataFrame,
+    group_col: str = "source",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet's head/middle/tail gate: within each group (source /
+    language), rank documents by LM score and split into ``n_buckets``
+    equal tiles — bucket 1 = most fluent (lowest perplexity, CCNet's
+    "head", the keep set), bucket n = tail. Ties break on doc_id, so
+    the tiling is deterministic; avg_logp itself is cross-engine exact
+    (integer micro-nat sums), so the bucket labels are too.
+
+    One window pass partitioned by the group key. At 100 TB a full
+    within-group sort is the bill; the two-phase histogram refinement
+    (quality_prune's documented alternative) applies identically here
+    because avg_logp quantizes to micro-nat resolution.
+    """
+    from pyspark.sql.window import Window
+
+    j = scores.join(docs_meta.select(F.col("doc_id"), F.col(group_col)), on="doc_id")
+    w = Window.partitionBy(group_col).orderBy(F.desc("avg_logp"), "doc_id")
+    return j.select(
+        "doc_id", group_col, "avg_logp",
+        F.ntile(int(n_buckets)).over(w).alias("ppl_bucket"),
     )

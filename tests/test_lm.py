@@ -113,3 +113,26 @@ def test_fixture_self_score_sanity(spark, documents):
     assert all(r.oov_bigrams == 0 for r in rows)  # self-scored: every bigram known
     assert all(r.logprob_micro <= 0 for r in rows)
     assert any(r.avg_logp < 0 for r in rows)
+
+
+def test_perplexity_buckets(spark, documents):
+    from collections import defaultdict
+
+    from oasisdb_spark.pipeline.lm import bigram_lm, lm_score, perplexity_buckets
+
+    scores = lm_score(documents, bigram_lm(documents))
+    rows = perplexity_buckets(scores, documents, n_buckets=3).collect()
+    assert len(rows) == documents.count()
+    by_src = defaultdict(list)
+    for r in rows:
+        by_src[r.source].append(r)
+    for src, rs in by_src.items():
+        sizes = defaultdict(int)
+        for r in rs:
+            sizes[r.ppl_bucket] += 1
+        assert set(sizes) <= {1, 2, 3}
+        assert max(sizes.values()) - min(sizes.values()) <= 1  # ntile balance
+        # ordering: head (bucket 1) is at least as fluent as tail (bucket 3)
+        if 1 in sizes and 3 in sizes:
+            assert min(r.avg_logp for r in rs if r.ppl_bucket == 1) >= \
+                   max(r.avg_logp for r in rs if r.ppl_bucket == 3)
