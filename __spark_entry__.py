@@ -2399,6 +2399,37 @@ def _docs_neardup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _docs_lm_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING perplexity scoring at ingest (pipeline/lm.py
+    lm_score_broadcast): the bigram LM trains on the static corpus,
+    broadcasts as a {bigram: lp_micro} map (CCNet's ship-the-KenLM-
+    model-to-workers deployment), and each arriving document scores in
+    one stateless Arrow pass — append mode, no aggregation state, one
+    availableNow drain. Row-identical to the batch lm_score join by
+    construction, so the batch SQL oracle hash-matches the streaming
+    query."""
+    import os
+    import tempfile
+    import uuid
+
+    from oasisdb_spark.pipeline.lm import bigram_lm, lm_score_broadcast
+
+    docs = _table(spark, sf_dir, "documents")
+    model = bigram_lm(docs)
+    src = f"{sf_dir}/documents.parquet"
+    stream_dir = tempfile.mkdtemp(prefix="docs_lm_stream_")
+    os.symlink(os.path.abspath(src), os.path.join(stream_dir, "documents_0.parquet"))
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(stream_dir)
+    scored = lm_score_broadcast(stream, model)
+    name = f"docs_lm_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        scored.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def _curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation compose (the curate.py ops chained the way a
     pretraining corpus build chains them): Gopher keep → drop docs with
@@ -2986,6 +3017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dup_stats": _substring_dup_stats,
         "lm_perplexity": _lm_perplexity,
         "perplexity_buckets": _perplexity_buckets,
+        "docs_lm_stream": _docs_lm_stream,
         # rows-only by nature (last-ulp float reductions across
         # partitionings; see docstring) — like sequence_pack_bins
         "pca_knn": _pca_knn,
@@ -4230,6 +4262,9 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)
         # lm_perplexity: MLE bigram LM self-score; lmic quantization
         # makes the per-doc sums integer-exact (pipeline/lm.py contract)
         "lm_perplexity": _LM_SCORES_SQL,
+        # streaming twin is row-identical to the batch join by
+        # construction (broadcast model, same integer arithmetic)
+        "docs_lm_stream": _LM_SCORES_SQL,
         # perplexity_buckets: CCNet head/middle/tail tiling over the
         # exact scores; ties break on doc_id so NTILE is deterministic
         "perplexity_buckets": f"""

@@ -32,12 +32,13 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from oasisdb_spark.pipeline.text import tokens
 
-__all__ = ["bigram_expr", "bigram_lm", "lm_score", "perplexity_buckets"]
+__all__ = ["bigram_expr", "bigram_lm", "lm_score", "lm_score_broadcast", "perplexity_buckets"]
 
 
 def lmic(c: Column) -> Column:
@@ -150,3 +151,50 @@ def perplexity_buckets(
         "doc_id", group_col, "avg_logp",
         F.ntile(int(n_buckets)).over(w).alias("ppl_bucket"),
     )
+
+
+def lm_score_broadcast(
+    df: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Stateless row-at-ingest twin of ``lm_score``: the model collapses
+    to a broadcast {bigram: lp_micro} map and each document scores in
+    one Arrow batch pass — no explode, no join, no aggregation state,
+    so it runs inside an append-mode STREAM (the KenLM deployment
+    pattern: CCNet ships the pruned model file to every worker; here
+    the pruned model broadcasts). Integer arithmetic is identical to
+    lm_score (lp_micro values come FROM the trained model frame;
+    Python re-tokenization matches tokens() exactly — the proven
+    minhash-UDF pattern), so outputs are row-identical and the batch
+    SQL oracle applies unchanged.
+
+    Contract: the model must fit executor memory — prune with
+    ``bigram_lm(min_count=...)``; the full-corpus-model path is the
+    batch ``lm_score`` join."""
+    import re as _re
+
+    lut = {r["bg"]: r["lp_micro"] for r in model.select("bg", "lp_micro").collect()}
+    bc = df.sparkSession.sparkContext.broadcast(lut)
+
+    @F.pandas_udf("n_bigrams: bigint, oov_bigrams: bigint, logprob_micro: bigint, avg_logp: double")
+    def _score(texts: pd.Series) -> pd.DataFrame:
+        m = bc.value
+        out = []
+        for t in texts:
+            toks = [x for x in _re.split("[^a-z0-9]+", (t or "").lower()) if x]
+            lp, oov, n = 0, 0, max(len(toks) - 1, 0)
+            for i in range(n):
+                v = m.get(toks[i] + " " + toks[i + 1])
+                if v is None:
+                    oov += 1
+                else:
+                    lp += v
+            ns = n - oov
+            out.append((n, oov, lp, (lp / 1e6 / ns) if ns else 0.0))
+        return pd.DataFrame(out, columns=["n_bigrams", "oov_bigrams", "logprob_micro", "avg_logp"])
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), _score(F.col(text_col)).alias("_s")
+    ).select("doc_id", "_s.*")

@@ -136,3 +136,13 @@ def test_perplexity_buckets(spark, documents):
         if 1 in sizes and 3 in sizes:
             assert min(r.avg_logp for r in rs if r.ppl_bucket == 1) >= \
                    max(r.avg_logp for r in rs if r.ppl_bucket == 3)
+
+
+def test_broadcast_scorer_identical_to_join(spark, documents):
+    from oasisdb_spark.pipeline.lm import bigram_lm, lm_score, lm_score_broadcast
+
+    model = bigram_lm(documents, min_count=2)  # pruning forces real OOV
+    a = sorted(map(tuple, lm_score(documents, model).collect()))
+    b = sorted(map(tuple, lm_score_broadcast(documents, model).collect()))
+    assert a == b
+    assert any(r[2] > 0 for r in a)  # OOV actually exercised
