@@ -2415,7 +2415,7 @@ def _docs_lm_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oasisdb_spark.pipeline.lm import bigram_lm, lm_score_broadcast
 
     docs = _table(spark, sf_dir, "documents")
-    model = bigram_lm(docs)
+    model = bigram_lm(docs, parallelism=spark.sparkContext.defaultParallelism)
     src = f"{sf_dir}/documents.parquet"
     stream_dir = tempfile.mkdtemp(prefix="docs_lm_stream_")
     os.symlink(os.path.abspath(src), os.path.join(stream_dir, "documents_0.parquet"))
@@ -2817,7 +2817,8 @@ def _lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oasisdb_spark.pipeline.lm import bigram_lm, lm_score
 
     docs = _table(spark, sf_dir, "documents")
-    return lm_score(docs, bigram_lm(docs))
+    par = spark.sparkContext.defaultParallelism
+    return lm_score(docs, bigram_lm(docs, parallelism=par), parallelism=par)
 
 
 def _perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2828,7 +2829,10 @@ def _perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oasisdb_spark.pipeline.lm import bigram_lm, lm_score, perplexity_buckets
 
     docs = _table(spark, sf_dir, "documents")
-    return perplexity_buckets(lm_score(docs, bigram_lm(docs)), docs)
+    par = spark.sparkContext.defaultParallelism
+    return perplexity_buckets(
+        lm_score(docs, bigram_lm(docs, parallelism=par), parallelism=par), docs
+    )
 
 
 def _image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -67,6 +67,7 @@ def bigram_lm(
     df: DataFrame,
     text_col: str = "text",
     min_count: int = 1,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Train the MLE bigram model: (bg, c12, c1, lp_micro) where
     c12 = corpus occurrences of the bigram, c1 = occurrences of its
@@ -76,6 +77,14 @@ def bigram_lm(
     FROM THE OUTPUT ONLY (c1 totals still include them, so surviving
     probabilities stay properly normalized); pruned bigrams score as
     OOV downstream."""
+    if parallelism:
+        # the bigram explode multiplies each text row ~token-count-fold;
+        # when the corpus arrives in fewer splits than cores (one small
+        # parquet file), spreading the cheap pre-explode rows
+        # parallelizes the expensive stage (same rationale as
+        # duplicate_substring_positions). At warehouse scale input
+        # splits are plentiful — leave None.
+        df = df.repartition(parallelism)
     bg = df.select(F.explode(bigram_expr(text_col)).alias("bg"))
     c12 = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
     w1 = c12.withColumn("w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
@@ -95,6 +104,7 @@ def lm_score(
     model: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Score every document under a bigram_lm model: (doc_id, n_bigrams,
     oov_bigrams, logprob_micro, avg_logp) for EVERY input document.
@@ -106,6 +116,8 @@ def lm_score(
     because exp() is engine-dependent at the ulp level while this frame
     is exactly comparable. Low avg_logp == surprising text (gibberish,
     boilerplate soup); the CCNet gate keeps the middle band."""
+    if parallelism:
+        df = df.repartition(parallelism)
     docbg = df.select(
         F.col(id_col).alias("doc_id"), F.explode_outer(bigram_expr(text_col)).alias("bg")
     )
