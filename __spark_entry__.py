@@ -2885,9 +2885,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # through weighted_sample/zorder_scan (event_funnel,
     # cohort_retention, fuzzy_name_pairs, bloom_semijoin,
     # semantic_dedup, heavy_hitters, weighted_sample, zorder_scan,
-    # sampling/profile/text-index/eval entries) — displacing r02+r03
-    # double-green rows (the q4-q14 TPC-H block and the dedup
-    # extension rows are the safest to rotate out).
+    # sampling/profile/text-index/eval entries, plus the batch-3
+    # additions substring_dup_stats / lm_perplexity /
+    # perplexity_buckets / docs_lm_stream — all check_oracle-green
+    # locally) — displacing r02+r03 double-green rows (the q4-q14
+    # TPC-H block and the dedup extension rows are the safest to
+    # rotate out).
     return {
         # --- anchors (positions 1-2) ---
         "collection_lifecycle": _collection_lifecycle,
