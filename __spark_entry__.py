@@ -10,9 +10,11 @@ driver entries in EXACT mode (nprobe=nlist / full refine / 16 hash
 tables ⇒ result ≡ Flat), which makes them L2-oracle-able end to end;
 quality at production approximate settings is recall-tested vs the
 Flat oracle in tests/ + RECALL.md, and those plans are benchmarked via
-bench_queries(). The only rows-only entry is sequence_pack_bins
-(first-fit-decreasing is order-dependent, inherently not
-SQL-expressible; invariants pinned by tests/test_packing.py).
+bench_queries(). The only rows-only entries are pca_knn (last-ulp
+float reductions across partitionings) — every packing strategy incl.
+first-fit-decreasing is oracled (the FFD walk is deterministic from
+the stable (n_tokens desc, doc_id) order, and a recursive CTE carrying
+the open-bin capacity LIST replays it exactly).
 """
 
 from __future__ import annotations
@@ -888,7 +890,7 @@ WITH base AS (
            ORDER BY doc_id) AS rn
   FROM q WHERE quality >= 0.7
 )
-SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
 FROM dd
 WHERE rn = 1
   AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
@@ -1866,8 +1868,11 @@ def _sequence_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sequence_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-document first-fit-decreasing packing (greedy_pack) —
-    sequential per bucket, not SQL-expressible: rows-only check;
-    invariants are pinned by tests/test_packing.py."""
+    sequential per bucket but fully deterministic (stable mergesort on
+    (n_tokens desc, doc_id)), so the DuckDB oracle replays the exact
+    first-fit walk with a recursive CTE carrying the open-bin
+    remaining-capacity LIST; invariants also pinned by
+    tests/test_packing.py."""
     from oasisdb_spark.pipeline.packing import greedy_pack
 
     return greedy_pack(_table(spark, sf_dir, "documents"), capacity=512, n_buckets=8)
@@ -1890,8 +1895,8 @@ def _doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sequence_pack_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Next-fit whole-document packing (pipeline/packing.py) — the
     deterministic-from-scan-order packer, so a recursive-CTE oracle
-    replays the exact bin walk; the FFD variant (sequence_pack_bins)
-    stays rows-only by nature."""
+    replays the exact bin walk (the FFD variant carries the same kind
+    of oracle, with LIST-valued bin state instead of scalar fill)."""
     from oasisdb_spark.pipeline.packing import next_fit_pack
 
     return next_fit_pack(_table(spark, sf_dir, "documents"), capacity=512, n_buckets=8)
@@ -3257,7 +3262,7 @@ WITH t AS (
          row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
   FROM t WHERE budget IS NOT NULL
 )
-SELECT doc_id, lang, n_tokens, cum_tokens
+SELECT doc_id, lang, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
 FROM c WHERE cum_tokens <= budget OR rn = 1
 """
 
@@ -3926,9 +3931,46 @@ def oracle_sql() -> dict[str, str]:
               FROM t
             )
             SELECT doc_id, bucket, n_tokens,
-                   (cum - n_tokens) // 512 AS start_chunk,
-                   (greatest(cum, cum - n_tokens + 1) - 1) // 512 AS end_chunk
+                   -- cast: DuckDB sum(BIGINT) windows yield HUGEINT; the
+                   -- driver hash is dtype-sensitive (VERDICT r03 #1)
+                   CAST((cum - n_tokens) // 512 AS BIGINT) AS start_chunk,
+                   CAST((greatest(cum, cum - n_tokens + 1) - 1) // 512 AS BIGINT) AS end_chunk
             FROM c
+        """,
+        # first-fit-decreasing packing: greedy_pack's walk is
+        # deterministic (stable sort on (n_tokens desc, doc_id),
+        # packing.py:90), so DuckDB replays it with a recursive CTE
+        # whose state is the LIST of open-bin remaining capacities —
+        # first fit = first true in list_transform(bins, r -> r >= n).
+        # NB list_position returns 0 (not NULL) on no-match in DuckDB.
+        "sequence_pack_bins": """
+            WITH RECURSIVE t AS (
+              SELECT doc_id, doc_id % 8 AS bucket, n_tokens,
+                     row_number() OVER (
+                       PARTITION BY bucket ORDER BY n_tokens DESC, doc_id) AS rn
+              FROM (
+                SELECT doc_id,
+                       len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                       x -> x != ''))::BIGINT AS n_tokens
+                FROM documents
+              )
+            ), walk AS (
+              SELECT bucket, rn, doc_id, n_tokens, 0::BIGINT AS bin_id,
+                     [greatest(512 - n_tokens, 0)] AS bins
+              FROM t WHERE rn = 1
+              UNION ALL
+              SELECT t.bucket, t.rn, t.doc_id, t.n_tokens,
+                     CASE WHEN nullif(list_position(list_transform(w.bins, r -> r >= t.n_tokens), true), 0) IS NULL
+                          THEN len(w.bins)::BIGINT
+                          ELSE list_position(list_transform(w.bins, r -> r >= t.n_tokens), true) - 1 END,
+                     CASE WHEN nullif(list_position(list_transform(w.bins, r -> r >= t.n_tokens), true), 0) IS NULL
+                          THEN list_append(w.bins, greatest(512 - t.n_tokens, 0))
+                          ELSE w.bins[:list_position(list_transform(w.bins, r -> r >= t.n_tokens), true) - 1]
+                               || [w.bins[list_position(list_transform(w.bins, r -> r >= t.n_tokens), true)] - t.n_tokens]
+                               || w.bins[list_position(list_transform(w.bins, r -> r >= t.n_tokens), true) + 1:] END
+              FROM walk w JOIN t ON t.bucket = w.bucket AND t.rn = w.rn + 1
+            )
+            SELECT doc_id, bucket, n_tokens, bin_id FROM walk
         """,
         # next-fit packing: the bin walk is sequential per bucket, and
         # DuckDB replays it exactly with a recursive CTE over the same
