@@ -178,14 +178,21 @@ def lm_score_broadcast(
     pattern: CCNet ships the pruned model file to every worker; here
     the pruned model broadcasts). Integer arithmetic is identical to
     lm_score (lp_micro values come FROM the trained model frame;
-    Python re-tokenization matches tokens() exactly — the proven
-    minhash-UDF pattern), so outputs are row-identical and the batch
-    SQL oracle applies unchanged.
+    Python re-tokenization shares text.py's _TOKEN_SEP definition —
+    the proven minhash-UDF pattern), so outputs are row-identical and
+    the batch SQL oracle applies unchanged. NB the shared pattern is
+    compiled by Python ``re`` here but by the JVM regex engine in
+    tokens(); the dialects agree on this ASCII character class, and
+    ``str.lower()`` matches ``F.lower`` for ASCII, so the
+    row-identical guarantee is unconditional for ASCII corpora only
+    (e.g. Unicode 'I-with-dot' case-folds differently per engine).
 
     Contract: the model must fit executor memory — prune with
     ``bigram_lm(min_count=...)``; the full-corpus-model path is the
     batch ``lm_score`` join."""
     import re as _re
+
+    from oasisdb_spark.pipeline.text import _TOKEN_SEP
 
     lut = {r["bg"]: r["lp_micro"] for r in model.select("bg", "lp_micro").collect()}
     bc = df.sparkSession.sparkContext.broadcast(lut)
@@ -195,7 +202,7 @@ def lm_score_broadcast(
         m = bc.value
         out = []
         for t in texts:
-            toks = [x for x in _re.split("[^a-z0-9]+", (t or "").lower()) if x]
+            toks = [x for x in _re.split(_TOKEN_SEP, (t or "").lower()) if x]
             lp, oov, n = 0, 0, max(len(toks) - 1, 0)
             for i in range(n):
                 v = m.get(toks[i] + " " + toks[i + 1])

@@ -17,6 +17,34 @@ def test_oracle_keys_subset_of_queries():
     assert all(isinstance(s, str) and s.strip() for s in os_.values())
 
 
+def test_registry_arithmetic_matches_coverage_doc():
+    """Pin the counts COVERAGE.md and the queries() comment quote so
+    they can't drift from the registry again (VERDICT r03 #5)."""
+    qs, os_ = entry.queries(), entry.oracle_sql()
+    assert len(qs) == 125
+    # exactly one rows-only entry: pca_knn (last-ulp float reductions)
+    assert set(qs) - set(os_) == {"pca_knn"}
+    # the driver gates the first 50 entries; the round-4 window must
+    # contain every entry that had no driver row through r03 plus the
+    # three repaired-oracle entries
+    window = list(qs)[:50]
+    never_checked_through_r03 = {
+        "maxsim_search", "docs_gopher_stream", "docs_neardup_stream",
+        "quality_prune", "token_budget_sample", "sliding_chunks",
+        "table_profile", "bm25_search_indexed", "lsh_recall_eval",
+        "hybrid_search_indexed", "event_funnel", "cohort_retention",
+        "fuzzy_name_pairs", "bloom_semijoin", "semantic_dedup",
+        "heavy_hitters", "weighted_sample", "zorder_scan", "image_dhash",
+        "events_funnel_stream", "jaccard_pairs_prefix",
+        "substring_dup_stats", "lm_perplexity", "perplexity_buckets",
+        "docs_lm_stream", "pca_knn",
+    }
+    repaired = {"sequence_pack_chunks", "training_corpus_pipeline",
+                "sequence_pack_bins"}
+    anchors = {"collection_lifecycle", "knn_ivfsq"}
+    assert never_checked_through_r03 | repaired | anchors <= set(window)
+
+
 def test_entry_returns_rows_with_stable_schema(spark):
     df = entry.entry(spark)
     assert df.columns == ["query_id", "id", "rank", "distance"]
