@@ -17,6 +17,13 @@ One catalog, one collection, four concurrent actors for WALL_SECS:
 - streamer    : availableNow streaming ingest micro-batches into the
                 same collection via streaming/ingest.py (round-2
                 surface), exercised WHILE rebuilds swap snapshots
+- churner     : catalog-level churn — create a fresh collection, load
+                it, build its index, search it, delete it — racing the
+                long-lived collection's rebuilds through the shared
+                read-merge-rewrite catalog file (the reference's
+                cache-prefix-invalidation path, handlers.go:128-149);
+                asserts the victim vanishes from list_collections while
+                "c" survives every cycle
 
 Mutators (writer / rebuilder / streamer) serialize on one lock — the
 documented concurrency model (the REST server holds srv._lock across
@@ -87,7 +94,8 @@ def main() -> int:
     stop = threading.Event()
     failures: list[str] = []
     counters = {"searches": 0, "lookups": 0, "upserts": 0, "rebuilds": 0,
-                "compactions": 0, "deletes": 0, "stream_batches": 0}
+                "compactions": 0, "deletes": 0, "stream_batches": 0,
+                "collection_churns": 0}
 
     def fail(msg: str) -> None:
         failures.append(msg)
@@ -171,6 +179,46 @@ def main() -> int:
                 fail(f"streamer: {e!r:.300}")
                 return
 
+    def churner() -> None:
+        """create→load→index→search→delete a throwaway collection each
+        cycle, racing 'c''s writers/rebuilders on the shared catalog."""
+        crng = random.Random(3)
+        gen = 0
+        q = spark.createDataFrame(
+            [(0, _vec(crng))], "query_id INT, query_vec ARRAY<FLOAT>"
+        )
+        while not stop.is_set():
+            time.sleep(1.5)
+            cname = f"churn_{gen}"
+            gen += 1
+            try:
+                with mutate:
+                    cat.create_collection(cname, DIM, index_type="flat")
+                docs = spark.createDataFrame(
+                    [(f"x{j}", _vec(crng), {"src": "churn"}) for j in range(25)],
+                    "id STRING, vector ARRAY<FLOAT>, parameters MAP<STRING,STRING>",
+                )
+                with mutate:
+                    cat.upsert_documents(cname, docs)
+                    build_index(cat, cname)
+                rows = search_vectors(cat, cname, q, 3).collect()
+                if len(rows) != 3:
+                    fail(f"churner: got {len(rows)} rows from {cname}, want 3")
+                    return
+                with mutate:
+                    cat.delete_collection(cname)
+                names = set(cat.list_collections())
+                if cname in names:
+                    fail(f"churner: {cname} still listed after delete")
+                    return
+                if "c" not in names:
+                    fail("churner: collection 'c' vanished during churn")
+                    return
+                counters["collection_churns"] += 1
+            except Exception as e:  # noqa: BLE001
+                fail(f"churner: {e!r:.300}")
+                return
+
     def reader(tag: int) -> None:
         rrng = random.Random(100 + tag)
         q = spark.createDataFrame(
@@ -217,6 +265,7 @@ def main() -> int:
         threading.Thread(target=writer, name="writer"),
         threading.Thread(target=rebuilder, name="rebuilder"),
         threading.Thread(target=streamer, name="streamer"),
+        threading.Thread(target=churner, name="churner"),
     ] + [threading.Thread(target=reader, args=(i,), name=f"reader{i}") for i in range(N_READERS)]
     for t in threads:
         t.start()
