@@ -2828,8 +2828,11 @@ def _substring_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen HOF fold — test-verified vs brute force."""
     from oasisdb_spark.pipeline.dedup import duplicate_substring_stats
 
+    # hash_grams=False: the oracle entry stays on the collision-free
+    # string-gram path (hash grams are the library default since the
+    # sf1 smoke; benched as substring_dup_fast)
     return duplicate_substring_stats(
-        _table(spark, sf_dir, "documents"), min_length=30,
+        _table(spark, sf_dir, "documents"), min_length=30, hash_grams=False,
         parallelism=spark.sparkContext.defaultParallelism,
     )
 
@@ -2892,6 +2895,56 @@ def _semantic_dedup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _table(spark, sf_dir, "embeddings")
     k = max(4, int(math.sqrt(emb.count())))
     return semantic_dedup(emb, threshold=0.4, n_clusters=k)
+
+
+def _training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard layout (pipeline/export.py
+    shard_assign): shard id + intra-shard position both md5-derived, so
+    the global shuffle order is reproducible across runs, partitionings
+    and engines — one window shuffle on shard, everything else
+    scan-stage arithmetic. write_training_shards materializes this same
+    layout as shard=K parquet dirs (tests/test_export.py)."""
+    from oasisdb_spark.pipeline.export import shard_assign
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id")
+    return shard_assign(docs, n_shards=16, salt="oasis")
+
+
+def _shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard manifest of the training export (doc + estimated-token
+    totals per shard) — the bookkeeping frame write_training_shards
+    returns; bpe_token_estimate keeps it engine-exact."""
+    from oasisdb_spark.pipeline.export import shard_assign
+    from oasisdb_spark.pipeline.text import bpe_token_estimate
+
+    docs = _table(spark, sf_dir, "documents").select(
+        "doc_id", bpe_token_estimate("text").alias("n_tokens")
+    )
+    return (
+        shard_assign(docs, n_shards=16, salt="oasis")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+def _token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-cost surface (pipeline/text.py): whitespace-ish token
+    count, GPT-2-style pre-tokenizer piece count (letter/digit/symbol
+    runs — the RE2-compatible subset both engines share), and the
+    ceil(len/4)-per-piece BPE token ESTIMATE — the reproducible
+    budget/billing metric. Pure scan-stage Column exprs, no shuffle."""
+    from oasisdb_spark.pipeline.text import bpe_token_estimate, pretokens, token_count
+
+    docs = _table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").cast("bigint").alias("n_ws_tokens"),
+        F.size(pretokens("text")).cast("bigint").alias("n_pretokens"),
+        bpe_token_estimate("text").alias("bpe_est"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3046,6 +3099,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q9_product_profit": _q9_product_profit,
         "q10_returned_items": _q10_returned_items,
         "q11_value_concentration": _q11_value_concentration,
+        # --- round-4 additions (behind the gate window; rotate into
+        # the round-5 window) ---
+        "training_shards": _training_shards,
+        "shard_manifest": _shard_manifest,
+        "token_estimate": _token_estimate,
     }
 
 
@@ -4243,6 +4301,42 @@ def oracle_sql() -> dict[str, str]:
         "curation_pipeline": _curation_pipeline_oracle(),
         "quality_prune": _quality_prune_oracle(),
         "token_budget_sample": _TOKEN_BUDGET_ORACLE,
+        # round-4: deterministic shard export layout — md5 arithmetic
+        # is the cross-engine contract (pipeline/export.py)
+        "training_shards": """
+            WITH h AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5('oasis:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS _h
+              FROM documents
+            )
+            SELECT doc_id, CAST(_h % 16 AS BIGINT) AS shard,
+                   CAST(row_number() OVER (PARTITION BY _h % 16 ORDER BY _h, doc_id) - 1 AS BIGINT) AS shard_pos
+            FROM h
+        """,
+        "shard_manifest": """
+            WITH t AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5('oasis:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS _h,
+                     coalesce(list_sum(list_transform(
+                       regexp_extract_all(text, '\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]+'),
+                       p -> (length(p)+3)//4)), 0) AS est
+              FROM documents
+            )
+            SELECT CAST(_h % 16 AS BIGINT) AS shard,
+                   count(*) AS n_docs,
+                   CAST(sum(est) AS BIGINT) AS n_tokens
+            FROM t GROUP BY 1
+        """,
+        "token_estimate": """
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                        x -> x != '')) AS BIGINT) AS n_ws_tokens,
+                   CAST(len(regexp_extract_all(text, '\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]+')) AS BIGINT) AS n_pretokens,
+                   CAST(coalesce(list_sum(list_transform(
+                     regexp_extract_all(text, '\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]+'),
+                     p -> (length(p)+3)//4)), 0) AS BIGINT) AS bpe_est
+            FROM documents
+        """,
         "sliding_chunks": _SLIDING_CHUNKS_ORACLE,
         "table_profile": _table_profile_oracle(),
         "bm25_search_indexed": _BM25_ORACLE,

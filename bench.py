@@ -90,6 +90,9 @@ FAMILIES: dict[str, list[str]] = {
         "top3_orders_per_customer", "customer_running_spend", "part_brand_rollup",
         "events_asof_join", "events_hourly", "events_sessionize",
     ],
+    # round-4 additions (additive — earlier families untouched)
+    "shard_export": ["training_shards", "shard_manifest"],
+    "tokenizer": ["token_estimate"],
 }
 
 

@@ -649,7 +649,7 @@ def duplicate_substring_positions(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_count: int = 2,
-    hash_grams: bool = False,
+    hash_grams: bool = True,
     parallelism: int | None = None,
 ) -> DataFrame:
     """ExactSubstr duplicated-span detection (Lee et al., ACL 2022,
@@ -678,10 +678,13 @@ def duplicate_substring_positions(
       HAVING count >= min_count already collapsed it to distinct grams).
     - span merging is one window pass partitioned by doc_id: state is
       O(positions-in-dup-grams per doc), never the text.
-    - ``hash_grams=True`` shuffles xxhash64(gram) (8 bytes) instead of
-      the L-char gram string (~L bytes): ~L/8x less shuffle IO, exact
-      up to 64-bit collisions (~n^2/2^65 — negligible, but the default
-      stays collision-free so the oracle match is unconditional).
+    - ``hash_grams=True`` (the DEFAULT since the sf1 scale smoke:
+      measured 3.54 s vs 4.51 s at a 10x sf0.1 corpus, and the gap
+      widens as the gram shuffle dominates — scripts/scale_smoke_sf1.py)
+      shuffles xxhash64(gram) (8 bytes) instead of the L-char gram
+      string (~L bytes): ~L/8x less shuffle IO, exact up to 64-bit
+      collisions (~n^2/2^65 — negligible; the driver's oracle entry
+      pins hash_grams=False so its match stays unconditional).
 
     Reference parity: the reference engine has no corpus-dedup surface
     (SURVEY §2.4); this extends the dedup family alongside MinHash/
@@ -736,7 +739,7 @@ def duplicate_substring_stats(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_count: int = 2,
-    hash_grams: bool = False,
+    hash_grams: bool = True,
     parallelism: int | None = None,
 ) -> DataFrame:
     """Per-document duplicated-span statistics over
@@ -773,7 +776,7 @@ def scrub_duplicate_substrings(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_count: int = 2,
-    hash_grams: bool = False,
+    hash_grams: bool = True,
     parallelism: int | None = None,
 ) -> DataFrame:
     """Remove every duplicated span (ALL copies, the ExactSubstr paper's

@@ -26,6 +26,8 @@ __all__ = [
     "quality_score",
     "repetition_cols",
     "langid_expr",
+    "pretokens",
+    "bpe_token_estimate",
     "STOPWORDS",
 ]
 
@@ -55,6 +57,39 @@ def distinct_tokens(c: Column | str) -> Column:
 
 def token_count(c: Column | str) -> Column:
     return F.size(tokens(c))
+
+
+# GPT-2-style PRE-tokenizer segments, restricted to the regex subset
+# both engines share: letter runs, digit runs, non-space-symbol runs.
+# (The upstream gpt2 pattern adds contraction splits and a \s+(?!\S)
+# lookahead; RE2 — DuckDB's engine — has no lookahead, and contraction
+# handling is vocabulary trivia, not segmentation structure.)
+_PRETOKEN_RE = r"\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+"
+
+
+def pretokens(c: Column | str) -> Column:
+    """BPE pre-tokenizer piece array (see _PRETOKEN_RE). Unlike
+    ``tokens`` this is case-preserving and splits letter/digit/symbol
+    boundaries the way subword tokenizers do ("abc123!" -> 3 pieces,
+    where ``tokens`` lowercases and merges to "abc123")."""
+    return F.regexp_extract_all(_col(c), F.lit(_PRETOKEN_RE), 0)
+
+
+def bpe_token_estimate(c: Column | str) -> Column:
+    """Deterministic BPE token-count ESTIMATE: sum of ceil(len/4) over
+    pre-tokenizer pieces — each piece costs at least one token and long
+    pieces split roughly every ~4 chars (the observed byte-per-token
+    rate of GPT-2/cl100k-class vocabularies on English). Integer
+    arithmetic end to end, so the estimate is engine-exact and
+    oracle-able — the point is a REPRODUCIBLE budget/billing metric
+    (token_budget_sample, mixture weights, shard manifests), not
+    vocabulary-faithful counts, which need the real tokenizer model.
+    Pure Column expression: zero shuffle, zero Python."""
+    return F.aggregate(
+        pretokens(c),
+        F.lit(0).cast("bigint"),
+        lambda acc, p: acc + F.floor((F.length(p) + 3) / 4).cast("bigint"),
+    )
 
 
 def char_hash60(c: Column | str) -> Column:

@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""sf1 scale smoke for the text-heavy families (VERDICT r03 #6).
+
+The three priciest bench entries at sf0.1 — `substring_dup_stats`,
+`lm_perplexity`, `jaccard_pairs_prefix` — are gram/shingle-shuffle-bound,
+so their scaling behavior is what breaks first at 100 TB. /root/testdata
+tops out at sf0.1 (5k docs), so this script synthesizes a 10x corpus
+(the 5k sf0.1 documents plus 45k deterministic hash-derived documents
+drawn from the same vocabulary and length distribution — NOT replicas:
+replicating near-dup clusters 10x would inflate the pair graph ~100x and
+measure blowup, not scaling) and times each op at both scales.
+
+Usage: python scripts/scale_smoke_sf1.py [n_sf1_docs]
+Prints a markdown table of min-of-2 timings and the sf1/sf0.1 ratio
+(corpus is 10x, so near-linear scaling shows as a ratio near 10).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SF01_DIR = "/root/testdata/sf0.1"
+SF1_DIR = "/tmp/oasis_scale_sf1"
+N_SF1 = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
+
+
+def build_sf1(spark) -> str:
+    """Materialize the 10x corpus once (32 splits, deterministic)."""
+    marker = os.path.join(SF1_DIR, "_SUCCESS_N" + str(N_SF1))
+    if os.path.exists(marker):
+        return SF1_DIR
+    shutil.rmtree(SF1_DIR, ignore_errors=True)
+    base = spark.read.parquet(f"{SF01_DIR}/documents.parquet")
+    vocab = sorted(
+        r["w"]
+        for r in base.select(
+            F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("w")
+        ).where("w != ''").distinct().collect()
+    )
+    varr = F.array(*[F.lit(w) for w in vocab])
+    langs = F.array(F.lit("en"), F.lit("en"), F.lit("en"), F.lit("fr"),
+                    F.lit("es"), F.lit("de"), F.lit("zh"))
+    n_new = N_SF1 - base.count()
+    ids = spark.range(5000, 5000 + n_new, 1, 32).withColumnRenamed("id", "doc_id")
+    # token count 8..100 (chars ~44..577 like the fixture); every draw is
+    # xxhash64-derived so the corpus is reproducible with no RNG
+    ntok = (F.abs(F.xxhash64("doc_id", F.lit("len"))) % 93 + 8).cast("int")
+    text = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), ntok),
+            lambda j: F.element_at(
+                varr,
+                (F.abs(F.xxhash64(F.col("doc_id"), j)) % len(vocab) + 1).cast("int"),
+            ),
+        ),
+        " ",
+    )
+    synth = ids.select(
+        "doc_id",
+        text.alias("text"),
+        F.element_at(langs, (F.abs(F.xxhash64("doc_id", F.lit("lang"))) % 7 + 1).cast("int")).alias("lang"),
+        F.concat(F.lit("src"), (F.col("doc_id") % 8).cast("string")).alias("source"),
+    ).withColumn("n_chars", F.length("text"))
+    base.select("doc_id", "text", "lang", "source", "n_chars").unionByName(
+        synth
+    ).repartition(32).write.mode("overwrite").parquet(SF1_DIR)
+    open(marker, "w").close()
+    return SF1_DIR
+
+
+def ops(spark, docs):
+    from oasisdb_spark.pipeline.dedup import (
+        duplicate_substring_stats,
+        jaccard_pairs_prefix,
+    )
+    from oasisdb_spark.pipeline.lm import bigram_lm, lm_score
+
+    par = spark.sparkContext.defaultParallelism
+    return {
+        "substring_dup_stats[str-grams]": lambda: duplicate_substring_stats(
+            docs, min_length=30, hash_grams=False, parallelism=par
+        ),
+        "substring_dup_stats[hash-grams]": lambda: duplicate_substring_stats(
+            docs, min_length=30, hash_grams=True, parallelism=par
+        ),
+        "lm_perplexity": lambda: lm_score(docs, bigram_lm(docs, parallelism=par), parallelism=par),
+        "jaccard_pairs_prefix": lambda: jaccard_pairs_prefix(docs, threshold=0.5),
+    }
+
+
+def force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    from oasisdb_spark.session import get_spark
+
+    spark = get_spark("oasisdb_scale_smoke_sf1")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sf1 = build_sf1(spark)
+    scales = {
+        "sf0.1": spark.read.parquet(f"{SF01_DIR}/documents.parquet"),
+        "sf1": spark.read.parquet(sf1),
+    }
+    for tag, docs in scales.items():
+        print(f"{tag}: {docs.count()} docs, {docs.agg(F.sum('n_chars')).first()[0]} chars")
+
+    results: dict[str, dict[str, float]] = {}
+    for tag, docs in scales.items():
+        for name, thunk in ops(spark, docs).items():
+            force(thunk())  # warm
+            t = min(
+                (lambda: (lambda t0: (force(thunk()), time.perf_counter() - t0)[1])(time.perf_counter()))()
+                for _ in range(2)
+            )
+            results.setdefault(name, {})[tag] = round(t, 2)
+            print(f"  {tag:6s} {name:34s} {t:7.2f} s", flush=True)
+
+    print("\n| op | sf0.1 (s) | sf1 (s) | ratio (10x data) |")
+    print("|---|---|---|---|")
+    for name, r in results.items():
+        ratio = r["sf1"] / r["sf0.1"] if r["sf0.1"] else float("inf")
+        print(f"| {name} | {r['sf0.1']:.2f} | {r['sf1']:.2f} | {ratio:.1f}x |")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -78,3 +78,26 @@ def test_repetition_cols(spark):
     assert out[1]["dup_ngram_ratio"] == 0.0
     assert out[2]["dup_ngram_ratio"] == 0.0  # no grams
     assert out[3]["token_diversity"] == 1.0 and out[3]["n_tokens"] == 0
+
+
+def test_pretokens_and_bpe_estimate(spark):
+    from oasisdb_spark.pipeline.text import bpe_token_estimate, pretokens
+
+    rows = [
+        (0, "hello world"),          # 2 letter runs
+        (1, "abc123!"),              # letters / digits / symbol split
+        (2, "don't stop"),           # apostrophe is a symbol run
+        (3, ""),                     # empty
+        (4, "internationalization"), # 20 chars -> ceil(20/4) = 5 tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id",
+        pretokens("text").alias("pt"),
+        bpe_token_estimate("text").alias("est"),
+    ).collect()}
+    assert out[0]["pt"] == ["hello", "world"] and out[0]["est"] == 2 + 2
+    assert out[1]["pt"] == ["abc", "123", "!"] and out[1]["est"] == 1 + 1 + 1
+    assert out[2]["pt"] == ["don", "'", "t", "stop"]
+    assert out[3]["pt"] == [] and out[3]["est"] == 0
+    assert out[4]["est"] == 5
