@@ -2018,6 +2018,103 @@ def _training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HYBRID_TERMS = {0: ["the", "data", "model", "spark", "query"],
                  1: ["learning", "vector", "index", "search", "fast"]}
 
+def _rank_eval_oracle() -> str:
+    """DuckDB twin of _retrieval_rank_eval: hybrid top-10 as truth,
+    lexical top-10 as results, rank_eval_at_k's exact arithmetic (the
+    discount/IDCG integer tables are interpolated from the same Python
+    constants the Spark side uses)."""
+    from oasisdb_spark.operators.evalmetrics import DISCOUNT_MICRO
+
+    k = 10
+    disc = ", ".join(str(int(d)) for d in DISCOUNT_MICRO[:k])
+    prefix = [0]
+    for d in DISCOUNT_MICRO[:k]:
+        prefix.append(prefix[-1] + int(d))
+    pfx = ", ".join(str(p) for p in prefix)
+    return f"""
+        WITH truth AS (
+          SELECT query_id, doc_id, rank FROM ({_HYBRID_ORACLE})
+        ),
+        d AS (
+          SELECT doc_id,
+                 list_distinct(list_filter(
+                   string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')) AS toks
+          FROM documents JOIN embeddings e ON doc_id = e.vec_id
+        ),
+        q AS (
+          SELECT vec_id AS query_id,
+                 CASE WHEN vec_id = 0
+                      THEN {_HYBRID_TERMS[0]!r}
+                      ELSE {_HYBRID_TERMS[1]!r} END AS terms
+          FROM embeddings WHERE vec_id < 2
+        ),
+        lex AS (
+          SELECT query_id, doc_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY len(list_intersect(toks, terms)) DESC, doc_id ASC) AS rnk
+          FROM d, q
+        ),
+        res AS (SELECT query_id, doc_id, rnk FROM lex WHERE rnk <= {k}),
+        nt AS (SELECT query_id, count(*) AS n FROM truth GROUP BY query_id),
+        hits AS (
+          SELECT t.query_id, count(*) AS nh, min(r.rnk) AS fr,
+                 CAST(sum(([{disc}])[r.rnk]) AS BIGINT) AS dcg
+          FROM truth t JOIN res r ON t.query_id = r.query_id AND t.doc_id = r.doc_id
+          GROUP BY t.query_id
+        )
+        SELECT nt.query_id,
+               CAST(coalesce(nh, 0) AS BIGINT) AS n_hits,
+               round(CAST(coalesce(nh, 0) AS DOUBLE) / least(nt.n, {k}), 6) AS recall,
+               CAST(coalesce(fr, 0) AS BIGINT) AS first_rank,
+               CASE WHEN fr IS NOT NULL THEN CAST(1.0 AS DOUBLE) / fr ELSE 0.0 END AS rr,
+               CAST(coalesce(dcg, 0) AS BIGINT) AS dcg_micro,
+               round(CAST(coalesce(dcg, 0) AS DOUBLE)
+                     / ([{pfx}])[least(nt.n, {k}) + 1], 6) AS ndcg
+        FROM nt LEFT JOIN hits USING (query_id)
+    """
+
+
+# shared by the hybrid_search_rrf and retrieval_rank_eval oracles
+_HYBRID_ORACLE = f"""
+            WITH d AS (
+              SELECT doc_id,
+                     list_distinct(list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')) AS toks,
+                     e.embedding AS embedding
+              FROM documents JOIN embeddings e ON doc_id = e.vec_id
+            ), q AS (
+              SELECT vec_id AS query_id, embedding,
+                     CASE WHEN vec_id = 0
+                          THEN {_HYBRID_TERMS[0]!r}
+                          ELSE {_HYBRID_TERMS[1]!r} END AS terms
+              FROM embeddings WHERE vec_id < 2
+            ), s AS (
+              SELECT q.query_id, d.doc_id,
+                     len(list_intersect(d.toks, q.terms)) AS text_hits,
+                     list_sum(list_transform(list_zip(q.embedding, d.embedding),
+                       p -> (CAST(p[1] AS DOUBLE)-CAST(p[2] AS DOUBLE))
+                            *(CAST(p[1] AS DOUBLE)-CAST(p[2] AS DOUBLE)))) AS dist
+              FROM d, q
+            ), r AS (
+              SELECT query_id, doc_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY text_hits DESC, doc_id ASC) AS text_rank,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY dist ASC, doc_id ASC) AS vec_rank
+              FROM s
+            ), f AS (
+              SELECT query_id, doc_id, text_rank, vec_rank,
+                     round(CAST(1.0 AS DOUBLE)/(60+text_rank)
+                         + CAST(1.0 AS DOUBLE)/(60+vec_rank), 8) AS rrf_score
+              FROM r
+            )
+            SELECT query_id, doc_id, rank, rrf_score, text_rank, vec_rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY rrf_score DESC, doc_id ASC) AS rank
+              FROM f
+            ) WHERE rank <= 10
+        """
+
 
 def _hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval (functions/fusion.py): keyword-overlap rank and
@@ -2897,6 +2994,59 @@ def _semantic_dedup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(emb, threshold=0.4, n_clusters=k)
 
 
+def _retrieval_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded ranking evaluation (operators/evalmetrics.py
+    rank_eval_at_k): score the LEXICAL-ONLY ranking (keyword-overlap
+    top-10 per query) against the fused hybrid-RRF ranking as ground
+    truth — per-query recall@10, MRR and nDCG@10 quantify exactly how
+    much the vector side reorders retrieval. DCG uses the micro-int
+    discount table (DISCOUNT_MICRO) shipped identically to both
+    engines, so the metric is hash-exact. Both sides prune to <=k rows
+    per query before the equi-join: eval cost is O(queries x k)."""
+    from oasisdb_spark.functions.fusion import hybrid_search_rrf
+    from oasisdb_spark.operators.evalmetrics import rank_eval_at_k
+    from oasisdb_spark.pipeline.text import distinct_tokens
+
+    docs = (
+        _table(spark, sf_dir, "documents")
+        .join(_table(spark, sf_dir, "embeddings"), F.col("doc_id") == F.col("vec_id"))
+        .select("doc_id", "text", F.col("embedding").alias("vector"))
+    )
+    emb = _table(spark, sf_dir, "embeddings")
+    terms = F.when(
+        F.col("query_id") == 0, F.array(*[F.lit(t) for t in _HYBRID_TERMS[0]])
+    ).otherwise(F.array(*[F.lit(t) for t in _HYBRID_TERMS[1]]))
+    queries_df = (
+        emb.filter(F.col("vec_id") < 2)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+        .withColumn("query_terms", terms)
+    )
+    truth = hybrid_search_rrf(docs, queries_df, k=10, space="l2").select(
+        "query_id", "doc_id", "rank"
+    )
+    # lexical-only top-10 per query: same overlap expression, no vectors
+    from pyspark.sql.window import Window as _W
+
+    lex = (
+        docs.select("doc_id", distinct_tokens("text").alias("_tk"))
+        .crossJoin(F.broadcast(queries_df.select("query_id", "query_terms")))
+        .select(
+            "query_id",
+            "doc_id",
+            F.size(F.array_intersect("_tk", "query_terms")).alias("_hits"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                _W.partitionBy("query_id").orderBy(F.col("_hits").desc(), F.col("doc_id").asc())
+            ),
+        )
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "doc_id", "rank")
+    )
+    return rank_eval_at_k(lex, truth, k=10, id_col="doc_id")
+
+
 def _training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-shard layout (pipeline/export.py
     shard_assign): shard id + intra-shard position both md5-derived, so
@@ -3104,6 +3254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_shards": _training_shards,
         "shard_manifest": _shard_manifest,
         "token_estimate": _token_estimate,
+        "retrieval_rank_eval": _retrieval_rank_eval,
     }
 
 
@@ -4101,45 +4252,11 @@ def oracle_sql() -> dict[str, str]:
             HAVING count(*) >= greatest(
               CAST(trunc((SELECT count(*) FROM events) * 0.001) AS BIGINT), 1)
         """,
-        "hybrid_search_rrf": f"""
-            WITH d AS (
-              SELECT doc_id,
-                     list_distinct(list_filter(
-                       string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')) AS toks,
-                     e.embedding AS embedding
-              FROM documents JOIN embeddings e ON doc_id = e.vec_id
-            ), q AS (
-              SELECT vec_id AS query_id, embedding,
-                     CASE WHEN vec_id = 0
-                          THEN {_HYBRID_TERMS[0]!r}
-                          ELSE {_HYBRID_TERMS[1]!r} END AS terms
-              FROM embeddings WHERE vec_id < 2
-            ), s AS (
-              SELECT q.query_id, d.doc_id,
-                     len(list_intersect(d.toks, q.terms)) AS text_hits,
-                     list_sum(list_transform(list_zip(q.embedding, d.embedding),
-                       p -> (CAST(p[1] AS DOUBLE)-CAST(p[2] AS DOUBLE))
-                            *(CAST(p[1] AS DOUBLE)-CAST(p[2] AS DOUBLE)))) AS dist
-              FROM d, q
-            ), r AS (
-              SELECT query_id, doc_id,
-                     row_number() OVER (PARTITION BY query_id
-                       ORDER BY text_hits DESC, doc_id ASC) AS text_rank,
-                     row_number() OVER (PARTITION BY query_id
-                       ORDER BY dist ASC, doc_id ASC) AS vec_rank
-              FROM s
-            ), f AS (
-              SELECT query_id, doc_id, text_rank, vec_rank,
-                     round(CAST(1.0 AS DOUBLE)/(60+text_rank)
-                         + CAST(1.0 AS DOUBLE)/(60+vec_rank), 8) AS rrf_score
-              FROM r
-            )
-            SELECT query_id, doc_id, rank, rrf_score, text_rank, vec_rank FROM (
-              SELECT *, row_number() OVER (PARTITION BY query_id
-                       ORDER BY rrf_score DESC, doc_id ASC) AS rank
-              FROM f
-            ) WHERE rank <= 10
-        """,
+        "hybrid_search_rrf": _HYBRID_ORACLE,
+        # round-4: lexical-vs-hybrid ranking eval; DCG discounts are the
+        # SAME micro-int constants the Spark side ships (evalmetrics.
+        # DISCOUNT_MICRO), so the metric is engine-exact end to end
+        "retrieval_rank_eval": _rank_eval_oracle(),
         "price_quartiles": """
             SELECT l_returnflag,
                    round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,

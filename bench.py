@@ -93,6 +93,7 @@ FAMILIES: dict[str, list[str]] = {
     # round-4 additions (additive — earlier families untouched)
     "shard_export": ["training_shards", "shard_manifest"],
     "tokenizer": ["token_estimate"],
+    "rank_eval": ["retrieval_rank_eval"],
 }
 
 

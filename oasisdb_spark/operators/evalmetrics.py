@@ -19,10 +19,21 @@ aggregate — no driver-side materialization of either side.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["recall_at_k", "pair_retrieval_metrics"]
+__all__ = ["recall_at_k", "pair_retrieval_metrics", "rank_eval_at_k", "DISCOUNT_MICRO"]
+
+# nDCG discount table, micro-quantized at BUILD time: disc[i] for rank
+# i+1 is round(1e6 / log2(rank+1)). Shipping the same INTEGER constants
+# to Spark (array literal) and the DuckDB oracle (list literal) makes
+# DCG sums engine-exact — the lm.py micro-nat trick applied to ranking
+# (log2 itself differs between JVM and C libm at the ulp level).
+DISCOUNT_MICRO: tuple[int, ...] = tuple(
+    round(1_000_000 / math.log2(i + 1)) for i in range(1, 1025)
+)
 
 
 def recall_at_k(
@@ -96,4 +107,69 @@ def pair_retrieval_metrics(
         "n_hits",
         F.round(F.try_divide("n_hits", "n_truth"), 6).alias("recall"),
         F.round(F.try_divide("n_hits", "n_candidates"), 6).alias("precision"),
+    )
+
+
+def rank_eval_at_k(
+    results: DataFrame,
+    truth: DataFrame,
+    k: int,
+    query_col: str = "query_id",
+    id_col: str = "id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Binary-relevance ranking metrics per query, one join + one agg:
+    recall@k, MRR@k and nDCG@k of a ranked result table against a
+    ranked ground-truth table (both (query, id, rank); rows with rank
+    > k ignored on either side).
+
+    Returns (query_col, n_hits, recall, first_rank, rr, dcg_micro,
+    ndcg) with one row per query present in ``truth``; queries the
+    results missed score zeros. dcg_micro is the integer micro-DCG
+    (engine-exact, see DISCOUNT_MICRO); ndcg/rr are IEEE divisions of
+    exact integers, so they too reproduce bit-for-bit cross-engine.
+    IDCG uses min(k, |truth rows for the query|) ideal hits. Shape:
+    both sides prune to <= k rows per query BEFORE the equi-join, so
+    the eval costs O(queries x k) regardless of corpus size."""
+    if k > len(DISCOUNT_MICRO):
+        raise ValueError(f"k must be <= {len(DISCOUNT_MICRO)}")
+    disc = F.array(*[F.lit(int(d)) for d in DISCOUNT_MICRO[:k]])
+    prefix = [0]
+    for d in DISCOUNT_MICRO[:k]:
+        prefix.append(prefix[-1] + int(d))
+    idcg_arr = F.array(*[F.lit(p) for p in prefix])  # idcg_arr[n+1] = ideal dcg of n hits
+
+    t = truth.filter(F.col(rank_col) <= k).select(query_col, id_col)
+    n_t = t.groupBy(query_col).agg(F.count(F.lit(1)).alias("_nt"))
+    r = results.filter(F.col(rank_col) <= k).select(
+        query_col, id_col, F.col(rank_col).alias("_rnk")
+    )
+    hits = (
+        t.join(r, on=[query_col, id_col], how="inner")
+        .groupBy(query_col)
+        .agg(
+            F.count(F.lit(1)).alias("_nh"),
+            F.min("_rnk").alias("_fr"),
+            F.sum(F.element_at(disc, F.col("_rnk").cast("int"))).cast("bigint").alias("_dcg"),
+        )
+    )
+    return (
+        n_t.join(hits, on=query_col, how="left")
+        .select(
+            query_col,
+            F.coalesce("_nh", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.round(
+                F.coalesce("_nh", F.lit(0)) / F.least(F.col("_nt"), F.lit(k)), 6
+            ).alias("recall"),
+            F.coalesce("_fr", F.lit(0)).cast("bigint").alias("first_rank"),
+            F.when(F.col("_fr").isNotNull(), F.lit(1.0) / F.col("_fr"))
+            .otherwise(F.lit(0.0))
+            .alias("rr"),
+            F.coalesce("_dcg", F.lit(0)).cast("bigint").alias("dcg_micro"),
+            F.round(
+                F.coalesce("_dcg", F.lit(0))
+                / F.element_at(idcg_arr, (F.least(F.col("_nt"), F.lit(k)) + 1).cast("int")),
+                6,
+            ).alias("ndcg"),
+        )
     )

@@ -55,3 +55,28 @@ def test_pair_metrics_empty_candidates(spark):
     r = pair_retrieval_metrics(empty, truth).collect()[0]
     assert (r["n_truth"], r["n_candidates"], r["n_hits"]) == (1, 0, 0)
     assert r["recall"] == 0.0 and r["precision"] is None
+
+
+def test_rank_eval_at_k_hand_computed(spark):
+    from oasisdb_spark.operators.evalmetrics import DISCOUNT_MICRO, rank_eval_at_k
+
+    # truth q0: ids 1,2,3 at ranks 1..3; results hit 2@1, 3@3, miss 1
+    truth = spark.createDataFrame(
+        [(0, 1, 1), (0, 2, 2), (0, 3, 3), (1, 7, 1)],
+        "query_id LONG, id LONG, rank INT",
+    )
+    results = spark.createDataFrame(
+        [(0, 2, 1), (0, 9, 2), (0, 3, 3), (1, 8, 1)],
+        "query_id LONG, id LONG, rank INT",
+    )
+    out = {r["query_id"]: r for r in rank_eval_at_k(results, truth, k=3).collect()}
+    d = DISCOUNT_MICRO
+    # q0: hits at result ranks 1 and 3
+    assert out[0]["n_hits"] == 2
+    assert out[0]["recall"] == round(2 / 3, 6)
+    assert out[0]["first_rank"] == 1 and out[0]["rr"] == 1.0
+    assert out[0]["dcg_micro"] == d[0] + d[2]
+    assert out[0]["ndcg"] == round((d[0] + d[2]) / (d[0] + d[1] + d[2]), 6)
+    # q1: no hits
+    assert out[1]["n_hits"] == 0 and out[1]["rr"] == 0.0 and out[1]["ndcg"] == 0.0
+    assert out[1]["first_rank"] == 0 and out[1]["dcg_micro"] == 0
