@@ -2910,7 +2910,10 @@ def _jaccard_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot shingles; the prefix filter keeps them (test-proven)."""
     from oasisdb_spark.pipeline.dedup import jaccard_pairs_prefix
 
-    return jaccard_pairs_prefix(_table(spark, sf_dir, "documents"), threshold=0.5)
+    return jaccard_pairs_prefix(
+        _table(spark, sf_dir, "documents"), threshold=0.5,
+        parallelism=spark.sparkContext.defaultParallelism, eager=True,
+    )
 
 
 def _substring_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

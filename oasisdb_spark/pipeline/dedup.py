@@ -586,6 +586,8 @@ def jaccard_pairs_prefix(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    parallelism: int | None = None,
+    eager: bool = False,
 ) -> DataFrame:
     """EXACT shingle-set Jaccard >= threshold via ppjoin-style prefix
     filtering (Bayardo et al. WWW'07 all-pairs; Xiao et al. WWW'08
@@ -604,14 +606,30 @@ def jaccard_pairs_prefix(
     to suppress — but the cap is LOSSY (pairs sharing only hot
     shingles are dropped) while the prefix is not.
 
-    Verification reuses jaccard_pairs(candidates=...): two id joins +
-    array_intersect per surviving pair. At t = 0.5 the prefix is half
-    the document; higher thresholds shrink it (t = 0.9 -> 10%).
-    Measured at sf0.1 (local[32], same cold session): prefix 10.2 s vs
-    capped inverted index 13.1 s — exact AND faster, because only
-    prefix shingles enter the self-join at all.
+    Verification is the jaccard_pairs(candidates=...) arithmetic (two
+    id joins + array_intersect per surviving pair) over the SAME
+    persisted shingle frame the prefix derives from. At t = 0.5 the
+    prefix is half the document; higher thresholds shrink it (t = 0.9
+    -> 10%).
+
+    The shingle-hash projection (md5 per shingle) is the single most
+    expensive stage and the DAG references it from three join sides, so
+    it is computed ONCE into a persisted frame (round-4 profile at
+    sf0.1: the un-persisted plan re-derived it 3-4x and a single pass
+    was 7.4 s on one input split — together ~10.9 s/call; persisted +
+    repartitioned it is ~3 s). ``parallelism`` spreads the cheap
+    pre-shingle rows when the corpus arrives in fewer splits than cores
+    (same rationale as bigram_lm / duplicate_substring_positions; at
+    warehouse scale splits are plentiful — leave None). ``eager=True``
+    materializes the (tiny) pair result and releases the shingle cache
+    before returning — the default lazy mode keeps it pinned for the
+    caller's DAG, leaking one corpus-scale cached frame per call (the
+    minhash_lsh_dedup trade, documented there).
     """
-    h = df.select(F.col(id_col).alias("doc_id"), shingle_hashes(text_col, n).alias("hs"))
+    if parallelism:
+        df = df.repartition(parallelism)
+    h = df.select(F.col(id_col).alias("doc_id"), shingle_hashes(text_col, n).alias("hs")).persist()
+    h.count()
     sh = h.select("doc_id", F.size("hs").alias("sz"), F.explode("hs").alias("sh"))
     df_tbl = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
     w = Window.partitionBy("doc_id").orderBy("_df", "sh")
@@ -637,10 +655,26 @@ def jaccard_pairs_prefix(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    return jaccard_pairs(
-        df, id_col=id_col, text_col=text_col, n=n,
-        threshold=threshold, candidates=cand,
+    joined = (
+        cand
+        .join(h.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a")), on="doc_a")
+        .join(h.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b")), on="doc_b")
+        .withColumn("inter", F.size(F.array_intersect("hs_a", "hs_b")))
     )
+    out = joined.select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            F.col("inter").cast("double")
+            / (F.size("hs_a") + F.size("hs_b") - F.col("inter")),
+            6,
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+    if eager:
+        out = out.persist()
+        out.count()
+        h.unpersist()
+    return out
 
 
 def duplicate_substring_positions(
