@@ -414,6 +414,34 @@ def main() -> None:
     print(f"== lm_perplexity equi-join bigram LM: {'OK' if ok else 'FAIL'}")
     failures += not ok
 
+    # 40. token_estimate: pure scan-stage projection — zero shuffle at
+    # any corpus size, and the scan reads only (doc_id, text)
+    plan = plan_of(m.queries()["token_estimate"](spark, sf_dir))
+    ok = (
+        "Exchange" not in plan
+        and "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+    )
+    print(f"== token_estimate shuffle-free scan projection: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
+    # 41. training_shards: the deterministic global shuffle costs
+    # EXACTLY ONE exchange (the shard window); shard/pos derivation is
+    # scan-stage arithmetic
+    plan = plan_of(m.queries()["training_shards"](spark, sf_dir))
+    ok = plan.count("Exchange hashpartitioning") == 1 and "Window" in plan
+    print(f"== training_shards one-shuffle layout: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
+    # 42. retrieval_rank_eval: the 2-row query side broadcasts (BNLJ by
+    # design); candidate/truth joins stay equi-shaped, no CartesianProduct
+    plan = plan_of(m.queries()["retrieval_rank_eval"](spark, sf_dir))
+    ok = (
+        "CartesianProduct" not in plan
+        and "BroadcastNestedLoopJoin" in plan
+    )
+    print(f"== retrieval_rank_eval broadcast query side: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
     print(f"\n{'ALL PLANS OK' if not failures else f'{failures} PLAN CHECKS FAILED'}")
     spark.stop()
     sys.exit(1 if failures else 0)
