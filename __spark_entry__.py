@@ -2997,6 +2997,53 @@ def _semantic_dedup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(emb, threshold=0.4, n_clusters=k)
 
 
+def _data_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level expectation gate (operators/quality.py
+    check_constraints): five named constraints over lineitem evaluated
+    in ONE partial-aggregated scan — per-constraint violation counts
+    and rates come from conditional counts in the same agg, so the cost
+    is one pass regardless of rule count (the dbt-test shape, in-engine)."""
+    from oasisdb_spark.operators.quality import check_constraints
+
+    li = _table(spark, sf_dir, "lineitem")
+    return check_constraints(
+        li,
+        {
+            "qty_range": F.col("l_quantity").between(1, 50),
+            "discount_range": F.col("l_discount").between(0, 0.08),
+            "tax_range": F.col("l_tax").between(0, 0.08),
+            "positive_price": F.col("l_extendedprice") > 0,
+            "linenumber_range": F.col("l_linenumber").between(1, 7),
+        },
+    )
+
+
+def _orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot promotion gate (operators/quality.py snapshot_diff):
+    key-level delta between the orders table and a deterministically
+    perturbed rebuild (keys %97 dropped, %89 repriced, %101 re-keyed
+    additions), summarized by status. The diff carries md5 row
+    fingerprints computed scan-side, so the full-outer join shuffles
+    ~48 bytes/row at any table width; classification depends only on
+    WITHIN-engine fingerprint equality, so the oracle compares columns
+    directly."""
+    from oasisdb_spark.operators.quality import snapshot_diff
+
+    old = _table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    mod = old.withColumn(
+        "o_totalprice",
+        F.when(k % 89 == 0, F.col("o_totalprice") + 1.0).otherwise(F.col("o_totalprice")),
+    ).filter(k % 97 != 0)
+    added = old.filter(k % 101 == 0).withColumn("o_orderkey", k + 10_000_000)
+    new = mod.unionByName(added)
+    return (
+        snapshot_diff(old, new, ["o_orderkey"])
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+    )
+
+
 def _retrieval_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graded ranking evaluation (operators/evalmetrics.py
     rank_eval_at_k): score the LEXICAL-ONLY ranking (keyword-overlap
@@ -3258,6 +3305,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest": _shard_manifest,
         "token_estimate": _token_estimate,
         "retrieval_rank_eval": _retrieval_rank_eval,
+        "data_quality_gate": _data_quality_gate,
+        "orders_snapshot_diff": _orders_snapshot_diff,
     }
 
 
@@ -4260,6 +4309,57 @@ def oracle_sql() -> dict[str, str]:
         # SAME micro-int constants the Spark side ships (evalmetrics.
         # DISCOUNT_MICRO), so the metric is engine-exact end to end
         "retrieval_rank_eval": _rank_eval_oracle(),
+        # round-4: one-scan expectation gate (conditional counts in a
+        # single agg; DuckDB sum() casts guard against HUGEINT)
+        "data_quality_gate": """
+            WITH a AS (
+              SELECT count(*) AS n,
+                CAST(sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END) AS BIGINT) AS v_qty,
+                CAST(sum(CASE WHEN l_discount BETWEEN 0 AND 0.08 THEN 0 ELSE 1 END) AS BIGINT) AS v_disc,
+                CAST(sum(CASE WHEN l_tax BETWEEN 0 AND 0.08 THEN 0 ELSE 1 END) AS BIGINT) AS v_tax,
+                CAST(sum(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END) AS BIGINT) AS v_price,
+                CAST(sum(CASE WHEN l_linenumber BETWEEN 1 AND 7 THEN 0 ELSE 1 END) AS BIGINT) AS v_ln
+              FROM lineitem
+            )
+            SELECT 'qty_range' AS "constraint", n AS n_rows, v_qty AS n_violations,
+                   round(CAST(v_qty AS DOUBLE) / greatest(n, 1), 6) AS violation_rate FROM a
+            UNION ALL
+            SELECT 'discount_range', n, v_disc, round(CAST(v_disc AS DOUBLE) / greatest(n, 1), 6) FROM a
+            UNION ALL
+            SELECT 'tax_range', n, v_tax, round(CAST(v_tax AS DOUBLE) / greatest(n, 1), 6) FROM a
+            UNION ALL
+            SELECT 'positive_price', n, v_price, round(CAST(v_price AS DOUBLE) / greatest(n, 1), 6) FROM a
+            UNION ALL
+            SELECT 'linenumber_range', n, v_ln, round(CAST(v_ln AS DOUBLE) / greatest(n, 1), 6) FROM a
+        """,
+        # round-4: snapshot delta summary; the Spark side classifies by
+        # within-engine md5 fingerprint equality, which is equivalent to
+        # the direct column comparison used here
+        "orders_snapshot_diff": """
+            WITH newt AS (
+              SELECT o_orderkey, o_custkey, o_orderstatus,
+                     CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1.0
+                          ELSE o_totalprice END AS o_totalprice,
+                     o_orderdate, o_orderpriority
+              FROM orders WHERE o_orderkey % 97 != 0
+              UNION ALL
+              SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+                     o_totalprice, o_orderdate, o_orderpriority
+              FROM orders WHERE o_orderkey % 101 = 0
+            ),
+            d AS (
+              SELECT CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                          WHEN n.o_orderkey IS NULL THEN 'removed'
+                          WHEN o.o_custkey IS NOT DISTINCT FROM n.o_custkey
+                           AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+                           AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+                           AND o.o_orderdate IS NOT DISTINCT FROM n.o_orderdate
+                           AND o.o_orderpriority IS NOT DISTINCT FROM n.o_orderpriority
+                          THEN 'unchanged' ELSE 'changed' END AS status
+              FROM orders o FULL OUTER JOIN newt n ON o.o_orderkey = n.o_orderkey
+            )
+            SELECT status, count(*) AS n_keys FROM d GROUP BY status
+        """,
         "price_quartiles": """
             SELECT l_returnflag,
                    round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,

@@ -94,6 +94,7 @@ FAMILIES: dict[str, list[str]] = {
     "shard_export": ["training_shards", "shard_manifest"],
     "tokenizer": ["token_estimate"],
     "rank_eval": ["retrieval_rank_eval"],
+    "data_quality": ["data_quality_gate", "orders_snapshot_diff"],
 }
 
 

@@ -1,0 +1,99 @@
+"""Data-quality gates for pipeline tables.
+
+Two operators every production ingestion pipeline runs before promoting
+a snapshot, expressed as single-pass aggregates (no driver loops, no
+row materialization):
+
+- ``check_constraints``: evaluate named row-level expectations
+  (dbt-test / Great-Expectations style) in ONE scan — each constraint
+  is a boolean Column, and all violation counts come from a single
+  partial-aggregated pass, however many constraints there are. A
+  referential check is expressible by the caller as an anti-join count
+  beforehand; row-level rules stay in the scan stage.
+- ``snapshot_diff``: key-level delta between two table versions
+  (added / removed / changed / unchanged) via one full-outer join on
+  the key plus md5 row fingerprints computed scan-side — the shape of
+  an incremental-pipeline promotion gate ("how much did this rebuild
+  change?"). Cost: two scans + one shuffle on the key; fingerprints
+  mean no column-by-column comparison ever crosses the join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["check_constraints", "snapshot_diff"]
+
+
+def check_constraints(df: DataFrame, constraints: dict[str, Column]) -> DataFrame:
+    """Evaluate named boolean expectations in one aggregate pass.
+
+    ``constraints`` maps name -> Column predicate that should hold for
+    every row (NULL counts as a violation — an unknown is not a pass).
+    Returns (constraint, n_rows, n_violations, violation_rate) with one
+    row per constraint, in one scan regardless of len(constraints):
+    each predicate becomes a conditional count in the same partial agg,
+    and the per-constraint rows are a stack over the (tiny) aggregate
+    row, not over the data.
+    """
+    if not constraints:
+        raise ValueError("constraints must be non-empty")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for name, pred in constraints.items():
+        aggs.append(
+            F.sum(F.when(pred, F.lit(0)).otherwise(F.lit(1))).alias(f"__v_{name}")
+        )
+    one = df.agg(*aggs)
+    stacked = one.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(name).alias("constraint"),
+                    F.col("__n").alias("n_rows"),
+                    F.col(f"__v_{name}").cast("bigint").alias("n_violations"),
+                )
+                for name in constraints
+            ])
+        ).alias("c")
+    )
+    return stacked.select(
+        "c.constraint",
+        "c.n_rows",
+        "c.n_violations",
+        F.round(F.col("c.n_violations") / F.greatest(F.col("c.n_rows"), F.lit(1)), 6)
+        .alias("violation_rate"),
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Key-level delta between two snapshots: one row per key present
+    in either side with status in {added, removed, changed, unchanged}.
+
+    ``compare_cols`` defaults to all shared non-key columns (sorted by
+    name so the fingerprint is stable). Row contents are reduced to an
+    md5 fingerprint ON EACH SCAN SIDE, so the full-outer join on the
+    key carries (key, fingerprint) only — at 100 TB the shuffle moves
+    ~48 bytes/row no matter how wide the table is. Aggregate the result
+    by status for the promotion-gate summary, or anti-filter
+    status != 'unchanged' for the change feed.
+    """
+    if compare_cols is None:
+        shared = set(old.columns) & set(new.columns)
+        compare_cols = sorted(c for c in shared if c not in set(key_cols))
+    fp = F.md5(F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in compare_cols]))
+    o = old.select(*key_cols, fp.alias("_fp_old"))
+    n = new.select(*key_cols, fp.alias("_fp_new"))
+    joined = o.join(n, on=key_cols, how="full_outer")
+    status = (
+        F.when(F.col("_fp_old").isNull(), F.lit("added"))
+        .when(F.col("_fp_new").isNull(), F.lit("removed"))
+        .when(F.col("_fp_old") == F.col("_fp_new"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(*key_cols, status.alias("status"))
