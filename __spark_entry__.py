@@ -2997,6 +2997,18 @@ def _semantic_dedup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(emb, threshold=0.4, n_clusters=k)
 
 
+def _line_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-line REMOVAL (pipeline/curate.py
+    scrub_duplicate_lines — the Dolma/RefinedWeb paragraph-dedup
+    removal policy to line_dedup's detection): corpus-duplicated
+    12-token lines are cut from every document; text never reshuffles
+    (hot POSITIONS join back per doc, rebuild is a scan-stage
+    index-filter)."""
+    from oasisdb_spark.pipeline.curate import scrub_duplicate_lines
+
+    return scrub_duplicate_lines(_table(spark, sf_dir, "documents"))
+
+
 def _data_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level expectation gate (operators/quality.py
     check_constraints): five named constraints over lineitem evaluated
@@ -3307,6 +3319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_rank_eval": _retrieval_rank_eval,
         "data_quality_gate": _data_quality_gate,
         "orders_snapshot_diff": _orders_snapshot_diff,
+        "line_scrub": _line_scrub,
     }
 
 
@@ -3413,6 +3426,31 @@ SELECT doc_id, count(*) AS n_lines,
        CAST(sum(CASE WHEN freq > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines,
        round(CAST(sum(CASE WHEN freq > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_line_ratio
 FROM lh JOIN freq USING (lh) GROUP BY doc_id
+"""
+
+
+def _line_scrub_oracle(line_len: int = 12, max_freq: int = 1) -> str:
+    """DuckDB twin of scrub_duplicate_lines: same line windows, same
+    60-bit hash, frequency-threshold removal, space-rejoin in original
+    position order; boilerplate-only and empty docs come back ''."""
+    lh = _H60.format(s="line")
+    return f"""
+WITH {_TOKS_CTE},
+lines AS (
+  SELECT doc_id, j AS pos,
+         array_to_string(tk[CAST(j*{line_len}+1 AS INT):CAST(j*{line_len}+{line_len} AS INT)], ' ') AS line
+  FROM toks, unnest(range(0, CAST(ceil(len(tk) / {line_len}.0) AS INT))) AS u(j)
+),
+h AS (SELECT doc_id, pos, line, {lh} AS lh FROM lines),
+freq AS (SELECT lh, count(*) AS freq FROM h GROUP BY lh),
+kept AS (
+  SELECT h.doc_id, string_agg(h.line, ' ' ORDER BY h.pos) AS text
+  FROM h JOIN freq USING (lh)
+  WHERE freq <= {max_freq}
+  GROUP BY h.doc_id
+)
+SELECT d.doc_id, coalesce(k.text, '') AS text
+FROM documents d LEFT JOIN kept k USING (doc_id)
 """
 
 
@@ -4504,6 +4542,10 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _pii_scrub_oracle(),
         "ngram_contamination": _ngram_contamination_oracle(),
         "line_dedup": _line_dedup_oracle(),
+        # round-4: the scrub companion — removal policy over the same
+        # line definition (frequency threshold; first-occurrence-keep
+        # needs a global order a 100 TB corpus doesn't have)
+        "line_scrub": _line_scrub_oracle(),
         "source_mixture": _source_mixture_oracle(),
         "gopher_filter": _gopher_filter_oracle(),
         # stateless streaming projection ≡ batch result — shares the oracle

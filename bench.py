@@ -95,6 +95,7 @@ FAMILIES: dict[str, list[str]] = {
     "tokenizer": ["token_estimate"],
     "rank_eval": ["retrieval_rank_eval"],
     "data_quality": ["data_quality_gate", "orders_snapshot_diff"],
+    "curation_scrub": ["line_scrub"],
 }
 
 

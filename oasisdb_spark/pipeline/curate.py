@@ -41,6 +41,7 @@ __all__ = [
     "scrub_pii",
     "ngram_contamination",
     "line_dedup_stats",
+    "scrub_duplicate_lines",
     "source_mixture_weights",
     "gopher_filter_cols",
 ]
@@ -221,6 +222,70 @@ def line_dedup_stats(
             F.sum(F.when(F.col("freq") > 1, 1).otherwise(0)).alias("n_dup_lines"),
         )
         .withColumn("dup_line_ratio", F.round(F.col("n_dup_lines") / F.col("n_lines"), 6))
+    )
+
+
+def scrub_duplicate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_len: int = 12,
+    max_freq: int = 1,
+) -> DataFrame:
+    """Remove corpus-boilerplate lines from every document (the
+    Dolma/RefinedWeb paragraph-dedup REMOVAL policy to
+    line_dedup_stats' detection): a line (same non-overlapping
+    ``line_len``-token window definition as the stats op) is cut from
+    ALL documents when its corpus frequency exceeds ``max_freq``.
+    Frequency-threshold removal is the scalable policy — "keep the
+    first occurrence" needs a global document order, which a 100 TB
+    corpus does not have.
+
+    Output: (id_col, text) where text is the kept lines joined by a
+    single space, in original order — i.e. the NORMALIZED token stream
+    (lowercased alnum tokens), which is what the stats op hashes and
+    what the downstream tokenizer consumes; docs made entirely of
+    boilerplate come back empty rather than dropped (the drop decision
+    belongs to a later filter with its own threshold).
+
+    Plan shape (the scrub_duplicate_substrings pattern): document text
+    is NEVER reshuffled — lines explode to (doc_id, pos, hash), one
+    partial-agg groupBy finds hot hashes, a semi-join keeps only each
+    doc's hot POSITIONS (a tiny per-doc int list), and the rebuild is
+    a scan-stage index-filter over the original row. Shuffles carry
+    (hash, id) and (doc_id, pos) only."""
+    tk = F.col("__tk")
+    n_lines = F.ceil(F.size(tk) / F.lit(line_len)).cast("int")
+    lines = F.when(
+        F.size(tk) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda j: F.array_join(F.slice(tk, j * line_len + 1, line_len), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("__tk"))
+    exploded = base.select(
+        "doc_id", F.posexplode(lines).alias("pos", "line")
+    ).select("doc_id", "pos", char_hash60("line").alias("lh"))
+    hot = (
+        exploded.groupBy("lh")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") > int(max_freq))
+        .select("lh")
+    )
+    bad = (
+        exploded.join(hot, on="lh", how="left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("__bad"))
+    )
+    kept = F.filter(
+        lines,
+        lambda _x, i: ~F.array_contains(F.coalesce(F.col("__bad"), F.array().cast("array<int>")), i.cast("int")),
+    )
+    return (
+        base.join(bad, on="doc_id", how="left")
+        .select("doc_id", F.array_join(kept, " ").alias("text"))
+        .withColumnRenamed("doc_id", id_col)
     )
 
 

@@ -182,3 +182,23 @@ def test_contamination_bounds_property(spark):
         assert 0.0 <= r["contamination"] <= 1.0
     assert rows[10]["contamination"] == 1.0
     assert rows[11]["n_contaminated"] == 0
+
+
+def test_scrub_duplicate_lines(spark):
+    from oasisdb_spark.pipeline.curate import scrub_duplicate_lines
+
+    rows = [
+        (0, "a b c d e f"),   # lines(3): "a b c" | "d e f"
+        (1, "a b c x y z"),   # "a b c" dup with docs 0/4; "x y z" dup with doc 2
+        (2, "x y z"),
+        (3, ""),
+        (4, "a b c"),         # entirely boilerplate
+        (5, "p q r s"),       # unique lines: "p q r" | "s"
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r["doc_id"]: r["text"] for r in scrub_duplicate_lines(df, line_len=3).collect()}
+    assert out == {0: "d e f", 1: "", 2: "", 3: "", 4: "", 5: "p q r s"}
+    # max_freq=2 tolerates pairs: only the freq-3 line ("a b c") is cut
+    out2 = {r["doc_id"]: r["text"]
+            for r in scrub_duplicate_lines(df, line_len=3, max_freq=2).collect()}
+    assert out2[1] == "x y z" and out2[2] == "x y z" and out2[4] == ""
