@@ -2018,6 +2018,32 @@ def _training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HYBRID_TERMS = {0: ["the", "data", "model", "spark", "query"],
                  1: ["learning", "vector", "index", "search", "fast"]}
 
+# one-scan expectation gate (conditional counts in a single agg;
+# DuckDB sum() casts guard against HUGEINT); shared by the batch
+# and streaming gate entries
+_QUALITY_GATE_ORACLE = """
+    WITH a AS (
+      SELECT count(*) AS n,
+        CAST(sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END) AS BIGINT) AS v_qty,
+        CAST(sum(CASE WHEN l_discount BETWEEN 0 AND 0.08 THEN 0 ELSE 1 END) AS BIGINT) AS v_disc,
+        CAST(sum(CASE WHEN l_tax BETWEEN 0 AND 0.08 THEN 0 ELSE 1 END) AS BIGINT) AS v_tax,
+        CAST(sum(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END) AS BIGINT) AS v_price,
+        CAST(sum(CASE WHEN l_linenumber BETWEEN 1 AND 7 THEN 0 ELSE 1 END) AS BIGINT) AS v_ln
+      FROM lineitem
+    )
+    SELECT 'qty_range' AS "constraint", n AS n_rows, v_qty AS n_violations,
+           round(CAST(v_qty AS DOUBLE) / greatest(n, 1), 6) AS violation_rate FROM a
+    UNION ALL
+    SELECT 'discount_range', n, v_disc, round(CAST(v_disc AS DOUBLE) / greatest(n, 1), 6) FROM a
+    UNION ALL
+    SELECT 'tax_range', n, v_tax, round(CAST(v_tax AS DOUBLE) / greatest(n, 1), 6) FROM a
+    UNION ALL
+    SELECT 'positive_price', n, v_price, round(CAST(v_price AS DOUBLE) / greatest(n, 1), 6) FROM a
+    UNION ALL
+    SELECT 'linenumber_range', n, v_ln, round(CAST(v_ln AS DOUBLE) / greatest(n, 1), 6) FROM a
+"""
+
+
 def _rank_eval_oracle() -> str:
     """DuckDB twin of _retrieval_rank_eval: hybrid top-10 as truth,
     lexical top-10 as results, rank_eval_at_k's exact arithmetic (the
@@ -3009,6 +3035,16 @@ def _line_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scrub_duplicate_lines(_table(spark, sf_dir, "documents"))
 
 
+def _lineitem_constraints() -> dict:
+    return {
+        "qty_range": F.col("l_quantity").between(1, 50),
+        "discount_range": F.col("l_discount").between(0, 0.08),
+        "tax_range": F.col("l_tax").between(0, 0.08),
+        "positive_price": F.col("l_extendedprice") > 0,
+        "linenumber_range": F.col("l_linenumber").between(1, 7),
+    }
+
+
 def _data_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level expectation gate (operators/quality.py
     check_constraints): five named constraints over lineitem evaluated
@@ -3017,17 +3053,36 @@ def _data_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one pass regardless of rule count (the dbt-test shape, in-engine)."""
     from oasisdb_spark.operators.quality import check_constraints
 
-    li = _table(spark, sf_dir, "lineitem")
-    return check_constraints(
-        li,
-        {
-            "qty_range": F.col("l_quantity").between(1, 50),
-            "discount_range": F.col("l_discount").between(0, 0.08),
-            "tax_range": F.col("l_tax").between(0, 0.08),
-            "positive_price": F.col("l_extendedprice") > 0,
-            "linenumber_range": F.col("l_linenumber").between(1, 7),
-        },
+    return check_constraints(_table(spark, sf_dir, "lineitem"), _lineitem_constraints())
+
+
+def _quality_gate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING expectation gate: check_constraints over a lineitem
+    FILE STREAM — the conditional counts are an incrementally-maintained
+    streaming aggregation (complete output mode, no watermark needed:
+    the state is one row of counters however large the stream), so the
+    gate holds a LIVE violation dashboard as files land. Drained
+    availableNow, the counters equal the batch pass exactly — shares
+    data_quality_gate's oracle (hash-matched streaming query)."""
+    import os
+    import tempfile
+    import uuid
+
+    from oasisdb_spark.operators.quality import check_constraints
+
+    src = f"{sf_dir}/lineitem.parquet"
+    stream_dir = tempfile.mkdtemp(prefix="li_quality_stream_")
+    os.symlink(os.path.abspath(src), os.path.join(stream_dir, "lineitem_0.parquet"))
+    schema = _table(spark, sf_dir, "lineitem").schema
+    stream = spark.readStream.schema(schema).parquet(stream_dir)
+    gated = check_constraints(stream, _lineitem_constraints())
+    name = f"li_quality_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        gated.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
     )
+    q.awaitTermination()
+    return spark.table(name)
 
 
 def _orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3320,6 +3375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_quality_gate": _data_quality_gate,
         "orders_snapshot_diff": _orders_snapshot_diff,
         "line_scrub": _line_scrub,
+        "quality_gate_stream": _quality_gate_stream,
     }
 
 
@@ -4349,27 +4405,10 @@ def oracle_sql() -> dict[str, str]:
         "retrieval_rank_eval": _rank_eval_oracle(),
         # round-4: one-scan expectation gate (conditional counts in a
         # single agg; DuckDB sum() casts guard against HUGEINT)
-        "data_quality_gate": """
-            WITH a AS (
-              SELECT count(*) AS n,
-                CAST(sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END) AS BIGINT) AS v_qty,
-                CAST(sum(CASE WHEN l_discount BETWEEN 0 AND 0.08 THEN 0 ELSE 1 END) AS BIGINT) AS v_disc,
-                CAST(sum(CASE WHEN l_tax BETWEEN 0 AND 0.08 THEN 0 ELSE 1 END) AS BIGINT) AS v_tax,
-                CAST(sum(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END) AS BIGINT) AS v_price,
-                CAST(sum(CASE WHEN l_linenumber BETWEEN 1 AND 7 THEN 0 ELSE 1 END) AS BIGINT) AS v_ln
-              FROM lineitem
-            )
-            SELECT 'qty_range' AS "constraint", n AS n_rows, v_qty AS n_violations,
-                   round(CAST(v_qty AS DOUBLE) / greatest(n, 1), 6) AS violation_rate FROM a
-            UNION ALL
-            SELECT 'discount_range', n, v_disc, round(CAST(v_disc AS DOUBLE) / greatest(n, 1), 6) FROM a
-            UNION ALL
-            SELECT 'tax_range', n, v_tax, round(CAST(v_tax AS DOUBLE) / greatest(n, 1), 6) FROM a
-            UNION ALL
-            SELECT 'positive_price', n, v_price, round(CAST(v_price AS DOUBLE) / greatest(n, 1), 6) FROM a
-            UNION ALL
-            SELECT 'linenumber_range', n, v_ln, round(CAST(v_ln AS DOUBLE) / greatest(n, 1), 6) FROM a
-        """,
+        "data_quality_gate": _QUALITY_GATE_ORACLE,
+        # streaming counters drained availableNow equal the batch
+        # pass exactly — shares the oracle
+        "quality_gate_stream": _QUALITY_GATE_ORACLE,
         # round-4: snapshot delta summary; the Spark side classifies by
         # within-engine md5 fingerprint equality, which is equivalent to
         # the direct column comparison used here

@@ -96,6 +96,7 @@ FAMILIES: dict[str, list[str]] = {
     "rank_eval": ["retrieval_rank_eval"],
     "data_quality": ["data_quality_gate", "orders_snapshot_diff"],
     "curation_scrub": ["line_scrub"],
+    "quality_stream": ["quality_gate_stream"],
 }
 
 
