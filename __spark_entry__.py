@@ -3226,9 +3226,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # recursive-CTE FFD oracle on sequence_pack_bins; the third
     # HUGEINT fix, token_budget_sample, is already in the 26) + 19
     # re-green slots given to the entries whose only green row is r02.
-    # r02 ∪ r03 ∪ r04 then covers all 125 registry entries; everything
-    # behind position 50 has a green r02 or r03 driver row
-    # (COVERAGE.md maps entry -> gating round).
+    # r02 ∪ r03 ∪ r04 then covers all 125 entries that existed at
+    # rotation time; everything behind position 50 has a green r02/r03
+    # driver row (COVERAGE.md maps entry -> gating round).
+    #
+    # ROUND-5 ROTATION TODO: swap into the window the 8 round-4
+    # additions at the registry tail (training_shards, shard_manifest,
+    # token_estimate, retrieval_rank_eval, data_quality_gate,
+    # orders_snapshot_diff, line_scrub, quality_gate_stream — all
+    # check_oracle-green locally), keep the two anchors, and fill the
+    # remaining 40 slots with the oldest single-green entries (the r03
+    # window's TPC-H tail / packing / streaming / multimodal block is
+    # the natural pick — their only green row is r03).
     return {
         # --- ROUND-4 WINDOW (positions 1-50): anchors + the 26 entries
         # never driver-checked through r03 + the 3 repaired oracles
