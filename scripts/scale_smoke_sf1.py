@@ -76,11 +76,17 @@ def build_sf1(spark) -> str:
 
 
 def ops(spark, docs):
+    from oasisdb_spark.pipeline.curate import scrub_duplicate_lines
     from oasisdb_spark.pipeline.dedup import (
         duplicate_substring_stats,
         jaccard_pairs_prefix,
+        minhash_lsh_dedup,
     )
+    from oasisdb_spark.pipeline.export import shard_assign
     from oasisdb_spark.pipeline.lm import bigram_lm, lm_score
+    from oasisdb_spark.pipeline.text import bpe_token_estimate
+
+    from pyspark.sql import functions as F  # noqa: F811
 
     par = spark.sparkContext.defaultParallelism
     return {
@@ -91,7 +97,18 @@ def ops(spark, docs):
             docs, min_length=30, hash_grams=True, parallelism=par
         ),
         "lm_perplexity": lambda: lm_score(docs, bigram_lm(docs, parallelism=par), parallelism=par),
-        "jaccard_pairs_prefix": lambda: jaccard_pairs_prefix(docs, threshold=0.5),
+        "jaccard_pairs_prefix": lambda: jaccard_pairs_prefix(
+            docs, threshold=0.5, parallelism=par, eager=True
+        ),
+        # round-4 additions
+        "minhash_lsh_pairs": lambda: minhash_lsh_dedup(
+            docs.repartition(par), threshold=0.5, eager=True
+        ),
+        "line_scrub": lambda: scrub_duplicate_lines(docs.repartition(par)),
+        "token_estimate": lambda: docs.repartition(par).select(
+            "doc_id", bpe_token_estimate("text").alias("est")
+        ),
+        "training_shards": lambda: shard_assign(docs.select("doc_id"), n_shards=64),
     }
 
 
