@@ -116,6 +116,94 @@ def force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+SF1_EMB_DIR = "/tmp/oasis_scale_sf1_emb"
+
+
+def build_sf1_embeddings(spark, factor: int = 10) -> str:
+    """10x embeddings: replicas of the sf0.1 vectors with a small
+    deterministic per-(replica, element) xxhash perturbation, so
+    distances aren't degenerate ties but the distribution is preserved."""
+    marker = os.path.join(SF1_EMB_DIR, "_SUCCESS_F" + str(factor))
+    if os.path.exists(marker):
+        return SF1_EMB_DIR
+    shutil.rmtree(SF1_EMB_DIR, ignore_errors=True)
+    base = spark.read.parquet(f"{SF01_DIR}/embeddings.parquet")
+    n = base.count()
+    reps = spark.range(0, factor).withColumnRenamed("id", "rep")
+    out = (
+        base.crossJoin(reps)
+        .select(
+            (F.col("vec_id") + F.col("rep") * n).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, j: (
+                    x
+                    + F.when(F.col("rep") == 0, F.lit(0.0)).otherwise(
+                        ((F.abs(F.xxhash64(F.col("vec_id"), F.col("rep"), j)) % 1000)
+                         .cast("double") / 10000.0 - 0.05).cast("float")
+                    )
+                ).cast("float"),
+            ).alias("embedding"),
+            "label",
+        )
+    )
+    out.repartition(32).write.mode("overwrite").parquet(SF1_EMB_DIR)
+    open(marker, "w").close()
+    return SF1_EMB_DIR
+
+
+def ann_section(spark) -> None:
+    """ANN tiers at 10x the vector count. nlist tracks sqrt(N) and
+    nprobe stays a constant fraction of nlist — the knob posture a real
+    deployment scales with."""
+    import math
+
+    from oasisdb_spark.index.flat import knn_flat
+    from oasisdb_spark.index.ivf import build_ivf, knn_ivf
+
+    results: dict[str, dict[str, float]] = {}
+    for tag, path in (
+        ("sf0.1", f"{SF01_DIR}/embeddings.parquet"),
+        ("sf1", build_sf1_embeddings(spark)),
+    ):
+        emb = (
+            spark.read.parquet(path)
+            .select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
+            .repartition(32)
+            .persist()
+        )
+        n = emb.count()
+        q = emb.filter(F.col("id") < 100).select(
+            F.col("id").alias("query_id"), F.col("vector").alias("query_vec")
+        )
+        def timed(name, thunk):
+            vals = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                thunk()
+                vals.append(time.perf_counter() - t0)
+            results.setdefault(name, {})[tag] = round(min(vals), 2)
+            print(f"  {tag:6s} {name:28s} {min(vals):7.2f} s  (n={n})", flush=True)
+
+        timed("knn_flat_l2[100q,k=10]", lambda: force(knn_flat(q, emb, k=10)))
+        nlist = max(16, int(math.sqrt(n)))
+        t0 = time.perf_counter()
+        cent, idx = build_ivf(emb, nlist=nlist)
+        idx = idx.persist(); idx.count()
+        results.setdefault("ivf_build", {})[tag] = round(time.perf_counter() - t0, 2)
+        print(f"  {tag:6s} {'ivf_build':28s} {results['ivf_build'][tag]:7.2f} s  (nlist={nlist})", flush=True)
+        timed(
+            "knn_ivf[nprobe=nlist/8]",
+            lambda: force(knn_ivf(q, cent, idx, k=10, nprobe=max(2, nlist // 8))),
+        )
+        idx.unpersist(); emb.unpersist()
+
+    print("\n| ann op | sf0.1 (s) | sf1 (s) | ratio (10x vectors) |")
+    print("|---|---|---|---|")
+    for name, r in results.items():
+        print(f"| {name} | {r['sf0.1']:.2f} | {r['sf1']:.2f} | {r['sf1']/r['sf0.1']:.1f}x |")
+
+
 def main() -> None:
     from oasisdb_spark.session import get_spark
 
@@ -146,6 +234,8 @@ def main() -> None:
     for name, r in results.items():
         ratio = r["sf1"] / r["sf0.1"] if r["sf0.1"] else float("inf")
         print(f"| {name} | {r['sf0.1']:.2f} | {r['sf1']:.2f} | {ratio:.1f}x |")
+
+    ann_section(spark)
     spark.stop()
 
 
