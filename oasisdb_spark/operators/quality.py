@@ -39,10 +39,12 @@ def check_constraints(df: DataFrame, constraints: dict[str, Column]) -> DataFram
     """
     if not constraints:
         raise ValueError("constraints must be non-empty")
+    # internal aliases are index-based so arbitrary constraint names
+    # (dots, backticks, spaces) never enter a column reference
     aggs = [F.count(F.lit(1)).alias("__n")]
-    for name, pred in constraints.items():
+    for i, pred in enumerate(constraints.values()):
         aggs.append(
-            F.sum(F.when(pred, F.lit(0)).otherwise(F.lit(1))).alias(f"__v_{name}")
+            F.sum(F.when(pred, F.lit(0)).otherwise(F.lit(1))).alias(f"__v{i}")
         )
     one = df.agg(*aggs)
     stacked = one.select(
@@ -51,9 +53,9 @@ def check_constraints(df: DataFrame, constraints: dict[str, Column]) -> DataFram
                 F.struct(
                     F.lit(name).alias("constraint"),
                     F.col("__n").alias("n_rows"),
-                    F.col(f"__v_{name}").cast("bigint").alias("n_violations"),
+                    F.col(f"__v{i}").cast("bigint").alias("n_violations"),
                 )
-                for name in constraints
+                for i, name in enumerate(constraints)
             ])
         ).alias("c")
     )

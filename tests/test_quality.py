@@ -57,3 +57,11 @@ def test_snapshot_diff_null_vs_value_and_explicit_cols(spark):
     out2 = {r["k"]: r["status"]
             for r in snapshot_diff(old2, new2, ["k"], compare_cols=["extra"]).collect()}
     assert out2 == {1: "unchanged", 2: "unchanged"}
+
+
+def test_check_constraints_arbitrary_rule_names(spark):
+    df = spark.createDataFrame([(1, 2.0)], "id LONG, v DOUBLE")
+    out = {r["constraint"]: r["n_violations"] for r in check_constraints(
+        df, {"v > 0 (sanity.check)": F.col("v") > 0, "weird `name`": F.col("id") < 0}
+    ).collect()}
+    assert out == {"v > 0 (sanity.check)": 0, "weird `name`": 1}
