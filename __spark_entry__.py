@@ -3023,6 +3023,49 @@ def _semantic_dedup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(emb, threshold=0.4, n_clusters=k)
 
 
+def _dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection per near-dup cluster: instead of
+    dedup_clusters' min-id policy, keep the HIGHEST-QUALITY member of
+    each connected component (ties on doc_id) — the keep policy real
+    pipelines use (drop the boilerplate copy, keep the clean one).
+    Composes the memoized LSH pair graph + connected components + the
+    text quality score; one extra window over the (tiny) clustered-doc
+    set. Returns (component, keep_doc_id, keep_quality, n_members)."""
+    from pyspark.sql.window import Window as _W
+
+    from oasisdb_spark.operators import connected_components
+    from oasisdb_spark.pipeline.dedup import minhash_lsh_dedup
+    from oasisdb_spark.pipeline.text import quality_score, text_stats_cols
+
+    pairs = _memo(
+        spark, sf_dir, "lsh_pairs@0.5",
+        lambda: minhash_lsh_dedup(_table(spark, sf_dir, "documents"), threshold=0.5, eager=True),
+    )
+    comp = connected_components(pairs, src="doc_a", dst="doc_b", id_col="doc_id")
+    docs = _table(spark, sf_dir, "documents")
+    stats = text_stats_cols("text")
+    qual = docs.select("doc_id", *(v.alias(k) for k, v in stats.items())).select(
+        "doc_id", quality_score(stats={k: F.col(k) for k in stats}).alias("quality")
+    )
+    j = comp.join(qual, on="doc_id")
+    w = _W.partitionBy("component")
+    wr = w.orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+    return (
+        j.select(
+            "component", "doc_id", "quality",
+            F.row_number().over(wr).alias("_rn"),
+            F.count(F.lit(1)).over(w).cast("bigint").alias("n_members"),
+        )
+        .filter(F.col("_rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("keep_doc_id"),
+            F.col("quality").alias("keep_quality"),
+            "n_members",
+        )
+    )
+
+
 def _line_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate-line REMOVAL (pipeline/curate.py
     scrub_duplicate_lines — the Dolma/RefinedWeb paragraph-dedup
@@ -3385,6 +3428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_snapshot_diff": _orders_snapshot_diff,
         "line_scrub": _line_scrub,
         "quality_gate_stream": _quality_gate_stream,
+        "dedup_keep_best": _dedup_keep_best,
     }
 
 
@@ -4285,6 +4329,37 @@ def oracle_sql() -> dict[str, str]:
               SELECT re.id, e.b FROM reach re JOIN edges e ON e.a = re.r
             )
             SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+        """,
+        # round-4: quality-based canonical selection per dup cluster —
+        # closure CTE + the text_stats quality derivation + one window
+        "dedup_keep_best": f"""
+            WITH RECURSIVE lshp AS ({_lsh_pairs_oracle(with_banding=True)}),
+            edges AS (
+              SELECT doc_a AS a, doc_b AS b FROM lshp
+              UNION
+              SELECT doc_b, doc_a FROM lshp
+            ),
+            reach AS (
+              SELECT DISTINCT a AS id, a AS r FROM edges
+              UNION
+              SELECT re.id, e.b FROM reach re JOIN edges e ON e.a = re.r
+            ),
+            comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
+            qual AS (SELECT doc_id, quality FROM ({_text_stats_oracle()})),
+            j AS (
+              SELECT comp.component, comp.doc_id, qual.quality
+              FROM comp JOIN qual USING (doc_id)
+            ),
+            r AS (
+              SELECT component, doc_id, quality,
+                     row_number() OVER (PARTITION BY component
+                       ORDER BY quality DESC, doc_id ASC) AS rn,
+                     count(*) OVER (PARTITION BY component) AS n_members
+              FROM j
+            )
+            SELECT component, doc_id AS keep_doc_id, quality AS keep_quality,
+                   CAST(n_members AS BIGINT) AS n_members
+            FROM r WHERE rn = 1
         """,
         "price_band_join": """
             SELECT band, count(*) AS n_parts,

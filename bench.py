@@ -97,6 +97,7 @@ FAMILIES: dict[str, list[str]] = {
     "data_quality": ["data_quality_gate", "orders_snapshot_diff"],
     "curation_scrub": ["line_scrub"],
     "quality_stream": ["quality_gate_stream"],
+    "dedup_canonical": ["dedup_keep_best"],
 }
 
 
