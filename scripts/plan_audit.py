@@ -442,6 +442,39 @@ def main() -> None:
     print(f"== retrieval_rank_eval broadcast query side: {'OK' if ok else 'FAIL'}")
     failures += not ok
 
+    # 43. data_quality_gate: ONE scan of lineitem however many rules —
+    # all violation counts are conditional aggregates in the same
+    # partial agg (rule count never multiplies passes)
+    plan = plan_of(m.queries()["data_quality_gate"](spark, sf_dir))
+    ok = plan.count("Scan parquet") == 1 and "partial_count" in plan
+    print(f"== data_quality_gate single-scan rules: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
+    # 44. orders_snapshot_diff: row contents reduce to md5 fingerprints
+    # scan-side, so the full-outer join carries (key, fp) only and no
+    # CartesianProduct/BNLJ appears
+    plan = plan_of(m.queries()["orders_snapshot_diff"](spark, sf_dir))
+    ok = (
+        "FullOuter" in plan
+        and "md5" in plan
+        and "CartesianProduct" not in plan
+        and "BroadcastNestedLoopJoin" not in plan
+    )
+    print(f"== orders_snapshot_diff fingerprint full-outer: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
+    # 45. line_scrub: document text is never reshuffled — the only
+    # exchanges key (hash, id) / (doc_id, pos); position join-back is a
+    # LeftSemi and the rebuild is a scan-stage index filter
+    plan = plan_of(m.queries()["line_scrub"](spark, sf_dir))
+    ok = (
+        "LeftSemi" in plan
+        and "CartesianProduct" not in plan
+        and "partial_count" in plan
+    )
+    print(f"== line_scrub semi-join position scrub: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
     print(f"\n{'ALL PLANS OK' if not failures else f'{failures} PLAN CHECKS FAILED'}")
     spark.stop()
     sys.exit(1 if failures else 0)
