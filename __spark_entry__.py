@@ -3290,14 +3290,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rotation time; everything behind position 50 has a green r02/r03
     # driver row (COVERAGE.md maps entry -> gating round).
     #
-    # ROUND-5 ROTATION TODO: swap into the window the 8 round-4
+    # ROUND-5 ROTATION TODO: swap into the window the 9 round-4
     # additions at the registry tail (training_shards, shard_manifest,
     # token_estimate, retrieval_rank_eval, data_quality_gate,
-    # orders_snapshot_diff, line_scrub, quality_gate_stream — all
-    # check_oracle-green locally), keep the two anchors, and fill the
-    # remaining 40 slots with the oldest single-green entries (the r03
-    # window's TPC-H tail / packing / streaming / multimodal block is
-    # the natural pick — their only green row is r03).
+    # orders_snapshot_diff, line_scrub, quality_gate_stream,
+    # dedup_keep_best — all check_oracle-green locally), keep the two
+    # anchors, and fill the remaining 39 slots with the oldest
+    # single-green entries (the r03 window's TPC-H tail / packing /
+    # streaming / multimodal block is the natural pick — their only
+    # green row is r03).
     return {
         # --- ROUND-4 WINDOW (positions 1-50): anchors + the 26 entries
         # never driver-checked through r03 + the 3 repaired oracles

@@ -624,7 +624,10 @@ def jaccard_pairs_prefix(
     materializes the (tiny) pair result and releases the shingle cache
     before returning — the default lazy mode keeps it pinned for the
     caller's DAG, leaking one corpus-scale cached frame per call (the
-    minhash_lsh_dedup trade, documented there).
+    minhash_lsh_dedup trade, documented there). In eager mode the PAIR
+    frame itself stays persisted for the caller (it is output-sized —
+    pairs above threshold, KBs not corpus-scale); unpersist it when
+    done if calling in a loop.
     """
     if parallelism:
         df = df.repartition(parallelism)
