@@ -91,7 +91,11 @@ def write_training_shards(
 
     The repartition keys the SAME hash the window sorts by, so the
     whole write is one shuffle + per-partition sort — no global sort,
-    no driver state; shard count is the write parallelism."""
+    no driver state; shard count is the write parallelism. (Spark
+    hash-partitions the shard id, so task occupancy is ~1-1/e rather
+    than exactly one shard per task — co-resident shards still write
+    correct, correctly-ordered directories via the sort + partitionBy;
+    at scale just set n_shards a few x the executor-core count.)"""
     assigned = shard_assign(df, id_col=id_col, n_shards=n_shards, salt=salt)
     (
         assigned.repartition(n_shards, "shard")
