@@ -2218,6 +2218,34 @@ def _events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style dense hourly rollup (operators/timeseries.py
+    time_bucket_gapfill — TimescaleDB's op of the same name): hourly
+    per-type aggregates densified to every hour in each type's span,
+    count semantics coalesced to 0 on gaps and sum_value carried
+    forward (LOCF). Integer hour ids (floor(epoch/3600)) keep the
+    bucket arithmetic engine-exact; sums are rounded per bucket BEFORE
+    the fill so the carried values are exact too."""
+    from oasisdb_spark.operators.timeseries import time_bucket_gapfill
+
+    ev = _table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("hour_id"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    g = time_bucket_gapfill(hourly, "hour_id", ["event_type"], locf_cols=["sum_value"])
+    return g.select(
+        "event_type",
+        "hour_id",
+        F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+        F.col("sum_value").alias("sum_value_locf"),
+        "is_gap",
+    )
+
+
 def _events_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE-frame window: per-user rolling 1-hour event count + value
     sum, frame bounded by event-time VALUE (microseconds), not row
@@ -3290,12 +3318,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rotation time; everything behind position 50 has a green r02/r03
     # driver row (COVERAGE.md maps entry -> gating round).
     #
-    # ROUND-5 ROTATION TODO: swap into the window the 9 round-4
+    # ROUND-5 ROTATION TODO: swap into the window the 10 round-4
     # additions at the registry tail (training_shards, shard_manifest,
     # token_estimate, retrieval_rank_eval, data_quality_gate,
     # orders_snapshot_diff, line_scrub, quality_gate_stream,
-    # dedup_keep_best — all check_oracle-green locally), keep the two
-    # anchors, and fill the remaining 39 slots with the oldest
+    # dedup_keep_best, events_hourly_gapfill — all check_oracle-green
+    # locally), keep the two anchors, and fill the remaining 38 slots
+    # with the oldest
     # single-green entries (the r03 window's TPC-H tail / packing /
     # streaming / multimodal block is the natural pick — their only
     # green row is r03).
@@ -3447,6 +3476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_scrub": _line_scrub,
         "quality_gate_stream": _quality_gate_stream,
         "dedup_keep_best": _dedup_keep_best,
+        "events_hourly_gapfill": _events_hourly_gapfill,
     }
 
 
@@ -4378,6 +4408,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT component, doc_id AS keep_doc_id, quality AS keep_quality,
                    CAST(n_members AS BIGINT) AS n_members
             FROM r WHERE rn = 1
+        """,
+        # round-4: hypertable gap-fill — dense hourly grid per series,
+        # counts coalesced to 0 on gaps, sums carried forward (LOCF via
+        # last_value IGNORE NULLS); floor(floor-identity) makes the
+        # integer hour ids engine-exact despite fractional epoch()
+        "events_hourly_gapfill": """
+            WITH h AS (
+              SELECT event_type,
+                     CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_id,
+                     count(*) AS n_events,
+                     round(sum(value), 2) AS sum_value
+              FROM events GROUP BY 1, 2
+            ),
+            span AS (
+              SELECT event_type, min(hour_id) AS lo, max(hour_id) AS hi
+              FROM h GROUP BY 1
+            ),
+            dense AS (
+              SELECT event_type, unnest(range(lo, hi + 1)) AS hour_id FROM span
+            ),
+            j AS (
+              SELECT d.event_type, d.hour_id, h.n_events, h.sum_value
+              FROM dense d LEFT JOIN h USING (event_type, hour_id)
+            )
+            SELECT event_type, hour_id,
+                   CAST(coalesce(n_events, 0) AS BIGINT) AS n_events,
+                   last_value(sum_value IGNORE NULLS) OVER (
+                     PARTITION BY event_type ORDER BY hour_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS sum_value_locf,
+                   n_events IS NULL AS is_gap
+            FROM j
         """,
         "price_band_join": """
             SELECT band, count(*) AS n_parts,

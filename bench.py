@@ -98,6 +98,7 @@ FAMILIES: dict[str, list[str]] = {
     "curation_scrub": ["line_scrub"],
     "quality_stream": ["quality_gate_stream"],
     "dedup_canonical": ["dedup_keep_best"],
+    "timeseries": ["events_hourly_gapfill"],
 }
 
 
