@@ -2246,6 +2246,43 @@ def _events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _activity_hot_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL x INTERVAL overlap join (operators/range_join.py
+    interval_overlap_join, bucket strategy): per-(user, day) activity
+    intervals overlapped against corpus-wide "hot hours" (hourly event
+    count >= 20) — which users were active during load spikes, the
+    session-vs-window analytics shape. Both sides grid to hour buckets
+    and join as a plain hash equi-join; each pair is emitted only in
+    the bucket holding the overlap start, so no dedup shuffle exists."""
+    from oasisdb_spark.operators.range_join import interval_overlap_join
+
+    ev = _table(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts")
+    act = ev.groupBy(
+        "user_id", F.floor(sec / 86400).cast("bigint").alias("day")
+    ).agg(
+        F.min(sec).cast("bigint").alias("a_lo"),
+        (F.max(sec) + 1).cast("bigint").alias("a_hi"),
+    )
+    hot = (
+        ev.groupBy(F.floor(sec / 3600).cast("bigint").alias("hour_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 20)
+        .select(
+            (F.col("hour_id") * 3600).alias("h_lo"),
+            ((F.col("hour_id") + 1) * 3600).alias("h_hi"),
+        )
+    )
+    j = interval_overlap_join(
+        act, hot, "a_lo", "a_hi", "h_lo", "h_hi",
+        strategy="bucket", bucket_width=3600,
+    )
+    return j.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hot_windows"),
+        F.countDistinct("day").cast("bigint").alias("n_days_hot"),
+    )
+
+
 def _events_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE-frame window: per-user rolling 1-hour event count + value
     sum, frame bounded by event-time VALUE (microseconds), not row
@@ -3318,13 +3355,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rotation time; everything behind position 50 has a green r02/r03
     # driver row (COVERAGE.md maps entry -> gating round).
     #
-    # ROUND-5 ROTATION TODO: swap into the window the 10 round-4
+    # ROUND-5 ROTATION TODO: swap into the window the 11 round-4
     # additions at the registry tail (training_shards, shard_manifest,
     # token_estimate, retrieval_rank_eval, data_quality_gate,
     # orders_snapshot_diff, line_scrub, quality_gate_stream,
-    # dedup_keep_best, events_hourly_gapfill — all check_oracle-green
-    # locally), keep the two anchors, and fill the remaining 38 slots
-    # with the oldest
+    # dedup_keep_best, events_hourly_gapfill, activity_hot_overlap —
+    # all check_oracle-green locally), keep the two anchors, and fill
+    # the remaining 37 slots with the oldest
     # single-green entries (the r03 window's TPC-H tail / packing /
     # streaming / multimodal block is the natural pick — their only
     # green row is r03).
@@ -3477,6 +3514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_gate_stream": _quality_gate_stream,
         "dedup_keep_best": _dedup_keep_best,
         "events_hourly_gapfill": _events_hourly_gapfill,
+        "activity_hot_overlap": _activity_hot_overlap,
     }
 
 
@@ -4440,6 +4478,31 @@ def oracle_sql() -> dict[str, str]:
                    ) AS sum_value_locf,
                    n_events IS NULL AS is_gap
             FROM j
+        """,
+        # round-4: interval-overlap join — inequality join in SQL; the
+        # Spark side's grid-bucket equi-join must produce identical
+        # pairs (canonical-bucket dedupe)
+        "activity_hot_overlap": """
+            WITH sec AS (
+              SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events
+            ),
+            act AS (
+              SELECT user_id, s // 86400 AS day,
+                     min(s) AS a_lo, max(s) + 1 AS a_hi
+              FROM sec GROUP BY 1, 2
+            ),
+            hot AS (
+              SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_id
+              FROM events GROUP BY 1 HAVING count(*) >= 20
+            ),
+            hw AS (SELECT hour_id * 3600 AS h_lo, (hour_id + 1) * 3600 AS h_hi FROM hot),
+            j AS (
+              SELECT a.user_id, a.day
+              FROM act a JOIN hw ON a.a_lo < hw.h_hi AND hw.h_lo < a.a_hi
+            )
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_hot_windows,
+                   CAST(count(DISTINCT day) AS BIGINT) AS n_days_hot
+            FROM j GROUP BY user_id
         """,
         "price_band_join": """
             SELECT band, count(*) AS n_parts,

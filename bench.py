@@ -99,6 +99,7 @@ FAMILIES: dict[str, list[str]] = {
     "quality_stream": ["quality_gate_stream"],
     "dedup_canonical": ["dedup_keep_best"],
     "timeseries": ["events_hourly_gapfill"],
+    "interval_join": ["activity_hot_overlap"],
 }
 
 

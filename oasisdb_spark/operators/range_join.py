@@ -22,7 +22,66 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["range_join"]
+__all__ = ["range_join", "interval_overlap_join"]
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    strategy: str = "bucket",
+    bucket_width: float | None = None,
+) -> DataFrame:
+    """INTERVAL x INTERVAL overlap join (half-open: overlap iff
+    ``left_lo < right_hi AND right_lo < left_hi``) — the
+    session-vs-window / downtime-vs-deploy analytics shape. Column
+    names must be disjoint across the two sides (alias beforehand).
+
+    - ``strategy='broadcast'``: theta-join against the broadcast right
+      side — fine when one side is dimension-sized.
+    - ``strategy='bucket'``: both sides explode to the grid buckets
+      they overlap and the join becomes a hash equi-join on bucket id.
+      A pair sharing k buckets would duplicate k times; instead of a
+      distinct shuffle, each pair is emitted ONLY in the bucket that
+      contains the overlap start max(left_lo, right_lo) — that bucket
+      is unique and both sides overlap it, so every true pair appears
+      exactly once with zero dedup cost. The 100 TB path when both
+      sides are large; pick ``bucket_width`` near the median interval
+      width so explosion stays O(1) per interval.
+    """
+    overlap = (F.col(left_lo) < F.col(right_hi)) & (F.col(right_lo) < F.col(left_hi))
+    if strategy == "broadcast":
+        return left.join(F.broadcast(right), overlap, "inner")
+    if strategy != "bucket":
+        raise ValueError(f"strategy must be broadcast|bucket, got {strategy!r}")
+    if not bucket_width or bucket_width <= 0:
+        raise ValueError("bucket strategy requires a positive bucket_width")
+    w = float(bucket_width)
+
+    def gridded(df: DataFrame, lo: str, hi: str) -> DataFrame:
+        return df.withColumn(
+            "__bkt",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(lo) / w),
+                    F.floor((F.col(hi) - F.lit(1e-9)) / w),
+                )
+            ),
+        )
+
+    lb, rb = gridded(left, left_lo, left_hi), gridded(right, right_lo, right_hi)
+    canonical = F.col("__bkt") == F.floor(
+        F.greatest(F.col(left_lo), F.col(right_lo)) / w
+    )
+    return (
+        lb.join(rb.withColumnRenamed("__bkt", "__bkt_r"),
+                F.col("__bkt") == F.col("__bkt_r"), "inner")
+        .filter(overlap & canonical)
+        .drop("__bkt", "__bkt_r")
+    )
 
 
 def range_join(

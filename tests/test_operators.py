@@ -93,3 +93,31 @@ def test_range_join_left_keeps_unmatched(points, bands):
     out = range_join(points, bands, "x", "lo", "hi", how="left", strategy="bucket", bucket_width=10.0)
     rows = sorted((r["pid"], r["band"]) for r in out.collect())
     assert rows == sorted(expected_pairs() + [(6, None), (7, None)])
+
+
+def test_interval_overlap_join_bucket_equals_broadcast(spark):
+    from pyspark.sql import functions as F
+
+    from oasisdb_spark.operators.range_join import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(1, 0, 100), (2, 95, 210), (3, 500, 501), (4, 210, 220)],
+        "lid LONG, a_lo LONG, a_hi LONG",
+    )
+    right = spark.createDataFrame(
+        [(10, 90, 130), (11, 200, 300), (12, 490, 505), (13, 100, 101)],
+        "rid LONG, b_lo LONG, b_hi LONG",
+    )
+    def pairs(strategy, **kw):
+        out = interval_overlap_join(left, right, "a_lo", "a_hi", "b_lo", "b_hi",
+                                    strategy=strategy, **kw)
+        return sorted((r["lid"], r["rid"]) for r in out.collect())
+
+    exact = pairs("broadcast")
+    # (1,10) overlap; (2,10) overlap; (2,11) overlap at 200..210;
+    # (3,12); (4,11); (2,13) [100..101 vs 95..210]; 1-13? a_hi=100 not > 100 -> no
+    assert exact == [(1, 10), (2, 10), (2, 11), (2, 13), (3, 12), (4, 11)]
+    # bucket strategy: same pairs, ONCE each, across widths that make
+    # intervals span multiple buckets
+    for w in (7, 50, 1000):
+        assert pairs("bucket", bucket_width=w) == exact
