@@ -475,6 +475,29 @@ def main() -> None:
     print(f"== line_scrub semi-join position scrub: {'OK' if ok else 'FAIL'}")
     failures += not ok
 
+    # 46. events_hourly_gapfill: the dense grid derives from the span
+    # row alone (sequence+explode, Generate in-plan) and the join back
+    # is equi-shaped — no CartesianProduct/BNLJ anywhere
+    plan = plan_of(m.queries()["events_hourly_gapfill"](spark, sf_dir))
+    ok = (
+        "Generate explode" in plan
+        and "CartesianProduct" not in plan
+        and "BroadcastNestedLoopJoin" not in plan
+    )
+    print(f"== events_hourly_gapfill scan-stage grid: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
+    # 47. activity_hot_overlap: the interval-overlap join runs as a
+    # bucket hash equi-join, never a nested-loop pair join
+    plan = plan_of(m.queries()["activity_hot_overlap"](spark, sf_dir))
+    ok = (
+        "CartesianProduct" not in plan
+        and "BroadcastNestedLoopJoin" not in plan
+        and "Generate explode" in plan
+    )
+    print(f"== activity_hot_overlap bucket equi-join: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
     print(f"\n{'ALL PLANS OK' if not failures else f'{failures} PLAN CHECKS FAILED'}")
     spark.stop()
     sys.exit(1 if failures else 0)
