@@ -3148,6 +3148,25 @@ def _dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware corpus split (pipeline/sampling.py
+    leakage_safe_split): whole MinHash-LSH dup clusters move to one
+    split (keyed by component id), so near-duplicates never straddle
+    train/test — the eval-contamination failure plain per-doc splits
+    have. Composes the memoized pair graph + connected components with
+    the deterministic md5 split rule."""
+    from oasisdb_spark.operators import connected_components
+    from oasisdb_spark.pipeline.dedup import minhash_lsh_dedup
+    from oasisdb_spark.pipeline.sampling import leakage_safe_split
+
+    pairs = _memo(
+        spark, sf_dir, "lsh_pairs@0.5",
+        lambda: minhash_lsh_dedup(_table(spark, sf_dir, "documents"), threshold=0.5, eager=True),
+    )
+    clusters = connected_components(pairs, src="doc_a", dst="doc_b", id_col="doc_id")
+    return leakage_safe_split(_table(spark, sf_dir, "documents"), clusters)
+
+
 def _line_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate-line REMOVAL (pipeline/curate.py
     scrub_duplicate_lines — the Dolma/RefinedWeb paragraph-dedup
@@ -3355,13 +3374,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rotation time; everything behind position 50 has a green r02/r03
     # driver row (COVERAGE.md maps entry -> gating round).
     #
-    # ROUND-5 ROTATION TODO: swap into the window the 11 round-4
+    # ROUND-5 ROTATION TODO: swap into the window the 12 round-4
     # additions at the registry tail (training_shards, shard_manifest,
     # token_estimate, retrieval_rank_eval, data_quality_gate,
     # orders_snapshot_diff, line_scrub, quality_gate_stream,
-    # dedup_keep_best, events_hourly_gapfill, activity_hot_overlap —
-    # all check_oracle-green locally), keep the two anchors, and fill
-    # the remaining 37 slots with the oldest
+    # dedup_keep_best, events_hourly_gapfill, activity_hot_overlap,
+    # leakage_safe_split — all check_oracle-green locally), keep the
+    # two anchors, and fill the remaining 36 slots with the oldest
     # single-green entries (the r03 window's TPC-H tail / packing /
     # streaming / multimodal block is the natural pick — their only
     # green row is r03).
@@ -3515,6 +3534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": _dedup_keep_best,
         "events_hourly_gapfill": _events_hourly_gapfill,
         "activity_hot_overlap": _activity_hot_overlap,
+        "leakage_safe_split": _leakage_safe_split,
     }
 
 
@@ -4478,6 +4498,33 @@ def oracle_sql() -> dict[str, str]:
                    ) AS sum_value_locf,
                    n_events IS NULL AS is_gap
             FROM j
+        """,
+        # round-4: near-dup-aware split — whole dup clusters share one
+        # split (closure CTE keys the md5 split rule by component id)
+        "leakage_safe_split": f"""
+            WITH RECURSIVE lshp AS ({_lsh_pairs_oracle(with_banding=True)}),
+            edges AS (
+              SELECT doc_a AS a, doc_b AS b FROM lshp
+              UNION
+              SELECT doc_b, doc_a FROM lshp
+            ),
+            reach AS (
+              SELECT DISTINCT a AS id, a AS r FROM edges
+              UNION
+              SELECT re.id, e.b FROM reach re JOIN edges e ON e.a = re.r
+            ),
+            comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
+            g AS (
+              SELECT d.doc_id, comp.component,
+                     coalesce(comp.component, d.doc_id) AS group_key
+              FROM documents d LEFT JOIN comp USING (doc_id)
+            )
+            SELECT doc_id, CAST(group_key AS BIGINT) AS group_key,
+                   component IS NOT NULL AS is_clustered,
+                   CASE WHEN substr(md5(CAST(group_key AS VARCHAR)), 1, 4) < 'cccd' THEN 'train'
+                        WHEN substr(md5(CAST(group_key AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM g
         """,
         # round-4: interval-overlap join — inequality join in SQL; the
         # Spark side's grid-bucket equi-join must produce identical

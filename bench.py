@@ -100,6 +100,7 @@ FAMILIES: dict[str, list[str]] = {
     "dedup_canonical": ["dedup_keep_best"],
     "timeseries": ["events_hourly_gapfill"],
     "interval_join": ["activity_hot_overlap"],
+    "leakage_split": ["leakage_safe_split"],
 }
 
 

@@ -39,7 +39,13 @@ from pyspark.sql.window import Window
 
 from oasisdb_spark.pipeline.text import quality_score, text_stats_cols, token_count, tokens
 
-__all__ = ["quality_prune", "token_budget_sample", "sliding_chunks", "weighted_sample"]
+__all__ = [
+    "quality_prune",
+    "token_budget_sample",
+    "sliding_chunks",
+    "weighted_sample",
+    "leakage_safe_split",
+]
 
 
 def weighted_sample(
@@ -226,3 +232,45 @@ def sliding_chunks(
         ),
     )
     return out
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup-aware train/val/test split: every member of a dup
+    CLUSTER inherits the split of its cluster, keyed by the component
+    id, so near-duplicates can never straddle train and test — the
+    split-leakage failure the C4/Pile dedup literature warns about
+    (a test doc whose near-copy sits in train silently inflates eval).
+    Unclustered documents split by their own id.
+
+    ``clusters`` is any (doc_id, component) frame — compose with
+    connected components over MinHash-LSH pairs, SemDeDup cells, or
+    exact-dup groups. Split assignment is the same deterministic
+    md5-prefix rule as the plain 80/10/10 splitter (reproducible across
+    engines/runs/cluster sizes; a doc's split never changes as the
+    corpus grows, and a CLUSTER's split never changes as the cluster
+    grows, because the component id is its min doc_id).
+
+    Output: (doc_id, group_key, is_clustered, split). One broadcast-
+    sized left join (the cluster frame is dup-docs only) + a per-row
+    classifier — one shuffle at any corpus size.
+    """
+    g = df.select(F.col(id_col).alias("doc_id")).join(
+        clusters.select("doc_id", "component"), on="doc_id", how="left"
+    )
+    key = F.coalesce(F.col("component"), F.col("doc_id"))
+    bucket = F.substring(F.md5(key.cast("string")), 1, 4)
+    split = (
+        F.when(bucket < F.lit("cccd"), "train")  # 0xcccd/0x10000 ~ 0.80
+        .when(bucket < F.lit("e666"), "val")     # ~0.90
+        .otherwise("test")
+    )
+    return g.select(
+        "doc_id",
+        key.cast("bigint").alias("group_key"),
+        F.col("component").isNotNull().alias("is_clustered"),
+        split.alias("split"),
+    )

@@ -21,7 +21,7 @@ def test_registry_arithmetic_matches_coverage_doc():
     """Pin the counts COVERAGE.md and the queries() comment quote so
     they can't drift from the registry again (VERDICT r03 #5)."""
     qs, os_ = entry.queries(), entry.oracle_sql()
-    assert len(qs) == 136  # 125 through r03 + 11 round-4 additions
+    assert len(qs) == 137  # 125 through r03 + 12 round-4 additions
     # exactly one rows-only entry: pca_knn (last-ulp float reductions)
     assert set(qs) - set(os_) == {"pca_knn"}
     # the driver gates the first 50 entries; the round-4 window must

@@ -197,3 +197,31 @@ class TestWeightedSample:
         for g in list(langs)[:2]:
             solo = weighted_sample(documents.filter(F.col("lang") == g), "n_chars", 5)
             assert {r["doc_id"] for r in solo.collect()} == {r["doc_id"] for r in rows if r["lang"] == g}
+
+
+def test_leakage_safe_split_clusters_share_split(spark):
+    from pyspark.sql import functions as F
+
+    from oasisdb_spark.pipeline.sampling import leakage_safe_split
+
+    docs = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    # clusters: {0,1,2} -> 0 and {10,11} -> 10
+    clusters = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (10, 10), (11, 10)], "doc_id LONG, component LONG"
+    )
+    out = {r["doc_id"]: r for r in leakage_safe_split(docs, clusters).collect()}
+    assert len(out) == 1000
+    # every cluster member shares the component's split and group key
+    assert {out[i]["split"] for i in (0, 1, 2)} == {out[0]["split"]}
+    assert {out[i]["group_key"] for i in (0, 1, 2)} == {0}
+    assert out[10]["split"] == out[11]["split"] and out[10]["group_key"] == 10
+    assert out[0]["is_clustered"] and not out[500]["is_clustered"]
+    # an unclustered doc's split matches the plain md5 rule (growth-stable)
+    import hashlib
+    b = hashlib.md5(b"500").hexdigest()[:4]
+    exp = "train" if b < "cccd" else ("val" if b < "e666" else "test")
+    assert out[500]["split"] == exp
+    # proportions roughly 80/10/10 over 1000 group keys
+    from collections import Counter
+    c = Counter(r["split"] for r in out.values())
+    assert 700 < c["train"] < 900 and c["val"] < 200 and c["test"] < 200
