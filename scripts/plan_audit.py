@@ -498,6 +498,17 @@ def main() -> None:
     print(f"== activity_hot_overlap bucket equi-join: {'OK' if ok else 'FAIL'}")
     failures += not ok
 
+    # 48. leakage_safe_split: cluster inheritance is one left equi-join
+    # (dup-docs-only frame) + a per-row classifier — no pair joins
+    plan = plan_of(m.queries()["leakage_safe_split"](spark, sf_dir))
+    ok = (
+        "CartesianProduct" not in plan
+        and "BroadcastNestedLoopJoin" not in plan
+        and "md5" in plan
+    )
+    print(f"== leakage_safe_split equi-join inheritance: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
     print(f"\n{'ALL PLANS OK' if not failures else f'{failures} PLAN CHECKS FAILED'}")
     spark.stop()
     sys.exit(1 if failures else 0)
