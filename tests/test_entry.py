@@ -24,25 +24,18 @@ def test_registry_arithmetic_matches_coverage_doc():
     assert len(qs) == 137  # 125 through r03 + 12 round-4 additions
     # exactly one rows-only entry: pca_knn (last-ulp float reductions)
     assert set(qs) - set(os_) == {"pca_knn"}
-    # the driver gates the first 50 entries; the round-4 window must
-    # contain every entry that had no driver row through r03 plus the
-    # three repaired-oracle entries
+    # the driver gates the first 50 entries; the round-5 window must
+    # contain every entry that had no driver row through r04 (the 12
+    # round-4 additions) plus the standing anchors
     window = list(qs)[:50]
-    never_checked_through_r03 = {
-        "maxsim_search", "docs_gopher_stream", "docs_neardup_stream",
-        "quality_prune", "token_budget_sample", "sliding_chunks",
-        "table_profile", "bm25_search_indexed", "lsh_recall_eval",
-        "hybrid_search_indexed", "event_funnel", "cohort_retention",
-        "fuzzy_name_pairs", "bloom_semijoin", "semantic_dedup",
-        "heavy_hitters", "weighted_sample", "zorder_scan", "image_dhash",
-        "events_funnel_stream", "jaccard_pairs_prefix",
-        "substring_dup_stats", "lm_perplexity", "perplexity_buckets",
-        "docs_lm_stream", "pca_knn",
+    never_checked_through_r04 = {
+        "training_shards", "shard_manifest", "token_estimate",
+        "retrieval_rank_eval", "data_quality_gate", "orders_snapshot_diff",
+        "line_scrub", "quality_gate_stream", "dedup_keep_best",
+        "events_hourly_gapfill", "activity_hot_overlap", "leakage_safe_split",
     }
-    repaired = {"sequence_pack_chunks", "training_corpus_pipeline",
-                "sequence_pack_bins"}
     anchors = {"collection_lifecycle", "knn_ivfsq"}
-    assert never_checked_through_r03 | repaired | anchors <= set(window)
+    assert never_checked_through_r04 | anchors <= set(window)
 
 
 def test_entry_returns_rows_with_stable_schema(spark):
