@@ -43,8 +43,13 @@ def check_constraints(df: DataFrame, constraints: dict[str, Column]) -> DataFram
     # (dots, backticks, spaces) never enter a column reference
     aggs = [F.count(F.lit(1)).alias("__n")]
     for i, pred in enumerate(constraints.values()):
+        # coalesce: SUM over zero rows is NULL — an EMPTY snapshot must
+        # report 0 violations / rate 0.0, not NULL, or a promotion gate
+        # testing n_violations == 0 silently evaluates to NULL (ADVICE r04)
         aggs.append(
-            F.sum(F.when(pred, F.lit(0)).otherwise(F.lit(1))).alias(f"__v{i}")
+            F.coalesce(
+                F.sum(F.when(pred, F.lit(0)).otherwise(F.lit(1))), F.lit(0)
+            ).alias(f"__v{i}")
         )
     one = df.agg(*aggs)
     stacked = one.select(
@@ -88,7 +93,19 @@ def snapshot_diff(
     if compare_cols is None:
         shared = set(old.columns) & set(new.columns)
         compare_cols = sorted(c for c in shared if c not in set(key_cols))
-    fp = F.md5(F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in compare_cols]))
+    # Collision-proof fingerprint (ADVICE r04 / VERDICT r04 #4): md5
+    # EACH column before joining, so a value containing the separator
+    # byte can never shift field boundaries, and NULL's marker ("∅",
+    # not a 32-char lowercase-hex string) can never alias a real value.
+    fp = F.md5(
+        F.concat_ws(
+            "\x1f",
+            *[
+                F.coalesce(F.md5(F.col(c).cast("string")), F.lit("∅"))
+                for c in compare_cols
+            ],
+        )
+    )
     o = old.select(*key_cols, fp.alias("_fp_old"))
     n = new.select(*key_cols, fp.alias("_fp_new"))
     joined = o.join(n, on=key_cols, how="full_outer")

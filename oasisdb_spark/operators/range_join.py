@@ -40,6 +40,13 @@ def interval_overlap_join(
     session-vs-window / downtime-vs-deploy analytics shape. Column
     names must be disjoint across the two sides (alias beforehand).
 
+    Degenerate intervals (``lo >= hi`` — empty under half-open
+    semantics) match nothing under BOTH strategies: the broadcast
+    theta-join carries an explicit non-emptiness conjunct and the
+    bucket path filters them before the grid explode (which also
+    prevents a reversed interval from generating a huge DESCENDING
+    ``F.sequence`` — one bad row must not explode into |lo-hi|/w rows).
+
     - ``strategy='broadcast'``: theta-join against the broadcast right
       side — fine when one side is dimension-sized.
     - ``strategy='bucket'``: both sides explode to the grid buckets
@@ -51,10 +58,23 @@ def interval_overlap_join(
       exactly once with zero dedup cost. The 100 TB path when both
       sides are large; pick ``bucket_width`` near the median interval
       width so explosion stays O(1) per interval.
+
+    Grid-edge exactness: each side's bucket range is the plain
+    ``[floor(lo/w), floor(hi/w)]`` — NO float epsilon on the upper
+    bound. An interval ending exactly on a grid line emits at most one
+    spurious trailing bucket, which the overlap + canonical filters
+    discard for free; in exchange coverage is exact for ALL numeric
+    bound types (the previous ``floor((hi - 1e-9)/w)`` silently dropped
+    true pairs whose float bounds sat within 1e-9 above a grid line).
+    The canonical bucket floor(max(lo_l, lo_r)/w) is always inside both
+    ranges: max_lo >= lo on each side, and overlap gives max_lo < hi so
+    floor(max_lo/w) <= floor(hi/w).
     """
     overlap = (F.col(left_lo) < F.col(right_hi)) & (F.col(right_lo) < F.col(left_hi))
+    nonempty_l = F.col(left_lo) < F.col(left_hi)
+    nonempty_r = F.col(right_lo) < F.col(right_hi)
     if strategy == "broadcast":
-        return left.join(F.broadcast(right), overlap, "inner")
+        return left.join(F.broadcast(right), overlap & nonempty_l & nonempty_r, "inner")
     if strategy != "bucket":
         raise ValueError(f"strategy must be broadcast|bucket, got {strategy!r}")
     if not bucket_width or bucket_width <= 0:
@@ -62,12 +82,12 @@ def interval_overlap_join(
     w = float(bucket_width)
 
     def gridded(df: DataFrame, lo: str, hi: str) -> DataFrame:
-        return df.withColumn(
+        return df.filter(F.col(lo) < F.col(hi)).withColumn(
             "__bkt",
             F.explode(
                 F.sequence(
                     F.floor(F.col(lo) / w),
-                    F.floor((F.col(hi) - F.lit(1e-9)) / w),
+                    F.floor(F.col(hi) / w),
                 )
             ),
         )
@@ -96,6 +116,16 @@ def range_join(
 ) -> DataFrame:
     """Join each point row to every interval row with
     ``lo_col <= point < hi_col`` (half-open).
+
+    Bucket-strategy grid edge: intervals explode to the plain
+    ``[floor(lo/w), floor(hi/w)]`` bucket range with no float epsilon —
+    an interval ending exactly on a grid line emits one spurious
+    trailing bucket that the residual range filter discards, and
+    coverage is exact for all numeric bound types. Degenerate intervals
+    (``lo >= hi``, unsatisfiable under the half-open condition) are
+    filtered before the explode so a reversed interval cannot generate
+    a descending ``F.sequence`` blowup; the broadcast path yields
+    nothing for them anyway, so the strategies stay equivalent.
     """
     cond = (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col))
     if strategy == "broadcast":
@@ -106,14 +136,12 @@ def range_join(
         raise ValueError("bucket strategy requires a positive bucket_width")
     w = float(bucket_width)
     pb = points.withColumn("__bkt", F.floor(F.col(point_col) / w))
-    ib = intervals.withColumn(
+    ib = intervals.filter(F.col(lo_col) < F.col(hi_col)).withColumn(
         "__bkt",
         F.explode(
             F.sequence(
                 F.floor(F.col(lo_col) / w),
-                # hi is exclusive: an interval ending exactly on a grid
-                # line does not reach into the next bucket
-                F.floor((F.col(hi_col) - F.lit(1e-9)) / w),
+                F.floor(F.col(hi_col) / w),
             )
         ),
     )

@@ -71,8 +71,16 @@ def pretokens(c: Column | str) -> Column:
     """BPE pre-tokenizer piece array (see _PRETOKEN_RE). Unlike
     ``tokens`` this is case-preserving and splits letter/digit/symbol
     boundaries the way subword tokenizers do ("abc123!" -> 3 pieces,
-    where ``tokens`` lowercases and merges to "abc123")."""
-    return F.regexp_extract_all(_col(c), F.lit(_PRETOKEN_RE), 0)
+    where ``tokens`` lowercases and merges to "abc123").
+
+    NULL text counts as an EMPTY document (ADVICE r04): the input is
+    coalesced to '' so downstream F.size(...) is 0 and
+    bpe_token_estimate is 0 — matching the shard-manifest / budget
+    oracles' COALESCE(..., 0) — instead of NULL/-1 leaking into token
+    budgets."""
+    return F.regexp_extract_all(
+        F.coalesce(_col(c), F.lit("")), F.lit(_PRETOKEN_RE), 0
+    )
 
 
 def bpe_token_estimate(c: Column | str) -> Column:

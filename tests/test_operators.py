@@ -121,3 +121,58 @@ def test_interval_overlap_join_bucket_equals_broadcast(spark):
     # intervals span multiple buckets
     for w in (7, 50, 1000):
         assert pairs("bucket", bucket_width=w) == exact
+
+
+def test_interval_overlap_join_grid_edge_and_degenerate(spark):
+    """ADVICE r04 repro: float bounds within 1e-9 above a grid line were
+    silently dropped by the old epsilon grid; reversed intervals
+    exploded a descending F.sequence. Both must now be exact/safe, and
+    degenerate (lo >= hi) intervals match nothing under BOTH
+    strategies."""
+    from oasisdb_spark.operators.range_join import interval_overlap_join
+
+    # left interval's hi sits 5e-10 above the w=10 grid line at 20.0;
+    # the true overlap [20.0, 20.0000000005) lives in bucket 2, which
+    # the old floor((hi-1e-9)/w) upper bound never emitted for the left
+    left = spark.createDataFrame(
+        [(1, 10.0, 20.0000000005),   # overlaps right 10 only in bucket 2
+         (2, 5.0, 5.0),              # empty: matches nothing
+         (3, 90.0, 30.0)],           # reversed: matches nothing, no blowup
+        "lid LONG, a_lo DOUBLE, a_hi DOUBLE",
+    )
+    right = spark.createDataFrame(
+        [(10, 20.0, 25.0), (11, 4.0, 6.0), (12, 30.0, 95.0)],
+        "rid LONG, b_lo DOUBLE, b_hi DOUBLE",
+    )
+
+    def pairs(strategy, **kw):
+        out = interval_overlap_join(left, right, "a_lo", "a_hi", "b_lo", "b_hi",
+                                    strategy=strategy, **kw)
+        return sorted((r["lid"], r["rid"]) for r in out.collect())
+
+    assert pairs("broadcast") == [(1, 10)]
+    assert pairs("bucket", bucket_width=10.0) == [(1, 10)]
+    # reversed interval must not explode rows: the gridded left side is
+    # 2 bucket rows for lid=1 and zero for lid=2/3
+    from pyspark.sql import functions as F
+    gridded = left.filter(F.col("a_lo") < F.col("a_hi")).withColumn(
+        "__bkt", F.explode(F.sequence(F.floor(F.col("a_lo") / 10.0),
+                                      F.floor(F.col("a_hi") / 10.0))))
+    assert gridded.count() == 2
+
+
+def test_range_join_bucket_grid_line_and_reversed(spark):
+    """Interval bounds exactly ON grid lines stay exact without the
+    epsilon, and a reversed interval neither matches nor explodes."""
+    points = spark.createDataFrame(
+        [(1, 10.0), (2, 19.999999999), (3, 20.0)], "pid LONG, x DOUBLE")
+    bands = spark.createDataFrame(
+        [("on_grid", 10.0, 20.0),     # half-open: x=20.0 excluded
+         ("reversed", 900.0, 0.0)],   # degenerate: matches nothing
+        "band STRING, lo DOUBLE, hi DOUBLE",
+    )
+    for strategy, kw in [("broadcast", {}), ("bucket", {"bucket_width": 10.0}),
+                         ("bucket", {"bucket_width": 3.0})]:
+        out = range_join(points, bands, "x", "lo", "hi", strategy=strategy, **kw)
+        assert sorted((r["pid"], r["band"]) for r in out.collect()) == [
+            (1, "on_grid"), (2, "on_grid")]

@@ -65,3 +65,29 @@ def test_check_constraints_arbitrary_rule_names(spark):
         df, {"v > 0 (sanity.check)": F.col("v") > 0, "weird `name`": F.col("id") < 0}
     ).collect()}
     assert out == {"v > 0 (sanity.check)": 0, "weird `name`": 1}
+
+
+def test_check_constraints_empty_table_reports_zero(spark):
+    """ADVICE r04: SUM over zero rows is NULL — an empty snapshot must
+    report 0 violations / rate 0.0 so `n_violations == 0` gates pass."""
+    df = spark.createDataFrame([], "id LONG, v DOUBLE")
+    out = {r["constraint"]: r for r in check_constraints(
+        df, {"v_pos": F.col("v") > 0}).collect()}
+    assert out["v_pos"]["n_rows"] == 0
+    assert out["v_pos"]["n_violations"] == 0
+    assert out["v_pos"]["violation_rate"] == 0.0
+
+
+def test_snapshot_diff_separator_adversarial(spark):
+    """ADVICE r04 / VERDICT r04 #4: values containing the old \\x1f
+    separator (or equal to the old \\x00 NULL marker) must not alias
+    row fingerprints."""
+    # old row ("a\x1fb", "c") vs new row ("a", "b\x1fc"): same naive
+    # concat_ws bytes, genuinely different rows -> must be 'changed'
+    old = spark.createDataFrame([(1, "a\x1fb", "c"), (2, "\x00", "z")],
+                                "k LONG, s1 STRING, s2 STRING")
+    new = spark.createDataFrame([(1, "a", "b\x1fc"), (2, None, "z")],
+                                "k LONG, s1 STRING, s2 STRING")
+    out = {r["k"]: r["status"] for r in snapshot_diff(old, new, ["k"]).collect()}
+    # k=2: literal "\x00" string vs real NULL must also differ
+    assert out == {1: "changed", 2: "changed"}

@@ -101,3 +101,18 @@ def test_pretokens_and_bpe_estimate(spark):
     assert out[2]["pt"] == ["don", "'", "t", "stop"]
     assert out[3]["pt"] == [] and out[3]["est"] == 0
     assert out[4]["est"] == 5
+
+
+def test_pretokens_and_bpe_null_text_is_zero(spark):
+    """ADVICE r04: NULL text counts as an empty doc — size 0 / estimate
+    0, never NULL / -1 leaking into token budgets."""
+    from oasisdb_spark.pipeline.text import bpe_token_estimate, pretokens
+
+    df = spark.createDataFrame([(1, None), (2, "ab cd!")], "id LONG, text STRING")
+    rows = {r["id"]: r for r in df.select(
+        "id",
+        F.size(pretokens("text")).alias("n_pre"),
+        bpe_token_estimate("text").alias("est"),
+    ).collect()}
+    assert rows[1]["n_pre"] == 0 and rows[1]["est"] == 0
+    assert rows[2]["n_pre"] == 3 and rows[2]["est"] == 3
