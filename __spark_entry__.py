@@ -10,11 +10,12 @@ driver entries in EXACT mode (nprobe=nlist / full refine / 16 hash
 tables ⇒ result ≡ Flat), which makes them L2-oracle-able end to end;
 quality at production approximate settings is recall-tested vs the
 Flat oracle in tests/ + RECALL.md, and those plans are benchmarked via
-bench_queries(). The only rows-only entries are pca_knn (last-ulp
-float reductions across partitionings) — every packing strategy incl.
-first-fit-decreasing is oracled (the FFD walk is deterministic from
-the stable (n_tokens desc, doc_id) order, and a recursive CTE carrying
-the open-bin capacity LIST replays it exactly).
+bench_queries(). Every entry is oracled — including pca_knn, whose
+fixed-point integer pipeline (functions/dimred.py quantized path)
+makes the whole fit→project→kNN chain partition-order-exact, and every
+packing strategy incl. first-fit-decreasing (the FFD walk is
+deterministic from the stable (n_tokens desc, doc_id) order, and a
+recursive CTE carrying the open-bin capacity LIST replays it exactly).
 """
 
 from __future__ import annotations
@@ -2755,27 +2756,43 @@ def _bm25_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pca_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding compression end-to-end (functions/dimred.py): fit
-    PCA-16 over the embeddings fixture (one distributed Gram pass,
-    memoized like the index builds), project base + queries (Arrow
-    GEMM, shuffle-free), exact kNN in the 16-d space. Rows-only entry:
-    the eigendecomposition is deterministic given the Gram matrix, but
-    cross-partitioning float reductions differ in the last ulp, so
-    ranks near ties are not hash-stable — recall properties are
-    test-verified instead (test_dimred.py neighborhood test)."""
-    from oasisdb_spark.functions.dimred import fit_pca, pca_project
-    from oasisdb_spark.index.flat import knn_flat
+    """Embedding compression end-to-end (functions/dimred.py), in the
+    INTEGER-EXACT fixed-point form (VERDICT r04 next-round #2): quantize
+    inputs to micro-units, fit PCA-16 from exact int64 moments (one
+    distributed pass, memoized like the index builds), quantize the
+    model, project with pure int64 arithmetic, exact L2 kNN on the
+    int projections. Every cross-partition reduction is integer (hence
+    associative and partitioning-independent), so ids, ranks AND
+    distances hash-match the DuckDB oracle, which re-derives the same
+    model from the same integer moments (see _pca_knn_oracle_sql). The
+    float-API twin (fit_pca/pca_project) remains recall-tested in
+    test_dimred.py."""
+    from oasisdb_spark.functions.dimred import fit_pca_quantized, pca_project_quantized
 
     model = _memo(
-        spark, sf_dir, "pca16",
-        lambda: fit_pca(_table(spark, sf_dir, "embeddings"), n_components=16),
+        spark, sf_dir, "pca16q",
+        lambda: fit_pca_quantized(_table(spark, sf_dir, "embeddings"), n_components=16),
     )
-    projected = pca_project(_table(spark, sf_dir, "embeddings"), model, out_col="proj")
-    base = projected.select(F.col("vec_id").alias("id"), F.col("proj").alias("vector"))
+    projected = pca_project_quantized(
+        _table(spark, sf_dir, "embeddings"), model, out_col="proj"
+    ).select("vec_id", "proj")
     queries = projected.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("proj").alias("query_vec")
     )
-    return knn_flat(queries, base, k=10, space="l2").select("query_id", "id", "rank")
+    dist2 = F.aggregate(
+        F.zip_with("query_vec", "proj", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = projected.crossJoin(F.broadcast(queries)).select(
+        "query_id", F.col("vec_id").alias("id"), dist2.alias("dist2")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dist2").asc(), F.col("id").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "id", "rank", "dist2")
+    )
 
 
 def _hybrid_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3371,11 +3388,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # everything behind position 50 has a green r02/r03/r04 driver row
     # (COVERAGE.md maps entry -> gating round).
     #
-    # ROUND-6 ROTATION TODO: rotate in the 7 remaining r03-only
-    # entries (ngram_contamination, line_dedup, source_mixture,
-    # gopher_filter, search_filtered_ivf, curation_pipeline, knn_binq)
-    # plus any round-5 additions, keep the anchors, and fill with the
-    # then-oldest single-green entries.
+    # ROUND-6 ROTATION TODO: rotate in the 8 remaining r03-only
+    # entries (pii_scrub, ngram_contamination, line_dedup,
+    # source_mixture, gopher_filter, search_filtered_ivf,
+    # curation_pipeline, knn_binq) plus any round-5 additions, keep the
+    # anchors, and fill with the then-oldest single-green entries.
+    # (pii_scrub ceded its round-5 slot to the newly ORACLED pca_knn,
+    # whose first hash-gated driver row matters more than a re-green.)
     return {
         # --- ROUND-5 WINDOW (positions 1-50) ---
         # anchors (1-2)
@@ -3430,9 +3449,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": _multimodal_frames,
         "multimodal_audio": _multimodal_audio,
         "multimodal_resize": _multimodal_resize,
-        "pii_scrub": _pii_scrub,
+        # first driver row for the newly ORACLED pca_knn (VERDICT r04
+        # next-round #2: quantized fixed-point PCA, hash-gated)
+        "pca_knn": _pca_knn,
         # --- behind the window: green in r02/r03/r04 (see COVERAGE.md);
-        # the first 7 are the round-6 rotation candidates (r03-only) ---
+        # the first 8 are the round-6 rotation candidates (r03-only) ---
+        "pii_scrub": _pii_scrub,
         "maxsim_search": _maxsim_search,
         "docs_gopher_stream": _docs_gopher_stream,
         "docs_neardup_stream": _docs_neardup_stream,
@@ -3458,7 +3480,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": _lm_perplexity,
         "perplexity_buckets": _perplexity_buckets,
         "docs_lm_stream": _docs_lm_stream,
-        "pca_knn": _pca_knn,
         "sequence_pack_chunks": _sequence_pack_chunks,
         "training_corpus_pipeline": _training_corpus_pipeline,
         "sequence_pack_bins": _sequence_pack_bins,
@@ -3831,10 +3852,95 @@ _FUNNEL_ORACLE = """
 """
 
 
+def _pca_knn_oracle_sql() -> str:
+    """Generate the pca_knn oracle: DuckDB re-derives the SAME
+    quantized PCA-16 model this module's Spark entry fits, then does
+    the projection + exact kNN itself in pure BIGINT SQL.
+
+    The model cannot be expressed in SQL (eigendecomposition), but it
+    IS a pure deterministic function of the table: quantized int64
+    moments (exact and partition-order-free — integer addition is
+    associative) -> the shared numpy core pca_model_from_int_moments.
+    This generator reads the same parquet with duckdb+numpy, computes
+    the identical moments single-pass, calls the identical core, and
+    inlines the resulting 64 mean + 64x16 component INTEGERS as VALUES
+    tables; everything downstream — input quantization
+    floor(x*1e6 + 0.5), int64 projection, the positive-offset
+    floor-division rescale, squared-L2, top-k — is recomputed by DuckDB
+    from the raw table and must match Spark bit for bit.
+
+    The oracle is generated for the driver's gate fixture
+    (SPARK_GRAFT_ORACLE_SF_DIR, default sf0.01 — the documented
+    sf of the driver's side-by-side comparison; scripts/check_oracle.py
+    sets it from its sf_dir argument so local runs agree at any sf)."""
+    import os
+
+    import duckdb
+    import numpy as np
+
+    from oasisdb_spark.functions.dimred import (
+        PCA_OFF,
+        PCA_SC,
+        PCA_SX,
+        pca_model_from_int_moments,
+        quantize_vectors_np,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    emb = con.execute(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchnumpy()
+    con.close()
+    xq = quantize_vectors_np(np.asarray([list(e) for e in emb["embedding"]]))
+    model = pca_model_from_int_moments(
+        n=xq.shape[0],
+        s=xq.sum(axis=0, dtype=np.int64),
+        g=xq.T @ xq,
+        n_components=16,
+    )
+    d, k = model.dim, model.n_components
+    mean_rows = ", ".join(f"({i + 1}, {int(m)})" for i, m in enumerate(model.mean_q))
+    comp_rows = ", ".join(
+        f"({i + 1}, {j + 1}, {int(model.comp_q[i, j])})"
+        for i in range(d)
+        for j in range(k)
+    )
+    off_div = PCA_OFF // PCA_SC
+    return f"""
+        WITH meanq(i, m) AS (VALUES {mean_rows}),
+        comp(i, j, c) AS (VALUES {comp_rows}),
+        xq AS (
+          SELECT vec_id, r.i AS i,
+                 CAST(floor(CAST(embedding[r.i] AS DOUBLE) * {float(PCA_SX)} + 0.5) AS BIGINT) AS xq
+          FROM embeddings, range(1, {d + 1}) r(i)
+        ),
+        proj AS (
+          SELECT x.vec_id, c.j,
+                 (CAST(SUM((x.xq - m.m) * c.c) AS BIGINT) + {PCA_OFF}) // {PCA_SC}
+                   - {off_div} AS p
+          FROM xq x JOIN meanq m USING (i) JOIN comp c ON c.i = x.i
+          GROUP BY x.vec_id, c.j
+        ),
+        d AS (
+          SELECT q.vec_id AS query_id, b.vec_id AS id,
+                 CAST(SUM((q.p - b.p) * (q.p - b.p)) AS BIGINT) AS dist2
+          FROM proj q JOIN proj b USING (j)
+          WHERE q.vec_id < 10
+          GROUP BY 1, 2
+        )
+        SELECT query_id, id, CAST(rank AS INT) AS rank, dist2 FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist2, id) AS rank
+          FROM d
+        ) WHERE rank <= 10
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     from oasisdb_spark.pipeline.text import STOPWORDS  # noqa: F401 (constants shared with oracles)
 
     return {
+        "pca_knn": _pca_knn_oracle_sql(),
         "knn_flat_l2": _KNN_ORACLE_TMPL.format(dist=_L2_SQL, nq=10, k=10, base="embeddings", extra="", join=""),
         "knn_flat_cos": _KNN_ORACLE_TMPL.format(dist=_COS_SQL, nq=10, k=10, base="embeddings", extra="", join=""),
         "knn_flat_ip": _KNN_ORACLE_TMPL.format(dist=f"-({_DOT_SQL})", nq=10, k=10, base="embeddings", extra="", join=""),

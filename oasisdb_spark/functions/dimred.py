@@ -34,7 +34,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["PCAModel", "fit_pca", "pca_project"]
+__all__ = [
+    "PCAModel",
+    "QuantizedPCAModel",
+    "fit_pca",
+    "fit_pca_quantized",
+    "pca_project",
+    "pca_project_quantized",
+    "pca_model_from_int_moments",
+    "quantize_vectors_np",
+    "PCA_SX",
+    "PCA_SC",
+    "PCA_OFF",
+]
+
+# Fixed-point scales for the INTEGER-EXACT PCA path (the repo's
+# micro-unit idiom: micro-nat LM scores in pipeline/lm.py, micro-int
+# DCG in operators/evalmetrics.py). Inputs quantize to SX units
+# (xq = floor(x*SX + 0.5)); components quantize to SC units; raw
+# projections (SX*SC units) rescale back to SX units via a
+# floor-division with a positive offset, because DuckDB's `//`
+# TRUNCATES negatives while Python/numpy FLOOR — adding a multiple of
+# SC first makes the dividend positive so both agree exactly.
+PCA_SX = 1_000_000
+PCA_SC = 1_000_000
+PCA_OFF = 10**14  # multiple of PCA_SC; |raw proj| < 7e13 << PCA_OFF
 
 
 @dataclass
@@ -116,6 +140,148 @@ def fit_pca(df: DataFrame, vec_col: str = "embedding", n_components: int = 16) -
         explained_variance=np.maximum(evals[order], 0.0),
         total_variance=float(np.maximum(evals, 0.0).sum()),
     )
+
+
+@dataclass
+class QuantizedPCAModel:
+    """Integer PCA model: mean in SX units, components in SC units.
+
+    Everything downstream of the (deterministic) eigendecomposition is
+    int64 arithmetic, so projections and kNN distances are bit-identical
+    across engines and partitionings — which is what makes the pca_knn
+    driver entry hash-oracle-able (VERDICT r04 next-round #2), unlike
+    the float twin whose cross-partition float reductions differ in the
+    last ulp."""
+
+    mean_q: np.ndarray   # (d,) int64, SX units
+    comp_q: np.ndarray   # (d, k) int64, SC units
+
+    @property
+    def dim(self) -> int:
+        return self.comp_q.shape[0]
+
+    @property
+    def n_components(self) -> int:
+        return self.comp_q.shape[1]
+
+
+def quantize_vectors_np(x: np.ndarray) -> np.ndarray:
+    """float array -> int64 micro-units: floor(x*SX + 0.5). Elementwise
+    IEEE-754 double ops — DuckDB's floor(CAST(e AS DOUBLE)*1e6 + 0.5)
+    computes the identical value, so both engines see the same ints."""
+    return np.floor(x.astype(np.float64) * PCA_SX + 0.5).astype(np.int64)
+
+
+def pca_model_from_int_moments(
+    n: int, s: np.ndarray, g: np.ndarray, n_components: int
+) -> QuantizedPCAModel:
+    """Shared deterministic core: integer moments -> quantized model.
+
+    ``s`` (d,) and ``g`` (d,d) are EXACT int64 sums of quantized
+    vectors / their Gram — integer addition is associative, so any
+    partitioning of the data yields the same moments, and this function
+    (same numpy, same machine) then yields the same model bits. Used by
+    BOTH the distributed fit and the oracle generator so the two derive
+    one identical model."""
+    d = s.shape[0]
+    if not 1 <= n_components <= d:
+        raise ValueError(f"n_components must be in [1, {d}], got {n_components}")
+    mean = s.astype(np.float64) / n  # SX units
+    denom = max(n - 1, 1)
+    cov = (g.astype(np.float64) - n * np.outer(mean, mean)) / denom
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:n_components]
+    comp = evecs[:, order]
+    flips = np.sign(comp[np.abs(comp).argmax(axis=0), np.arange(comp.shape[1])])
+    flips[flips == 0] = 1.0
+    comp = comp * flips
+    return QuantizedPCAModel(
+        mean_q=np.floor(mean + 0.5).astype(np.int64),
+        comp_q=np.floor(comp * PCA_SC + 0.5).astype(np.int64),
+    )
+
+
+def fit_pca_quantized(
+    df: DataFrame, vec_col: str = "embedding", n_components: int = 16
+) -> QuantizedPCAModel:
+    """Integer-exact distributed PCA fit: one mapInPandas pass emits
+    per-partition INT64 moments (n, Σxq, Xq'Xq) of the quantized
+    vectors; the driver reduces them (exact, order-free) and calls the
+    shared model core. Same one-pass shape and driver-side cost as
+    fit_pca — O(num_partitions · d²) ints reach the driver."""
+    schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.ArrayType(T.LongType())),
+            T.StructField("g", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n, s, g = 0, None, None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            xq = quantize_vectors_np(np.asarray(pdf[vec_col].tolist()))
+            n += xq.shape[0]
+            ps = xq.sum(axis=0, dtype=np.int64)
+            pg = xq.T @ xq  # int64 matmul — exact
+            s = ps if s is None else s + ps
+            g = pg if g is None else g + pg
+        if n:
+            yield pd.DataFrame({"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]})
+
+    rows = df.select(vec_col).mapInPandas(partials, schema=schema).collect()
+    if not rows:
+        raise ValueError("fit_pca_quantized: empty input")
+    d = len(rows[0]["s"])
+    n = sum(int(r["n"]) for r in rows)
+    s = np.zeros(d, dtype=np.int64)
+    g = np.zeros((d, d), dtype=np.int64)
+    for r in rows:
+        s += np.asarray(r["s"], dtype=np.int64)
+        g += np.asarray(r["g"], dtype=np.int64).reshape(d, d)
+    return pca_model_from_int_moments(n, s, g, n_components)
+
+
+def pca_project_quantized(
+    df: DataFrame,
+    model: QuantizedPCAModel,
+    vec_col: str = "embedding",
+    out_col: str = "proj",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Project onto the quantized model with pure int64 arithmetic.
+
+    p_raw = (xq - mean_q) @ comp_q is exact int64 (|p_raw| <= d * 2e6 *
+    SC ~ 7e13); the rescale back to SX units is (p_raw + OFF) // SC -
+    OFF // SC with a positive dividend, matching DuckDB's truncating
+    `//` bit for bit. One Arrow-batched pass, no shuffle."""
+    if keep_cols is None:
+        keep_cols = [c for c in df.columns if c != vec_col]
+    spark = df.sparkSession
+    b_mean = spark.sparkContext.broadcast(model.mean_q)
+    b_comp = spark.sparkContext.broadcast(model.comp_q)
+
+    in_schema = df.select(*keep_cols, vec_col).schema
+    out_schema = T.StructType(
+        [f for f in in_schema if f.name != vec_col]
+        + [T.StructField(out_col, T.ArrayType(T.LongType()))]
+    )
+
+    def proj(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mean_q, comp_q = b_mean.value, b_comp.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            xq = quantize_vectors_np(np.asarray(pdf[vec_col].tolist()))
+            raw = (xq - mean_q) @ comp_q  # int64
+            p = (raw + PCA_OFF) // PCA_SC - PCA_OFF // PCA_SC
+            out = pdf[keep_cols].copy()
+            out[out_col] = list(p)
+            yield out
+
+    return df.select(*keep_cols, vec_col).mapInPandas(proj, schema=out_schema)
 
 
 def pca_project(

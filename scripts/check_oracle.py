@@ -39,6 +39,12 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    # generated oracles (pca_knn derives its quantized model from the
+    # gate fixture) must target the same sf as this run
+    import os
+
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
+
     from oasisdb_spark.session import get_spark
 
     spark = get_spark("check_oracle")

@@ -77,3 +77,69 @@ def test_validation(data, spark):
     empty = df.filter("vec_id < 0")
     with pytest.raises(ValueError):
         fit_pca(empty, n_components=1)
+
+
+def test_quantized_fit_is_partitioning_invariant(spark):
+    """The int-moment fit must yield the IDENTICAL model under any
+    partitioning (integer addition is associative), and match a
+    single-pass numpy fit via the shared core — the property that makes
+    pca_knn hash-oracle-able."""
+    import numpy as np
+
+    from oasisdb_spark.functions.dimred import (
+        fit_pca_quantized,
+        pca_model_from_int_moments,
+        quantize_vectors_np,
+    )
+
+    rng = np.random.RandomState(7)
+    x = rng.randn(300, 8).astype(np.float32) * 0.3
+    rows = [(i, [float(v) for v in x[i]]) for i in range(len(x))]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+
+    m1 = fit_pca_quantized(df.repartition(1), n_components=4)
+    m7 = fit_pca_quantized(df.repartition(7), n_components=4)
+    xq = quantize_vectors_np(x)
+    mnp = pca_model_from_int_moments(
+        len(xq), xq.sum(axis=0, dtype=np.int64), xq.T @ xq, 4
+    )
+    for a, b in [(m1, m7), (m1, mnp)]:
+        assert np.array_equal(a.mean_q, b.mean_q)
+        assert np.array_equal(a.comp_q, b.comp_q)
+
+
+def test_quantized_projection_matches_numpy_and_rescale_semantics(spark):
+    """Projection must equal the numpy int pipeline including the
+    positive-offset floor-division rescale (DuckDB `//` truncates
+    negatives; the offset makes both engines agree)."""
+    import numpy as np
+
+    from oasisdb_spark.functions.dimred import (
+        PCA_OFF,
+        PCA_SC,
+        fit_pca_quantized,
+        pca_project_quantized,
+        quantize_vectors_np,
+    )
+
+    rng = np.random.RandomState(11)
+    x = rng.randn(120, 8).astype(np.float32) * 0.3
+    rows = [(i, [float(v) for v in x[i]]) for i in range(len(x))]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    model = fit_pca_quantized(df, n_components=3)
+
+    got = {r["vec_id"]: list(r["proj"])
+           for r in pca_project_quantized(df.repartition(5), model).collect()}
+    xq = quantize_vectors_np(x)
+    raw = (xq - model.mean_q) @ model.comp_q
+    want = (raw + PCA_OFF) // PCA_SC - PCA_OFF // PCA_SC
+    for i in range(len(x)):
+        assert got[i] == list(want[i])
+    # quantized projections track the float PCA (same sign-flip rule in
+    # both fits) to well under quantization scale
+    from oasisdb_spark.functions.dimred import PCA_SX, fit_pca, pca_project
+    fmodel = fit_pca(df, n_components=3)
+    fgot = {r["vec_id"]: np.asarray(r["proj"])
+            for r in pca_project(df, fmodel).collect()}
+    for i in range(0, len(x), 17):
+        assert np.allclose(np.asarray(got[i]) / PCA_SX, fgot[i], atol=1e-4)

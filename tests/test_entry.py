@@ -22,8 +22,8 @@ def test_registry_arithmetic_matches_coverage_doc():
     they can't drift from the registry again (VERDICT r03 #5)."""
     qs, os_ = entry.queries(), entry.oracle_sql()
     assert len(qs) == 137  # 125 through r03 + 12 round-4 additions
-    # exactly one rows-only entry: pca_knn (last-ulp float reductions)
-    assert set(qs) - set(os_) == {"pca_knn"}
+    # round 5: pca_knn gained a fixed-point oracle — ZERO unoracled entries
+    assert set(qs) - set(os_) == set()
     # the driver gates the first 50 entries; the round-5 window must
     # contain every entry that had no driver row through r04 (the 12
     # round-4 additions) plus the standing anchors
