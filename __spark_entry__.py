@@ -3570,6 +3570,15 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _table(s, d, "documents"), min_length=30, hash_grams=True,
             parallelism=s.sparkContext.defaultParallelism,
         ),
+        # the 100 TB setting: two-salt 128-bit gram key — 16 bytes
+        # shuffled, collision expectation ~n^2/2^129 (SCALING.md table)
+        # vs the 64-bit key's ~27k colliding pairs at n=1e12 grams
+        "substring_dup_wide": lambda s, d: __import__(
+            "oasisdb_spark.pipeline.dedup", fromlist=["duplicate_substring_stats"]
+        ).duplicate_substring_stats(
+            _table(s, d, "documents"), min_length=30, hash_grams="wide",
+            parallelism=s.sparkContext.defaultParallelism,
+        ),
     }
 
 

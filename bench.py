@@ -101,6 +101,8 @@ FAMILIES: dict[str, list[str]] = {
     "timeseries": ["events_hourly_gapfill"],
     "interval_join": ["activity_hot_overlap"],
     "leakage_split": ["leakage_safe_split"],
+    # round-5 additions (additive — earlier families untouched)
+    "dedup_wide": ["substring_dup_wide"],
 }
 
 

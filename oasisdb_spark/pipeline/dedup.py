@@ -680,13 +680,28 @@ def jaccard_pairs_prefix(
     return out
 
 
+def _gram_key(hash_grams: bool | str):
+    """Shuffle key for an L-gram: False -> the exact string; True ->
+    64-bit xxhash64; 'wide' -> two-salt 128-bit struct (both halves are
+    JVM-side whole-stage-codegen expressions; a struct of two longs
+    group-bys and joins like any composite key)."""
+    if hash_grams == "wide":
+        return F.struct(
+            F.xxhash64("gram").alias("h1"),
+            F.xxhash64(F.lit(1), F.col("gram")).alias("h2"),
+        )
+    if hash_grams:
+        return F.xxhash64("gram")
+    return F.col("gram")
+
+
 def duplicate_substring_positions(
     df: DataFrame,
     min_length: int = 30,
     id_col: str = "doc_id",
     text_col: str = "text",
     min_count: int = 2,
-    hash_grams: bool = True,
+    hash_grams: bool | str = True,
     parallelism: int | None = None,
 ) -> DataFrame:
     """ExactSubstr duplicated-span detection (Lee et al., ACL 2022,
@@ -719,9 +734,18 @@ def duplicate_substring_positions(
       measured 3.54 s vs 4.51 s at a 10x sf0.1 corpus, and the gap
       widens as the gram shuffle dominates — scripts/scale_smoke_sf1.py)
       shuffles xxhash64(gram) (8 bytes) instead of the L-char gram
-      string (~L bytes): ~L/8x less shuffle IO, exact up to 64-bit
-      collisions (~n^2/2^65 — negligible; the driver's oracle entry
-      pins hash_grams=False so its match stays unconditional).
+      string (~L bytes): ~L/8x less shuffle IO. A 64-bit key is exact
+      up to collisions: expected colliding gram PAIRS ~ n^2/2^65, i.e.
+      ~0.03 at n=1e9 distinct grams but ~27,000 at n=1e12 and ~2.7e6
+      at n=1e13 — the 100 TB regime, where each collision is a
+      potential silent false duplicate span handed to the scrubber.
+    - ``hash_grams='wide'`` is the 100 TB default-of-choice: a TWO-SALT
+      128-bit gram key, struct(xxhash64(gram), xxhash64(1, gram)) —
+      16 bytes shuffled (still ~L/16x below strings), with expected
+      colliding pairs ~ n^2/2^129 ~ 1.5e-15 even at n=1e12 (SCALING.md
+      has the table). ``hash_grams=False`` shuffles the exact gram
+      string — unconditional; the driver's oracle entry pins it so the
+      hash match stays assumption-free.
 
     Reference parity: the reference engine has no corpus-dedup surface
     (SURVEY §2.4); this extends the dedup family alongside MinHash/
@@ -751,7 +775,7 @@ def duplicate_substring_positions(
         .select(
             "doc_id",
             (F.col("off") + 1).cast("long").alias("pos"),
-            (F.xxhash64("gram") if hash_grams else F.col("gram")).alias("gkey"),
+            _gram_key(hash_grams).alias("gkey"),
         )
     )
     dup = grams.groupBy("gkey").agg(F.count(F.lit(1)).alias("_n")).filter(
@@ -776,7 +800,7 @@ def duplicate_substring_stats(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_count: int = 2,
-    hash_grams: bool = True,
+    hash_grams: bool | str = True,
     parallelism: int | None = None,
 ) -> DataFrame:
     """Per-document duplicated-span statistics over
@@ -813,7 +837,7 @@ def scrub_duplicate_substrings(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_count: int = 2,
-    hash_grams: bool = True,
+    hash_grams: bool | str = True,
     parallelism: int | None = None,
 ) -> DataFrame:
     """Remove every duplicated span (ALL copies, the ExactSubstr paper's

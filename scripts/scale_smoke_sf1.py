@@ -96,6 +96,9 @@ def ops(spark, docs):
         "substring_dup_stats[hash-grams]": lambda: duplicate_substring_stats(
             docs, min_length=30, hash_grams=True, parallelism=par
         ),
+        "substring_dup_stats[wide-grams]": lambda: duplicate_substring_stats(
+            docs, min_length=30, hash_grams="wide", parallelism=par
+        ),
         "lm_perplexity": lambda: lm_score(docs, bigram_lm(docs, parallelism=par), parallelism=par),
         "jaccard_pairs_prefix": lambda: jaccard_pairs_prefix(
             docs, threshold=0.5, parallelism=par, eager=True
@@ -236,7 +239,89 @@ def main() -> None:
         print(f"| {name} | {r['sf0.1']:.2f} | {r['sf1']:.2f} | {ratio:.1f}x |")
 
     ann_section(spark)
+    tpch_section(spark)
     spark.stop()
+
+
+SF1_TPCH_DIR = "/tmp/oasis_scale_sf1_tpch"
+
+
+def build_sf1_tpch(spark, factor: int = 10) -> str:
+    """10x TPC-H fixture (VERDICT r04 next-round #7): replicate the
+    fact AND dimension tables with consistent key shifts — customer,
+    supplier, part, orders, lineitem all grow 10x and every foreign key
+    moves by the same per-replica offset, so join fan-outs and group
+    cardinalities per key stay CONSTANT (scaling up data, not skew),
+    exactly how dbgen scales. region/nation stay fixed (25 nations at
+    every TPC-H SF)."""
+    marker = os.path.join(SF1_TPCH_DIR, "_SUCCESS_F" + str(factor))
+    if os.path.exists(marker):
+        return SF1_TPCH_DIR
+    shutil.rmtree(SF1_TPCH_DIR, ignore_errors=True)
+    os.makedirs(SF1_TPCH_DIR, exist_ok=True)
+
+    def load(t):
+        return spark.read.parquet(f"{SF01_DIR}/{t}.parquet")
+
+    # per-key offsets = max_key + 1, computed from the data
+    offs = {}
+    for t, k in [("orders", "o_orderkey"), ("customer", "c_custkey"),
+                 ("supplier", "s_suppkey"), ("part", "p_partkey")]:
+        offs[k] = load(t).agg(F.max(k)).first()[0] + 1
+
+    shift_map = {
+        "o_orderkey": offs["o_orderkey"], "l_orderkey": offs["o_orderkey"],
+        "o_custkey": offs["c_custkey"], "c_custkey": offs["c_custkey"],
+        "s_suppkey": offs["s_suppkey"], "l_suppkey": offs["s_suppkey"],
+        "p_partkey": offs["p_partkey"], "l_partkey": offs["p_partkey"],
+    }
+    reps = spark.range(0, factor).withColumnRenamed("id", "rep")
+    for t in ["region", "nation"]:
+        load(t).write.mode("overwrite").parquet(f"{SF1_TPCH_DIR}/{t}.parquet")
+    for t in ["customer", "supplier", "part", "orders", "lineitem"]:
+        df = load(t).crossJoin(reps)
+        out = df.select(
+            *[
+                (F.col(c) + F.col("rep") * shift_map[c]).alias(c)
+                if c in shift_map
+                else F.col(c)
+                for c in load(t).columns
+            ]
+        )
+        out.repartition(32).write.mode("overwrite").parquet(
+            f"{SF1_TPCH_DIR}/{t}.parquet"
+        )
+    open(marker, "w").close()
+    return SF1_TPCH_DIR
+
+
+def tpch_section(spark) -> None:
+    """The 5 priciest relational shapes at 10x facts+dims — the one
+    bench family with no 10x measurement through round 4."""
+    import __spark_entry__ as entrymod
+
+    sf1 = build_sf1_tpch(spark)
+    qs = entrymod.queries()
+    names = [
+        "q9_product_profit", "q21_last_to_ship", "q18_large_orders",
+        "q7_nation_trade", "q8_market_share",
+    ]
+    results: dict[str, dict[str, float]] = {}
+    for tag, d in (("sf0.1", SF01_DIR), ("sf1", sf1)):
+        for name in names:
+            force(qs[name](spark, d))  # warm
+            vals = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                force(qs[name](spark, d))
+                vals.append(time.perf_counter() - t0)
+            results.setdefault(name, {})[tag] = round(min(vals), 2)
+            print(f"  {tag:6s} {name:28s} {min(vals):7.2f} s", flush=True)
+
+    print("\n| tpch op | sf0.1 (s) | sf1 (s) | ratio (10x rows) |")
+    print("|---|---|---|---|")
+    for name, r in results.items():
+        print(f"| {name} | {r['sf0.1']:.2f} | {r['sf1']:.2f} | {r['sf1']/r['sf0.1']:.1f}x |")
 
 
 if __name__ == "__main__":

@@ -36,6 +36,18 @@ def test_registry_arithmetic_matches_coverage_doc():
     }
     anchors = {"collection_lifecycle", "knn_ivfsq"}
     assert never_checked_through_r04 | anchors <= set(window)
+    # pca_knn gained its oracle in round 5 — first hash-gated driver row
+    assert "pca_knn" in window
+
+
+def test_every_registry_entry_named_in_coverage_doc():
+    """Pin TABLE drift, not just count drift (VERDICT r04 #1): every
+    queries() entry must be named in COVERAGE.md."""
+    import pathlib
+
+    cov = pathlib.Path("/root/repo/COVERAGE.md").read_text()
+    missing = [n for n in entry.queries() if n not in cov]
+    assert missing == [], f"registry entries absent from COVERAGE.md: {missing}"
 
 
 def test_entry_returns_rows_with_stable_schema(spark):

@@ -95,6 +95,14 @@ def test_hash_grams_equivalent(spark, corpus_df):
     b = sorted(map(tuple, duplicate_substring_positions(
         corpus_df, min_length=L, hash_grams=True).collect()))
     assert a == b
+    # two-salt 128-bit key (the 100 TB setting — collision expectation
+    # ~n^2/2^129, see SCALING.md) must also agree, as must the exact
+    # string-gram mode
+    c = sorted(map(tuple, duplicate_substring_positions(
+        corpus_df, min_length=L, hash_grams="wide").collect()))
+    d = sorted(map(tuple, duplicate_substring_positions(
+        corpus_df, min_length=L, hash_grams=False).collect()))
+    assert a == c == d
 
 
 def test_scrub_matches_brute(spark, corpus_df):
