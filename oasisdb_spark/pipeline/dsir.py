@@ -1,0 +1,180 @@
+"""DSIR data selection — importance resampling over hashed n-gram
+features (Xie et al. 2023, "Data Selection for Language Models via
+Importance Resampling", arXiv:2302.03169 — public).
+
+The standard "select raw-pool documents that look like the target
+domain" operator of pretraining pipelines: featurize every document as
+a bag of hashed unigrams+bigrams, fit two bag-of-buckets category
+models — p from a target-domain sample, q from the raw pool — and score
+each raw document by its importance log-ratio
+
+    log w(x) = sum_b c_b(x) * (ln p_b - ln q_b)
+
+then keep the top-k (the deterministic variant of the paper's
+importance resampling; md5 tiebreaks keep selection reproducible).
+
+Integer-exact cross-engine design (the repo's oracle discipline,
+pipeline/lm.py): with Laplace smoothing the category probabilities are
+ratios of integer counts — p_b = (t_b + 1) / (T + B) — so every log
+term is ln(integer), quantized to micro-nats via ``lmic``. A document's
+log-weight becomes a SUM OF INTEGERS:
+
+    w_micro = sum_b c_b * (lmic(t_b+1) - lmic(r_b+1))
+              + n(x) * (lmic(R+B) - lmic(T+B))
+
+associative, order-independent, identical on any partitioning and any
+engine (DuckDB twin: the same md5-derived bucket hash and the same
+CAST(round(ln(c)*1e6) AS BIGINT)).
+
+Scale design (100 TB):
+- featurization is a per-row Column expression (tokens -> unigram+bigram
+  hash -> mod B): no shuffle, no Python.
+- each model fit is ONE partial-agg shuffle keyed by bucket id (map-side
+  combine collapses the Zipf head); the two fits join on bucket id —
+  at most B rows ever cross that join.
+- the model is B rows (default 4096 — the paper's 10k-bucket regime is
+  one knob away), so SCORING broadcasts it: explode buckets, broadcast
+  equi-join, one doc_id partial agg. The raw pool is never reshuffled;
+  selection is a TakeOrdered top-k (per-partition heaps, no sort
+  shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from oasisdb_spark.pipeline.lm import bigram_expr, lmic
+from oasisdb_spark.pipeline.text import char_hash60, tokens
+
+__all__ = [
+    "DSIR_BUCKETS",
+    "hashed_ngram_buckets",
+    "dsir_model",
+    "dsir_score",
+    "dsir_select",
+]
+
+DSIR_BUCKETS = 4096
+
+
+def hashed_ngram_buckets(c: Column | str, n_buckets: int = DSIR_BUCKETS) -> Column:
+    """Hashed unigram+bigram feature buckets WITH MULTIPLICITY (a bag,
+    not a set — DSIR counts every occurrence). Bucket id =
+    char_hash60(gram) % B, the md5-derived 60-bit hash DuckDB reproduces
+    bit-for-bit; empty/NULL text yields an empty bag."""
+    t = tokens(c)
+    return F.transform(
+        # NULL text -> empty bag (concat of a NULL array is NULL)
+        F.coalesce(F.concat(t, bigram_expr(c)), F.array().cast("array<string>")),
+        lambda g: char_hash60(g) % n_buckets,
+    )
+
+
+def dsir_model(
+    target: DataFrame,
+    raw: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+) -> tuple[DataFrame, int]:
+    """Fit the importance model: returns (model, const_micro).
+
+    model: (bucket, t_c, r_c, lr_micro) with one row per bucket seen in
+    EITHER corpus; lr_micro = lmic(t_c + 1) - lmic(r_c + 1) is the
+    Laplace-smoothed per-occurrence log-ratio in micro-nats, count terms
+    only. const_micro = lmic(R + B) - lmic(T + B) is the per-occurrence
+    normalizer term (T, R = total feature occurrences in target/raw);
+    buckets absent from both corpora contribute lmic(1)-lmic(1) = 0, so
+    scoring coalesces missing joins to 0 instead of materializing B
+    dense rows."""
+
+    def counts(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.select(F.explode(hashed_ngram_buckets(text_col, n_buckets)).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    tc, rc = counts(target, "t_c"), counts(raw, "r_c")
+    model = (
+        tc.join(rc, on="bucket", how="full_outer")
+        .select(
+            "bucket",
+            F.coalesce("t_c", F.lit(0)).alias("t_c"),
+            F.coalesce("r_c", F.lit(0)).alias("r_c"),
+        )
+        .withColumn(
+            "lr_micro", lmic(F.col("t_c") + 1) - lmic(F.col("r_c") + 1)
+        )
+    )
+    # the normalizer constant is computed ENGINE-SIDE with the same
+    # lmic primitive as the per-bucket terms, so there is no python
+    # rounding twin to drift from the Spark/DuckDB pair
+    tot = model.agg(F.sum("t_c").alias("T"), F.sum("r_c").alias("R")).select(
+        (
+            lmic(F.coalesce("R", F.lit(0)) + n_buckets)
+            - lmic(F.coalesce("T", F.lit(0)) + n_buckets)
+        ).alias("const_micro")
+    ).first()
+    return model, int(tot["const_micro"])
+
+
+def dsir_score(
+    df: DataFrame,
+    model: DataFrame,
+    const_micro: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Per-document importance log-weight in micro-nats:
+    (id_col, n_feats, weight_micro). Feature-less documents (empty
+    text) keep weight_micro = 0. The model (<= B rows) broadcasts; the
+    only shuffle is the per-doc partial agg."""
+    feats = df.select(
+        F.col(id_col), F.explode(hashed_ngram_buckets(text_col, n_buckets)).alias("bucket")
+    )
+    scored = (
+        feats.join(F.broadcast(model.select("bucket", "lr_micro")), on="bucket", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum(F.coalesce("lr_micro", F.lit(0))).alias("_lr_sum"),
+        )
+        .select(
+            id_col,
+            "n_feats",
+            (F.col("_lr_sum") + F.col("n_feats") * F.lit(const_micro)).alias("weight_micro"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+            F.coalesce("weight_micro", F.lit(0)).cast("long").alias("weight_micro"),
+        )
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    model: DataFrame,
+    const_micro: int,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Top-k raw documents by importance weight (deterministic:
+    weight desc, id asc tiebreak — TakeOrdered heaps, no sort shuffle).
+    Returns (id_col, n_feats, weight_micro, sel_rank)."""
+    from pyspark.sql import Window
+
+    scored = dsir_score(df, model, const_micro, id_col, text_col, n_buckets)
+    w = Window.orderBy(F.col("weight_micro").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("sel_rank", F.row_number().over(w))
+        .filter(F.col("sel_rank") <= k)
+    )

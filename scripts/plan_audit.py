@@ -509,6 +509,33 @@ def main() -> None:
     print(f"== leakage_safe_split equi-join inheritance: {'OK' if ok else 'FAIL'}")
     failures += not ok
 
+    # 49. dsir_select: the <=B-row model BROADCASTS into the scoring
+    # join (never a shuffle of the exploded feature stream against it),
+    # and selection has no pair join anywhere
+    plan = plan_of(m.queries()["dsir_select"](spark, sf_dir))
+    ok = (
+        "BroadcastHashJoin" in plan
+        and "CartesianProduct" not in plan
+        and "BroadcastNestedLoopJoin" not in plan
+    )
+    print(f"== dsir_select broadcast model join: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
+    # 50. hard_negatives: queries broadcast over the streamed base (the
+    # intended nested-loop with a tiny side); Catalyst fuses the
+    # same-label exclusion INTO the join condition (so no candidate row
+    # survives past the join to be mis-ranked), and WindowGroupLimit
+    # cuts each partition to k rows before the top-k exchange
+    plan = plan_of(m.queries()["hard_negatives"](spark, sf_dir))
+    ok = (
+        "BroadcastNestedLoopJoin" in plan
+        and "CartesianProduct" not in plan
+        and "NOT (_q_meta" in plan
+        and "WindowGroupLimit" in plan
+    )
+    print(f"== hard_negatives broadcast scan + fused exclusion + partial top-k: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
     print(f"\n{'ALL PLANS OK' if not failures else f'{failures} PLAN CHECKS FAILED'}")
     spark.stop()
     sys.exit(1 if failures else 0)
