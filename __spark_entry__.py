@@ -2649,6 +2649,46 @@ def _docs_lm_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _docs_dsir_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING DSIR scoring at ingest (pipeline/dsir.py
+    dsir_score_broadcast): the importance model fits on the static
+    corpus (target = source 'src0', 512 buckets — <= B rows by
+    construction), broadcasts as a {bucket: lr_micro} dict, and each
+    arriving document scores in one stateless Arrow pass — append mode,
+    no aggregation state, one availableNow drain. Row-identical to the
+    batch dsir_score join by construction, so the batch scores oracle
+    hash-matches the streaming query."""
+    import os
+    import tempfile
+    import uuid
+
+    from oasisdb_spark.pipeline.dsir import dsir_model, dsir_score_broadcast
+
+    docs = _table(spark, sf_dir, "documents")
+
+    def _build():
+        model, const = dsir_model(
+            docs.filter(F.col("source") == "src0"), docs, n_buckets=512
+        )
+        model = model.persist()
+        model.count()
+        return model, const
+
+    model, const = _memo(spark, sf_dir, "dsir512", _build)
+    src = f"{sf_dir}/documents.parquet"
+    stream_dir = tempfile.mkdtemp(prefix="docs_dsir_stream_")
+    os.symlink(os.path.abspath(src), os.path.join(stream_dir, "documents_0.parquet"))
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(stream_dir)
+    scored = dsir_score_broadcast(stream, model, const, n_buckets=512)
+    name = f"docs_dsir_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        scored.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def _curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation compose (the curate.py ops chained the way a
     pretraining corpus build chains them): Gopher keep → drop docs with
@@ -3593,6 +3633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the round-6 window with the 8 r03-only entries above) ---
         "dsir_select": _dsir_select,
         "hard_negatives": _hard_negatives,
+        "docs_dsir_stream": _docs_dsir_stream,
     }
 
 def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3913,6 +3954,54 @@ _FUNNEL_ORACLE = """
 """
 
 
+# DSIR per-doc importance scores (pipeline/dsir.py twin): hashed
+# unigram+bigram buckets (md5 H60 % 512), Laplace micro-nat log-ratios
+# (the lmic form of the LM oracles), integer weights. Shared by the
+# dsir_select (top-k wrapper) and docs_dsir_stream (row-identical
+# broadcast scorer) oracles. Target domain = source 'src0'.
+_DSIR_SCORES_SQL = """
+WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+ x -> x != '') AS tk FROM documents),
+b AS (
+  SELECT doc_id,
+         list_transform(
+           list_concat(tk,
+             CASE WHEN len(tk) >= 2 THEN
+               list_transform(range(1, len(tk)), i -> array_to_string(tk[CAST(i AS INT):CAST(i+1 AS INT)], ' '))
+             ELSE [] END),
+           g -> ('0x' || substr(md5(g), 1, 15))::BIGINT % 512) AS bks
+  FROM toks
+),
+feats AS (SELECT doc_id, unnest(bks) AS bucket FROM b),
+tcnt AS (
+  SELECT bucket, count(*) AS t_c
+  FROM feats JOIN documents USING (doc_id)
+  WHERE source = 'src0' GROUP BY bucket
+),
+rcnt AS (SELECT bucket, count(*) AS r_c FROM feats GROUP BY bucket),
+model AS (
+  SELECT COALESCE(t.bucket, r.bucket) AS bucket,
+         COALESCE(t_c, 0) AS t_c, COALESCE(r_c, 0) AS r_c,
+         CAST(round(ln(CAST(COALESCE(t_c, 0) + 1 AS DOUBLE)) * 1000000) AS BIGINT)
+         - CAST(round(ln(CAST(COALESCE(r_c, 0) + 1 AS DOUBLE)) * 1000000) AS BIGINT) AS lr
+  FROM tcnt t FULL OUTER JOIN rcnt r ON t.bucket = r.bucket
+),
+cst AS (
+  SELECT CAST(round(ln(CAST(SUM(r_c) + 512 AS DOUBLE)) * 1000000) AS BIGINT)
+       - CAST(round(ln(CAST(SUM(t_c) + 512 AS DOUBLE)) * 1000000) AS BIGINT) AS c
+  FROM model
+),
+scored AS (
+  SELECT f.doc_id, count(*) AS n_feats,
+         SUM(COALESCE(m.lr, 0)) + count(*) * (SELECT c FROM cst) AS w
+  FROM feats f LEFT JOIN model m USING (bucket) GROUP BY f.doc_id
+)
+SELECT d.doc_id, CAST(COALESCE(s.n_feats, 0) AS BIGINT) AS n_feats,
+       CAST(COALESCE(s.w, 0) AS BIGINT) AS weight_micro
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
 def _pca_knn_oracle_sql() -> str:
     """Generate the pca_knn oracle: DuckDB re-derives the SAME
     quantized PCA-16 model this module's Spark entry fits, then does
@@ -4007,51 +4096,15 @@ def oracle_sql() -> dict[str, str]:
         # hash), Laplace micro-nat log-ratios (same lmic form as the LM
         # oracles), per-doc integer weights, top-100
         "dsir_select": f"""
-WITH {_TOKS_CTE},
-b AS (
-  SELECT doc_id,
-         list_transform(
-           list_concat(tk,
-             CASE WHEN len(tk) >= 2 THEN
-               list_transform(range(1, len(tk)), i -> array_to_string(tk[CAST(i AS INT):CAST(i+1 AS INT)], ' '))
-             ELSE [] END),
-           g -> ('0x' || substr(md5(g), 1, 15))::BIGINT % 512) AS bks
-  FROM toks
-),
-feats AS (SELECT doc_id, unnest(bks) AS bucket FROM b),
-tcnt AS (
-  SELECT bucket, count(*) AS t_c
-  FROM feats JOIN documents USING (doc_id)
-  WHERE source = 'src0' GROUP BY bucket
-),
-rcnt AS (SELECT bucket, count(*) AS r_c FROM feats GROUP BY bucket),
-model AS (
-  SELECT COALESCE(t.bucket, r.bucket) AS bucket,
-         COALESCE(t_c, 0) AS t_c, COALESCE(r_c, 0) AS r_c,
-         CAST(round(ln(CAST(COALESCE(t_c, 0) + 1 AS DOUBLE)) * 1000000) AS BIGINT)
-         - CAST(round(ln(CAST(COALESCE(r_c, 0) + 1 AS DOUBLE)) * 1000000) AS BIGINT) AS lr
-  FROM tcnt t FULL OUTER JOIN rcnt r ON t.bucket = r.bucket
-),
-cst AS (
-  SELECT CAST(round(ln(CAST(SUM(r_c) + 512 AS DOUBLE)) * 1000000) AS BIGINT)
-       - CAST(round(ln(CAST(SUM(t_c) + 512 AS DOUBLE)) * 1000000) AS BIGINT) AS c
-  FROM model
-),
-scored AS (
-  SELECT f.doc_id, count(*) AS n_feats,
-         SUM(COALESCE(m.lr, 0)) + count(*) * (SELECT c FROM cst) AS w
-  FROM feats f LEFT JOIN model m USING (bucket) GROUP BY f.doc_id
-),
-alldocs AS (
-  SELECT d.doc_id, CAST(COALESCE(s.n_feats, 0) AS BIGINT) AS n_feats,
-         CAST(COALESCE(s.w, 0) AS BIGINT) AS weight_micro
-  FROM documents d LEFT JOIN scored s USING (doc_id)
-)
 SELECT doc_id, n_feats, weight_micro, CAST(rk AS INT) AS sel_rank FROM (
   SELECT *, row_number() OVER (ORDER BY weight_micro DESC, doc_id ASC) AS rk
-  FROM alldocs
+  FROM ({_DSIR_SCORES_SQL})
 ) WHERE rk <= 100
 """,
+        # streaming twin is row-identical to the batch scorer by
+        # construction (broadcast <=B-row model, same md5 buckets, same
+        # integer arithmetic) — the batch scores oracle applies
+        "docs_dsir_stream": _DSIR_SCORES_SQL,
         # hard negatives: exact L2 top-k with the same-label exclusion
         # applied BEFORE ranking — the oracle proves the semantics the
         # over-fetch-then-filter shortcut gets wrong

@@ -41,6 +41,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -52,6 +53,7 @@ __all__ = [
     "hashed_ngram_buckets",
     "dsir_model",
     "dsir_score",
+    "dsir_score_broadcast",
     "dsir_select",
 ]
 
@@ -156,6 +158,51 @@ def dsir_score(
             F.coalesce("weight_micro", F.lit(0)).cast("long").alias("weight_micro"),
         )
     )
+
+
+def dsir_score_broadcast(
+    df: DataFrame,
+    model: DataFrame,
+    const_micro: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Stateless row-at-ingest twin of ``dsir_score``: the model
+    collapses to a broadcast {bucket: lr_micro} dict (it is <= B rows
+    BY CONSTRUCTION — unlike the LM case no pruning contract is needed)
+    and each document scores in one Arrow pass — no explode, no join,
+    no aggregation state, so it runs inside an append-mode STREAM: the
+    "score raw documents against a fixed target model as they arrive"
+    deployment of DSIR. Python re-tokenization and md5 bucket hashing
+    compute the identical integers as the Column path (the proven
+    minhash/lm UDF pattern; ASCII-corpora caveat as lm_score_broadcast),
+    so outputs are row-identical and the batch oracle applies."""
+    import hashlib
+    import re as _re
+
+    from oasisdb_spark.pipeline.text import _TOKEN_SEP
+
+    lut = {int(r["bucket"]): int(r["lr_micro"]) for r in model.select("bucket", "lr_micro").collect()}
+    bc = df.sparkSession.sparkContext.broadcast(lut)
+
+    @F.pandas_udf("n_feats: bigint, weight_micro: bigint")
+    def _score(texts: pd.Series) -> pd.DataFrame:
+        m = bc.value
+        out = []
+        for t in texts:
+            toks = [x for x in _re.split(_TOKEN_SEP, (t or "").lower()) if x]
+            grams = toks + [toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)]
+            w = 0
+            for g in grams:
+                b = int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % n_buckets
+                w += m.get(b, 0)
+            out.append((len(grams), w + len(grams) * const_micro))
+        return pd.DataFrame(out, columns=["n_feats", "weight_micro"])
+
+    return df.select(
+        F.col(id_col).alias(id_col), _score(F.col(text_col)).alias("_s")
+    ).select(id_col, "_s.n_feats", "_s.weight_micro")
 
 
 def dsir_select(

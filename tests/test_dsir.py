@@ -106,3 +106,13 @@ def test_score_is_partitioning_invariant(spark, corpora):
     a = sorted(map(tuple, dsir_score(raw.repartition(1), model, const, n_buckets=B).collect()))
     b = sorted(map(tuple, dsir_score(raw.repartition(7), model, const, n_buckets=B).collect()))
     assert a == b
+
+
+def test_broadcast_scorer_row_identical_to_batch(spark, corpora):
+    from oasisdb_spark.pipeline.dsir import dsir_score_broadcast
+
+    target, raw = corpora
+    model, const = dsir_model(target, raw, n_buckets=B)
+    a = sorted(map(tuple, dsir_score(raw, model, const, n_buckets=B).collect()))
+    b = sorted(map(tuple, dsir_score_broadcast(raw, model, const, n_buckets=B).collect()))
+    assert a == b
