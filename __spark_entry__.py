@@ -3463,6 +3463,30 @@ def _hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negatives(queries, base, k=10, space="l2", neq_pair=("qlabel", "label"))
 
 
+def _hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only scale path of hard_negatives: IVF probe-pruned
+    shortlist (k'=40 = 4x over-fetch, nprobe=4) -> label join ->
+    exclusion + re-rank via hard_negatives_from_candidates. Shows the
+    composition the operator documents for 100 TB bases."""
+    from oasisdb_spark.index.ivf import knn_ivf
+    from oasisdb_spark.pipeline.mining import hard_negatives_from_candidates
+
+    emb = _table(spark, sf_dir, "embeddings")
+    cent, idx = _ivf_memo(spark, sf_dir)
+    cand = knn_ivf(_emb_queries(spark, sf_dir, 10), cent, idx, k=40, nprobe=4)
+    labels = emb.select(F.col("vec_id"), F.col("label"))
+    cand = (
+        cand.join(
+            F.broadcast(labels.withColumnRenamed("vec_id", "query_id")
+                        .withColumnRenamed("label", "qlabel")),
+            on="query_id",
+        )
+        .join(labels.withColumnRenamed("vec_id", "id")
+              .withColumnRenamed("label", "blabel"), on="id")
+    )
+    return hard_negatives_from_candidates(cand, k=10, neq_pair=("qlabel", "blabel"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries (observed: r01-r04 rows == registry[0:50]). ROUND-5
@@ -3672,6 +3696,11 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _table(s, d, "documents"), min_length=30, hash_grams="wide",
             parallelism=s.sparkContext.defaultParallelism,
         ),
+        # hard-negative mining's scale path: exclusions + re-rank over
+        # an IVF probe-pruned shortlist (over-fetch 4x so same-label
+        # hits can't starve the list) — approximate by ANN construction;
+        # the exact tier is the driver's hard_negatives entry
+        "hard_negatives_ivf": _hard_negatives_ivf,
     }
 
 

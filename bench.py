@@ -104,7 +104,7 @@ FAMILIES: dict[str, list[str]] = {
     # round-5 additions (additive — earlier families untouched)
     "dedup_wide": ["substring_dup_wide"],
     "data_selection": ["dsir_select", "docs_dsir_stream"],
-    "mining": ["hard_negatives"],
+    "mining": ["hard_negatives", "hard_negatives_ivf"],
 }
 
 

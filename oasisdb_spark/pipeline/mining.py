@@ -34,7 +34,39 @@ from pyspark.sql import functions as F
 from oasisdb_spark.functions.distance import distance_expr
 from oasisdb_spark.index.flat import topk_per_query
 
-__all__ = ["hard_negatives"]
+__all__ = ["hard_negatives", "hard_negatives_from_candidates"]
+
+
+def hard_negatives_from_candidates(
+    candidates: DataFrame,
+    k: int,
+    exclude_pairs: DataFrame | None = None,
+    neq_pair: tuple[str, str] | None = None,
+    query_id_col: str = "query_id",
+    id_col: str = "id",
+    dist_col: str = "distance",
+) -> DataFrame:
+    """Exclusion + top-k over an EXTERNALLY generated candidate set —
+    the 100 TB composition: feed it `index/ivf.py knn_ivf` shortlists
+    (over-fetch k' > k so exclusions don't starve the list; mining from
+    an ANN shortlist is the standard approximate practice) or any other
+    scored (query_id, id, distance, *meta) frame. ``neq_pair`` names
+    two columns OF THE CANDIDATE FRAME whose equal values disqualify
+    the row; ``exclude_pairs`` anti-joins known positives. Ranks are
+    renumbered 1..k after exclusion."""
+    pairs = candidates
+    if neq_pair is not None:
+        pairs = pairs.filter(~F.col(neq_pair[0]).eqNullSafe(F.col(neq_pair[1])))
+    if exclude_pairs is not None:
+        ex = exclude_pairs.select(
+            F.col(query_id_col).alias(query_id_col), F.col(id_col).alias(id_col)
+        )
+        pairs = pairs.join(F.broadcast(ex), on=[query_id_col, id_col], how="left_anti")
+    return topk_per_query(
+        pairs, k, query_col=query_id_col, dist_col=dist_col, id_col=id_col
+    ).select(
+        query_id_col, id_col, "rank", F.col(dist_col).cast("double").alias(dist_col)
+    )
 
 
 def hard_negatives(

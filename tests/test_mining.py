@@ -65,3 +65,24 @@ def test_short_of_k_returns_what_exists(spark, vecs):
         q(vecs, [0]), vecs, k=10, neq_pair=("qlabel", "label"), exclude_pairs=ex
     ).collect()
     assert sorted(r["id"] for r in out) == [5, 6]
+
+
+def test_candidates_path_matches_exact_when_candidates_complete(spark, vecs):
+    """hard_negatives_from_candidates over a COMPLETE scored candidate
+    set must equal the exact operator (the ANN composition's recall
+    loss comes only from shortlist truncation, not the re-rank)."""
+    from oasisdb_spark.functions.distance import distance_expr
+    from oasisdb_spark.pipeline.mining import hard_negatives_from_candidates
+
+    queries = q(vecs, [0, 5])
+    full = vecs.crossJoin(
+        queries.withColumnRenamed("qlabel", "qlabel")
+    ).select(
+        "query_id", "id", F.col("qlabel"), F.col("label").alias("blabel"),
+        distance_expr("l2", "query_vec", "vector").alias("distance"),
+    )
+    a = sorted(map(tuple, hard_negatives_from_candidates(
+        full, k=3, neq_pair=("qlabel", "blabel")).collect()))
+    b = sorted(map(tuple, hard_negatives(
+        queries, vecs, k=3, neq_pair=("qlabel", "label")).collect()))
+    assert a == b
