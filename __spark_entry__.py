@@ -3415,7 +3415,7 @@ def _token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _dsir_select(spark: SparkSession, sf_dir: str, scorer: str = "broadcast") -> DataFrame:
     """DSIR data selection (pipeline/dsir.py; Xie et al. 2023,
     arXiv:2302.03169): pick the raw-pool documents that look most like
     the target domain (here: source 'src0') by hashed unigram+bigram
@@ -3436,9 +3436,9 @@ def _dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         return model, const
 
     model, const = _memo(spark, sf_dir, "dsir512", _build)
-    return dsir_select(docs, model, const, k=100, n_buckets=512).withColumn(
-        "sel_rank", F.col("sel_rank").cast("int")
-    )
+    return dsir_select(
+        docs, model, const, k=100, n_buckets=512, scorer=scorer
+    ).withColumn("sel_rank", F.col("sel_rank").cast("int"))
 
 
 def _hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3701,6 +3701,10 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hits can't starve the list) — approximate by ANN construction;
         # the exact tier is the driver's hard_negatives entry
         "hard_negatives_ivf": _hard_negatives_ivf,
+        # DSIR's Column/equi-join executable spec (the entry runs the
+        # fused Arrow scorer — row-identical, test-pinned, ~5x faster;
+        # same economics as minhash_signature_expr vs the fused frame)
+        "dsir_select_join": lambda s, d: _dsir_select(s, d, scorer="join"),
     }
 
 

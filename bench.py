@@ -103,7 +103,7 @@ FAMILIES: dict[str, list[str]] = {
     "leakage_split": ["leakage_safe_split"],
     # round-5 additions (additive — earlier families untouched)
     "dedup_wide": ["substring_dup_wide"],
-    "data_selection": ["dsir_select", "docs_dsir_stream"],
+    "data_selection": ["dsir_select", "dsir_select_join", "docs_dsir_stream"],
     "mining": ["hard_negatives", "hard_negatives_ivf"],
 }
 

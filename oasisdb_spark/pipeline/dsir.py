@@ -213,13 +213,23 @@ def dsir_select(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = DSIR_BUCKETS,
+    scorer: str = "broadcast",
 ) -> DataFrame:
     """Top-k raw documents by importance weight (deterministic:
-    weight desc, id asc tiebreak — TakeOrdered heaps, no sort shuffle).
-    Returns (id_col, n_feats, weight_micro, sel_rank)."""
+    weight desc, id asc tiebreak). Returns (id_col, n_feats,
+    weight_micro, sel_rank).
+
+    ``scorer='broadcast'`` (default) scores with the fused Arrow pass
+    (dsir_score_broadcast) — the model is <= B rows BY CONSTRUCTION so
+    it always fits; measured ~5x over the Column path at sf0.1, the
+    same interpreted-HOF-md5 economics as the minhash pair
+    (minhash_signature_expr vs shingle_minhash_frame). ``scorer='join'``
+    is the executable Column/equi-join spec; the two are row-identical
+    (test-pinned), so the oracle applies to both."""
     from pyspark.sql import Window
 
-    scored = dsir_score(df, model, const_micro, id_col, text_col, n_buckets)
+    score_fn = dsir_score_broadcast if scorer == "broadcast" else dsir_score
+    scored = score_fn(df, model, const_micro, id_col, text_col, n_buckets)
     w = Window.orderBy(F.col("weight_micro").desc(), F.col(id_col).asc())
     return (
         scored.withColumn("sel_rank", F.row_number().over(w))

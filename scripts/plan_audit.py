@@ -509,17 +509,27 @@ def main() -> None:
     print(f"== leakage_safe_split equi-join inheritance: {'OK' if ok else 'FAIL'}")
     failures += not ok
 
-    # 49. dsir_select: the <=B-row model BROADCASTS into the scoring
-    # join (never a shuffle of the exploded feature stream against it),
-    # and selection has no pair join anywhere
+    # 49. dsir_select: the production scorer is the fused Arrow pass
+    # over the broadcast <=B-row model — ONE python eval, no join, no
+    # explode, no pair join anywhere; the Column/equi-join spec twin
+    # must broadcast the model into its scoring join
     plan = plan_of(m.queries()["dsir_select"](spark, sf_dir))
     ok = (
-        "BroadcastHashJoin" in plan
+        "ArrowEvalPython" in plan
         and "CartesianProduct" not in plan
         and "BroadcastNestedLoopJoin" not in plan
+        and "SortMergeJoin" not in plan
     )
-    print(f"== dsir_select broadcast model join: {'OK' if ok else 'FAIL'}")
+    print(f"== dsir_select fused Arrow scorer: {'OK' if ok else 'FAIL'}")
     failures += not ok
+    from oasisdb_spark.pipeline.dsir import dsir_model, dsir_select as _dsel
+    _docs = m._table(spark, sf_dir, "documents")
+    _mdl, _cst = dsir_model(_docs.limit(50), _docs.limit(200), n_buckets=64)
+    failures += not audit(
+        "dsir_select join-spec broadcast model",
+        _dsel(_docs.limit(200), _mdl, _cst, k=10, n_buckets=64, scorer="join"),
+        ["BroadcastHashJoin"],
+    )
 
     # 50. hard_negatives: queries broadcast over the streamed base (the
     # intended nested-loop with a tiny side); Catalyst fuses the

@@ -116,3 +116,15 @@ def test_broadcast_scorer_row_identical_to_batch(spark, corpora):
     a = sorted(map(tuple, dsir_score(raw, model, const, n_buckets=B).collect()))
     b = sorted(map(tuple, dsir_score_broadcast(raw, model, const, n_buckets=B).collect()))
     assert a == b
+
+
+def test_select_scorers_identical(spark, corpora):
+    from oasisdb_spark.pipeline.dsir import dsir_select
+
+    target, raw = corpora
+    model, const = dsir_model(target, raw, n_buckets=B)
+    a = sorted(map(tuple, dsir_select(raw, model, const, k=4, n_buckets=B,
+                                      scorer="broadcast").collect()))
+    b = sorted(map(tuple, dsir_select(raw, model, const, k=4, n_buckets=B,
+                                      scorer="join").collect()))
+    assert a == b
