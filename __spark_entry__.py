@@ -3463,6 +3463,34 @@ def _hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negatives(queries, base, k=10, space="l2", neq_pair=("qlabel", "label"))
 
 
+def _fim_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle sample construction (pipeline/sampling.py
+    fim_split; Bavarian et al. 2022): deterministic md5-derived
+    character cuts -> (prefix, middle, suffix) + the PSM-transformed
+    training text. min_chars=60 so the fixture exercises both the
+    transformed and the passthrough branch. Scan-stage Columns, zero
+    shuffle (plan-audited)."""
+    from oasisdb_spark.pipeline.sampling import fim_split
+
+    return fim_split(_table(spark, sf_dir, "documents"), min_chars=60)
+
+
+def _epoch_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch materialization with FRACTIONAL per-language repeat
+    factors (pipeline/sampling.py epoch_upsample — the Llama-recipe
+    temperature-mixture upsampling): en x2.3, fr x1.5, de x1.0,
+    es x0.5, zh excluded. The fractional copy is md5-threshold
+    selected, so the epoch is reproducible and growth-stable; explode
+    of a scan-stage sequence, no shuffle."""
+    from oasisdb_spark.pipeline.sampling import epoch_upsample
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = epoch_upsample(
+        docs, {"en": 2.3, "fr": 1.5, "de": 1.0, "es": 0.5}, group_col="lang"
+    )
+    return out.withColumn("copy_idx", F.col("copy_idx").cast("int"))
+
+
 def _hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bench-only scale path of hard_negatives: IVF probe-pruned
     shortlist (k'=40 = 4x over-fetch, nprobe=4) -> label join ->
@@ -3658,6 +3686,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": _dsir_select,
         "hard_negatives": _hard_negatives,
         "docs_dsir_stream": _docs_dsir_stream,
+        "fim_samples": _fim_samples,
+        "epoch_mixture": _epoch_mixture,
     }
 
 def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4138,6 +4168,53 @@ SELECT doc_id, n_feats, weight_micro, CAST(rk AS INT) AS sel_rank FROM (
         # construction (broadcast <=B-row model, same md5 buckets, same
         # integer arithmetic) — the batch scores oracle applies
         "docs_dsir_stream": _DSIR_SCORES_SQL,
+        # FIM cuts re-derived from the same md5 H60 arithmetic; both
+        # engines share 1-based clamping substring semantics
+        "fim_samples": """
+WITH c AS (
+  SELECT doc_id, text, length(text) AS L,
+         ('0x' || substr(md5(doc_id::VARCHAR || 'fim-len'), 1, 15))::BIGINT AS hl,
+         ('0x' || substr(md5(doc_id::VARCHAR || 'fim-pos'), 1, 15))::BIGINT AS hp
+  FROM documents
+),
+d AS (
+  SELECT doc_id, text, L,
+         hl % greatest(CAST(floor(L * 0.5) AS BIGINT), 1) + 1 AS mid_len
+  FROM c
+),
+e AS (
+  SELECT doc_id, text, L, mid_len,
+         CASE WHEN L - mid_len >= 1 THEN hp % (L - mid_len) + 1 ELSE NULL END AS start,
+         (L >= 60 AND L - mid_len >= 1) AS ok
+  FROM d JOIN c USING (doc_id, text, L)
+),
+s AS (
+  SELECT doc_id,
+         CASE WHEN ok THEN substring(text, 1, CAST(start - 1 AS INT)) ELSE text END AS prefix,
+         CASE WHEN ok THEN substring(text, CAST(start AS INT), CAST(mid_len AS INT)) ELSE '' END AS middle,
+         CASE WHEN ok THEN substring(text, CAST(start + mid_len AS INT), CAST(L AS INT)) ELSE '' END AS suffix
+  FROM e
+)
+SELECT doc_id, prefix, middle, suffix,
+       prefix || '<FIM_SUF>' || suffix || '<FIM_MID>' || middle AS fim_text
+FROM s
+""",
+        # fractional repeat factors: base copies + an md5-threshold
+        # extra copy; zh absent from the mixture and so dropped
+        "epoch_mixture": """
+WITH n_tbl AS (
+  SELECT doc_id, lang,
+         CASE lang WHEN 'en' THEN 2 WHEN 'fr' THEN 1 WHEN 'de' THEN 1 WHEN 'es' THEN 0 END
+         + CASE WHEN (('0x' || substr(md5(doc_id::VARCHAR || 'epoch'), 1, 15))::BIGINT % 1000000)
+                     < CASE lang WHEN 'en' THEN 300000 WHEN 'fr' THEN 500000
+                                 WHEN 'de' THEN 0 WHEN 'es' THEN 500000 END
+                THEN 1 ELSE 0 END AS n
+  FROM documents
+  WHERE lang IN ('en', 'fr', 'de', 'es')
+)
+SELECT doc_id, lang, CAST(unnest(range(1, n + 1)) AS INT) AS copy_idx
+FROM n_tbl WHERE n >= 1
+""",
         # hard negatives: exact L2 top-k with the same-label exclusion
         # applied BEFORE ranking — the oracle proves the semantics the
         # over-fetch-then-filter shortcut gets wrong

@@ -105,6 +105,7 @@ FAMILIES: dict[str, list[str]] = {
     "dedup_wide": ["substring_dup_wide"],
     "data_selection": ["dsir_select", "dsir_select_join", "docs_dsir_stream"],
     "mining": ["hard_negatives", "hard_negatives_ivf"],
+    "sample_construction": ["fim_samples", "epoch_mixture"],
 }
 
 

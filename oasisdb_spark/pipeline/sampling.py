@@ -45,6 +45,8 @@ __all__ = [
     "sliding_chunks",
     "weighted_sample",
     "leakage_safe_split",
+    "fim_split",
+    "epoch_upsample",
 ]
 
 
@@ -273,4 +275,116 @@ def leakage_safe_split(
         key.cast("bigint").alias("group_key"),
         F.col("component").isNotNull().alias("is_clustered"),
         split.alias("split"),
+    )
+
+
+def fim_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 20,
+    mid_frac_max: float = 0.5,
+) -> DataFrame:
+    """Fill-in-the-middle sample construction (Bavarian et al. 2022,
+    "Efficient Training of Language Models to Fill in the Middle",
+    arXiv:2207.14255 — public): split each document into
+    (prefix, middle, suffix) at two DETERMINISTIC md5-derived character
+    cuts, and emit the PSM-transformed training text
+    prefix + <FIM_SUF> + suffix + <FIM_MID> + middle (sentinel tokens
+    as literal markers; the real tokenizer maps them to ids).
+
+    Cut derivation (engine-reproducible, no RNG): the middle length is
+    1 + H(id, 'fim-len') % floor(L * mid_frac_max) characters and its
+    start is 1 + H(id, 'fim-pos') % (L - mid_len) — both from the
+    md5-derived 60-bit hash DuckDB reproduces, so splits are stable
+    across runs/engines/partitionings. Documents shorter than
+    ``min_chars`` pass through with the whole text as prefix (no FIM
+    transform — the paper applies FIM to a fraction of samples anyway).
+    Pure scan-stage Column arithmetic: no shuffle, no Python.
+    """
+    if not 0 < mid_frac_max <= 0.9:
+        raise ValueError("mid_frac_max must be in (0, 0.9]")
+    L = F.length(text_col)
+
+    def h60(salt: str) -> Column:
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    max_mid = F.floor(L * float(mid_frac_max)).cast("long")
+    mid_len = (h60("fim-len") % F.greatest(max_mid, F.lit(1)) + 1).cast("long")
+    start = (h60("fim-pos") % (L - mid_len) + 1).cast("long")  # 1-based, < L
+    eligible = (L >= int(min_chars)) & (L - mid_len >= 1)
+    prefix = F.when(eligible, F.substring(F.col(text_col), F.lit(1), start - 1)).otherwise(
+        F.col(text_col)
+    )
+    middle = F.when(eligible, F.substring(F.col(text_col), start, mid_len)).otherwise(F.lit(""))
+    suffix = F.when(
+        eligible, F.substring(F.col(text_col), start + mid_len, L)
+    ).otherwise(F.lit(""))
+    return df.select(
+        F.col(id_col),
+        prefix.alias("prefix"),
+        middle.alias("middle"),
+        suffix.alias("suffix"),
+        F.concat(
+            prefix, F.lit("<FIM_SUF>"), suffix, F.lit("<FIM_MID>"), middle
+        ).alias("fim_text"),
+    )
+
+
+def epoch_upsample(
+    df: DataFrame,
+    repeats: dict[str, float],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize a training epoch with FRACTIONAL per-group repeat
+    factors (the temperature-mixture upsampling of Llama/DoReMi-style
+    data recipes): a group with repeats=2.3 emits every document twice
+    and a deterministic 30% of its documents a third time.
+
+    The fractional copy is selected by the md5-prefix threshold rule
+    (same engine-reproducible trick as corpus_split): doc gets the
+    extra copy iff H(id, 'epoch') % 1e6 < frac * 1e6. Groups absent
+    from ``repeats`` are DROPPED (mixture exclusion, matching
+    token_budget_sample semantics); repeats <= 0 likewise. Output is
+    (input columns..., copy_idx 1..n) — explode of a scan-stage
+    sequence, no shuffle, no RNG, stable under corpus growth.
+    """
+    if not repeats:
+        raise ValueError("repeats must be non-empty")
+    for g, r in repeats.items():
+        if r < 0:
+            raise ValueError(f"repeat factor for {g!r} must be >= 0, got {r}")
+    base_map = F.create_map(
+        *[x for g, r in repeats.items() for x in (F.lit(g), F.lit(int(r)))]
+    )
+    frac_map = F.create_map(
+        *[
+            x
+            for g, r in repeats.items()
+            for x in (F.lit(g), F.lit(int(round((r - int(r)) * 1_000_000))))
+        ]
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit("epoch"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    base = base_map[F.col(group_col)]
+    frac_micro = frac_map[F.col(group_col)]
+    n_copies = base + F.when((h % 1_000_000) < frac_micro, F.lit(1)).otherwise(F.lit(0))
+    return (
+        df.filter(base.isNotNull())
+        .withColumn("_n", n_copies)
+        .filter(F.col("_n") >= 1)
+        .withColumn("copy_idx", F.explode(F.sequence(F.lit(1), F.col("_n"))))
+        .drop("_n")
     )

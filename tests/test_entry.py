@@ -21,7 +21,7 @@ def test_registry_arithmetic_matches_coverage_doc():
     """Pin the counts COVERAGE.md and the queries() comment quote so
     they can't drift from the registry again (VERDICT r03 #5)."""
     qs, os_ = entry.queries(), entry.oracle_sql()
-    assert len(qs) == 140  # 125 through r03 + 12 r04 + 3 r05 additions
+    assert len(qs) == 142  # 125 through r03 + 12 r04 + 5 r05 additions
     # round 5: pca_knn gained a fixed-point oracle — ZERO unoracled entries
     assert set(qs) - set(os_) == set()
     # the driver gates the first 50 entries; the round-5 window must

@@ -225,3 +225,82 @@ def test_leakage_safe_split_clusters_share_split(spark):
     from collections import Counter
     c = Counter(r["split"] for r in out.values())
     assert 700 < c["train"] < 900 and c["val"] < 200 and c["test"] < 200
+
+
+# ---- fim_split ----
+
+def _h60_py(s: str) -> int:
+    import hashlib
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_fim_split_matches_python_reference(spark):
+    from oasisdb_spark.pipeline.sampling import fim_split
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "tiny"),                       # below min_chars: passthrough
+        (3, "x" * 20),                     # exactly min_chars
+        (4, None),                         # NULL text: passthrough
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r["doc_id"]: r for r in fim_split(df, min_chars=20).collect()}
+    for doc_id, text in rows:
+        r = got[doc_id]
+        if text is None or len(text) < 20:
+            assert r["prefix"] == text and r["middle"] == "" and r["suffix"] == ""
+            continue
+        L = len(text)
+        max_mid = max(int(L * 0.5), 1)
+        mid_len = _h60_py(f"{doc_id}fim-len") % max_mid + 1
+        start = _h60_py(f"{doc_id}fim-pos") % (L - mid_len) + 1
+        assert r["prefix"] == text[: start - 1]
+        assert r["middle"] == text[start - 1 : start - 1 + mid_len]
+        assert r["suffix"] == text[start - 1 + mid_len :]
+        assert r["prefix"] + r["middle"] + r["suffix"] == text  # lossless
+        assert r["fim_text"] == r["prefix"] + "<FIM_SUF>" + r["suffix"] + "<FIM_MID>" + r["middle"]
+
+
+def test_fim_split_is_deterministic_and_shuffle_free(spark, documents):
+    from oasisdb_spark.pipeline.sampling import fim_split
+
+    out = fim_split(documents, min_chars=60)
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, fim_split(documents.repartition(7), min_chars=60).collect()))
+    assert a == b
+    assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
+
+
+# ---- epoch_upsample ----
+
+def test_epoch_upsample_counts_match_python(spark):
+    from oasisdb_spark.pipeline.sampling import epoch_upsample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 3 else "fr") for i in range(60)], "doc_id LONG, lang STRING"
+    )
+    out = epoch_upsample(df, {"en": 2.25, "fr": 0.5}, group_col="lang")
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], []).append(r["copy_idx"])
+    for i in range(60):
+        lang = "en" if i % 3 else "fr"
+        r = 2.25 if lang == "en" else 0.5
+        extra = 1 if (_h60_py(f"{i}epoch") % 1_000_000) < round((r - int(r)) * 1_000_000) else 0
+        n = int(r) + extra
+        if n == 0:
+            assert i not in got
+        else:
+            assert sorted(got[i]) == list(range(1, n + 1)), i
+    # fractional selection is in the right ballpark (md5-uniform)
+    n_fr_docs = sum(1 for i in range(60) if i % 3 == 0)
+    n_fr_kept = sum(1 for i in got if i % 3 == 0)
+    assert 0 < n_fr_kept < n_fr_docs
+
+
+def test_epoch_upsample_drops_unlisted_groups(spark):
+    from oasisdb_spark.pipeline.sampling import epoch_upsample
+
+    df = spark.createDataFrame([(1, "en"), (2, "zh")], "doc_id LONG, lang STRING")
+    out = epoch_upsample(df, {"en": 1.0}, group_col="lang").collect()
+    assert [r["doc_id"] for r in out] == [1]
