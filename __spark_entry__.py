@@ -3528,19 +3528,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # everything behind position 50 has a green r02/r03/r04 driver row
     # (COVERAGE.md maps entry -> gating round).
     #
-    # ROUND-6 ROTATION TODO: rotate in the 8 remaining r03-only
-    # entries (pii_scrub, ngram_contamination, line_dedup,
-    # source_mixture, gopher_filter, search_filtered_ivf,
-    # curation_pipeline, knn_binq) plus any round-5 additions, keep the
-    # anchors, and fill with the then-oldest single-green entries.
-    # (pii_scrub ceded its round-5 slot to the newly ORACLED pca_knn,
-    # whose first hash-gated driver row matters more than a re-green.)
+    # ROUND-6 ROTATION (VERDICT r05 next-round #1): window = the 2
+    # standing anchors + the 5 round-5 additions taking their first
+    # driver rows + ALL TEN entries whose only driver row is r03 (the
+    # verdict's 8 plus doc_length_histogram / tfidf_top_terms, which a
+    # CORRECTNESS_r0{2..5} sweep shows are also r03-only) + the 30
+    # r02-only re-greens + 3 oldest double-green fills. After a green
+    # r06, every entry has a driver row from r04 or later.
     return {
-        # --- ROUND-5 WINDOW (positions 1-50) ---
+        # --- ROUND-6 WINDOW (positions 1-50) ---
         # anchors (1-2)
         "collection_lifecycle": _collection_lifecycle,
         "knn_ivfsq": _knn_ivfsq,
-        # round-4 additions, first driver rows (3-14)
+        # round-5 additions, first driver rows (3-7)
+        "dsir_select": _dsir_select,
+        "hard_negatives": _hard_negatives,
+        "docs_dsir_stream": _docs_dsir_stream,
+        "fim_samples": _fim_samples,
+        "epoch_mixture": _epoch_mixture,
+        # re-green: the 10 entries whose only driver row is r03 (8-17)
+        "pii_scrub": _pii_scrub,
+        "ngram_contamination": _ngram_contamination,
+        "line_dedup": _line_dedup,
+        "source_mixture": _source_mixture,
+        "gopher_filter": _gopher_filter,
+        "search_filtered_ivf": _search_filtered_ivf,
+        "curation_pipeline": _curation_pipeline,
+        "knn_binq": _knn_binq,
+        "doc_length_histogram": _doc_length_histogram,
+        "tfidf_top_terms": _tfidf_top_terms,
+        # re-green: the 30 entries whose only driver row is r02 (18-47)
+        "knn_flat_cos": lambda s, d: _knn_flat(s, d, "cos"),
+        "knn_flat_ip": lambda s, d: _knn_flat(s, d, "ip"),
+        "knn_flat_hamming": lambda s, d: _knn_flat(s, d, "hamming"),
+        "knn_brute": _knn_brute,
+        "doc_fingerprint": _doc_fingerprint,
+        "ngram_jaccard_pairs": _ngram_jaccard_pairs,
+        "cross_source_leakage": _cross_source_leakage,
+        "q1_pricing_summary": _q1_pricing_summary,
+        "q3_shipping_priority": _q3_shipping_priority,
+        "q5_nation_revenue": _q5_nation_revenue,
+        "top3_orders_per_customer": _top3_orders_per_customer,
+        "customer_running_spend": _customer_running_spend,
+        "part_brand_rollup": _part_brand_rollup,
+        "customers_no_big_orders": _customers_no_big_orders,
+        "suppliers_with_max_qty_items": _suppliers_with_max_qty_items,
+        "click_and_purchase_users": _click_and_purchase_users,
+        "events_distinct_users": _events_distinct_users,
+        "q6_forecast_revenue": _q6_forecast_revenue,
+        "customer_order_counts": _customer_order_counts,
+        "click_no_purchase_days": _click_no_purchase_days,
+        "events_lead_lag": _events_lead_lag,
+        "part_brand_cube": _part_brand_cube,
+        "events_asof_join": _events_asof_join,
+        "q17_small_qty_revenue": _q17_small_qty_revenue,
+        "q4_late_orders": _q4_late_orders,
+        "q7_nation_trade": _q7_nation_trade,
+        "q8_market_share": _q8_market_share,
+        "q9_product_profit": _q9_product_profit,
+        "q10_returned_items": _q10_returned_items,
+        "q11_value_concentration": _q11_value_concentration,
+        # oldest double-green fills (48-50): r02+r04 rows; these three slots
+        # cede to any round-6 additions as they land
+        "knn_ivf": _knn_ivf,
+        "knn_ivfpq": _knn_ivfpq,
+        "knn_lsh": _knn_lsh,
+        # --- behind the window: every entry below has a green driver
+        # row in r04 or r05 (COVERAGE.md maps entry -> gating rounds) ---
+        # round-4 additions + pca_knn, gated green in r05
         "training_shards": _training_shards,
         "shard_manifest": _shard_manifest,
         "token_estimate": _token_estimate,
@@ -3553,7 +3608,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_gapfill": _events_hourly_gapfill,
         "activity_hot_overlap": _activity_hot_overlap,
         "leakage_safe_split": _leakage_safe_split,
-        # re-green: oldest single-green entries, r03-only (15-50)
+        "pca_knn": _pca_knn,
+        # green in r03 AND r05
         "q15_top_supplier": _q15_top_supplier,
         "q16_supplier_counts": _q16_supplier_counts,
         "q20_part_share_suppliers": _q20_part_share_suppliers,
@@ -3589,12 +3645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": _multimodal_frames,
         "multimodal_audio": _multimodal_audio,
         "multimodal_resize": _multimodal_resize,
-        # first driver row for the newly ORACLED pca_knn (VERDICT r04
-        # next-round #2: quantized fixed-point PCA, hash-gated)
-        "pca_knn": _pca_knn,
-        # --- behind the window: green in r02/r03/r04 (see COVERAGE.md);
-        # the first 8 are the round-6 rotation candidates (r03-only) ---
-        "pii_scrub": _pii_scrub,
+        # green in r04 (some also r03)
         "maxsim_search": _maxsim_search,
         "docs_gopher_stream": _docs_gopher_stream,
         "docs_neardup_stream": _docs_neardup_stream,
@@ -3623,9 +3674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_pack_chunks": _sequence_pack_chunks,
         "training_corpus_pipeline": _training_corpus_pipeline,
         "sequence_pack_bins": _sequence_pack_bins,
-        "knn_ivf": _knn_ivf,
-        "knn_ivfpq": _knn_ivfpq,
-        "knn_lsh": _knn_lsh,
+        # green in r02 AND r04
         "knn_hamming_packed": _knn_hamming_packed,
         "auto_embed": _auto_embed,
         "doc_repetition": _doc_repetition,
@@ -3642,52 +3691,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _simhash,
         "langid": _langid,
         "text_stats": _text_stats,
-        "doc_length_histogram": _doc_length_histogram,
-        "tfidf_top_terms": _tfidf_top_terms,
-        "ngram_contamination": _ngram_contamination,
-        "line_dedup": _line_dedup,
-        "source_mixture": _source_mixture,
-        "gopher_filter": _gopher_filter,
-        "search_filtered_ivf": _search_filtered_ivf,
-        "curation_pipeline": _curation_pipeline,
-        "knn_binq": _knn_binq,
-        "knn_flat_cos": lambda s, d: _knn_flat(s, d, "cos"),
-        "knn_flat_ip": lambda s, d: _knn_flat(s, d, "ip"),
-        "knn_flat_hamming": lambda s, d: _knn_flat(s, d, "hamming"),
-        "knn_brute": _knn_brute,
-        "doc_fingerprint": _doc_fingerprint,
-        "ngram_jaccard_pairs": _ngram_jaccard_pairs,
-        "cross_source_leakage": _cross_source_leakage,
-        "q1_pricing_summary": _q1_pricing_summary,
-        "q3_shipping_priority": _q3_shipping_priority,
-        "q5_nation_revenue": _q5_nation_revenue,
-        "top3_orders_per_customer": _top3_orders_per_customer,
-        "customer_running_spend": _customer_running_spend,
-        "part_brand_rollup": _part_brand_rollup,
-        "customers_no_big_orders": _customers_no_big_orders,
-        "suppliers_with_max_qty_items": _suppliers_with_max_qty_items,
-        "click_and_purchase_users": _click_and_purchase_users,
-        "events_distinct_users": _events_distinct_users,
-        "q6_forecast_revenue": _q6_forecast_revenue,
-        "customer_order_counts": _customer_order_counts,
-        "click_no_purchase_days": _click_no_purchase_days,
-        "events_lead_lag": _events_lead_lag,
-        "part_brand_cube": _part_brand_cube,
-        "events_asof_join": _events_asof_join,
-        "q17_small_qty_revenue": _q17_small_qty_revenue,
-        "q4_late_orders": _q4_late_orders,
-        "q7_nation_trade": _q7_nation_trade,
-        "q8_market_share": _q8_market_share,
-        "q9_product_profit": _q9_product_profit,
-        "q10_returned_items": _q10_returned_items,
-        "q11_value_concentration": _q11_value_concentration,
-        # --- round-5 additions (behind the gate window; rotate into
-        # the round-6 window with the 8 r03-only entries above) ---
-        "dsir_select": _dsir_select,
-        "hard_negatives": _hard_negatives,
-        "docs_dsir_stream": _docs_dsir_stream,
-        "fim_samples": _fim_samples,
-        "epoch_mixture": _epoch_mixture,
     }
 
 def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

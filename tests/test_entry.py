@@ -19,25 +19,39 @@ def test_oracle_keys_subset_of_queries():
 
 def test_registry_arithmetic_matches_coverage_doc():
     """Pin the counts COVERAGE.md and the queries() comment quote so
-    they can't drift from the registry again (VERDICT r03 #5)."""
+    they can't drift from the registry again (VERDICT r03 #5; extended
+    per VERDICT r05 #3 to quote the COVERAGE.md header count string, so
+    a future header like the r05 '139' leftover fails this test)."""
+    import pathlib
+    import re
+
     qs, os_ = entry.queries(), entry.oracle_sql()
     assert len(qs) == 142  # 125 through r03 + 12 r04 + 5 r05 additions
-    # round 5: pca_knn gained a fixed-point oracle — ZERO unoracled entries
+    # ZERO unoracled entries (since round 5)
     assert set(qs) - set(os_) == set()
-    # the driver gates the first 50 entries; the round-5 window must
-    # contain every entry that had no driver row through r04 (the 12
-    # round-4 additions) plus the standing anchors
+    # COVERAGE.md's header must state the exact registry size
+    cov = pathlib.Path("/root/repo/COVERAGE.md").read_text()
+    m = re.search(r"registry holds \*\*(\d+) entries", cov)
+    assert m, "COVERAGE.md header no longer states the registry size"
+    assert int(m.group(1)) == len(qs), (
+        f"COVERAGE.md header says {m.group(1)} entries, registry has {len(qs)}"
+    )
+    # the driver gates the first 50 entries; the round-6 window must
+    # contain every entry that had no driver row through r05 (the 5
+    # round-5 additions), every entry whose ONLY row is r03, and the
+    # standing anchors
     window = list(qs)[:50]
-    never_checked_through_r04 = {
-        "training_shards", "shard_manifest", "token_estimate",
-        "retrieval_rank_eval", "data_quality_gate", "orders_snapshot_diff",
-        "line_scrub", "quality_gate_stream", "dedup_keep_best",
-        "events_hourly_gapfill", "activity_hot_overlap", "leakage_safe_split",
+    never_checked_through_r05 = {
+        "dsir_select", "hard_negatives", "docs_dsir_stream",
+        "fim_samples", "epoch_mixture",
+    }
+    r03_only = {
+        "pii_scrub", "ngram_contamination", "line_dedup", "source_mixture",
+        "gopher_filter", "search_filtered_ivf", "curation_pipeline",
+        "knn_binq", "doc_length_histogram", "tfidf_top_terms",
     }
     anchors = {"collection_lifecycle", "knn_ivfsq"}
-    assert never_checked_through_r04 | anchors <= set(window)
-    # pca_knn gained its oracle in round 5 — first hash-gated driver row
-    assert "pca_knn" in window
+    assert never_checked_through_r05 | r03_only | anchors <= set(window)
 
 
 def test_every_registry_entry_named_in_coverage_doc():
