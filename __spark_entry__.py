@@ -876,6 +876,37 @@ SELECT doc_id, {terms} AS simhash FROM hs0
 """
 
 
+def _topic_balance_oracle(cap: int = 12, n_buckets: int = 64) -> str:
+    """topic_balanced_sample: the simhash oracle CTE folded to buckets,
+    then a per-bucket md5-ordered cap — mirrors pipeline/sampling.py
+    topic_balanced_sample exactly."""
+    from oasisdb_spark.pipeline.dedup import SIMHASH_BITS
+
+    h60 = "(('0x' || substr(md5(t), 1, 15))::BIGINT)"
+    terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN (x >> {k}) & 1 = 1 THEN 1 ELSE -1 END)) > 0"
+        f" THEN CAST({2**k} AS BIGINT) ELSE 0 END)"
+        for k in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH {_TOKS_CTE},
+hs0 AS (SELECT doc_id, list_distinct(list_transform(tk, t -> {h60})) AS hs FROM toks),
+sh AS (SELECT doc_id, ({terms}) % {n_buckets} AS topic_bucket FROM hs0),
+r AS (
+  SELECT doc_id, topic_bucket,
+         row_number() OVER (
+           PARTITION BY topic_bucket
+           ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || 'topic-balance'), 1, 15))::BIGINT ASC,
+                    doc_id ASC
+         ) AS bucket_rank
+  FROM sh
+)
+SELECT doc_id, CAST(topic_bucket AS INT) AS topic_bucket,
+       CAST(bucket_rank AS INT) AS bucket_rank
+FROM r WHERE bucket_rank <= {cap}
+"""
+
+
 def _training_pipeline_oracle() -> str:
     from oasisdb_spark.pipeline.text import STOPWORDS
 
@@ -3491,17 +3522,24 @@ def _epoch_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("copy_idx", F.col("copy_idx").cast("int"))
 
 
-def _hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bench-only scale path of hard_negatives: IVF probe-pruned
-    shortlist (k'=40 = 4x over-fetch, nprobe=4) -> label join ->
-    exclusion + re-rank via hard_negatives_from_candidates. Shows the
-    composition the operator documents for 100 TB bases."""
+def _hard_negatives_ivf(spark: SparkSession, sf_dir: str, nprobe: int = 16) -> DataFrame:
+    """Hard-negative mining over an ANN SHORTLIST — the composition the
+    operator documents for 100 TB bases (pipeline/mining.py
+    hard_negatives_from_candidates): IVF shortlist (k'=40 = 4x
+    over-fetch) -> label join -> same-label exclusion + re-rank. Driver
+    entry in EXACT mode (nprobe=nlist=16): the full-probe shortlist is
+    the true top-40 by (distance, id), so the composed semantics —
+    including over-fetch starvation, where a query with <10
+    different-label vectors in its top-40 returns fewer than k — are
+    expressible as a nested-window SQL oracle (VERDICT r05 #5; same
+    exact-mode trick as _knn_ivf). The approximate plan (nprobe=4) is
+    benchmarked via bench_queries()."""
     from oasisdb_spark.index.ivf import knn_ivf
     from oasisdb_spark.pipeline.mining import hard_negatives_from_candidates
 
     emb = _table(spark, sf_dir, "embeddings")
     cent, idx = _ivf_memo(spark, sf_dir)
-    cand = knn_ivf(_emb_queries(spark, sf_dir, 10), cent, idx, k=40, nprobe=4)
+    cand = knn_ivf(_emb_queries(spark, sf_dir, 10), cent, idx, k=40, nprobe=nprobe)
     labels = emb.select(F.col("vec_id"), F.col("label"))
     cand = (
         cand.join(
@@ -3513,6 +3551,72 @@ def _hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
               .withColumnRenamed("label", "blabel"), on="id")
     )
     return hard_negatives_from_candidates(cand, k=10, neq_pair=("qlabel", "blabel"))
+
+
+def _docs_mining_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING hard-negative candidate mining at ingest
+    (pipeline/mining.py mine_candidates_broadcast): the query set
+    (first 10 vectors + labels) broadcasts as a numpy matrix, and each
+    arriving base vector scores against it in one stateless Arrow pass
+    — same-label exclusion and a distance threshold fused in, append
+    mode, no aggregation state, one availableNow drain (the
+    dsir_score_broadcast shape; VERDICT r05 #7). Distances are
+    in-order float64 folds vectorized over rows, so the stream is
+    row-identical to the batch cross-join path and the batch L2 oracle
+    hash-matches. Per-query top-k SELECTION stays downstream
+    (hard_negatives_from_candidates) — that part is stateful and
+    belongs to the batch/micro-batch layer, not ingest."""
+    import os
+    import tempfile
+    import uuid
+
+    from oasisdb_spark.pipeline.mining import mine_candidates_broadcast
+
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    emb = spark.read.parquet(emb_path)
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("qlabel"),
+    )
+    stream_dir = tempfile.mkdtemp(prefix="docs_mining_stream_")
+    os.symlink(os.path.abspath(emb_path), os.path.join(stream_dir, "embeddings_0.parquet"))
+    stream = spark.readStream.schema(emb.schema).parquet(stream_dir).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector"), "label"
+    )
+    cands = mine_candidates_broadcast(
+        stream, queries_df, space="l2", max_distance=1.8,
+        neq_pair=("qlabel", "label"), id_col="id", vec_col="vector",
+    )
+    name = f"docs_mining_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        cands.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "query_id", "id", F.col("distance").cast("double").alias("distance")
+    )
+
+
+def _topic_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-balanced corpus sampling (pipeline/sampling.py
+    topic_balanced_sample): cap documents kept per SimHash-derived
+    topic bucket (64 buckets, cap 12) — flattens template/topic
+    over-representation with zero training; the md5-salted within-
+    bucket order makes the sample reproducible and storage-order-
+    independent. One scan-stage Arrow pass (simhash) + one
+    topic_bucket-keyed window shuffle that WindowGroupLimit trims to
+    cap rows per input partition first."""
+    from oasisdb_spark.pipeline.sampling import topic_balanced_sample
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = topic_balanced_sample(docs, cap=12, n_buckets=64)
+    return out.select(
+        "doc_id",
+        F.col("topic_bucket").cast("int").alias("topic_bucket"),
+        F.col("bucket_rank").cast("int").alias("bucket_rank"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3533,8 +3637,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver rows + ALL TEN entries whose only driver row is r03 (the
     # verdict's 8 plus doc_length_histogram / tfidf_top_terms, which a
     # CORRECTNESS_r0{2..5} sweep shows are also r03-only) + the 30
-    # r02-only re-greens + 3 oldest double-green fills. After a green
-    # r06, every entry has a driver row from r04 or later.
+    # r02-only re-greens + the 3 round-6 additions taking their first
+    # driver rows (hard_negatives_ivf, docs_mining_stream,
+    # topic_balanced_sample — VERDICT r05 #5/#7 + topic balancing).
+    # After a green r06, every entry has a driver row from r04 or
+    # later.
     return {
         # --- ROUND-6 WINDOW (positions 1-50) ---
         # anchors (1-2)
@@ -3588,11 +3695,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q9_product_profit": _q9_product_profit,
         "q10_returned_items": _q10_returned_items,
         "q11_value_concentration": _q11_value_concentration,
-        # oldest double-green fills (48-50): r02+r04 rows; these three slots
-        # cede to any round-6 additions as they land
-        "knn_ivf": _knn_ivf,
-        "knn_ivfpq": _knn_ivfpq,
-        "knn_lsh": _knn_lsh,
+        # round-6 additions, first driver rows (48-50)
+        "hard_negatives_ivf": _hard_negatives_ivf,
+        "docs_mining_stream": _docs_mining_stream,
+        "topic_balanced_sample": _topic_balanced_sample,
         # --- behind the window: every entry below has a green driver
         # row in r04 or r05 (COVERAGE.md maps entry -> gating rounds) ---
         # round-4 additions + pca_knn, gated green in r05
@@ -3675,6 +3781,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_corpus_pipeline": _training_corpus_pipeline,
         "sequence_pack_bins": _sequence_pack_bins,
         # green in r02 AND r04
+        "knn_ivf": _knn_ivf,
+        "knn_ivfpq": _knn_ivfpq,
+        "knn_lsh": _knn_lsh,
         "knn_hamming_packed": _knn_hamming_packed,
         "auto_embed": _auto_embed,
         "doc_repetition": _doc_repetition,
@@ -3732,8 +3841,9 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hard-negative mining's scale path: exclusions + re-rank over
         # an IVF probe-pruned shortlist (over-fetch 4x so same-label
         # hits can't starve the list) — approximate by ANN construction;
-        # the exact tier is the driver's hard_negatives entry
-        "hard_negatives_ivf": _hard_negatives_ivf,
+        # the exact tier is the driver's hard_negatives_ivf entry
+        # (full-probe), which shares this code path
+        "hard_negatives_ivf_probe": lambda s, d: _hard_negatives_ivf(s, d, nprobe=4),
         # DSIR's Column/equi-join executable spec (the entry runs the
         # fused Arrow scorer — row-identical, test-pinned, ~5x faster;
         # same economics as minhash_signature_expr vs the fused frame)
@@ -4132,11 +4242,18 @@ def _pca_knn_oracle_sql() -> str:
           FROM embeddings, range(1, {d + 1}) r(i)
         ),
         proj AS (
-          SELECT x.vec_id, c.j,
-                 (CAST(SUM((x.xq - m.m) * c.c) AS BIGINT) + {PCA_OFF}) // {PCA_SC}
-                   - {off_div} AS p
-          FROM xq x JOIN meanq m USING (i) JOIN comp c ON c.i = x.i
-          GROUP BY x.vec_id, c.j
+          -- |raw| >= PCA_OFF would desync the floor rescale from the
+          -- Spark side; fail loudly exactly as pca_project_quantized
+          -- does (ADVICE r05)
+          SELECT vec_id, j,
+                 (CASE WHEN abs(rawp) >= {PCA_OFF}
+                       THEN CAST(error('pca oracle: |raw| >= PCA_OFF') AS BIGINT)
+                       ELSE rawp END + {PCA_OFF}) // {PCA_SC} - {off_div} AS p
+          FROM (
+            SELECT x.vec_id, c.j, CAST(SUM((x.xq - m.m) * c.c) AS BIGINT) AS rawp
+            FROM xq x JOIN meanq m USING (i) JOIN comp c ON c.i = x.i
+            GROUP BY x.vec_id, c.j
+          )
         ),
         d AS (
           SELECT q.vec_id AS query_id, b.vec_id AS id,
@@ -4181,7 +4298,11 @@ WITH c AS (
   FROM documents
 ),
 d AS (
-  SELECT doc_id, text, L,
+  -- hp carried through so no self-join is needed to recover it: a
+  -- USING (doc_id, text, L) join would silently drop NULL-text docs
+  -- (NULL never satisfies USING equality) while the Spark entry
+  -- passes them through (ADVICE r05)
+  SELECT doc_id, text, L, hp,
          hl % greatest(CAST(floor(L * 0.5) AS BIGINT), 1) + 1 AS mid_len
   FROM c
 ),
@@ -4189,7 +4310,7 @@ e AS (
   SELECT doc_id, text, L, mid_len,
          CASE WHEN L - mid_len >= 1 THEN hp % (L - mid_len) + 1 ELSE NULL END AS start,
          (L >= 60 AND L - mid_len >= 1) AS ok
-  FROM d JOIN c USING (doc_id, text, L)
+  FROM d
 ),
 s AS (
   SELECT doc_id,
@@ -4220,13 +4341,16 @@ FROM n_tbl WHERE n >= 1
 """,
         # hard negatives: exact L2 top-k with the same-label exclusion
         # applied BEFORE ranking — the oracle proves the semantics the
-        # over-fetch-then-filter shortcut gets wrong
+        # over-fetch-then-filter shortcut gets wrong. IS DISTINCT FROM
+        # mirrors the Spark side's ~eqNullSafe exactly (ADVICE r05): a
+        # NULL-vs-non-NULL label pair stays a candidate, NULL-vs-NULL
+        # is excluded — `<>` would silently drop both
         "hard_negatives": f"""
 WITH scored AS (
   SELECT q.vec_id AS query_id, e.vec_id AS id, {_L2_SQL} AS distance
   FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
   CROSS JOIN embeddings e
-  WHERE q.label <> e.label
+  WHERE q.label IS DISTINCT FROM e.label
 ), ranked AS (
   SELECT query_id, id, distance,
          row_number() OVER (PARTITION BY query_id ORDER BY distance ASC, id ASC) AS rank
@@ -4234,6 +4358,43 @@ WITH scored AS (
 )
 SELECT query_id, id, CAST(rank AS INT) AS rank, distance FROM ranked WHERE rank <= 10
 """,
+        # hard negatives over an ANN shortlist, EXACT mode: full-probe
+        # IVF shortlist == true top-40 by (distance, id), so the
+        # composition — over-fetch, THEN exclusion, THEN re-rank — is a
+        # nested-window oracle; where a query's top-40 holds fewer than
+        # 10 different-label vectors the list under-fills, and the
+        # oracle proves the entry reproduces exactly that (the
+        # documented approximate-practice semantics, vs hard_negatives'
+        # exclusion-before-ranking exact tier)
+        "hard_negatives_ivf": f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS id, {_L2_SQL} AS distance,
+         q.label AS qlabel, e.label AS blabel
+  FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+  CROSS JOIN embeddings e
+), shortlist AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY distance ASC, id ASC) AS srank
+  FROM scored
+), kept AS (
+  SELECT query_id, id, distance,
+         row_number() OVER (PARTITION BY query_id ORDER BY distance ASC, id ASC) AS rank
+  FROM shortlist
+  WHERE srank <= 40 AND qlabel IS DISTINCT FROM blabel
+)
+SELECT query_id, id, CAST(rank AS INT) AS rank, distance FROM kept WHERE rank <= 10
+""",
+        # streaming candidate mining == the batch pair scan: cross join
+        # + eqNullSafe-mirrored exclusion + strict distance threshold
+        # (no top-k — selection is downstream); the stream hash-matches
+        # because the Arrow pass folds dimensions in order
+        "docs_mining_stream": f"""
+SELECT q.vec_id AS query_id, e.vec_id AS id, {_L2_SQL} AS distance
+FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+CROSS JOIN embeddings e
+WHERE q.label IS DISTINCT FROM e.label
+  AND {_L2_SQL} < 1.8
+""",
+        "topic_balanced_sample": _topic_balance_oracle(),
         "knn_flat_l2": _KNN_ORACLE_TMPL.format(dist=_L2_SQL, nq=10, k=10, base="embeddings", extra="", join=""),
         "knn_flat_cos": _KNN_ORACLE_TMPL.format(dist=_COS_SQL, nq=10, k=10, base="embeddings", extra="", join=""),
         "knn_flat_ip": _KNN_ORACLE_TMPL.format(dist=f"-({_DOT_SQL})", nq=10, k=10, base="embeddings", extra="", join=""),

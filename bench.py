@@ -104,8 +104,14 @@ FAMILIES: dict[str, list[str]] = {
     # round-5 additions (additive — earlier families untouched)
     "dedup_wide": ["substring_dup_wide"],
     "data_selection": ["dsir_select", "dsir_select_join", "docs_dsir_stream"],
-    "mining": ["hard_negatives", "hard_negatives_ivf"],
+    "mining": ["hard_negatives", "hard_negatives_ivf_probe"],
     "sample_construction": ["fim_samples", "epoch_mixture"],
+    # round-6 additions (additive — earlier families untouched; the
+    # r05 "hard_negatives_ivf" bench key is now "hard_negatives_ivf_probe":
+    # same nprobe=4 plan, renamed because the registry name took the
+    # full-probe exact mode for its driver oracle)
+    "mining_stream": ["docs_mining_stream"],
+    "topic_balance": ["topic_balanced_sample"],
 }
 
 

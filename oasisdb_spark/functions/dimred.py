@@ -16,11 +16,14 @@ TRAINING driver-side over distributed data the same way (k-means in
 Determinism: the eigendecomposition is deterministic given the
 accumulated Gram matrix; eigenvector SIGN is normalized (largest-|x|
 coordinate made positive) so models are comparable across fits. The
-float64 partial sums make the Gram matrix reproducible to last-ulp
-under a fixed partitioning; across different partitionings, reductions
-can differ in the last ulp — models are equal to ~1e-12, not
-bit-identical, which is why PCA entries are rows-only rather than
-hash-oracled.
+FLOAT API (fit_pca / pca_project) is reproducible to last-ulp only
+under a fixed partitioning; across different partitionings, float64
+reductions can differ in the last ulp — float models are equal to
+~1e-12, not bit-identical. The QUANTIZED path (fit_pca_quantized /
+pca_project_quantized, int64 micro-unit moments) has associative
+partial sums and so is partition-order-exact and hash-oracled (the
+pca_knn driver entry since round 5); only the float API carries the
+last-ulp caveat.
 """
 
 from __future__ import annotations
@@ -276,6 +279,17 @@ def pca_project_quantized(
                 continue
             xq = quantize_vectors_np(np.asarray(pdf[vec_col].tolist()))
             raw = (xq - mean_q) @ comp_q  # int64
+            # the positive-dividend rescale is only floor-exact while
+            # |raw| < PCA_OFF (holds for ~unit-scale embeddings:
+            # |raw| <= d*2e6*SC ~ 7e13 at d=64); out-of-range inputs
+            # must fail loudly, not silently desync from the truncating
+            # `//` in the DuckDB oracle (ADVICE r05)
+            if np.abs(raw).max(initial=0) >= PCA_OFF:
+                raise ValueError(
+                    "pca_project_quantized: |raw projection| >= PCA_OFF "
+                    f"({np.abs(raw).max()}); input vectors exceed the "
+                    "~unit-scale range the fixed-point rescale assumes"
+                )
             p = (raw + PCA_OFF) // PCA_SC - PCA_OFF // PCA_SC
             out = pdf[keep_cols].copy()
             out[out_col] = list(p)

@@ -225,13 +225,18 @@ def dsir_select(
     same interpreted-HOF-md5 economics as the minhash pair
     (minhash_signature_expr vs shingle_minhash_frame). ``scorer='join'``
     is the executable Column/equi-join spec; the two are row-identical
-    (test-pinned), so the oracle applies to both."""
+    (test-pinned), so the oracle applies to both.
+
+    The top-k is orderBy().limit(k) — TakeOrderedAndProject, per-
+    partition heaps merged at the driver, never a global sort shuffle
+    (ADVICE r05: the previous unpartitioned-Window form collapsed the
+    final sort to a single partition; WindowGroupLimit only trimmed
+    each input partition to k first). sel_rank is then a row_number
+    over the k surviving rows — a trivial single-partition window."""
     from pyspark.sql import Window
 
     score_fn = dsir_score_broadcast if scorer == "broadcast" else dsir_score
     scored = score_fn(df, model, const_micro, id_col, text_col, n_buckets)
-    w = Window.orderBy(F.col("weight_micro").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("sel_rank", F.row_number().over(w))
-        .filter(F.col("sel_rank") <= k)
-    )
+    order = [F.col("weight_micro").desc(), F.col(id_col).asc()]
+    top = scored.orderBy(*order).limit(k)
+    return top.withColumn("sel_rank", F.row_number().over(Window.orderBy(*order)))

@@ -34,7 +34,118 @@ from pyspark.sql import functions as F
 from oasisdb_spark.functions.distance import distance_expr
 from oasisdb_spark.index.flat import topk_per_query
 
-__all__ = ["hard_negatives", "hard_negatives_from_candidates"]
+__all__ = [
+    "hard_negatives",
+    "hard_negatives_from_candidates",
+    "mine_candidates_broadcast",
+]
+
+
+def mine_candidates_broadcast(
+    df: DataFrame,
+    queries: DataFrame,
+    space: str = "l2",
+    max_distance: float | None = None,
+    neq_pair: tuple[str, str] | None = None,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    id_col: str = "id",
+    vec_col: str = "vector",
+) -> DataFrame:
+    """STREAMABLE hard-negative candidate generation: score each
+    arriving base vector against a broadcast query set in one stateless
+    Arrow pass, emitting (query_id, id, distance) for every surviving
+    pair — the "mine negatives as vectors arrive" deployment. The
+    per-query top-k SELECTION is stateful across a stream and stays
+    downstream (hard_negatives_from_candidates per micro-batch window,
+    or batch); candidate generation at ingest is the stateless part,
+    the same broadcast-Arrow-pass shape as dsir_score_broadcast /
+    lm_score_broadcast.
+
+    Exclusions fuse into the pass: ``neq_pair`` = (queries-side column,
+    df-side column) drops definite equals only (eqNullSafe semantics —
+    NULL-vs-non-NULL survives, NULL-vs-NULL is excluded — identical to
+    hard_negatives); ``max_distance`` keeps strictly-closer pairs,
+    bounding emitted rows to the interesting neighborhood.
+
+    Determinism: distances are IN-ORDER float64 folds over dimensions,
+    vectorized over rows (each numpy elementwise op is exact IEEE
+    double, so the per-pair fold order equals the Column-expression
+    fold in functions/distance.py and DuckDB's list_sum) — outputs are
+    row-identical to the batch cross-join path and the batch oracle
+    applies. Supported spaces: l2 (squared), ip (-dot).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if space not in ("l2", "ip"):
+        raise ValueError(
+            f"mine_candidates_broadcast: space={space!r} not supported "
+            "(l2/ip are in-order-fold reproducible; cosine needs the "
+            "batch path's normalized fold)"
+        )
+    q_cols = [query_id_col, query_vec_col] + ([neq_pair[0]] if neq_pair else [])
+    q_rows = queries.select(*q_cols).collect()
+    if not q_rows:
+        raise ValueError("mine_candidates_broadcast: empty query set")
+    q_ids = [r[query_id_col] for r in q_rows]
+    q_mat = np.asarray([list(r[query_vec_col]) for r in q_rows], dtype=np.float64)
+    q_meta = [r[neq_pair[0]] if neq_pair else None for r in q_rows]
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast((q_ids, q_mat, q_meta))
+
+    base_cols = [id_col, vec_col] + ([neq_pair[1]] if neq_pair else [])
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("query_id", queries.schema[query_id_col].dataType),
+            T.StructField("distance", T.DoubleType()),
+        ]
+    )
+
+    def _score(batches):
+        ids, Q, metas = bc.value
+        nq, d = Q.shape
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            B = np.asarray([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            acc = np.zeros((len(pdf), nq), dtype=np.float64)
+            if space == "l2":
+                for i in range(d):  # in-order fold over dims, vectorized over pairs
+                    t = B[:, i, None] - Q[None, :, i]
+                    acc += t * t
+            else:  # ip: -dot
+                for i in range(d):
+                    acc -= B[:, i, None] * Q[None, :, i]
+            keep = np.ones((len(pdf), nq), dtype=bool)
+            if neq_pair is not None:
+                # Arrow hands nullable ints to pandas as NaN — treat
+                # None and NaN both as SQL NULL
+                bm = [None if pd.isna(b) else b for b in pdf[neq_pair[1]].tolist()]
+                for j, qm in enumerate(metas):
+                    # eqNullSafe: exclude (both NULL) or (equal non-NULL)
+                    keep[:, j] = [
+                        not ((b is None and qm is None) or (b is not None and qm is not None and b == qm))
+                        for b in bm
+                    ]
+            if max_distance is not None:
+                keep &= acc < max_distance
+            ri, qi = np.nonzero(keep)
+            if len(ri) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy()[ri],
+                    "query_id": [ids[j] for j in qi],
+                    "distance": acc[ri, qi],
+                }
+            )
+
+    return df.select(*base_cols).mapInPandas(_score, schema=out_schema).select(
+        "query_id", id_col, "distance"
+    )
 
 
 def hard_negatives_from_candidates(

@@ -47,6 +47,7 @@ __all__ = [
     "leakage_safe_split",
     "fim_split",
     "epoch_upsample",
+    "topic_balanced_sample",
 ]
 
 
@@ -387,4 +388,55 @@ def epoch_upsample(
         .filter(F.col("_n") >= 1)
         .withColumn("copy_idx", F.explode(F.sequence(F.lit(1), F.col("_n"))))
         .drop("_n")
+    )
+
+
+def topic_balanced_sample(
+    df: DataFrame,
+    cap: int,
+    n_buckets: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "topic-balance",
+) -> DataFrame:
+    """Topic-balanced corpus sampling: cap the number of documents kept
+    per TOPIC BUCKET, flattening topical over-representation (the
+    boilerplate/SEO-farm head of a web crawl) without training a
+    clusterer. The topic proxy is the document's 48-bit SimHash
+    (pipeline/dedup.py simhash_expr) folded to ``n_buckets`` buckets:
+    near-duplicate and same-template documents land in the same bucket,
+    so the cap bounds how much any one template contributes to an
+    epoch — the zero-training version of cluster-balanced selection
+    (SemDeDup-style k-means balancing swaps in via
+    pipeline/semantic_dedup.py cluster assignments on embeddings).
+
+    Within a bucket, survivors are chosen by salted content hash of the
+    id (md5), so the sample is reproducible and independent of storage
+    order; ties cannot occur (id is unique). Returns the input columns
+    plus (topic_bucket, bucket_rank) for the kept rows.
+
+    Scale: simhash is a scan-stage Arrow pass; the cap is ONE shuffle
+    keyed by topic_bucket whose window input WindowGroupLimit trims to
+    ``cap`` rows per input partition first — identical economics to
+    quality_prune. Bucket count is a knob: at 100 TB raise n_buckets
+    (and/or pre-aggregate per-bucket counts) so buckets stay
+    executor-sized.
+    """
+    from oasisdb_spark.pipeline.dedup import SIMHASH_BITS, simhash_expr
+
+    if not 1 <= n_buckets <= (1 << SIMHASH_BITS):
+        raise ValueError(f"topic_balanced_sample: n_buckets={n_buckets} out of range")
+    bucket = (simhash_expr(text_col) % F.lit(n_buckets)).alias("topic_bucket")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = Window.partitionBy("topic_bucket").orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("topic_bucket", bucket)
+        .withColumn("bucket_rank", F.row_number().over(w))
+        .filter(F.col("bucket_rank") <= cap)
     )

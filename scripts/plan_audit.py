@@ -511,11 +511,14 @@ def main() -> None:
 
     # 49. dsir_select: the production scorer is the fused Arrow pass
     # over the broadcast <=B-row model — ONE python eval, no join, no
-    # explode, no pair join anywhere; the Column/equi-join spec twin
-    # must broadcast the model into its scoring join
+    # explode, no pair join anywhere; the top-k is TakeOrderedAndProject
+    # (per-partition heaps, no global sort shuffle — ADVICE r05); the
+    # Column/equi-join spec twin must broadcast the model into its
+    # scoring join
     plan = plan_of(m.queries()["dsir_select"](spark, sf_dir))
     ok = (
         "ArrowEvalPython" in plan
+        and "TakeOrderedAndProject" in plan
         and "CartesianProduct" not in plan
         and "BroadcastNestedLoopJoin" not in plan
         and "SortMergeJoin" not in plan
@@ -544,6 +547,39 @@ def main() -> None:
         and "WindowGroupLimit" in plan
     )
     print(f"== hard_negatives broadcast scan + fused exclusion + partial top-k: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
+    # 51. hard_negatives_ivf: the ANN-shortlist composition must keep
+    # the IVF probe economics (broadcast hash joins for the two label
+    # attachments + the probe join — never a sort-merge over the base)
+    # and the post-exclusion re-rank stays a partial top-k
+    plan = plan_of(m.queries()["hard_negatives_ivf"](spark, sf_dir))
+    ok = (
+        "CartesianProduct" not in plan
+        and "SortMergeJoin" not in plan
+        and "BroadcastHashJoin" in plan
+        and "WindowGroupLimit" in plan
+    )
+    print(f"== hard_negatives_ivf shortlist composition broadcast joins: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
+    # 52. topic_balanced_sample: ONE shuffle keyed by topic_bucket
+    # (a single Exchange hashpartitioning), the simhash Arrow pass
+    # scan-stage, WindowGroupLimit trimming each partition to cap
+    from oasisdb_spark.pipeline.sampling import topic_balanced_sample
+    plan = plan_of(
+        topic_balanced_sample(
+            m._table(spark, sf_dir, "documents").select("doc_id", "text"),
+            cap=12, n_buckets=64,
+        )
+    )
+    ok = (
+        plan.count("Exchange hashpartitioning") == 1
+        and "ArrowEvalPython" in plan
+        and "WindowGroupLimit" in plan
+        and "CartesianProduct" not in plan
+    )
+    print(f"== topic_balanced_sample single bucket shuffle + partial cap: {'OK' if ok else 'FAIL'}")
     failures += not ok
 
     print(f"\n{'ALL PLANS OK' if not failures else f'{failures} PLAN CHECKS FAILED'}")

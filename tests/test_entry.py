@@ -26,7 +26,7 @@ def test_registry_arithmetic_matches_coverage_doc():
     import re
 
     qs, os_ = entry.queries(), entry.oracle_sql()
-    assert len(qs) == 142  # 125 through r03 + 12 r04 + 5 r05 additions
+    assert len(qs) == 145  # 142 through r05 + 3 round-6 additions
     # ZERO unoracled entries (since round 5)
     assert set(qs) - set(os_) == set()
     # COVERAGE.md's header must state the exact registry size
@@ -50,8 +50,14 @@ def test_registry_arithmetic_matches_coverage_doc():
         "gopher_filter", "search_filtered_ivf", "curation_pipeline",
         "knn_binq", "doc_length_histogram", "tfidf_top_terms",
     }
+    round6_additions = {
+        "hard_negatives_ivf", "docs_mining_stream", "topic_balanced_sample",
+    }
     anchors = {"collection_lifecycle", "knn_ivfsq"}
-    assert never_checked_through_r05 | r03_only | anchors <= set(window)
+    assert (
+        never_checked_through_r05 | r03_only | round6_additions | anchors
+        <= set(window)
+    )
 
 
 def test_every_registry_entry_named_in_coverage_doc():

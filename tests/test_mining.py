@@ -86,3 +86,107 @@ def test_candidates_path_matches_exact_when_candidates_complete(spark, vecs):
     b = sorted(map(tuple, hard_negatives(
         queries, vecs, k=3, neq_pair=("qlabel", "label")).collect()))
     assert a == b
+
+
+def test_mine_candidates_matches_batch_cross_join(spark, vecs):
+    """mine_candidates_broadcast (the streamable Arrow pass) must be
+    row-identical — ids AND bit-exact distances — to the batch
+    cross-join + filter path it twins."""
+    from oasisdb_spark.functions.distance import distance_expr
+    from oasisdb_spark.pipeline.mining import mine_candidates_broadcast
+
+    queries = q(vecs, [0, 3])
+    got = sorted(
+        map(tuple, mine_candidates_broadcast(
+            vecs, queries, space="l2", max_distance=2.0,
+            neq_pair=("qlabel", "label"),
+        ).collect())
+    )
+    batch = (
+        vecs.crossJoin(F.broadcast(queries))
+        .filter(~F.col("qlabel").eqNullSafe(F.col("label")))
+        .select(
+            "query_id", "id",
+            distance_expr("l2", "query_vec", "vector").alias("distance"),
+        )
+        .filter(F.col("distance") < 2.0)
+    )
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want and len(got) > 0
+
+
+def test_mine_candidates_null_label_semantics(spark):
+    """eqNullSafe exclusion: NULL-vs-non-NULL pairs SURVIVE (a doc with
+    unknown label is still a candidate negative), NULL-vs-NULL pairs
+    are excluded — identical to hard_negatives' batch filter."""
+    from oasisdb_spark.pipeline.mining import mine_candidates_broadcast
+
+    base = spark.createDataFrame(
+        [(0, [0.0], None), (1, [1.0], 7), (2, [2.0], None)],
+        "id LONG, vector ARRAY<DOUBLE>, label INT",
+    )
+    queries = spark.createDataFrame(
+        [(100, [0.0], None), (101, [0.0], 7)],
+        "query_id LONG, query_vec ARRAY<DOUBLE>, qlabel INT",
+    )
+    out = mine_candidates_broadcast(
+        base, queries, space="l2", neq_pair=("qlabel", "label")
+    ).collect()
+    pairs = {(r["query_id"], r["id"]) for r in out}
+    # NULL-label query 100: excludes NULL-label base 0 and 2, keeps 1
+    # label-7 query 101: excludes label-7 base 1, keeps NULL-label 0 and 2
+    assert pairs == {(100, 1), (101, 0), (101, 2)}
+
+
+def test_mine_candidates_ip_space_and_validation(spark, vecs):
+    from oasisdb_spark.functions.distance import distance_expr
+    from oasisdb_spark.pipeline.mining import mine_candidates_broadcast
+
+    queries = q(vecs, [0]).drop("qlabel")
+    got = sorted(
+        map(tuple, mine_candidates_broadcast(vecs, queries, space="ip").collect())
+    )
+    want = sorted(
+        map(tuple, vecs.crossJoin(F.broadcast(queries)).select(
+            "query_id", "id",
+            distance_expr("ip", "query_vec", "vector").alias("distance"),
+        ).collect())
+    )
+    assert got == want
+    with pytest.raises(ValueError, match="not supported"):
+        mine_candidates_broadcast(vecs, queries, space="cos")
+
+
+def test_ivf_shortlist_full_overfetch_equals_exact(spark, vecs):
+    """hard_negatives_from_candidates over a FULL shortlist (k' = N)
+    must equal the exact hard_negatives tier; a starved shortlist
+    (k' too small, all same-label) under-fills — the documented
+    ANN-shortlist semantics the driver's hard_negatives_ivf oracle
+    pins."""
+    from oasisdb_spark.index.flat import knn_flat
+    from oasisdb_spark.pipeline.mining import (
+        hard_negatives,
+        hard_negatives_from_candidates,
+    )
+
+    queries = q(vecs, [0])
+    n = vecs.count()
+
+    def shortlist(kprime):
+        cand = knn_flat(queries.drop("qlabel"), vecs, k=kprime, space="l2")
+        return (
+            cand.join(F.broadcast(queries.select("query_id", "qlabel")), on="query_id")
+            .join(vecs.select(F.col("id"), F.col("label").alias("blabel")), on="id")
+        )
+
+    full = hard_negatives_from_candidates(
+        shortlist(n), k=3, neq_pair=("qlabel", "blabel")
+    )
+    exact = hard_negatives(queries, vecs, k=3, neq_pair=("qlabel", "label"))
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, exact.collect()))
+    # shortlist of 3: query 0's top-3 are ids 0,1,2 — all label 0 —
+    # so the starved list yields ZERO negatives (under-fill, not error)
+    starved = hard_negatives_from_candidates(
+        shortlist(3), k=3, neq_pair=("qlabel", "blabel")
+    )
+    assert starved.count() == 0

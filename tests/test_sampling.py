@@ -304,3 +304,41 @@ def test_epoch_upsample_drops_unlisted_groups(spark):
     df = spark.createDataFrame([(1, "en"), (2, "zh")], "doc_id LONG, lang STRING")
     out = epoch_upsample(df, {"en": 1.0}, group_col="lang").collect()
     assert [r["doc_id"] for r in out] == [1]
+
+
+def test_topic_balanced_sample_cap_and_determinism(spark):
+    from oasisdb_spark.pipeline.sampling import topic_balanced_sample
+
+    rows = [(i, f"common template words shared by all docs variant {i % 5}")
+            for i in range(40)] + [(100 + i, f"totally distinct subject {i} "
+            f"unique vocabulary item{i} token{i * 7}") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = topic_balanced_sample(docs, cap=4, n_buckets=16)
+    pdf = out.toPandas()
+    # cap respected per bucket
+    assert pdf.groupby("topic_bucket").size().max() <= 4
+    # ranks are 1..n within each bucket
+    assert all(
+        sorted(g["bucket_rank"]) == list(range(1, len(g) + 1))
+        for _, g in pdf.groupby("topic_bucket")
+    )
+    # deterministic and independent of partitioning / storage order
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, topic_balanced_sample(
+        docs.repartition(7).sortWithinPartitions(F.col("doc_id").desc()),
+        cap=4, n_buckets=16,
+    ).collect()))
+    assert a == b
+    # the 40 same-template docs collapse into few buckets -> heavy trim;
+    # the 5 distinct docs survive (their buckets are under cap)
+    kept = set(pdf["doc_id"])
+    assert len(kept & {100, 101, 102, 103, 104}) == 5
+    assert len(kept) < 45
+
+
+def test_topic_balanced_sample_validation(spark):
+    from oasisdb_spark.pipeline.sampling import topic_balanced_sample
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id LONG, text STRING")
+    with pytest.raises(ValueError, match="out of range"):
+        topic_balanced_sample(docs, cap=1, n_buckets=0)
