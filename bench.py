@@ -112,6 +112,10 @@ FAMILIES: dict[str, list[str]] = {
     # full-probe exact mode for its driver oracle)
     "mining_stream": ["docs_mining_stream"],
     "topic_balance": ["topic_balanced_sample"],
+    # round-6 batch 2: the integer k-means curation family (fit is
+    # memoized like the index builds, so this times assignment +
+    # window economics over a BUILT model — same semantics as ANN)
+    "cluster_curate": ["kmeans_cells", "proto_prune", "cluster_balanced"],
 }
 
 
