@@ -582,6 +582,44 @@ def main() -> None:
     print(f"== topic_balanced_sample single bucket shuffle + partial cap: {'OK' if ok else 'FAIL'}")
     failures += not ok
 
+    # 53. proto_prune: assignment is ONE scan-stage Arrow pass against
+    # broadcast centroids (no join — the model ships in the closure),
+    # then exactly one cluster-keyed window shuffle; never a cartesian
+    plan = plan_of(m.queries()["proto_prune"](spark, sf_dir))
+    ok = (
+        "ArrowEvalPython" in plan or "MapInPandas" in plan
+    ) and (
+        plan.count("Exchange hashpartitioning") == 1
+        and "CartesianProduct" not in plan
+        and "Join" not in plan
+    )
+    print(f"== proto_prune scan-stage assignment + one cluster window shuffle: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
+    # 54. cluster_balanced: same single-shuffle economics, and the
+    # per-cell cap must partial-trim (WindowGroupLimit) before the
+    # exchange like every other capped window in the repo
+    plan = plan_of(m.queries()["cluster_balanced"](spark, sf_dir))
+    ok = (
+        plan.count("Exchange hashpartitioning") == 1
+        and "WindowGroupLimit" in plan
+        and "CartesianProduct" not in plan
+        and "Join" not in plan
+    )
+    print(f"== cluster_balanced single shuffle + WindowGroupLimit cap: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
+    # 55. kmeans_cells: occupancy is a partial agg over the scan-stage
+    # assignment; the k*d cell join is broadcast (tiny model side)
+    plan = plan_of(m.queries()["kmeans_cells"](spark, sf_dir))
+    ok = (
+        "BroadcastHashJoin" in plan
+        and "SortMergeJoin" not in plan
+        and "CartesianProduct" not in plan
+    )
+    print(f"== kmeans_cells broadcast cell join over partial-agg sizes: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
     print(f"\n{'ALL PLANS OK' if not failures else f'{failures} PLAN CHECKS FAILED'}")
     spark.stop()
     sys.exit(1 if failures else 0)
