@@ -3678,6 +3678,24 @@ def _cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_balanced_sample(emb, _kmeans_model_memo(spark, sf_dir), cap=64)
 
 
+def _value_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (functions/sketch.py quantile_sketch):
+    the KMV bottom-k selection rule applied to ROWS — a deterministic
+    md5-ordered k=512 sample (TakeOrdered heaps, no global sort), then
+    integer-rank order statistics over it for p1/p25/p50/p75/p99 of
+    events.value. The engine-reproducible sibling of approx_percentile
+    (GK), same as kmv_distinct is to HLL: the oracle recomputes the
+    identical sample and ranks, so the ESTIMATES hash-match — the
+    sketch itself is value-gated, not bounded. At 100 TB the raw table
+    never sorts; shards sample independently and merge by re-trim
+    (mergeability property-tested in test_approx.py)."""
+    from oasisdb_spark.functions.sketch import quantile_sketch
+
+    return quantile_sketch(
+        _table(spark, sf_dir, "events"), "value", "event_id", k=512
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries (observed: r01-r04 rows == registry[0:50]). ROUND-5
@@ -3865,6 +3883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_cells": _kmeans_cells,
         "proto_prune": _proto_prune,
         "cluster_balanced": _cluster_balanced,
+        "value_quantiles_sketch": _value_quantiles_sketch,
     }
 
 def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4469,6 +4488,28 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_cells": _kmeans_cells_oracle(),
         "proto_prune": _proto_prune_oracle(),
         "cluster_balanced": _cluster_balanced_oracle(),
+        # the sketch's ESTIMATES are value-gated: DuckDB recomputes the
+        # identical md5-ordered bottom-512 sample and the identical
+        # integer ceil-rank order statistics
+        "value_quantiles_sketch": """
+            WITH s AS (
+              SELECT event_id, value FROM (
+                SELECT event_id, value,
+                       ('0x' || substr(md5(event_id::VARCHAR || 'bottomk'), 1, 15))::BIGINT AS h
+                FROM events WHERE value IS NOT NULL
+              ) ORDER BY h, event_id LIMIT 512
+            ),
+            r AS (
+              SELECT value, event_id,
+                     row_number() OVER (ORDER BY value, event_id) AS rn,
+                     COUNT(*) OVER () AS n
+              FROM s
+            ),
+            q(num, den) AS (VALUES (1, 100), (1, 4), (1, 2), (3, 4), (99, 100))
+            SELECT CAST(q.num AS DOUBLE) / q.den AS q, r.value AS est,
+                   CAST(r.n AS BIGINT) AS n_sample
+            FROM q JOIN r ON r.rn = (q.num * r.n + q.den - 1) // q.den
+        """,
         # DSIR (pipeline/dsir.py): the oracle re-derives the ENTIRE
         # pipeline in SQL — hashed unigram+bigram buckets (the md5 H60
         # hash), Laplace micro-nat log-ratios (same lmic form as the LM

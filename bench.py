@@ -116,6 +116,7 @@ FAMILIES: dict[str, list[str]] = {
     # memoized like the index builds, so this times assignment +
     # window economics over a BUILT model — same semantics as ANN)
     "cluster_curate": ["kmeans_cells", "proto_prune", "cluster_balanced"],
+    "sketch_quantiles": ["value_quantiles_sketch"],
 }
 
 

@@ -27,7 +27,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["kmv_hash", "kmv_distinct", "heavy_hitters"]
+__all__ = [
+    "kmv_hash",
+    "kmv_distinct",
+    "heavy_hitters",
+    "bottomk_sample",
+    "quantile_estimates",
+    "quantile_sketch",
+]
 
 _TWO60 = float(1 << 60)
 
@@ -144,3 +151,109 @@ def heavy_hitters(
             F.round(F.col("cnt") / F.lit(float(n)), 6).alias("share"),
         )
     )
+
+
+def bottomk_sample(
+    df: DataFrame,
+    key_col: str,
+    k: int,
+    salt: str = "bottomk",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """The k rows with the smallest md5-derived hash of the (unique)
+    key — a fixed-size uniform row sample that is DETERMINISTIC and
+    engine-reproducible (the KMV selection rule applied to whole rows).
+
+    MERGEABLE like every bottom-k sketch: the sample of A ∪ B is the
+    bottom-k re-trim of sample(A) ∪ sample(B) — union the `_h`-carrying
+    frames and re-apply orderBy(_h, key).limit(k). That is what makes
+    it a sketch rather than a one-shot LIMIT: shards/partitions/days
+    can be sampled independently and combined exactly.
+
+    Physical shape: TakeOrderedAndProject — per-partition top-k heaps,
+    no sort shuffle; k bounded rows reach the driver side of the plan
+    at any input size."""
+    if k < 1:
+        raise ValueError(f"bottomk_sample: k must be >= 1, got {k}")
+    if keep_cols is None:
+        keep_cols = [c for c in df.columns]
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return (
+        df.select(*keep_cols)
+        .withColumn("_h", h)
+        .orderBy(F.col("_h").asc(), F.col(key_col).asc())
+        .limit(k)
+    )
+
+
+def quantile_estimates(
+    sample: DataFrame,
+    value_col: str,
+    key_col: str,
+    qs: list[tuple[int, int]],
+) -> DataFrame:
+    """Order statistics of a (bounded) sample as quantile estimates.
+
+    Quantiles are RATIONALS (num, den) so the selected rank,
+    ceil(num*n/den) = (num*n + den - 1) // den, is pure integer
+    arithmetic — the estimate for q is the rank-th smallest sample
+    value under the total order (value, key), deterministic through
+    ties. Over a bottomk_sample of size k the standard error of the
+    q-th quantile's RANK is ~sqrt(q(1-q)/k) (classic sample-quantile
+    asymptotics): k=512 puts the median within ~2.2 percentile points,
+    k=4096 within ~0.8. Returns (q, est, n_sample).
+
+    Why this next to Spark's approx_percentile (GK sketch): same reason
+    kmv_distinct sits next to HLL — the estimate is engine-reproducible
+    and therefore value-checkable by the SQL oracle, and the sample is
+    mergeable across shards. The window below runs over ≤k rows (one
+    bounded partition), which is the point: the 100 TB table never
+    sorts; only the k-row sample does."""
+    for num, den in qs:
+        if not (0 < num <= den):
+            raise ValueError(f"quantile_estimates: bad quantile {num}/{den}")
+    spark = sample.sparkSession
+    qdf = spark.createDataFrame(qs, schema="num INT, den INT")
+    w = Window.orderBy(F.col(value_col).asc(), F.col(key_col).asc())
+    ranked = (
+        sample.select(value_col, key_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy(F.lit(0))))
+    )
+    # ceil(num*n/den) as pure integer arithmetic (all operands positive,
+    # so Spark's truncating `div` IS floor, matching DuckDB's `//`)
+    target = F.expr("(num * _n + den - 1) div den")
+    return (
+        ranked.crossJoin(F.broadcast(qdf))
+        .filter(F.col("_rn") == target)
+        .select(
+            (F.col("num").cast("double") / F.col("den")).alias("q"),
+            F.col(value_col).alias("est"),
+            F.col("_n").cast("long").alias("n_sample"),
+        )
+    )
+
+
+def quantile_sketch(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    k: int = 512,
+    qs: list[tuple[int, int]] | None = None,
+    salt: str = "bottomk",
+) -> DataFrame:
+    """Approximate quantiles of ``value_col`` via a deterministic
+    bottom-k row sample: bottomk_sample (TakeOrdered heaps, no global
+    sort) → quantile_estimates (integer-rank order statistics). NULL
+    values don't participate (percentile semantics)."""
+    if qs is None:
+        qs = [(1, 100), (1, 4), (1, 2), (3, 4), (99, 100)]
+    sample = bottomk_sample(
+        df.where(F.col(value_col).isNotNull()), key_col, k,
+        salt=salt, keep_cols=[key_col, value_col],
+    )
+    return quantile_estimates(sample, value_col, key_col, qs)

@@ -620,6 +620,18 @@ def main() -> None:
     print(f"== kmeans_cells broadcast cell join over partial-agg sizes: {'OK' if ok else 'FAIL'}")
     failures += not ok
 
+    # 56. value_quantiles_sketch: the sample must be TakeOrdered
+    # per-partition heaps — the 100 TB table must never globally sort
+    # (no Exchange rangepartitioning / Sort over the raw scan)
+    plan = plan_of(m.queries()["value_quantiles_sketch"](spark, sf_dir))
+    ok = (
+        "TakeOrderedAndProject" in plan
+        and "Exchange rangepartitioning" not in plan
+        and "CartesianProduct" not in plan
+    )
+    print(f"== value_quantiles_sketch TakeOrdered sample, no global sort: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
     print(f"\n{'ALL PLANS OK' if not failures else f'{failures} PLAN CHECKS FAILED'}")
     spark.stop()
     sys.exit(1 if failures else 0)

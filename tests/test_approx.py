@@ -78,3 +78,74 @@ def test_count_min_sketch_overestimates_bounded(spark):
     )
     for r in hh:
         assert r["n"] >= total * 0.01
+
+
+def test_quantile_sketch_matches_sample_order_stats(spark):
+    """The estimate for (num, den) IS the ceil(num*n/den)-th smallest
+    sample value — recompute the selection in python from the same
+    deterministic sample."""
+    from oasisdb_spark.functions.sketch import bottomk_sample, quantile_sketch
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    qs = [(1, 100), (1, 4), (1, 2), (3, 4), (99, 100)]
+    out = {r["q"]: (r["est"], r["n_sample"])
+           for r in quantile_sketch(ev, "value", "event_id", k=128, qs=qs).collect()}
+    sample = bottomk_sample(
+        ev.where(F.col("value").isNotNull()), "event_id", 128,
+        keep_cols=["event_id", "value"],
+    ).collect()
+    vals = sorted((r["value"], r["event_id"]) for r in sample)
+    n = len(vals)
+    assert n == 128
+    for num, den in qs:
+        rank = (num * n + den - 1) // den
+        assert out[num / den] == (vals[rank - 1][0], n)
+
+
+def test_quantile_sketch_near_true_quantiles(spark):
+    """k=512 over sf0.001 events: the sampled median must land within
+    a few percentile points of the exact percentile."""
+    from oasisdb_spark.functions.sketch import quantile_sketch
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    exact = ev.selectExpr("percentile(value, 0.5) AS m").collect()[0]["m"]
+    lo, hi = (
+        ev.selectExpr(
+            "percentile(value, 0.40) AS lo", "percentile(value, 0.60) AS hi"
+        ).collect()[0]
+    )
+    est = {
+        r["q"]: r["est"]
+        for r in quantile_sketch(ev, "value", "event_id", k=512).collect()
+    }[0.5]
+    assert lo <= est <= hi, (est, exact, lo, hi)
+
+
+def test_bottomk_sample_mergeable(spark):
+    """sketch(A ∪ B) == re-trim(sketch(A) ∪ sketch(B)) — the property
+    that lets shards sample independently."""
+    from oasisdb_spark.functions.sketch import bottomk_sample
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id", "value"
+    )
+    a = ev.where(F.col("event_id") % 2 == 0)
+    b = ev.where(F.col("event_id") % 2 == 1)
+    whole = sorted(
+        (r["_h"], r["event_id"])
+        for r in bottomk_sample(ev, "event_id", 64).collect()
+    )
+    merged_df = bottomk_sample(a, "event_id", 64).unionByName(
+        bottomk_sample(b, "event_id", 64)
+    )
+    merged = sorted((r["_h"], r["event_id"]) for r in merged_df.collect())[:64]
+    assert whole == merged
+
+
+def test_quantile_sketch_partitioning_invariant(spark):
+    from oasisdb_spark.functions.sketch import quantile_sketch
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    r1 = sorted(map(tuple, quantile_sketch(ev.repartition(1), "value", "event_id", k=64).collect()))
+    r7 = sorted(map(tuple, quantile_sketch(ev.repartition(7), "value", "event_id", k=64).collect()))
+    assert r1 == r7
