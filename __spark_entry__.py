@@ -3719,6 +3719,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # topic_balanced_sample — VERDICT r05 #5/#7 + topic balancing).
     # After a green r06, every entry has a driver row from r04 or
     # later.
+    #
+    # ROUND-7 ROTATION TODO (stage EARLY next round — the driver
+    # snapshots the window mid-round): window = the 2 anchors + the 4
+    # round-6 batch-2 additions taking their first driver rows
+    # (kmeans_cells, proto_prune, cluster_balanced,
+    # value_quantiles_sketch — all check_oracle-verified value-exact at
+    # sf0.01 AND sf0.001 in round 6) + 44 of the 47 entries whose last
+    # driver row is r04 (a CORRECTNESS_r0{1..5} sweep at round-6 close:
+    # maxsim_search .. text_stats — the r04 window minus the entries
+    # re-greened in r05/r06). Suggested 3 to defer to r08 (lowest
+    # risk — their code paths are continuously exercised by in-window
+    # cousins): knn_flat_l2 (cos/ip/hamming cousins green r06),
+    # minhash_signatures (minhash_lsh_pairs supersedes it), text_stats
+    # (gopher_filter/doc_repetition share pipeline/text.py). Re-run the
+    # sweep before finalizing in case r06 rows differ from expectation.
     return {
         # --- ROUND-6 WINDOW (positions 1-50) ---
         # anchors (1-2)
