@@ -207,6 +207,89 @@ def ann_section(spark) -> None:
         print(f"| {name} | {r['sf0.1']:.2f} | {r['sf1']:.2f} | {r['sf1']/r['sf0.1']:.1f}x |")
 
 
+def curation_section(spark) -> None:
+    """Round-6 families at 10x: the integer k-means FIT (the only
+    multi-pass operator in the repo — per pass one scan emitting
+    partitions*k partial rows), its two curation consumers (one
+    cluster-keyed window shuffle each), and the bottom-k quantile
+    sketch (TakeOrdered scan; result size constant in n)."""
+    from oasisdb_spark.functions.sketch import quantile_sketch
+    from oasisdb_spark.pipeline.cluster_curate import (
+        cluster_balanced_sample,
+        kmeans_fit_quantized,
+        prototype_prune,
+    )
+
+    # 10x events for the sketch: replicas with shifted ids; value gets a
+    # deterministic xxhash jitter so order statistics aren't pure ties.
+    ev10 = "/tmp/oasis_scale_sf1_events"
+    if not os.path.exists(os.path.join(ev10, "_SUCCESS")):
+        base = spark.read.parquet(f"{SF01_DIR}/events.parquet").select(
+            "event_id", "value"
+        )
+        n = base.count()
+        reps = spark.range(0, 10).withColumnRenamed("id", "rep")
+        (
+            base.crossJoin(reps)
+            .select(
+                (F.col("event_id") + F.col("rep") * n).alias("event_id"),
+                (
+                    F.col("value")
+                    + (F.abs(F.xxhash64("event_id", "rep")) % 1000).cast("double")
+                    / 1e6
+                ).alias("value"),
+            )
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(ev10)
+        )
+
+    results: dict[str, dict[str, float]] = {}
+
+    def timed(tag, name, thunk, warm=True):
+        if warm:
+            thunk()
+        vals = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            thunk()
+            vals.append(time.perf_counter() - t0)
+        results.setdefault(name, {})[tag] = round(min(vals), 2)
+        print(f"  {tag:6s} {name:28s} {min(vals):7.2f} s", flush=True)
+
+    for tag, emb_path, ev_path in (
+        ("sf0.1", f"{SF01_DIR}/embeddings.parquet", f"{SF01_DIR}/events.parquet"),
+        ("sf1", build_sf1_embeddings(spark), ev10),
+    ):
+        emb = spark.read.parquet(emb_path).repartition(32).persist()
+        emb.count()
+        model_box = {}
+
+        def fit():
+            model_box["m"] = kmeans_fit_quantized(emb, k=64, iters=4)
+
+        timed(tag, "kmeans_fit[k=64,iters=4]", fit, warm=False)
+        m = model_box["m"]
+        timed(tag, "proto_prune[1/4]", lambda: force(prototype_prune(emb, m)))
+        timed(
+            tag,
+            "cluster_balanced[cap=64]",
+            lambda: force(cluster_balanced_sample(emb, m, cap=64)),
+        )
+        ev = spark.read.parquet(ev_path)
+        timed(
+            tag,
+            "quantile_sketch[k=512]",
+            lambda: force(quantile_sketch(ev, "value", "event_id", k=512)),
+        )
+        emb.unpersist()
+
+    print("\n| round-6 op | sf0.1 (s) | sf1 (s) | ratio (10x rows) |")
+    print("|---|---|---|---|")
+    for name, r in results.items():
+        print(f"| {name} | {r['sf0.1']:.2f} | {r['sf1']:.2f} | {r['sf1']/r['sf0.1']:.1f}x |")
+
+
 def main() -> None:
     from oasisdb_spark.session import get_spark
 
@@ -240,6 +323,7 @@ def main() -> None:
 
     ann_section(spark)
     tpch_section(spark)
+    curation_section(spark)
     spark.stop()
 
 
