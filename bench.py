@@ -117,6 +117,11 @@ FAMILIES: dict[str, list[str]] = {
     # window economics over a BUILT model — same semantics as ANN)
     "cluster_curate": ["kmeans_cells", "proto_prune", "cluster_balanced"],
     "sketch_quantiles": ["value_quantiles_sketch"],
+    "fingerprint_winnow": ["winnow_fingerprints", "winnow_contamination"],
+    # the BPE training loop runs once at warmup (merge-table memo, same
+    # built-artifact split as the index builds); the timed entries
+    # measure table emission + the scan-stage segmentation over it
+    "tokenizer_train": ["bpe_merges", "bpe_token_counts"],
 }
 
 

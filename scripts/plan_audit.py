@@ -632,6 +632,34 @@ def main() -> None:
     print(f"== value_quantiles_sketch TakeOrdered sample, no global sort: {'OK' if ok else 'FAIL'}")
     failures += not ok
 
+    # 57. winnow_fingerprints: the selection must be pure scan-stage
+    # array arithmetic — ZERO Exchange (no shuffle of any kind), no
+    # window function; documents never co-locate
+    plan = plan_of(m.queries()["winnow_fingerprints"](spark, sf_dir))
+    ok = "Exchange" not in plan and "Window" not in plan and "Generate" in plan
+    print(f"== winnow_fingerprints zero-shuffle scan-stage selection: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
+    # 58. winnow_contamination: the pair join must be a hash equi-join
+    # on fp_hash over the df-capped set — never nested-loop/cartesian
+    plan = plan_of(m.queries()["winnow_contamination"](spark, sf_dir))
+    ok = (
+        "CartesianProduct" not in plan
+        and "BroadcastNestedLoopJoin" not in plan
+        and ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+             or "BroadcastHashJoin" in plan)
+    )
+    print(f"== winnow_contamination bucketed fp_hash equi-join: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
+    # 59. bpe_token_counts: the learned merge chain must fold into one
+    # scan-stage expression — zero Exchange, no join (the merge table
+    # enters as literals, not a DataFrame)
+    plan = plan_of(m.queries()["bpe_token_counts"](spark, sf_dir))
+    ok = "Exchange" not in plan and "Join" not in plan
+    print(f"== bpe_token_counts scan-stage merge chain, zero shuffle: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
     print(f"\n{'ALL PLANS OK' if not failures else f'{failures} PLAN CHECKS FAILED'}")
     spark.stop()
     sys.exit(1 if failures else 0)
