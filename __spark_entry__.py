@@ -3739,6 +3739,54 @@ def _winnow_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_overlap_pairs(fps, docs, max_df=10, min_shared=2)
 
 
+def _events_quantiles_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING quantile sketch (functions/sketch.py
+    quantile_sketch_stream): events staged as FOUR ts-ranged files
+    consumed one per micro-batch (maxFilesPerTrigger=1, ascending
+    mtimes — the _events_funnel_stream staging pattern), each batch
+    contributing its local bottom-512; the foreachBatch state is the
+    re-trimmed union (<= 512 rows of bounded driver memory at ANY
+    stream length). The bottom-k mergeability theorem makes the final
+    sample equal the batch sketch exactly, so this entry SHARES the
+    value_quantiles_sketch oracle — a hash-matched streaming sketch."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from oasisdb_spark.functions.sketch import quantile_sketch_stream
+
+    def _stage() -> str:
+        ev = _table(spark, sf_dir, "events").select("event_id", "value")
+        d = tempfile.mkdtemp(prefix="events_quantiles_stream_")
+        ranked = ev.withColumn(
+            "_b", F.ntile(4).over(Window.orderBy("event_id"))
+        )
+        now = time.time()
+        for i in range(1, 5):
+            tmp = os.path.join(d, f"_w{i}")
+            ranked.filter(F.col("_b") == i).drop("_b").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(d, f"chunk_{i}.parquet")
+            shutil.copyfile(src, dst)
+            t = now - (4 - i) * 10
+            os.utime(dst, (t, t))
+            shutil.rmtree(tmp)
+        return d
+
+    d = _memo(spark, sf_dir, "quantiles_stream_dir", _stage)
+    stream = (
+        spark.readStream.schema("event_id BIGINT, value DOUBLE")
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(d)
+    )
+    return quantile_sketch_stream(stream, "value", "event_id", k=512)
+
+
 def _bpe_merges_memo(spark: SparkSession, sf_dir: str):
     """Learned merge rows for (session, sf_dir) — the training loop
     runs once and both BPE entries reuse it (built-artifact split, like
@@ -3812,23 +3860,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # later.
     #
     # ROUND-7 ROTATION TODO (stage EARLY next round — the driver
-    # snapshots the window mid-round): window = the 2 anchors + the 8
+    # snapshots the window mid-round): window = the 2 anchors + the 9
     # round-6 batch-2 additions taking their first driver rows
     # (kmeans_cells, proto_prune, cluster_balanced,
     # value_quantiles_sketch, winnow_fingerprints, winnow_contamination,
-    # bpe_merges, bpe_token_counts — all check_oracle-verified
-    # value-exact at sf0.01 AND sf0.001 in round 6) + 40 of the 47
+    # bpe_merges, bpe_token_counts, events_quantiles_stream — all
+    # check_oracle-verified value-exact at sf0.01 AND sf0.001 in
+    # round 6) + 39 of the 47
     # entries whose last driver row is r04 (a CORRECTNESS_r0{1..5}
     # sweep at round-6 close: maxsim_search .. text_stats — the r04
-    # window minus the entries re-greened in r05/r06). Suggested 7 to
+    # window minus the entries re-greened in r05/r06). Suggested 8 to
     # defer to r08 (lowest risk — their code paths are continuously
     # exercised by in-window cousins): knn_flat_l2 (cos/ip/hamming
     # cousins green r06), minhash_signatures (minhash_lsh_pairs
     # supersedes it), text_stats + langid + doc_repetition (same
     # pipeline/text.py Column family as gopher_filter), event_funnel +
     # cohort_retention (events_funnel_stream hash-matches the funnel
-    # path). Re-run the sweep before finalizing in case r06 rows differ
-    # from expectation.
+    # path), weighted_sample (token_budget_sample shares the md5
+    # threshold rule). Re-run the sweep before finalizing in case r06
+    # rows differ from expectation.
     return {
         # --- ROUND-6 WINDOW (positions 1-50) ---
         # anchors (1-2)
@@ -3998,6 +4048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_contamination": _winnow_contamination,
         "bpe_merges": _bpe_merges,
         "bpe_token_counts": _bpe_token_counts,
+        "events_quantiles_stream": _events_quantiles_stream,
     }
 
 def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4410,6 +4461,30 @@ SELECT d.doc_id, COALESCE(SUM(s.n), 0)::BIGINT AS bpe_tokens
 FROM documents d LEFT JOIN seg s USING (doc_id) GROUP BY 1"""
 
 
+# shared by value_quantiles_sketch and its streaming twin: DuckDB
+# recomputes the identical md5-ordered bottom-512 sample and integer
+# ceil-rank order statistics (functions/sketch.py)
+_QUANTILE_SKETCH_SQL = """
+    WITH s AS (
+      SELECT event_id, value FROM (
+        SELECT event_id, value,
+               ('0x' || substr(md5(event_id::VARCHAR || 'bottomk'), 1, 15))::BIGINT AS h
+        FROM events WHERE value IS NOT NULL
+      ) ORDER BY h, event_id LIMIT 512
+    ),
+    r AS (
+      SELECT value, event_id,
+             row_number() OVER (ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM s
+    ),
+    q(num, den) AS (VALUES (1, 100), (1, 4), (1, 2), (3, 4), (99, 100))
+    SELECT CAST(q.num AS DOUBLE) / q.den AS q, r.value AS est,
+           CAST(r.n AS BIGINT) AS n_sample
+    FROM q JOIN r ON r.rn = (q.num * r.n + q.den - 1) // q.den
+"""
+
+
 # shared winnowing CTE (pipeline/winnow.py semantics, k=8 w=4):
 # normalized-text k-grams, 40-bit md5 prefix hashes packed as
 # hash*2^20 + (2^20-1-pos) so one list_min per window selects the
@@ -4708,25 +4783,10 @@ def oracle_sql() -> dict[str, str]:
         # the sketch's ESTIMATES are value-gated: DuckDB recomputes the
         # identical md5-ordered bottom-512 sample and the identical
         # integer ceil-rank order statistics
-        "value_quantiles_sketch": """
-            WITH s AS (
-              SELECT event_id, value FROM (
-                SELECT event_id, value,
-                       ('0x' || substr(md5(event_id::VARCHAR || 'bottomk'), 1, 15))::BIGINT AS h
-                FROM events WHERE value IS NOT NULL
-              ) ORDER BY h, event_id LIMIT 512
-            ),
-            r AS (
-              SELECT value, event_id,
-                     row_number() OVER (ORDER BY value, event_id) AS rn,
-                     COUNT(*) OVER () AS n
-              FROM s
-            ),
-            q(num, den) AS (VALUES (1, 100), (1, 4), (1, 2), (3, 4), (99, 100))
-            SELECT CAST(q.num AS DOUBLE) / q.den AS q, r.value AS est,
-                   CAST(r.n AS BIGINT) AS n_sample
-            FROM q JOIN r ON r.rn = (q.num * r.n + q.den - 1) // q.den
-        """,
+        "value_quantiles_sketch": _QUANTILE_SKETCH_SQL,
+        # the streaming twin's bottom-k re-trim state equals the batch
+        # sample exactly (mergeability), so it SHARES the batch oracle
+        "events_quantiles_stream": _QUANTILE_SKETCH_SQL,
         # winnowing (pipeline/winnow.py): DuckDB replays the identical
         # packed-key selection — 40-bit md5 gram hash * 2^20 + inverted
         # position, window minima via list lambdas — so the fingerprint

@@ -122,6 +122,7 @@ FAMILIES: dict[str, list[str]] = {
     # built-artifact split as the index builds); the timed entries
     # measure table emission + the scan-stage segmentation over it
     "tokenizer_train": ["bpe_merges", "bpe_token_counts"],
+    "sketch_stream": ["events_quantiles_stream"],
 }
 
 

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 __all__ = [
     "kmv_hash",
@@ -34,6 +35,7 @@ __all__ = [
     "bottomk_sample",
     "quantile_estimates",
     "quantile_sketch",
+    "quantile_sketch_stream",
 ]
 
 _TWO60 = float(1 << 60)
@@ -255,5 +257,63 @@ def quantile_sketch(
     sample = bottomk_sample(
         df.where(F.col(value_col).isNotNull()), key_col, k,
         salt=salt, keep_cols=[key_col, value_col],
+    )
+    return quantile_estimates(sample, value_col, key_col, qs)
+
+
+def quantile_sketch_stream(
+    stream: DataFrame,
+    value_col: str,
+    key_col: str,
+    k: int = 512,
+    qs: list[tuple[int, int]] | None = None,
+    salt: str = "bottomk",
+) -> DataFrame:
+    """STREAMING twin of quantile_sketch: drains an availableNow stream
+    through foreachBatch, each micro-batch contributing its LOCAL
+    bottom-k; the running state is the re-trimmed union (<= k rows,
+    bounded driver memory at any stream length). By the mergeability
+    property (test_approx.py: sketch(A ∪ B) == re-trim(sketch(A) ∪
+    sketch(B))), the final sample — and therefore every estimate — is
+    IDENTICAL to the batch sketch over the full data regardless of
+    batch boundaries, so the batch oracle hash-matches the stream.
+
+    Blocks until the stream drains; returns the (q, est, n_sample)
+    estimates DataFrame."""
+    import tempfile
+
+    if qs is None:
+        qs = [(1, 100), (1, 4), (1, 2), (3, 4), (99, 100)]
+    if k < 1:
+        raise ValueError(f"quantile_sketch_stream: k must be >= 1, got {k}")
+    spark = stream.sparkSession
+    key_f = next(f for f in stream.schema.fields if f.name == key_col)
+    val_f = next(f for f in stream.schema.fields if f.name == value_col)
+    state: dict = {"rows": []}  # [(h, key, value)] — always <= k
+
+    def _merge(batch_df: DataFrame, _batch_id: int) -> None:
+        local = bottomk_sample(
+            batch_df.where(F.col(value_col).isNotNull()),
+            key_col,
+            k,
+            salt=salt,
+            keep_cols=[key_col, value_col],
+        ).collect()
+        merged = state["rows"] + [
+            (r["_h"], r[key_col], r[value_col]) for r in local
+        ]
+        merged.sort(key=lambda t: (t[0], t[1]))  # the bottomk total order
+        state["rows"] = merged[:k]
+
+    q = (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="qsketch_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sample = spark.createDataFrame(
+        [(kk, vv) for _, kk, vv in state["rows"]],
+        schema=T.StructType([key_f, val_f]),
     )
     return quantile_estimates(sample, value_col, key_col, qs)

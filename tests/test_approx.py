@@ -149,3 +149,36 @@ def test_quantile_sketch_partitioning_invariant(spark):
     r1 = sorted(map(tuple, quantile_sketch(ev.repartition(1), "value", "event_id", k=64).collect()))
     r7 = sorted(map(tuple, quantile_sketch(ev.repartition(7), "value", "event_id", k=64).collect()))
     assert r1 == r7
+
+
+def test_quantile_sketch_stream_matches_batch(spark, tmp_path):
+    """The foreachBatch bottom-k re-trim over 3 forced micro-batches
+    must equal the batch sketch exactly (mergeability through the
+    streaming plumbing)."""
+    from oasisdb_spark.functions.sketch import quantile_sketch, quantile_sketch_stream
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id", "value"
+    )
+    d = tmp_path / "chunks"
+    d.mkdir()
+    import shutil, glob, os, time
+    now = time.time()
+    for i in range(3):
+        tmp = str(tmp_path / f"_w{i}")
+        ev.where(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        dst = str(d / f"chunk_{i}.parquet")
+        shutil.copyfile(glob.glob(os.path.join(tmp, "part-*.parquet"))[0], dst)
+        os.utime(dst, (now - (3 - i) * 10, now - (3 - i) * 10))
+    stream = (
+        spark.readStream.schema("event_id BIGINT, value DOUBLE")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+    )
+    got = sorted(
+        map(tuple, quantile_sketch_stream(stream, "value", "event_id", k=64).collect())
+    )
+    want = sorted(map(tuple, quantile_sketch(ev, "value", "event_id", k=64).collect()))
+    assert got == want
