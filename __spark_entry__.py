@@ -3739,6 +3739,38 @@ def _winnow_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_overlap_pairs(fps, docs, max_df=10, min_shared=2)
 
 
+def _order_status_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history (operators/scd.py): per customer, collapse
+    the (o_orderdate, o_orderkey)-ordered order-status observations
+    into versioned validity intervals — consecutive equal statuses
+    merge, effective_to = next version's effective_from (NULL while
+    current). ONE shuffle on o_custkey; both windows share the
+    partitioning (exchange reuse plan-asserted). Dates are emitted as
+    DATE (not timestamps), so rendering is timezone-free."""
+    from oasisdb_spark.operators.scd import scd2_history
+
+    return scd2_history(
+        _table(spark, sf_dir, "orders"),
+        key_col="o_custkey",
+        order_cols=["o_orderdate", "o_orderkey"],
+        attr_col="o_orderstatus",
+    )
+
+
+def _event_type_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quantile sketch (functions/sketch.py
+    grouped_quantile_sketch): p1/p25/p50/p75/p99 of events.value PER
+    event_type from independent deterministic bottom-256 samples — one
+    group-keyed WindowGroupLimit-trimmed shuffle; rank statistics over
+    <= k rows per group. The oracle recomputes the identical per-group
+    sample and integer ceil-ranks."""
+    from oasisdb_spark.functions.sketch import grouped_quantile_sketch
+
+    return grouped_quantile_sketch(
+        _table(spark, sf_dir, "events"), "event_type", "value", "event_id", k=256
+    )
+
+
 def _events_quantiles_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING quantile sketch (functions/sketch.py
     quantile_sketch_stream): events staged as FOUR ts-ranged files
@@ -3860,25 +3892,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # later.
     #
     # ROUND-7 ROTATION TODO (stage EARLY next round — the driver
-    # snapshots the window mid-round): window = the 2 anchors + the 9
+    # snapshots the window mid-round): window = the 2 anchors + the 11
     # round-6 batch-2 additions taking their first driver rows
     # (kmeans_cells, proto_prune, cluster_balanced,
     # value_quantiles_sketch, winnow_fingerprints, winnow_contamination,
-    # bpe_merges, bpe_token_counts, events_quantiles_stream — all
+    # bpe_merges, bpe_token_counts, events_quantiles_stream,
+    # order_status_scd2, event_type_quantiles — all
     # check_oracle-verified value-exact at sf0.01 AND sf0.001 in
-    # round 6) + 39 of the 47
+    # round 6) + 37 of the 47
     # entries whose last driver row is r04 (a CORRECTNESS_r0{1..5}
     # sweep at round-6 close: maxsim_search .. text_stats — the r04
-    # window minus the entries re-greened in r05/r06). Suggested 8 to
+    # window minus the entries re-greened in r05/r06). Suggested 10 to
     # defer to r08 (lowest risk — their code paths are continuously
     # exercised by in-window cousins): knn_flat_l2 (cos/ip/hamming
     # cousins green r06), minhash_signatures (minhash_lsh_pairs
     # supersedes it), text_stats + langid + doc_repetition (same
     # pipeline/text.py Column family as gopher_filter), event_funnel +
     # cohort_retention (events_funnel_stream hash-matches the funnel
-    # path), weighted_sample (token_budget_sample shares the md5
-    # threshold rule). Re-run the sweep before finalizing in case r06
-    # rows differ from expectation.
+    # path), weighted_sample + token_budget_sample (shared md5
+    # threshold rule with in-window sampling cousins), auto_embed
+    # (Md5Embedder exercised by every embed test). Re-run the sweep
+    # before finalizing in case r06 rows differ from expectation.
     return {
         # --- ROUND-6 WINDOW (positions 1-50) ---
         # anchors (1-2)
@@ -4049,6 +4083,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": _bpe_merges,
         "bpe_token_counts": _bpe_token_counts,
         "events_quantiles_stream": _events_quantiles_stream,
+        "order_status_scd2": _order_status_scd2,
+        "event_type_quantiles": _event_type_quantiles,
     }
 
 def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4787,6 +4823,54 @@ def oracle_sql() -> dict[str, str]:
         # the streaming twin's bottom-k re-trim state equals the batch
         # sample exactly (mergeability), so it SHARES the batch oracle
         "events_quantiles_stream": _QUANTILE_SKETCH_SQL,
+        # SCD2 (operators/scd.py): identical lag/lead/row_number
+        # windowing in SQL — null-safe change detection via
+        # IS DISTINCT FROM
+        "order_status_scd2": """
+            WITH ob AS (
+              SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+                     lag(o_orderstatus) OVER w AS prev,
+                     row_number() OVER w AS rn
+              FROM orders
+              WINDOW w AS (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey)
+            ),
+            opens AS (
+              SELECT * FROM ob
+              WHERE rn = 1 OR o_orderstatus IS DISTINCT FROM prev
+            )
+            SELECT o_custkey, o_orderstatus,
+                   o_orderdate AS effective_from,
+                   lead(o_orderdate) OVER w2 AS effective_to,
+                   row_number() OVER w2 :: INT AS version
+            FROM opens
+            WINDOW w2 AS (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey)
+        """,
+        # per-group bottom-256 sample + integer ceil-rank order stats
+        "event_type_quantiles": """
+            WITH s AS (
+              SELECT event_type, event_id, value FROM (
+                SELECT event_type, event_id, value,
+                       row_number() OVER (
+                         PARTITION BY event_type
+                         ORDER BY ('0x' || substr(md5(event_id::VARCHAR || 'bottomk'), 1, 15))::BIGINT,
+                                  event_id) AS srn
+                FROM events WHERE value IS NOT NULL
+              ) WHERE srn <= 256
+            ),
+            r AS (
+              SELECT event_type, value, event_id,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY value, event_id) AS rn,
+                     COUNT(*) OVER (PARTITION BY event_type) AS n
+              FROM s
+            ),
+            q(num, den) AS (VALUES (1, 100), (1, 4), (1, 2), (3, 4), (99, 100))
+            SELECT r.event_type, CAST(q.num AS DOUBLE) / q.den AS q,
+                   r.value AS est, CAST(r.n AS BIGINT) AS n_sample
+            FROM q JOIN r ON r.rn = (q.num * r.n + q.den - 1) // q.den
+        """,
         # winnowing (pipeline/winnow.py): DuckDB replays the identical
         # packed-key selection — 40-bit md5 gram hash * 2^20 + inverted
         # position, window minima via list lambdas — so the fingerprint

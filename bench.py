@@ -123,6 +123,8 @@ FAMILIES: dict[str, list[str]] = {
     # measure table emission + the scan-stage segmentation over it
     "tokenizer_train": ["bpe_merges", "bpe_token_counts"],
     "sketch_stream": ["events_quantiles_stream"],
+    "scd_history": ["order_status_scd2"],
+    "sketch_grouped": ["event_type_quantiles"],
 }
 
 

@@ -35,6 +35,7 @@ __all__ = [
     "bottomk_sample",
     "quantile_estimates",
     "quantile_sketch",
+    "grouped_quantile_sketch",
     "quantile_sketch_stream",
 ]
 
@@ -259,6 +260,66 @@ def quantile_sketch(
         salt=salt, keep_cols=[key_col, value_col],
     )
     return quantile_estimates(sample, value_col, key_col, qs)
+
+
+def grouped_quantile_sketch(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    key_col: str,
+    k: int = 256,
+    qs: list[tuple[int, int]] | None = None,
+    salt: str = "bottomk",
+) -> DataFrame:
+    """Per-group quantile estimates via an independent deterministic
+    bottom-k sample PER GROUP — the profiling shape ("p50/p99 per
+    source/domain/shard") at any scale.
+
+    One shuffle on the group key; the per-group bottom-k is a
+    WindowGroupLimit-trimmed rank (each input partition forwards at
+    most k rows per group before the exchange), then the rank
+    statistics run over <= k rows per group. Same integer ceil-rank
+    selection and md5 hash order as quantile_sketch, so every estimate
+    is engine-reproducible. Returns (group, q, est, n_sample)."""
+    if k < 1:
+        raise ValueError(f"grouped_quantile_sketch: k must be >= 1, got {k}")
+    if qs is None:
+        qs = [(1, 100), (1, 4), (1, 2), (3, 4), (99, 100)]
+    for num, den in qs:
+        if not (0 < num <= den):
+            raise ValueError(f"grouped_quantile_sketch: bad quantile {num}/{den}")
+    spark = df.sparkSession
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    wsamp = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    sample = (
+        df.where(F.col(value_col).isNotNull())
+        .select(group_col, key_col, value_col)
+        .withColumn("_srn", F.row_number().over(wsamp))
+        .where(F.col("_srn") <= k)
+    )
+    wrank = Window.partitionBy(group_col).orderBy(
+        F.col(value_col).asc(), F.col(key_col).asc()
+    )
+    ranked = (
+        sample.withColumn("_rn", F.row_number().over(wrank))
+        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy(group_col)))
+    )
+    qdf = spark.createDataFrame(qs, schema="num INT, den INT")
+    target = F.expr("(num * _n + den - 1) div den")
+    return (
+        ranked.crossJoin(F.broadcast(qdf))
+        .filter(F.col("_rn") == target)
+        .select(
+            F.col(group_col),
+            (F.col("num").cast("double") / F.col("den")).alias("q"),
+            F.col(value_col).alias("est"),
+            F.col("_n").cast("long").alias("n_sample"),
+        )
+    )
 
 
 def quantile_sketch_stream(

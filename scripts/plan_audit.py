@@ -660,6 +660,26 @@ def main() -> None:
     print(f"== bpe_token_counts scan-stage merge chain, zero shuffle: {'OK' if ok else 'FAIL'}")
     failures += not ok
 
+    # 60. order_status_scd2: both windows share the o_custkey
+    # partitioning — exactly ONE hash exchange in the whole plan
+    plan = plan_of(m.queries()["order_status_scd2"](spark, sf_dir))
+    n_exch = plan.count("Exchange hashpartitioning")
+    ok = n_exch == 1 and "CartesianProduct" not in plan
+    print(f"== order_status_scd2 single shared-window exchange ({n_exch}): {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
+    # 61. event_type_quantiles: the per-group sample rank must be
+    # WindowGroupLimit-trimmed (each input partition forwards <= k rows
+    # per group before the exchange); no global sort of the raw table
+    plan = plan_of(m.queries()["event_type_quantiles"](spark, sf_dir))
+    ok = (
+        "WindowGroupLimit" in plan
+        and "Exchange rangepartitioning" not in plan
+        and "CartesianProduct" not in plan
+    )
+    print(f"== event_type_quantiles WindowGroupLimit-trimmed group sample: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
     print(f"\n{'ALL PLANS OK' if not failures else f'{failures} PLAN CHECKS FAILED'}")
     spark.stop()
     sys.exit(1 if failures else 0)

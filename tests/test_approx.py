@@ -182,3 +182,44 @@ def test_quantile_sketch_stream_matches_batch(spark, tmp_path):
     )
     want = sorted(map(tuple, quantile_sketch(ev, "value", "event_id", k=64).collect()))
     assert got == want
+
+
+def test_grouped_quantile_sketch_matches_per_group_python(spark):
+    """Each group's estimates are the order statistics of ITS OWN
+    deterministic bottom-k sample."""
+    import hashlib
+
+    from oasisdb_spark.functions.sketch import grouped_quantile_sketch
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    got = {
+        (r["event_type"], r["q"]): (r["est"], r["n_sample"])
+        for r in grouped_quantile_sketch(
+            ev, "event_type", "value", "event_id", k=64
+        ).collect()
+    }
+    rows = ev.select("event_type", "event_id", "value").where(
+        "value IS NOT NULL"
+    ).collect()
+    by_g: dict = {}
+    for r in rows:
+        h = int(hashlib.md5((str(r["event_id"]) + "bottomk").encode()).hexdigest()[:15], 16)
+        by_g.setdefault(r["event_type"], []).append((h, r["event_id"], r["value"]))
+    for g, lst in by_g.items():
+        lst.sort()
+        sample = sorted((v, k) for _, k, v in lst[:64])
+        n = len(sample)
+        for num, den in [(1, 100), (1, 4), (1, 2), (3, 4), (99, 100)]:
+            rank = (num * n + den - 1) // den
+            assert got[(g, num / den)] == (sample[rank - 1][0], n), (g, num, den)
+
+
+def test_grouped_quantile_sketch_partitioning_invariant(spark):
+    from oasisdb_spark.functions.sketch import grouped_quantile_sketch
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    a = sorted(map(tuple, grouped_quantile_sketch(
+        ev.repartition(1), "event_type", "value", "event_id", k=32).collect()))
+    b = sorted(map(tuple, grouped_quantile_sketch(
+        ev.repartition(7), "event_type", "value", "event_id", k=32).collect()))
+    assert a == b
