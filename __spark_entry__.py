@@ -3739,6 +3739,29 @@ def _winnow_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_overlap_pairs(fps, docs, max_df=10, min_shared=2)
 
 
+def _trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank (operators/pagerank.py) over the
+    customer-supplier trade graph (distinct (o_custkey, l_suppkey)
+    pairs from orders x lineitem, both directions, node ids prefixed
+    'c'/'s'), 5 fixed passes at damping 85/100 on a 10^12 integer mass.
+    The oracle replays all 5 iterations as unrolled SQL (contrib floor
+    division, exact integer sums, dangling-mass scalar per pass), so
+    the final rank VECTOR hash-matches — the repo's iterative
+    graph-algorithm witness alongside the k-means and BPE loops."""
+    from oasisdb_spark.operators.pagerank import pagerank_integer
+
+    orders = _table(spark, sf_dir, "orders")
+    li = _table(spark, sf_dir, "lineitem")
+    cs = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    )
+    edges = cs.unionByName(
+        cs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return pagerank_integer(edges, iters=5)
+
+
 def _order_status_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 history (operators/scd.py): per customer, collapse
     the (o_orderdate, o_orderkey)-ordered order-status observations
@@ -3892,17 +3915,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # later.
     #
     # ROUND-7 ROTATION TODO (stage EARLY next round — the driver
-    # snapshots the window mid-round): window = the 2 anchors + the 11
+    # snapshots the window mid-round): window = the 2 anchors + the 12
     # round-6 batch-2 additions taking their first driver rows
     # (kmeans_cells, proto_prune, cluster_balanced,
     # value_quantiles_sketch, winnow_fingerprints, winnow_contamination,
     # bpe_merges, bpe_token_counts, events_quantiles_stream,
-    # order_status_scd2, event_type_quantiles — all
+    # order_status_scd2, event_type_quantiles, trade_pagerank — all
     # check_oracle-verified value-exact at sf0.01 AND sf0.001 in
-    # round 6) + 37 of the 47
+    # round 6) + 36 of the 47
     # entries whose last driver row is r04 (a CORRECTNESS_r0{1..5}
     # sweep at round-6 close: maxsim_search .. text_stats — the r04
-    # window minus the entries re-greened in r05/r06). Suggested 10 to
+    # window minus the entries re-greened in r05/r06). Suggested 11 to
     # defer to r08 (lowest risk — their code paths are continuously
     # exercised by in-window cousins): knn_flat_l2 (cos/ip/hamming
     # cousins green r06), minhash_signatures (minhash_lsh_pairs
@@ -3911,8 +3934,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # cohort_retention (events_funnel_stream hash-matches the funnel
     # path), weighted_sample + token_budget_sample (shared md5
     # threshold rule with in-window sampling cousins), auto_embed
-    # (Md5Embedder exercised by every embed test). Re-run the sweep
-    # before finalizing in case r06 rows differ from expectation.
+    # (Md5Embedder exercised by every embed test), sliding_chunks
+    # (sequence_pack_chunks shares pipeline/sampling.py). Re-run the
+    # sweep before finalizing in case r06 rows differ from expectation.
     return {
         # --- ROUND-6 WINDOW (positions 1-50) ---
         # anchors (1-2)
@@ -4085,6 +4109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_quantiles_stream": _events_quantiles_stream,
         "order_status_scd2": _order_status_scd2,
         "event_type_quantiles": _event_type_quantiles,
+        "trade_pagerank": _trade_pagerank,
     }
 
 def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4420,6 +4445,53 @@ _FUNNEL_ORACLE = """
 # (the lmic form of the LM oracles), integer weights. Shared by the
 # dsir_select (top-k wrapper) and docs_dsir_stream (row-identical
 # broadcast scorer) oracles. Target domain = source 'src0'.
+def _pagerank_oracle_sql(iters: int = 5, scale: int = 10**12,
+                         d_num: int = 85, d_den: int = 100) -> str:
+    """Unrolled integer PageRank (operators/pagerank.py semantics):
+    per pass, contrib floor-divs, exact sums, the dangling-mass scalar,
+    and the damped integer update — all of it scalar-subquery SQL over
+    the same parquet."""
+    nexpr = "(SELECT n FROM nn)"
+    base = f"(({d_den - d_num} * ({scale} // {nexpr})) // {d_den})"
+    parts = [
+        """eb AS (
+  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+)""",
+        "e AS (SELECT src, dst FROM eb UNION SELECT dst, src FROM eb)",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "nn AS (SELECT COUNT(*)::BIGINT AS n FROM nodes)",
+        "od AS (SELECT src, COUNT(*)::BIGINT AS deg FROM e GROUP BY 1)",
+        f"r0 AS (SELECT node, ({scale} // {nexpr})::BIGINT AS rank_scaled FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        prev = f"r{i - 1}"
+        parts.append(
+            f"""s{i} AS (
+  SELECT e.dst AS node, SUM(r.rank_scaled // od.deg)::BIGINT AS in_v
+  FROM e JOIN {prev} r ON e.src = r.node JOIN od ON e.src = od.src
+  GROUP BY 1
+)"""
+        )
+        parts.append(
+            f"""d{i} AS (
+  SELECT COALESCE(SUM(rank_scaled), 0)::BIGINT AS dang
+  FROM {prev} WHERE node NOT IN (SELECT src FROM od)
+)"""
+        )
+        parts.append(
+            f"""r{i} AS (
+  SELECT nd.node,
+         ({base} + ({d_num} * (COALESCE(s.in_v, 0)
+           + (SELECT dang FROM d{i}) // {nexpr})) // {d_den})::BIGINT AS rank_scaled
+  FROM nodes nd LEFT JOIN s{i} s ON nd.node = s.node
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts) + f"\nSELECT node, rank_scaled FROM r{iters}"
+    )
+
+
 def _bpe_oracle_ctes(n: int = 8) -> str:
     """Unrolled BPE training (pipeline/bpe.py semantics): w0 = spaced
     vocabulary, then per step i: p{i} pair counts -> m{i} deterministic
@@ -4902,6 +4974,9 @@ def oracle_sql() -> dict[str, str]:
              AND a.doc_id < b.doc_id AND a.source <> b.source
             GROUP BY 1, 2 HAVING COUNT(*) >= 2
         """,
+        # integer PageRank (operators/pagerank.py): unrolled 5-pass
+        # replay incl. the dangling-mass scalar per pass
+        "trade_pagerank": _pagerank_oracle_sql(),
         # BPE training (pipeline/bpe.py): the oracle re-runs all 8
         # merge iterations as unrolled SQL — vocabulary CTE, pair
         # counts, (count DESC, lexicographic) argmax, double-replace

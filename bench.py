@@ -125,6 +125,7 @@ FAMILIES: dict[str, list[str]] = {
     "sketch_stream": ["events_quantiles_stream"],
     "scd_history": ["order_status_scd2"],
     "sketch_grouped": ["event_type_quantiles"],
+    "graph_rank": ["trade_pagerank"],
 }
 
 

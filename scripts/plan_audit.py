@@ -680,6 +680,17 @@ def main() -> None:
     print(f"== event_type_quantiles WindowGroupLimit-trimmed group sample: {'OK' if ok else 'FAIL'}")
     failures += not ok
 
+    # 62. trade_pagerank: each pass must be equi hash joins over the
+    # edge set — never a nested-loop/cartesian anywhere in the final
+    # pass's plan (prior passes are persisted, same shape)
+    plan = plan_of(m.queries()["trade_pagerank"](spark, sf_dir))
+    ok = (
+        "CartesianProduct" not in plan
+        and "BroadcastNestedLoopJoin" not in plan
+    )
+    print(f"== trade_pagerank equi-join passes, no nested loops: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
     print(f"\n{'ALL PLANS OK' if not failures else f'{failures} PLAN CHECKS FAILED'}")
     spark.stop()
     sys.exit(1 if failures else 0)

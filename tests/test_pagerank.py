@@ -1,0 +1,94 @@
+"""Integer-exact PageRank (operators/pagerank.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from oasisdb_spark.operators.pagerank import pagerank_integer
+
+SCALE = 10**12
+
+
+def _py_pagerank(edges, iters=5, scale=SCALE, d_num=85, d_den=100):
+    """Straight reimplementation of the documented integer recurrence."""
+    e = sorted(set(edges))
+    nodes = sorted({s for s, _ in e} | {d for _, d in e})
+    n = len(nodes)
+    outdeg = {}
+    for s, _ in e:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    r = {v: scale // n for v in nodes}
+    base = ((d_den - d_num) * (scale // n)) // d_den
+    for _ in range(iters):
+        in_v = {v: 0 for v in nodes}
+        for s, d in e:
+            in_v[d] += r[s] // outdeg[s]
+        dangling = sum(r[v] for v in nodes if v not in outdeg)
+        dang_share = dangling // n
+        r = {v: base + (d_num * (in_v[v] + dang_share)) // d_den for v in nodes}
+    return r
+
+
+def _run(spark, edges, **kw):
+    df = spark.createDataFrame(edges, schema="src STRING, dst STRING")
+    return {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank_integer(df, **kw).collect()
+    }
+
+
+def test_matches_python_reference_with_dangling(spark):
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"),
+        ("c", "d"),  # d is dangling (no out-edges)
+        ("e", "a"),  # e has no in-edges
+    ]
+    assert _run(spark, edges, iters=5) == _py_pagerank(edges, iters=5)
+
+
+def test_duplicate_edges_count_once(spark):
+    edges = [("a", "b"), ("a", "b"), ("b", "a")]
+    assert _run(spark, edges) == _py_pagerank([("a", "b"), ("b", "a")])
+
+
+def test_symmetric_cycle_is_uniform(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "a")]
+    got = _run(spark, edges, iters=4)
+    assert len(set(got.values())) == 1
+
+
+def test_mass_approximately_conserved(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cs = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    )
+    edges = cs.unionByName(
+        cs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    pr = pagerank_integer(edges, iters=3)
+    total = pr.agg(F.sum("rank_scaled")).first()[0]
+    n = pr.count()
+    e_cnt = edges.distinct().count()
+    # floor leakage bound: <= (N + E + 2) units per pass
+    assert SCALE - total <= 3 * (n + e_cnt + 2)
+    assert total <= SCALE
+
+
+def test_partitioning_invariance(spark):
+    edges = [(f"n{i}", f"n{(i * 7 + 3) % 40}") for i in range(200)]
+    df1 = spark.createDataFrame(edges, schema="src STRING, dst STRING").repartition(1)
+    df7 = spark.createDataFrame(edges, schema="src STRING, dst STRING").repartition(7)
+    a = sorted(map(tuple, pagerank_integer(df1, iters=3).collect()))
+    b = sorted(map(tuple, pagerank_integer(df7, iters=3).collect()))
+    assert a == b
+
+
+def test_bad_params_raise(spark):
+    df = spark.createDataFrame([("a", "b")], schema="src STRING, dst STRING")
+    with pytest.raises(ValueError):
+        pagerank_integer(df, iters=0)
+    with pytest.raises(ValueError):
+        pagerank_integer(df, d_num=0)
