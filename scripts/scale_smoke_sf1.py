@@ -290,6 +290,83 @@ def curation_section(spark) -> None:
         print(f"| {name} | {r['sf0.1']:.2f} | {r['sf1']:.2f} | {r['sf1']/r['sf0.1']:.1f}x |")
 
 
+def text_round6_section(spark) -> None:
+    """Winnowing + BPE at 10x docs (the synthetic 50k corpus from
+    build_sf1). Expectations: winnow_fingerprints is zero-shuffle
+    scan-stage work (ratio tracks the scan, sublinear via overhead
+    amortization); winnow pairs are a df-capped equi-join; BPE training
+    is VOCABULARY-sized per step, and vocabulary grows sublinearly in
+    corpus size, so learn time should be nearly flat."""
+    from oasisdb_spark.pipeline.bpe import bpe_learn_merges, bpe_segment_expr
+    from oasisdb_spark.pipeline.winnow import winnow_fingerprints, winnow_overlap_pairs
+
+    results: dict[str, dict[str, float]] = {}
+
+    def timed(tag, name, thunk, warm=True):
+        if warm:
+            thunk()
+        vals = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            thunk()
+            vals.append(time.perf_counter() - t0)
+        results.setdefault(name, {})[tag] = round(min(vals), 2)
+        print(f"  {tag:6s} {name:28s} {min(vals):7.2f} s", flush=True)
+
+    sf1 = build_sf1(spark)
+    for tag, path in (("sf0.1", f"{SF01_DIR}/documents.parquet"), ("sf1", sf1)):
+        docs = spark.read.parquet(path).persist()
+        docs.count()
+        timed(
+            tag,
+            "winnow_fingerprints",
+            lambda: force(winnow_fingerprints(docs, k=8, w=4)),
+        )
+        fp = winnow_fingerprints(docs, k=8, w=4).persist()
+        fp.count()
+        timed(
+            tag,
+            "winnow_overlap_pairs",
+            lambda: force(winnow_overlap_pairs(fp, docs, max_df=10, min_shared=2)),
+        )
+        merges_box = {}
+
+        def learn():
+            merges_box["m"] = [
+                (r["left_sym"], r["right_sym"])
+                for r in bpe_learn_merges(docs, n_merges=8).collect()
+            ]
+
+        timed(tag, "bpe_learn_merges[8]", learn, warm=False)
+        timed(
+            tag,
+            "bpe_segment_counts",
+            lambda: force(
+                docs.select(
+                    "doc_id", bpe_segment_expr("text", merges_box["m"]).alias("n")
+                )
+            ),
+        )
+        fp.unpersist()
+        docs.unpersist()
+
+    # PageRank at 10x facts (trade graph from the TPC-H replica: 10x
+    # customers and edges, same per-key fan-out)
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    for tag, d in (("sf0.1", SF01_DIR), ("sf1", build_sf1_tpch(spark))):
+        timed(
+            tag, "trade_pagerank[5]", lambda: force(qs["trade_pagerank"](spark, d)),
+            warm=False,
+        )
+
+    print("\n| round-6 text op | sf0.1 (s) | sf1 = 10x (s) | ratio |")
+    print("|---|---|---|---|")
+    for name, r in results.items():
+        print(f"| {name} | {r['sf0.1']:.2f} | {r['sf1']:.2f} | {r['sf1']/r['sf0.1']:.1f}x |")
+
+
 def main() -> None:
     from oasisdb_spark.session import get_spark
 
@@ -324,6 +401,7 @@ def main() -> None:
     ann_section(spark)
     tpch_section(spark)
     curation_section(spark)
+    text_round6_section(spark)
     spark.stop()
 
 
