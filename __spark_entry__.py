@@ -3739,6 +3739,28 @@ def _winnow_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_overlap_pairs(fps, docs, max_df=10, min_shared=2)
 
 
+def _contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive triplet construction (pipeline/mining.py
+    contrastive_triplets): per anchor (first 10 vectors), the nearest
+    same-label non-self vector (positive) x the top-3 nearest
+    different-label vectors (hard negatives) — the (anchor, positive,
+    negatives) batches InfoNCE/triplet training consumes. Both sides
+    stream the base once against the broadcast anchors with partial
+    top-k trims; the oracle joins two windowed subqueries."""
+    from oasisdb_spark.pipeline.mining import contrastive_triplets
+
+    emb = _table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("qlabel"),
+    )
+    base = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector"), "label"
+    )
+    return contrastive_triplets(queries, base, n_neg=3, space="l2")
+
+
 def _trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact PageRank (operators/pagerank.py) over the
     customer-supplier trade graph (distinct (o_custkey, l_suppkey)
@@ -3915,14 +3937,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # later.
     #
     # ROUND-7 ROTATION TODO (stage EARLY next round — the driver
-    # snapshots the window mid-round): window = the 2 anchors + the 12
+    # snapshots the window mid-round): window = the 2 anchors + the 13
     # round-6 batch-2 additions taking their first driver rows
     # (kmeans_cells, proto_prune, cluster_balanced,
     # value_quantiles_sketch, winnow_fingerprints, winnow_contamination,
     # bpe_merges, bpe_token_counts, events_quantiles_stream,
-    # order_status_scd2, event_type_quantiles, trade_pagerank — all
-    # check_oracle-verified value-exact at sf0.01 AND sf0.001 in
-    # round 6) + 36 of the 47
+    # order_status_scd2, event_type_quantiles, trade_pagerank,
+    # contrastive_triplets — all check_oracle-verified value-exact at
+    # sf0.01 AND sf0.001 in round 6) + 35 of the 47
     # entries whose last driver row is r04 (a CORRECTNESS_r0{1..5}
     # sweep at round-6 close: maxsim_search .. text_stats — the r04
     # window minus the entries re-greened in r05/r06). Suggested 11 to
@@ -3934,9 +3956,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # cohort_retention (events_funnel_stream hash-matches the funnel
     # path), weighted_sample + token_budget_sample (shared md5
     # threshold rule with in-window sampling cousins), auto_embed
-    # (Md5Embedder exercised by every embed test), sliding_chunks
-    # (sequence_pack_chunks shares pipeline/sampling.py). Re-run the
-    # sweep before finalizing in case r06 rows differ from expectation.
+    # (Md5Embedder exercised by every embed test), sliding_chunks +
+    # quality_prune (sequence_pack_chunks / gopher cousins share
+    # pipeline/sampling.py + text.py). Re-run the sweep before
+    # finalizing in case r06 rows differ from expectation.
     return {
         # --- ROUND-6 WINDOW (positions 1-50) ---
         # anchors (1-2)
@@ -4110,6 +4133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_status_scd2": _order_status_scd2,
         "event_type_quantiles": _event_type_quantiles,
         "trade_pagerank": _trade_pagerank,
+        "contrastive_triplets": _contrastive_triplets,
     }
 
 def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4977,6 +5001,38 @@ def oracle_sql() -> dict[str, str]:
         # integer PageRank (operators/pagerank.py): unrolled 5-pass
         # replay incl. the dangling-mass scalar per pass
         "trade_pagerank": _pagerank_oracle_sql(),
+        # contrastive triplets (pipeline/mining.py): the positive side
+        # requires DEFINITE label equality (SQL `=`), the negative side
+        # mirrors hard_negatives' IS DISTINCT FROM; inner join drops
+        # singleton-label anchors
+        "contrastive_triplets": f"""
+WITH pos_scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS id, {_L2_SQL} AS distance
+  FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+  CROSS JOIN embeddings e
+  WHERE q.label = e.label AND q.vec_id <> e.vec_id
+), pos AS (
+  SELECT query_id, id AS pos_id, distance AS pos_distance
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY distance ASC, id ASC) AS rn
+        FROM pos_scored)
+  WHERE rn = 1
+), neg_scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS id, {_L2_SQL} AS distance
+  FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+  CROSS JOIN embeddings e
+  WHERE q.label IS DISTINCT FROM e.label
+), neg AS (
+  SELECT query_id, id AS neg_id, CAST(rn AS INT) AS neg_rank,
+         distance AS neg_distance
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY distance ASC, id ASC) AS rn
+        FROM neg_scored)
+  WHERE rn <= 3
+)
+SELECT p.query_id, p.pos_id, p.pos_distance, n.neg_id, n.neg_rank, n.neg_distance
+FROM pos p JOIN neg n USING (query_id)
+""",
         # BPE training (pipeline/bpe.py): the oracle re-runs all 8
         # merge iterations as unrolled SQL — vocabulary CTE, pair
         # counts, (count DESC, lexicographic) argmax, double-replace

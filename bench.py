@@ -126,6 +126,7 @@ FAMILIES: dict[str, list[str]] = {
     "scd_history": ["order_status_scd2"],
     "sketch_grouped": ["event_type_quantiles"],
     "graph_rank": ["trade_pagerank"],
+    "contrastive": ["contrastive_triplets"],
 }
 
 

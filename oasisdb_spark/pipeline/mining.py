@@ -38,6 +38,7 @@ __all__ = [
     "hard_negatives",
     "hard_negatives_from_candidates",
     "mine_candidates_broadcast",
+    "contrastive_triplets",
 ]
 
 
@@ -223,3 +224,75 @@ def hard_negatives(
     return topk_per_query(scored, k).select(
         "query_id", "id", "rank", F.col("distance").cast("double").alias("distance")
     )
+
+
+def contrastive_triplets(
+    queries: DataFrame,
+    base: DataFrame,
+    n_neg: int,
+    space: str = "l2",
+    label_pair: tuple[str, str] = ("qlabel", "label"),
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    id_col: str = "id",
+    vec_col: str = "vector",
+) -> DataFrame:
+    """Contrastive training triplets: per anchor, the nearest SAME-label
+    non-self candidate (the positive) paired with the top-n_neg nearest
+    DIFFERENT-label candidates (the hard negatives) — the (anchor,
+    positive, negatives) construction contrastive/embedding training
+    consumes (InfoNCE/triplet-loss batches).
+
+    Returns one row per (anchor, negative rank): (query_id, pos_id,
+    pos_distance, neg_id, neg_rank, neg_distance). Anchors with no
+    same-label non-self candidate produce no rows (an inner join — a
+    singleton-label anchor has no positive to learn from); anchors with
+    fewer than n_neg different-label candidates under-fill, exactly as
+    hard_negatives does. Positive selection requires DEFINITE label
+    equality (NULL labels never match, mirroring SQL `=`); the negative
+    side's exclusion uses eqNullSafe, mirroring hard_negatives.
+
+    Scale: the base streams TWICE against the broadcast anchor batch
+    (once per side), each side trimmed by the same per-partition
+    partial top-k as every kNN operator; the final join is anchor-keyed
+    over <= |anchors| * max(1, n_neg) rows."""
+    if n_neg < 1:
+        raise ValueError(f"contrastive_triplets: n_neg must be >= 1, got {n_neg}")
+    qlab, blab = label_pair
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("query_vec"),
+        F.col(qlab).alias("_q_meta"),
+    )
+    b = base.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vector"),
+        F.col(blab).alias("_b_meta"),
+    )
+    pos_pairs = (
+        b.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("_q_meta") == F.col("_b_meta"))
+            & (F.col("query_id") != F.col("id"))
+        )
+        .select(
+            "query_id", "id",
+            distance_expr(space, "query_vec", "vector").alias("distance"),
+        )
+    )
+    pos = topk_per_query(pos_pairs, 1).select(
+        "query_id",
+        F.col("id").alias("pos_id"),
+        F.col("distance").cast("double").alias("pos_distance"),
+    )
+    neg = hard_negatives(
+        queries, base, k=n_neg, space=space, neq_pair=label_pair,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+        id_col=id_col, vec_col=vec_col,
+    ).select(
+        "query_id",
+        F.col("id").alias("neg_id"),
+        F.col("rank").alias("neg_rank"),
+        F.col("distance").alias("neg_distance"),
+    )
+    return pos.join(neg, "query_id")

@@ -691,6 +691,18 @@ def main() -> None:
     print(f"== trade_pagerank equi-join passes, no nested loops: {'OK' if ok else 'FAIL'}")
     failures += not ok
 
+    # 63. contrastive_triplets: both sides must broadcast the anchors
+    # against the streamed base with partial top-k (WindowGroupLimit),
+    # and the final pos x neg combine is an anchor-keyed equi-join
+    plan = plan_of(m.queries()["contrastive_triplets"](spark, sf_dir))
+    ok = (
+        "WindowGroupLimit" in plan
+        and "CartesianProduct" not in plan
+        and plan.count("BroadcastExchange") >= 2
+    )
+    print(f"== contrastive_triplets broadcast anchors + partial top-k both sides: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
     print(f"\n{'ALL PLANS OK' if not failures else f'{failures} PLAN CHECKS FAILED'}")
     spark.stop()
     sys.exit(1 if failures else 0)

@@ -190,3 +190,59 @@ def test_ivf_shortlist_full_overfetch_equals_exact(spark, vecs):
         shortlist(3), k=3, neq_pair=("qlabel", "blabel")
     )
     assert starved.count() == 0
+
+
+def test_contrastive_triplets_shape_and_values(spark, vecs):
+    from oasisdb_spark.pipeline.mining import contrastive_triplets
+
+    out = contrastive_triplets(
+        q(vecs, [0]), vecs, n_neg=2, label_pair=("qlabel", "label")
+    ).collect()
+    # positive = nearest same-label non-self: id 1 (d²=0.01)
+    # negatives = nearest different-label: id 3 (d²=1.0), id 4 (d²=1.22)
+    assert len(out) == 2
+    for r in out:
+        assert r["pos_id"] == 1 and abs(r["pos_distance"] - 0.01) < 1e-12
+    got = {(r["neg_rank"], r["neg_id"]) for r in out}
+    assert got == {(1, 3), (2, 4)}
+
+
+def test_contrastive_triplets_singleton_label_anchor_dropped(spark):
+    from oasisdb_spark.pipeline.mining import contrastive_triplets
+
+    rows = [(0, [0.0], 0), (1, [1.0], 1), (2, [2.0], 1)]
+    vecs = spark.createDataFrame(rows, "id LONG, vector ARRAY<DOUBLE>, label INT")
+    queries = vecs.select(
+        F.col("id").alias("query_id"), F.col("vector").alias("query_vec"),
+        F.col("label").alias("qlabel"),
+    )
+    out = contrastive_triplets(queries, vecs, n_neg=1).collect()
+    # anchor 0 has no same-label partner -> dropped; anchors 1, 2 pair up
+    assert sorted((r["query_id"], r["pos_id"], r["neg_id"]) for r in out) == [
+        (1, 2, 0), (2, 1, 0),
+    ]
+
+
+def test_contrastive_triplets_null_label_never_positive(spark):
+    from oasisdb_spark.pipeline.mining import contrastive_triplets
+
+    rows = [(0, [0.0], None), (1, [1.0], None), (2, [2.0], 1), (3, [3.0], 1)]
+    vecs = spark.createDataFrame(rows, "id LONG, vector ARRAY<DOUBLE>, label INT")
+    queries = vecs.select(
+        F.col("id").alias("query_id"), F.col("vector").alias("query_vec"),
+        F.col("label").alias("qlabel"),
+    )
+    out = contrastive_triplets(queries, vecs, n_neg=4).collect()
+    # NULL-label anchors have no positive (definite equality required)
+    assert {r["query_id"] for r in out} == {2, 3}
+    # and NULL-label vectors are NOT negatives for NULL-label anchors
+    # (eqNullSafe exclusion) but ARE candidates for labeled anchors
+    neg_ids_for_2 = {r["neg_id"] for r in out if r["query_id"] == 2}
+    assert neg_ids_for_2 == {0, 1}
+
+
+def test_contrastive_triplets_bad_params(spark, vecs):
+    from oasisdb_spark.pipeline.mining import contrastive_triplets
+
+    with pytest.raises(ValueError):
+        contrastive_triplets(q(vecs, [0]), vecs, n_neg=0)
