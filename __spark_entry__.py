@@ -3739,6 +3739,24 @@ def _winnow_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_overlap_pairs(fps, docs, max_df=10, min_shared=2)
 
 
+def _events_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI distribution-drift gate (operators/quality.py psi_drift):
+    events.value split into even/odd event_id halves, 10 fixed-width
+    buckets over the baseline's [min, max], Laplace-smoothed integer
+    counts, per-bucket micro-PSI via the lmic micro-nat log primitive —
+    pure int64 after bucketing, hash-exact. Same-distribution halves
+    gate near 0; total PSI = sum(psi_contrib_micro) * 1e-6."""
+    from oasisdb_spark.operators.quality import psi_drift
+
+    ev = _table(spark, sf_dir, "events")
+    return psi_drift(
+        ev.where(F.col("event_id") % 2 == 0),
+        ev.where(F.col("event_id") % 2 == 1),
+        "value",
+        n_buckets=10,
+    )
+
+
 def _contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive triplet construction (pipeline/mining.py
     contrastive_triplets): per anchor (first 10 vectors), the nearest
@@ -3943,8 +3961,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # value_quantiles_sketch, winnow_fingerprints, winnow_contamination,
     # bpe_merges, bpe_token_counts, events_quantiles_stream,
     # order_status_scd2, event_type_quantiles, trade_pagerank,
-    # contrastive_triplets — all check_oracle-verified value-exact at
-    # sf0.01 AND sf0.001 in round 6) + 35 of the 47
+    # contrastive_triplets, events_value_drift — all
+    # check_oracle-verified value-exact at sf0.01 AND sf0.001 in
+    # round 6; count the batch-2 list before finalizing, it grew all
+    # round) + 34 of the 47
     # entries whose last driver row is r04 (a CORRECTNESS_r0{1..5}
     # sweep at round-6 close: maxsim_search .. text_stats — the r04
     # window minus the entries re-greened in r05/r06). Suggested 11 to
@@ -4134,6 +4154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_quantiles": _event_type_quantiles,
         "trade_pagerank": _trade_pagerank,
         "contrastive_triplets": _contrastive_triplets,
+        "events_value_drift": _events_value_drift,
     }
 
 def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -5001,6 +5022,50 @@ def oracle_sql() -> dict[str, str]:
         # integer PageRank (operators/pagerank.py): unrolled 5-pass
         # replay incl. the dangling-mass scalar per pass
         "trade_pagerank": _pagerank_oracle_sql(),
+        # PSI drift (operators/quality.py): identical bucket float ops
+        # (same order), Laplace-smoothed integer counts, lmic micro-nat
+        # logs of integer products, floor-divided — int64 throughout
+        "events_value_drift": """
+            WITH rngg AS (
+              SELECT MIN(value) AS mn, MAX(value) AS mx
+              FROM events WHERE value IS NOT NULL AND event_id % 2 = 0
+            ),
+            bc AS (
+              SELECT bucket, COUNT(*)::BIGINT AS base_cnt FROM (
+                SELECT CASE WHEN r.mx = r.mn THEN 0
+                       ELSE LEAST(9, GREATEST(0,
+                         FLOOR((value::DOUBLE - r.mn) * 10 / (r.mx - r.mn))))::INT
+                       END AS bucket
+                FROM events, rngg r
+                WHERE value IS NOT NULL AND event_id % 2 = 0
+              ) GROUP BY 1
+            ),
+            cc AS (
+              SELECT bucket, COUNT(*)::BIGINT AS cur_cnt FROM (
+                SELECT CASE WHEN r.mx = r.mn THEN 0
+                       ELSE LEAST(9, GREATEST(0,
+                         FLOOR((value::DOUBLE - r.mn) * 10 / (r.mx - r.mn))))::INT
+                       END AS bucket
+                FROM events, rngg r
+                WHERE value IS NOT NULL AND event_id % 2 = 1
+              ) GROUP BY 1
+            ),
+            grid AS (SELECT unnest(range(0, 10))::INT AS bucket),
+            counts AS (
+              SELECT g.bucket,
+                     COALESCE(bc.base_cnt, 0)::BIGINT AS base_cnt,
+                     COALESCE(cc.cur_cnt, 0)::BIGINT AS cur_cnt
+              FROM grid g LEFT JOIN bc USING (bucket) LEFT JOIN cc USING (bucket)
+            ),
+            tot AS (SELECT SUM(base_cnt) + 10 AS a1, SUM(cur_cnt) + 10 AS b1
+                    FROM counts)
+            SELECT bucket, base_cnt, cur_cnt,
+                   (((base_cnt + 1) * t.b1 - (cur_cnt + 1) * t.a1)
+                    * (CAST(round(ln(((base_cnt + 1) * t.b1)::DOUBLE) * 1000000) AS BIGINT)
+                       - CAST(round(ln(((cur_cnt + 1) * t.a1)::DOUBLE) * 1000000) AS BIGINT)))
+                   // (t.a1 * t.b1) AS psi_contrib_micro
+            FROM counts, tot t
+        """,
         # contrastive triplets (pipeline/mining.py): the positive side
         # requires DEFINITE label equality (SQL `=`), the negative side
         # mirrors hard_negatives' IS DISTINCT FROM; inner join drops

@@ -109,4 +109,9 @@ def pagerank_integer(
         nxt.count()
         r.unpersist()
         r = nxt
+    # the final rank frame is materialized, so the topology caches can
+    # unpin (a bench/session running the operator repeatedly would
+    # otherwise accumulate them)
+    for df_ in (ed, dangling_nodes, nodes, e):
+        df_.unpersist()
     return r

@@ -116,3 +116,94 @@ def snapshot_diff(
         .otherwise(F.lit("changed"))
     )
     return joined.select(*key_cols, status.alias("status"))
+
+
+def psi_drift(
+    baseline: DataFrame,
+    current: DataFrame,
+    value_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    column — the standard distribution-drift gate (PSI < 0.1 stable,
+    0.1-0.25 moderate, > 0.25 shifted), engine-exact.
+
+    Buckets are n_buckets fixed-width bins over the BASELINE's
+    [min, max] (values outside clamp to the edge bins — drift mass
+    beyond the baseline range lands in bucket 0 or n-1, which is
+    exactly what a drift gate should surface). Every bucket count is
+    Laplace-smoothed (+1, totals +n_buckets), so empty bins need no
+    epsilon hack, and each PSI term becomes
+
+        (a'·B' - b'·A') * (lmic(a'·B') - lmic(b'·A')) // (A'·B')
+
+    — integer share differences times the micro-nat log-ratio of
+    INTEGER products (the pipeline/lm.py lmic primitive), floor-divided
+    by the total product: pure int64, bit-reproducible in DuckDB. Terms
+    are non-negative (lmic is monotone), so floor rounding is
+    one-sided; the result is in micro-PSI (1e-6 PSI units).
+
+    Returns one row per bucket: (bucket, base_cnt, cur_cnt,
+    psi_contrib_micro); total PSI = sum of contribs. NULLs don't
+    participate. Shape: one bucket-keyed partial agg per side over a
+    scan-stage bucket expression, then joins over n_buckets rows —
+    the raw tables never co-shuffle.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"psi_drift: n_buckets must be >= 2, got {n_buckets}")
+    spark = baseline.sparkSession
+    rng = baseline.where(F.col(value_col).isNotNull()).agg(
+        F.min(value_col).alias("_mn"), F.max(value_col).alias("_mx")
+    )
+
+    def bucket_counts(df: DataFrame, out: str) -> DataFrame:
+        v = F.col(value_col).cast("double")
+        raw = F.floor((v - F.col("_mn")) * n_buckets / (F.col("_mx") - F.col("_mn")))
+        b = F.when(F.col("_mx") == F.col("_mn"), F.lit(0)).otherwise(
+            F.least(F.lit(n_buckets - 1), F.greatest(F.lit(0), raw))
+        )
+        return (
+            df.where(F.col(value_col).isNotNull())
+            .crossJoin(F.broadcast(rng))
+            .select(b.cast("int").alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    grid = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
+    counts = (
+        grid.join(bucket_counts(baseline, "base_cnt"), "bucket", "left")
+        .join(bucket_counts(current, "cur_cnt"), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("base_cnt", F.lit(0)).cast("long").alias("base_cnt"),
+            F.coalesce("cur_cnt", F.lit(0)).cast("long").alias("cur_cnt"),
+        )
+    )
+    wall = F.lit(0)  # single-group window for the totals
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy(wall)
+    from oasisdb_spark.pipeline.lm import lmic
+
+    a1 = F.col("base_cnt") + 1
+    b1 = F.col("cur_cnt") + 1
+    A1 = F.sum("base_cnt").over(w) + n_buckets
+    B1 = F.sum("cur_cnt").over(w) + n_buckets
+    ab = (a1 * B1).cast("long")
+    ba = (b1 * A1).cast("long")
+    contrib = F.expr(
+        "((_ab - _ba) * (_lab - _lba)) div (_A1 * _B1)"
+    )
+    return (
+        counts.withColumn("_ab", ab)
+        .withColumn("_ba", ba)
+        .withColumn("_lab", lmic(F.col("_ab")))
+        .withColumn("_lba", lmic(F.col("_ba")))
+        .withColumn("_A1", A1.cast("long"))
+        .withColumn("_B1", B1.cast("long"))
+        .select(
+            "bucket", "base_cnt", "cur_cnt",
+            contrib.cast("long").alias("psi_contrib_micro"),
+        )
+    )

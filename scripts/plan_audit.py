@@ -703,6 +703,18 @@ def main() -> None:
     print(f"== contrastive_triplets broadcast anchors + partial top-k both sides: {'OK' if ok else 'FAIL'}")
     failures += not ok
 
+    # 64. events_value_drift: bucketing is a scan-stage expr against a
+    # broadcast 1-row range; only bucket-keyed (10-row) aggs shuffle —
+    # the raw events table never range-partitions or co-shuffles
+    plan = plan_of(m.queries()["events_value_drift"](spark, sf_dir))
+    ok = (
+        "Exchange rangepartitioning" not in plan
+        and "CartesianProduct" not in plan
+        and "BroadcastExchange" in plan
+    )
+    print(f"== events_value_drift scan-stage bucketing, bucket-key aggs only: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
     print(f"\n{'ALL PLANS OK' if not failures else f'{failures} PLAN CHECKS FAILED'}")
     spark.stop()
     sys.exit(1 if failures else 0)

@@ -91,3 +91,85 @@ def test_snapshot_diff_separator_adversarial(spark):
     out = {r["k"]: r["status"] for r in snapshot_diff(old, new, ["k"]).collect()}
     # k=2: literal "\x00" string vs real NULL must also differ
     assert out == {1: "changed", 2: "changed"}
+
+
+def test_psi_drift_identical_halves_near_zero(spark, sf_dir):
+    from oasisdb_spark.operators.quality import psi_drift
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = psi_drift(
+        ev.where(F.col("event_id") % 2 == 0),
+        ev.where(F.col("event_id") % 2 == 1),
+        "value",
+        n_buckets=10,
+    ).collect()
+    assert len(out) == 10
+    total = sum(r["psi_contrib_micro"] for r in out)
+    assert 0 <= total < 100_000  # same distribution: PSI well under 0.1
+
+
+def test_psi_drift_detects_shift(spark, sf_dir):
+    from oasisdb_spark.operators.quality import psi_drift
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = ev.where(F.col("event_id") % 2 == 0)
+    shifted = ev.where(F.col("event_id") % 2 == 1).withColumn(
+        "value", F.col("value") * 2 + 10
+    )
+    total = sum(
+        r["psi_contrib_micro"]
+        for r in psi_drift(base, shifted, "value", n_buckets=10).collect()
+    )
+    assert total > 250_000  # PSI > 0.25: strong shift
+
+
+def test_psi_drift_matches_python(spark):
+    """Per-bucket contribs equal the documented integer recurrence."""
+    import math
+
+    from oasisdb_spark.operators.quality import psi_drift
+
+    base_rows = [(i, float(i % 7)) for i in range(100)]
+    cur_rows = [(i, float((i % 5) + 1)) for i in range(80)]
+    b = spark.createDataFrame(base_rows, "id LONG, value DOUBLE")
+    c = spark.createDataFrame(cur_rows, "id LONG, value DOUBLE")
+    n = 4
+    got = {
+        r["bucket"]: (r["base_cnt"], r["cur_cnt"], r["psi_contrib_micro"])
+        for r in psi_drift(b, c, "value", n_buckets=n).collect()
+    }
+    mn = min(v for _, v in base_rows)
+    mx = max(v for _, v in base_rows)
+
+    def bucket(v):
+        return min(n - 1, max(0, int(math.floor((v - mn) * n / (mx - mn)))))
+
+    bc = [0] * n
+    cc = [0] * n
+    for _, v in base_rows:
+        bc[bucket(v)] += 1
+    for _, v in cur_rows:
+        cc[bucket(v)] += 1
+    A1 = sum(bc) + n
+    B1 = sum(cc) + n
+
+    def lmic(x):
+        return int(round(math.log(float(x)) * 1e6))
+
+    for i in range(n):
+        a1, b1 = bc[i] + 1, cc[i] + 1
+        contrib = ((a1 * B1 - b1 * A1) * (lmic(a1 * B1) - lmic(b1 * A1))) // (A1 * B1)
+        assert got[i] == (bc[i], cc[i], contrib), i
+
+
+def test_psi_drift_constant_baseline_and_params(spark):
+    from oasisdb_spark.operators.quality import psi_drift
+
+    b = spark.createDataFrame([(1, 5.0), (2, 5.0)], "id LONG, value DOUBLE")
+    c = spark.createDataFrame([(1, 5.0)], "id LONG, value DOUBLE")
+    out = psi_drift(b, c, "value", n_buckets=3).collect()
+    # constant baseline: everything lands in bucket 0
+    got = {r["bucket"]: (r["base_cnt"], r["cur_cnt"]) for r in out}
+    assert got[0] == (2, 1) and got[1] == (0, 0) and got[2] == (0, 0)
+    with pytest.raises(ValueError):
+        psi_drift(b, c, "value", n_buckets=1)
