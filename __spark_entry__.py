@@ -3757,6 +3757,54 @@ def _events_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_drift_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING PSI drift gate (operators/quality.py
+    psi_drift_stream): the current-side snapshot (odd event_ids)
+    arrives as four mtime-ordered micro-batches; per-batch bucket
+    counts fold into an n_buckets-int driver accumulator. Counts are
+    additive, so the final PSI table equals batch psi_drift exactly —
+    this entry SHARES the events_value_drift oracle (hash-matched
+    streaming drift monitor)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from oasisdb_spark.operators.quality import psi_drift_stream
+
+    ev = _table(spark, sf_dir, "events")
+
+    def _stage() -> str:
+        cur = ev.where(F.col("event_id") % 2 == 1).select("event_id", "value")
+        d = tempfile.mkdtemp(prefix="events_drift_stream_")
+        ranked = cur.withColumn("_b", F.ntile(4).over(Window.orderBy("event_id")))
+        now = time.time()
+        for i in range(1, 5):
+            tmp = os.path.join(d, f"_w{i}")
+            ranked.filter(F.col("_b") == i).drop("_b").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(d, f"chunk_{i}.parquet")
+            shutil.copyfile(src, dst)
+            t = now - (4 - i) * 10
+            os.utime(dst, (t, t))
+            shutil.rmtree(tmp)
+        return d
+
+    d = _memo(spark, sf_dir, "drift_stream_dir", _stage)
+    stream = (
+        spark.readStream.schema("event_id BIGINT, value DOUBLE")
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(d)
+    )
+    return psi_drift_stream(
+        ev.where(F.col("event_id") % 2 == 0), stream, "value", n_buckets=10
+    )
+
+
 def _contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive triplet construction (pipeline/mining.py
     contrastive_triplets): per anchor (first 10 vectors), the nearest
@@ -3961,10 +4009,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # value_quantiles_sketch, winnow_fingerprints, winnow_contamination,
     # bpe_merges, bpe_token_counts, events_quantiles_stream,
     # order_status_scd2, event_type_quantiles, trade_pagerank,
-    # contrastive_triplets, events_value_drift — all
-    # check_oracle-verified value-exact at sf0.01 AND sf0.001 in
+    # contrastive_triplets, events_value_drift, events_drift_stream —
+    # all check_oracle-verified value-exact at sf0.01 AND sf0.001 in
     # round 6; count the batch-2 list before finalizing, it grew all
-    # round) + 34 of the 47
+    # round) + 33 of the 47
     # entries whose last driver row is r04 (a CORRECTNESS_r0{1..5}
     # sweep at round-6 close: maxsim_search .. text_stats — the r04
     # window minus the entries re-greened in r05/r06). Suggested 11 to
@@ -4155,6 +4203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trade_pagerank": _trade_pagerank,
         "contrastive_triplets": _contrastive_triplets,
         "events_value_drift": _events_value_drift,
+        "events_drift_stream": _events_drift_stream,
     }
 
 def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4638,6 +4687,53 @@ _QUANTILE_SKETCH_SQL = """
 """
 
 
+# shared by events_value_drift and its streaming twin (operators/
+# quality.py psi_drift): identical bucket float ops (same order),
+# Laplace-smoothed integer counts, lmic micro-nat logs of integer
+# products, floor-divided — int64 throughout
+_PSI_DRIFT_SQL = """
+    WITH rngg AS (
+      SELECT MIN(value) AS mn, MAX(value) AS mx
+      FROM events WHERE value IS NOT NULL AND event_id % 2 = 0
+    ),
+    bc AS (
+      SELECT bucket, COUNT(*)::BIGINT AS base_cnt FROM (
+        SELECT CASE WHEN r.mx = r.mn THEN 0
+               ELSE LEAST(9, GREATEST(0,
+                 FLOOR((value::DOUBLE - r.mn) * 10 / (r.mx - r.mn))))::INT
+               END AS bucket
+        FROM events, rngg r
+        WHERE value IS NOT NULL AND event_id % 2 = 0
+      ) GROUP BY 1
+    ),
+    cc AS (
+      SELECT bucket, COUNT(*)::BIGINT AS cur_cnt FROM (
+        SELECT CASE WHEN r.mx = r.mn THEN 0
+               ELSE LEAST(9, GREATEST(0,
+                 FLOOR((value::DOUBLE - r.mn) * 10 / (r.mx - r.mn))))::INT
+               END AS bucket
+        FROM events, rngg r
+        WHERE value IS NOT NULL AND event_id % 2 = 1
+      ) GROUP BY 1
+    ),
+    grid AS (SELECT unnest(range(0, 10))::INT AS bucket),
+    counts AS (
+      SELECT g.bucket,
+             COALESCE(bc.base_cnt, 0)::BIGINT AS base_cnt,
+             COALESCE(cc.cur_cnt, 0)::BIGINT AS cur_cnt
+      FROM grid g LEFT JOIN bc USING (bucket) LEFT JOIN cc USING (bucket)
+    ),
+    tot AS (SELECT SUM(base_cnt) + 10 AS a1, SUM(cur_cnt) + 10 AS b1
+            FROM counts)
+    SELECT bucket, base_cnt, cur_cnt,
+           (((base_cnt + 1) * t.b1 - (cur_cnt + 1) * t.a1)
+            * (CAST(round(ln(((base_cnt + 1) * t.b1)::DOUBLE) * 1000000) AS BIGINT)
+               - CAST(round(ln(((cur_cnt + 1) * t.a1)::DOUBLE) * 1000000) AS BIGINT)))
+           // (t.a1 * t.b1) AS psi_contrib_micro
+    FROM counts, tot t
+"""
+
+
 # shared winnowing CTE (pipeline/winnow.py semantics, k=8 w=4):
 # normalized-text k-grams, 40-bit md5 prefix hashes packed as
 # hash*2^20 + (2^20-1-pos) so one list_min per window selects the
@@ -5025,47 +5121,10 @@ def oracle_sql() -> dict[str, str]:
         # PSI drift (operators/quality.py): identical bucket float ops
         # (same order), Laplace-smoothed integer counts, lmic micro-nat
         # logs of integer products, floor-divided — int64 throughout
-        "events_value_drift": """
-            WITH rngg AS (
-              SELECT MIN(value) AS mn, MAX(value) AS mx
-              FROM events WHERE value IS NOT NULL AND event_id % 2 = 0
-            ),
-            bc AS (
-              SELECT bucket, COUNT(*)::BIGINT AS base_cnt FROM (
-                SELECT CASE WHEN r.mx = r.mn THEN 0
-                       ELSE LEAST(9, GREATEST(0,
-                         FLOOR((value::DOUBLE - r.mn) * 10 / (r.mx - r.mn))))::INT
-                       END AS bucket
-                FROM events, rngg r
-                WHERE value IS NOT NULL AND event_id % 2 = 0
-              ) GROUP BY 1
-            ),
-            cc AS (
-              SELECT bucket, COUNT(*)::BIGINT AS cur_cnt FROM (
-                SELECT CASE WHEN r.mx = r.mn THEN 0
-                       ELSE LEAST(9, GREATEST(0,
-                         FLOOR((value::DOUBLE - r.mn) * 10 / (r.mx - r.mn))))::INT
-                       END AS bucket
-                FROM events, rngg r
-                WHERE value IS NOT NULL AND event_id % 2 = 1
-              ) GROUP BY 1
-            ),
-            grid AS (SELECT unnest(range(0, 10))::INT AS bucket),
-            counts AS (
-              SELECT g.bucket,
-                     COALESCE(bc.base_cnt, 0)::BIGINT AS base_cnt,
-                     COALESCE(cc.cur_cnt, 0)::BIGINT AS cur_cnt
-              FROM grid g LEFT JOIN bc USING (bucket) LEFT JOIN cc USING (bucket)
-            ),
-            tot AS (SELECT SUM(base_cnt) + 10 AS a1, SUM(cur_cnt) + 10 AS b1
-                    FROM counts)
-            SELECT bucket, base_cnt, cur_cnt,
-                   (((base_cnt + 1) * t.b1 - (cur_cnt + 1) * t.a1)
-                    * (CAST(round(ln(((base_cnt + 1) * t.b1)::DOUBLE) * 1000000) AS BIGINT)
-                       - CAST(round(ln(((cur_cnt + 1) * t.a1)::DOUBLE) * 1000000) AS BIGINT)))
-                   // (t.a1 * t.b1) AS psi_contrib_micro
-            FROM counts, tot t
-        """,
+        "events_value_drift": _PSI_DRIFT_SQL,
+        # additive bucket counts make the stream equal the batch
+        # exactly, so the streaming twin SHARES the batch oracle
+        "events_drift_stream": _PSI_DRIFT_SQL,
         # contrastive triplets (pipeline/mining.py): the positive side
         # requires DEFINITE label equality (SQL `=`), the negative side
         # mirrors hard_negatives' IS DISTINCT FROM; inner join drops

@@ -127,7 +127,7 @@ FAMILIES: dict[str, list[str]] = {
     "sketch_grouped": ["event_type_quantiles"],
     "graph_rank": ["trade_pagerank"],
     "contrastive": ["contrastive_triplets"],
-    "drift_gate": ["events_value_drift"],
+    "drift_gate": ["events_value_drift", "events_drift_stream"],
 }
 
 

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["check_constraints", "snapshot_diff"]
+__all__ = ["check_constraints", "snapshot_diff", "psi_drift", "psi_drift_stream"]
 
 
 def check_constraints(df: DataFrame, constraints: dict[str, Column]) -> DataFrame:
@@ -180,12 +180,17 @@ def psi_drift(
             F.coalesce("cur_cnt", F.lit(0)).cast("long").alias("cur_cnt"),
         )
     )
-    wall = F.lit(0)  # single-group window for the totals
+    return _psi_from_counts(counts, n_buckets)
+
+
+def _psi_from_counts(counts: DataFrame, n_buckets: int) -> DataFrame:
+    """The smoothed integer PSI arithmetic over a (bucket, base_cnt,
+    cur_cnt) frame — shared by psi_drift and psi_drift_stream."""
     from pyspark.sql import Window as _W
 
-    w = _W.partitionBy(wall)
     from oasisdb_spark.pipeline.lm import lmic
 
+    w = _W.partitionBy(F.lit(0))  # single-group window for the totals
     a1 = F.col("base_cnt") + 1
     b1 = F.col("cur_cnt") + 1
     A1 = F.sum("base_cnt").over(w) + n_buckets
@@ -207,3 +212,84 @@ def psi_drift(
             contrib.cast("long").alias("psi_contrib_micro"),
         )
     )
+
+
+def psi_drift_stream(
+    baseline: DataFrame,
+    stream: DataFrame,
+    value_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """STREAMING twin of psi_drift: the current-side snapshot arrives
+    as an availableNow stream; per micro-batch the SAME bucket
+    expression (baseline [min, max] inlined as literals — the exact
+    float64 values the batch side computes) produces per-bucket counts,
+    accumulated in an n_buckets-int dict of driver state. Bucket counts
+    are ADDITIVE across batches, so the final counts — and every PSI
+    contribution — equal the batch psi_drift exactly, and the batch
+    oracle hash-matches the stream. Blocks until the stream drains."""
+    import tempfile
+
+    if n_buckets < 2:
+        raise ValueError(f"psi_drift_stream: n_buckets must be >= 2, got {n_buckets}")
+    spark = baseline.sparkSession
+    row = baseline.where(F.col(value_col).isNotNull()).agg(
+        F.min(value_col).alias("_mn"), F.max(value_col).alias("_mx")
+    ).first()
+    mn, mx = row["_mn"], row["_mx"]
+    acc = {i: 0 for i in range(n_buckets)}
+
+    def bucket_col() -> Column:
+        v = F.col(value_col).cast("double")
+        raw = F.floor((v - F.lit(mn)) * n_buckets / (F.lit(mx) - F.lit(mn)))
+        return F.when(F.lit(mx) == F.lit(mn), F.lit(0)).otherwise(
+            F.least(F.lit(n_buckets - 1), F.greatest(F.lit(0), raw))
+        ).cast("int")
+
+    def _fold(batch_df: DataFrame, _bid: int) -> None:
+        for r in (
+            batch_df.where(F.col(value_col).isNotNull())
+            .select(bucket_col().alias("bucket"))
+            .groupBy("bucket")
+            .count()
+            .collect()
+        ):
+            acc[r["bucket"]] += r["count"]
+
+    q = (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="psi_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rng = baseline.where(F.col(value_col).isNotNull()).agg(
+        F.min(value_col).alias("_mn"), F.max(value_col).alias("_mx")
+    )
+    v = F.col(value_col).cast("double")
+    raw = F.floor((v - F.col("_mn")) * n_buckets / (F.col("_mx") - F.col("_mn")))
+    b = F.when(F.col("_mx") == F.col("_mn"), F.lit(0)).otherwise(
+        F.least(F.lit(n_buckets - 1), F.greatest(F.lit(0), raw))
+    )
+    base_counts = (
+        baseline.where(F.col(value_col).isNotNull())
+        .crossJoin(F.broadcast(rng))
+        .select(b.cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("base_cnt"))
+    )
+    cur_counts = spark.createDataFrame(
+        [(i, int(acc[i])) for i in range(n_buckets)],
+        schema="bucket INT, cur_cnt LONG",
+    )
+    grid = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
+    counts = (
+        grid.join(base_counts, "bucket", "left")
+        .join(cur_counts, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("base_cnt", F.lit(0)).cast("long").alias("base_cnt"),
+            F.coalesce("cur_cnt", F.lit(0)).cast("long").alias("cur_cnt"),
+        )
+    )
+    return _psi_from_counts(counts, n_buckets)

@@ -173,3 +173,39 @@ def test_psi_drift_constant_baseline_and_params(spark):
     assert got[0] == (2, 1) and got[1] == (0, 0) and got[2] == (0, 0)
     with pytest.raises(ValueError):
         psi_drift(b, c, "value", n_buckets=1)
+
+
+def test_psi_drift_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Additive bucket counts through 3 forced micro-batches must give
+    the identical PSI table to batch psi_drift."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from oasisdb_spark.operators.quality import psi_drift, psi_drift_stream
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = ev.where(F.col("event_id") % 2 == 0)
+    cur = ev.where(F.col("event_id") % 2 == 1).select("event_id", "value")
+    d = tmp_path / "chunks"
+    d.mkdir()
+    now = time.time()
+    for i in range(3):
+        tmp = str(tmp_path / f"_w{i}")
+        cur.where(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        dst = str(d / f"chunk_{i}.parquet")
+        shutil.copyfile(glob.glob(os.path.join(tmp, "part-*.parquet"))[0], dst)
+        os.utime(dst, (now - (3 - i) * 10, now - (3 - i) * 10))
+    stream = (
+        spark.readStream.schema("event_id BIGINT, value DOUBLE")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+    )
+    got = sorted(map(tuple, psi_drift_stream(base, stream, "value", 10).collect()))
+    want = sorted(
+        map(tuple, psi_drift(base, ev.where(F.col("event_id") % 2 == 1), "value", 10).collect())
+    )
+    assert got == want
