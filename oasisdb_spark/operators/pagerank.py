@@ -22,37 +22,49 @@ DuckDB's `//` agree bit-for-bit; every sum is an integer fold
 per iteration (bounded by N + E + 2 per pass) — deterministic on both
 engines, and irrelevant to ranking.
 
-Scale: per iteration, one src-keyed broadcast/shuffle join of edges
-against the rank vector + one dst-keyed partial agg — the standard
-distributed PageRank plan; the dangling mass is ONE scalar aggregate
-per pass (bounded driver state, like the k-means partial fold). Rank
-frames are persisted per pass to truncate lineage. N is computed once.
+Build/iterate split (the index-build pattern): `build_graph` is the
+one-time artifact — distinct edges, node set, degree-joined edge list,
+static dangling set, all persisted — and `pagerank_iterate` runs the
+passes over it. Per pass: one src-keyed join of the (cached) edge list
+against the rank vector (node-sized — Spark broadcasts it when small)
++ one dst-keyed partial agg, plus ONE scalar dangling aggregate only
+when the dangling set is non-empty (it is static; a symmetrized graph
+skips it entirely). Rank frames are persisted per pass to truncate
+lineage. `pagerank_integer` composes both and releases the topology
+caches when done.
 """
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank_integer"]
+__all__ = ["GraphTopology", "build_graph", "pagerank_iterate", "pagerank_integer"]
 
 
-def pagerank_integer(
-    edges: DataFrame,
-    iters: int = 5,
-    scale: int = 10**12,
-    d_num: int = 85,
-    d_den: int = 100,
-    src_col: str = "src",
-    dst_col: str = "dst",
-) -> DataFrame:
-    """(node, rank_scaled) after ``iters`` exact integer passes over
-    the DISTINCT edge set. Nodes are every distinct src or dst;
-    self-loops and duplicate edges count once (distinct is applied)."""
-    if iters < 1:
-        raise ValueError(f"pagerank_integer: iters must be >= 1, got {iters}")
-    if not (0 < d_num <= d_den):
-        raise ValueError(f"pagerank_integer: bad damping {d_num}/{d_den}")
+@dataclass
+class GraphTopology:
+    """Persisted static artifacts of one graph (see build_graph)."""
+
+    e: DataFrame  # distinct (src, dst)
+    nodes: DataFrame  # distinct node ids
+    ed: DataFrame  # edges with out-degree joined in
+    dangling_nodes: DataFrame  # nodes with no out-edges
+    n: int
+    has_dangling: bool
+
+    def unpersist(self) -> None:
+        for df_ in (self.ed, self.dangling_nodes, self.nodes, self.e):
+            df_.unpersist()
+
+
+def build_graph(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> GraphTopology:
+    """Materialize the static graph artifacts (each persisted):
+    duplicate edges and self-loop duplicates collapse via distinct."""
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct().persist()
@@ -64,36 +76,52 @@ def pagerank_integer(
     )
     n = nodes.count()
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # the edge topology is static: join degrees into the edge list ONCE
     ed = e.join(outdeg, "src").persist()
-    # the dangling SET is static too (only its mass changes per pass);
-    # when it's empty — e.g. any symmetrized graph — skip the per-pass
-    # mass scalar entirely
     dangling_nodes = nodes.join(
         outdeg.withColumnRenamed("src", "node"), "node", "left_anti"
     ).persist()
     has_dangling = dangling_nodes.count() > 0
-    r = nodes.withColumn("rank_scaled", F.lit(scale // n).cast("long")).persist()
+    ed.count()
+    return GraphTopology(e, nodes, ed, dangling_nodes, n, has_dangling)
+
+
+def pagerank_iterate(
+    g: GraphTopology,
+    iters: int = 5,
+    scale: int = 10**12,
+    d_num: int = 85,
+    d_den: int = 100,
+) -> DataFrame:
+    """(node, rank_scaled) after ``iters`` exact integer passes over a
+    built topology."""
+    if iters < 1:
+        raise ValueError(f"pagerank_iterate: iters must be >= 1, got {iters}")
+    if not (0 < d_num <= d_den):
+        raise ValueError(f"pagerank_iterate: bad damping {d_num}/{d_den}")
+    n = g.n
+    r = g.nodes.withColumn(
+        "rank_scaled", F.lit(scale // n).cast("long")
+    ).persist()
     base = ((d_den - d_num) * (scale // n)) // d_den
     for _ in range(iters):
-        contribs = ed.join(r.withColumnRenamed("node", "src"), "src").select(
+        contribs = g.ed.join(r.withColumnRenamed("node", "src"), "src").select(
             F.col("dst").alias("node"),
             F.expr("rank_scaled div deg").alias("c"),
         )
         in_sum = contribs.groupBy("node").agg(F.sum("c").alias("in_v"))
         dangling = (
             (
-                dangling_nodes.join(r, "node")
+                g.dangling_nodes.join(r, "node")
                 .agg(F.sum("rank_scaled"))
                 .first()[0]
                 or 0
             )
-            if has_dangling
+            if g.has_dangling
             else 0
         )
         dang_share = int(dangling) // n
         nxt = (
-            nodes.join(in_sum, "node", "left")
+            g.nodes.join(in_sum, "node", "left")
             .select(
                 "node",
                 (
@@ -109,9 +137,21 @@ def pagerank_integer(
         nxt.count()
         r.unpersist()
         r = nxt
-    # the final rank frame is materialized, so the topology caches can
-    # unpin (a bench/session running the operator repeatedly would
-    # otherwise accumulate them)
-    for df_ in (ed, dangling_nodes, nodes, e):
-        df_.unpersist()
+    return r
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    iters: int = 5,
+    scale: int = 10**12,
+    d_num: int = 85,
+    d_den: int = 100,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """One-shot form: build the topology, iterate, release the
+    topology caches (the materialized rank frame survives them)."""
+    g = build_graph(edges, src_col=src_col, dst_col=dst_col)
+    r = pagerank_iterate(g, iters=iters, scale=scale, d_num=d_num, d_den=d_den)
+    g.unpersist()
     return r
