@@ -4010,7 +4010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # later.
     #
     # ROUND-7 ROTATION TODO (stage EARLY next round — the driver
-    # snapshots the window mid-round): window = the 2 anchors + the 13
+    # snapshots the window mid-round): window = the 2 anchors + the 15
     # round-6 batch-2 additions taking their first driver rows
     # (kmeans_cells, proto_prune, cluster_balanced,
     # value_quantiles_sketch, winnow_fingerprints, winnow_contamination,
@@ -4022,7 +4022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round) + 33 of the 47
     # entries whose last driver row is r04 (a CORRECTNESS_r0{1..5}
     # sweep at round-6 close: maxsim_search .. text_stats — the r04
-    # window minus the entries re-greened in r05/r06). Suggested 11 to
+    # window minus the entries re-greened in r05/r06). Suggested 14 to
     # defer to r08 (lowest risk — their code paths are continuously
     # exercised by in-window cousins): knn_flat_l2 (cos/ip/hamming
     # cousins green r06), minhash_signatures (minhash_lsh_pairs
@@ -4033,8 +4033,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # threshold rule with in-window sampling cousins), auto_embed
     # (Md5Embedder exercised by every embed test), sliding_chunks +
     # quality_prune (sequence_pack_chunks / gopher cousins share
-    # pipeline/sampling.py + text.py). Re-run the sweep before
-    # finalizing in case r06 rows differ from expectation.
+    # pipeline/sampling.py + text.py), table_profile + zorder_scan +
+    # image_dhash (single-module ops with heavy dedicated test files).
+    # Re-run the sweep before finalizing in case r06 rows differ from
+    # expectation.
     return {
         # --- ROUND-6 WINDOW (positions 1-50) ---
         # anchors (1-2)
