@@ -3857,6 +3857,31 @@ def _trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_iterate(g, iters=5)
 
 
+def _trade_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact HITS (operators/hits.py, Kleinberg '99) over the
+    DIRECTED customer->supplier trade graph: suppliers become pure
+    authorities, customers pure hubs — 3 L1-normalized integer passes,
+    renorm evaluated in 128-bit space on both engines (Spark
+    DECIMAL(38) DIV vs DuckDB HUGEINT //, verified bit-equal). The
+    oracle replays all 3 passes as unrolled SQL with HUGEINT scalar
+    sums. Topology memoized like the PageRank graph."""
+    from oasisdb_spark.operators.hits import hits_integer
+    from oasisdb_spark.operators.pagerank import build_graph
+
+    def _build():
+        orders = _table(spark, sf_dir, "orders")
+        li = _table(spark, sf_dir, "lineitem")
+        return build_graph(
+            orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+                F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+                F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+            )
+        )
+
+    g = _memo(spark, sf_dir, "trade_graph_directed", _build)
+    return hits_integer(g, iters=3)
+
+
 def _order_status_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 history (operators/scd.py): per customer, collapse
     the (o_orderdate, o_orderkey)-ordered order-status observations
@@ -4010,19 +4035,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # later.
     #
     # ROUND-7 ROTATION TODO (stage EARLY next round — the driver
-    # snapshots the window mid-round): window = the 2 anchors + the 15
+    # snapshots the window mid-round): window = the 2 anchors + the 16
     # round-6 batch-2 additions taking their first driver rows
     # (kmeans_cells, proto_prune, cluster_balanced,
     # value_quantiles_sketch, winnow_fingerprints, winnow_contamination,
     # bpe_merges, bpe_token_counts, events_quantiles_stream,
     # order_status_scd2, event_type_quantiles, trade_pagerank,
-    # contrastive_triplets, events_value_drift, events_drift_stream —
-    # all check_oracle-verified value-exact at sf0.01 AND sf0.001 in
-    # round 6; count the batch-2 list before finalizing, it grew all
-    # round) + 33 of the 47
+    # contrastive_triplets, events_value_drift, events_drift_stream,
+    # trade_hits — all check_oracle-verified value-exact at sf0.01 AND
+    # sf0.001 in round 6; count the batch-2 list before finalizing, it
+    # grew all round) + 32 of the 47
     # entries whose last driver row is r04 (a CORRECTNESS_r0{1..5}
     # sweep at round-6 close: maxsim_search .. text_stats — the r04
-    # window minus the entries re-greened in r05/r06). Suggested 14 to
+    # window minus the entries re-greened in r05/r06). Suggested 15 to
     # defer to r08 (lowest risk — their code paths are continuously
     # exercised by in-window cousins): knn_flat_l2 (cos/ip/hamming
     # cousins green r06), minhash_signatures (minhash_lsh_pairs
@@ -4213,6 +4238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contrastive_triplets": _contrastive_triplets,
         "events_value_drift": _events_value_drift,
         "events_drift_stream": _events_drift_stream,
+        "trade_hits": _trade_hits,
     }
 
 def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4557,33 +4583,33 @@ def _pagerank_oracle_sql(iters: int = 5, scale: int = 10**12,
     nexpr = "(SELECT n FROM nn)"
     base = f"(({d_den - d_num} * ({scale} // {nexpr})) // {d_den})"
     parts = [
-        """eb AS (
+        """eb AS MATERIALIZED (
   SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 )""",
-        "e AS (SELECT src, dst FROM eb UNION SELECT dst, src FROM eb)",
-        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
-        "nn AS (SELECT COUNT(*)::BIGINT AS n FROM nodes)",
-        "od AS (SELECT src, COUNT(*)::BIGINT AS deg FROM e GROUP BY 1)",
-        f"r0 AS (SELECT node, ({scale} // {nexpr})::BIGINT AS rank_scaled FROM nodes)",
+        "e AS MATERIALIZED (SELECT src, dst FROM eb UNION SELECT dst, src FROM eb)",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "nn AS MATERIALIZED (SELECT COUNT(*)::BIGINT AS n FROM nodes)",
+        "od AS MATERIALIZED (SELECT src, COUNT(*)::BIGINT AS deg FROM e GROUP BY 1)",
+        f"r0 AS MATERIALIZED (SELECT node, ({scale} // {nexpr})::BIGINT AS rank_scaled FROM nodes)",
     ]
     for i in range(1, iters + 1):
         prev = f"r{i - 1}"
         parts.append(
-            f"""s{i} AS (
+            f"""s{i} AS MATERIALIZED (
   SELECT e.dst AS node, SUM(r.rank_scaled // od.deg)::BIGINT AS in_v
   FROM e JOIN {prev} r ON e.src = r.node JOIN od ON e.src = od.src
   GROUP BY 1
 )"""
         )
         parts.append(
-            f"""d{i} AS (
+            f"""d{i} AS MATERIALIZED (
   SELECT COALESCE(SUM(rank_scaled), 0)::BIGINT AS dang
   FROM {prev} WHERE node NOT IN (SELECT src FROM od)
 )"""
         )
         parts.append(
-            f"""r{i} AS (
+            f"""r{i} AS MATERIALIZED (
   SELECT nd.node,
          ({base} + ({d_num} * (COALESCE(s.in_v, 0)
            + (SELECT dang FROM d{i}) // {nexpr})) // {d_den})::BIGINT AS rank_scaled
@@ -4595,6 +4621,65 @@ def _pagerank_oracle_sql(iters: int = 5, scale: int = 10**12,
     )
 
 
+def _hits_oracle_sql(iters: int = 3, scale: int = 10**12) -> str:
+    """Unrolled integer HITS (operators/hits.py semantics) over the
+    DIRECTED trade graph: per pass, in-edge hub sums -> HUGEINT L1
+    renorm -> out-edge authority sums -> renorm."""
+    parts = [
+        """e AS MATERIALIZED (
+  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+)""",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "nn AS MATERIALIZED (SELECT COUNT(*)::BIGINT AS n FROM nodes)",
+        f"h0 AS MATERIALIZED (SELECT node, ({scale} // (SELECT n FROM nn))::BIGINT AS h FROM nodes)",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""ar{t} AS MATERIALIZED (
+  SELECT nd.node, COALESCE(s.v, 0)::BIGINT AS araw
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS node, SUM(h.h)::BIGINT AS v
+    FROM e JOIN h{t - 1} h ON e.src = h.node GROUP BY 1
+  ) s ON nd.node = s.node
+)"""
+        )
+        parts.append(f"sa{t} AS MATERIALIZED (SELECT SUM(araw::HUGEINT) AS s FROM ar{t})")
+        parts.append(
+            f"""a{t} AS MATERIALIZED (
+  SELECT node, CASE WHEN (SELECT s FROM sa{t}) <= 0 THEN 0
+         ELSE ((araw::HUGEINT * {scale}) // (SELECT s FROM sa{t}))::BIGINT
+         END AS a
+  FROM ar{t}
+)"""
+        )
+        parts.append(
+            f"""hr{t} AS MATERIALIZED (
+  SELECT nd.node, COALESCE(s.v, 0)::BIGINT AS hraw
+  FROM nodes nd LEFT JOIN (
+    SELECT e.src AS node, SUM(a.a)::BIGINT AS v
+    FROM e JOIN a{t} a ON e.dst = a.node GROUP BY 1
+  ) s ON nd.node = s.node
+)"""
+        )
+        parts.append(f"sh{t} AS MATERIALIZED (SELECT SUM(hraw::HUGEINT) AS s FROM hr{t})")
+        parts.append(
+            f"""h{t} AS MATERIALIZED (
+  SELECT node, CASE WHEN (SELECT s FROM sh{t}) <= 0 THEN 0
+         ELSE ((hraw::HUGEINT * {scale}) // (SELECT s FROM sh{t}))::BIGINT
+         END AS h
+  FROM hr{t}
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT a.node, a.a AS authority_scaled, h.h AS hub_scaled
+FROM a{iters} a JOIN h{iters} h USING (node)"""
+    )
+
+
 def _bpe_oracle_ctes(n: int = 8) -> str:
     """Unrolled BPE training (pipeline/bpe.py semantics): w0 = spaced
     vocabulary, then per step i: p{i} pair counts -> m{i} deterministic
@@ -4602,7 +4687,7 @@ def _bpe_oracle_ctes(n: int = 8) -> str:
     empties w{i}, which stops the chain exactly like the Spark loop's
     early break."""
     parts = [
-        r"""w0 AS (
+        r"""w0 AS MATERIALIZED (
   SELECT ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS ws, COUNT(*)::BIGINT AS cnt
   FROM (
     SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
@@ -4614,7 +4699,7 @@ def _bpe_oracle_ctes(n: int = 8) -> str:
     for i in range(1, n + 1):
         prev = f"w{i - 1}"
         parts.append(
-            f"""p{i} AS (
+            f"""p{i} AS MATERIALIZED (
   SELECT p.l AS left_sym, p.r AS right_sym, SUM(cnt)::BIGINT AS pair_count
   FROM (
     SELECT unnest(list_transform(range(1, len(syms)), j ->
@@ -4625,13 +4710,13 @@ def _bpe_oracle_ctes(n: int = 8) -> str:
 )"""
         )
         parts.append(
-            f"""m{i} AS (
+            f"""m{i} AS MATERIALIZED (
   SELECT left_sym, right_sym, pair_count FROM p{i}
   ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1
 )"""
         )
         parts.append(
-            f"""w{i} AS (
+            f"""w{i} AS MATERIALIZED (
   SELECT replace(replace(ws, pat, rep), pat, rep) AS ws, cnt
   FROM {prev}, (SELECT ' ' || left_sym || ' ' || right_sym || ' ' AS pat,
                        ' ' || left_sym || right_sym || ' ' AS rep FROM m{i})
@@ -5127,6 +5212,9 @@ def oracle_sql() -> dict[str, str]:
         # integer PageRank (operators/pagerank.py): unrolled 5-pass
         # replay incl. the dangling-mass scalar per pass
         "trade_pagerank": _pagerank_oracle_sql(),
+        # integer HITS (operators/hits.py): unrolled 3-pass replay,
+        # HUGEINT renorm mirrors Spark's DECIMAL(38) DIV bit-for-bit
+        "trade_hits": _hits_oracle_sql(),
         # PSI drift (operators/quality.py): identical bucket float ops
         # (same order), Laplace-smoothed integer counts, lmic micro-nat
         # logs of integer products, floor-divided — int64 throughout

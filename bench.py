@@ -125,7 +125,7 @@ FAMILIES: dict[str, list[str]] = {
     "sketch_stream": ["events_quantiles_stream"],
     "scd_history": ["order_status_scd2"],
     "sketch_grouped": ["event_type_quantiles"],
-    "graph_rank": ["trade_pagerank"],
+    "graph_rank": ["trade_pagerank", "trade_hits"],
     "contrastive": ["contrastive_triplets"],
     "drift_gate": ["events_value_drift", "events_drift_stream"],
 }

@@ -715,6 +715,16 @@ def main() -> None:
     print(f"== events_value_drift scan-stage bucketing, bucket-key aggs only: {'OK' if ok else 'FAIL'}")
     failures += not ok
 
+    # 65. trade_hits: same pass contract as pagerank — equi hash joins
+    # of edges vs node-sized score frames, never nested-loop/cartesian
+    plan = plan_of(m.queries()["trade_hits"](spark, sf_dir))
+    ok = (
+        "CartesianProduct" not in plan
+        and "BroadcastNestedLoopJoin" not in plan
+    )
+    print(f"== trade_hits equi-join passes, no nested loops: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
     print(f"\n{'ALL PLANS OK' if not failures else f'{failures} PLAN CHECKS FAILED'}")
     spark.stop()
     sys.exit(1 if failures else 0)

@@ -92,3 +92,92 @@ def test_bad_params_raise(spark):
         pagerank_integer(df, iters=0)
     with pytest.raises(ValueError):
         pagerank_integer(df, d_num=0)
+
+
+def _py_hits(edges, iters=3, scale=SCALE):
+    e = sorted(set(edges))
+    nodes = sorted({s for s, _ in e} | {d for _, d in e})
+    n = len(nodes)
+    h = {v: scale // n for v in nodes}
+
+    def renorm(raw):
+        s = sum(raw.values())
+        if s <= 0:
+            return {v: 0 for v in nodes}
+        return {v: (raw[v] * scale) // s for v in nodes}
+
+    a = {}
+    for _ in range(iters):
+        araw = {v: 0 for v in nodes}
+        for s_, d in e:
+            araw[d] += h[s_]
+        a = renorm(araw)
+        hraw = {v: 0 for v in nodes}
+        for s_, d in e:
+            hraw[s_] += a[d]
+        h = renorm(hraw)
+    return a, h
+
+
+def test_hits_matches_python_reference(spark):
+    from oasisdb_spark.operators.hits import hits_integer
+    from oasisdb_spark.operators.pagerank import build_graph
+
+    edges = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("d", "c"), ("c", "e"),
+    ]
+    df = spark.createDataFrame(edges, schema="src STRING, dst STRING")
+    g = build_graph(df)
+    got = {
+        r["node"]: (r["authority_scaled"], r["hub_scaled"])
+        for r in hits_integer(g, iters=3).collect()
+    }
+    a, h = _py_hits(edges, iters=3)
+    assert got == {v: (a[v], h[v]) for v in a}
+
+
+def test_hits_bipartite_split(spark, sf_dir):
+    """On the directed customer->supplier graph, suppliers are pure
+    authorities and customers pure hubs; each side L1-sums to ~SCALE."""
+    from oasisdb_spark.operators.hits import hits_integer
+    from oasisdb_spark.operators.pagerank import build_graph
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    g = build_graph(
+        orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+    )
+    out = hits_integer(g, iters=2).collect()
+    for r in out:
+        if r["node"].startswith("s"):
+            assert r["hub_scaled"] == 0
+        else:
+            assert r["authority_scaled"] == 0
+    n = len(out)
+    assert SCALE - sum(r["authority_scaled"] for r in out) <= 2 * n
+    assert SCALE - sum(r["hub_scaled"] for r in out) <= 2 * n
+
+
+def test_hits_partitioning_invariance(spark):
+    from oasisdb_spark.operators.hits import hits_integer
+    from oasisdb_spark.operators.pagerank import build_graph
+
+    edges = [(f"n{i}", f"n{(i * 11 + 5) % 30}") for i in range(150)]
+    a = sorted(map(tuple, hits_integer(build_graph(
+        spark.createDataFrame(edges, "src STRING, dst STRING").repartition(1)), 2).collect()))
+    b = sorted(map(tuple, hits_integer(build_graph(
+        spark.createDataFrame(edges, "src STRING, dst STRING").repartition(7)), 2).collect()))
+    assert a == b
+
+
+def test_hits_bad_params(spark):
+    from oasisdb_spark.operators.hits import hits_integer
+    from oasisdb_spark.operators.pagerank import build_graph
+
+    g = build_graph(spark.createDataFrame([("a", "b")], "src STRING, dst STRING"))
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        hits_integer(g, iters=0)
