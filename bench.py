@@ -128,6 +128,13 @@ FAMILIES: dict[str, list[str]] = {
     "graph_rank": ["trade_pagerank", "trade_hits"],
     "contrastive": ["contrastive_triplets"],
     "drift_gate": ["events_value_drift", "events_drift_stream"],
+    # round-6 batch 3 (additive — earlier families untouched)
+    "ohlc_bars": ["events_ohlc", "events_ohlc_stream"],
+    "market_basket": ["copurchase_pairs"],
+    "graph_triangles": ["copurchase_triangles"],
+    "robust_outliers": ["events_outliers"],
+    "heavy_stream": ["docs_heavy_stream"],
+    "mutual_knn": ["mutual_knn_pairs"],
 }
 
 

@@ -37,6 +37,7 @@ __all__ = [
     "quantile_sketch",
     "grouped_quantile_sketch",
     "quantile_sketch_stream",
+    "heavy_hitters_stream",
 ]
 
 _TWO60 = float(1 << 60)
@@ -378,3 +379,107 @@ def quantile_sketch_stream(
         schema=T.StructType([key_f, val_f]),
     )
     return quantile_estimates(sample, value_col, key_col, qs)
+
+
+def heavy_hitters_stream(
+    stream: DataFrame,
+    value_col: str,
+    phi: float,
+    verify_df: DataFrame,
+    out_value: str = "value",
+) -> DataFrame:
+    """STREAMING twin of heavy_hitters: Misra–Gries candidate tracking
+    AT INGEST, exact verification at promotion — the same
+    candidates-then-verify contract as the batch operator, split
+    across the stream/batch boundary.
+
+    Each micro-batch runs the per-partition MG summary (bounded
+    O(1/phi) rows to the driver per batch, whatever the batch's key
+    cardinality); the driver folds them into ONE running MG summary
+    via the mergeable-summaries rule (add counts, batch-decrement back
+    to cap — Agarwal et al., PODS'12). TWO MG layers stack their
+    decrements, so the cap here is ceil(4/phi) — stricter than the
+    batch operator's 2/phi: per-partition decrements charge any item
+    <= N/cap <= phi*N/4 and the driver merges another <= N/(cap+1) <
+    phi*N/4, total < phi*N/2 — every true phi-hitter ends the stream
+    with a positive residual. The candidate set is a SUPERSET, with
+    <= cap entries of driver state at any stream length. The exact row
+    count N accumulates additively alongside (a NULL-keyed per-
+    partition count row rides the same Arrow pass — no second scan).
+
+    The final exact verify runs over ``verify_df`` (the promoted
+    table): candidates broadcast into one conditional count, false
+    candidates die on the >= ceil(phi*N) threshold. Because the verify
+    is exact and the candidate set is a superset, the result is
+    IDENTICAL to batch heavy_hitters — the batch oracle hash-matches
+    the stream. Blocks until the stream drains."""
+    import math
+    import tempfile
+
+    import pandas as pd
+
+    if not (0.0 < phi <= 1.0):
+        raise ValueError(f"heavy_hitters_stream: phi must be in (0, 1], got {phi}")
+    cap = max(1, math.ceil(4.0 / phi))
+    state: dict = {"counts": {}, "n": 0}
+
+    def _local(batches):
+        counts: dict = {}
+        rows = 0
+        for pdf in batches:
+            vals = pdf["_v"].dropna()
+            rows += len(vals)
+            for v, c in vals.value_counts().items():
+                counts[v] = counts.get(v, 0) + int(c)
+            if len(counts) > cap:
+                m = sorted(counts.values())[len(counts) - cap - 1]
+                counts = {v: c - m for v, c in counts.items() if c > m}
+        if counts or rows:
+            yield pd.DataFrame(
+                {"_v": list(counts.keys()) + [None], "_c": list(counts.values()) + [rows]}
+            )
+
+    def _merge(batch_df: DataFrame, _batch_id: int) -> None:
+        src = batch_df.select(F.col(value_col).alias("_v"))
+        local = src.mapInPandas(
+            _local, schema=f"_v {src.schema['_v'].dataType.simpleString()}, _c long"
+        ).collect()
+        counts = state["counts"]
+        for r in local:
+            if r["_v"] is None:
+                state["n"] += r["_c"]
+            else:
+                counts[r["_v"]] = counts.get(r["_v"], 0) + r["_c"]
+        if len(counts) > cap:
+            m = sorted(counts.values())[len(counts) - cap - 1]
+            counts = {v: c - m for v, c in counts.items() if c > m}
+        state["counts"] = counts
+
+    q = (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="hh_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    spark = verify_df.sparkSession
+    n, thresh = state["n"], max(1, math.ceil(phi * state["n"]))
+    vtype = next(
+        f.dataType.simpleString() for f in verify_df.schema.fields if f.name == value_col
+    )
+    cand = spark.createDataFrame(
+        [(v,) for v in state["counts"]], schema=f"_v {vtype}"
+    ).distinct()
+    src = verify_df.select(F.col(value_col).alias("_v")).where(F.col("_v").isNotNull())
+    return (
+        src.join(F.broadcast(cand), on="_v", how="leftsemi")
+        .groupBy("_v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= thresh)
+        .select(
+            F.col("_v").alias(out_value),
+            "cnt",
+            F.round(F.col("cnt") / F.lit(float(n)), 6).alias("share"),
+        )
+    )

@@ -23,7 +23,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["check_constraints", "snapshot_diff", "psi_drift", "psi_drift_stream"]
+__all__ = [
+    "check_constraints",
+    "snapshot_diff",
+    "psi_drift",
+    "psi_drift_stream",
+    "grouped_median_exact",
+    "mad_outliers",
+]
 
 
 def check_constraints(df: DataFrame, constraints: dict[str, Column]) -> DataFrame:
@@ -293,3 +300,73 @@ def psi_drift_stream(
         )
     )
     return _psi_from_counts(counts, n_buckets)
+
+
+def grouped_median_exact(
+    df: DataFrame, value_col: str, group_cols: list[str], out_col: str = "median"
+) -> DataFrame:
+    """Exact per-group LOWER median of an INTEGER column — the
+    deterministic median dialect (the value at ascending rank
+    ceil(n/2); never an average of two middles, so the result is a
+    value that OCCURS and stays integer-exact cross-engine).
+
+    Shape: the raw table collapses to a per-(group, value) count
+    histogram FIRST (one partial-agg shuffle — map-side combine does
+    the heavy lifting), then cumulative-count windows run over the
+    DISTINCT-VALUE frame, not the rows: for a 10^12-row group with
+    10^5 distinct quantized values, the window sorts 10^5 rows. The
+    median is the first value whose cumulative count reaches
+    (n+1) div 2."""
+    from pyspark.sql.window import Window
+
+    cnt = df.groupBy(*group_cols, value_col).agg(
+        F.count(F.lit(1)).alias("_k")
+    )
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*group_cols)
+    ranked = cnt.withColumn("_cum", F.sum("_k").over(w_cum)).withColumn(
+        "_n", F.sum("_k").over(w_all)
+    )
+    r = F.floor((F.col("_n") + 1) / 2).cast("long")
+    return ranked.where(
+        (F.col("_cum") >= r) & (F.col("_cum") - F.col("_k") < r)
+    ).select(*group_cols, F.col(value_col).alias(out_col))
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    threshold: int = 3,
+) -> DataFrame:
+    """Robust per-group outlier gate: flag rows whose absolute
+    deviation from the group's exact lower median exceeds
+    ``threshold`` x the group's MAD (median absolute deviation, same
+    lower-median dialect — Hampel's robust z-score with integer
+    arithmetic; Leys et al. 2013 recommend exactly this over
+    mean/stddev, which outliers themselves corrupt). ``value_col``
+    must be an INTEGER column (quantize floats upstream, e.g.
+    round(value*100)); the comparison ``dev > threshold * mad`` is
+    then engine-exact with no division anywhere.
+
+    Returns the flagged rows: group cols + (row id cols pass through)
+    + value, dev, median, mad.
+
+    Shape: two grouped-median passes (each a histogram partial-agg +
+    a distinct-value window — see grouped_median_exact) + two
+    group-keyed joins of group-cardinality frames back onto the scan
+    (broadcast when groups are few). The raw table is scanned twice
+    and never globally sorted."""
+    med = grouped_median_exact(df, value_col, group_cols, out_col="median")
+    with_med = df.join(med, on=group_cols)
+    dev = with_med.withColumn(
+        "dev", F.abs(F.col(value_col) - F.col("median"))
+    )
+    mad = grouped_median_exact(dev, "dev", group_cols, out_col="mad")
+    return dev.join(mad, on=group_cols).where(
+        F.col("dev") > F.lit(threshold) * F.col("mad")
+    )

@@ -38,6 +38,7 @@ __all__ = [
     "hard_negatives",
     "hard_negatives_from_candidates",
     "mine_candidates_broadcast",
+    "mutual_knn_pairs",
     "contrastive_triplets",
 ]
 
@@ -296,3 +297,60 @@ def contrastive_triplets(
         F.col("distance").alias("neg_distance"),
     )
     return pos.join(neg, "query_id")
+
+
+def mutual_knn_pairs(
+    base: DataFrame,
+    k: int,
+    space: str = "l2",
+    id_col: str = "id",
+    vec_col: str = "vector",
+) -> DataFrame:
+    """Reciprocal k-nearest-neighbor pairs over one embedding table:
+    (id_a, id_b, distance) with id_a < id_b where EACH side ranks the
+    other in its top-k (self excluded, (distance, id) tie-break — the
+    topk_per_query order). Mutual-NN is the high-precision matching
+    rule of bitext mining (Artetxe & Schwenk, ACL'19) and the
+    candidate filter embedding-dedup pipelines use to kill the
+    hub-match false positives one-directional kNN produces.
+
+    Shape: the self-kNN streams the base once against the broadcast
+    query copy with the partial top-k trim (the knn_flat/hard_negatives
+    contract), then mutuality is ONE pair-keyed partial agg — each
+    directed edge normalizes to its unordered pair and a pair is
+    mutual iff BOTH directions arrive (count = 2). No self-join of the
+    neighbor frame, so the expensive scoring plan is never replayed.
+    Distances must be symmetric for the pair collapse (l2 / cosine /
+    hamming; NOT raw inner product). For bases that cannot brute-scan,
+    feed the IVF candidate set through the same normalize-and-count
+    tail — mutuality is a property of the (query_id, id) edge list,
+    not of the scorer."""
+    if space == "ip":
+        raise ValueError(
+            "mutual_knn_pairs: inner product is not symmetric; use l2/cos/hamming"
+        )
+    q = base.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    b = base.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vector"))
+    pairs = b.crossJoin(F.broadcast(q)).where(F.col("query_id") != F.col("id"))
+    scored = pairs.select(
+        "query_id",
+        "id",
+        distance_expr(space, "query_vec", "vector").alias("distance"),
+    )
+    nn = topk_per_query(scored, k)
+    return (
+        nn.select(
+            F.least("query_id", "id").alias("id_a"),
+            F.greatest("query_id", "id").alias("id_b"),
+            "distance",
+        )
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("_both"),
+            F.min("distance").cast("double").alias("distance"),
+        )
+        .where(F.col("_both") == 2)
+        .drop("_both")
+    )

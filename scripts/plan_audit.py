@@ -725,6 +725,78 @@ def main() -> None:
     print(f"== trade_hits equi-join passes, no nested loops: {'OK' if ok else 'FAIL'}")
     failures += not ok
 
+    # 66. events_ohlc: the whole bar (open/high/low/close/count/cents)
+    # is ONE partial-aggregating hash shuffle on (series, bar) —
+    # partial_min_by/max_by BEFORE the exchange (map-side combine; the
+    # struct order key forces SortAggregate, whose sorts are
+    # partition-local and spillable), no Window, no range partitioning
+    plan = plan_of(m.queries()["events_ohlc"](spark, sf_dir))
+    ok = (
+        "partial_min_by" in plan
+        and "partial_max_by" in plan
+        and "Window" not in plan
+        and "Exchange rangepartitioning" not in plan
+        and plan.count("Exchange hashpartitioning") == 1
+    )
+    print(f"== events_ohlc single partial-agg shuffle, no window sort: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
+    # 67. copurchase_pairs: pair generation is a basket-key EQUI join
+    # (co-located / broadcast when AQE sees a small side — never a
+    # cartesian all-pairs; the only nested-loop is the 1-row scalar
+    # broadcast), pair counts partial-agg before their shuffle
+    plan = plan_of(m.queries()["copurchase_pairs"](spark, sf_dir))
+    ok = (
+        "CartesianProduct" not in plan
+        and "partial_count" in plan
+        and (
+            "SortMergeJoin" in plan
+            or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan
+        )
+    )
+    print(f"== copurchase_pairs basket-key equi-join, partial pair counts: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
+    # 68. copurchase_triangles: wedge generation and closure are both
+    # EQUI joins (apex key / pair key) — degree orientation means no
+    # cartesian, no nested-loop anywhere in the triangle plan
+    plan = plan_of(m.queries()["copurchase_triangles"](spark, sf_dir))
+    ok = (
+        "CartesianProduct" not in plan
+        and "BroadcastNestedLoopJoin" not in plan
+        and "partial_count" in plan
+    )
+    print(f"== copurchase_triangles equi-only wedge/closure joins: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
+    # 69. events_outliers: BOTH median passes collapse to per-value
+    # histograms before their windows (two partial_count aggregates —
+    # the windows sort distinct values, never raw rows), and the
+    # median/MAD frames join back as group-keyed equi joins
+    plan = plan_of(m.queries()["events_outliers"](spark, sf_dir))
+    ok = (
+        plan.count("partial_count") >= 2
+        and "CartesianProduct" not in plan
+        and "Exchange rangepartitioning" not in plan
+    )
+    print(f"== events_outliers histogram-first medians, equi joins: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
+    # 70. mutual_knn_pairs: the knn_flat contract (broadcast queries,
+    # streamed base, WindowGroupLimit partial top-k) + mutuality as ONE
+    # pair-keyed partial agg — no self-join replay of the scoring plan
+    # (exactly one window, exactly one partial_count)
+    plan = plan_of(m.queries()["mutual_knn_pairs"](spark, sf_dir))
+    ok = (
+        "WindowGroupLimit" in plan
+        and "BroadcastExchange" in plan
+        and plan.count("partial_count") == 1
+        and plan.count("WindowGroupLimit") == 2  # partial + final pair
+    )
+    print(f"== mutual_knn_pairs broadcast scan + single pair agg: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
     print(f"\n{'ALL PLANS OK' if not failures else f'{failures} PLAN CHECKS FAILED'}")
     spark.stop()
     sys.exit(1 if failures else 0)

@@ -1,0 +1,79 @@
+"""copurchase_pairs (operators/basket.py) — brute-force parity,
+dedup-before-count, the mega-basket cap, and partitioning invariance."""
+
+from itertools import combinations
+
+import pytest
+
+from oasisdb_spark.operators.basket import copurchase_pairs
+
+BASKETS = {
+    1: ["p", "q", "r"],
+    2: ["p", "q"],
+    3: ["q", "r", "s"],
+    4: ["p", "q", "q", "p"],  # duplicates: must count the basket once
+    5: ["s"],
+}
+
+
+def _brute(min_support, max_items=None):
+    sets = {b: set(v) for b, v in BASKETS.items()}
+    if max_items is not None:
+        sets = {b: v for b, v in sets.items() if len(v) <= max_items}
+    pair_sup: dict[tuple, int] = {}
+    item_sup: dict[str, int] = {}
+    for v in sets.values():
+        for i in v:
+            item_sup[i] = item_sup.get(i, 0) + 1
+        for a, b in combinations(sorted(v), 2):
+            pair_sup[(a, b)] = pair_sup.get((a, b), 0) + 1
+    return {
+        (a, b): (s, item_sup[a], item_sup[b], len(sets))
+        for (a, b), s in pair_sup.items()
+        if s >= min_support
+    }
+
+
+def _df(spark):
+    rows = [(b, i) for b, items in BASKETS.items() for i in items]
+    return spark.createDataFrame(rows, "basket LONG, item STRING")
+
+
+def _run(df, **kw):
+    return {
+        (r["item_a"], r["item_b"]): (
+            r["pair_support"], r["support_a"], r["support_b"], r["n_baskets"]
+        )
+        for r in copurchase_pairs(df, "basket", "item", **kw).collect()
+    }
+
+
+def test_matches_brute_force(spark):
+    assert _run(_df(spark), min_support=1) == _brute(1)
+    assert _run(_df(spark), min_support=2) == _brute(2)
+
+
+def test_min_support_filters(spark):
+    out = _run(_df(spark), min_support=3)
+    assert out == _brute(3)
+    assert all(v[0] >= 3 for v in out.values())
+    # (p, q) co-occurs in baskets 1, 2, 4
+    assert out[("p", "q")][0] == 3
+
+
+def test_mega_basket_cap_drops_whole_basket(spark):
+    # cap=2 removes the 3-item baskets (1, 3) from pair generation AND
+    # from the item supports / basket total — exact pre-filter semantics
+    assert _run(_df(spark), min_support=1, max_basket_items=2) == _brute(1, 2)
+
+
+def test_partitioning_invariance(spark):
+    df = _df(spark)
+    base = _run(df, min_support=1)
+    assert _run(df.repartition(13), min_support=1) == base
+    assert _run(df.coalesce(1), min_support=1) == base
+
+
+def test_min_support_validation(spark):
+    with pytest.raises(ValueError):
+        copurchase_pairs(_df(spark), "basket", "item", min_support=0)

@@ -60,3 +60,50 @@ def test_mg_cap_under_high_cardinality(spark):
     df = spark.createDataFrame(rows, "v STRING").repartition(16)
     out = {r["value"]: r["cnt"] for r in heavy_hitters(df, "v", 0.1).collect()}
     assert out == {"hot0": 10000, "hot1": 10000}
+
+
+def test_stream_equals_batch(spark, tmp_path):
+    """heavy_hitters_stream over 3 mtime-ordered chunks == batch
+    heavy_hitters — the MG-merge superset + exact-verify identity."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from oasisdb_spark.functions.sketch import heavy_hitters, heavy_hitters_stream
+
+    rows = [(i, f"hot{i % 3}") for i in range(3000)]
+    rows += [(10000 + i, f"rare{i}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "id LONG, v STRING")
+
+    d = tmp_path / "chunks"
+    d.mkdir()
+    now = time.time()
+    for i in range(3):
+        tmp = str(tmp_path / f"_w{i}")
+        df.where(F.col("id") % 3 == i).coalesce(1).write.mode("overwrite").parquet(tmp)
+        dst = str(d / f"chunk_{i}.parquet")
+        shutil.copyfile(glob.glob(os.path.join(tmp, "part-*.parquet"))[0], dst)
+        os.utime(dst, (now - (3 - i) * 10, now - (3 - i) * 10))
+    stream = spark.readStream.schema("id LONG, v STRING").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(d))
+
+    got = sorted(
+        map(tuple, heavy_hitters_stream(stream, "v", 0.1, verify_df=df).collect())
+    )
+    want = sorted(map(tuple, heavy_hitters(df, "v", 0.1).collect()))
+    assert got == want
+    assert {t[0] for t in got} == {"hot0", "hot1", "hot2"}
+
+
+def test_stream_phi_validation(spark):
+    import pytest as _pytest
+
+    from oasisdb_spark.functions.sketch import heavy_hitters_stream
+
+    df = spark.createDataFrame([(1,)], "v LONG")
+    with _pytest.raises(ValueError):
+        heavy_hitters_stream(df, "v", 0.0, verify_df=df)

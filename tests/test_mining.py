@@ -246,3 +246,65 @@ def test_contrastive_triplets_bad_params(spark, vecs):
 
     with pytest.raises(ValueError):
         contrastive_triplets(q(vecs, [0]), vecs, n_neg=0)
+
+
+# --- mutual_knn_pairs -----------------------------------------------------
+
+
+def _mutual_brute(vecs, k):
+    import math
+
+    ids = sorted(vecs)
+    def d(a, b):
+        return math.fsum((x - y) ** 2 for x, y in zip(vecs[a], vecs[b]))
+    topk = {
+        a: {b for b in sorted((b for b in ids if b != a),
+                              key=lambda b: (d(a, b), b))[:k]}
+        for a in ids
+    }
+    return {
+        (a, b): d(a, b)
+        for a in ids for b in ids
+        if a < b and b in topk[a] and a in topk[b]
+    }
+
+
+def test_mutual_knn_matches_brute_and_drops_one_directional(spark):
+    from oasisdb_spark.pipeline.mining import mutual_knn_pairs
+
+    # a tight cluster {0,1,2} + an outlier 9 whose top-1 is in the
+    # cluster, but the cluster's top-1s are each other -> 9 pairs with
+    # nobody at k=1 (the classic hub/one-directional case)
+    vecs = {
+        0: [0.0, 0.0],
+        1: [0.1, 0.0],
+        2: [0.0, 0.12],
+        9: [5.0, 5.0],
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "id LONG, vector ARRAY<DOUBLE>"
+    )
+    for k in (1, 2, 3):
+        got = {
+            (r["id_a"], r["id_b"]): r["distance"]
+            for r in mutual_knn_pairs(df, k=k).collect()
+        }
+        want = _mutual_brute(vecs, k)
+        assert got.keys() == want.keys(), f"k={k}"
+        for p, dist in want.items():
+            assert abs(got[p] - dist) < 1e-12
+    assert (9 not in {i for p in _mutual_brute(vecs, 1) for i in p})
+
+
+def test_mutual_knn_partitioning_invariance_and_ip_rejected(spark):
+    import pytest as _pytest
+
+    from oasisdb_spark.pipeline.mining import mutual_knn_pairs
+
+    rows = [(i, [float((i * 7) % 13), float((i * 3) % 11)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "id LONG, vector ARRAY<DOUBLE>")
+    base = sorted(map(tuple, mutual_knn_pairs(df, k=4).collect()))
+    rep = sorted(map(tuple, mutual_knn_pairs(df.repartition(11), k=4).collect()))
+    assert base == rep and base
+    with _pytest.raises(ValueError):
+        mutual_knn_pairs(df, k=4, space="ip")

@@ -209,3 +209,59 @@ def test_psi_drift_stream_matches_batch(spark, sf_dir, tmp_path):
         map(tuple, psi_drift(base, ev.where(F.col("event_id") % 2 == 1), "value", 10).collect())
     )
     assert got == want
+
+
+# --- grouped_median_exact / mad_outliers ---------------------------------
+
+
+def _py_lower_median(xs):
+    s = sorted(xs)
+    return s[(len(s) + 1) // 2 - 1]
+
+
+def test_grouped_median_exact_matches_python(spark):
+    from oasisdb_spark.operators.quality import grouped_median_exact
+
+    groups = {
+        "odd": [5, 1, 9, 3, 7],
+        "even": [4, 2, 8, 6],          # lower median = 4, not 5.0
+        "dupes": [2, 2, 2, 9, 9],
+        "single": [42],
+    }
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g STRING, v LONG")
+    out = {r["g"]: r["median"] for r in
+           grouped_median_exact(df, "v", ["g"]).collect()}
+    assert out == {g: _py_lower_median(vs) for g, vs in groups.items()}
+
+
+def test_mad_outliers_matches_python_and_is_partition_invariant(spark):
+    from oasisdb_spark.operators.quality import mad_outliers
+
+    vals = [10, 11, 12, 10, 11, 12, 13, 9, 500, -480]
+    rows = [(i, "a", v) for i, v in enumerate(vals)]
+    rows += [(100 + i, "b", v) for i, v in enumerate([5, 5, 5, 5])]  # mad 0
+    df = spark.createDataFrame(rows, "id LONG, g STRING, v LONG")
+
+    med = _py_lower_median(vals)
+    mad = _py_lower_median([abs(v - med) for v in vals])
+    want = {i for i, v in enumerate(vals) if abs(v - med) > 3 * mad}
+    assert want  # the 500 / -480 rows must actually flag
+
+    def run(d):
+        return {r["id"] for r in mad_outliers(d, "v", ["g"]).collect()}
+
+    assert run(df) == want                      # zero-MAD group: equal
+    assert run(df.repartition(7)) == want       # values never flag (dev=0)
+
+
+def test_mad_outliers_zero_mad_group_flags_any_deviation(spark):
+    from oasisdb_spark.operators.quality import mad_outliers
+
+    # constant group + one deviant: MAD = 0, so ANY nonzero deviation
+    # flags — the documented strictness of the integer gate
+    rows = [(i, "c", 7) for i in range(9)] + [(99, "c", 8)]
+    df = spark.createDataFrame(rows, "id LONG, g STRING, v LONG")
+    out = mad_outliers(df, "v", ["g"]).collect()
+    assert [r["id"] for r in out] == [99]
+    assert out[0]["median"] == 7 and out[0]["mad"] == 0 and out[0]["dev"] == 1

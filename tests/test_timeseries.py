@@ -1,8 +1,10 @@
-"""time_bucket_gapfill (operators/timeseries.py)."""
+"""time_bucket_gapfill and ohlc_bars (operators/timeseries.py)."""
+
+import datetime as dt
 
 from pyspark.sql import functions as F
 
-from oasisdb_spark.operators.timeseries import time_bucket_gapfill
+from oasisdb_spark.operators.timeseries import ohlc_bars, time_bucket_gapfill
 
 
 def test_gapfill_densifies_and_locf(spark):
@@ -32,3 +34,103 @@ def test_gapfill_leading_gap_stays_null_without_prior_observation(spark):
     first = min(out, key=lambda r: r["b"])
     assert first["b"] == 5 and not first["is_gap"]
     assert all(r["v"] is not None for r in out)  # locf covers every grid row
+
+
+def _ts(minute, second=0):
+    return dt.datetime(2024, 1, 1, 12, minute, second)
+
+
+def _ohlc_rows(spark, rows):
+    df = spark.createDataFrame(rows, "s STRING, ts TIMESTAMP, id LONG, v DOUBLE")
+    out = ohlc_bars(
+        df, "ts", "v", ["s"], bucket_width="hour", tie_cols=["id"]
+    )
+    return {(r["s"], r["bar_start"]): r for r in out.collect()}
+
+
+def test_ohlc_basic_bar(spark):
+    out = _ohlc_rows(spark, [
+        ("a", _ts(0), 1, 5.0),
+        ("a", _ts(10), 2, 9.0),
+        ("a", _ts(20), 3, 1.0),
+        ("a", _ts(30), 4, 7.0),
+    ])
+    bar = out[("a", "2024-01-01 12:00:00")]
+    assert (bar["open"], bar["high"], bar["low"], bar["close"]) == (5.0, 9.0, 1.0, 7.0)
+    assert bar["n_obs"] == 4
+
+
+def test_ohlc_equal_ts_ties_break_on_tie_cols(spark):
+    # two rows at the identical timestamp: open must be the lower id,
+    # close the higher id — the struct key makes this a total order
+    out = _ohlc_rows(spark, [
+        ("a", _ts(5), 2, 3.0),
+        ("a", _ts(5), 1, 8.0),
+        ("a", _ts(5), 3, 4.0),
+    ])
+    bar = out[("a", "2024-01-01 12:00:00")]
+    assert bar["open"] == 8.0 and bar["close"] == 4.0
+
+
+def test_ohlc_partitioning_invariant_and_extra_aggs(spark):
+    rows = [
+        ("a", _ts(m), i, float((i * 37) % 11) + 0.25)
+        for i, m in enumerate(range(0, 59, 3))
+    ] + [("b", _ts(7), 99, 2.5)]
+    df = spark.createDataFrame(rows, "s STRING, ts TIMESTAMP, id LONG, v DOUBLE")
+    extra = [F.sum(F.round(F.col("v") * 100).cast("long")).alias("cents")]
+
+    def run(d):
+        return sorted(
+            ohlc_bars(d, "ts", "v", ["s"], tie_cols=["id"], extra_aggs=extra)
+            .collect(),
+            key=lambda r: (r["s"], r["bar_start"]),
+        )
+
+    base = run(df)
+    assert run(df.repartition(7)) == base
+    assert run(df.coalesce(1)) == base
+    a = [r for r in base if r["s"] == "a"][0]
+    assert a["cents"] == sum(round((((i * 37) % 11) + 0.25) * 100)
+                             for i in range(len(range(0, 59, 3))))
+
+
+def test_ohlc_streaming_complete_mode_equals_batch(spark, tmp_path):
+    """ohlc_bars as a native complete-mode streaming aggregate over 3
+    chunks == the batch bars: all six aggregates are mergeable."""
+    import glob
+    import os
+    import shutil
+    import time
+    import uuid
+
+    rows = [
+        ("a", _ts(m % 60, m // 60), i, float((i * 31) % 17) + 0.5)
+        for i, m in enumerate(range(0, 120, 2))
+    ]
+    df = spark.createDataFrame(rows, "s STRING, ts TIMESTAMP, id LONG, v DOUBLE")
+    want = sorted(
+        map(tuple, ohlc_bars(df, "ts", "v", ["s"], tie_cols=["id"]).collect())
+    )
+
+    d = tmp_path / "chunks"
+    d.mkdir()
+    now = time.time()
+    for i in range(3):
+        tmp = str(tmp_path / f"_w{i}")
+        df.where(F.col("id") % 3 == i).coalesce(1).write.mode("overwrite").parquet(tmp)
+        dst = str(d / f"chunk_{i}.parquet")
+        shutil.copyfile(glob.glob(os.path.join(tmp, "part-*.parquet"))[0], dst)
+        os.utime(dst, (now - (3 - i) * 10, now - (3 - i) * 10))
+    stream = spark.readStream.schema(
+        "s STRING, ts TIMESTAMP, id LONG, v DOUBLE"
+    ).option("maxFilesPerTrigger", "1").parquet(str(d))
+    name = f"t_ohlc_{uuid.uuid4().hex[:8]}"
+    q = (
+        ohlc_bars(stream, "ts", "v", ["s"], tie_cols=["id"])
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = sorted(map(tuple, spark.table(name).collect()))
+    assert got == want
