@@ -4253,6 +4253,54 @@ def _events_ohlc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided Page CUSUM change-point gate (operators/timeseries.py
+    cusum_changepoints — Page 1954 via the drawdown identity: the
+    sequential max(0, ...) recurrence becomes prefix-sum minus running
+    min, two plain window aggregates sharing ONE per-series sort).
+    Target = each event_type's exact lower median (the
+    grouped_median_exact histogram path, broadcast back — ≤5 rows),
+    slack 2000 / threshold 15000 integer cents. Emits the FULL
+    trajectory (cusum_up/cusum_dn per event), so the oracle hash pins
+    every step of the running statistic, not just the alarm set —
+    any cross-engine ordering divergence anywhere in the stream would
+    surface. Order key is (epoch micros, event_id) on BOTH engines."""
+    from oasisdb_spark.operators.quality import grouped_median_exact
+    from oasisdb_spark.operators.timeseries import cusum_changepoints
+    from oasisdb_spark.sources.tables import event_time_micros
+
+    ev0 = _table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    ev = ev0.select(
+        "event_id",
+        "event_type",
+        event_time_micros(ev0).alias("ts_us"),
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    med = grouped_median_exact(
+        ev, "value_cents", ["event_type"], out_col="target_cents"
+    )
+    cu = cusum_changepoints(
+        ev.join(F.broadcast(med), "event_type"),
+        "value_cents",
+        ["event_type"],
+        ["ts_us", "event_id"],
+        target="target_cents",
+        slack=2000,
+        threshold=15000,
+    )
+    return cu.select(
+        "event_id",
+        "event_type",
+        "ts_us",
+        "value_cents",
+        "target_cents",
+        "cusum_up",
+        "cusum_dn",
+        "alarm_up",
+        "alarm_dn",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries (observed: r01-r04 rows == registry[0:50]). ROUND-5
@@ -4492,6 +4540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_heavy_stream": _docs_heavy_stream,
         "mutual_knn_pairs": _mutual_knn_pairs,
         "events_ohlc_stream": _events_ohlc_stream,
+        "events_cusum": _events_cusum,
     }
 
 def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -5619,6 +5668,45 @@ SELECT event_type, bar_start,
        count(*) AS n_obs,
        sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
 FROM r GROUP BY event_type, bar_start
+""",
+        # CUSUM (operators/timeseries.py cusum_changepoints): the
+        # drawdown identity replayed verbatim — prefix sums of
+        # (dev - slack) minus their running min, all int64 over the
+        # identical (epoch_us, event_id) order; target recovers the
+        # same (n+1)//2 lower-median rank rule as events_outliers
+        "events_cusum": """
+WITH v AS (
+  SELECT event_id, event_type, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100) AS BIGINT) AS value_cents
+  FROM events WHERE value IS NOT NULL
+), cnt AS (
+  SELECT event_type, value_cents, count(*) AS k FROM v GROUP BY 1, 2
+), ranked AS (
+  SELECT *, sum(k) OVER (PARTITION BY event_type ORDER BY value_cents) AS cum,
+            sum(k) OVER (PARTITION BY event_type) AS n
+  FROM cnt
+), med AS (
+  SELECT event_type, value_cents AS target_cents FROM ranked
+  WHERE cum >= (n + 1) // 2 AND cum - k < (n + 1) // 2
+), d AS (
+  SELECT v.*, m.target_cents, v.value_cents - m.target_cents AS dev
+  FROM v JOIN med m USING (event_type)
+), p AS (
+  SELECT *, sum(dev - 2000) OVER w AS pu, sum(-dev - 2000) OVER w AS pd
+  FROM d
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), s AS (
+  SELECT *, pu - least(0, min(pu) OVER w) AS cusum_up,
+            pd - least(0, min(pd) OVER w) AS cusum_dn
+  FROM p
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, event_type, ts_us, value_cents, target_cents,
+       cusum_up, cusum_dn,
+       cusum_up > 15000 AS alarm_up, cusum_dn > 15000 AS alarm_dn
+FROM s
 """,
         # PSI drift (operators/quality.py): identical bucket float ops
         # (same order), Laplace-smoothed integer counts, lmic micro-nat

@@ -135,6 +135,7 @@ FAMILIES: dict[str, list[str]] = {
     "robust_outliers": ["events_outliers"],
     "heavy_stream": ["docs_heavy_stream"],
     "mutual_knn": ["mutual_knn_pairs"],
+    "changepoint": ["events_cusum"],
 }
 
 

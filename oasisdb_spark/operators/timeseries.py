@@ -1,5 +1,5 @@
 """Time-series operators: dense bucket grids over sparse aggregates,
-and OHLC downsampling bars.
+OHLC downsampling bars, and CUSUM change-point detection.
 
 ``time_bucket_gapfill`` is the TimescaleDB hypertable op of the same
 name re-expressed Spark-first: given a per-(series, bucket) aggregate
@@ -32,11 +32,11 @@ aggregate row.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["time_bucket_gapfill", "ohlc_bars"]
+__all__ = ["time_bucket_gapfill", "ohlc_bars", "cusum_changepoints"]
 
 
 def time_bucket_gapfill(
@@ -107,4 +107,66 @@ def ohlc_bars(
         F.max_by(F.col(value_col), key).alias("close"),
         F.count(F.lit(1)).alias("n_obs"),
         *(extra_aggs or []),
+    )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    value_col: str,
+    series_cols: list[str],
+    order_cols: list[str],
+    target: Column | str,
+    slack: int,
+    threshold: int,
+) -> DataFrame:
+    """Two-sided Page CUSUM change-point gate (Page, Biometrika 1954)
+    over INTEGER observations — the sequential shift detector behind
+    SPC dashboards and data-drift alarms.
+
+    The textbook recurrence is sequential (``S⁺ᵢ = max(0, S⁺ᵢ₋₁ + dᵢ −
+    slack)``), which looks like a per-row driver loop; the drawdown
+    identity turns it into two plain window aggregates::
+
+        S⁺ᵢ = Pᵢ − min(0, min_{j≤i} Pⱼ),   Pᵢ = Σ_{j≤i} (dⱼ − slack)
+
+    (the running positive CUSUM equals the prefix sum minus its running
+    minimum floored at zero), and symmetrically for the downward side
+    with ``−dⱼ``. So the whole detector is ONE sort shuffle per series
+    — the same (series, order) window every LOCF/sessionization op
+    already pays — and four window aggregates that share that single
+    sort; no recursion, no driver state, no UDF.
+
+    All arithmetic is int64: ``value_col`` and ``target`` must be
+    integers (quantize floats to cents upstream), ``slack`` is the
+    per-observation drift allowance k, ``threshold`` the alarm level h.
+    Integer sums are fold-order-free, so the cusum columns are
+    hash-exact cross-engine. ``target`` may be a per-row Column (e.g. a
+    per-series exact median joined in upstream) or a column name.
+
+    Adds ``cusum_up`` / ``cusum_dn`` (the running statistics) and
+    ``alarm_up`` / ``alarm_dn`` (strictly-above-threshold flags) to
+    every input row; callers filter to alarms. At 100 TB the cost is
+    the per-series sort — series must fit a task's spill budget, the
+    same contract as every ordered-window op in this module.
+    """
+    tgt = F.col(target) if isinstance(target, str) else target
+    w = (
+        Window.partitionBy(*series_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = F.col(value_col).cast("long") - tgt.cast("long")
+    out = (
+        df.withColumn("_p_up", F.sum(d - F.lit(slack)).over(w))
+        .withColumn("_p_dn", F.sum(-d - F.lit(slack)).over(w))
+        .withColumn(
+            "cusum_up", F.col("_p_up") - F.least(F.lit(0), F.min("_p_up").over(w))
+        )
+        .withColumn(
+            "cusum_dn", F.col("_p_dn") - F.least(F.lit(0), F.min("_p_dn").over(w))
+        )
+        .drop("_p_up", "_p_dn")
+    )
+    return out.withColumn("alarm_up", F.col("cusum_up") > threshold).withColumn(
+        "alarm_dn", F.col("cusum_dn") > threshold
     )

@@ -797,6 +797,21 @@ def main() -> None:
     print(f"== mutual_knn_pairs broadcast scan + single pair agg: {'OK' if ok else 'FAIL'}")
     failures += not ok
 
+    # 71. events_cusum: the drawdown identity needs only the per-series
+    # sort the window pays anyway — the median target joins back as a
+    # BROADCAST equi-join (≤5 rows), the raw events shuffle exactly once
+    # for the (event_type) window partitioning, and no range-partitioned
+    # global sort appears anywhere
+    plan = plan_of(m.queries()["events_cusum"](spark, sf_dir))
+    ok = (
+        "BroadcastHashJoin" in plan
+        and "CartesianProduct" not in plan
+        and "Exchange rangepartitioning" not in plan
+        and plan.count("Exchange hashpartitioning") <= 3  # histogram + window + median window
+    )
+    print(f"== events_cusum broadcast median target, single series shuffle: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
     print(f"\n{'ALL PLANS OK' if not failures else f'{failures} PLAN CHECKS FAILED'}")
     spark.stop()
     sys.exit(1 if failures else 0)

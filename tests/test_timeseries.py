@@ -134,3 +134,73 @@ def test_ohlc_streaming_complete_mode_equals_batch(spark, tmp_path):
     q.awaitTermination()
     got = sorted(map(tuple, spark.table(name).collect()))
     assert got == want
+
+
+# ---------------------------------------------------------------- cusum
+
+
+def _cusum_python(values, target, slack):
+    """The textbook sequential recurrence — ground truth for the
+    window-identity implementation."""
+    up = dn = 0
+    out = []
+    for x in values:
+        d = x - target
+        up = max(0, up + d - slack)
+        dn = max(0, dn - d - slack)
+        out.append((up, dn))
+    return out
+
+
+def test_cusum_matches_sequential_recurrence(spark):
+    from oasisdb_spark.operators.timeseries import cusum_changepoints
+
+    values = [10, 12, 9, 11, 30, 31, 29, 33, 10, 11, -5, -6, 10]
+    rows = [("a", i, v) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "s STRING, i LONG, x LONG")
+    out = cusum_changepoints(
+        df, "x", ["s"], ["i"], target=F.lit(10), slack=2, threshold=15
+    )
+    got = {r["i"]: (r["cusum_up"], r["cusum_dn"]) for r in out.collect()}
+    want = _cusum_python(values, target=10, slack=2)
+    assert [got[i] for i in range(len(values))] == want
+    # the level shift at i=4..7 must alarm upward; the dip at 10..11 downward
+    alarms_up = {r["i"] for r in out.collect() if r["alarm_up"]}
+    alarms_dn = {r["i"] for r in out.collect() if r["alarm_dn"]}
+    assert min(alarms_up) == 4 and 7 in alarms_up
+    assert 11 in alarms_dn and not alarms_dn & {0, 1, 2, 3}
+
+
+def test_cusum_is_per_series_and_partitioning_invariant(spark):
+    from oasisdb_spark.operators.timeseries import cusum_changepoints
+
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (s, i, rng.randrange(-20, 40))
+        for s in ("a", "b", "c")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "s STRING, i LONG, x LONG")
+
+    def run(d):
+        out = cusum_changepoints(
+            d, "x", ["s"], ["i"], target=F.lit(5), slack=1, threshold=50
+        )
+        return sorted(
+            (r["s"], r["i"], r["cusum_up"], r["cusum_dn"]) for r in out.collect()
+        )
+
+    base = run(df)
+    assert base == run(df.repartition(13))
+    assert base == run(df.orderBy(F.rand(3)).coalesce(1))
+    # series independence: series b computed alone equals its slice
+    only_b = run(df.filter(F.col("s") == "b"))
+    assert [t for t in base if t[0] == "b"] == only_b
+    # python parity per series
+    for s in ("a", "b", "c"):
+        vals = [x for (ss, _, x) in rows if ss == s]
+        want = _cusum_python(vals, target=5, slack=1)
+        got = [(u, d) for (ss, _, u, d) in base if ss == s]
+        assert got == want
