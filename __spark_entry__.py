@@ -4301,6 +4301,23 @@ def _events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _docs_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation extraction (pipeline/lm.py pmi_collocations —
+    Church & Hanks CL'90): adjacent-bigram pointwise mutual information
+    over documents in the SEPARABLE quantized log dialect — pmi_micro =
+    lmic(c_xy) + 2·lmic(N_u) − lmic(c_x) − lmic(c_y) − lmic(N_bg), each
+    term the micro-nat log of ONE integer count, so the arithmetic
+    cannot overflow at any corpus size (the fused product form dies at
+    ~3e9 tokens). Two explode+partial-agg shuffles, two vocab equi-
+    joins, scalar totals as 1-row broadcasts. The oracle recomputes
+    every count and every lmic term with the shared token dialect."""
+    from oasisdb_spark.pipeline.lm import pmi_collocations
+
+    return pmi_collocations(
+        _table(spark, sf_dir, "documents"), text_col="text", min_count=2
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries (observed: r01-r04 rows == registry[0:50]). ROUND-5
@@ -4541,6 +4558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_knn_pairs": _mutual_knn_pairs,
         "events_ohlc_stream": _events_ohlc_stream,
         "events_cusum": _events_cusum,
+        "docs_pmi_collocations": _docs_pmi_collocations,
     }
 
 def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -5707,6 +5725,49 @@ SELECT event_id, event_type, ts_us, value_cents, target_cents,
        cusum_up, cusum_dn,
        cusum_up > 15000 AS alarm_up, cusum_dn > 15000 AS alarm_dn
 FROM s
+""",
+        # PMI collocations (pipeline/lm.py pmi_collocations): the
+        # separable quantized dialect — every lmic term is the log of
+        # ONE integer count, recomputed here with the shared token
+        # split and the identical round(ln(c)*1e6) quantization
+        "docs_pmi_collocations": """
+WITH toks AS (
+  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x != '') AS tk
+  FROM documents
+), uni AS (
+  SELECT unnest(tk) AS w FROM toks
+), c_w AS (
+  SELECT w, count(*) AS c FROM uni GROUP BY w
+), n_u AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_u FROM c_w
+), bgl AS (
+  SELECT CASE WHEN len(tk) >= 2 THEN
+           list_transform(range(1, len(tk)),
+             i -> array_to_string(tk[CAST(i AS INT):CAST(i+1 AS INT)], ' '))
+         ELSE [] END AS bgs
+  FROM toks
+), bg AS (
+  SELECT unnest(bgs) AS bg FROM bgl
+), c_xy AS (
+  SELECT bg, count(*) AS c_xy FROM bg GROUP BY bg
+), n_bg AS (
+  SELECT CAST(sum(c_xy) AS BIGINT) AS n_bg FROM c_xy
+), lm AS (
+  SELECT bg, split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2, c_xy
+  FROM c_xy WHERE c_xy >= 2
+)
+SELECT lm.bg, lm.w1, lm.w2, lm.c_xy, a.c AS c_x, b.c AS c_y,
+       CAST(round(ln(CAST(lm.c_xy AS DOUBLE)) * 1000000) AS BIGINT)
+       + 2 * CAST(round(ln(CAST(n_u.n_u AS DOUBLE)) * 1000000) AS BIGINT)
+       - CAST(round(ln(CAST(a.c AS DOUBLE)) * 1000000) AS BIGINT)
+       - CAST(round(ln(CAST(b.c AS DOUBLE)) * 1000000) AS BIGINT)
+       - CAST(round(ln(CAST(n_bg.n_bg AS DOUBLE)) * 1000000) AS BIGINT)
+         AS pmi_micro
+FROM lm
+JOIN c_w a ON lm.w1 = a.w
+JOIN c_w b ON lm.w2 = b.w
+CROSS JOIN n_u CROSS JOIN n_bg
 """,
         # PSI drift (operators/quality.py): identical bucket float ops
         # (same order), Laplace-smoothed integer counts, lmic micro-nat

@@ -136,6 +136,7 @@ FAMILIES: dict[str, list[str]] = {
     "heavy_stream": ["docs_heavy_stream"],
     "mutual_knn": ["mutual_knn_pairs"],
     "changepoint": ["events_cusum"],
+    "collocations": ["docs_pmi_collocations"],
 }
 
 

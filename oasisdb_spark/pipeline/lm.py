@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 
 from oasisdb_spark.pipeline.text import tokens
 
-__all__ = ["bigram_expr", "bigram_lm", "lm_score", "lm_score_broadcast", "perplexity_buckets"]
+__all__ = ["bigram_expr", "bigram_lm", "lm_score", "lm_score_broadcast", "perplexity_buckets", "pmi_collocations"]
 
 
 def lmic(c: Column) -> Column:
@@ -217,3 +217,75 @@ def lm_score_broadcast(
     return df.select(
         F.col(id_col).alias("doc_id"), _score(F.col(text_col)).alias("_s")
     ).select("doc_id", "_s.*")
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 2,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Collocation extraction by pointwise mutual information (Church &
+    Hanks, Computational Linguistics 1990) over adjacent token bigrams
+    — the phrase detector feeding multi-word vocab entries / tokenizer
+    phrase merges in a training-data pipeline.
+
+    PMI = ln( p(x,y) / (p(x)·p(y)) ) with p(x,y) = c_xy/N_bg and
+    p(x) = c_x/N_u, computed in the SEPARABLE quantized dialect::
+
+        pmi_micro = lmic(c_xy) + 2·lmic(N_u)
+                    − lmic(c_x) − lmic(c_y) − lmic(N_bg)
+
+    Each term is the micro-nat-quantized log of ONE integer count —
+    never a log of a count PRODUCT — so nothing can overflow int64 at
+    any corpus size (the fused ``lmic(c_xy·N_u²)`` form dies once
+    N_u ≳ 3e9 tokens, i.e. a few GB of text). The dialect costs at most
+    ~3 micro-nats of quantization skew vs the fused log (5 rounded
+    terms), far below collocation-ranking granularity, and is identical
+    on both engines by construction — every lmic input is the same
+    exact integer.
+
+    Shape: one explode+partial-agg shuffle for bigram counts, one for
+    unigram counts, two word-keyed equi-joins of the (Zipf-small)
+    bigram-type frame against the vocabulary frame, and the two scalar
+    totals ride in as 1-row broadcast cross-joins — no driver action,
+    the operator stays lazy/composable. ``min_count`` prunes rare
+    bigrams from the OUTPUT only; the probability denominators still
+    count them, so surviving PMI values are unbiased.
+
+    Returns (bg, w1, w2, c_xy, c_x, c_y, pmi_micro), one row per
+    bigram type with c_xy >= min_count.
+    """
+    if parallelism:
+        df = df.repartition(parallelism)
+    uni = df.select(F.explode(tokens(text_col)).alias("w"))
+    c_w = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    n_u = c_w.agg(F.sum("c").cast("long").alias("_n_u"))
+    bg = df.select(F.explode(bigram_expr(text_col)).alias("bg"))
+    c_xy = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c_xy"))
+    n_bg = c_xy.agg(F.sum("c_xy").cast("long").alias("_n_bg"))
+    split = c_xy.withColumn(
+        "w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1))
+    ).withColumn("w2", F.split_part(F.col("bg"), F.lit(" "), F.lit(2)))
+    out = (
+        split.filter(F.col("c_xy") >= int(min_count))
+        .join(c_w.select(F.col("w").alias("w1"), F.col("c").alias("c_x")), on="w1")
+        .join(c_w.select(F.col("w").alias("w2"), F.col("c").alias("c_y")), on="w2")
+        .crossJoin(F.broadcast(n_u))
+        .crossJoin(F.broadcast(n_bg))
+    )
+    return out.select(
+        "bg",
+        "w1",
+        "w2",
+        "c_xy",
+        "c_x",
+        "c_y",
+        (
+            lmic(F.col("c_xy"))
+            + 2 * lmic(F.col("_n_u"))
+            - lmic(F.col("c_x"))
+            - lmic(F.col("c_y"))
+            - lmic(F.col("_n_bg"))
+        ).alias("pmi_micro"),
+    )

@@ -812,6 +812,20 @@ def main() -> None:
     print(f"== events_cusum broadcast median target, single series shuffle: {'OK' if ok else 'FAIL'}")
     failures += not ok
 
+    # 72. docs_pmi_collocations: bigram + unigram counts are partial
+    # aggregates (map-side combine before the shuffle), vocab joins are
+    # hash equi-joins, and the only nested-loop joins are the two 1-ROW
+    # scalar-total broadcasts — no unbounded cartesian anywhere
+    plan = plan_of(m.queries()["docs_pmi_collocations"](spark, sf_dir))
+    ok = (
+        plan.count("partial_count") >= 2
+        and "CartesianProduct" not in plan
+        and "Exchange rangepartitioning" not in plan
+        and ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan)
+    )
+    print(f"== docs_pmi_collocations partial-agg counts, equi vocab joins: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
     print(f"\n{'ALL PLANS OK' if not failures else f'{failures} PLAN CHECKS FAILED'}")
     spark.stop()
     sys.exit(1 if failures else 0)

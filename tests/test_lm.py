@@ -146,3 +146,79 @@ def test_broadcast_scorer_identical_to_join(spark, documents):
     b = sorted(map(tuple, lm_score_broadcast(documents, model).collect()))
     assert a == b
     assert any(r[2] > 0 for r in a)  # OOV actually exercised
+
+
+# ------------------------------------------------------- pmi collocations
+
+
+def _pmi_brute(texts: list[str], min_count: int) -> dict:
+    from collections import Counter
+
+    lmic = lambda c: round(math.log(c) * 1e6)
+    cu, cb = Counter(), Counter()
+    for t in texts:
+        tk = toks(t)
+        cu.update(tk)
+        cb.update(zip(tk, tk[1:]))
+    n_u, n_bg = sum(cu.values()), sum(cb.values())
+    return {
+        f"{a} {b}": (
+            k, cu[a], cu[b],
+            lmic(k) + 2 * lmic(n_u) - lmic(cu[a]) - lmic(cu[b]) - lmic(n_bg),
+        )
+        for (a, b), k in cb.items()
+        if k >= min_count
+    }
+
+
+def test_pmi_matches_brute_and_ranks_collocations(spark):
+    from oasisdb_spark.pipeline.lm import pmi_collocations
+
+    texts = [
+        "new york is big. new york never sleeps.",
+        "the city of new york and the city of angels",
+        "the the the of of and a a big city",
+        "angels sleep in the big city of angels",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text STRING")
+    got = {
+        r["bg"]: (r["c_xy"], r["c_x"], r["c_y"], r["pmi_micro"])
+        for r in pmi_collocations(df, min_count=2).collect()
+    }
+    want = _pmi_brute(texts, min_count=2)
+    assert got == want
+    # the true collocation dominates the function-word pair
+    assert "the city" in got  # 2 occurrences survive min_count=2
+    assert got["new york"][3] > got["the city"][3]
+
+
+def test_pmi_min_count_prunes_output_only(spark):
+    from oasisdb_spark.pipeline.lm import pmi_collocations
+
+    texts = ["a b a b a b", "c d"]
+    df = spark.createDataFrame([(t,) for t in texts], "text STRING")
+    all_rows = {r["bg"] for r in pmi_collocations(df, min_count=1).collect()}
+    pruned = pmi_collocations(df, min_count=2)
+    kept = {r["bg"]: r["pmi_micro"] for r in pruned.collect()}
+    assert "c d" in all_rows and "c d" not in kept
+    # denominators still count pruned bigrams: pmi equals the brute value
+    # computed over the FULL corpus, not the surviving subset
+    assert kept == {
+        bg: v[3] for bg, v in _pmi_brute(texts, min_count=2).items()
+    }
+
+
+def test_pmi_partitioning_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from oasisdb_spark.pipeline.lm import pmi_collocations
+
+    texts = [f"tok{i % 7} tok{(i * 3) % 7} shared pair shared pair" for i in range(40)]
+    df = spark.createDataFrame([(t,) for t in texts], "text STRING")
+
+    def run(d):
+        return sorted(
+            tuple(r) for r in pmi_collocations(d, min_count=2).collect()
+        )
+
+    assert run(df) == run(df.repartition(11)) == run(df.orderBy(F.rand(5)).coalesce(1))
