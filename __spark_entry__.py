@@ -4318,6 +4318,31 @@ def _docs_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lineitem_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto skyline (operators/skyline.py — Börzsönyi ICDE'01
+    SKYLINE OF): lineitem rows on the 3-D Pareto frontier of
+    (price MIN, discount MAX, quantity MAX) — "cheapest at the deepest
+    discount for the most units". Local skylines fold per partition in
+    Arrow-batched numpy (the closure property makes skyline mergeable),
+    then the candidate residue resolves in one task — the 60k-row scan
+    never shuffles, only ~dozens of candidates move. Integer cents /
+    integer discount points, so dominance is engine-exact; the oracle
+    is the textbook NOT EXISTS strict-dominance twin."""
+    from oasisdb_spark.operators.skyline import skyline
+
+    li = _table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("discount_pct"),
+        F.col("l_quantity").cast("long").alias("quantity"),
+    )
+    return skyline(
+        li,
+        [("price_cents", "min"), ("discount_pct", "max"), ("quantity", "max")],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries (observed: r01-r04 rows == registry[0:50]). ROUND-5
@@ -4559,6 +4584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ohlc_stream": _events_ohlc_stream,
         "events_cusum": _events_cusum,
         "docs_pmi_collocations": _docs_pmi_collocations,
+        "lineitem_skyline": _lineitem_skyline,
     }
 
 def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -5768,6 +5794,29 @@ FROM lm
 JOIN c_w a ON lm.w1 = a.w
 JOIN c_w b ON lm.w2 = b.w
 CROSS JOIN n_u CROSS JOIN n_bg
+""",
+        # Pareto skyline (operators/skyline.py): the textbook strict-
+        # dominance NOT EXISTS twin over the identical integer dims
+        "lineitem_skyline": """
+WITH p AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+         CAST(round(l_discount * 100) AS BIGINT) AS discount_pct,
+         CAST(l_quantity AS BIGINT) AS quantity
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
+    AND l_quantity IS NOT NULL
+)
+SELECT * FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE b.price_cents <= a.price_cents
+    AND b.discount_pct >= a.discount_pct
+    AND b.quantity >= a.quantity
+    AND (b.price_cents < a.price_cents
+         OR b.discount_pct > a.discount_pct
+         OR b.quantity > a.quantity)
+)
 """,
         # PSI drift (operators/quality.py): identical bucket float ops
         # (same order), Laplace-smoothed integer counts, lmic micro-nat

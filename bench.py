@@ -137,6 +137,7 @@ FAMILIES: dict[str, list[str]] = {
     "mutual_knn": ["mutual_knn_pairs"],
     "changepoint": ["events_cusum"],
     "collocations": ["docs_pmi_collocations"],
+    "skyline": ["lineitem_skyline"],
 }
 
 

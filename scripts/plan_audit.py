@@ -826,6 +826,20 @@ def main() -> None:
     print(f"== docs_pmi_collocations partial-agg counts, equi vocab joins: {'OK' if ok else 'FAIL'}")
     failures += not ok
 
+    # 73. lineitem_skyline: the raw scan feeds the Arrow prune kernel
+    # DIRECTLY (no pre-shuffle — local skylines fold where the data
+    # sits); exactly one exchange moves the candidate residue to the
+    # single resolve task, and no join of any kind appears
+    plan = plan_of(m.queries()["lineitem_skyline"](spark, sf_dir))
+    ok = (
+        plan.count("ArrowEvalPython") == 0  # mapInPandas shows as MapInPandas
+        and plan.count("MapInPandas") == 2  # local prune + global resolve
+        and "Join" not in plan
+        and "Exchange rangepartitioning" not in plan
+    )
+    print(f"== lineitem_skyline scan-side local prune, single resolve: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
     print(f"\n{'ALL PLANS OK' if not failures else f'{failures} PLAN CHECKS FAILED'}")
     spark.stop()
     sys.exit(1 if failures else 0)
