@@ -4343,6 +4343,33 @@ def _lineitem_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Touch attribution (operators/funnel.py attribute_conversions):
+    for every purchase, the last AND first click/view by the same user
+    in the preceding hour, plus the qualifying-touch count — the asof
+    union-window trick, NOT a self-join: types prune at the scan, one
+    (user)-partitioned value-range window computes deterministic
+    min_by/max_by over the (ts, event_id) struct key. One shuffle on
+    user_id; the oracle replays the window as a lookback join +
+    (ts, id)-ranked row_number picks with a LEFT JOIN keeping
+    untouched conversions."""
+    from oasisdb_spark.operators.funnel import attribute_conversions
+    from oasisdb_spark.sources.tables import event_time_micros
+
+    ev = _table(spark, sf_dir, "events")
+    ev = ev.withColumn("ts_us", event_time_micros(ev))
+    return attribute_conversions(
+        ev,
+        user_col="user_id",
+        ts_col="ts_us",
+        id_col="event_id",
+        type_col="event_type",
+        conversion_type="purchase",
+        touch_types=["click", "view"],
+        lookback=3_600_000_000,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries (observed: r01-r04 rows == registry[0:50]). ROUND-5
@@ -4585,6 +4612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cusum": _events_cusum,
         "docs_pmi_collocations": _docs_pmi_collocations,
         "lineitem_skyline": _lineitem_skyline,
+        "events_attribution": _events_attribution,
     }
 
 def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -5817,6 +5845,45 @@ WHERE NOT EXISTS (
          OR b.discount_pct > a.discount_pct
          OR b.quantity > a.quantity)
 )
+""",
+        # touch attribution (operators/funnel.py): the value-range
+        # window replayed as a lookback join + (ts, id)-ranked
+        # row_number picks; LEFT JOIN keeps untouched conversions
+        "events_attribution": """
+WITH e AS (
+  SELECT user_id AS user, epoch_us(ts) AS ts, event_id AS id,
+         event_type AS etype
+  FROM events WHERE event_type IN ('purchase', 'click', 'view')
+), conv AS (
+  SELECT * FROM e WHERE etype = 'purchase'
+), t AS (
+  SELECT * FROM e WHERE etype IN ('click', 'view')
+), j AS (
+  SELECT c.id AS conversion_id,
+         t.id AS t_id, t.etype AS t_type, t.ts AS t_ts,
+         row_number() OVER (PARTITION BY c.id
+                            ORDER BY t.ts DESC, t.id DESC) AS rl,
+         row_number() OVER (PARTITION BY c.id
+                            ORDER BY t.ts ASC, t.id ASC) AS rf,
+         count(*) OVER (PARTITION BY c.id) AS n
+  FROM conv c
+  JOIN t ON t.user = c.user
+        AND t.ts <= c.ts AND t.ts >= c.ts - 3600000000
+), lastt AS (
+  SELECT conversion_id, t_id AS last_touch_id, t_type AS last_touch_type,
+         t_ts AS last_touch_ts, n FROM j WHERE rl = 1
+), firstt AS (
+  SELECT conversion_id, t_id AS first_touch_id,
+         t_type AS first_touch_type, t_ts AS first_touch_ts
+  FROM j WHERE rf = 1
+)
+SELECT c.user, c.id AS conversion_id, c.ts AS conversion_ts,
+       l.last_touch_id, l.last_touch_type, l.last_touch_ts,
+       f.first_touch_id, f.first_touch_type, f.first_touch_ts,
+       CAST(COALESCE(l.n, 0) AS BIGINT) AS n_touches
+FROM conv c
+LEFT JOIN lastt l ON l.conversion_id = c.id
+LEFT JOIN firstt f ON f.conversion_id = c.id
 """,
         # PSI drift (operators/quality.py): identical bucket float ops
         # (same order), Laplace-smoothed integer counts, lmic micro-nat

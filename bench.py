@@ -138,6 +138,7 @@ FAMILIES: dict[str, list[str]] = {
     "changepoint": ["events_cusum"],
     "collocations": ["docs_pmi_collocations"],
     "skyline": ["lineitem_skyline"],
+    "attribution": ["events_attribution"],
 }
 
 

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["funnel_steps", "stage_rollup", "cohort_retention"]
+__all__ = ["funnel_steps", "stage_rollup", "cohort_retention", "attribute_conversions"]
 
 
 def max_funnel_stage(
@@ -190,4 +190,85 @@ def cohort_retention(
             "n_users",
             F.round(F.col("n_users") / F.col("_cohort_size"), 6).alias("retention"),
         )
+    )
+
+
+def attribute_conversions(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    id_col: str,
+    type_col: str,
+    conversion_type: str,
+    touch_types: list[str],
+    lookback: int,
+) -> DataFrame:
+    """Marketing-style touch attribution: for every CONVERSION event
+    (``type_col == conversion_type``), find the touches (``type_col IN
+    touch_types``) by the same user inside the ``lookback`` window
+    ending at the conversion, and attribute last-touch AND first-touch
+    in one pass. ``ts_col`` must be a NUMERIC event time (e.g. epoch
+    micros — the repo's event_time_micros idiom); ``lookback`` is in
+    the same unit.
+
+    Shape — the asof-join trick, not a self-join: touches and
+    conversions prune to the relevant types AT THE SCAN, union into one
+    frame, and a single (user)-partitioned VALUE-RANGE window
+    ``[ts − lookback, ts]`` computes, per conversion row,
+    ``max_by``/``min_by`` over the (ts, id) struct key (deterministic
+    under equal timestamps — never "whichever peer the frame saw
+    last") plus the qualifying-touch count. One shuffle on the user
+    key, touching only conversion+touch rows; no join, no pair
+    materialization, no second pass. A touch sharing the conversion's
+    exact timestamp attributes (frame is ``<= ts``), matching the
+    oracle twin's join predicate.
+
+    Returns one row per conversion: (user, conversion id/ts, last_*
+    / first_* touch id/type/ts — NULL when no touch qualifies — and
+    n_touches).
+    """
+    from pyspark.sql.window import Window
+
+    ev = df.select(
+        F.col(user_col).alias("user"),
+        F.col(ts_col).cast("long").alias("ts"),
+        F.col(id_col).alias("id"),
+        F.col(type_col).alias("etype"),
+    ).where(F.col(type_col).isin([conversion_type, *touch_types]))
+    is_touch = F.col("etype").isin(list(touch_types))
+    key = F.struct(F.col("ts"), F.col("id"))
+    payload = F.struct(
+        F.col("id").alias("t_id"),
+        F.col("etype").alias("t_type"),
+        F.col("ts").alias("t_ts"),
+    )
+    w = (
+        Window.partitionBy("user")
+        .orderBy("ts")
+        .rangeBetween(-int(lookback), 0)
+    )
+    scored = ev.select(
+        "user",
+        "ts",
+        "id",
+        "etype",
+        F.max_by(F.when(is_touch, payload), F.when(is_touch, key))
+        .over(w)
+        .alias("_last"),
+        F.min_by(F.when(is_touch, payload), F.when(is_touch, key))
+        .over(w)
+        .alias("_first"),
+        F.count(F.when(is_touch, F.lit(1))).over(w).alias("n_touches"),
+    )
+    return scored.where(F.col("etype") == conversion_type).select(
+        F.col("user"),
+        F.col("id").alias("conversion_id"),
+        F.col("ts").alias("conversion_ts"),
+        F.col("_last.t_id").alias("last_touch_id"),
+        F.col("_last.t_type").alias("last_touch_type"),
+        F.col("_last.t_ts").alias("last_touch_ts"),
+        F.col("_first.t_id").alias("first_touch_id"),
+        F.col("_first.t_type").alias("first_touch_type"),
+        F.col("_first.t_ts").alias("first_touch_ts"),
+        F.col("n_touches").cast("long").alias("n_touches"),
     )

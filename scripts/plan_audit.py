@@ -840,6 +840,19 @@ def main() -> None:
     print(f"== lineitem_skyline scan-side local prune, single resolve: {'OK' if ok else 'FAIL'}")
     failures += not ok
 
+    # 74. events_attribution: the asof union-window trick — NO join
+    # operator anywhere (the oracle joins; the Spark plan must not),
+    # types pruned at the scan, one user-key shuffle for the window
+    plan = plan_of(m.queries()["events_attribution"](spark, sf_dir))
+    ok = (
+        "Join" not in plan
+        and "Window" in plan
+        and plan.count("Exchange hashpartitioning") == 1
+        and "event_type" in plan.split("PushedFilters")[-1][:400]  # In() pushed
+    )
+    print(f"== events_attribution join-free range window, type pushdown: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
     print(f"\n{'ALL PLANS OK' if not failures else f'{failures} PLAN CHECKS FAILED'}")
     spark.stop()
     sys.exit(1 if failures else 0)

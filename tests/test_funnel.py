@@ -94,3 +94,95 @@ def test_cohort_offsets_nonnegative(spark, sf_dir):
     # every cohort has an offset-0 row with retention exactly 1
     zero = df.filter(F.col("offset") == 0)
     assert zero.filter(F.col("retention") != 1.0).count() == 0
+
+
+# ------------------------------------------------------------ attribution
+
+
+def _attr_brute(rows, conv, touches, lookback):
+    out = []
+    for (u, ts, i, t) in rows:
+        if t != conv:
+            continue
+        q = [
+            (ts2, i2, t2)
+            for (u2, ts2, i2, t2) in rows
+            if u2 == u and t2 in touches and ts - lookback <= ts2 <= ts
+        ]
+        last = max(q) if q else None
+        first = min(q) if q else None
+        out.append(
+            (
+                u, i, ts,
+                last[1] if last else None, last[2] if last else None,
+                last[0] if last else None,
+                first[1] if first else None, first[2] if first else None,
+                first[0] if first else None,
+                len(q),
+            )
+        )
+    return sorted(out)
+
+
+def test_attribution_matches_brute_and_handles_edges(spark):
+    from oasisdb_spark.operators.funnel import attribute_conversions
+
+    rows = [
+        # user 1: ad -> email -> buy (both in window)
+        (1, 100, 10, "ad"), (1, 150, 11, "email"), (1, 200, 12, "buy"),
+        # user 1: second buy at 240 - window [140,240] keeps only email
+        (1, 240, 13, "buy"),
+        # user 2: touch exactly at lookback edge AND at conversion ts
+        (2, 100, 20, "ad"), (2, 200, 21, "email"), (2, 200, 22, "buy"),
+        # user 3: no touches at all
+        (3, 500, 30, "buy"),
+        # user 4: touch AFTER conversion never attributes
+        (4, 100, 40, "buy"), (4, 150, 41, "ad"),
+        # noise types are pruned before the window
+        (1, 190, 90, "view"), (2, 199, 91, "view"),
+    ]
+    df = spark.createDataFrame(rows, "u LONG, ts LONG, id LONG, t STRING")
+    out = attribute_conversions(
+        df, "u", "ts", "id", "t",
+        conversion_type="buy", touch_types=["ad", "email"], lookback=100,
+    )
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == _attr_brute(rows, "buy", {"ad", "email"}, 100)
+    by_conv = {g[1]: g for g in got}
+    assert by_conv[12][3:6] == (11, "email", 150)   # last touch
+    assert by_conv[12][6:9] == (10, "ad", 100)      # first touch (edge incl.)
+    assert by_conv[13][3] == 11 and by_conv[13][9] == 1
+    assert by_conv[22][3] == 21                     # same-ts touch attributes
+    assert by_conv[30][3] is None and by_conv[30][9] == 0
+    assert by_conv[40][3] is None                   # later touch never counts
+
+
+def test_attribution_same_ts_touch_ties_break_on_id_and_invariance(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from oasisdb_spark.operators.funnel import attribute_conversions
+
+    rng = random.Random(3)
+    rows = [(1, 100, 50, "ad"), (1, 100, 51, "ad"), (1, 100, 52, "buy")]
+    rows += [
+        (u, rng.randrange(0, 1000), 100 + n, rng.choice(["ad", "email", "buy"]))
+        for n, u in enumerate(rng.choices(range(2, 10), k=300))
+    ]
+    df = spark.createDataFrame(rows, "u LONG, ts LONG, id LONG, t STRING")
+
+    def run(d):
+        return sorted(
+            tuple(r)
+            for r in attribute_conversions(
+                d, "u", "ts", "id", "t", "buy", ["ad", "email"], 200
+            ).collect()
+        )
+
+    base = run(df)
+    # deterministic same-ts tie: larger id wins last, smaller wins first
+    conv52 = [g for g in base if g[1] == 52][0]
+    assert conv52[3] == 51 and conv52[6] == 50
+    assert base == _attr_brute(rows, "buy", {"ad", "email"}, 200)
+    assert base == run(df.repartition(9)) == run(df.orderBy(F.rand(8)).coalesce(1))
