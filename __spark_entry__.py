@@ -4370,6 +4370,22 @@ def _events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate CASCADE (operators/timeseries.py
+    ohlc_rollup — TimescaleDB real-time aggregates): daily bars folded
+    from the HOURLY bars, never rescanning raw events — all six bar
+    aggregates are mergeable, so the cascade is exact, and the oracle
+    proves it by computing the daily bars FROM RAW. At 100 TB the
+    daily rollup costs 24 bar rows per series-day instead of a day of
+    raw ticks."""
+    from oasisdb_spark.operators.timeseries import ohlc_rollup
+
+    hourly = _events_ohlc(spark, sf_dir)
+    return ohlc_rollup(
+        hourly, ["event_type"], bucket_width="day", extra_sums=["value_cents"]
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries (observed: r01-r04 rows == registry[0:50]). ROUND-5
@@ -4613,6 +4629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pmi_collocations": _docs_pmi_collocations,
         "lineitem_skyline": _lineitem_skyline,
         "events_attribution": _events_attribution,
+        "events_ohlc_daily": _events_ohlc_daily,
     }
 
 def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -5884,6 +5901,28 @@ SELECT c.user, c.id AS conversion_id, c.ts AS conversion_ts,
 FROM conv c
 LEFT JOIN lastt l ON l.conversion_id = c.id
 LEFT JOIN firstt f ON f.conversion_id = c.id
+""",
+        # OHLC rollup cascade: the oracle computes daily bars FROM RAW
+        # — equality proves the hour->day fold is exact (mergeability)
+        "events_ohlc_daily": """
+WITH r AS (
+  SELECT event_type,
+         strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bar_start,
+         value,
+         row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                            ORDER BY ts ASC, event_id ASC) AS rn,
+         row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rnd
+  FROM events
+)
+SELECT event_type, bar_start,
+       max(CASE WHEN rn = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max(CASE WHEN rnd = 1 THEN value END) AS close,
+       count(*) AS n_obs,
+       sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+FROM r GROUP BY event_type, bar_start
 """,
         # PSI drift (operators/quality.py): identical bucket float ops
         # (same order), Laplace-smoothed integer counts, lmic micro-nat

@@ -129,7 +129,7 @@ FAMILIES: dict[str, list[str]] = {
     "contrastive": ["contrastive_triplets"],
     "drift_gate": ["events_value_drift", "events_drift_stream"],
     # round-6 batch 3 (additive — earlier families untouched)
-    "ohlc_bars": ["events_ohlc", "events_ohlc_stream"],
+    "ohlc_bars": ["events_ohlc", "events_ohlc_stream", "events_ohlc_daily"],
     "market_basket": ["copurchase_pairs"],
     "graph_triangles": ["copurchase_triangles"],
     "robust_outliers": ["events_outliers"],

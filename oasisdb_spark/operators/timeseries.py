@@ -1,5 +1,6 @@
 """Time-series operators: dense bucket grids over sparse aggregates,
-OHLC downsampling bars, and CUSUM change-point detection.
+OHLC downsampling bars + their rollup cascade, and CUSUM
+change-point detection.
 
 ``time_bucket_gapfill`` is the TimescaleDB hypertable op of the same
 name re-expressed Spark-first: given a per-(series, bucket) aggregate
@@ -36,7 +37,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["time_bucket_gapfill", "ohlc_bars", "cusum_changepoints"]
+__all__ = ["time_bucket_gapfill", "ohlc_bars", "cusum_changepoints", "ohlc_rollup"]
 
 
 def time_bucket_gapfill(
@@ -169,4 +170,44 @@ def cusum_changepoints(
     )
     return out.withColumn("alarm_up", F.col("cusum_up") > threshold).withColumn(
         "alarm_dn", F.col("cusum_dn") > threshold
+    )
+
+
+def ohlc_rollup(
+    bars: DataFrame,
+    series_cols: list[str],
+    bucket_width: str = "day",
+    bar_col: str = "bar_start",
+    extra_sums: list[str] | None = None,
+) -> DataFrame:
+    """Merge finer OHLC bars into coarser ones WITHOUT rescanning raw
+    data — the continuous-aggregate cascade (TimescaleDB real-time
+    aggregates, kdb+ bar rollups). All six bar aggregates are
+    mergeable, which is exactly why ``ohlc_bars`` chose them:
+    open = the open of the earliest child bar (``min_by`` over
+    ``bar_col`` — the zero-padded datetime string, so lexicographic
+    IS chronological), close symmetrically, high/low/n_obs fold with
+    max/min/sum, and any integer ride-along in ``extra_sums`` re-sums.
+    The result is EXACTLY the bars ohlc_bars would produce from raw
+    (asserted by the registry oracle), because within one bucket the
+    earliest child bar's open is the globally earliest observation's
+    value — bucket truncation nests.
+
+    At 100 TB this is the difference between a daily rollup that scans
+    a day of raw ticks and one that folds 24 hourly rows per series:
+    the cascade cost is bar-cardinality, not tick-cardinality. One
+    partial-agg shuffle on (series, coarse bucket).
+    """
+    coarse = F.date_format(
+        F.date_trunc(bucket_width, F.to_timestamp(F.col(bar_col))),
+        "yyyy-MM-dd HH:mm:ss",
+    ).alias(bar_col)
+    key = F.col(bar_col)
+    return bars.groupBy(*series_cols, coarse).agg(
+        F.min_by(F.col("open"), key).alias("open"),
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        F.max_by(F.col("close"), key).alias("close"),
+        F.sum("n_obs").alias("n_obs"),
+        *[F.sum(c).alias(c) for c in (extra_sums or [])],
     )

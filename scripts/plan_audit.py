@@ -853,6 +853,18 @@ def main() -> None:
     print(f"== events_attribution join-free range window, type pushdown: {'OK' if ok else 'FAIL'}")
     failures += not ok
 
+    # 75. events_ohlc_daily: the cascade folds BARS, never re-sorting
+    # ticks — no Window/Sort over raw rows; two partial-agg layers
+    # (hourly min_by/max_by, then the daily re-fold)
+    plan = plan_of(m.queries()["events_ohlc_daily"](spark, sf_dir))
+    ok = (
+        "Window" not in plan
+        and plan.count("partial_min_by") >= 2
+        and "Exchange rangepartitioning" not in plan
+    )
+    print(f"== events_ohlc_daily bar cascade (no raw re-sort): {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
     print(f"\n{'ALL PLANS OK' if not failures else f'{failures} PLAN CHECKS FAILED'}")
     spark.stop()
     sys.exit(1 if failures else 0)

@@ -204,3 +204,41 @@ def test_cusum_is_per_series_and_partitioning_invariant(spark):
         want = _cusum_python(vals, target=5, slack=1)
         got = [(u, d) for (ss, _, u, d) in base if ss == s]
         assert got == want
+
+
+# ---------------------------------------------------------------- rollup
+
+
+def test_ohlc_rollup_equals_bars_from_raw(spark):
+    import random
+
+    from oasisdb_spark.operators.timeseries import ohlc_bars, ohlc_rollup
+
+    rng = random.Random(19)
+    rows = [
+        (
+            rng.choice(["a", "b"]),
+            dt.datetime(2024, 1, 1 + rng.randrange(3), rng.randrange(24),
+                        rng.randrange(60)),
+            i,
+            float(rng.randrange(1, 1000)),
+        )
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "s STRING, ts TIMESTAMP, id LONG, v DOUBLE")
+    cents = [F.sum(F.round(F.col("v") * 100).cast("long")).alias("v_cents")]
+    hourly = ohlc_bars(df, "ts", "v", ["s"], "hour", tie_cols=["id"],
+                       extra_aggs=cents)
+    rolled = ohlc_rollup(hourly, ["s"], "day", extra_sums=["v_cents"])
+    from_raw = ohlc_bars(df, "ts", "v", ["s"], "day", tie_cols=["id"],
+                         extra_aggs=cents)
+    key = lambda r: (r["s"], r["bar_start"])
+    assert sorted(map(tuple, rolled.collect())) == sorted(
+        map(tuple, from_raw.select(*rolled.columns).collect())
+    )
+    # and the cascade is partitioning-invariant
+    rolled2 = ohlc_rollup(hourly.repartition(7), ["s"], "day",
+                          extra_sums=["v_cents"])
+    assert sorted(map(tuple, rolled2.collect())) == sorted(
+        map(tuple, rolled.collect())
+    )
