@@ -4386,6 +4386,28 @@ def _events_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _orders_flag_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-operation estimates (functions/sketch.py kmv_set_ops —
+    Beyer et al. SIGMOD'07 / the Theta-sketch estimator family):
+    audience overlap between the order sets with returned ('R') vs
+    accepted ('A') lines — |A|, |B|, |A∪B|, Jaccard, |A∩B| from two
+    128-hash bottom-k sketches. Raw sides scan once into
+    TakeOrderedAndProject heaps (k rows cross the plan at any scale);
+    the union sketch is the bottom-k re-trim (KMV mergeability), and
+    every estimator division acts on bit-identical doubles in a pinned
+    operand order, so the DuckDB twin hash-matches. True values at
+    sf0.01: |A|=11012, |B|=11058, |A∩B|=8152."""
+    from oasisdb_spark.functions.sketch import kmv_set_ops
+
+    li = _table(spark, sf_dir, "lineitem")
+    return kmv_set_ops(
+        li.where(F.col("l_returnflag") == "A").select("l_orderkey"),
+        li.where(F.col("l_returnflag") == "R").select("l_orderkey"),
+        "l_orderkey",
+        k=128,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries (observed: r01-r04 rows == registry[0:50]). ROUND-5
@@ -4630,6 +4652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_skyline": _lineitem_skyline,
         "events_attribution": _events_attribution,
         "events_ohlc_daily": _events_ohlc_daily,
+        "orders_flag_overlap": _orders_flag_overlap,
     }
 
 def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -5923,6 +5946,44 @@ SELECT event_type, bar_start,
        count(*) AS n_obs,
        sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
 FROM r GROUP BY event_type, bar_start
+""",
+        # KMV set ops (functions/sketch.py kmv_set_ops): bottom-k
+        # re-trims of the shared md5-top-60-bit hash; estimator
+        # divisions replayed in the identical operand order
+        "orders_flag_overlap": """
+WITH ha AS (
+  SELECT h FROM (
+    SELECT DISTINCT CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) / POW(2, 60) AS h
+    FROM lineitem WHERE l_returnflag = 'A' AND l_orderkey IS NOT NULL
+  ) ORDER BY h LIMIT 128
+), hb AS (
+  SELECT h FROM (
+    SELECT DISTINCT CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) / POW(2, 60) AS h
+    FROM lineitem WHERE l_returnflag = 'R' AND l_orderkey IS NOT NULL
+  ) ORDER BY h LIMIT 128
+), u AS (
+  SELECT h FROM (SELECT h FROM ha UNION SELECT h FROM hb)
+  ORDER BY h LIMIT 128
+), agg AS (
+  SELECT (SELECT count(*) FROM ha) AS na, (SELECT max(h) FROM ha) AS hka,
+         (SELECT count(*) FROM hb) AS nb, (SELECT max(h) FROM hb) AS hkb,
+         (SELECT count(*) FROM u) AS nu,  (SELECT max(h) FROM u) AS theta,
+         (SELECT count(*) FROM u
+          WHERE h IN (SELECT h FROM ha) AND h IN (SELECT h FROM hb)) AS k_rho
+)
+SELECT round(CASE WHEN na < 128 THEN CAST(na AS DOUBLE)
+                  ELSE CAST(127 AS DOUBLE) / hka END, 4) AS n_a_est,
+       round(CASE WHEN nb < 128 THEN CAST(nb AS DOUBLE)
+                  ELSE CAST(127 AS DOUBLE) / hkb END, 4) AS n_b_est,
+       round(CASE WHEN nu < 128 THEN CAST(nu AS DOUBLE)
+                  ELSE CAST(127 AS DOUBLE) / theta END, 4) AS union_est,
+       round(k_rho / nu, 4) AS jaccard_est,
+       round((k_rho / nu) * CASE WHEN nu < 128 THEN CAST(nu AS DOUBLE)
+                                 ELSE CAST(127 AS DOUBLE) / theta END, 4)
+         AS intersect_est,
+       CAST(k_rho AS BIGINT) AS k_rho,
+       CAST(nu AS BIGINT) AS sketch_size
+FROM agg
 """,
         # PSI drift (operators/quality.py): identical bucket float ops
         # (same order), Laplace-smoothed integer counts, lmic micro-nat

@@ -139,6 +139,7 @@ FAMILIES: dict[str, list[str]] = {
     "collocations": ["docs_pmi_collocations"],
     "skyline": ["lineitem_skyline"],
     "attribution": ["events_attribution"],
+    "set_sketch": ["orders_flag_overlap"],
 }
 
 

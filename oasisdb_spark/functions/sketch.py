@@ -38,6 +38,7 @@ __all__ = [
     "grouped_quantile_sketch",
     "quantile_sketch_stream",
     "heavy_hitters_stream",
+    "kmv_set_ops",
 ]
 
 _TWO60 = float(1 << 60)
@@ -482,4 +483,75 @@ def heavy_hitters_stream(
             "cnt",
             F.round(F.col("cnt") / F.lit(float(n)), 6).alias("share"),
         )
+    )
+
+
+def kmv_set_ops(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    k: int = 128,
+) -> DataFrame:
+    """KMV set-operation estimates between two value sets — the
+    "audience overlap" question (|A|, |B|, |A∪B|, Jaccard, |A∩B|)
+    answered from two bottom-k sketches (Beyer et al., SIGMOD'07; the
+    same estimator family as Theta sketches).
+
+    The union sketch is the bottom-k re-trim of sketch(A) ∪ sketch(B)
+    — KMV's mergeability — and Kρ counts union-sketch hashes present
+    in BOTH side sketches: Jaccard ≈ Kρ / |U|, |A∩B| ≈ Jaccard·|A∪B|.
+    Sides with fewer than k distinct values report exact counts (their
+    sketch holds every hash). Deterministic end-to-end: the hash is
+    the shared md5-top-60-bit primitive, bottom-k selection is
+    TakeOrderedAndProject (per-partition heaps — k rows cross the
+    plan at ANY input size; the raw sides are scanned once and never
+    shuffled), and the estimator divisions act on bit-identical
+    doubles in a pinned operand order, so the result hash-matches the
+    SQL twin.
+
+    Returns ONE row: (n_a_est, n_b_est, union_est, jaccard_est,
+    intersect_est — doubles rounded to 4, the kmv_distinct idiom —
+    plus the integer evidence k_rho and sketch_size). Assumes no
+    60-bit hash collisions within the sketches (expected collisions
+    ~k²/2⁶¹ — negligible for any practical k)."""
+    if k < 2:
+        raise ValueError(f"kmv_set_ops: k must be >= 2, got {k}")
+
+    def sk(d: DataFrame) -> DataFrame:
+        return (
+            d.where(F.col(value_col).isNotNull())
+            .select(kmv_hash(value_col).alias("_h"))
+            .distinct()
+            .orderBy("_h")
+            .limit(k)
+        )
+
+    ha, hb = sk(df_a), sk(df_b)
+    u = ha.union(hb).distinct().orderBy("_h").limit(k)
+    a_agg = ha.agg(F.count(F.lit(1)).alias("_na"), F.max("_h").alias("_hka"))
+    b_agg = hb.agg(F.count(F.lit(1)).alias("_nb"), F.max("_h").alias("_hkb"))
+    u_agg = u.agg(F.count(F.lit(1)).alias("_nu"), F.max("_h").alias("_theta"))
+    rho = (
+        u.join(ha, on="_h", how="left_semi")
+        .join(hb, on="_h", how="left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("k_rho"))
+    )
+
+    def est(n: str, hk: str) -> Column:
+        return F.when(F.col(n) < k, F.col(n).cast("double")).otherwise(
+            F.lit(float(k - 1)) / F.col(hk)
+        )
+
+    row = a_agg.crossJoin(b_agg).crossJoin(u_agg).crossJoin(rho)
+    union_raw = est("_nu", "_theta")
+    return row.select(
+        F.round(est("_na", "_hka"), 4).alias("n_a_est"),
+        F.round(est("_nb", "_hkb"), 4).alias("n_b_est"),
+        F.round(union_raw, 4).alias("union_est"),
+        F.round(F.col("k_rho") / F.col("_nu"), 4).alias("jaccard_est"),
+        F.round((F.col("k_rho") / F.col("_nu")) * union_raw, 4).alias(
+            "intersect_est"
+        ),
+        F.col("k_rho"),
+        F.col("_nu").cast("long").alias("sketch_size"),
     )

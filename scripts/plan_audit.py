@@ -865,6 +865,18 @@ def main() -> None:
     print(f"== events_ohlc_daily bar cascade (no raw re-sort): {'OK' if ok else 'FAIL'}")
     failures += not ok
 
+    # 76. orders_flag_overlap: both sketch sides are
+    # TakeOrderedAndProject (per-partition bottom-k heaps — never a
+    # global sort shuffle of the raw distinct-hash frames)
+    plan = plan_of(m.queries()["orders_flag_overlap"](spark, sf_dir))
+    ok = (
+        plan.count("TakeOrderedAndProject") >= 3  # A, B, union re-trim
+        and "Exchange rangepartitioning" not in plan
+        and "CartesianProduct" not in plan
+    )
+    print(f"== orders_flag_overlap bottom-k heaps (no global sort): {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
     print(f"\n{'ALL PLANS OK' if not failures else f'{failures} PLAN CHECKS FAILED'}")
     spark.stop()
     sys.exit(1 if failures else 0)
