@@ -140,6 +140,7 @@ FAMILIES: dict[str, list[str]] = {
     "skyline": ["lineitem_skyline"],
     "attribution": ["events_attribution"],
     "set_sketch": ["orders_flag_overlap"],
+    "markov": ["event_type_transitions"],
 }
 
 

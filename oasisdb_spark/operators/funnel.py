@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["funnel_steps", "stage_rollup", "cohort_retention", "attribute_conversions"]
+__all__ = ["funnel_steps", "stage_rollup", "cohort_retention", "attribute_conversions", "event_transitions"]
 
 
 def max_funnel_stage(
@@ -272,3 +272,47 @@ def attribute_conversions(
         F.col("_first.t_ts").alias("first_touch_ts"),
         F.col("n_touches").cast("long").alias("n_touches"),
     )
+
+
+def event_transitions(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    id_col: str,
+    type_col: str,
+) -> DataFrame:
+    """Behavioral Markov transition matrix: for every ordered pair of
+    CONSECUTIVE events by the same user — (ts, id)-ordered, the same
+    deterministic total order every sequence op in the repo uses —
+    count the (from_type → to_type) transition and attach the MLE
+    transition log-probability in micro-nats (``lmic(n_trans) −
+    lmic(n_from)``, the exact cross-engine dialect of
+    ``pipeline/lm.py`` — this operator IS a bigram LM whose "tokens"
+    are event types, and the shared primitive keeps both hash-exact).
+
+    Shape: one user-key sort shuffle for the ``lag`` window (types
+    only — the frame is pruned to (user, ts, id, type) at the scan),
+    then ONE partial-agg shuffle on the (from, to) pair; ``n_from``
+    folds from the pair counts themselves (a type-cardinality window,
+    not a second pass over events). Returns (from_type, to_type,
+    n_trans, n_from, lp_micro).
+    """
+    from pyspark.sql.window import Window
+
+    from oasisdb_spark.pipeline.lm import lmic
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = (
+        df.select(user_col, ts_col, id_col, type_col)
+        .withColumn("_prev", F.lag(type_col).over(w))
+        .where(F.col("_prev").isNotNull())
+        .groupBy(
+            F.col("_prev").alias("from_type"),
+            F.col(type_col).alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
+    w_from = Window.partitionBy("from_type")
+    return pairs.withColumn(
+        "n_from", F.sum("n_trans").over(w_from)
+    ).withColumn("lp_micro", lmic(F.col("n_trans")) - lmic(F.col("n_from")))

@@ -877,6 +877,17 @@ def main() -> None:
     print(f"== orders_flag_overlap bottom-k heaps (no global sort): {'OK' if ok else 'FAIL'}")
     failures += not ok
 
+    # 77. event_type_transitions: types pruned at the scan (4-col
+    # ReadSchema), one user-key window, one pair partial agg — no join
+    plan = plan_of(m.queries()["event_type_transitions"](spark, sf_dir))
+    ok = (
+        "Join" not in plan
+        and plan.count("partial_count") == 1
+        and "ReadSchema: struct<event_id:bigint,ts" in plan
+    )
+    print(f"== event_type_transitions pruned scan, window + one agg: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
     print(f"\n{'ALL PLANS OK' if not failures else f'{failures} PLAN CHECKS FAILED'}")
     spark.stop()
     sys.exit(1 if failures else 0)

@@ -186,3 +186,57 @@ def test_attribution_same_ts_touch_ties_break_on_id_and_invariance(spark):
     assert conv52[3] == 51 and conv52[6] == 50
     assert base == _attr_brute(rows, "buy", {"ad", "email"}, 200)
     assert base == run(df.repartition(9)) == run(df.orderBy(F.rand(8)).coalesce(1))
+
+
+# ------------------------------------------------------------ transitions
+
+
+def test_event_transitions_matches_brute(spark):
+    import math
+    from collections import Counter
+
+    from oasisdb_spark.operators.funnel import event_transitions
+
+    rows = [
+        (1, 10, 1, "view"), (1, 20, 2, "click"), (1, 30, 3, "buy"),
+        (1, 30, 4, "view"),          # same-ts: id orders it after buy
+        (2, 5, 10, "view"), (2, 6, 11, "view"), (2, 7, 12, "click"),
+        (3, 1, 20, "buy"),           # singleton user: no transitions
+    ]
+    df = spark.createDataFrame(rows, "u LONG, ts LONG, id LONG, t STRING")
+    got = sorted(tuple(r) for r in event_transitions(df, "u", "ts", "id", "t").collect())
+
+    cnt = Counter()
+    for u in (1, 2, 3):
+        seq = [t for (uu, ts, i, t) in sorted(rows, key=lambda r: (r[1], r[2])) if uu == u]
+        cnt.update(zip(seq, seq[1:]))
+    frm = Counter()
+    for (f, _), n in cnt.items():
+        frm[f] += n
+    lmic = lambda c: round(math.log(c) * 1e6)
+    want = sorted(
+        (f, t, n, frm[f], lmic(n) - lmic(frm[f])) for (f, t), n in cnt.items()
+    )
+    assert got == want
+    # the same-ts pair (buy -> view) must exist exactly once
+    assert ("buy", "view", 1, 1, 0) in got
+
+
+def test_event_transitions_partitioning_invariant(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from oasisdb_spark.operators.funnel import event_transitions
+
+    rng = random.Random(13)
+    rows = [
+        (rng.randrange(8), rng.randrange(100), i, rng.choice("abcd"))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "u LONG, ts LONG, id LONG, t STRING")
+
+    def run(d):
+        return sorted(tuple(r) for r in event_transitions(d, "u", "ts", "id", "t").collect())
+
+    assert run(df) == run(df.repartition(9)) == run(df.orderBy(F.rand(4)).coalesce(1))
