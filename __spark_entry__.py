@@ -4424,6 +4424,27 @@ def _event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_transitions(ev, "user_id", "ts_us", "event_id", "event_type")
 
 
+def _events_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series OLS trend as an exact rational (operators/
+    timeseries.py grouped_trend): slope of value-cents against the
+    integer day index per event_type, emitted as int64
+    numerator/denominator pairs — fold-order-free, so the regression
+    is hash-exact with no float anywhere. ONE partial-agg shuffle
+    (five map-side-combined integer sums); the oracle replays the
+    identical normal-equation arithmetic."""
+    from oasisdb_spark.operators.timeseries import grouped_trend
+
+    ev = _table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    obs = ev.select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias(
+            "day_idx"
+        ),
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    return grouped_trend(obs, "day_idx", "value_cents", ["event_type"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries (observed: r01-r04 rows == registry[0:50]). ROUND-5
@@ -4670,6 +4691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ohlc_daily": _events_ohlc_daily,
         "orders_flag_overlap": _orders_flag_overlap,
         "event_type_transitions": _event_type_transitions,
+        "events_value_trend": _events_value_trend,
     }
 
 def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -6022,6 +6044,26 @@ SELECT from_type, to_type, n_trans, n_from,
        - CAST(round(ln(CAST(n_from AS DOUBLE)) * 1000000) AS BIGINT)
          AS lp_micro
 FROM f
+""",
+        # grouped OLS trend (operators/timeseries.py grouped_trend):
+        # identical integer normal-equation sums, day index via the
+        # same naive-date diff
+        "events_value_trend": """
+WITH o AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+         CAST(round(value * 100) AS BIGINT) AS y
+  FROM events WHERE value IS NOT NULL
+), a AS (
+  SELECT event_type, count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM o GROUP BY 1
+)
+SELECT event_type, n,
+       n * sxy - sx * sy AS slope_num,
+       n * sxx - sx * sx AS slope_den,
+       sy * sxx - sx * sxy AS intercept_num
+FROM a
 """,
         # PSI drift (operators/quality.py): identical bucket float ops
         # (same order), Laplace-smoothed integer counts, lmic micro-nat

@@ -141,6 +141,7 @@ FAMILIES: dict[str, list[str]] = {
     "attribution": ["events_attribution"],
     "set_sketch": ["orders_flag_overlap"],
     "markov": ["event_type_transitions"],
+    "trend": ["events_value_trend"],
 }
 
 

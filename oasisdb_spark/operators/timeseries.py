@@ -37,7 +37,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["time_bucket_gapfill", "ohlc_bars", "cusum_changepoints", "ohlc_rollup"]
+__all__ = ["time_bucket_gapfill", "ohlc_bars", "cusum_changepoints", "ohlc_rollup", "grouped_trend"]
 
 
 def time_bucket_gapfill(
@@ -210,4 +210,58 @@ def ohlc_rollup(
         F.max_by(F.col("close"), key).alias("close"),
         F.sum("n_obs").alias("n_obs"),
         *[F.sum(c).alias(c) for c in (extra_sums or [])],
+    )
+
+
+def grouped_trend(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    series_cols: list[str],
+) -> DataFrame:
+    """Per-series least-squares trend as an EXACT RATIONAL: the OLS
+    slope over integer (x, y) observations emitted as an integer
+    numerator/denominator pair instead of a float —
+
+        slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+
+    — so the result is fold-order-free and hash-exact cross-engine
+    (both factors are pure int64 sums; the division that loses
+    exactness is left to the CALLER, who usually only needs the sign,
+    a threshold comparison via cross-multiplication, or a one-shot
+    float at display time). ``intercept_num`` shares ``slope_den``
+    (intercept = (Σy·Σx² − Σx·Σxy) / same-denominator).
+
+    The whole regression is ONE partial-aggregating shuffle on the
+    series key — five map-side-combined integer sums; nothing else
+    moves. Degenerate series (a single distinct x) get slope_den = 0 —
+    emitted, not hidden, so callers can branch.
+
+    x must be SMALL integers (bucket indexes, day numbers — recenter
+    epoch values first): the int64 budget is n·Σx² and n·Σxy; at
+    x ≤ 10⁴, y ≤ 10⁹ cents, n ≤ 10⁶ per series the products stay
+    below 2⁶³ with two orders of margin. At 100 TB group counts beyond
+    that need the DECIMAL(38) widening the HITS operator demonstrates.
+    """
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    agg = df.groupBy(*series_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * y).alias("_sxy"),
+        F.sum(x * x).alias("_sxx"),
+    )
+    return agg.select(
+        *series_cols,
+        "n",
+        (F.col("n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")).alias(
+            "slope_num"
+        ),
+        (F.col("n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")).alias(
+            "slope_den"
+        ),
+        (
+            F.col("_sy") * F.col("_sxx") - F.col("_sx") * F.col("_sxy")
+        ).alias("intercept_num"),
     )

@@ -888,6 +888,19 @@ def main() -> None:
     print(f"== event_type_transitions pruned scan, window + one agg: {'OK' if ok else 'FAIL'}")
     failures += not ok
 
+    # 78. events_value_trend: the whole regression is ONE partial-agg
+    # shuffle — map-side combine below a single hash exchange, no
+    # window, no join
+    plan = plan_of(m.queries()["events_value_trend"](spark, sf_dir))
+    ok = (
+        plan.count("Exchange hashpartitioning") == 1
+        and "partial_sum" in plan
+        and "Join" not in plan
+        and "Window" not in plan
+    )
+    print(f"== events_value_trend single partial-agg regression: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
     print(f"\n{'ALL PLANS OK' if not failures else f'{failures} PLAN CHECKS FAILED'}")
     spark.stop()
     sys.exit(1 if failures else 0)

@@ -242,3 +242,57 @@ def test_ohlc_rollup_equals_bars_from_raw(spark):
     assert sorted(map(tuple, rolled2.collect())) == sorted(
         map(tuple, rolled.collect())
     )
+
+
+# ---------------------------------------------------------------- trend
+
+
+def test_grouped_trend_matches_numpy_and_degenerate(spark):
+    import random
+
+    from fractions import Fraction
+
+    from oasisdb_spark.operators.timeseries import grouped_trend
+
+    rng = random.Random(23)
+    rows = [("a", x, 7 * x + 3 + rng.randrange(-2, 3)) for x in range(50)]
+    rows += [("b", x, 1000 - 5 * x) for x in range(30)]
+    rows += [("c", 4, 9), ("c", 4, 11)]  # single distinct x: degenerate
+    df = spark.createDataFrame(rows, "s STRING, x LONG, y LONG")
+    got = {r["s"]: r for r in grouped_trend(df, "x", "y", ["s"]).collect()}
+
+    for s in ("a", "b"):
+        pts = [(x, y) for (ss, x, y) in rows if ss == s]
+        n = len(pts)
+        sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts); sxx = sum(x * x for x, _ in pts)
+        assert got[s]["slope_num"] == n * sxy - sx * sy
+        assert got[s]["slope_den"] == n * sxx - sx * sx
+        assert got[s]["intercept_num"] == sy * sxx - sx * sxy
+        # rational slope equals the float OLS fit
+        frac = Fraction(got[s]["slope_num"], got[s]["slope_den"])
+        import numpy as np
+
+        m, c = np.polyfit([x for x, _ in pts], [y for _, y in pts], 1)
+        assert abs(float(frac) - m) < 1e-9
+    # exact-noise-free series recover the exact slope
+    assert Fraction(got["b"]["slope_num"], got["b"]["slope_den"]) == -5
+    assert got["c"]["slope_den"] == 0  # degenerate emitted, not hidden
+
+
+def test_grouped_trend_partitioning_invariant(spark):
+    import random
+
+    from oasisdb_spark.operators.timeseries import grouped_trend
+
+    rng = random.Random(29)
+    rows = [
+        (rng.choice("pq"), rng.randrange(100), rng.randrange(-500, 500))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "s STRING, x LONG, y LONG")
+
+    def run(d):
+        return sorted(tuple(r) for r in grouped_trend(d, "x", "y", ["s"]).collect())
+
+    assert run(df) == run(df.repartition(13)) == run(df.coalesce(1))
