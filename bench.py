@@ -142,6 +142,7 @@ FAMILIES: dict[str, list[str]] = {
     "set_sketch": ["orders_flag_overlap"],
     "markov": ["event_type_transitions"],
     "trend": ["events_value_trend"],
+    "rolling_gate": ["events_rolling_anomaly"],
 }
 
 

@@ -30,6 +30,7 @@ __all__ = [
     "psi_drift_stream",
     "grouped_median_exact",
     "mad_outliers",
+    "rolling_zscore_flags",
 ]
 
 
@@ -369,4 +370,77 @@ def mad_outliers(
     mad = grouped_median_exact(dev, "dev", group_cols, out_col="mad")
     return dev.join(mad, on=group_cols).where(
         F.col("dev") > F.lit(threshold) * F.col("mad")
+    )
+
+
+def rolling_zscore_flags(
+    df: DataFrame,
+    value_col: str,
+    series_cols: list[str],
+    order_cols: list[str],
+    window_rows: int,
+    k_num: int = 3,
+    k_den: int = 1,
+    min_obs: int = 2,
+) -> DataFrame:
+    """Rolling z-score anomaly gate over INTEGER observations,
+    DIVISION-FREE — the classic |x − μ| > k·σ test against the
+    trailing ``window_rows`` observations (Bollinger-band style),
+    evaluated entirely by integer cross-multiplication so it is
+    hash-exact cross-engine with no float, sqrt, or division anywhere:
+
+        |z| > k  ⇔  (x·n − s)² · k_den²  >  k_num² · (n·q − s²)
+
+    with s = Σy, q = Σy² over the PRECEDING frame (current row
+    EXCLUDED — the anomaly must not contaminate its own baseline) and
+    k = k_num / k_den (rational thresholds like 2.5 stay exact).
+    Constant windows (variance 0) flag any deviation — the inequality
+    degenerates to dev² > 0, which is the right limit.
+
+    Adds ``n_win`` / ``dev_n`` (x·n − s, the sign carries direction) /
+    ``var_n`` (n·q − s²) and ``anomaly_up`` / ``anomaly_dn`` flags
+    (NULL until ``min_obs`` trailing rows exist — emitted, not
+    dropped, so callers see the warm-up region). One sort shuffle per
+    series — the frame is ROWS-bounded, so the window state is
+    ``window_rows`` values regardless of series length.
+
+    int64 budget: (y·window_rows)² and k_num²·window_rows·Σy² must
+    stay below 2⁶³ — at cents ≤ 10⁶, windows ≤ 10³, k ≤ 10 the
+    headroom is >10³×.
+    """
+    from pyspark.sql.window import Window
+
+    if window_rows < 1:
+        raise ValueError(f"rolling_zscore_flags: window_rows must be >= 1")
+    w = (
+        Window.partitionBy(*series_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(-int(window_rows), -1)
+    )
+    y = F.col(value_col).cast("long")
+    out = (
+        df.withColumn("n_win", F.count(y).over(w))
+        # empty frames sum to NULL; pin them to 0 so the warm-up rows
+        # carry well-defined (0, 0) evidence columns
+        .withColumn("_s", F.coalesce(F.sum(y).over(w), F.lit(0)))
+        .withColumn("_q", F.coalesce(F.sum(y * y).over(w), F.lit(0)))
+    )
+    dev_n = y * F.col("n_win") - F.col("_s")
+    var_n = F.col("n_win") * F.col("_q") - F.col("_s") * F.col("_s")
+    exceeded = (dev_n * dev_n) * F.lit(int(k_den) ** 2) > F.lit(
+        int(k_num) ** 2
+    ) * var_n
+    ready = F.col("n_win") >= int(min_obs)
+    return (
+        out.withColumn("dev_n", dev_n)
+        .withColumn("var_n", var_n)
+        .withColumn(
+            "anomaly_up",
+            F.when(ready, exceeded & (dev_n > 0)).otherwise(F.lit(None)),
+        )
+        .withColumn(
+            "anomaly_dn",
+            F.when(ready, exceeded & (dev_n < 0)).otherwise(F.lit(None)),
+        )
+        .drop("_s", "_q")
     )

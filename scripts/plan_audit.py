@@ -901,6 +901,18 @@ def main() -> None:
     print(f"== events_value_trend single partial-agg regression: {'OK' if ok else 'FAIL'}")
     failures += not ok
 
+    # 79. events_rolling_anomaly: one series shuffle, ROWS-bounded
+    # window state, no join, no range-partitioned global sort
+    plan = plan_of(m.queries()["events_rolling_anomaly"](spark, sf_dir))
+    ok = (
+        plan.count("Exchange hashpartitioning") == 1
+        and "Window" in plan
+        and "Join" not in plan
+        and "Exchange rangepartitioning" not in plan
+    )
+    print(f"== events_rolling_anomaly single-shuffle bounded window: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
     print(f"\n{'ALL PLANS OK' if not failures else f'{failures} PLAN CHECKS FAILED'}")
     spark.stop()
     sys.exit(1 if failures else 0)

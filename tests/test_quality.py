@@ -265,3 +265,89 @@ def test_mad_outliers_zero_mad_group_flags_any_deviation(spark):
     out = mad_outliers(df, "v", ["g"]).collect()
     assert [r["id"] for r in out] == [99]
     assert out[0]["median"] == 7 and out[0]["mad"] == 0 and out[0]["dev"] == 1
+
+
+# ----------------------------------------------------------- rolling z
+
+
+def _rolling_z_brute(vals, w, k_num, k_den, min_obs):
+    out = []
+    for i, y in enumerate(vals):
+        win = vals[max(0, i - w): i]
+        n = len(win)
+        s, q = sum(win), sum(v * v for v in win)
+        dev_n = y * n - s
+        var_n = n * q - s * s
+        if n < min_obs:
+            up = dn = None
+        else:
+            exceeded = dev_n * dev_n * k_den**2 > k_num**2 * var_n
+            up, dn = exceeded and dev_n > 0, exceeded and dev_n < 0
+        out.append((n, dev_n, var_n, up, dn))
+    return out
+
+
+def test_rolling_zscore_matches_brute_and_flags_spike(spark):
+    from oasisdb_spark.operators.quality import rolling_zscore_flags
+
+    # the dip sits 6 rows after the spike so its trailing window is
+    # clean (a dip right after a spike is MASKED by the inflated sigma
+    # - the classic z-gate failure mode mad_outliers exists to fix)
+    vals = [100, 102, 98, 101, 99, 100, 300, 100, 101, 99, 100, 100, 20]
+    rows = [("a", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "s STRING, i LONG, y LONG")
+    out = rolling_zscore_flags(
+        df, "y", ["s"], ["i"], window_rows=5, k_num=3, k_den=1
+    )
+    got = {
+        r["i"]: (r["n_win"], r["dev_n"], r["var_n"], r["anomaly_up"], r["anomaly_dn"])
+        for r in out.collect()
+    }
+    want = _rolling_z_brute(vals, 5, 3, 1, 2)
+    assert [got[i] for i in range(len(vals))] == want
+    assert got[6][3] is True and got[12][4] is True  # spike up, dip down
+    assert got[0][3] is None                          # warm-up emitted as NULL
+    assert not any(got[i][3] or got[i][4] for i in (1, 2, 3, 4, 5, 9))
+    # the spike MASKS anything in its shadow: i=9's window contains 300
+
+
+def test_rolling_zscore_constant_window_and_rational_k(spark):
+    from oasisdb_spark.operators.quality import rolling_zscore_flags
+
+    # constant baseline: ANY deviation is infinite z -> must flag
+    rows = [("c", i, 50) for i in range(6)] + [("c", 6, 51)]
+    df = spark.createDataFrame(rows, "s STRING, i LONG, y LONG")
+    out = {r["i"]: r for r in rolling_zscore_flags(
+        df, "y", ["s"], ["i"], window_rows=4, k_num=3).collect()}
+    assert out[6]["anomaly_up"] is True and out[5]["anomaly_up"] is False
+    # rational k = 5/2 tightens vs k = 3 on a borderline point
+    vals = [10, 12, 8, 11, 9, 14]  # z = 2.83: between 5/2 and 3
+    df2 = spark.createDataFrame(
+        [("r", i, v) for i, v in enumerate(vals)], "s STRING, i LONG, y LONG"
+    )
+    loose = rolling_zscore_flags(df2, "y", ["s"], ["i"], 5, k_num=3).collect()
+    tight = rolling_zscore_flags(df2, "y", ["s"], ["i"], 5, k_num=5, k_den=2).collect()
+    l6 = [r for r in loose if r["i"] == 5][0]
+    t6 = [r for r in tight if r["i"] == 5][0]
+    assert (l6["anomaly_up"], t6["anomaly_up"]) == (False, True)
+
+
+def test_rolling_zscore_partitioning_invariant(spark):
+    import random
+
+    from oasisdb_spark.operators.quality import rolling_zscore_flags
+
+    rng = random.Random(31)
+    rows = [
+        (s, i, rng.randrange(0, 200))
+        for s in ("a", "b") for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "s STRING, i LONG, y LONG")
+
+    def run(d):
+        return sorted(
+            tuple(r)
+            for r in rolling_zscore_flags(d, "y", ["s"], ["i"], 10).collect()
+        )
+
+    assert run(df) == run(df.repartition(11)) == run(df.coalesce(1))
