@@ -4473,6 +4473,30 @@ def _events_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click-path mining (operators/funnel.py session_paths — the
+    GA/Amplitude "top paths" report): per 30-min-gap session, the
+    ordered first-8 event-type journey and how many sessions took it.
+    Path assembly is sort_array(collect_list(struct)) — the sort pins
+    what collect_list alone would leave nondeterministic; the oracle
+    rebuilds the identical sessions and uses ORDER BY inside
+    string_agg. One user sort shuffle + two partial aggs."""
+    from oasisdb_spark.operators.funnel import session_paths
+    from oasisdb_spark.sources.tables import event_time_micros
+
+    ev = _table(spark, sf_dir, "events")
+    ev = ev.withColumn("ts_us", event_time_micros(ev))
+    return session_paths(
+        ev,
+        "user_id",
+        "ts_us",
+        "event_id",
+        "event_type",
+        gap=1_800_000_000,
+        max_steps=8,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries (observed: r01-r04 rows == registry[0:50]). ROUND-5
@@ -4721,6 +4745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_transitions": _event_type_transitions,
         "events_value_trend": _events_value_trend,
         "events_rolling_anomaly": _events_rolling_anomaly,
+        "events_session_paths": _events_session_paths,
     }
 
 def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -6120,6 +6145,33 @@ SELECT event_id, event_type, ts_us, y AS value_cents, n_win,
          (y * n_win - s) * (y * n_win - s) > 9 * (n_win * q - s * s)
          AND y * n_win - s < 0 END AS anomaly_dn
 FROM w
+""",
+        # click paths (operators/funnel.py session_paths): identical
+        # gap sessionization, in-session order pinned by (ts_us, id)
+        # on both engines (sort_array vs ORDER BY inside string_agg)
+        "events_session_paths": """
+WITH e AS (
+  SELECT user_id AS u, epoch_us(ts) AS ts_us, event_id, event_type
+  FROM events
+), l AS (
+  SELECT *, lag(ts_us) OVER (PARTITION BY u ORDER BY ts_us, event_id) AS prev
+  FROM e
+), s AS (
+  SELECT *, sum(CASE WHEN prev IS NULL OR ts_us - prev > 1800000000
+                     THEN 1 ELSE 0 END)
+            OVER (PARTITION BY u ORDER BY ts_us, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+  FROM l
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY u, sess
+                               ORDER BY ts_us, event_id) AS rn
+  FROM s
+), p AS (
+  SELECT u, sess,
+         string_agg(event_type, '>' ORDER BY ts_us, event_id) AS path
+  FROM r WHERE rn <= 8 GROUP BY u, sess
+)
+SELECT path, count(*) AS n_sessions FROM p GROUP BY path
 """,
         # PSI drift (operators/quality.py): identical bucket float ops
         # (same order), Laplace-smoothed integer counts, lmic micro-nat

@@ -143,6 +143,7 @@ FAMILIES: dict[str, list[str]] = {
     "markov": ["event_type_transitions"],
     "trend": ["events_value_trend"],
     "rolling_gate": ["events_rolling_anomaly"],
+    "click_paths": ["events_session_paths"],
 }
 
 

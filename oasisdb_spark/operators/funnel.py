@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["funnel_steps", "stage_rollup", "cohort_retention", "attribute_conversions", "event_transitions"]
+__all__ = ["funnel_steps", "stage_rollup", "cohort_retention", "attribute_conversions", "event_transitions", "session_paths"]
 
 
 def max_funnel_stage(
@@ -316,3 +316,71 @@ def event_transitions(
     return pairs.withColumn(
         "n_from", F.sum("n_trans").over(w_from)
     ).withColumn("lp_micro", lmic(F.col("n_trans")) - lmic(F.col("n_from")))
+
+
+def session_paths(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    id_col: str,
+    type_col: str,
+    gap: int,
+    max_steps: int = 8,
+    min_count: int = 1,
+) -> DataFrame:
+    """Click-path mining: the distinct user JOURNEYS — per gap-based
+    session, the ordered sequence of the first ``max_steps`` event
+    types joined with '>' — and how many sessions took each. The
+    product-analytics "top paths" report (GA behavior flow / Amplitude
+    pathfinder) as one deterministic aggregate.
+
+    ``ts_col`` must be numeric event time (epoch micros); ``gap`` in
+    the same unit starts a new session (strict >, matching the repo's
+    sessionizer). Paths longer than ``max_steps`` truncate — the step
+    count also bounds the per-session state, so a runaway session
+    cannot blow up a row. Ordering inside a session is the (ts, id)
+    total order everywhere else in this module; path assembly is
+    ``sort_array(collect_list(struct(ts, id, type)))`` — collect_list
+    order is NOT deterministic, the sort is what pins it.
+
+    Shape: one user-key sort shuffle (lag + session cumsum windows
+    share it), one (user, session) partial agg building the path
+    string, one path-key partial agg counting. Nothing wider than
+    (user, ts, id, type) ever moves.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag(F.col(ts_col)).over(w)
+    new_sess = F.when(
+        prev.isNull() | ((F.col(ts_col) - prev) > int(gap)), 1
+    ).otherwise(0)
+    sess = (
+        df.select(user_col, ts_col, id_col, type_col)
+        .withColumn("_sess", F.sum(new_sess).over(cum))
+    )
+    paths = sess.groupBy(user_col, "_sess").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.slice(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                F.col(ts_col), F.col(id_col), F.col(type_col)
+                            )
+                        )
+                    ),
+                    1,
+                    int(max_steps),
+                ),
+                lambda s: s[type_col],
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .where(F.col("n_sessions") >= int(min_count))
+    )

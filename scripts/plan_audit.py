@@ -913,6 +913,18 @@ def main() -> None:
     print(f"== events_rolling_anomaly single-shuffle bounded window: {'OK' if ok else 'FAIL'}")
     failures += not ok
 
+    # 80. events_session_paths: one user sort shuffle shared by the
+    # lag+cumsum windows, then two partial aggs — no join, and nothing
+    # wider than (user, ts, id, type) moves (4-col ReadSchema)
+    plan = plan_of(m.queries()["events_session_paths"](spark, sf_dir))
+    ok = (
+        "Join" not in plan
+        and "ReadSchema: struct<event_id:bigint,ts" in plan
+        and plan.count("Exchange hashpartitioning") <= 3
+    )
+    print(f"== events_session_paths pruned scan, windowed sessions: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
     print(f"\n{'ALL PLANS OK' if not failures else f'{failures} PLAN CHECKS FAILED'}")
     spark.stop()
     sys.exit(1 if failures else 0)

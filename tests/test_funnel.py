@@ -240,3 +240,59 @@ def test_event_transitions_partitioning_invariant(spark):
         return sorted(tuple(r) for r in event_transitions(d, "u", "ts", "id", "t").collect())
 
     assert run(df) == run(df.repartition(9)) == run(df.orderBy(F.rand(4)).coalesce(1))
+
+
+# ------------------------------------------------------------ paths
+
+
+def test_session_paths_matches_brute(spark):
+    from oasisdb_spark.operators.funnel import session_paths
+
+    rows = [
+        # user 1: two sessions (gap 100 splits at ts 300)
+        (1, 10, 1, "view"), (1, 20, 2, "click"), (1, 30, 3, "buy"),
+        (1, 300, 4, "view"), (1, 310, 5, "click"),
+        # user 2: same first journey as user 1's session 1
+        (2, 5, 10, "view"), (2, 15, 11, "click"), (2, 25, 12, "buy"),
+        # user 3: long session truncates at max_steps=3
+        (3, 0, 20, "a"), (3, 1, 21, "b"), (3, 2, 22, "c"), (3, 3, 23, "d"),
+        # user 4: same-ts ordering pinned by id
+        (4, 50, 31, "x"), (4, 50, 30, "y"),
+    ]
+    df = spark.createDataFrame(rows, "u LONG, ts LONG, id LONG, t STRING")
+    got = {
+        r["path"]: r["n_sessions"]
+        for r in session_paths(df, "u", "ts", "id", "t", gap=100, max_steps=3).collect()
+    }
+    assert got == {
+        "view>click>buy": 2,
+        "view>click": 1,
+        "a>b>c": 1,
+        "y>x": 1,
+    }
+
+
+def test_session_paths_min_count_and_invariance(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from oasisdb_spark.operators.funnel import session_paths
+
+    rng = random.Random(37)
+    rows = [
+        (u, t * 10, u * 1000 + t, rng.choice("ab"))
+        for u in range(30) for t in range(rng.randrange(1, 6))
+    ]
+    df = spark.createDataFrame(rows, "u LONG, ts LONG, id LONG, t STRING")
+
+    def run(d, mc=1):
+        return sorted(
+            tuple(r)
+            for r in session_paths(d, "u", "ts", "id", "t", 1000, 8, mc).collect()
+        )
+
+    base = run(df)
+    assert base == run(df.repartition(7)) == run(df.orderBy(F.rand(6)).coalesce(1))
+    pruned = run(df, mc=2)
+    assert pruned == [t for t in base if t[1] >= 2]
