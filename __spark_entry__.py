@@ -4497,6 +4497,24 @@ def _events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (operators/segmentation.py rfm_segments —
+    Hughes 1994, the CRM default): recency/frequency/monetary quintile
+    scores per customer over orders, every quintile boundary pinned by
+    the (metric, custkey) total order so ntile is engine-exact.
+    Monetary in integer cents; as_of = population max order date
+    computed in-plan. One custkey partial agg + three ntile windows
+    over the customer-cardinality frame."""
+    from oasisdb_spark.operators.segmentation import rfm_segments
+
+    o = _table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    return rfm_segments(o, "o_custkey", "o_orderdate", "price_cents")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries (observed: r01-r04 rows == registry[0:50]). ROUND-5
@@ -4746,6 +4764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_trend": _events_value_trend,
         "events_rolling_anomaly": _events_rolling_anomaly,
         "events_session_paths": _events_session_paths,
+        "customer_rfm": _customer_rfm,
     }
 
 def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -6172,6 +6191,34 @@ WITH e AS (
   FROM r WHERE rn <= 8 GROUP BY u, sess
 )
 SELECT path, count(*) AS n_sessions FROM p GROUP BY path
+""",
+        # RFM (operators/segmentation.py rfm_segments): standard-SQL
+        # ntile over the identical (metric, custkey) total orders;
+        # 6 - ntile inverts to the conventional 5-is-best
+        "customer_rfm": """
+WITH per AS (
+  SELECT o_custkey,
+         max(CAST(o_orderdate AS DATE)) AS last_d,
+         count(*) AS frequency,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS monetary
+  FROM orders GROUP BY 1
+), anch AS (
+  SELECT max(last_d) AS as_of FROM per
+), m AS (
+  SELECT p.*, date_diff('day', last_d, a.as_of) AS recency_days
+  FROM per p CROSS JOIN anch a
+), s AS (
+  SELECT *,
+         6 - ntile(5) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS r_score,
+         6 - ntile(5) OVER (ORDER BY frequency DESC, o_custkey ASC) AS f_score,
+         6 - ntile(5) OVER (ORDER BY monetary DESC, o_custkey ASC) AS m_score
+  FROM m
+)
+SELECT o_custkey, recency_days, frequency, monetary,
+       r_score, f_score, m_score,
+       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+         || CAST(m_score AS VARCHAR) AS segment
+FROM s
 """,
         # PSI drift (operators/quality.py): identical bucket float ops
         # (same order), Laplace-smoothed integer counts, lmic micro-nat

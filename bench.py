@@ -144,6 +144,7 @@ FAMILIES: dict[str, list[str]] = {
     "trend": ["events_value_trend"],
     "rolling_gate": ["events_rolling_anomaly"],
     "click_paths": ["events_session_paths"],
+    "segmentation": ["customer_rfm"],
 }
 
 

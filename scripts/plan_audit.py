@@ -925,6 +925,21 @@ def main() -> None:
     print(f"== events_session_paths pruned scan, windowed sessions: {'OK' if ok else 'FAIL'}")
     failures += not ok
 
+    # 81. customer_rfm: metrics fold in ONE custkey partial agg; the
+    # ntile windows run over the customer-cardinality frame (single
+    # hash exchange from the scan; the windows' single-partition sorts
+    # are over 3-int rows) — no join beyond the 1-row anchor broadcast
+    plan = plan_of(m.queries()["customer_rfm"](spark, sf_dir))
+    ok = (
+        plan.count("Exchange hashpartitioning") <= 2  # metric agg + the
+        # anchor branch's replica of it (the in-plan as_of max)
+        and "partial_count" in plan
+        and "SortMergeJoin" not in plan
+        and "CartesianProduct" not in plan
+    )
+    print(f"== customer_rfm one metric shuffle, tiny ntile frame: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
     print(f"\n{'ALL PLANS OK' if not failures else f'{failures} PLAN CHECKS FAILED'}")
     spark.stop()
     sys.exit(1 if failures else 0)
