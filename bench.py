@@ -145,6 +145,7 @@ FAMILIES: dict[str, list[str]] = {
     "rolling_gate": ["events_rolling_anomaly"],
     "click_paths": ["events_session_paths"],
     "segmentation": ["customer_rfm"],
+    "chi2_gate": ["events_chi2_gate"],
 }
 
 

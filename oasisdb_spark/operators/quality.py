@@ -31,6 +31,7 @@ __all__ = [
     "grouped_median_exact",
     "mad_outliers",
     "rolling_zscore_flags",
+    "chi2_independence",
 ]
 
 
@@ -443,4 +444,69 @@ def rolling_zscore_flags(
             F.when(ready, exceeded & (dev_n < 0)).otherwise(F.lit(None)),
         )
         .drop("_s", "_q")
+    )
+
+
+def chi2_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Pearson chi-square independence evidence between two categorical
+    columns — the feature-association / stratification-drift gate —
+    computed EXACTLY in wide-integer space (no float in the statistic):
+
+        contrib = (O·N − R·C)² · scale  ÷  (N·R·C)
+
+    per cell, where O is the observed count, R/C the marginals, N the
+    total; Σ contribs / scale is the χ² statistic (the algebraic
+    identity (O − E)²/E = (O·N − R·C)²/(N·R·C) with E = R·C/N keeps
+    everything integral). Products run in DECIMAL(38,0) and the final
+    division is Spark `DIV` ≡ DuckDB HUGEINT `//` — the identical
+    128-bit-integer idiom the HITS operator proved bit-equal — so every
+    cell's micro-χ² is hash-exact. Numerator and denominator are
+    positive, so floor ≡ truncate and rounding is one-sided (≤ scale⁻¹
+    per cell).
+
+    Shape: ONE partial-agg shuffle builds the contingency cells; the
+    marginals are window sums over the CELL frame (|A|·|B| rows, never
+    the raw table). Digit budget: (O·N)²·scale must fit 38 digits —
+    N ≤ ~10⁷ at scale 10⁶ (drop ``scale`` or pre-aggregate beyond;
+    the raw counts themselves stay exact at any N).
+
+    Returns one row per observed cell: (col_a, col_b, observed,
+    row_tot, col_tot, n_total, chi2_contrib_micro). NULL categories
+    participate as their own level only if present — filter upstream
+    if NULL should be excluded. Degrees of freedom = (|A|−1)(|B|−1)
+    for the caller's critical-value lookup.
+    """
+    from pyspark.sql.window import Window
+
+    cells = df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("observed"))
+    w_a = Window.partitionBy(col_a)
+    w_b = Window.partitionBy(col_b)
+    w_all = Window.partitionBy()
+    m = (
+        cells.withColumn("row_tot", F.sum("observed").over(w_a))
+        .withColumn("col_tot", F.sum("observed").over(w_b))
+        .withColumn("n_total", F.sum("observed").over(w_all))
+    )
+    contrib = F.expr(
+        "CAST(((CAST(observed AS DECIMAL(38,0)) * n_total"
+        "  - CAST(row_tot AS DECIMAL(38,0)) * col_tot)"
+        " * (CAST(observed AS DECIMAL(38,0)) * n_total"
+        "  - CAST(row_tot AS DECIMAL(38,0)) * col_tot)"
+        f" * {int(scale)})"
+        " DIV (CAST(n_total AS DECIMAL(38,0)) * row_tot * col_tot)"
+        " AS BIGINT)"
+    )
+    return m.select(
+        col_a,
+        col_b,
+        "observed",
+        "row_tot",
+        "col_tot",
+        "n_total",
+        contrib.alias("chi2_contrib_micro"),
     )

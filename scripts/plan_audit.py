@@ -940,6 +940,18 @@ def main() -> None:
     print(f"== customer_rfm one metric shuffle, tiny ntile frame: {'OK' if ok else 'FAIL'}")
     failures += not ok
 
+    # 82. events_chi2_gate: one contingency partial agg from the scan;
+    # marginals are windows over the cell frame — no join, no second
+    # pass over raw events
+    plan = plan_of(m.queries()["events_chi2_gate"](spark, sf_dir))
+    ok = (
+        plan.count("Exchange hashpartitioning") <= 3
+        and "partial_count" in plan
+        and "Join" not in plan
+    )
+    print(f"== events_chi2_gate single contingency pass: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
     print(f"\n{'ALL PLANS OK' if not failures else f'{failures} PLAN CHECKS FAILED'}")
     spark.stop()
     sys.exit(1 if failures else 0)

@@ -351,3 +351,66 @@ def test_rolling_zscore_partitioning_invariant(spark):
         )
 
     assert run(df) == run(df.repartition(11)) == run(df.coalesce(1))
+
+
+# ------------------------------------------------------------ chi-square
+
+
+def test_chi2_matches_scipy_style_reference(spark):
+    import random
+
+    from oasisdb_spark.operators.quality import chi2_independence
+
+    rng = random.Random(43)
+    # dependent-ish data: b correlates with a
+    rows = [
+        (a, (a + rng.randrange(3)) % 4)
+        for a in (rng.randrange(3) for _ in range(2000))
+    ]
+    df = spark.createDataFrame(rows, "a LONG, b LONG")
+    out = chi2_independence(df, "a", "b").collect()
+
+    from collections import Counter
+
+    obs = Counter(rows)
+    ra = Counter(a for a, _ in rows)
+    cb = Counter(b for _, b in rows)
+    n = len(rows)
+    # python 128-bit-free exact replay (ints are unbounded in python)
+    want = {
+        (a, b): (o * n - ra[a] * cb[b]) ** 2 * 1_000_000
+        // (n * ra[a] * cb[b])
+        for (a, b), o in obs.items()
+    }
+    got = {(r["a"], r["b"]): r["chi2_contrib_micro"] for r in out}
+    assert got == want
+    # total agrees with the float chi2 formula to the floor precision
+    total = sum(got.values()) / 1e6
+    float_chi2 = sum(
+        (o - ra[a] * cb[b] / n) ** 2 / (ra[a] * cb[b] / n)
+        for (a, b), o in obs.items()
+    )
+    assert abs(total - float_chi2) < 1e-3
+    # dependence must be detected: chi2 >> df at (3-1)(4-1)=6 dof
+    assert total > 100
+    # marginals exact
+    r0 = [r for r in out if r["a"] == 0][0]
+    assert r0["row_tot"] == ra[0] and r0["n_total"] == n
+
+
+def test_chi2_independent_data_small_and_invariance(spark):
+    from pyspark.sql import functions as F
+
+    from oasisdb_spark.operators.quality import chi2_independence
+
+    # perfectly independent uniform grid: every contrib is exactly 0
+    rows = [(a, b) for a in range(3) for b in range(4) for _ in range(10)]
+    df = spark.createDataFrame(rows, "a LONG, b LONG")
+    out = chi2_independence(df, "a", "b").collect()
+    assert all(r["chi2_contrib_micro"] == 0 for r in out)
+    assert len(out) == 12
+
+    def run(d):
+        return sorted(tuple(r) for r in chi2_independence(d, "a", "b").collect())
+
+    assert run(df.repartition(7)) == run(df.orderBy(F.rand(9)).coalesce(1))
