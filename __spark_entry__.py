@@ -4531,6 +4531,92 @@ def _events_chi2_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chi2_independence(ev, "event_type", "hour_of_day")
 
 
+def _events_cusum_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CUSUM at ingest (operators/timeseries.py
+    cusum_stream): the drawdown state is MERGEABLE — two int64 carries
+    per side per series (end-of-stream prefix total, all-time prefix
+    min) continue the trajectory bit-exactly across micro-batches — so
+    four ts-ranged chunks consumed one per batch against the FIXED
+    median baseline reproduce the batch operator row-for-row, and this
+    entry SHARES the events_cusum oracle: a hash-matched stateful
+    streaming change-point monitor. Scored rows append to a parquet
+    sink per batch (rows never pool on the driver; carry state is
+    series-cardinality bounded)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from oasisdb_spark.operators.quality import grouped_median_exact
+    from oasisdb_spark.operators.timeseries import cusum_stream
+    from oasisdb_spark.sources.tables import event_time_micros
+
+    ev0 = _table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    ev = ev0.select(
+        "event_id",
+        "event_type",
+        event_time_micros(ev0).alias("ts_us"),
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    targets = grouped_median_exact(
+        ev, "value_cents", ["event_type"], out_col="target_cents"
+    )
+
+    def _stage() -> str:
+        d = tempfile.mkdtemp(prefix="events_cusum_stream_")
+        ranked = ev.withColumn(
+            "_b", F.ntile(4).over(Window.orderBy("ts_us", "event_id"))
+        )
+        now = time.time()
+        for i in range(1, 5):
+            tmp = os.path.join(d, f"_w{i}")
+            ranked.filter(F.col("_b") == i).drop("_b").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(d, f"chunk_{i}.parquet")
+            shutil.copyfile(src, dst)
+            t = now - (4 - i) * 10
+            os.utime(dst, (t, t))
+            shutil.rmtree(tmp)
+        return d
+
+    d = _memo(spark, sf_dir, "cusum_stream_dir", _stage)
+    stream = (
+        spark.readStream.schema(
+            "event_id BIGINT, event_type STRING, ts_us BIGINT, value_cents BIGINT"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(d)
+    )
+    out_dir = tempfile.mkdtemp(prefix="events_cusum_scored_")
+    q = cusum_stream(
+        stream,
+        "value_cents",
+        ["event_type"],
+        ["ts_us", "event_id"],
+        targets,
+        slack=2000,
+        threshold=15000,
+        out_dir=out_dir,
+        query_name=f"events_cusum_stream_{os.path.basename(d)}",
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select(
+        "event_id",
+        "event_type",
+        "ts_us",
+        "value_cents",
+        "target_cents",
+        "cusum_up",
+        "cusum_dn",
+        "alarm_up",
+        "alarm_dn",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries (observed: r01-r04 rows == registry[0:50]). ROUND-5
@@ -4782,6 +4868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_paths": _events_session_paths,
         "customer_rfm": _customer_rfm,
         "events_chi2_gate": _events_chi2_gate,
+        "events_cusum_stream": _events_cusum_stream,
     }
 
 def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -5658,6 +5745,42 @@ def _cluster_balanced_oracle(k: int = 8, iters: int = 4, cap: int = 64) -> str:
     """
 
 
+_CUSUM_SQL = """
+WITH v AS (
+  SELECT event_id, event_type, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100) AS BIGINT) AS value_cents
+  FROM events WHERE value IS NOT NULL
+), cnt AS (
+  SELECT event_type, value_cents, count(*) AS k FROM v GROUP BY 1, 2
+), ranked AS (
+  SELECT *, sum(k) OVER (PARTITION BY event_type ORDER BY value_cents) AS cum,
+            sum(k) OVER (PARTITION BY event_type) AS n
+  FROM cnt
+), med AS (
+  SELECT event_type, value_cents AS target_cents FROM ranked
+  WHERE cum >= (n + 1) // 2 AND cum - k < (n + 1) // 2
+), d AS (
+  SELECT v.*, m.target_cents, v.value_cents - m.target_cents AS dev
+  FROM v JOIN med m USING (event_type)
+), p AS (
+  SELECT *, sum(dev - 2000) OVER w AS pu, sum(-dev - 2000) OVER w AS pd
+  FROM d
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), s AS (
+  SELECT *, pu - least(0, min(pu) OVER w) AS cusum_up,
+            pd - least(0, min(pd) OVER w) AS cusum_dn
+  FROM p
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, event_type, ts_us, value_cents, target_cents,
+       cusum_up, cusum_dn,
+       cusum_up > 15000 AS alarm_up, cusum_dn > 15000 AS alarm_dn
+FROM s
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     from oasisdb_spark.pipeline.text import STOPWORDS  # noqa: F401 (constants shared with oracles)
 
@@ -5915,40 +6038,11 @@ FROM r GROUP BY event_type, bar_start
         # (dev - slack) minus their running min, all int64 over the
         # identical (epoch_us, event_id) order; target recovers the
         # same (n+1)//2 lower-median rank rule as events_outliers
-        "events_cusum": """
-WITH v AS (
-  SELECT event_id, event_type, epoch_us(ts) AS ts_us,
-         CAST(round(value * 100) AS BIGINT) AS value_cents
-  FROM events WHERE value IS NOT NULL
-), cnt AS (
-  SELECT event_type, value_cents, count(*) AS k FROM v GROUP BY 1, 2
-), ranked AS (
-  SELECT *, sum(k) OVER (PARTITION BY event_type ORDER BY value_cents) AS cum,
-            sum(k) OVER (PARTITION BY event_type) AS n
-  FROM cnt
-), med AS (
-  SELECT event_type, value_cents AS target_cents FROM ranked
-  WHERE cum >= (n + 1) // 2 AND cum - k < (n + 1) // 2
-), d AS (
-  SELECT v.*, m.target_cents, v.value_cents - m.target_cents AS dev
-  FROM v JOIN med m USING (event_type)
-), p AS (
-  SELECT *, sum(dev - 2000) OVER w AS pu, sum(-dev - 2000) OVER w AS pd
-  FROM d
-  WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-), s AS (
-  SELECT *, pu - least(0, min(pu) OVER w) AS cusum_up,
-            pd - least(0, min(pd) OVER w) AS cusum_dn
-  FROM p
-  WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-)
-SELECT event_id, event_type, ts_us, value_cents, target_cents,
-       cusum_up, cusum_dn,
-       cusum_up > 15000 AS alarm_up, cusum_dn > 15000 AS alarm_dn
-FROM s
-""",
+        "events_cusum": _CUSUM_SQL,
+        # mergeable drawdown carries make the streamed trajectory equal
+        # the batch operator row-for-row — SHARES the events_cusum
+        # oracle (hash-matched stateful streaming change-point monitor)
+        "events_cusum_stream": _CUSUM_SQL,
         # PMI collocations (pipeline/lm.py pmi_collocations): the
         # separable quantized dialect — every lmic term is the log of
         # ONE integer count, recomputed here with the shared token

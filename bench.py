@@ -135,7 +135,7 @@ FAMILIES: dict[str, list[str]] = {
     "robust_outliers": ["events_outliers"],
     "heavy_stream": ["docs_heavy_stream"],
     "mutual_knn": ["mutual_knn_pairs"],
-    "changepoint": ["events_cusum"],
+    "changepoint": ["events_cusum", "events_cusum_stream"],
     "collocations": ["docs_pmi_collocations"],
     "skyline": ["lineitem_skyline"],
     "attribution": ["events_attribution"],

@@ -37,7 +37,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["time_bucket_gapfill", "ohlc_bars", "cusum_changepoints", "ohlc_rollup", "grouped_trend"]
+__all__ = ["time_bucket_gapfill", "ohlc_bars", "cusum_changepoints", "cusum_stream", "ohlc_rollup", "grouped_trend"]
 
 
 def time_bucket_gapfill(
@@ -264,4 +264,131 @@ def grouped_trend(
         (
             F.col("_sy") * F.col("_sxx") - F.col("_sx") * F.col("_sxy")
         ).alias("intercept_num"),
+    )
+
+
+def cusum_stream(
+    stream: DataFrame,
+    value_col: str,
+    series_cols: list[str],
+    order_cols: list[str],
+    targets: DataFrame,
+    slack: int,
+    threshold: int,
+    out_dir: str,
+    query_name: str = "cusum_stream",
+):
+    """STREAMING Page CUSUM at ingest — the exact continuation of
+    ``cusum_changepoints`` across micro-batches, for monitoring a live
+    feed against a FIXED baseline target (the trained-baseline shape
+    every drift monitor deploys: targets come in as a small DataFrame,
+    e.g. medians fitted on history).
+
+    Why it streams exactly: the drawdown state is MERGEABLE. For a
+    series split into ordered segments, the global prefix sum is
+    ``carry_sum + local_prefix`` and the global running minimum is
+    ``min(carry_min, carry_sum + local_running_min)`` — so two int64
+    numbers per side per series (the end-of-stream prefix total and the
+    all-time prefix minimum, min'd with the 0 floor) are ALL the state
+    a batch needs to continue the trajectory bit-exactly. foreachBatch
+    computes the batch's local windows (the same nested prefix/min
+    windows as the batch operator), shifts by the carried state,
+    APPENDS the scored rows to ``out_dir`` (parquet — rows leave the
+    driver; only the carry dict lives there, series-cardinality
+    bounded), and folds the carry forward.
+
+    REQUIRES in-order arrival per series across batches (stage files
+    in ts order; within a batch any order is fine — the windows sort).
+    Returns the StreamingQuery; read ``out_dir`` after drain for the
+    scored trajectory, which equals the batch operator's output
+    row-for-row (test- and oracle-pinned).
+    """
+    state: dict[tuple, tuple[int, int, int, int]] = {}
+    tgt_rows = targets.collect()
+    tcols = [c for c in targets.columns if c not in series_cols]
+    if len(tcols) != 1:
+        raise ValueError("cusum_stream: targets must be (series..., target)")
+    tcol = tcols[0]
+    spark = stream.sparkSession
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        b = batch.join(
+            F.broadcast(spark.createDataFrame(tgt_rows, targets.schema)),
+            on=series_cols,
+        )
+        w = (
+            Window.partitionBy(*series_cols)
+            .orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        d = F.col(value_col).cast("long") - F.col(tcol).cast("long")
+        b = (
+            b.withColumn("_l_up", F.sum(d - F.lit(slack)).over(w))
+            .withColumn("_l_dn", F.sum(-d - F.lit(slack)).over(w))
+            .withColumn("_m_up", F.min("_l_up").over(w))
+            .withColumn("_m_dn", F.min("_l_dn").over(w))
+        )
+        # inject carries (0-sum, 0-min before any data)
+        carry_rows = [
+            (*k, v[0], v[1], v[2], v[3]) for k, v in state.items()
+        ]
+        carry_schema = b.select(
+            *series_cols,
+            F.lit(0).cast("long").alias("_cs_up"),
+            F.lit(0).cast("long").alias("_cm_up"),
+            F.lit(0).cast("long").alias("_cs_dn"),
+            F.lit(0).cast("long").alias("_cm_dn"),
+        ).schema
+        if carry_rows:
+            carry = spark.createDataFrame(carry_rows, carry_schema)
+            b = b.join(F.broadcast(carry), on=series_cols, how="left")
+        else:
+            b = (
+                b.withColumn("_cs_up", F.lit(None).cast("long"))
+                .withColumn("_cm_up", F.lit(None).cast("long"))
+                .withColumn("_cs_dn", F.lit(None).cast("long"))
+                .withColumn("_cm_dn", F.lit(None).cast("long"))
+            )
+        cs_up = F.coalesce(F.col("_cs_up"), F.lit(0))
+        cm_up = F.coalesce(F.col("_cm_up"), F.lit(0))
+        cs_dn = F.coalesce(F.col("_cs_dn"), F.lit(0))
+        cm_dn = F.coalesce(F.col("_cm_dn"), F.lit(0))
+        p_up = cs_up + F.col("_l_up")
+        p_dn = cs_dn + F.col("_l_dn")
+        m_up = F.least(cm_up, cs_up + F.col("_m_up"))
+        m_dn = F.least(cm_dn, cs_dn + F.col("_m_dn"))
+        scored = (
+            b.withColumn("cusum_up", p_up - m_up)
+            .withColumn("cusum_dn", p_dn - m_dn)
+            .withColumn("alarm_up", (p_up - m_up) > threshold)
+            .withColumn("alarm_dn", (p_dn - m_dn) > threshold)
+        )
+        out_cols = [
+            c
+            for c in scored.columns
+            if not c.startswith("_")
+        ]
+        scored.select(*out_cols).write.mode("append").parquet(out_dir)
+        # fold the carry: end-of-batch prefix total + all-time prefix min
+        last = (
+            scored.groupBy(*series_cols)
+            .agg(
+                F.max_by(p_up, F.struct(*order_cols)).alias("cs_up"),
+                F.min(m_up).alias("cm_up"),
+                F.max_by(p_dn, F.struct(*order_cols)).alias("cs_dn"),
+                F.min(m_dn).alias("cm_dn"),
+            )
+            .collect()
+        )
+        for r in last:
+            k = tuple(r[c] for c in series_cols)
+            state[k] = (r["cs_up"], r["cm_up"], r["cs_dn"], r["cm_dn"])
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
     )

@@ -296,3 +296,64 @@ def test_grouped_trend_partitioning_invariant(spark):
         return sorted(tuple(r) for r in grouped_trend(d, "x", "y", ["s"]).collect())
 
     assert run(df) == run(df.repartition(13)) == run(df.coalesce(1))
+
+
+def test_cusum_stream_equals_batch(spark, tmp_path):
+    """3 ts-ordered chunks through cusum_stream == cusum_changepoints:
+    the carried (prefix total, prefix min) continues the trajectory
+    bit-exactly across batches."""
+    import glob
+    import os
+    import random
+    import shutil
+    import time
+
+    from oasisdb_spark.operators.timeseries import (
+        cusum_changepoints,
+        cusum_stream,
+    )
+
+    rng = random.Random(47)
+    rows = [
+        (s, i, rng.randrange(-30, 60))
+        for s in ("a", "b") for i in range(90)
+    ]
+    df = spark.createDataFrame(rows, "s STRING, i LONG, x LONG")
+    targets = spark.createDataFrame([("a", 10), ("b", 5)], "s STRING, t LONG")
+
+    batch = cusum_changepoints(
+        df.join(targets, "s"), "x", ["s"], ["i"], target="t",
+        slack=2, threshold=40,
+    )
+    want = sorted(
+        (r["s"], r["i"], r["cusum_up"], r["cusum_dn"], r["alarm_up"], r["alarm_dn"])
+        for r in batch.collect()
+    )
+
+    # stage 3 i-ranged chunks with ascending mtimes
+    d = tmp_path / "chunks"
+    d.mkdir()
+    now = time.time()
+    for n, lo in enumerate((0, 30, 60)):
+        tmp = str(tmp_path / f"_w{n}")
+        df.where((F.col("i") >= lo) & (F.col("i") < lo + 30)).coalesce(1)\
+          .write.mode("overwrite").parquet(tmp)
+        dst = str(d / f"chunk_{n}.parquet")
+        shutil.copyfile(glob.glob(os.path.join(tmp, "part-*.parquet"))[0], dst)
+        os.utime(dst, (now - (3 - n) * 10, now - (3 - n) * 10))
+    stream = (
+        spark.readStream.schema("s STRING, i LONG, x LONG")
+        .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
+        .parquet(str(d))
+    )
+    out_dir = str(tmp_path / "scored")
+    q = cusum_stream(
+        stream, "x", ["s"], ["i"], targets, slack=2, threshold=40,
+        out_dir=out_dir, query_name="t_cusum_stream",
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["s"], r["i"], r["cusum_up"], r["cusum_dn"], r["alarm_up"], r["alarm_dn"])
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    assert got == want
