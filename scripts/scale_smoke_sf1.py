@@ -402,6 +402,7 @@ def main() -> None:
     tpch_section(spark)
     curation_section(spark)
     text_round6_section(spark)
+    batch4_section(spark)
     spark.stop()
 
 
@@ -488,3 +489,92 @@ def tpch_section(spark) -> None:
 
 if __name__ == "__main__":
     main()
+
+
+SF1_FULL_DIR = "/tmp/oasis_scale_sf1_full"
+
+
+def build_sf1_full(spark) -> str:
+    """Combined 10x fixture for the registry-entry smoke: full-column
+    10x events (replica users shifted so series COUNT grows 10x with
+    constant per-series length — scaling data, not skew; values get a
+    deterministic sub-cent xxhash jitter so order stats aren't pure
+    ties), plus symlinks to the existing 10x TPC-H / documents /
+    embeddings replicas, so any queries() entry runs unmodified at 10x
+    via its sf_dir argument."""
+    marker = os.path.join(SF1_FULL_DIR, "_SUCCESS")
+    if os.path.exists(marker):
+        return SF1_FULL_DIR
+    shutil.rmtree(SF1_FULL_DIR, ignore_errors=True)
+    os.makedirs(SF1_FULL_DIR, exist_ok=True)
+
+    from oasisdb_spark.sources.tables import load_table
+
+    base = load_table(spark, SF01_DIR, "events")
+    n_users = base.agg(F.max("user_id")).first()[0] + 1
+    n_ev = base.agg(F.max("event_id")).first()[0] + 1
+    reps = spark.range(0, 10).withColumnRenamed("id", "rep")
+    (
+        base.crossJoin(reps)
+        .select(
+            (F.col("event_id") + F.col("rep") * n_ev).alias("event_id"),
+            F.col("ts"),
+            (F.col("user_id") + F.col("rep") * n_users).alias("user_id"),
+            F.col("event_type"),
+            (
+                F.col("value")
+                + (F.abs(F.xxhash64("event_id", "rep")) % 1000).cast("double") / 1e6
+            ).alias("value"),
+            F.col("props"),
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{SF1_FULL_DIR}/events.parquet")
+    )
+    tpch = build_sf1_tpch(spark)
+    for t in ["region", "nation", "customer", "supplier", "part", "orders", "lineitem"]:
+        os.symlink(f"{tpch}/{t}.parquet", f"{SF1_FULL_DIR}/{t}.parquet")
+    os.symlink(build_sf1(spark), f"{SF1_FULL_DIR}/documents.parquet")
+    os.symlink(build_sf1_embeddings(spark), f"{SF1_FULL_DIR}/embeddings.parquet")
+    open(marker, "w").close()
+    return SF1_FULL_DIR
+
+
+def batch4_section(spark) -> None:
+    """Round-6 batch-4 registry entries at 10x rows. Expected shapes:
+    the window-family ops (cusum, rolling z, attribution, transitions,
+    paths) pay one series/user sort each — near-linear; OHLC and its
+    daily cascade are single partial aggs — near-linear in ticks, and
+    the CASCADE's advantage shows as near-flat cost on 10x ticks (bar
+    count is time-bounded); chi2/trend/RFM/overlap collapse to
+    cell/metric/sketch frames — near-flat; the skyline scans once and
+    moves only candidates — near-flat beyond the scan."""
+    import __spark_entry__ as entrymod
+
+    sf1 = build_sf1_full(spark)
+    qs = entrymod.queries()
+    names = [
+        "events_ohlc", "events_ohlc_daily", "events_cusum",
+        "events_rolling_anomaly", "events_attribution",
+        "event_type_transitions", "events_session_paths",
+        "events_value_trend", "events_chi2_gate", "customer_rfm",
+        "orders_flag_overlap", "lineitem_skyline",
+        "docs_pmi_collocations", "mutual_knn_pairs",
+        "copurchase_pairs", "copurchase_triangles", "events_outliers",
+    ]
+    results: dict[str, dict[str, float]] = {}
+    for tag, d in (("sf0.1", SF01_DIR), ("sf1", sf1)):
+        for name in names:
+            force(qs[name](spark, d))  # warm
+            vals = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                force(qs[name](spark, d))
+                vals.append(time.perf_counter() - t0)
+            results.setdefault(name, {})[tag] = round(min(vals), 2)
+            print(f"  {tag:6s} {name:28s} {min(vals):7.2f} s", flush=True)
+
+    print("\n| batch-4 entry | sf0.1 (s) | sf1 = 10x (s) | ratio |")
+    print("|---|---|---|---|")
+    for name, r in results.items():
+        print(f"| {name} | {r['sf0.1']:.2f} | {r['sf1']:.2f} | {r['sf1']/r['sf0.1']:.1f}x |")
