@@ -6240,13 +6240,15 @@ WITH o AS (
   FROM events WHERE value IS NOT NULL
 ), a AS (
   SELECT event_type, count(*) AS n,
-         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+         sum(CAST(x AS HUGEINT) * y) AS sxy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx
   FROM o GROUP BY 1
 )
 SELECT event_type, n,
-       n * sxy - sx * sy AS slope_num,
-       n * sxx - sx * sx AS slope_den,
-       sy * sxx - sx * sxy AS intercept_num
+       CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+       CAST(sy * sxx - sx * sxy AS BIGINT) AS intercept_num
 FROM a
 """,
         # rolling z-gate (operators/quality.py rolling_zscore_flags):

@@ -237,14 +237,17 @@ def grouped_trend(
     moves. Degenerate series (a single distinct x) get slope_den = 0 —
     emitted, not hidden, so callers can branch.
 
-    x must be SMALL integers (bucket indexes, day numbers — recenter
-    epoch values first): the int64 budget is n·Σx² and n·Σxy; at
-    x ≤ 10⁴, y ≤ 10⁹ cents, n ≤ 10⁶ per series the products stay
-    below 2⁶³ with two orders of margin. At 100 TB group counts beyond
-    that need the DECIMAL(38) widening the HITS operator demonstrates.
+    Moments and their products run in DECIMAL(38,0) — the 128-bit
+    idiom the HITS and chi² operators share — because the RAW moments
+    are quadratic in n (``n·Σxy ≈ n²·x̄·ȳ`` blows int64 at mere 10⁵
+    rows/series of day-index×cents data; the sf1 scale smoke caught
+    exactly that). Only the FINAL rationals cast back to int64: those
+    are covariance-scale (``n·Σxy − Σx·Σy = n²·cov``), the quantity
+    with actual signal, and the cast fails loudly under ANSI rather
+    than wrapping if a pathological series exceeds it.
     """
-    x = F.col(x_col).cast("long")
-    y = F.col(y_col).cast("long")
+    x = F.col(x_col).cast("decimal(38,0)")
+    y = F.col(y_col).cast("decimal(38,0)")
     agg = df.groupBy(*series_cols).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(x).alias("_sx"),
@@ -252,18 +255,19 @@ def grouped_trend(
         F.sum(x * y).alias("_sxy"),
         F.sum(x * x).alias("_sxx"),
     )
+    nd = F.col("n").cast("decimal(38,0)")
     return agg.select(
         *series_cols,
         "n",
-        (F.col("n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")).alias(
-            "slope_num"
-        ),
-        (F.col("n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")).alias(
-            "slope_den"
-        ),
-        (
-            F.col("_sy") * F.col("_sxx") - F.col("_sx") * F.col("_sxy")
-        ).alias("intercept_num"),
+        (nd * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
+        .cast("long")
+        .alias("slope_num"),
+        (nd * F.col("_sxx") - F.col("_sx") * F.col("_sx"))
+        .cast("long")
+        .alias("slope_den"),
+        (F.col("_sy") * F.col("_sxx") - F.col("_sx") * F.col("_sxy"))
+        .cast("long")
+        .alias("intercept_num"),
     )
 
 
