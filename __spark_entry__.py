@@ -4642,23 +4642,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # later.
     #
     # ROUND-7 ROTATION TODO (stage EARLY next round — the driver
-    # snapshots the window mid-round): window = the 2 anchors + the 16
-    # round-6 batch-2 additions taking their first driver rows
-    # (kmeans_cells, proto_prune, cluster_balanced,
-    # value_quantiles_sketch, winnow_fingerprints, winnow_contamination,
-    # bpe_merges, bpe_token_counts, events_quantiles_stream,
-    # order_status_scd2, event_type_quantiles, trade_pagerank,
-    # contrastive_triplets, events_value_drift, events_drift_stream,
-    # trade_hits — all check_oracle-verified value-exact at sf0.01 AND
-    # sf0.001 in round 6; count the batch-2 list before finalizing, it
-    # grew all round) + the round-6 batch-3 additions (events_ohlc,
-    # copurchase_pairs, ... — everything registered after trade_hits;
-    # also check_oracle-verified at both SFs) + as many of the 47
-    # entries whose last driver row is r04 as fit the 50 slots (a
-    # CORRECTNESS_r0{1..5} sweep at round-6 close: maxsim_search ..
-    # text_stats — the r04 window minus the entries re-greened in
-    # r05/r06). Defer the overflow to r08, picking from this
-    # lowest-risk list first (code paths continuously
+    # snapshots the window mid-round): the first-driver-row backlog now
+    # EXCEEDS the 50 slots — 2 anchors + 16 batch-2 additions
+    # (kmeans_cells .. trade_hits) + 7 batch-3 additions (events_ohlc ..
+    # events_ohlc_stream) + 13 batch-4 additions (events_cusum ..
+    # events_cusum_stream) = 38; fill the remaining 12 slots with the
+    # oldest r04-only re-greens (the CORRECTNESS_r0{1..5} sweep list
+    # below) and defer the rest of that list to r08. Every queued
+    # addition is check_oracle-verified value-exact at sf0.01 AND
+    # sf0.001 in round 6 (plan-audited too), so the rotation risk is
+    # plumbing only. If the batch-4 tail must be split, prefer rotating
+    # the BATCH operators first and let their streaming twins
+    # (events_cusum_stream, docs_heavy_stream, events_ohlc_stream) ride
+    # r08 — each shares its batch oracle, so a green batch row already
+    # certifies the shared SQL. Lowest-risk r04-only deferrals, picking
+    # from this list first (code paths continuously
     # exercised by in-window cousins): knn_flat_l2 (cos/ip/hamming
     # cousins green r06), minhash_signatures (minhash_lsh_pairs
     # supersedes it), text_stats + langid + doc_repetition (same
