@@ -4617,6 +4617,31 @@ def _events_cusum_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_credit_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution credits (operators/funnel.py
+    attribution_credits): one row per (purchase, qualifying touch)
+    with linear and U-shaped (40/20/40) credit as EXACT RATIONALS —
+    integer num/den pairs that sum to 1 per conversion by construction
+    (floats divide differently across engines; rationals hash-match).
+    Same join-free value-range window as events_attribution, emitting
+    the sorted touch list via collect_list + posexplode."""
+    from oasisdb_spark.operators.funnel import attribution_credits
+    from oasisdb_spark.sources.tables import event_time_micros
+
+    ev = _table(spark, sf_dir, "events")
+    ev = ev.withColumn("ts_us", event_time_micros(ev))
+    return attribution_credits(
+        ev,
+        "user_id",
+        "ts_us",
+        "event_id",
+        "event_type",
+        conversion_type="purchase",
+        touch_types=["click", "view"],
+        lookback=3_600_000_000,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries (observed: r01-r04 rows == registry[0:50]). ROUND-5
@@ -4867,6 +4892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_rfm": _customer_rfm,
         "events_chi2_gate": _events_chi2_gate,
         "events_cusum_stream": _events_cusum_stream,
+        "events_credit_split": _events_credit_split,
     }
 
 def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -6354,6 +6380,37 @@ SELECT event_type, hour_of_day, observed, row_tot, col_tot, n_total,
             // (CAST(n_total AS HUGEINT) * row_tot * col_tot)
             AS BIGINT) AS chi2_contrib_micro
 FROM m
+""",
+        # attribution credits (operators/funnel.py
+        # attribution_credits): lookback join + (ts,id)-ranked
+        # positions; the same degenerate-case CASE ladder
+        "events_credit_split": """
+WITH e AS (
+  SELECT user_id AS u, epoch_us(ts) AS ts, event_id AS id,
+         event_type AS etype
+  FROM events WHERE event_type IN ('purchase', 'click', 'view')
+), conv AS (
+  SELECT * FROM e WHERE etype = 'purchase'
+), t AS (
+  SELECT * FROM e WHERE etype IN ('click', 'view')
+), j AS (
+  SELECT c.u AS user, c.id AS conversion_id, c.ts AS conversion_ts,
+         t.id AS touch_id, t.etype AS touch_type, t.ts AS touch_ts,
+         row_number() OVER (PARTITION BY c.id ORDER BY t.ts, t.id) AS pos,
+         count(*) OVER (PARTITION BY c.id) AS n
+  FROM conv c
+  JOIN t ON t.u = c.u AND t.ts <= c.ts AND t.ts >= c.ts - 3600000000
+)
+SELECT user, conversion_id, conversion_ts,
+       CAST(pos AS INT) AS touch_pos, touch_id, touch_type, touch_ts,
+       n AS n_touches,
+       1 AS linear_num, n AS linear_den,
+       CASE WHEN n = 1 THEN 1 WHEN n = 2 THEN 1
+            WHEN pos = 1 OR pos = n THEN 40 * (n - 2)
+            ELSE 20 END AS u_num,
+       CASE WHEN n = 1 THEN 1 WHEN n = 2 THEN 2
+            ELSE 100 * (n - 2) END AS u_den
+FROM j
 """,
         # PSI drift (operators/quality.py): identical bucket float ops
         # (same order), Laplace-smoothed integer counts, lmic micro-nat

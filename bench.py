@@ -138,7 +138,7 @@ FAMILIES: dict[str, list[str]] = {
     "changepoint": ["events_cusum", "events_cusum_stream"],
     "collocations": ["docs_pmi_collocations"],
     "skyline": ["lineitem_skyline"],
-    "attribution": ["events_attribution"],
+    "attribution": ["events_attribution", "events_credit_split"],
     "set_sketch": ["orders_flag_overlap"],
     "markov": ["event_type_transitions"],
     "trend": ["events_value_trend"],

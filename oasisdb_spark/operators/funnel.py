@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["funnel_steps", "stage_rollup", "cohort_retention", "attribute_conversions", "event_transitions", "session_paths"]
+__all__ = ["funnel_steps", "stage_rollup", "cohort_retention", "attribute_conversions", "attribution_credits", "event_transitions", "session_paths"]
 
 
 def max_funnel_stage(
@@ -383,4 +383,98 @@ def session_paths(
         paths.groupBy("path")
         .agg(F.count(F.lit(1)).alias("n_sessions"))
         .where(F.col("n_sessions") >= int(min_count))
+    )
+
+
+def attribution_credits(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    id_col: str,
+    type_col: str,
+    conversion_type: str,
+    touch_types: list[str],
+    lookback: int,
+    u_edge: int = 40,
+) -> DataFrame:
+    """Multi-touch attribution CREDITS — one row per (conversion,
+    qualifying touch) with the two standard position-based credit
+    rules as EXACT RATIONALS (floats divide differently across engines;
+    integer numerator/denominator pairs hash-match and sum exactly to
+    1 per conversion by construction):
+
+    - linear: every touch gets 1/n — ``(1, n)``.
+    - U-shaped (position-based): first and last touch get
+      ``u_edge``/100 each, the middle splits the remainder evenly —
+      ``(u_edge·(n−2), 100·(n−2))`` edges vs ``(100 − 2·u_edge, …)``
+      middles, reduced to a common per-conversion denominator; the
+      single-touch case gets (1, 1) and the two-touch case (1, 2) —
+      the standard degenerate rules.
+
+    Same engine shape as ``attribute_conversions`` (one user-key
+    value-range window, no self-join), but emitting the full touch
+    list: ``collect_list`` over the lookback frame gathers the
+    (ts, id, type) structs — bounded by the lookback window, the same
+    state bound the asof family carries — ``sort_array`` pins the
+    order, ``posexplode`` fans out one row per touch. Conversions with
+    zero touches emit NOTHING here (join ``attribute_conversions`` for
+    the unattributed report).
+    """
+    from pyspark.sql.window import Window
+
+    ev = df.select(
+        F.col(user_col).alias("user"),
+        F.col(ts_col).cast("long").alias("ts"),
+        F.col(id_col).alias("id"),
+        F.col(type_col).alias("etype"),
+    ).where(F.col(type_col).isin([conversion_type, *touch_types]))
+    is_touch = F.col("etype").isin(list(touch_types))
+    payload = F.when(
+        is_touch,
+        F.struct(
+            F.col("ts").alias("t_ts"),
+            F.col("id").alias("t_id"),
+            F.col("etype").alias("t_type"),
+        ),
+    )
+    w = Window.partitionBy("user").orderBy("ts").rangeBetween(-int(lookback), 0)
+    conv = (
+        ev.withColumn("_touches", F.sort_array(F.collect_list(payload).over(w)))
+        .where(F.col("etype") == conversion_type)
+        .select(
+            "user",
+            F.col("id").alias("conversion_id"),
+            F.col("ts").alias("conversion_ts"),
+            F.posexplode("_touches").alias("pos0", "t"),
+            F.size("_touches").alias("n_touches"),
+        )
+    )
+    n = F.col("n_touches")
+    pos = F.col("pos0") + 1
+    edge = (pos == 1) | (pos == n)
+    mid_n = n - 2
+    u_num = (
+        F.when(n == 1, F.lit(1))
+        .when(n == 2, F.lit(1))
+        .when(edge, F.lit(int(u_edge)) * mid_n)
+        .otherwise(F.lit(100 - 2 * int(u_edge)))
+    )
+    u_den = (
+        F.when(n == 1, F.lit(1))
+        .when(n == 2, F.lit(2))
+        .otherwise(F.lit(100) * mid_n)
+    )
+    return conv.select(
+        "user",
+        "conversion_id",
+        "conversion_ts",
+        pos.cast("int").alias("touch_pos"),
+        F.col("t.t_id").alias("touch_id"),
+        F.col("t.t_type").alias("touch_type"),
+        F.col("t.t_ts").alias("touch_ts"),
+        "n_touches",
+        F.lit(1).alias("linear_num"),
+        n.cast("long").alias("linear_den"),
+        u_num.cast("long").alias("u_num"),
+        u_den.cast("long").alias("u_den"),
     )

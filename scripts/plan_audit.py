@@ -952,6 +952,17 @@ def main() -> None:
     print(f"== events_chi2_gate single contingency pass: {'OK' if ok else 'FAIL'}")
     failures += not ok
 
+    # 83. events_credit_split: like events_attribution, the Spark plan
+    # carries NO join (the oracle joins; we window) and one user shuffle
+    plan = plan_of(m.queries()["events_credit_split"](spark, sf_dir))
+    ok = (
+        "Join" not in plan
+        and "Window" in plan
+        and plan.count("Exchange hashpartitioning") == 1
+    )
+    print(f"== events_credit_split join-free credit fan-out: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
     print(f"\n{'ALL PLANS OK' if not failures else f'{failures} PLAN CHECKS FAILED'}")
     spark.stop()
     sys.exit(1 if failures else 0)

@@ -296,3 +296,63 @@ def test_session_paths_min_count_and_invariance(spark):
     assert base == run(df.repartition(7)) == run(df.orderBy(F.rand(6)).coalesce(1))
     pruned = run(df, mc=2)
     assert pruned == [t for t in base if t[1] >= 2]
+
+
+# ------------------------------------------------------------ credits
+
+
+def test_attribution_credits_sum_to_one_and_match_brute(spark):
+    from fractions import Fraction
+
+    from oasisdb_spark.operators.funnel import attribution_credits
+
+    rows = [
+        (1, 100, 10, "ad"), (1, 150, 11, "email"), (1, 180, 12, "ad"),
+        (1, 200, 13, "buy"),                      # 3 touches: U = 40/20/40
+        (2, 100, 20, "ad"), (2, 200, 21, "buy"),  # 1 touch: (1,1)
+        (3, 90, 30, "ad"), (3, 100, 31, "email"), (3, 110, 32, "buy"),  # 2: (1,2)
+        (4, 500, 40, "buy"),                      # 0 touches: no rows
+    ]
+    df = spark.createDataFrame(rows, "u LONG, ts LONG, id LONG, t STRING")
+    out = attribution_credits(
+        df, "u", "ts", "id", "t", "buy", ["ad", "email"], lookback=150
+    ).collect()
+    by_conv = {}
+    for r in out:
+        by_conv.setdefault(r["conversion_id"], []).append(r)
+    assert set(by_conv) == {13, 21, 32}
+    # conversion 13: three touches in (ts, id) order
+    c13 = sorted(by_conv[13], key=lambda r: r["touch_pos"])
+    assert [r["touch_id"] for r in c13] == [10, 11, 12]
+    assert [(r["u_num"], r["u_den"]) for r in c13] == [(40, 100), (20, 100), (40, 100)]
+    assert [(r["linear_num"], r["linear_den"]) for r in c13] == [(1, 3)] * 3
+    # single- and two-touch degenerate rules
+    assert [(r["u_num"], r["u_den"]) for r in by_conv[21]] == [(1, 1)]
+    assert sorted((r["u_num"], r["u_den"]) for r in by_conv[32]) == [(1, 2), (1, 2)]
+    # both rules sum to exactly 1 per conversion
+    for rows_ in by_conv.values():
+        assert sum(Fraction(r["linear_num"], r["linear_den"]) for r in rows_) == 1
+        assert sum(Fraction(r["u_num"], r["u_den"]) for r in rows_) == 1
+
+
+def test_attribution_credits_partitioning_invariant(spark):
+    import random
+
+    from oasisdb_spark.operators.funnel import attribution_credits
+
+    rng = random.Random(53)
+    rows = [
+        (rng.randrange(12), rng.randrange(500), i, rng.choice(["ad", "email", "buy"]))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "u LONG, ts LONG, id LONG, t STRING")
+
+    def run(d):
+        return sorted(
+            tuple(r)
+            for r in attribution_credits(
+                d, "u", "ts", "id", "t", "buy", ["ad", "email"], 200
+            ).collect()
+        )
+
+    assert run(df) == run(df.repartition(9)) == run(df.orderBy(F.rand(7)).coalesce(1))
