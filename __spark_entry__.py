@@ -4170,17 +4170,25 @@ def _mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal kNN pairs (pipeline/mining.py mutual_knn_pairs —
     Artetxe & Schwenk ACL'19 mutual-NN matching): embedding pairs where
     EACH ranks the other in its L2 top-5, self excluded. The self-kNN
-    streams the base once vs the broadcast query copy (partial top-k
-    trim), mutuality is ONE pair-keyed partial agg (both directions
-    arrive => count 2) — no self-join of the neighbor frame. The
-    oracle replays the same (distance, id)-ranked windows and the
-    count-2 collapse over in-order float64 distance folds."""
+    rides the GEMM scan kernel (base scanned once per Arrow batch as
+    one matrix multiply — the sf1 smoke measured the Column-expr twin
+    30x slower), mutuality is ONE pair-keyed partial agg (both
+    directions arrive => count 2) — no self-join of the neighbor
+    frame. The oracle replays (distance, id)-ranked windows over
+    in-order float64 folds; distances round to 3dp on both sides (the
+    knn_brute GEMM-twin contract — identical pair sets, last-ulp
+    noise)."""
     from oasisdb_spark.pipeline.mining import mutual_knn_pairs
 
     emb = _table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
     )
-    return mutual_knn_pairs(emb, k=5, space="l2")
+    out = mutual_knn_pairs(emb, k=5, space="l2", scorer="gemm")
+    # GEMM twin contract (same as knn_brute): identical pair sets,
+    # last-ulp distance noise — round to 3dp for the hash gate
+    return out.select(
+        "id_a", "id_b", F.round(F.col("distance"), 3).alias("distance")
+    )
 
 
 def _events_ohlc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5995,7 +6003,7 @@ WITH scored AS (
   ) WHERE rn <= 5
 )
 SELECT least(query_id, id) AS id_a, greatest(query_id, id) AS id_b,
-       min(distance) AS distance
+       round(min(distance), 3) AS distance
 FROM nn GROUP BY 1, 2 HAVING count(*) = 2
 """,
         # MAD outliers (operators/quality.py mad_outliers): the oracle

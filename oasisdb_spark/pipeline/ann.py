@@ -82,6 +82,7 @@ def knn_brute_batched(
     id_col: str = "id",
     vec_col: str = "vector",
     max_query_rows: int = 65_536,
+    gemm_dtype: str = "float32",
 ) -> DataFrame:
     """Exact kNN via broadcast queries + per-batch GEMM + two-level top-k.
 
@@ -100,6 +101,12 @@ def knn_brute_batched(
     results unioned. At 64-d float32 the default keeps each broadcast
     ~16 MB; the trade (extra base scans vs unbounded broadcast) is the
     scale guard SCALING.md documents.
+
+    gemm_dtype: 'float32' (default — half the memory traffic, 2x BLAS
+    throughput; last-ulp distance noise ~1e-7 relative) or 'float64'
+    (noise ~1e-14 — use when downstream ROUNDS distances for a hash
+    gate and a 1e-7 wobble could flip a rounding boundary, as
+    mutual_knn_pairs does).
     """
     if space not in ("l2", "ip", "cos", "hamming"):
         raise ValueError(f"knn_brute_batched supports l2/ip/cos/hamming, got {space!r}")
@@ -112,12 +119,13 @@ def knn_brute_batched(
                 q_rows[lo : lo + max_query_rows], queries.select(query_id_col, query_vec_col).schema
             )
             part = knn_brute_batched(
-                chunk, base, k, space, query_id_col, query_vec_col, id_col, vec_col, max_query_rows
+                chunk, base, k, space, query_id_col, query_vec_col, id_col, vec_col, max_query_rows, gemm_dtype
             )
             out = part if out is None else out.unionByName(part)
         return out
     q_ids = [r[query_id_col] for r in q_rows]
-    Q = np.array([r[query_vec_col] for r in q_rows], dtype=np.float32)
+    _dt = np.float64 if gemm_dtype == "float64" else np.float32
+    Q = np.array([r[query_vec_col] for r in q_rows], dtype=_dt)
     bc = spark.sparkContext.broadcast((q_ids, Q))
 
     id_type = base.schema[id_col].dataType
@@ -142,7 +150,7 @@ def knn_brute_batched(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            X = np.array(pdf["vector"].tolist(), dtype=np.float32)  # (nb, dim)
+            X = np.array(pdf["vector"].tolist(), dtype=Qm.dtype)  # (nb, dim)
             if space == "hamming":
                 # integer distances tie constantly: pre-sort the batch by
                 # id and select on the composite key dist*nb + row, so the

@@ -28,7 +28,7 @@ Distances are in-order float64 fold Column expressions
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from oasisdb_spark.functions.distance import distance_expr
@@ -305,6 +305,7 @@ def mutual_knn_pairs(
     space: str = "l2",
     id_col: str = "id",
     vec_col: str = "vector",
+    scorer: str = "gemm",
 ) -> DataFrame:
     """Reciprocal k-nearest-neighbor pairs over one embedding table:
     (id_a, id_b, distance) with id_a < id_b where EACH side ranks the
@@ -324,22 +325,54 @@ def mutual_knn_pairs(
     hamming; NOT raw inner product). For bases that cannot brute-scan,
     feed the IVF candidate set through the same normalize-and-count
     tail — mutuality is a property of the (query_id, id) edge list,
-    not of the scorer."""
+    not of the scorer.
+
+    ``scorer``: 'gemm' (default — the pipeline/ann.py numpy kernel:
+    base scanned once per Arrow batch as ONE matrix multiply; the sf1
+    smoke measured the expression path 30x slower and it only widens
+    with dimension) or 'expr' (the executable Column spec — distances
+    are in-order float64 folds, bit-reproducible against SQL; the
+    oracle dialect). Both select identical neighbor ID SETS on
+    non-degenerate data (GEMM differs in the last ulps — the knn_flat
+    vs knn_brute twin contract); the row-identity is test-pinned on
+    the fixture."""
     if space == "ip":
         raise ValueError(
             "mutual_knn_pairs: inner product is not symmetric; use l2/cos/hamming"
         )
+    if scorer not in ("gemm", "expr"):
+        raise ValueError(f"mutual_knn_pairs: scorer must be gemm|expr, got {scorer!r}")
     q = base.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
     )
     b = base.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vector"))
-    pairs = b.crossJoin(F.broadcast(q)).where(F.col("query_id") != F.col("id"))
-    scored = pairs.select(
-        "query_id",
-        "id",
-        distance_expr(space, "query_vec", "vector").alias("distance"),
-    )
-    nn = topk_per_query(scored, k)
+    if scorer == "gemm":
+        from oasisdb_spark.pipeline.ann import knn_brute_batched
+
+        # fetch k+1 (self rides along at distance 0), drop self, re-rank
+        raw = knn_brute_batched(
+            q, b, k + 1, space=space, gemm_dtype="float64"
+        ).where(
+            F.col("query_id") != F.col("id")
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("distance").asc(), F.col("id").asc()
+        )
+        nn = (
+            raw.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") <= k)
+            .drop("_r", "rank")
+        )
+    else:
+        pairs = b.crossJoin(F.broadcast(q)).where(
+            F.col("query_id") != F.col("id")
+        )
+        scored = pairs.select(
+            "query_id",
+            "id",
+            distance_expr(space, "query_vec", "vector").alias("distance"),
+        )
+        nn = topk_per_query(scored, k)
     return (
         nn.select(
             F.least("query_id", "id").alias("id_a"),

@@ -783,18 +783,18 @@ def main() -> None:
     print(f"== events_outliers histogram-first medians, equi joins: {'OK' if ok else 'FAIL'}")
     failures += not ok
 
-    # 70. mutual_knn_pairs: the knn_flat contract (broadcast queries,
-    # streamed base, WindowGroupLimit partial top-k) + mutuality as ONE
-    # pair-keyed partial agg — no self-join replay of the scoring plan
-    # (exactly one window, exactly one partial_count)
+    # 70. mutual_knn_pairs: the GEMM scan kernel (ONE MapInPandas pass
+    # over the base — no pair-materializing join of any kind) +
+    # mutuality as ONE pair-keyed partial agg; no self-join replay of
+    # the scoring plan
     plan = plan_of(m.queries()["mutual_knn_pairs"](spark, sf_dir))
     ok = (
-        "WindowGroupLimit" in plan
-        and "BroadcastExchange" in plan
+        plan.count("MapInPandas") == 1
+        and "BroadcastNestedLoopJoin" not in plan
+        and "CartesianProduct" not in plan
         and plan.count("partial_count") == 1
-        and plan.count("WindowGroupLimit") == 2  # partial + final pair
     )
-    print(f"== mutual_knn_pairs broadcast scan + single pair agg: {'OK' if ok else 'FAIL'}")
+    print(f"== mutual_knn_pairs GEMM scan + single pair agg: {'OK' if ok else 'FAIL'}")
     failures += not ok
 
     # 71. events_cusum: the drawdown identity needs only the per-series

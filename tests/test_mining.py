@@ -287,7 +287,7 @@ def test_mutual_knn_matches_brute_and_drops_one_directional(spark):
     for k in (1, 2, 3):
         got = {
             (r["id_a"], r["id_b"]): r["distance"]
-            for r in mutual_knn_pairs(df, k=k).collect()
+            for r in mutual_knn_pairs(df, k=k, scorer="expr").collect()
         }
         want = _mutual_brute(vecs, k)
         assert got.keys() == want.keys(), f"k={k}"
@@ -303,8 +303,28 @@ def test_mutual_knn_partitioning_invariance_and_ip_rejected(spark):
 
     rows = [(i, [float((i * 7) % 13), float((i * 3) % 11)]) for i in range(40)]
     df = spark.createDataFrame(rows, "id LONG, vector ARRAY<DOUBLE>")
-    base = sorted(map(tuple, mutual_knn_pairs(df, k=4).collect()))
-    rep = sorted(map(tuple, mutual_knn_pairs(df.repartition(11), k=4).collect()))
+    base = sorted(map(tuple, mutual_knn_pairs(df, k=4, scorer="expr").collect()))
+    rep = sorted(map(tuple, mutual_knn_pairs(df.repartition(11), k=4, scorer="expr").collect()))
     assert base == rep and base
     with _pytest.raises(ValueError):
         mutual_knn_pairs(df, k=4, space="ip")
+
+
+def test_mutual_knn_gemm_scorer_row_identical_to_expr(spark, embeddings):
+    from oasisdb_spark.pipeline.mining import mutual_knn_pairs
+
+    emb = embeddings.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+
+    def rows(scorer):
+        out = mutual_knn_pairs(emb, k=5, space="l2", scorer=scorer)
+        return sorted(
+            (r["id_a"], r["id_b"], round(r["distance"], 3)) for r in out.collect()
+        )
+
+    assert rows("gemm") == rows("expr")
+    import pytest
+
+    with pytest.raises(ValueError, match="scorer"):
+        mutual_knn_pairs(emb, k=2, scorer="fast")
