@@ -4650,6 +4650,24 @@ def _events_credit_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa (operators/evalmetrics.py cohen_kappa — Cohen
+    1960) between each document's DECLARED lang column and the langid
+    detector's prediction — the chance-corrected metadata-QA metric,
+    emitted as exact integer rationals (kappa = kappa_num/kappa_den;
+    multiplying through by n² keeps everything integral and
+    hash-exact). One confusion partial agg + cell-frame folds; the
+    oracle replays the langid argmax (the langid entry's SQL) and the
+    same marginal arithmetic."""
+    from oasisdb_spark.operators.evalmetrics import cohen_kappa
+    from oasisdb_spark.pipeline.text import langid_expr
+
+    docs = _table(spark, sf_dir, "documents").select(
+        "lang", langid_expr("text").alias("lang_pred")
+    )
+    return cohen_kappa(docs, "lang", "lang_pred")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries (observed: r01-r04 rows == registry[0:50]). ROUND-5
@@ -4901,6 +4919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_chi2_gate": _events_chi2_gate,
         "events_cusum_stream": _events_cusum_stream,
         "events_credit_split": _events_credit_split,
+        "langid_kappa": _langid_kappa,
     }
 
 def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -6419,6 +6438,47 @@ SELECT user, conversion_id, conversion_ts,
        CASE WHEN n = 1 THEN 1 WHEN n = 2 THEN 2
             ELSE 100 * (n - 2) END AS u_den
 FROM j
+""",
+        # Cohen's kappa (operators/evalmetrics.py cohen_kappa): the
+        # langid argmax replay + integer marginal arithmetic — n²
+        # multiply-through keeps kappa an exact rational
+        "langid_kappa": """
+WITH t0 AS (
+  SELECT doc_id, lang,
+         list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                   x -> x != '')) AS dtk
+  FROM documents
+), sc AS (
+  SELECT doc_id, lang,
+         len(list_intersect(dtk, ['der', 'die', 'das', 'und', 'ist', 'ein', 'eine', 'zu', 'mit', 'von'])) AS s_de,
+         len(list_intersect(dtk, ['the', 'a', 'of', 'and', 'to', 'in', 'is', 'it', 'that', 'for'])) AS s_en,
+         len(list_intersect(dtk, ['el', 'la', 'los', 'y', 'es', 'un', 'una', 'de', 'en', 'por'])) AS s_es,
+         len(list_intersect(dtk, ['le', 'la', 'les', 'et', 'est', 'un', 'une', 'de', 'dans', 'pour'])) AS s_fr
+  FROM t0
+), pred AS (
+  SELECT lang AS a,
+         CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+              WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+              WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+              WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+              ELSE 'fr' END AS b
+  FROM sc
+), cells AS (
+  SELECT a, b, count(*) AS c FROM pred GROUP BY 1, 2
+), tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN a IS NOT DISTINCT FROM b THEN c ELSE 0 END) AS BIGINT) AS agree
+  FROM cells
+), ra AS (SELECT a, sum(c) AS ra FROM cells GROUP BY 1),
+rb AS (SELECT b, sum(c) AS rb FROM cells GROUP BY 1),
+s AS (
+  SELECT CAST(COALESCE(sum(ra.ra * rb.rb), 0) AS BIGINT) AS s_marginal
+  FROM ra JOIN rb ON ra.a IS NOT DISTINCT FROM rb.b
+)
+SELECT n, agree, s_marginal,
+       agree * n - s_marginal AS kappa_num,
+       n * n - s_marginal AS kappa_den
+FROM tot CROSS JOIN s
 """,
         # PSI drift (operators/quality.py): identical bucket float ops
         # (same order), Laplace-smoothed integer counts, lmic micro-nat

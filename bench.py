@@ -146,6 +146,7 @@ FAMILIES: dict[str, list[str]] = {
     "click_paths": ["events_session_paths"],
     "segmentation": ["customer_rfm"],
     "chi2_gate": ["events_chi2_gate"],
+    "agreement": ["langid_kappa"],
 }
 
 

@@ -24,7 +24,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["recall_at_k", "pair_retrieval_metrics", "rank_eval_at_k", "DISCOUNT_MICRO"]
+__all__ = ["recall_at_k", "pair_retrieval_metrics", "rank_eval_at_k", "cohen_kappa", "DISCOUNT_MICRO"]
 
 # nDCG discount table, micro-quantized at BUILD time: disc[i] for rank
 # i+1 is round(1e6 / log2(rank+1)). Shipping the same INTEGER constants
@@ -172,4 +172,58 @@ def rank_eval_at_k(
                 6,
             ).alias("ndcg"),
         )
+    )
+
+
+def cohen_kappa(
+    df: DataFrame,
+    rater_a_col: str,
+    rater_b_col: str,
+) -> DataFrame:
+    """Cohen's kappa inter-rater agreement (Cohen, 1960) between two
+    categorical columns — the standard chance-corrected metric for
+    label-pipeline QA (human-vs-model, declared-vs-detected metadata) —
+    as an EXACT RATIONAL:
+
+        kappa = (p_o − p_e) / (1 − p_e)
+              = (agree·n − Σ_k ra_k·rb_k) / (n² − Σ_k ra_k·rb_k)
+
+    where ``agree`` counts identical pairs and ra/rb are the per-
+    category marginals: multiplying through by n² leaves pure integer
+    arithmetic, so the emitted (kappa_num, kappa_den) hash-match
+    cross-engine and the caller keeps exactness through sign and
+    threshold tests (divide once at display time). NULL labels count
+    as their own category via null-safe equality — two NULLs agree.
+
+    Shape: one pair-keyed partial agg builds the confusion cells
+    (|A|·|B| rows); marginals and the diagonal fold over the CELL
+    frame; the single output row assembles from three tiny aggregates.
+    int64 budget: n ≤ ~3·10⁹ (n² must fit; kappa is an eval-set
+    metric — beyond that, pre-sample or widen to DECIMAL(38) as the
+    chi² operator does).
+
+    Returns ONE row: (n, agree, s_marginal, kappa_num, kappa_den).
+    """
+    cells = df.groupBy(
+        F.col(rater_a_col).alias("_a"), F.col(rater_b_col).alias("_b")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    tot = cells.agg(
+        F.sum("_c").cast("long").alias("n"),
+        F.sum(F.when(F.col("_a").eqNullSafe(F.col("_b")), F.col("_c")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("agree"),
+    )
+    ra = cells.groupBy("_a").agg(F.sum("_c").alias("_ra"))
+    rb = cells.groupBy("_b").agg(F.sum("_c").alias("_rb"))
+    s = (
+        ra.join(rb, ra["_a"].eqNullSafe(rb["_b"]))
+        .agg(F.coalesce(F.sum(F.col("_ra") * F.col("_rb")), F.lit(0)).cast("long").alias("s_marginal"))
+    )
+    row = tot.crossJoin(F.broadcast(s))
+    return row.select(
+        "n",
+        "agree",
+        "s_marginal",
+        (F.col("agree") * F.col("n") - F.col("s_marginal")).alias("kappa_num"),
+        (F.col("n") * F.col("n") - F.col("s_marginal")).alias("kappa_den"),
     )

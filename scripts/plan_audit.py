@@ -963,6 +963,19 @@ def main() -> None:
     print(f"== events_credit_split join-free credit fan-out: {'OK' if ok else 'FAIL'}")
     failures += not ok
 
+    # 84. langid_kappa: detection is scan-stage Column work (no Python
+    # eval), the confusion matrix is ONE partial agg, and every later
+    # fold runs over the tiny cell frame
+    plan = plan_of(m.queries()["langid_kappa"](spark, sf_dir))
+    ok = (
+        "InPandas" not in plan
+        and "EvalPython" not in plan
+        and "partial_count" in plan
+        and "CartesianProduct" not in plan
+    )
+    print(f"== langid_kappa scan-stage detection, cell-frame folds: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
     print(f"\n{'ALL PLANS OK' if not failures else f'{failures} PLAN CHECKS FAILED'}")
     spark.stop()
     sys.exit(1 if failures else 0)

@@ -80,3 +80,45 @@ def test_rank_eval_at_k_hand_computed(spark):
     # q1: no hits
     assert out[1]["n_hits"] == 0 and out[1]["rr"] == 0.0 and out[1]["ndcg"] == 0.0
     assert out[1]["first_rank"] == 0 and out[1]["dcg_micro"] == 0
+
+
+# ------------------------------------------------------------ kappa
+
+
+def test_cohen_kappa_matches_sklearn_formula_and_edges(spark):
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    from oasisdb_spark.operators.evalmetrics import cohen_kappa
+
+    pairs = [("x", "x")] * 40 + [("x", "y")] * 10 + [("y", "y")] * 30 + \
+            [("y", "x")] * 5 + [("z", "z")] * 15
+    df = spark.createDataFrame(pairs, "a STRING, b STRING")
+    r = cohen_kappa(df, "a", "b").collect()[0]
+    n = len(pairs)
+    agree = sum(1 for a, b in pairs if a == b)
+    from collections import Counter
+
+    ca, cb = Counter(a for a, _ in pairs), Counter(b for _, b in pairs)
+    s = sum(ca[k] * cb.get(k, 0) for k in ca)
+    assert (r["n"], r["agree"], r["s_marginal"]) == (n, agree, s)
+    kappa = Fraction(r["kappa_num"], r["kappa_den"])
+    po, pe = Fraction(agree, n), Fraction(s, n * n)
+    assert kappa == (po - pe) / (1 - pe)
+    assert 0 < float(kappa) < 1
+    # perfect agreement -> kappa == 1; independent-ish -> near 0
+    perf = cohen_kappa(
+        spark.createDataFrame([("a", "a"), ("b", "b")] * 5, "a STRING, b STRING"),
+        "a", "b",
+    ).collect()[0]
+    assert perf["kappa_num"] == perf["kappa_den"] > 0
+    # NULLs are their own category: two NULLs agree
+    withnull = spark.createDataFrame(
+        [("a", "a"), (None, None), ("a", None)], "a STRING, b STRING"
+    )
+    rn = cohen_kappa(withnull, "a", "b").collect()[0]
+    assert rn["agree"] == 2
+    # partitioning invariance
+    r2 = cohen_kappa(df.repartition(7), "a", "b").collect()[0]
+    assert tuple(r2) == tuple(r)
