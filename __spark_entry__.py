@@ -4668,6 +4668,34 @@ def _langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohen_kappa(docs, "lang", "lang_pred")
 
 
+def _events_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over the gap-filled hourly grid
+    (operators/timeseries.py gapfill_interpolate — TimescaleDB
+    interpolate(), the LOCF sibling): per (event_type, hour), the
+    integer-cent hourly total where data exists and the EXACT RATIONAL
+    linear interpolant (num/den — a float division would cost the hash
+    gate) on gap hours, bracketed by the nearest present buckets. Two
+    windows over the grid sort the LOCF pass already pays; the oracle
+    replays the same last/first(ignore nulls) brackets."""
+    from oasisdb_spark.operators.timeseries import (
+        gapfill_interpolate,
+        time_bucket_gapfill,
+    )
+
+    ev = _table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    hourly = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("hour_id"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    dense = time_bucket_gapfill(hourly, "hour_id", ["event_type"])
+    out = gapfill_interpolate(dense, "hour_id", ["event_type"], "cents")
+    return out.select(
+        "event_type", "hour_id", "cents", "is_gap", "interp_num", "interp_den"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries (observed: r01-r04 rows == registry[0:50]). ROUND-5
@@ -4920,6 +4948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cusum_stream": _events_cusum_stream,
         "events_credit_split": _events_credit_split,
         "langid_kappa": _langid_kappa,
+        "events_gapfill_interp": _events_gapfill_interp,
     }
 
 def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -6479,6 +6508,48 @@ SELECT n, agree, s_marginal,
        agree * n - s_marginal AS kappa_num,
        n * n - s_marginal AS kappa_den
 FROM tot CROSS JOIN s
+""",
+        # gapfill interpolation (operators/timeseries.py
+        # gapfill_interpolate): the same last/first(ignore nulls)
+        # bracket windows over the identical dense grid; present rows
+        # emit (y, 1), unbracketed edges NULL
+        "events_gapfill_interp": """
+WITH h AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_id,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), span AS (
+  SELECT event_type, min(hour_id) AS lo, max(hour_id) AS hi FROM h GROUP BY 1
+), dense AS (
+  SELECT event_type, unnest(range(lo, hi + 1)) AS hour_id FROM span
+), j AS (
+  SELECT d.event_type, d.hour_id, h.cents, h.cents IS NULL AS is_gap
+  FROM dense d LEFT JOIN h USING (event_type, hour_id)
+), br AS (
+  SELECT *,
+         last_value(CASE WHEN NOT is_gap THEN hour_id END IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY hour_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t0,
+         last_value(CASE WHEN NOT is_gap THEN cents END IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY hour_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS y0,
+         first_value(CASE WHEN NOT is_gap THEN hour_id END IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY hour_id
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS t1,
+         first_value(CASE WHEN NOT is_gap THEN cents END IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY hour_id
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS y1
+  FROM j
+)
+SELECT event_type, hour_id, cents, is_gap,
+       CASE WHEN NOT is_gap THEN cents
+            WHEN t0 IS NOT NULL AND t1 IS NOT NULL
+            THEN y0 * (t1 - t0) + (y1 - y0) * (hour_id - t0) END AS interp_num,
+       CASE WHEN NOT is_gap THEN 1
+            WHEN t0 IS NOT NULL AND t1 IS NOT NULL
+            THEN t1 - t0 END AS interp_den
+FROM br
 """,
         # PSI drift (operators/quality.py): identical bucket float ops
         # (same order), Laplace-smoothed integer counts, lmic micro-nat

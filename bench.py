@@ -147,6 +147,7 @@ FAMILIES: dict[str, list[str]] = {
     "segmentation": ["customer_rfm"],
     "chi2_gate": ["events_chi2_gate"],
     "agreement": ["langid_kappa"],
+    "interp": ["events_gapfill_interp"],
 }
 
 

@@ -37,7 +37,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["time_bucket_gapfill", "ohlc_bars", "cusum_changepoints", "cusum_stream", "ohlc_rollup", "grouped_trend"]
+__all__ = ["time_bucket_gapfill", "ohlc_bars", "cusum_changepoints", "cusum_stream", "ohlc_rollup", "grouped_trend", "gapfill_interpolate"]
 
 
 def time_bucket_gapfill(
@@ -395,4 +395,67 @@ def cusum_stream(
         .queryName(query_name)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def gapfill_interpolate(
+    dense: DataFrame,
+    bucket_col: str,
+    series_cols: list[str],
+    value_col: str,
+    gap_col: str = "is_gap",
+) -> DataFrame:
+    """Linear interpolation over a gap-filled grid (TimescaleDB
+    ``interpolate()``, the LOCF sibling) — as an EXACT RATIONAL per
+    row, because the interpolated value
+
+        y(t) = y0 + (y1 − y0)·(t − t0)/(t1 − t0)
+
+    is generally not an integer and a float division would cost the
+    hash gate; instead each row emits
+
+        interp_num = y0·(t1 − t0) + (y1 − y0)·(t − t0),
+        interp_den = (t1 − t0)
+
+    (pure int64 for integer values and bucket ids — div once at
+    display time). Present rows emit (y·1 / 1); leading/trailing gaps,
+    which have no bracket on one side, emit NULLs — interpolation is
+    undefined there by definition (LOCF is the one-sided answer).
+
+    Input is ``time_bucket_gapfill`` output (or any dense grid with a
+    gap flag). Two window passes over the SAME (series, bucket) sort
+    the grid already paid for LOCF: last-present-before and
+    first-present-after via last/first(ignorenulls) with the standard
+    frame split. int64 budget: |y|·span must fit — at cents ≤ 10⁹ and
+    spans ≤ 10⁶ buckets the headroom is >10³×.
+    """
+    w_prev = (
+        Window.partitionBy(*series_cols)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy(*series_cols)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    present = F.when(~F.col(gap_col), F.struct(F.col(bucket_col).alias("t"), F.col(value_col).alias("y")))
+    out = dense.withColumn(
+        "_p", F.last(present, ignorenulls=True).over(w_prev)
+    ).withColumn("_n", F.first(present, ignorenulls=True).over(w_next))
+    t0, y0 = F.col("_p.t").cast("long"), F.col("_p.y").cast("long")
+    t1, y1 = F.col("_n.t").cast("long"), F.col("_n.y").cast("long")
+    t = F.col(bucket_col).cast("long")
+    bracketed = F.col("_p").isNotNull() & F.col("_n").isNotNull()
+    # a present row brackets itself (t0 == t1 == t -> 0/0): emit (y, 1)
+    num = F.when(~F.col(gap_col), F.col(value_col).cast("long")).when(
+        bracketed, y0 * (t1 - t0) + (y1 - y0) * (t - t0)
+    )
+    den = F.when(~F.col(gap_col), F.lit(1).cast("long")).when(
+        bracketed, t1 - t0
+    )
+    return (
+        out.withColumn("interp_num", num)
+        .withColumn("interp_den", den)
+        .drop("_p", "_n")
     )

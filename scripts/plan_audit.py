@@ -976,6 +976,19 @@ def main() -> None:
     print(f"== langid_kappa scan-stage detection, cell-frame folds: {'OK' if ok else 'FAIL'}")
     failures += not ok
 
+    # 85. events_gapfill_interp: the bracket windows reuse the grid's
+    # (series, bucket) sort — no extra shuffle beyond the gapfill plan
+    # itself, no Python eval, no cartesian
+    plan = plan_of(m.queries()["events_gapfill_interp"](spark, sf_dir))
+    ok = (
+        "Window" in plan
+        and "InPandas" not in plan
+        and "CartesianProduct" not in plan
+        and "Exchange rangepartitioning" not in plan
+    )
+    print(f"== events_gapfill_interp bracket windows on the grid sort: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
     print(f"\n{'ALL PLANS OK' if not failures else f'{failures} PLAN CHECKS FAILED'}")
     spark.stop()
     sys.exit(1 if failures else 0)

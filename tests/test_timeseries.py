@@ -357,3 +357,67 @@ def test_cusum_stream_equals_batch(spark, tmp_path):
         for r in spark.read.parquet(out_dir).collect()
     )
     assert got == want
+
+
+# ------------------------------------------------------------ interp
+
+
+def test_gapfill_interpolate_rationals(spark):
+    from fractions import Fraction
+
+    from oasisdb_spark.operators.timeseries import (
+        gapfill_interpolate,
+        time_bucket_gapfill,
+    )
+
+    rows = [("a", 10, 100), ("a", 13, 220), ("a", 15, 100),
+            ("b", 5, 7)]
+    df = spark.createDataFrame(rows, "s STRING, b LONG, y LONG")
+    dense = time_bucket_gapfill(df, "b", ["s"])
+    out = {
+        (r["s"], r["b"]): (r["interp_num"], r["interp_den"])
+        for r in gapfill_interpolate(dense, "b", ["s"], "y").collect()
+    }
+    # present rows reproduce themselves exactly
+    assert Fraction(*out[("a", 10)]) == 100
+    assert Fraction(*out[("a", 15)]) == 100
+    # gaps between (10,100) and (13,220): slope 40/bucket
+    assert Fraction(*out[("a", 11)]) == 140
+    assert Fraction(*out[("a", 12)]) == 180
+    # gap at 14 between (13,220) and (15,100): midpoint 160
+    assert Fraction(*out[("a", 14)]) == 160
+    # single-point series: the point reproduces, no gaps exist
+    assert Fraction(*out[("b", 5)]) == 7
+
+
+def test_gapfill_interpolate_fractional_and_invariance(spark):
+    from fractions import Fraction
+
+    from oasisdb_spark.operators.timeseries import (
+        gapfill_interpolate,
+        time_bucket_gapfill,
+    )
+
+    # non-integer interpolant: between (0, 1) and (3, 2) the value at
+    # bucket 1 is 4/3 — exactly representable as the rational
+    df = spark.createDataFrame([("a", 0, 1), ("a", 3, 2)], "s STRING, b LONG, y LONG")
+    dense = time_bucket_gapfill(df, "b", ["s"])
+    out = {
+        r["b"]: (r["interp_num"], r["interp_den"])
+        for r in gapfill_interpolate(dense, "b", ["s"], "y").collect()
+    }
+    assert Fraction(*out[1]) == Fraction(4, 3)
+    assert Fraction(*out[2]) == Fraction(5, 3)
+
+    def run(d):
+        g = time_bucket_gapfill(d, "b", ["s"])
+        return sorted(
+            (r["s"], r["b"], r["interp_num"], r["interp_den"])
+            for r in gapfill_interpolate(g, "b", ["s"], "y").collect()
+        )
+
+    big = spark.createDataFrame(
+        [("s" + str(i % 5), i * 3 % 50, i * 7 % 100) for i in range(80)],
+        "s STRING, b LONG, y LONG",
+    ).dropDuplicates(["s", "b"])
+    assert run(big) == run(big.repartition(9))
