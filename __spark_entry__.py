@@ -4696,6 +4696,29 @@ def _events_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product communities: connected components (operators/
+    connected_components.py hash-min / union-find cutover) over the
+    support-≥3 co-purchase graph (operators/basket.py copurchase_edges
+    as the sparsifier) — the classic 'bought-together families' merch
+    view, and the third consumer of the shared graph core (triangles,
+    communities, plus the pair decorations). Component = min reachable
+    partkey; the oracle replays the transitive closure as a RECURSIVE
+    CTE — algorithm-independence is the cross-check."""
+    from oasisdb_spark.operators.basket import copurchase_edges
+    from oasisdb_spark.operators.connected_components import (
+        connected_components,
+    )
+
+    edges = copurchase_edges(
+        _table(spark, sf_dir, "lineitem"),
+        basket_col="l_orderkey",
+        item_col="l_partkey",
+        min_support=3,
+    ).select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
+    return connected_components(edges)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries (observed: r01-r04 rows == registry[0:50]). ROUND-5
@@ -4949,6 +4972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_credit_split": _events_credit_split,
         "langid_kappa": _langid_kappa,
         "events_gapfill_interp": _events_gapfill_interp,
+        "copurchase_communities": _copurchase_communities,
     }
 
 def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -6550,6 +6574,26 @@ SELECT event_type, hour_id, cents, is_gap,
             WHEN t0 IS NOT NULL AND t1 IS NOT NULL
             THEN t1 - t0 END AS interp_den
 FROM br
+""",
+        # co-purchase communities: min-reachable-id components replayed
+        # as a RECURSIVE-CTE transitive closure (algorithm-independent
+        # cross-check of the hash-min / union-find labeling)
+        "copurchase_communities": """
+WITH RECURSIVE items AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+), e AS (
+  SELECT a.i AS x, b.i AS y FROM items a JOIN items b USING (b)
+  WHERE a.i < b.i GROUP BY 1, 2 HAVING count(*) >= 3
+), sym AS (
+  SELECT x AS a, y AS b FROM e UNION SELECT y, x FROM e
+), nodes AS (
+  SELECT DISTINCT a AS id FROM sym
+), reach AS (
+  SELECT id AS src, id AS dst FROM nodes
+  UNION
+  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+)
+SELECT src AS id, min(dst) AS component FROM reach GROUP BY 1
 """,
         # PSI drift (operators/quality.py): identical bucket float ops
         # (same order), Laplace-smoothed integer counts, lmic micro-nat

@@ -132,6 +132,7 @@ FAMILIES: dict[str, list[str]] = {
     "ohlc_bars": ["events_ohlc", "events_ohlc_stream", "events_ohlc_daily"],
     "market_basket": ["copurchase_pairs"],
     "graph_triangles": ["copurchase_triangles"],
+    "graph_communities": ["copurchase_communities"],
     "robust_outliers": ["events_outliers"],
     "heavy_stream": ["docs_heavy_stream"],
     "mutual_knn": ["mutual_knn_pairs"],

@@ -989,6 +989,17 @@ def main() -> None:
     print(f"== events_gapfill_interp bracket windows on the grid sort: {'OK' if ok else 'FAIL'}")
     failures += not ok
 
+    # 86. copurchase_communities: edge construction stays basket-keyed
+    # equi-joins (no cartesian); labeling takes the union-find cutover
+    # at this scale, so no iterative join stack appears in the plan
+    plan = plan_of(m.queries()["copurchase_communities"](spark, sf_dir))
+    ok = (
+        "CartesianProduct" not in plan
+        and "BroadcastNestedLoopJoin" not in plan
+    )
+    print(f"== copurchase_communities equi-only edges, bounded labeling: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
     print(f"\n{'ALL PLANS OK' if not failures else f'{failures} PLAN CHECKS FAILED'}")
     spark.stop()
     sys.exit(1 if failures else 0)
