@@ -88,3 +88,76 @@ def test_range_join_strategies_agree(sp, pts, ivs, width):
         if lo <= x < lo + w
     )
     assert a == want and b == want
+
+
+# ---------------------------------------------------- cusum / skyline
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(st.integers(min_value=-100, max_value=100), min_size=1, max_size=40),
+    slack=st.integers(min_value=0, max_value=10),
+    target=st.integers(min_value=-20, max_value=20),
+)
+def test_cusum_drawdown_identity_matches_recurrence(sp, vals, slack, target):
+    """The window drawdown identity == the textbook sequential
+    recurrence on arbitrary integer series (the algebraic core of both
+    cusum_changepoints and cusum_stream)."""
+    from pyspark.sql import functions as F
+
+    from oasisdb_spark.operators.timeseries import cusum_changepoints
+
+    df = sp.createDataFrame(
+        [("s", i, v) for i, v in enumerate(vals)], "s STRING, i LONG, x LONG"
+    )
+    out = cusum_changepoints(
+        df, "x", ["s"], ["i"], target=F.lit(target), slack=slack, threshold=10**9
+    )
+    got = [
+        (r["cusum_up"], r["cusum_dn"])
+        for r in sorted(out.collect(), key=lambda r: r["i"])
+    ]
+    up = dn = 0
+    want = []
+    for x in vals:
+        d = x - target
+        up = max(0, up + d - slack)
+        dn = max(0, dn - d - slack)
+        want.append((up, dn))
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),
+            st.integers(min_value=0, max_value=8),
+            st.integers(min_value=0, max_value=8),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_skyline_matches_bruteforce_on_random_points(sp, pts):
+    """Partition-local prune + single resolve == the O(n²) definition,
+    including duplicate points and heavy tie planes."""
+    from oasisdb_spark.operators.skyline import skyline
+
+    rows = [(i, a, b, c) for i, (a, b, c) in enumerate(pts)]
+    df = sp.createDataFrame(rows, "id LONG, a LONG, b LONG, c LONG")
+    got = sorted(
+        tuple(r)
+        for r in skyline(
+            df.repartition(3), [("a", "min"), ("b", "max"), ("c", "min")]
+        ).collect()
+    )
+    def dominated(p, q):  # q strictly dominates p (min a, max b, min c)
+        qa = (q[1], -q[2], q[3]); pa = (p[1], -p[2], p[3])
+        return all(x <= y for x, y in zip(qa, pa)) and any(
+            x < y for x, y in zip(qa, pa)
+        )
+    want = sorted(
+        p for p in rows if not any(dominated(p, q) for q in rows)
+    )
+    assert got == want
