@@ -4719,6 +4719,26 @@ def _copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges)
 
 
+def _orders_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law gate (operators/quality.py goodness_of_fit +
+    BENFORD_MICRO): first significant digits of o_totalprice vs
+    log10(1+1/d), the classic book-cooking / synthetic-data detector,
+    with every χ² contribution computed exactly in 128-bit integers
+    ((O·10⁶ − n·p)² DIV (n·p) — micro-χ², DECIMAL(38) ≡ HUGEINT). One
+    digit partial agg; folds over the 9-row grid. TPC-H prices are
+    uniform-ish, NOT Benford — the gate firing hot on this fixture is
+    the correct answer, and the hashed per-digit evidence shows it."""
+    from oasisdb_spark.operators.quality import BENFORD_MICRO, goodness_of_fit
+
+    o = _table(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1)
+    digits = o.select(
+        F.substring(F.floor("o_totalprice").cast("long").cast("string"), 1, 1)
+        .cast("long")
+        .alias("first_digit")
+    )
+    return goodness_of_fit(digits, "first_digit", BENFORD_MICRO)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries (observed: r01-r04 rows == registry[0:50]). ROUND-5
@@ -4974,6 +4994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_kappa": _langid_kappa,
         "events_gapfill_interp": _events_gapfill_interp,
         "copurchase_communities": _copurchase_communities,
+        "orders_benford": _orders_benford,
     }
 
 def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -6595,6 +6616,37 @@ WITH RECURSIVE items AS (
   SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
 )
 SELECT src AS id, min(dst) AS component FROM reach GROUP BY 1
+""",
+        # Benford gate (operators/quality.py goodness_of_fit): HUGEINT
+        # replay of (O*1e6 - n*p)^2 // (n*p) over the same digit grid
+        "orders_benford": """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+              AS BIGINT) AS category
+  FROM orders WHERE o_totalprice >= 1
+), obs AS (
+  SELECT category, count(*) AS observed FROM d GROUP BY 1
+), grid AS (
+  SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+                        (4, 96910), (5, 79181), (6, 66947),
+                        (7, 57992), (8, 51153), (9, 45757))
+    AS t(category, p_micro)
+), m AS (
+  SELECT COALESCE(g.category, o.category) AS category,
+         g.p_micro, COALESCE(o.observed, 0) AS observed
+  FROM grid g FULL OUTER JOIN obs o USING (category)
+), tot AS (
+  SELECT CAST(sum(observed) AS BIGINT) AS n_total FROM m
+)
+SELECT m.category, m.observed, m.p_micro, tot.n_total,
+       CASE WHEN m.p_micro IS NOT NULL THEN
+         CAST(((CAST(m.observed AS HUGEINT) * 1000000
+                - CAST(tot.n_total AS HUGEINT) * m.p_micro)
+               * (CAST(m.observed AS HUGEINT) * 1000000
+                  - CAST(tot.n_total AS HUGEINT) * m.p_micro))
+              // (CAST(tot.n_total AS HUGEINT) * m.p_micro)
+              AS BIGINT) END AS chi2_contrib_micro
+FROM m CROSS JOIN tot
 """,
         # PSI drift (operators/quality.py): identical bucket float ops
         # (same order), Laplace-smoothed integer counts, lmic micro-nat

@@ -149,6 +149,7 @@ FAMILIES: dict[str, list[str]] = {
     "chi2_gate": ["events_chi2_gate"],
     "agreement": ["langid_kappa"],
     "interp": ["events_gapfill_interp"],
+    "benford": ["orders_benford"],
 }
 
 

@@ -32,6 +32,8 @@ __all__ = [
     "mad_outliers",
     "rolling_zscore_flags",
     "chi2_independence",
+    "goodness_of_fit",
+    "BENFORD_MICRO",
 ]
 
 
@@ -509,4 +511,83 @@ def chi2_independence(
         "col_tot",
         "n_total",
         contrib.alias("chi2_contrib_micro"),
+    )
+
+
+BENFORD_MICRO = {
+    d: m
+    for d, m in zip(
+        range(1, 10),
+        (301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757),
+    )
+}  # round(log10(1 + 1/d) * 1e6); sums to exactly 1_000_000
+
+
+def goodness_of_fit(
+    df: DataFrame,
+    category_col: str,
+    expected_micro: dict,
+) -> DataFrame:
+    """Chi-square goodness-of-fit of a categorical column against FIXED
+    expected probabilities — the Benford's-law fraud gate, schema-drift
+    checks against a contract distribution, loaded-die tests — computed
+    exactly in 128-bit integer space (the chi2_independence sibling;
+    that one tests two columns against each other, this one tests one
+    column against a known law):
+
+        contrib_micro = (O·10⁶ − n·p_micro)² ÷ (n · p_micro)
+
+    (the exact (O−E)²/E with E = n·p_micro/10⁶, multiplied through by
+    10⁶ twice — once to clear E's denominator, once for the micro
+    output unit — and floor-divided once at the end)
+
+    per expected category, where ``expected_micro`` maps category →
+    integer micro-probability (must sum to exactly 1e6 — validated
+    loudly; BENFORD_MICRO is the canonical instance). Σ contribs / 10⁶
+    is the χ² statistic against df = |categories| − 1. Expected
+    categories with zero observations still contribute (n·p — the
+    grid join keeps them); OBSERVED categories outside the expected
+    support emit a row with NULL contrib (p = 0 means χ² is undefined
+    there — surfacing them is the point, silently dropping them would
+    hide exactly the fraud the gate looks for).
+
+    Shape: one category partial agg over the scan, then every fold
+    runs over the |categories|-row frame. DECIMAL(38) products ÷ via
+    the proven DIV ≡ HUGEINT // idiom; digit budget (O·10⁶)² ≤
+    10³⁸ → n ≤ ~10¹³ (comfortably past any audit table).
+    """
+    if sum(expected_micro.values()) != 1_000_000:
+        raise ValueError(
+            "goodness_of_fit: expected_micro must sum to exactly 1_000_000, "
+            f"got {sum(expected_micro.values())}"
+        )
+    spark = df.sparkSession
+    obs = df.groupBy(F.col(category_col).alias("category")).agg(
+        F.count(F.lit(1)).alias("observed")
+    )
+    grid = spark.createDataFrame(
+        [(k, v) for k, v in expected_micro.items()],
+        ["category", "p_micro"],
+    )
+    m = grid.join(obs, on="category", how="full_outer").withColumn(
+        "observed", F.coalesce("observed", F.lit(0))
+    )
+    tot = m.agg(F.sum("observed").cast("long").alias("n_total"))
+    m = m.crossJoin(F.broadcast(tot))
+    contrib = F.expr(
+        "CAST(((CAST(observed AS DECIMAL(38,0)) * 1000000"
+        "  - CAST(n_total AS DECIMAL(38,0)) * p_micro)"
+        " * (CAST(observed AS DECIMAL(38,0)) * 1000000"
+        "  - CAST(n_total AS DECIMAL(38,0)) * p_micro))"
+        " DIV (CAST(n_total AS DECIMAL(38,0)) * p_micro)"
+        " AS BIGINT)"
+    )
+    return m.select(
+        "category",
+        "observed",
+        "p_micro",
+        "n_total",
+        F.when(F.col("p_micro").isNotNull(), contrib).alias(
+            "chi2_contrib_micro"
+        ),
     )

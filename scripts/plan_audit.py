@@ -1000,6 +1000,17 @@ def main() -> None:
     print(f"== copurchase_communities equi-only edges, bounded labeling: {'OK' if ok else 'FAIL'}")
     failures += not ok
 
+    # 87. orders_benford: one digit partial agg over a 1-column pruned
+    # scan; every later fold runs on the 9-row grid
+    plan = plan_of(m.queries()["orders_benford"](spark, sf_dir))
+    ok = (
+        "partial_count" in plan
+        and "ReadSchema: struct<o_totalprice:double>" in plan
+        and "CartesianProduct" not in plan
+    )
+    print(f"== orders_benford pruned scan, grid-frame folds: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
     print(f"\n{'ALL PLANS OK' if not failures else f'{failures} PLAN CHECKS FAILED'}")
     spark.stop()
     sys.exit(1 if failures else 0)

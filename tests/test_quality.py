@@ -414,3 +414,54 @@ def test_chi2_independent_data_small_and_invariance(spark):
         return sorted(tuple(r) for r in chi2_independence(d, "a", "b").collect())
 
     assert run(df.repartition(7)) == run(df.orderBy(F.rand(9)).coalesce(1))
+
+
+# ------------------------------------------------------------ benford
+
+
+def test_goodness_of_fit_matches_bigint_replay_and_edges(spark):
+    import random
+
+    from oasisdb_spark.operators.quality import BENFORD_MICRO, goodness_of_fit
+
+    rng = random.Random(59)
+    # Benford-ish sample: leading digits of exponentially spread values
+    digits = [int(str(int(10 ** (rng.random() * 6) + 1))[0]) for _ in range(3000)]
+    df = spark.createDataFrame([(d,) for d in digits], "d LONG")
+    out = {r["category"]: r for r in goodness_of_fit(df, "d", BENFORD_MICRO).collect()}
+    from collections import Counter
+
+    cnt = Counter(digits)
+    n = len(digits)
+    for d in range(1, 10):
+        o, p = cnt.get(d, 0), BENFORD_MICRO[d]
+        want = (o * 10**6 - n * p) ** 2 // (n * p)
+        r = out[d]
+        assert (r["observed"], r["n_total"], r["chi2_contrib_micro"]) == (o, n, want)
+    # float chi2 agreement at floor precision
+    total = sum(r["chi2_contrib_micro"] for r in out.values()) / 1e6
+    fchi = sum(
+        (cnt.get(d, 0) - n * p / 1e6) ** 2 / (n * p / 1e6)
+        for d, p in BENFORD_MICRO.items()
+    )
+    assert abs(total - fchi) < 1e-2
+    # a Benford-conforming sample passes a generous gate (chi2 << 100)
+    assert total < 50
+
+
+def test_goodness_of_fit_unexpected_and_missing_categories(spark):
+    import pytest
+
+    from oasisdb_spark.operators.quality import goodness_of_fit
+
+    df = spark.createDataFrame([("a",)] * 9 + [("x",)], "c STRING")
+    exp = {"a": 500_000, "b": 500_000}
+    out = {r["category"]: r for r in goodness_of_fit(df, "c", exp).collect()}
+    # missing expected category still contributes (O=0 -> n*p term)
+    assert out["b"]["observed"] == 0 and out["b"]["chi2_contrib_micro"] > 0
+    # observed-but-unexpected category surfaces with NULL contrib
+    assert out["x"]["p_micro"] is None and out["x"]["chi2_contrib_micro"] is None
+    # n_total counts EVERY observation including unexpected ones
+    assert out["a"]["n_total"] == 10
+    with pytest.raises(ValueError, match="sum"):
+        goodness_of_fit(df, "c", {"a": 1})
