@@ -4739,6 +4739,28 @@ def _orders_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     return goodness_of_fit(digits, "first_digit", BENFORD_MICRO)
 
 
+def _copurchase_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules (operators/basket.py association_rules — the
+    Agrawal-Srikant confidence/lift step over copurchase_pairs):
+    directed part→part rules at ≥10% confidence (TPC-H parts are
+    near-independent — 14% is the fixture's max), confidence and lift
+    as EXACT integer rationals (threshold applied by
+    cross-multiplication, never division). One explode over the pair
+    frame — baskets are never rescanned."""
+    from oasisdb_spark.operators.basket import (
+        association_rules,
+        copurchase_pairs,
+    )
+
+    pairs = copurchase_pairs(
+        _table(spark, sf_dir, "lineitem"),
+        basket_col="l_orderkey",
+        item_col="l_partkey",
+        min_support=3,
+    )
+    return association_rules(pairs, min_confidence_pct=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries (observed: r01-r04 rows == registry[0:50]). ROUND-5
@@ -4995,6 +5017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gapfill_interp": _events_gapfill_interp,
         "copurchase_communities": _copurchase_communities,
         "orders_benford": _orders_benford,
+        "copurchase_rules": _copurchase_rules,
     }
 
 def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -6647,6 +6670,33 @@ SELECT m.category, m.observed, m.p_micro, tot.n_total,
               // (CAST(tot.n_total AS HUGEINT) * m.p_micro)
               AS BIGINT) END AS chi2_contrib_micro
 FROM m CROSS JOIN tot
+""",
+        # association rules (operators/basket.py association_rules):
+        # integer confidence/lift rationals; >=50% by cross-multiply
+        "copurchase_rules": """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+), sup AS (
+  SELECT i, count(*) AS s FROM items GROUP BY 1
+), nb AS (
+  SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM items
+), p AS (
+  SELECT a.i AS x, b.i AS y, count(*) AS ps
+  FROM items a JOIN items b USING (b)
+  WHERE a.i < b.i GROUP BY 1, 2 HAVING count(*) >= 3
+), dec AS (
+  SELECT p.x, p.y, p.ps, sa.s AS s_x, sb.s AS s_y, nb.n
+  FROM p JOIN sup sa ON p.x = sa.i JOIN sup sb ON p.y = sb.i
+  CROSS JOIN nb
+), directed AS (
+  SELECT x AS antecedent, y AS consequent, ps AS pair_support,
+         ps AS conf_num, s_x AS conf_den,
+         ps * n AS lift_num, s_x * s_y AS lift_den
+  FROM dec
+  UNION ALL
+  SELECT y, x, ps, ps, s_y, ps * n, s_x * s_y FROM dec
+)
+SELECT * FROM directed WHERE conf_num * 100 >= 10 * conf_den
 """,
         # PSI drift (operators/quality.py): identical bucket float ops
         # (same order), Laplace-smoothed integer counts, lmic micro-nat

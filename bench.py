@@ -130,7 +130,7 @@ FAMILIES: dict[str, list[str]] = {
     "drift_gate": ["events_value_drift", "events_drift_stream"],
     # round-6 batch 3 (additive — earlier families untouched)
     "ohlc_bars": ["events_ohlc", "events_ohlc_stream", "events_ohlc_daily"],
-    "market_basket": ["copurchase_pairs"],
+    "market_basket": ["copurchase_pairs", "copurchase_rules"],
     "graph_triangles": ["copurchase_triangles"],
     "graph_communities": ["copurchase_communities"],
     "robust_outliers": ["events_outliers"],

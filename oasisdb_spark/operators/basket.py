@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["copurchase_edges", "copurchase_pairs"]
+__all__ = ["copurchase_edges", "copurchase_pairs", "association_rules"]
 
 
 def _basket_items(
@@ -135,3 +135,61 @@ def copurchase_pairs(
             "n_baskets",
         )
     )
+
+
+def association_rules(
+    pairs: DataFrame,
+    min_confidence_pct: int = 0,
+) -> DataFrame:
+    """Directed association rules from ``copurchase_pairs`` output —
+    the Agrawal-Srikant confidence/lift step, kept EXACT: confidence
+    and lift are emitted as integer numerator/denominator pairs
+    (confidence(A→B) = pair_support/support_A; lift = pair_support ·
+    n_baskets / (support_A · support_B) — floats would divide
+    differently across engines and cannot express the thresholds
+    exactly). Each undirected pair fans out to its two directed rules
+    via one explode — no join, no second pass over baskets;
+    ``min_confidence_pct`` (integer percent) prunes by
+    cross-multiplication, never division.
+
+    Returns (antecedent, consequent, pair_support, conf_num, conf_den,
+    lift_num, lift_den) — lift shares its numerator across the two
+    directions (lift is symmetric); confidence does not.
+    """
+    if not 0 <= min_confidence_pct <= 100:
+        raise ValueError(
+            f"association_rules: min_confidence_pct in [0, 100], got {min_confidence_pct}"
+        )
+    directed = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("item_a").alias("antecedent"),
+                    F.col("item_b").alias("consequent"),
+                    F.col("support_a").alias("conf_den"),
+                ),
+                F.struct(
+                    F.col("item_b").alias("antecedent"),
+                    F.col("item_a").alias("consequent"),
+                    F.col("support_b").alias("conf_den"),
+                ),
+            )
+        ).alias("r"),
+        F.col("pair_support"),
+        (F.col("pair_support") * F.col("n_baskets")).alias("lift_num"),
+        (F.col("support_a") * F.col("support_b")).alias("lift_den"),
+    )
+    out = directed.select(
+        F.col("r.antecedent").alias("antecedent"),
+        F.col("r.consequent").alias("consequent"),
+        "pair_support",
+        F.col("pair_support").alias("conf_num"),
+        F.col("r.conf_den").alias("conf_den"),
+        "lift_num",
+        "lift_den",
+    )
+    if min_confidence_pct:
+        out = out.where(
+            F.col("conf_num") * 100 >= F.lit(int(min_confidence_pct)) * F.col("conf_den")
+        )
+    return out

@@ -1011,6 +1011,18 @@ def main() -> None:
     print(f"== orders_benford pruned scan, grid-frame folds: {'OK' if ok else 'FAIL'}")
     failures += not ok
 
+    # 88. copurchase_rules: rule fan-out is ONE explode over the pair
+    # frame — baskets are never rescanned past the pair build; all
+    # joins equi, no cartesian
+    plan = plan_of(m.queries()["copurchase_rules"](spark, sf_dir))
+    ok = (
+        "Generate explode" in plan
+        and "CartesianProduct" not in plan
+        and "BroadcastNestedLoopJoin" in plan  # only the 1-row n_baskets scalar
+    )
+    print(f"== copurchase_rules explode fan-out, scalar-only BNLJ: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
     print(f"\n{'ALL PLANS OK' if not failures else f'{failures} PLAN CHECKS FAILED'}")
     spark.stop()
     sys.exit(1 if failures else 0)

@@ -77,3 +77,48 @@ def test_partitioning_invariance(spark):
 def test_min_support_validation(spark):
     with pytest.raises(ValueError):
         copurchase_pairs(_df(spark), "basket", "item", min_support=0)
+
+
+# ------------------------------------------------------------ rules
+
+
+def test_association_rules_rationals_and_threshold(spark):
+    from fractions import Fraction
+
+    from oasisdb_spark.operators.basket import association_rules, copurchase_pairs
+
+    rows = [  # baskets: {1,2,3} x3, {1,2} x2, {2,3}, {1,4}
+        (b, i)
+        for b, items in enumerate(
+            [[1, 2, 3]] * 3 + [[1, 2]] * 2 + [[2, 3]] + [[1, 4]]
+        )
+        for i in items
+    ]
+    df = spark.createDataFrame(rows, "b LONG, i LONG")
+    pairs = copurchase_pairs(df, "b", "i", min_support=1)
+    rules = {
+        (r["antecedent"], r["consequent"]): r
+        for r in association_rules(pairs).collect()
+    }
+    # supports: s1=6, s2=6, s3=4, s4=1, n=7; pair(1,2)=5
+    r12 = rules[(1, 2)]
+    assert Fraction(r12["conf_num"], r12["conf_den"]) == Fraction(5, 6)
+    assert Fraction(r12["lift_num"], r12["lift_den"]) == Fraction(5 * 7, 6 * 6)
+    # direction matters for confidence, not lift
+    r21 = rules[(2, 1)]
+    assert Fraction(r21["conf_num"], r21["conf_den"]) == Fraction(5, 6)
+    r23, r32 = rules[(2, 3)], rules[(3, 2)]
+    assert Fraction(r23["conf_num"], r23["conf_den"]) == Fraction(4, 6)
+    assert Fraction(r32["conf_num"], r32["conf_den"]) == Fraction(4, 4)
+    assert (r23["lift_num"], r23["lift_den"]) == (r32["lift_num"], r32["lift_den"])
+    # integer-percent threshold prunes by cross-multiplication
+    strict = {
+        (r["antecedent"], r["consequent"])
+        for r in association_rules(pairs, min_confidence_pct=80).collect()
+    }
+    assert (3, 2) in strict and (1, 2) in strict  # 100% and 83.3%
+    assert (2, 3) not in strict                   # 66.7%
+    import pytest
+
+    with pytest.raises(ValueError, match="min_confidence_pct"):
+        association_rules(pairs, min_confidence_pct=101)
