@@ -4761,6 +4761,29 @@ def _copurchase_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return association_rules(pairs, min_confidence_pct=10)
 
 
+def _events_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed ordered funnel (operators/funnel.py windowed_funnel —
+    ClickHouse windowFunnel / Amplitude conversion windows): users
+    completing view→click→purchase with the WHOLE chain inside one
+    hour of its first event. The chain predicate is a nested-
+    quantifier Column expression — exact where the classic one-best-
+    chain-per-stage DP provably is not (test-pinned trap case) — over
+    ONE user-key shuffle of per-step ts lists. The oracle quantifies
+    the same chains as EXISTS joins: algorithm independence is the
+    cross-check."""
+    from oasisdb_spark.operators.funnel import windowed_funnel
+    from oasisdb_spark.sources.tables import event_time_micros
+
+    ev = _table(spark, sf_dir, "events")
+    ev = ev.withColumn("ts_us", event_time_micros(ev))
+    return windowed_funnel(
+        ev,
+        ["view", "click", "purchase"],
+        window=3_600_000_000,
+        ts_col="ts_us",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries (observed: r01-r04 rows == registry[0:50]). ROUND-5
@@ -5018,6 +5041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_communities": _copurchase_communities,
         "orders_benford": _orders_benford,
         "copurchase_rules": _copurchase_rules,
+        "events_windowed_funnel": _events_windowed_funnel,
     }
 
 def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -6697,6 +6721,40 @@ WITH items AS (
   SELECT y, x, ps, ps, s_y, ps * n, s_x * s_y FROM dec
 )
 SELECT * FROM directed WHERE conf_num * 100 >= 10 * conf_den
+""",
+        # windowed funnel (operators/funnel.py windowed_funnel): the
+        # chain predicate quantified as EXISTS joins — algorithm-
+        # independent cross-check of the nested-lambda expression
+        "events_windowed_funnel": """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS ts, event_type
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+), s1 AS (
+  SELECT DISTINCT user_id FROM ev WHERE event_type = 'view'
+), s2 AS (
+  SELECT DISTINCT v.user_id
+  FROM ev v JOIN ev c ON c.user_id = v.user_id
+  WHERE v.event_type = 'view' AND c.event_type = 'click'
+    AND c.ts > v.ts AND c.ts <= v.ts + 3600000000
+), s3 AS (
+  SELECT DISTINCT v.user_id
+  FROM ev v
+  JOIN ev c ON c.user_id = v.user_id
+  JOIN ev p ON p.user_id = v.user_id
+  WHERE v.event_type = 'view' AND c.event_type = 'click'
+    AND p.event_type = 'purchase'
+    AND c.ts > v.ts AND p.ts > c.ts AND p.ts <= v.ts + 3600000000
+), c AS (
+  SELECT (SELECT count(*) FROM s1) AS c1,
+         (SELECT count(*) FROM s2) AS c2,
+         (SELECT count(*) FROM s3) AS c3
+)
+SELECT 1 AS step, 'view' AS step_name, CAST(c1 AS BIGINT) AS n_users,
+       round(CAST(c1 AS DOUBLE) / c1, 6) AS conversion FROM c
+UNION ALL SELECT 2, 'click', CAST(c2 AS BIGINT),
+       round(CAST(c2 AS DOUBLE) / c1, 6) FROM c
+UNION ALL SELECT 3, 'purchase', CAST(c3 AS BIGINT),
+       round(CAST(c3 AS DOUBLE) / c2, 6) FROM c
 """,
         # PSI drift (operators/quality.py): identical bucket float ops
         # (same order), Laplace-smoothed integer counts, lmic micro-nat

@@ -150,6 +150,7 @@ FAMILIES: dict[str, list[str]] = {
     "agreement": ["langid_kappa"],
     "interp": ["events_gapfill_interp"],
     "benford": ["orders_benford"],
+    "windowed_funnel": ["events_windowed_funnel"],
 }
 
 

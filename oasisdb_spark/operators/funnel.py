@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["funnel_steps", "stage_rollup", "cohort_retention", "attribute_conversions", "attribution_credits", "event_transitions", "session_paths"]
+__all__ = ["funnel_steps", "stage_rollup", "cohort_retention", "attribute_conversions", "attribution_credits", "event_transitions", "session_paths", "windowed_funnel", "windowed_chain_exists"]
 
 
 def max_funnel_stage(
@@ -478,3 +478,94 @@ def attribution_credits(
         u_num.cast("long").alias("u_num"),
         u_den.cast("long").alias("u_den"),
     )
+
+
+def windowed_chain_exists(
+    step_ts_lists: list[Column],
+    window: int,
+) -> Column:
+    """TRUE iff events e₁ < e₂ < … < e_n exist (strictly increasing
+    numeric timestamps, one drawn from each list in order) with
+    ``ts(e_n) − ts(e₁) ≤ window`` — the conversion-chain predicate of
+    ClickHouse ``windowFunnel`` / Amplitude conversion windows, as a
+    pure nested-quantifier Column expression (no join, no Python).
+
+    Exactness note: the tempting single-pass DP ("keep the best chain
+    per stage") is WRONG here — a chain with a later start can carry a
+    later last-event and block an extension an earlier-start chain
+    would allow, so one (start, last) pair per stage loses solutions;
+    the nested EXISTS quantifies over all chains and cannot. Cost is
+    Π|step lists| per entity worst-case — funnel windows are short and
+    per-user step events few; cap pathological users upstream (the
+    max_basket_items discipline) if a fixture says otherwise.
+    """
+
+    def build(i: int, prev: Column | None, start: Column | None) -> Column:
+        if i == len(step_ts_lists):
+            return F.lit(True)
+        if i == 0:
+            return F.exists(
+                step_ts_lists[0], lambda t: build(1, t, t)
+            )
+        return F.exists(
+            step_ts_lists[i],
+            lambda t: (t > prev)
+            & (t <= start + F.lit(int(window)))
+            & build(i + 1, t, start),
+        )
+
+    return build(0, None, None)
+
+
+def windowed_funnel(
+    events: DataFrame,
+    steps: list[str],
+    window: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Windowed ordered funnel (ClickHouse ``windowFunnel``): a user
+    completes stage k when a strictly-increasing chain of
+    ``steps[0..k-1]`` events exists with the WHOLE chain inside
+    ``window`` of its first event (``ts_col`` numeric, e.g. epoch
+    micros; ``window`` in the same unit). The plain funnel asks "did
+    they ever convert"; this one asks "did they convert within an
+    hour" — the form product analytics actually reports.
+
+    Same engine shape as ``funnel_steps``: filter to step types at the
+    scan, ONE user-key shuffle collecting per-step sorted ts lists,
+    then the nested-quantifier chain predicate per prefix length (a
+    Column expression — stage = the longest prefix whose chain
+    exists), and the tiny stage rollup.
+    """
+    seq = (
+        events.filter(F.col(type_col).isin(steps))
+        .select(
+            F.col(user_col).alias("user_id"),
+            F.struct(
+                F.col(ts_col).cast("long").alias("ts"),
+                F.col(type_col).alias("event_type"),
+            ).alias("ev"),
+        )
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("ev")).alias("seq"))
+    )
+    def _step_ts(step: str) -> Column:
+        # NOTE: a `lambda e, s=step:` default-arg closure would be read
+        # by pyspark's HOF arity inspection as the (element, index)
+        # two-arg filter form — the index column would silently replace
+        # the step string. A real closure per step avoids that.
+        return F.transform(
+            F.filter(F.col("seq"), lambda e: e["event_type"] == step),
+            lambda e: e["ts"],
+        )
+
+    lists = [_step_ts(s) for s in steps]
+    stage = F.lit(0)
+    for k in range(1, len(steps) + 1):
+        stage = F.when(windowed_chain_exists(lists[:k], window), F.lit(k)).otherwise(
+            stage
+        )
+    per_user = seq.select("user_id", stage.cast("int").alias("stage"))
+    return stage_rollup(per_user, steps)

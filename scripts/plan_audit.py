@@ -1023,6 +1023,19 @@ def main() -> None:
     print(f"== copurchase_rules explode fan-out, scalar-only BNLJ: {'OK' if ok else 'FAIL'}")
     failures += not ok
 
+    # 89. events_windowed_funnel: the chain predicate stays a Column
+    # expression — no Python eval, no join (the oracle joins; we
+    # quantify over collected per-step lists), one user shuffle
+    plan = plan_of(m.queries()["events_windowed_funnel"](spark, sf_dir))
+    ok = (
+        "Join" not in plan
+        and "InPandas" not in plan
+        and "EvalPython" not in plan
+        and plan.count("Exchange hashpartitioning") == 1
+    )
+    print(f"== events_windowed_funnel join-free quantified chains: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
     print(f"\n{'ALL PLANS OK' if not failures else f'{failures} PLAN CHECKS FAILED'}")
     spark.stop()
     sys.exit(1 if failures else 0)

@@ -356,3 +356,90 @@ def test_attribution_credits_partitioning_invariant(spark):
         )
 
     assert run(df) == run(df.repartition(9)) == run(df.orderBy(F.rand(7)).coalesce(1))
+
+
+# ------------------------------------------------------- windowed funnel
+
+
+def _wf_brute(rows, steps, window):
+    """Exhaustive chain search per user — ground truth."""
+    from itertools import product
+
+    out = {}
+    users = {u for (u, _, _) in rows}
+    for u in users:
+        evs = sorted((t, ty) for (uu, t, ty) in rows if uu == u)
+        best = 0
+        for k in range(1, len(steps) + 1):
+            lists = [[t for (t, ty) in evs if ty == s] for s in steps[:k]]
+            found = False
+            for chain in product(*lists):
+                if all(b > a for a, b in zip(chain, chain[1:])) and (
+                    chain[-1] - chain[0] <= window
+                ):
+                    found = True
+                    break
+            if found:
+                best = k
+        out[u] = best
+    return out
+
+
+def test_windowed_funnel_matches_brute_incl_dp_trap(spark):
+    from oasisdb_spark.operators.funnel import windowed_funnel
+
+    rows = [
+        # user 1: converts fully inside the window
+        (1, 10, "view"), (1, 20, "click"), (1, 30, "buy"),
+        # user 2: converts, but only outside the window (stage stops at 2)
+        (2, 10, "view"), (2, 20, "click"), (2, 200, "buy"),
+        # user 3: THE DP TRAP - two stage-2 chains: (start 30, last 90)
+        # and (start 10, last 40); buy@95 only extends the EARLIER-start
+        # chain (95-10 <= 100 but 95 <= 90 fails strict > for the other?
+        # no: 95 > 90 ok but 95 - 30 <= 100 ok too...) make it real:
+        # chains (start 30, last 96) and (start 10, last 40), buy@95:
+        # chain A's last 96 >= 95 blocks it; chain B extends (95-10<=100)
+        (3, 30, "view"), (3, 96, "click"),
+        (3, 10, "view"), (3, 40, "click"), (3, 95, "buy"),
+        # user 4: right order, wrong window even pairwise
+        (4, 0, "view"), (4, 300, "click"),
+        # user 5: no step events at all -> not in the rollup base
+        (5, 7, "signup"),
+    ]
+    df = spark.createDataFrame(rows, "user_id LONG, ts LONG, event_type STRING")
+    steps = ["view", "click", "buy"]
+    out = {r["step"]: r["n_users"] for r in
+           windowed_funnel(df, steps, window=100, ts_col="ts").collect()}
+    want_stage = _wf_brute(rows, steps, 100)
+    assert want_stage[3] == 3  # the trap user DOES convert
+    for k, name in enumerate(steps, 1):
+        assert out[k] == sum(1 for v in want_stage.values() if v >= k), name
+
+
+def test_windowed_funnel_random_brute_parity_and_invariance(spark):
+    import random
+
+    from oasisdb_spark.operators.funnel import windowed_funnel
+
+    rng = random.Random(61)
+    rows = [
+        (u, rng.randrange(0, 60), rng.choice(["a", "b", "c", "noise"]))
+        for u in range(25) for _ in range(rng.randrange(1, 12))
+    ]
+    df = spark.createDataFrame(rows, "user_id LONG, ts LONG, event_type STRING")
+    steps = ["a", "b", "c"]
+    want_stage = _wf_brute(
+        [(u, t, ty) for (u, t, ty) in rows if ty in steps], steps, 15
+    )
+
+    def run(d):
+        return sorted(
+            (r["step"], r["n_users"])
+            for r in windowed_funnel(d, steps, window=15, ts_col="ts").collect()
+        )
+
+    base = run(df)
+    assert base == [
+        (k, sum(1 for v in want_stage.values() if v >= k)) for k in (1, 2, 3)
+    ]
+    assert base == run(df.repartition(9))
