@@ -4784,6 +4784,26 @@ def _events_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_seasonal_resid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive residuals (operators/timeseries.py
+    seasonal_residuals): each event's deviation from its (event_type,
+    hour-of-day) slot mean as an exact rational — the pre-step that
+    lets CUSUM / the rolling z-gate monitor seasonally adjusted values
+    instead of alarming on every rush hour. ONE slot partial agg +
+    broadcast join back; the raw table never reshuffles. Full 10k-row
+    residual table hashed."""
+    from oasisdb_spark.operators.timeseries import seasonal_residuals
+
+    ev = _table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    obs = ev.select(
+        "event_id",
+        "event_type",
+        F.hour("ts").alias("hod"),
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    return seasonal_residuals(obs, "value_cents", ["event_type"], "hod")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries (observed: r01-r04 rows == registry[0:50]). ROUND-5
@@ -5042,6 +5062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_benford": _orders_benford,
         "copurchase_rules": _copurchase_rules,
         "events_windowed_funnel": _events_windowed_funnel,
+        "events_seasonal_resid": _events_seasonal_resid,
     }
 
 def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -6755,6 +6776,26 @@ UNION ALL SELECT 2, 'click', CAST(c2 AS BIGINT),
        round(CAST(c2 AS DOUBLE) / c1, 6) FROM c
 UNION ALL SELECT 3, 'purchase', CAST(c3 AS BIGINT),
        round(CAST(c3 AS DOUBLE) / c2, 6) FROM c
+""",
+        # seasonal residuals (operators/timeseries.py
+        # seasonal_residuals): identical slot profile + rational
+        # deviation arithmetic
+        "events_seasonal_resid": """
+WITH o AS (
+  SELECT event_id, event_type, hour(ts) AS hod,
+         CAST(round(value * 100) AS BIGINT) AS value_cents
+  FROM events WHERE value IS NOT NULL
+), prof AS (
+  SELECT event_type, hod,
+         CAST(sum(value_cents) AS BIGINT) AS slot_sum,
+         count(value_cents) AS slot_n
+  FROM o GROUP BY 1, 2
+)
+SELECT o.event_id, o.event_type, o.hod, o.value_cents,
+       p.slot_sum, p.slot_n,
+       o.value_cents * p.slot_n - p.slot_sum AS resid_num,
+       p.slot_n AS resid_den
+FROM o JOIN prof p USING (event_type, hod)
 """,
         # PSI drift (operators/quality.py): identical bucket float ops
         # (same order), Laplace-smoothed integer counts, lmic micro-nat

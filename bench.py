@@ -151,6 +151,7 @@ FAMILIES: dict[str, list[str]] = {
     "interp": ["events_gapfill_interp"],
     "benford": ["orders_benford"],
     "windowed_funnel": ["events_windowed_funnel"],
+    "seasonal": ["events_seasonal_resid"],
 }
 
 

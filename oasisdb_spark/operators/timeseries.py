@@ -37,7 +37,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["time_bucket_gapfill", "ohlc_bars", "cusum_changepoints", "cusum_stream", "ohlc_rollup", "grouped_trend", "gapfill_interpolate"]
+__all__ = ["time_bucket_gapfill", "ohlc_bars", "cusum_changepoints", "cusum_stream", "ohlc_rollup", "grouped_trend", "gapfill_interpolate", "seasonal_residuals"]
 
 
 def time_bucket_gapfill(
@@ -459,3 +459,42 @@ def gapfill_interpolate(
         .withColumn("interp_den", den)
         .drop("_p", "_n")
     )
+
+
+def seasonal_residuals(
+    df: DataFrame,
+    value_col: str,
+    series_cols: list[str],
+    season_col: str,
+) -> DataFrame:
+    """Seasonal-naive decomposition: per (series, season slot) — e.g.
+    hour-of-day, day-of-week — learn the slot profile (integer sum +
+    count) and attach each observation's deviation from its slot mean
+    as an EXACT RATIONAL::
+
+        residual = y − Σslot/n_slot  →  (y·n_slot − Σslot) / n_slot
+
+    The monitoring family's pre-step: CUSUM or the rolling z-gate on
+    RAW values alarms on every rush hour; run them on these residuals
+    (or on ``resid_num`` with a slot-constant scale) and the seasonal
+    pattern cancels while genuine shifts remain. No division — the
+    num/den pair is fold-order-free and hash-exact, and the caller
+    compares rationals by cross-multiplication as everywhere else in
+    the repo.
+
+    Shape: ONE (series, slot) partial agg over the scan — the profile
+    frame is slot-cardinality (e.g. 24·|series| rows) — broadcast-
+    joined back to the raw rows. The raw table never reshuffles.
+    int64 budget: |y|·n_slot must fit — cents × rows-per-slot, >10³
+    headroom at any fixture-like scale; beyond that, DECIMAL widening
+    as usual.
+    """
+    prof = df.groupBy(*series_cols, season_col).agg(
+        F.sum(F.col(value_col).cast("long")).alias("slot_sum"),
+        F.count(F.col(value_col)).alias("slot_n"),
+    )
+    joined = df.join(F.broadcast(prof), on=[*series_cols, season_col])
+    y = F.col(value_col).cast("long")
+    return joined.withColumn(
+        "resid_num", y * F.col("slot_n") - F.col("slot_sum")
+    ).withColumn("resid_den", F.col("slot_n"))

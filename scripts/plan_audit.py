@@ -1036,6 +1036,19 @@ def main() -> None:
     print(f"== events_windowed_funnel join-free quantified chains: {'OK' if ok else 'FAIL'}")
     failures += not ok
 
+    # 90. events_seasonal_resid: the slot profile joins back as a
+    # BROADCAST (slot-cardinality frame) — the raw events never
+    # reshuffle; one partial agg
+    plan = plan_of(m.queries()["events_seasonal_resid"](spark, sf_dir))
+    ok = (
+        "BroadcastHashJoin" in plan
+        and "SortMergeJoin" not in plan
+        and "partial_sum" in plan
+        and "CartesianProduct" not in plan
+    )
+    print(f"== events_seasonal_resid broadcast profile, no raw reshuffle: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
     print(f"\n{'ALL PLANS OK' if not failures else f'{failures} PLAN CHECKS FAILED'}")
     spark.stop()
     sys.exit(1 if failures else 0)

@@ -561,6 +561,9 @@ def batch4_section(spark) -> None:
         "orders_flag_overlap", "lineitem_skyline",
         "docs_pmi_collocations", "mutual_knn_pairs",
         "copurchase_pairs", "copurchase_triangles", "events_outliers",
+        "events_credit_split", "langid_kappa", "events_gapfill_interp",
+        "copurchase_communities", "orders_benford", "copurchase_rules",
+        "events_windowed_funnel",
     ]
     results: dict[str, dict[str, float]] = {}
     for tag, d in (("sf0.1", SF01_DIR), ("sf1", sf1)):

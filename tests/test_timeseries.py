@@ -421,3 +421,60 @@ def test_gapfill_interpolate_fractional_and_invariance(spark):
         "s STRING, b LONG, y LONG",
     ).dropDuplicates(["s", "b"])
     assert run(big) == run(big.repartition(9))
+
+
+# ------------------------------------------------------------ seasonal
+
+
+def test_seasonal_residuals_exact_and_cancel_pattern(spark):
+    from fractions import Fraction
+
+    from oasisdb_spark.operators.timeseries import seasonal_residuals
+
+    # series with a strong hour-of-day pattern + one true anomaly
+    rows = []
+    i = 0
+    for day in range(4):
+        for hour in (0, 1):
+            base = 100 if hour == 0 else 500
+            rows.append(("a", i, hour, base + day))  # mild drift
+            i += 1
+    rows.append(("a", i, 1, 5000))  # genuine anomaly at the busy hour
+    df = spark.createDataFrame(rows, "s STRING, id LONG, hr LONG, y LONG")
+    out = {r["id"]: r for r in seasonal_residuals(df, "y", ["s"], "hr").collect()}
+
+    from collections import defaultdict
+
+    slots = defaultdict(list)
+    for (_, rid, hr, y) in rows:
+        slots[hr].append(y)
+    for (_, rid, hr, y) in rows:
+        r = out[rid]
+        assert r["slot_sum"] == sum(slots[hr]) and r["slot_n"] == len(slots[hr])
+        assert Fraction(r["resid_num"], r["resid_den"]) == Fraction(
+            y * len(slots[hr]) - sum(slots[hr]), len(slots[hr])
+        )
+    # the seasonal level cancels: normal busy-hour rows have small
+    # residuals while the anomaly dominates
+    normal = [abs(Fraction(out[i]["resid_num"], out[i]["resid_den"]))
+              for (_, i, hr, y) in rows if y < 2000]
+    anom = abs(Fraction(out[8]["resid_num"], out[8]["resid_den"]))
+    assert max(normal) < 1000 < anom
+
+
+def test_seasonal_residuals_partitioning_invariant(spark):
+    import random
+
+    from oasisdb_spark.operators.timeseries import seasonal_residuals
+
+    rng = random.Random(67)
+    rows = [
+        (rng.choice("pq"), i, rng.randrange(24), rng.randrange(1000))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "s STRING, id LONG, hr LONG, y LONG")
+
+    def run(d):
+        return sorted(tuple(r) for r in seasonal_residuals(d, "y", ["s"], "hr").collect())
+
+    assert run(df) == run(df.repartition(11)) == run(df.coalesce(1))
