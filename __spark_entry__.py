@@ -4804,6 +4804,23 @@ def _events_seasonal_resid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seasonal_residuals(obs, "value_cents", ["event_type"], "hod")
 
 
+def _embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space centroid drift (pipeline/semantic_dedup.py
+    embedding_centroid_drift — the embedding sibling of the PSI gate):
+    per-dimension centroid shift between the label-0 and label-1
+    vector populations as exact rationals — quantized integer sums,
+    one dim-keyed partial agg per side, dim-cardinality join; the raw
+    vectors never co-shuffle. 64 dimension rows hashed."""
+    from oasisdb_spark.pipeline.semantic_dedup import embedding_centroid_drift
+
+    emb = _table(spark, sf_dir, "embeddings")
+    return embedding_centroid_drift(
+        emb.where(F.col("label") == 0),
+        emb.where(F.col("label") == 1),
+        vec_col="embedding",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries (observed: r01-r04 rows == registry[0:50]). ROUND-5
@@ -5063,6 +5080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_rules": _copurchase_rules,
         "events_windowed_funnel": _events_windowed_funnel,
         "events_seasonal_resid": _events_seasonal_resid,
+        "embedding_drift": _embedding_drift,
     }
 
 def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -6796,6 +6814,31 @@ SELECT o.event_id, o.event_type, o.hod, o.value_cents,
        o.value_cents * p.slot_n - p.slot_sum AS resid_num,
        p.slot_n AS resid_den
 FROM o JOIN prof p USING (event_type, hod)
+""",
+        # embedding centroid drift (pipeline/semantic_dedup.py):
+        # identical quantized per-dim sums + rational difference
+        "embedding_drift": """
+WITH ex AS (
+  SELECT label,
+         unnest(list_transform(range(0, len(embedding)),
+           i -> struct_pack(dim := i,
+                            q := CAST(round(CAST(embedding[CAST(i AS INT) + 1]
+                                                 AS DOUBLE) * 1000000)
+                                      AS BIGINT)))) AS s
+  FROM embeddings WHERE label IN (0, 1)
+), a AS (
+  SELECT s.dim AS dim, s.q AS q FROM ex WHERE label = 0
+), b AS (
+  SELECT s.dim AS dim, s.q AS q FROM ex WHERE label = 1
+), sa AS (
+  SELECT dim, CAST(sum(q) AS BIGINT) AS s_a, count(*) AS n_a FROM a GROUP BY 1
+), sb AS (
+  SELECT dim, CAST(sum(q) AS BIGINT) AS s_b, count(*) AS n_b FROM b GROUP BY 1
+)
+SELECT CAST(dim AS INT) AS dim, s_a, n_a, s_b, n_b,
+       s_a * n_b - s_b * n_a AS diff_num,
+       n_a * n_b AS diff_den
+FROM sa FULL OUTER JOIN sb USING (dim)
 """,
         # PSI drift (operators/quality.py): identical bucket float ops
         # (same order), Laplace-smoothed integer counts, lmic micro-nat

@@ -152,6 +152,7 @@ FAMILIES: dict[str, list[str]] = {
     "benford": ["orders_benford"],
     "windowed_funnel": ["events_windowed_funnel"],
     "seasonal": ["events_seasonal_resid"],
+    "emb_drift": ["embedding_drift"],
 }
 
 

@@ -34,7 +34,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["semantic_dedup"]
+__all__ = ["semantic_dedup", "embedding_centroid_drift"]
 
 _OUT_SCHEMA = "vec_id BIGINT, cluster_id INT, n_dups INT, kept BOOLEAN"
 
@@ -101,4 +101,62 @@ def semantic_dedup(
         assigned.groupBy("cluster_id")
         .applyInPandas(lambda _, pdf: _dedup(pdf), schema=_OUT_SCHEMA)
         .select("vec_id", "cluster_id", "n_dups", "kept")
+    )
+
+
+def embedding_centroid_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    vec_col: str = "embedding",
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Embedding-space drift monitor: per-DIMENSION centroid shift
+    between two vector snapshots (yesterday's corpus vs today's, base
+    model vs re-embedded) — the embedding sibling of the scalar PSI
+    gate, exact end-to-end:
+
+    components quantize to integers (``round(x·quant)`` of the
+    identical IEEE float on both engines), per-dimension sums and
+    counts fold in ONE partial agg per side, and the centroid
+    difference emits as the exact rational
+
+        diff_dim = (s_a·n_b − s_b·n_a) / (n_a·n_b)
+
+    — callers fold Σ diff² by cross-multiplication (or one float at
+    display time) and alarm on the shift. No float mean anywhere, so
+    the per-dimension evidence hash-matches cross-engine.
+
+    Shape: ``posexplode`` fans each vector into (dim, component) rows
+    — a ×dim scan cost, the price of exact per-dim aggregation — then
+    dim-keyed partial aggs collapse each side to a dim-cardinality
+    frame before the join; the raw vectors never co-shuffle. int64
+    budget: |s| ≤ n·quant·|x| — at unit-scale embeddings and quant
+    10⁶, fine to ~10¹¹ vectors per side; diff_num multiplies two such
+    — use a smaller quant or DECIMAL widening beyond ~10⁵ vectors at
+    full precision (documented, like every integer budget here).
+    """
+
+    def side(d: DataFrame, s_name: str, n_name: str) -> DataFrame:
+        comp = d.select(
+            F.posexplode(F.col(vec_col)).alias("dim", "_x")
+        ).select(
+            "dim",
+            F.round(F.col("_x").cast("double") * quant).cast("long").alias("_q"),
+        )
+        return comp.groupBy("dim").agg(
+            F.sum("_q").alias(s_name), F.count(F.lit(1)).alias(n_name)
+        )
+    a = side(df_a, "s_a", "n_a")
+    b = side(df_b, "s_b", "n_b")
+    j = a.join(b, on="dim", how="full_outer")
+    return j.select(
+        "dim",
+        "s_a",
+        "n_a",
+        "s_b",
+        "n_b",
+        (F.col("s_a") * F.col("n_b") - F.col("s_b") * F.col("n_a")).alias(
+            "diff_num"
+        ),
+        (F.col("n_a") * F.col("n_b")).alias("diff_den"),
     )

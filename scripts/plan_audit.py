@@ -1049,6 +1049,17 @@ def main() -> None:
     print(f"== events_seasonal_resid broadcast profile, no raw reshuffle: {'OK' if ok else 'FAIL'}")
     failures += not ok
 
+    # 91. embedding_drift: both sides collapse to dim-cardinality
+    # frames BEFORE the join (two partial aggs below it); no cartesian
+    plan = plan_of(m.queries()["embedding_drift"](spark, sf_dir))
+    ok = (
+        plan.count("partial_sum") >= 2
+        and "CartesianProduct" not in plan
+        and "Generate posexplode" in plan
+    )
+    print(f"== embedding_drift per-dim partial aggs before join: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
     print(f"\n{'ALL PLANS OK' if not failures else f'{failures} PLAN CHECKS FAILED'}")
     spark.stop()
     sys.exit(1 if failures else 0)
