@@ -4821,6 +4821,33 @@ def _embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_rapid_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rapid-repeat gate (operators/quality.py rapid_repeats — the
+    double-charge detector): events where the same (user, type,
+    value-cents) composite fired again within 10 minutes of its
+    previous occurrence. One composite-key sort shuffle; every row
+    carries the prev_id/gap evidence and first occurrences emit NULL
+    flags — the full 10k-row evidence table is hashed."""
+    from oasisdb_spark.operators.quality import rapid_repeats
+    from oasisdb_spark.sources.tables import event_time_micros
+
+    ev0 = _table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    ev = ev0.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        event_time_micros(ev0).alias("ts_us"),
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    return rapid_repeats(
+        ev,
+        ["user_id", "event_type", "value_cents"],
+        "ts_us",
+        "event_id",
+        within=600_000_000,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries (observed: r01-r04 rows == registry[0:50]). ROUND-5
@@ -5081,6 +5108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed_funnel": _events_windowed_funnel,
         "events_seasonal_resid": _events_seasonal_resid,
         "embedding_drift": _embedding_drift,
+        "events_rapid_repeats": _events_rapid_repeats,
     }
 
 def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -6839,6 +6867,26 @@ SELECT CAST(dim AS INT) AS dim, s_a, n_a, s_b, n_b,
        s_a * n_b - s_b * n_a AS diff_num,
        n_a * n_b AS diff_den
 FROM sa FULL OUTER JOIN sb USING (dim)
+""",
+        # rapid repeats (operators/quality.py rapid_repeats): identical
+        # composite-key lag window
+        "events_rapid_repeats": """
+WITH e AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100) AS BIGINT) AS value_cents
+  FROM events WHERE value IS NOT NULL
+), l AS (
+  SELECT *,
+         lag(event_id) OVER w AS prev_id,
+         ts_us - lag(ts_us) OVER w AS gap
+  FROM e
+  WINDOW w AS (PARTITION BY user_id, event_type, value_cents
+               ORDER BY ts_us, event_id)
+)
+SELECT event_id, user_id, event_type, ts_us, value_cents, prev_id, gap,
+       CASE WHEN gap IS NOT NULL THEN gap <= 600000000 END
+         AS is_rapid_repeat
+FROM l
 """,
         # PSI drift (operators/quality.py): identical bucket float ops
         # (same order), Laplace-smoothed integer counts, lmic micro-nat

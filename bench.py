@@ -153,6 +153,7 @@ FAMILIES: dict[str, list[str]] = {
     "windowed_funnel": ["events_windowed_funnel"],
     "seasonal": ["events_seasonal_resid"],
     "emb_drift": ["embedding_drift"],
+    "repeat_gate": ["events_rapid_repeats"],
 }
 
 

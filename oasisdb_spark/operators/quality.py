@@ -34,6 +34,7 @@ __all__ = [
     "chi2_independence",
     "goodness_of_fit",
     "BENFORD_MICRO",
+    "rapid_repeats",
 ]
 
 
@@ -590,4 +591,41 @@ def goodness_of_fit(
         F.when(F.col("p_micro").isNotNull(), contrib).alias(
             "chi2_contrib_micro"
         ),
+    )
+
+
+def rapid_repeats(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    id_col: str,
+    within: int,
+) -> DataFrame:
+    """Rapid-repeat detector — the double-charge / double-fire gate:
+    rows whose EXACT key (user + amount, device + payload hash, …)
+    reoccurred within ``within`` time units of the previous occurrence.
+    Exact duplicates at different times are legitimate (the same user
+    genuinely buys the same thing twice a month apart); the fraud /
+    ingest-glitch signal is the SAME key twice in seconds, which plain
+    dedup misses (different event ids) and plain windows miss (the key
+    is composite).
+
+    One sort shuffle on the key composite: ``lag`` over
+    (key, (ts, id)) gives each occurrence its predecessor; the row
+    flags when ``ts − prev_ts <= within`` (0 ≤ gap — equal timestamps
+    flag too, tie-broken deterministically by id). Emits ALL rows with
+    ``prev_id`` / ``gap`` evidence and the ``is_rapid_repeat`` flag —
+    filter downstream; the FIRST occurrence never flags (NULL gap).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, id_col)
+    ts = F.col(ts_col).cast("long")
+    out = (
+        df.withColumn("prev_id", F.lag(id_col).over(w))
+        .withColumn("gap", ts - F.lag(ts).over(w))
+    )
+    return out.withColumn(
+        "is_rapid_repeat",
+        F.when(F.col("gap").isNotNull(), F.col("gap") <= int(within)),
     )

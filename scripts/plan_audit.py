@@ -1060,6 +1060,16 @@ def main() -> None:
     print(f"== embedding_drift per-dim partial aggs before join: {'OK' if ok else 'FAIL'}")
     failures += not ok
 
+    # 92. events_rapid_repeats: one composite-key sort shuffle, no join
+    plan = plan_of(m.queries()["events_rapid_repeats"](spark, sf_dir))
+    ok = (
+        "Join" not in plan
+        and "Window" in plan
+        and plan.count("Exchange hashpartitioning") == 1
+    )
+    print(f"== events_rapid_repeats single composite-key window: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
     print(f"\n{'ALL PLANS OK' if not failures else f'{failures} PLAN CHECKS FAILED'}")
     spark.stop()
     sys.exit(1 if failures else 0)

@@ -465,3 +465,31 @@ def test_goodness_of_fit_unexpected_and_missing_categories(spark):
     assert out["a"]["n_total"] == 10
     with pytest.raises(ValueError, match="sum"):
         goodness_of_fit(df, "c", {"a": 1})
+
+
+# ------------------------------------------------------------ repeats
+
+
+def test_rapid_repeats_flags_and_evidence(spark):
+    from oasisdb_spark.operators.quality import rapid_repeats
+
+    rows = [
+        (1, 500, 100, 10), (1, 500, 103, 11),   # same key 3s apart: flag
+        (1, 500, 500, 12),                      # same key much later: no
+        (2, 500, 100, 20),                      # different user: never
+        (3, 700, 100, 30), (3, 700, 100, 31),   # equal ts: flags (id tie)
+    ]
+    df = spark.createDataFrame(rows, "u LONG, amt LONG, ts LONG, id LONG")
+    out = {r["id"]: r for r in rapid_repeats(
+        df, ["u", "amt"], "ts", "id", within=10).collect()}
+    assert out[11]["is_rapid_repeat"] is True and out[11]["prev_id"] == 10
+    assert out[11]["gap"] == 3
+    assert out[12]["is_rapid_repeat"] is False and out[12]["gap"] == 397
+    assert out[10]["is_rapid_repeat"] is None  # first occurrence: no flag
+    assert out[20]["is_rapid_repeat"] is None
+    assert out[31]["is_rapid_repeat"] is True and out[31]["gap"] == 0
+    # partitioning invariance
+    a = sorted(tuple(r) for r in rapid_repeats(df, ["u", "amt"], "ts", "id", 10).collect())
+    b = sorted(tuple(r) for r in rapid_repeats(
+        df.repartition(5), ["u", "amt"], "ts", "id", 10).collect())
+    assert a == b
