@@ -4848,6 +4848,33 @@ def _events_rapid_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation (operators/timeseries.py
+    grid_cross_correlation): which event type LEADS which at hourly
+    lags 0–3 — covariance evidence (n, Σx, Σy, Σxy, cov_num =
+    n·Σxy − Σx·Σy) per (leader, follower, lag) over the DENSE hourly
+    cent grid (gapfill + 0-coalesce, so quiet hours count as zeros
+    instead of silently dropping pairs). Grid frames are bucket-
+    cardinality — correlation never touches raw events; moments in
+    DECIMAL(38) ≡ HUGEINT."""
+    from oasisdb_spark.operators.timeseries import (
+        grid_cross_correlation,
+        time_bucket_gapfill,
+    )
+
+    ev = _table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    hourly = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("hour_id"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    dense = time_bucket_gapfill(hourly, "hour_id", ["event_type"]).select(
+        "event_type", "hour_id", F.coalesce("cents", F.lit(0)).alias("cents")
+    )
+    return grid_cross_correlation(
+        dense, "event_type", "hour_id", "cents", max_lag=3
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries (observed: r01-r04 rows == registry[0:50]). ROUND-5
@@ -5109,6 +5136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_seasonal_resid": _events_seasonal_resid,
         "embedding_drift": _embedding_drift,
         "events_rapid_repeats": _events_rapid_repeats,
+        "events_xcorr": _events_xcorr,
     }
 
 def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -6887,6 +6915,37 @@ SELECT event_id, user_id, event_type, ts_us, value_cents, prev_id, gap,
        CASE WHEN gap IS NOT NULL THEN gap <= 600000000 END
          AS is_rapid_repeat
 FROM l
+""",
+        # lead-lag cross-correlation (operators/timeseries.py
+        # grid_cross_correlation): identical dense grid, shifted-key
+        # self-join, HUGEINT normal-equation moments
+        "events_xcorr": """
+WITH h AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_id,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), span AS (
+  SELECT event_type, min(hour_id) AS lo, max(hour_id) AS hi FROM h GROUP BY 1
+), dense AS (
+  SELECT d.event_type, d.hour_id, COALESCE(h.cents, 0) AS cents
+  FROM (SELECT event_type, unnest(range(lo, hi + 1)) AS hour_id FROM span) d
+  LEFT JOIN h USING (event_type, hour_id)
+), lags AS (
+  SELECT unnest(range(0, 4)) AS lag
+), j AS (
+  SELECT g1.event_type AS leader, g2.event_type AS follower, l.lag,
+         CAST(g1.cents AS HUGEINT) AS x, CAST(g2.cents AS HUGEINT) AS y
+  FROM dense g1 CROSS JOIN lags l
+  JOIN dense g2 ON g2.hour_id = g1.hour_id + l.lag
+  WHERE NOT (g1.event_type = g2.event_type AND l.lag = 0)
+)
+SELECT leader, follower, CAST(lag AS INT) AS lag, count(*) AS n,
+       CAST(sum(x) AS BIGINT) AS sum_x,
+       CAST(sum(y) AS BIGINT) AS sum_y,
+       CAST(sum(x * y) AS BIGINT) AS sum_xy,
+       CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT) AS cov_num
+FROM j GROUP BY 1, 2, 3
 """,
         # PSI drift (operators/quality.py): identical bucket float ops
         # (same order), Laplace-smoothed integer counts, lmic micro-nat

@@ -154,6 +154,7 @@ FAMILIES: dict[str, list[str]] = {
     "seasonal": ["events_seasonal_resid"],
     "emb_drift": ["embedding_drift"],
     "repeat_gate": ["events_rapid_repeats"],
+    "xcorr": ["events_xcorr"],
 }
 
 

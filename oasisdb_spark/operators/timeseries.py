@@ -37,7 +37,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["time_bucket_gapfill", "ohlc_bars", "cusum_changepoints", "cusum_stream", "ohlc_rollup", "grouped_trend", "gapfill_interpolate", "seasonal_residuals"]
+__all__ = ["time_bucket_gapfill", "ohlc_bars", "cusum_changepoints", "cusum_stream", "ohlc_rollup", "grouped_trend", "gapfill_interpolate", "seasonal_residuals", "grid_cross_correlation"]
 
 
 def time_bucket_gapfill(
@@ -498,3 +498,71 @@ def seasonal_residuals(
     return joined.withColumn(
         "resid_num", y * F.col("slot_n") - F.col("slot_sum")
     ).withColumn("resid_den", F.col("slot_n"))
+
+
+def grid_cross_correlation(
+    grid: DataFrame,
+    series_col: str,
+    bucket_col: str,
+    value_col: str,
+    max_lag: int,
+) -> DataFrame:
+    """Lead-lag cross-correlation evidence between bucketed series —
+    "do errors spike an hour after deploys?", "does type A lead type
+    B?" — plus autocorrelation (same series, lag ≥ 1), all integer-
+    exact: for every (leader, follower, lag 0..max_lag) the aligned
+    pairs (x = leader[t], y = follower[t + lag]) fold to
+
+        n, Σx, Σy, Σxy  and  cov_n = n·Σxy − Σx·Σy
+
+    (the covariance numerator over common denominator n² — the
+    grouped_trend normal-equation dialect: sums in DECIMAL(38), final
+    rationals cast to int64, loud on overflow). Pearson r needs the
+    variances too — callers join two ``grouped_trend``-style moment
+    frames or compare cov_n sign/magnitude by cross-multiplication;
+    the SIGN of cov_n alone answers the lead-lag question.
+
+    Input is a DENSE grid (run ``time_bucket_gapfill`` first and
+    coalesce gap values to 0, or accept gap-dropping semantics —
+    missing buckets simply don't pair). Shape: the grid self-joins on
+    the shifted bucket key after a ×(max_lag+1) lag explode — grid
+    frames are bucket-cardinality, orders of magnitude below raw rows,
+    which is exactly why correlation runs on grids and never on raw
+    events. Lag 0 same-series rows are excluded (variance, not
+    correlation).
+    """
+    if max_lag < 0:
+        raise ValueError(f"grid_cross_correlation: max_lag >= 0, got {max_lag}")
+    g1 = grid.select(
+        F.col(series_col).alias("leader"),
+        F.col(bucket_col).cast("long").alias("_t"),
+        F.col(value_col).cast("decimal(38,0)").alias("_x"),
+    )
+    g2 = grid.select(
+        F.col(series_col).alias("follower"),
+        F.col(bucket_col).cast("long").alias("_t2"),
+        F.col(value_col).cast("decimal(38,0)").alias("_y"),
+    ).withColumn("lag", F.explode(F.sequence(F.lit(0), F.lit(int(max_lag)))))
+    j = g1.join(
+        g2,
+        (F.col("_t") == F.col("_t2") - F.col("lag")),
+    ).where(~((F.col("leader") == F.col("follower")) & (F.col("lag") == 0)))
+    agg = j.groupBy("leader", "follower", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+    return agg.select(
+        "leader",
+        "follower",
+        "lag",
+        "n",
+        F.col("_sx").cast("long").alias("sum_x"),
+        F.col("_sy").cast("long").alias("sum_y"),
+        F.col("_sxy").cast("long").alias("sum_xy"),
+        (nd * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
+        .cast("long")
+        .alias("cov_num"),
+    )

@@ -1070,6 +1070,17 @@ def main() -> None:
     print(f"== events_rapid_repeats single composite-key window: {'OK' if ok else 'FAIL'}")
     failures += not ok
 
+    # 93. events_xcorr: correlation runs on the bucket GRID, not raw
+    # events — the grid self-join is an equi-join on the shifted key
+    plan = plan_of(m.queries()["events_xcorr"](spark, sf_dir))
+    ok = (
+        "CartesianProduct" not in plan
+        and ("SortMergeJoin" in plan or "BroadcastHashJoin" in plan)
+        and "partial_sum" in plan
+    )
+    print(f"== events_xcorr grid equi-join, partial moments: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
     print(f"\n{'ALL PLANS OK' if not failures else f'{failures} PLAN CHECKS FAILED'}")
     spark.stop()
     sys.exit(1 if failures else 0)

