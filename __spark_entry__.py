@@ -4875,6 +4875,47 @@ def _events_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _conversion_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier time-to-convert (operators/survival.py — Kaplan &
+    Meier JASA'58): seconds from each user's first view to their first
+    subsequent purchase; users who never purchased are CENSORED at
+    their last event (dropping them biases toward fast converters —
+    the classic mistake this estimator exists to fix). Subjects
+    collapse to the distinct-duration frame in one partial agg; the
+    at-risk ladder and the micro-nat log-survival are windows over
+    that frame. The oracle replays the cohort build and the lmic
+    ladder."""
+    from oasisdb_spark.operators.survival import kaplan_meier
+    from oasisdb_spark.sources.tables import event_time_seconds
+
+    ev = _table(spark, sf_dir, "events")
+    sec = event_time_seconds(ev)
+    base = ev.select(
+        "user_id", "event_type", sec.alias("ts_s"), "event_id"
+    )
+    w_u = Window.partitionBy("user_id")
+    fv = F.min(F.when(F.col("event_type") == "view", F.col("ts_s"))).over(w_u)
+    with_fv = base.withColumn("_fv", fv).where(F.col("_fv").isNotNull())
+    per_user = with_fv.groupBy("user_id").agg(
+        F.first("_fv").alias("fv"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts_s") >= F.col("_fv")),
+                F.col("ts_s"),
+            )
+        ).alias("fp"),
+        F.max("ts_s").alias("last_s"),
+    )
+    cohort = per_user.select(
+        F.when(F.col("fp").isNotNull(), F.col("fp") - F.col("fv"))
+        .otherwise(F.col("last_s") - F.col("fv"))
+        .alias("dur"),
+        F.when(F.col("fp").isNotNull(), F.lit(1)).otherwise(F.lit(0)).alias("ev"),
+    )
+    return kaplan_meier(cohort, "dur", "ev")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries (observed: r01-r04 rows == registry[0:50]). ROUND-5
@@ -5137,6 +5178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_drift": _embedding_drift,
         "events_rapid_repeats": _events_rapid_repeats,
         "events_xcorr": _events_xcorr,
+        "conversion_survival": _conversion_survival,
     }
 
 def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -6946,6 +6988,54 @@ SELECT leader, follower, CAST(lag AS INT) AS lag, count(*) AS n,
        CAST(sum(x * y) AS BIGINT) AS sum_xy,
        CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT) AS cov_num
 FROM j GROUP BY 1, 2, 3
+""",
+        # Kaplan-Meier (operators/survival.py): identical cohort build,
+        # at-risk ladder and lmic log-survival over the duration frame
+        "conversion_survival": """
+WITH e AS (
+  SELECT user_id, event_type, event_id,
+         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s
+  FROM events
+), fv AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts_s END) AS fv
+  FROM e GROUP BY 1
+), per_user AS (
+  SELECT e.user_id, fv.fv,
+         min(CASE WHEN e.event_type = 'purchase' AND e.ts_s >= fv.fv
+                  THEN e.ts_s END) AS fp,
+         max(e.ts_s) AS last_s
+  FROM e JOIN fv USING (user_id)
+  WHERE fv.fv IS NOT NULL
+  GROUP BY 1, 2
+), cohort AS (
+  SELECT CASE WHEN fp IS NOT NULL THEN fp - fv ELSE last_s - fv END AS dur,
+         CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM per_user
+), per_t AS (
+  SELECT dur AS t,
+         sum(CASE WHEN ev = 1 THEN 1 ELSE 0 END) AS d,
+         sum(CASE WHEN ev = 0 THEN 1 ELSE 0 END) AS c
+  FROM cohort GROUP BY 1
+), risk AS (
+  SELECT *, sum(d + c) OVER (ORDER BY t DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS n_risk
+  FROM per_t
+), ev_t AS (
+  SELECT t, n_risk, d, c,
+         CASE WHEN n_risk > d THEN
+           CAST(round(ln(CAST(n_risk - d AS DOUBLE)) * 1000000) AS BIGINT)
+           - CAST(round(ln(CAST(n_risk AS DOUBLE)) * 1000000) AS BIGINT)
+         END AS step
+  FROM risk WHERE d > 0
+)
+SELECT t, n_risk, d, c,
+       CASE WHEN n_risk = d THEN NULL ELSE
+         sum(step) OVER (ORDER BY t ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       END AS surv_log_micro
+FROM ev_t
 """,
         # PSI drift (operators/quality.py): identical bucket float ops
         # (same order), Laplace-smoothed integer counts, lmic micro-nat

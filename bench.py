@@ -155,6 +155,7 @@ FAMILIES: dict[str, list[str]] = {
     "emb_drift": ["embedding_drift"],
     "repeat_gate": ["events_rapid_repeats"],
     "xcorr": ["events_xcorr"],
+    "survival": ["conversion_survival"],
 }
 
 

@@ -1081,6 +1081,16 @@ def main() -> None:
     print(f"== events_xcorr grid equi-join, partial moments: {'OK' if ok else 'FAIL'}")
     failures += not ok
 
+    # 94. conversion_survival: subjects collapse to the distinct-
+    # duration frame before any window (partial agg below); the ladder
+    # windows run over that frame, no cartesian
+    plan = plan_of(m.queries()["conversion_survival"](spark, sf_dir))
+    ok = (
+        "partial_count" in plan or "partial_sum" in plan
+    ) and "CartesianProduct" not in plan and "Window" in plan
+    print(f"== conversion_survival duration-frame ladder: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
     print(f"\n{'ALL PLANS OK' if not failures else f'{failures} PLAN CHECKS FAILED'}")
     spark.stop()
     sys.exit(1 if failures else 0)
