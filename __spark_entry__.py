@@ -4916,6 +4916,33 @@ def _conversion_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kaplan_meier(cohort, "dur", "ev")
 
 
+def _events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (operators/timeseries.py
+    time_weighted_avg — TimescaleDB time_weight('LOCF')): hourly TWAP
+    of value-cents per event_type as exact rationals — a plain AVG
+    over-weights chatty intervals; the LOCF step integral doesn't.
+    Integer micros × integer cents; one lead window + one partial agg;
+    the oracle replays the identical step weights."""
+    from oasisdb_spark.operators.timeseries import time_weighted_avg
+    from oasisdb_spark.sources.tables import event_time_micros
+
+    ev0 = _table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    ev = ev0.select(
+        "event_id",
+        "event_type",
+        event_time_micros(ev0).alias("ts_us"),
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    return time_weighted_avg(
+        ev,
+        "ts_us",
+        "value_cents",
+        ["event_type"],
+        bucket_width_us=3_600_000_000,
+        tie_cols=["event_id"],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries (observed: r01-r04 rows == registry[0:50]). ROUND-5
@@ -5179,6 +5206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rapid_repeats": _events_rapid_repeats,
         "events_xcorr": _events_xcorr,
         "conversion_survival": _conversion_survival,
+        "events_twap": _events_twap,
     }
 
 def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -7036,6 +7064,27 @@ SELECT t, n_risk, d, c,
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
        END AS surv_log_micro
 FROM ev_t
+""",
+        # TWAP (operators/timeseries.py time_weighted_avg): identical
+        # LOCF step weights over (ts_us, event_id) order
+        "events_twap": """
+WITH e AS (
+  SELECT event_id, event_type, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100) AS BIGINT) AS value_cents
+  FROM events WHERE value IS NOT NULL
+), b AS (
+  SELECT *, (ts_us // 3600000000) * 3600000000 AS bucket_us FROM e
+), wts AS (
+  SELECT *,
+         COALESCE(lead(ts_us) OVER (PARTITION BY event_type, bucket_us
+                                    ORDER BY ts_us, event_id),
+                  bucket_us + 3600000000) - ts_us AS w
+  FROM b
+)
+SELECT event_type, bucket_us, count(*) AS n_obs,
+       CAST(sum(value_cents * w) AS BIGINT) AS twap_num,
+       CAST(sum(w) AS BIGINT) AS twap_den
+FROM wts GROUP BY 1, 2
 """,
         # PSI drift (operators/quality.py): identical bucket float ops
         # (same order), Laplace-smoothed integer counts, lmic micro-nat

@@ -156,6 +156,7 @@ FAMILIES: dict[str, list[str]] = {
     "repeat_gate": ["events_rapid_repeats"],
     "xcorr": ["events_xcorr"],
     "survival": ["conversion_survival"],
+    "twap": ["events_twap"],
 }
 
 

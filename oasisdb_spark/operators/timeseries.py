@@ -37,7 +37,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["time_bucket_gapfill", "ohlc_bars", "cusum_changepoints", "cusum_stream", "ohlc_rollup", "grouped_trend", "gapfill_interpolate", "seasonal_residuals", "grid_cross_correlation"]
+__all__ = ["time_bucket_gapfill", "ohlc_bars", "cusum_changepoints", "cusum_stream", "ohlc_rollup", "grouped_trend", "gapfill_interpolate", "seasonal_residuals", "grid_cross_correlation", "time_weighted_avg"]
 
 
 def time_bucket_gapfill(
@@ -565,4 +565,58 @@ def grid_cross_correlation(
         (nd * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
         .cast("long")
         .alias("cov_num"),
+    )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    series_cols: list[str],
+    bucket_width_us: int,
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """Time-weighted average per (series, bucket) — TimescaleDB
+    ``time_weight('LOCF')`` — as an EXACT RATIONAL. A plain AVG over
+    irregular observations over-weights chatty intervals (ten ticks in
+    a quiet minute count ten times); the right statistic integrates
+    the LOCF step function: each observation holds its value until
+    the next one (or the bucket's end), so
+
+        twap = Σ vᵢ·wᵢ / Σ wᵢ,   wᵢ = t_{i+1} − tᵢ  (last: bucket_end − t_n)
+
+    with integer micros and integer values — ``twap_num``/``twap_den``
+    are pure int64, fold-order-free, division left to the caller. The
+    leading partial bucket (bucket start → first observation) carries
+    NO value under LOCF-within-bucket semantics, so ``twap_den`` =
+    bucket_end − t_first (documented; carrying state across buckets is
+    the gapfill/LOCF operator's job — compose them for that dialect).
+
+    ``ts_col`` must be epoch micros; ``bucket_width_us`` the bucket in
+    the same unit; ``tie_cols`` pin the order of equal-timestamp
+    observations (the earlier-by-tie row gets weight 0 — deterministic,
+    matching the LOCF step function's right-continuity). One sort
+    shuffle per series (the lead window), one
+    partial agg on (series, bucket). int64 budget |v|·width — cents ×
+    a day of micros ≈ 10⁹·8.6e10 overflows; keep |v|·width < 2⁶³
+    (at cents ≤ 10⁶ any width ≤ 10¹² µs ≈ 11 days is safe).
+    """
+    b = (F.col(ts_col).cast("long") / F.lit(int(bucket_width_us))).cast(
+        "long"
+    ) * int(bucket_width_us)
+    w = Window.partitionBy(*series_cols, "_bucket").orderBy(
+        ts_col, *(tie_cols or [])
+    )
+    ts = F.col(ts_col).cast("long")
+    nxt = F.lead(ts).over(w)
+    weight = F.coalesce(nxt, F.col("_bucket") + int(bucket_width_us)) - ts
+    obs = (
+        df.withColumn("_bucket", b)
+        .withColumn("_w", weight)
+        .withColumn("_vw", F.col(value_col).cast("long") * weight)
+    )
+    return obs.groupBy(*series_cols, F.col("_bucket").alias("bucket_us")).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum("_vw").alias("twap_num"),
+        F.sum("_w").alias("twap_den"),
     )

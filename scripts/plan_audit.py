@@ -1091,6 +1091,18 @@ def main() -> None:
     print(f"== conversion_survival duration-frame ladder: {'OK' if ok else 'FAIL'}")
     failures += not ok
 
+    # 95. events_twap: one series sort shuffle for lead, one partial
+    # agg on (series, bucket), no join
+    plan = plan_of(m.queries()["events_twap"](spark, sf_dir))
+    ok = (
+        "Join" not in plan
+        and "Window" in plan
+        and "partial_sum" in plan
+        and plan.count("Exchange hashpartitioning") <= 2
+    )
+    print(f"== events_twap lead window + bucket partial agg: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
     print(f"\n{'ALL PLANS OK' if not failures else f'{failures} PLAN CHECKS FAILED'}")
     spark.stop()
     sys.exit(1 if failures else 0)

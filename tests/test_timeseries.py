@@ -537,3 +537,57 @@ def test_cross_correlation_partitioning_invariant_and_validation(spark):
     assert run(df) == run(df.repartition(7)) == run(df.coalesce(1))
     with pytest.raises(ValueError, match="max_lag"):
         grid_cross_correlation(df, "s", "t", "v", -1)
+
+
+# ------------------------------------------------------------ twap
+
+
+def test_time_weighted_avg_integrates_locf_steps(spark):
+    from fractions import Fraction
+
+    from oasisdb_spark.operators.timeseries import time_weighted_avg
+
+    W = 100  # bucket width
+    rows = [
+        # series a, bucket [0, 100): v=10 holds 0..60, v=40 holds 60..100
+        ("a", 0, 10), ("a", 60, 40),
+        # bucket [100, 200): single obs at 150 holds 150..200
+        ("a", 150, 7),
+        # series b: chatty burst then quiet - plain AVG would be wrong
+        ("b", 0, 100), ("b", 1, 100), ("b", 2, 100), ("b", 3, 0),
+    ]
+    df = spark.createDataFrame(rows, "s STRING, ts LONG, v LONG")
+    out = {
+        (r["s"], r["bucket_us"]): r
+        for r in time_weighted_avg(df, "ts", "v", ["s"], W).collect()
+    }
+    a0 = out[("a", 0)]
+    assert Fraction(a0["twap_num"], a0["twap_den"]) == Fraction(10 * 60 + 40 * 40, 100)
+    a1 = out[("a", 100)]
+    assert Fraction(a1["twap_num"], a1["twap_den"]) == 7 and a1["twap_den"] == 50
+    # b: 100 holds 0..3 (3us), 0 holds 3..100 (97us) -> twap = 300/100 = 3
+    b0 = out[("b", 0)]
+    assert Fraction(b0["twap_num"], b0["twap_den"]) == 3
+    # a PLAIN average would say 75 - the chatty-burst bias twap fixes
+    assert 3 != (100 * 3 + 0) / 4
+
+
+def test_time_weighted_avg_partitioning_invariant(spark):
+    import random
+
+    from oasisdb_spark.operators.timeseries import time_weighted_avg
+
+    rng = random.Random(79)
+    rows = [
+        (s, rng.randrange(0, 1000), rng.randrange(0, 500))
+        for s in "pq" for _ in range(200)
+    ]
+    # unique ts per series (lead needs a total order; ties would need id)
+    seen = set()
+    rows = [r for r in rows if not (r[:2] in seen or seen.add(r[:2]))]
+    df = spark.createDataFrame(rows, "s STRING, ts LONG, v LONG")
+
+    def run(d):
+        return sorted(tuple(r) for r in time_weighted_avg(d, "ts", "v", ["s"], 250).collect())
+
+    assert run(df) == run(df.repartition(9)) == run(df.coalesce(1))
