@@ -4943,6 +4943,25 @@ def _events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _part_name_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution clusters: fuzzy edit-distance pairs
+    (operators/fuzzy.py, ≤2 edits inside a brand block) transitively
+    closed into duplicate-entity groups by connected components — the
+    standard ER pipeline (block → match → cluster), composing two
+    existing operators the way a dedup pipeline actually runs them.
+    Component = min reachable partkey; the oracle replays the closure
+    as a RECURSIVE CTE over the identical levenshtein edge set."""
+    from oasisdb_spark.operators.connected_components import (
+        connected_components,
+    )
+    from oasisdb_spark.operators.fuzzy import fuzzy_self_join
+
+    edges = fuzzy_self_join(
+        _table(spark, sf_dir, "part"), "p_partkey", "p_name", ["p_brand"], max_dist=2
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    return connected_components(edges)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries (observed: r01-r04 rows == registry[0:50]). ROUND-5
@@ -5207,6 +5226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_xcorr": _events_xcorr,
         "conversion_survival": _conversion_survival,
         "events_twap": _events_twap,
+        "part_name_clusters": _part_name_clusters,
     }
 
 def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -7085,6 +7105,25 @@ SELECT event_type, bucket_us, count(*) AS n_obs,
        CAST(sum(value_cents * w) AS BIGINT) AS twap_num,
        CAST(sum(w) AS BIGINT) AS twap_den
 FROM wts GROUP BY 1, 2
+""",
+        # ER clusters: RECURSIVE-CTE closure over the levenshtein edges
+        # (algorithm-independent cross-check of the CC labeling)
+        "part_name_clusters": """
+WITH RECURSIVE e AS (
+  SELECT a.p_partkey AS x, b.p_partkey AS y
+  FROM part a JOIN part b
+    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+  WHERE levenshtein(a.p_name, b.p_name) <= 2
+), sym AS (
+  SELECT x AS a, y AS b FROM e UNION SELECT y, x FROM e
+), nodes AS (
+  SELECT DISTINCT a AS id FROM sym
+), reach AS (
+  SELECT id AS src, id AS dst FROM nodes
+  UNION
+  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+)
+SELECT src AS id, min(dst) AS component FROM reach GROUP BY 1
 """,
         # PSI drift (operators/quality.py): identical bucket float ops
         # (same order), Laplace-smoothed integer counts, lmic micro-nat

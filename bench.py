@@ -157,6 +157,7 @@ FAMILIES: dict[str, list[str]] = {
     "xcorr": ["events_xcorr"],
     "survival": ["conversion_survival"],
     "twap": ["events_twap"],
+    "er_clusters": ["part_name_clusters"],
 }
 
 

@@ -1103,6 +1103,17 @@ def main() -> None:
     print(f"== events_twap lead window + bucket partial agg: {'OK' if ok else 'FAIL'}")
     failures += not ok
 
+    # 96. part_name_clusters: the match stage stays a blocked EQUI
+    # join (brand key) — never an all-pairs cartesian; labeling takes
+    # the union-find cutover at this scale
+    plan = plan_of(m.queries()["part_name_clusters"](spark, sf_dir))
+    ok = (
+        "CartesianProduct" not in plan
+        and "BroadcastNestedLoopJoin" not in plan
+    )
+    print(f"== part_name_clusters blocked equi match, bounded labeling: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
     print(f"\n{'ALL PLANS OK' if not failures else f'{failures} PLAN CHECKS FAILED'}")
     spark.stop()
     sys.exit(1 if failures else 0)
