@@ -42,25 +42,31 @@ def kaplan_meier(
     df: DataFrame,
     duration_col: str,
     event_col: str,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Kaplan–Meier curve over (integer duration, 0/1 event flag) rows
     — event 1 = the event happened at ``duration``, 0 = censored at
     ``duration`` (still event-free when observation stopped).
 
-    Returns one row per DISTINCT EVENT time: (t, n_risk, d, c,
-    surv_log_micro) where c counts subjects censored exactly at t
+    ``group_cols`` computes an independent curve per group (cohort /
+    variant / segment — the A/B-test form) with every window
+    partitioned by the group key, so the duration frames never share a
+    sort. Returns one row per (group,) DISTINCT EVENT time: (t, n_risk,
+    d, c, surv_log_micro) where c counts subjects censored exactly at t
     (standard convention: censored-at-t subjects ARE at risk at t) and
     ``surv_log_micro`` is the cumulative micro-nat log of S(t) —
     ``exp(x/1e6)`` at display time, monotone non-increasing, exact-
     integer evidence columns alongside. Censoring-only times carry no
     survival step and are folded into the ladder, not emitted.
     """
-    per_t = df.groupBy(F.col(duration_col).cast("long").alias("t")).agg(
+    g = list(group_cols or [])
+    per_t = df.groupBy(*g, F.col(duration_col).cast("long").alias("t")).agg(
         F.sum(F.when(F.col(event_col) == 1, 1).otherwise(0)).alias("d"),
         F.sum(F.when(F.col(event_col) == 0, 1).otherwise(0)).alias("c"),
     )
     w_ge = (
-        Window.orderBy(F.col("t").desc())
+        Window.partitionBy(*g)
+        .orderBy(F.col("t").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # subjects at risk at t = all with duration >= t (censored at t incl.)
@@ -69,7 +75,8 @@ def kaplan_meier(
 
     ev = at_risk.where(F.col("d") > 0)
     w_cum = (
-        Window.orderBy(F.col("t").asc())
+        Window.partitionBy(*g)
+        .orderBy(F.col("t").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # terminal step: if everyone still at risk events at t (n == d),
@@ -83,6 +90,7 @@ def kaplan_meier(
     )
     cum = F.sum(step).over(w_cum)
     return ev.select(
+        *g,
         "t",
         "n_risk",
         "d",

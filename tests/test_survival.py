@@ -21,6 +21,9 @@ def _km_brute(obs):
         n = sum(1 for (u, _) in obs if u >= t)
         d = sum(1 for (u, e) in obs if u == t and e == 1)
         c = sum(1 for (u, e) in obs if u == t and e == 0)
+        if n == d:  # terminal zero survival: the operator emits NULL
+            out[t] = (n, d, c, None)
+            continue
         cum += lmic(n - d) - lmic(n)
         out[t] = (n, d, c, cum)
     return out
@@ -76,3 +79,22 @@ def test_km_terminal_zero_survival_emits_null(spark):
     assert got[9]["surv_log_micro"] is None and got[9]["n_risk"] == got[9]["d"] == 2
     # the earlier step is unaffected: S(5) = 1/2
     assert got[5]["surv_log_micro"] == round(math.log(2) * 1e6) * -1
+
+
+def test_km_grouped_curves_are_independent(spark):
+    obs = [
+        ("A", 5, 1), ("A", 5, 0), ("A", 9, 1),
+        ("B", 3, 1), ("B", 7, 0), ("B", 7, 1), ("B", 7, 1),
+    ]
+    df = spark.createDataFrame(obs, "g STRING, dur LONG, ev LONG")
+    got = {
+        (r["g"], r["t"]): (r["n_risk"], r["d"], r["c"], r["surv_log_micro"])
+        for r in kaplan_meier(df, "dur", "ev", group_cols=["g"]).collect()
+    }
+    for grp in ("A", "B"):
+        sub = [(d, e) for (g, d, e) in obs if g == grp]
+        want = _km_brute(sub)
+        for t, v in want.items():
+            assert got[(grp, t)] == v, (grp, t)
+    # the grouped run never mixes cohorts: B's t=3 has 4 at risk, not 7
+    assert got[("B", 3)][0] == 4
