@@ -4962,6 +4962,87 @@ def _part_name_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges)
 
 
+def _events_seasonal_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING seasonal-residual scoring at ingest: the slot profile
+    is a FIXED trained artifact (fitted on the batch table, broadcast
+    into every micro-batch — the dsir/lm broadcast-scorer shape), so
+    scoring is a stateless per-row transform and the drained append
+    stream equals the batch operator row-for-row: this entry SHARES
+    the events_seasonal_resid oracle. Four mtime-ordered chunks, one
+    per micro-batch; residual evidence appends per batch."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+    import uuid
+
+    ev = _table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    obs = ev.select(
+        "event_id",
+        "event_type",
+        F.hour("ts").alias("hod"),
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    prof = obs.groupBy("event_type", "hod").agg(
+        F.sum("value_cents").alias("slot_sum"),
+        F.count("value_cents").alias("slot_n"),
+    )
+    prof_rows = prof.collect()
+
+    def _stage() -> str:
+        d = tempfile.mkdtemp(prefix="events_seasonal_stream_")
+        ranked = obs.withColumn(
+            "_b", F.ntile(4).over(Window.orderBy("event_id"))
+        )
+        now = time.time()
+        for i in range(1, 5):
+            tmp = os.path.join(d, f"_w{i}")
+            ranked.filter(F.col("_b") == i).drop("_b").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(d, f"chunk_{i}.parquet")
+            shutil.copyfile(src, dst)
+            t = now - (4 - i) * 10
+            os.utime(dst, (t, t))
+            shutil.rmtree(tmp)
+        return d
+
+    d = _memo(spark, sf_dir, "seasonal_stream_dir", _stage)
+    stream = (
+        spark.readStream.schema(
+            "event_id BIGINT, event_type STRING, hod INT, value_cents BIGINT"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(d)
+    )
+    prof_bc = F.broadcast(spark.createDataFrame(prof_rows, prof.schema))
+    scored = stream.join(prof_bc, on=["event_type", "hod"]).select(
+        "event_id",
+        "event_type",
+        "hod",
+        "value_cents",
+        "slot_sum",
+        "slot_n",
+        (F.col("value_cents") * F.col("slot_n") - F.col("slot_sum")).alias(
+            "resid_num"
+        ),
+        F.col("slot_n").alias("resid_den"),
+    )
+    name = f"events_seasonal_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        scored.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries (observed: r01-r04 rows == registry[0:50]). ROUND-5
@@ -5227,6 +5308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversion_survival": _conversion_survival,
         "events_twap": _events_twap,
         "part_name_clusters": _part_name_clusters,
+        "events_seasonal_stream": _events_seasonal_stream,
     }
 
 def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -6139,6 +6221,25 @@ FROM s
 """
 
 
+_SEASONAL_RESID_SQL = """
+WITH o AS (
+  SELECT event_id, event_type, hour(ts) AS hod,
+         CAST(round(value * 100) AS BIGINT) AS value_cents
+  FROM events WHERE value IS NOT NULL
+), prof AS (
+  SELECT event_type, hod,
+         CAST(sum(value_cents) AS BIGINT) AS slot_sum,
+         count(value_cents) AS slot_n
+  FROM o GROUP BY 1, 2
+)
+SELECT o.event_id, o.event_type, o.hod, o.value_cents,
+       p.slot_sum, p.slot_n,
+       o.value_cents * p.slot_n - p.slot_sum AS resid_num,
+       p.slot_n AS resid_den
+FROM o JOIN prof p USING (event_type, hod)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     from oasisdb_spark.pipeline.text import STOPWORDS  # noqa: F401 (constants shared with oracles)
 
@@ -6944,23 +7045,11 @@ UNION ALL SELECT 3, 'purchase', CAST(c3 AS BIGINT),
         # seasonal residuals (operators/timeseries.py
         # seasonal_residuals): identical slot profile + rational
         # deviation arithmetic
-        "events_seasonal_resid": """
-WITH o AS (
-  SELECT event_id, event_type, hour(ts) AS hod,
-         CAST(round(value * 100) AS BIGINT) AS value_cents
-  FROM events WHERE value IS NOT NULL
-), prof AS (
-  SELECT event_type, hod,
-         CAST(sum(value_cents) AS BIGINT) AS slot_sum,
-         count(value_cents) AS slot_n
-  FROM o GROUP BY 1, 2
-)
-SELECT o.event_id, o.event_type, o.hod, o.value_cents,
-       p.slot_sum, p.slot_n,
-       o.value_cents * p.slot_n - p.slot_sum AS resid_num,
-       p.slot_n AS resid_den
-FROM o JOIN prof p USING (event_type, hod)
-""",
+        "events_seasonal_resid": _SEASONAL_RESID_SQL,
+        # stateless broadcast scoring against the FIXED profile makes
+        # the drained append stream equal the batch rows exactly —
+        # SHARES the batch oracle (hash-matched streaming residuals)
+        "events_seasonal_stream": _SEASONAL_RESID_SQL,
         # embedding centroid drift (pipeline/semantic_dedup.py):
         # identical quantized per-dim sums + rational difference
         "embedding_drift": """

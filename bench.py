@@ -151,7 +151,7 @@ FAMILIES: dict[str, list[str]] = {
     "interp": ["events_gapfill_interp"],
     "benford": ["orders_benford"],
     "windowed_funnel": ["events_windowed_funnel"],
-    "seasonal": ["events_seasonal_resid"],
+    "seasonal": ["events_seasonal_resid", "events_seasonal_stream"],
     "emb_drift": ["embedding_drift"],
     "repeat_gate": ["events_rapid_repeats"],
     "xcorr": ["events_xcorr"],

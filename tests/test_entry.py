@@ -26,7 +26,7 @@ def test_registry_arithmetic_matches_coverage_doc():
     import re
 
     qs, os_ = entry.queries(), entry.oracle_sql()
-    assert len(qs) == 195  # 142 through r05 + 53 round-6 additions
+    assert len(qs) == 196  # 142 through r05 + 54 round-6 additions
     # ZERO unoracled entries (since round 5)
     assert set(qs) - set(os_) == set()
     # COVERAGE.md's header must state the exact registry size
