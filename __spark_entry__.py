@@ -5071,18 +5071,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # snapshots the window mid-round): the first-driver-row backlog now
     # EXCEEDS the 50 slots — 2 anchors + 16 batch-2 additions
     # (kmeans_cells .. trade_hits) + 7 batch-3 additions (events_ohlc ..
-    # events_ohlc_stream) + 20 batch-4 additions (events_cusum ..
-    # copurchase_communities — count the tail live, it grew all round)
-    # = 45; fill the remaining 5 slots with the oldest r04-only
-    # re-greens (the CORRECTNESS_r0{1..5} sweep list below) and defer
-    # the rest of that list to r08. Every queued addition is
-    # check_oracle-verified value-exact at sf0.01 AND sf0.001 in round
-    # 6 (plan-audited too), so the rotation risk is plumbing only. If
-    # the batch-4 tail must be split, prefer rotating the BATCH
-    # operators first and let the streaming twins
-    # (events_cusum_stream, docs_heavy_stream, events_ohlc_stream) ride
-    # r08 — each shares its batch oracle, so a green batch row already
-    # certifies the shared SQL. Lowest-risk r04-only deferrals, picking
+    # events_ohlc_stream) + 28 batch-4 additions (events_cusum ..
+    # events_seasonal_stream — count the tail live) = 53, already 3
+    # over. Rotate the 2 anchors + all batch-2/3 + the batch-4 BATCH
+    # operators first, deferring the four streaming twins
+    # (events_cusum_stream, docs_heavy_stream, events_ohlc_stream,
+    # events_seasonal_stream) to r08 — each SHARES its batch oracle, so
+    # a green batch row already certifies the shared SQL — and push the
+    # whole r04-only re-green list to r08 as well. Every queued
+    # addition is check_oracle-verified value-exact at sf0.01 AND
+    # sf0.001 in round 6 (plan-audited too), so the rotation risk is
+    # plumbing only. Lowest-risk r04-only deferrals, picking
     # from this list first (code paths continuously
     # exercised by in-window cousins): knn_flat_l2 (cos/ip/hamming
     # cousins green r06), minhash_signatures (minhash_lsh_pairs
