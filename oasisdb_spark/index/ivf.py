@@ -226,6 +226,7 @@ def knn_ivf(
     query_vec_col: str = "query_vec",
     kernel: str = "expr",
     id_filter: DataFrame | None = None,
+    broadcast_probes: bool = True,
 ) -> DataFrame:
     """IVF search (ivf.go:175-228): probe-pruned equi-join + exact
     distance on the candidates + per-query top-k.
@@ -244,6 +245,13 @@ def knn_ivf(
     common case). With nprobe=nlist this is exact filtered kNN; at
     partial probes it inherits IVF recall, and selective filters warrant
     a higher nprobe (the standard filtered-ANN tradeoff).
+
+    broadcast_probes: True (default) broadcasts the probe edge list —
+    right for interactive query batches (|queries|·nprobe rows, KBs–MBs).
+    Set False when the query set is table-sized (e.g. whole-base
+    self-kNN in mutual_knn_pairs_ivf): the candidate join then shuffles
+    on cluster_id, co-located with the index's cluster_id partitioning,
+    instead of broadcasting a base-sized frame.
     """
     from oasisdb_spark.functions.distance import distance_expr, distance_udf
 
@@ -251,7 +259,9 @@ def knn_ivf(
         [r["centroid"] for r in centroids_df.orderBy("cluster_id").collect()], dtype=np.float32
     )
     probes = rank_probes(queries, centroids, nprobe, query_id_col, query_vec_col)
-    cand = apply_id_filter(F.broadcast(probes).join(index_df, on="cluster_id"), id_filter)
+    if broadcast_probes:
+        probes = F.broadcast(probes)
+    cand = apply_id_filter(probes.join(index_df, on="cluster_id"), id_filter)
     dist = (
         distance_expr(space, "query_vec", "vector")
         if kernel == "expr"

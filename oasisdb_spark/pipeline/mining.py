@@ -39,6 +39,8 @@ __all__ = [
     "hard_negatives_from_candidates",
     "mine_candidates_broadcast",
     "mutual_knn_pairs",
+    "mutual_knn_pairs_ivf",
+    "mutual_pairs_from_edges",
     "contrastive_triplets",
 ]
 
@@ -299,6 +301,36 @@ def contrastive_triplets(
     return pos.join(neg, "query_id")
 
 
+def mutual_pairs_from_edges(
+    nn: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "id",
+    dist_col: str = "distance",
+) -> DataFrame:
+    """The mutuality tail over ANY directed kNN edge list: normalize
+    each (query → neighbor) edge to its unordered pair, count per pair
+    in ONE pair-keyed partial agg — a pair is mutual iff BOTH directions
+    arrive (count = 2). Requires each directed edge at most once (any
+    top-k output satisfies this) and a symmetric distance. Mutuality is
+    a property of the edge list, not of the scorer, so this tail
+    composes with the brute GEMM scan, the IVF probe shortlist, or any
+    external candidate generator."""
+    return (
+        nn.select(
+            F.least(query_col, id_col).alias("id_a"),
+            F.greatest(query_col, id_col).alias("id_b"),
+            F.col(dist_col).alias("distance"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("_both"),
+            F.min("distance").cast("double").alias("distance"),
+        )
+        .where(F.col("_both") == 2)
+        .drop("_both")
+    )
+
+
 def mutual_knn_pairs(
     base: DataFrame,
     k: int,
@@ -306,6 +338,7 @@ def mutual_knn_pairs(
     id_col: str = "id",
     vec_col: str = "vector",
     scorer: str = "gemm",
+    max_base_rows: int = 100_000,
 ) -> DataFrame:
     """Reciprocal k-nearest-neighbor pairs over one embedding table:
     (id_a, id_b, distance) with id_a < id_b where EACH side ranks the
@@ -335,13 +368,27 @@ def mutual_knn_pairs(
     oracle dialect). Both select identical neighbor ID SETS on
     non-degenerate data (GEMM differs in the last ulps — the knn_flat
     vs knn_brute twin contract); the row-identity is test-pinned on
-    the fixture."""
+    the fixture.
+
+    ``max_base_rows``: BOTH scorers are brute self-kNN — O(N²) distance
+    computations by definition — so the base is loudly capped (the
+    skyline ``max_candidates`` discipline). Bases past the cap must use
+    :func:`mutual_knn_pairs_ivf` (sub-quadratic: probe-pruned candidate
+    generation, same mutuality tail; at nprobe=nlist it reproduces this
+    function exactly). The cap check is an early-abort limit scan —
+    cheap next to the quadratic work it guards."""
     if space == "ip":
         raise ValueError(
             "mutual_knn_pairs: inner product is not symmetric; use l2/cos/hamming"
         )
     if scorer not in ("gemm", "expr"):
         raise ValueError(f"mutual_knn_pairs: scorer must be gemm|expr, got {scorer!r}")
+    if base.limit(max_base_rows + 1).count() > max_base_rows:
+        raise ValueError(
+            f"mutual_knn_pairs: base exceeds max_base_rows={max_base_rows}; "
+            "brute self-kNN is O(N²) — use mutual_knn_pairs_ivf (probe-pruned "
+            "candidates, same mutuality tail) or raise the cap explicitly"
+        )
     q = base.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
     )
@@ -373,17 +420,58 @@ def mutual_knn_pairs(
             distance_expr(space, "query_vec", "vector").alias("distance"),
         )
         nn = topk_per_query(scored, k)
-    return (
-        nn.select(
-            F.least("query_id", "id").alias("id_a"),
-            F.greatest("query_id", "id").alias("id_b"),
-            "distance",
+    return mutual_pairs_from_edges(nn)
+
+
+def mutual_knn_pairs_ivf(
+    base: DataFrame,
+    centroids_df: DataFrame,
+    index_df: DataFrame,
+    k: int,
+    nprobe: int,
+    space: str = "l2",
+    id_col: str = "id",
+    vec_col: str = "vector",
+) -> DataFrame:
+    """Reciprocal kNN pairs over an IVF index — the sub-quadratic
+    composition for bases the brute scan cannot touch: self-kNN runs as
+    the probe-pruned candidate join (index/ivf.py knn_ivf — each query
+    scores only its nprobe nearest inverted lists, ~nprobe/nlist of the
+    base instead of all of it), then the SAME normalize-and-count
+    mutuality tail as :func:`mutual_knn_pairs`. At nprobe = nlist every
+    list is probed, so the result is EXACTLY the brute pair set (the
+    full-probe ≡ exact trick hard_negatives_ivf / knn_ivf use for their
+    SQL oracles); at partial probes pairs inherit IVF recall — a pair
+    survives only if each side finds the other through its probes,
+    which is the precision-biased direction mutual-NN wants.
+
+    The whole base is the query set, so the probe edge list is NOT
+    broadcast (knn_ivf's broadcast_probes=False path): the candidate
+    join shuffles on cluster_id, co-located with the index's
+    cluster_id partitioning. Distances are the in-order float64 fold
+    expressions (oracle dialect). Self matches are dropped by id and
+    ranks recomputed over k+1 fetches, so a duplicate vector at
+    distance 0 can never evict a true neighbor."""
+    if space == "ip":
+        raise ValueError(
+            "mutual_knn_pairs_ivf: inner product is not symmetric; use l2/cos/hamming"
         )
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.count(F.lit(1)).alias("_both"),
-            F.min("distance").cast("double").alias("distance"),
-        )
-        .where(F.col("_both") == 2)
-        .drop("_both")
+    from oasisdb_spark.index.ivf import knn_ivf
+
+    q = base.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
     )
+    # fetch k+1 (self rides along at distance 0), drop self, re-rank
+    raw = knn_ivf(
+        q, centroids_df, index_df, k + 1, nprobe=nprobe, space=space,
+        broadcast_probes=False,
+    ).where(F.col("query_id") != F.col("id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("distance").asc(), F.col("id").asc()
+    )
+    nn = (
+        raw.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= k)
+        .drop("_r", "rank")
+    )
+    return mutual_pairs_from_edges(nn)

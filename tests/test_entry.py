@@ -26,7 +26,10 @@ def test_registry_arithmetic_matches_coverage_doc():
     import re
 
     qs, os_ = entry.queries(), entry.oracle_sql()
-    assert len(qs) == 196  # 142 through r05 + 54 round-6 additions
+    # 196 through r06 + mutual_knn_pairs_ivf, the ONE round-7 addition
+    # (VERDICT r06 #2/#3 — growth frozen until the first-row backlog
+    # clears)
+    assert len(qs) == 197
     # ZERO unoracled entries (since round 5)
     assert set(qs) - set(os_) == set()
     # COVERAGE.md's header must state the exact registry size
@@ -36,28 +39,32 @@ def test_registry_arithmetic_matches_coverage_doc():
     assert int(m.group(1)) == len(qs), (
         f"COVERAGE.md header says {m.group(1)} entries, registry has {len(qs)}"
     )
-    # the driver gates the first 50 entries; the round-6 window must
-    # contain every entry that had no driver row through r05 (the 5
-    # round-5 additions), every entry whose ONLY row is r03, and the
-    # standing anchors
+    # the driver gates the first 50 entries; the round-7 window must
+    # contain the standing anchors, the entire no-driver-row backlog
+    # minus the four streaming twins deferred to r08 (each shares its
+    # batch oracle), and the round-7 addition at position 50
     window = list(qs)[:50]
-    never_checked_through_r05 = {
-        "dsir_select", "hard_negatives", "docs_dsir_stream",
-        "fim_samples", "epoch_mixture",
-    }
-    r03_only = {
-        "pii_scrub", "ngram_contamination", "line_dedup", "source_mixture",
-        "gopher_filter", "search_filtered_ivf", "curation_pipeline",
-        "knn_binq", "doc_length_histogram", "tfidf_top_terms",
-    }
-    round6_additions = {
-        "hard_negatives_ivf", "docs_mining_stream", "topic_balanced_sample",
-    }
     anchors = {"collection_lifecycle", "knn_ivfsq"}
-    assert (
-        never_checked_through_r05 | r03_only | round6_additions | anchors
-        <= set(window)
-    )
+    batch2 = {
+        "kmeans_cells", "proto_prune", "cluster_balanced",
+        "value_quantiles_sketch", "winnow_fingerprints",
+        "winnow_contamination", "bpe_merges", "bpe_token_counts",
+        "events_quantiles_stream", "order_status_scd2",
+        "event_type_quantiles", "trade_pagerank", "contrastive_triplets",
+        "events_value_drift", "events_drift_stream", "trade_hits",
+    }
+    batch3_batch = {
+        "events_ohlc", "copurchase_pairs", "copurchase_triangles",
+        "events_outliers", "mutual_knn_pairs",
+    }
+    deferred_twins = {
+        "docs_heavy_stream", "events_ohlc_stream",
+        "events_cusum_stream", "events_seasonal_stream",
+    }
+    assert anchors | batch2 | batch3_batch <= set(window)
+    assert window[49] == "mutual_knn_pairs_ivf"
+    assert deferred_twins.isdisjoint(window)
+    assert deferred_twins <= set(qs)
 
 
 def test_every_registry_entry_named_in_coverage_doc():

@@ -328,3 +328,64 @@ def test_mutual_knn_gemm_scorer_row_identical_to_expr(spark, embeddings):
 
     with pytest.raises(ValueError, match="scorer"):
         mutual_knn_pairs(emb, k=2, scorer="fast")
+
+
+def test_mutual_knn_base_guard_raises(spark):
+    from oasisdb_spark.pipeline.mining import mutual_knn_pairs
+
+    rows = [(i, [float(i), 0.0]) for i in range(40)]
+    df = spark.createDataFrame(rows, "id LONG, vector ARRAY<DOUBLE>")
+    with pytest.raises(ValueError, match="max_base_rows"):
+        mutual_knn_pairs(df, k=2, scorer="expr", max_base_rows=10)
+    # raising the cap explicitly unblocks the same call
+    assert mutual_knn_pairs(df, k=2, scorer="expr", max_base_rows=40).count() > 0
+
+
+@pytest.fixture(scope="module")
+def ivf_40(spark):
+    from oasisdb_spark.index.ivf import build_ivf
+
+    rows = [(i, [float((i * 7) % 13), float((i * 3) % 11)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "id LONG, vector ARRAY<DOUBLE>")
+    cent, idx = build_ivf(df, nlist=4)
+    return df, cent, idx
+
+
+def test_mutual_knn_ivf_full_probe_equals_brute(spark, ivf_40):
+    from oasisdb_spark.pipeline.mining import mutual_knn_pairs, mutual_knn_pairs_ivf
+
+    df, cent, idx = ivf_40
+    brute = sorted(
+        (r["id_a"], r["id_b"], round(r["distance"], 6))
+        for r in mutual_knn_pairs(df, k=4, scorer="expr").collect()
+    )
+    ivf = sorted(
+        (r["id_a"], r["id_b"], round(r["distance"], 6))
+        for r in mutual_knn_pairs_ivf(df, cent, idx, k=4, nprobe=4).collect()
+    )
+    assert brute == ivf and brute
+
+
+def test_mutual_knn_ivf_partial_probe_is_precision_biased(spark, ivf_40):
+    from oasisdb_spark.pipeline.mining import mutual_knn_pairs_ivf
+
+    df, cent, idx = ivf_40
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in mutual_knn_pairs_ivf(df, cent, idx, k=4, nprobe=4).collect()
+    }
+    part = {
+        (r["id_a"], r["id_b"])
+        for r in mutual_knn_pairs_ivf(df, cent, idx, k=4, nprobe=1).collect()
+    }
+    # partial probes can only LOSE pairs (each side must still find the
+    # other through its probes) — never invent them
+    assert part <= full
+
+
+def test_mutual_knn_ivf_ip_rejected(spark, ivf_40):
+    from oasisdb_spark.pipeline.mining import mutual_knn_pairs_ivf
+
+    df, cent, idx = ivf_40
+    with pytest.raises(ValueError, match="symmetric"):
+        mutual_knn_pairs_ivf(df, cent, idx, k=2, nprobe=4, space="ip")
