@@ -343,6 +343,7 @@ def quantile_sketch_stream(
 
     Blocks until the stream drains; returns the (q, est, n_sample)
     estimates DataFrame."""
+    import shutil
     import tempfile
 
     if qs is None:
@@ -368,13 +369,17 @@ def quantile_sketch_stream(
         merged.sort(key=lambda t: (t[0], t[1]))  # the bottomk total order
         state["rows"] = merged[:k]
 
+    ckpt = tempfile.mkdtemp(prefix="qsketch_ckpt_")
     q = (
         stream.writeStream.foreachBatch(_merge)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="qsketch_ckpt_"))
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
     sample = spark.createDataFrame(
         [(kk, vv) for _, kk, vv in state["rows"]],
         schema=T.StructType([key_f, val_f]),
@@ -415,6 +420,7 @@ def heavy_hitters_stream(
     IDENTICAL to batch heavy_hitters — the batch oracle hash-matches
     the stream. Blocks until the stream drains."""
     import math
+    import shutil
     import tempfile
 
     import pandas as pd
@@ -456,13 +462,17 @@ def heavy_hitters_stream(
             counts = {v: c - m for v, c in counts.items() if c > m}
         state["counts"] = counts
 
+    ckpt = tempfile.mkdtemp(prefix="hh_ckpt_")
     q = (
         stream.writeStream.foreachBatch(_merge)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="hh_ckpt_"))
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
 
     spark = verify_df.sparkSession
     n, thresh = state["n"], max(1, math.ceil(phi * state["n"]))

@@ -151,9 +151,14 @@ def psi_drift(
 
     — integer share differences times the micro-nat log-ratio of
     INTEGER products (the pipeline/lm.py lmic primitive), floor-divided
-    by the total product: pure int64, bit-reproducible in DuckDB. Terms
-    are non-negative (lmic is monotone), so floor rounding is
-    one-sided; the result is in micro-PSI (1e-6 PSI units).
+    by the total product: pure integer arithmetic in DECIMAL(38,0)
+    (the chi2_independence 128-bit idiom — int64 overflows the contrib
+    numerator at a few million strongly-drifted rows per snapshot),
+    bit-reproducible against DuckDB's HUGEINT. Terms are non-negative
+    (lmic is monotone), so floor rounding is one-sided; the result is
+    in micro-PSI (1e-6 PSI units). A baseline with NO non-NULL values
+    has no bucket range — the bucket expression raises loudly instead
+    of silently zeroing the current side (round-6 advisory).
 
     Returns one row per bucket: (bucket, base_cnt, cur_cnt,
     psi_contrib_micro); total PSI = sum of contribs. NULLs don't
@@ -171,8 +176,19 @@ def psi_drift(
     def bucket_counts(df: DataFrame, out: str) -> DataFrame:
         v = F.col(value_col).cast("double")
         raw = F.floor((v - F.col("_mn")) * n_buckets / (F.col("_mx") - F.col("_mn")))
-        b = F.when(F.col("_mx") == F.col("_mn"), F.lit(0)).otherwise(
-            F.least(F.lit(n_buckets - 1), F.greatest(F.lit(0), raw))
+        # an empty/all-NULL baseline has no range: raise loudly when a
+        # current-side row meets the NULL min/max (the baseline side
+        # can't reach this branch — its NOT NULL filter leaves no rows)
+        b = (
+            F.when(
+                F.col("_mn").isNull() | F.col("_mx").isNull(),
+                F.raise_error(
+                    f"psi_drift: baseline has no non-NULL {value_col!r} "
+                    "values — no bucket range to score against"
+                ),
+            )
+            .when(F.col("_mx") == F.col("_mn"), F.lit(0))
+            .otherwise(F.least(F.lit(n_buckets - 1), F.greatest(F.lit(0), raw)))
         )
         return (
             df.where(F.col(value_col).isNotNull())
@@ -197,28 +213,44 @@ def psi_drift(
 
 def _psi_from_counts(counts: DataFrame, n_buckets: int) -> DataFrame:
     """The smoothed integer PSI arithmetic over a (bucket, base_cnt,
-    cur_cnt) frame — shared by psi_drift and psi_drift_stream."""
+    cur_cnt) frame — shared by psi_drift and psi_drift_stream.
+
+    Products run in DECIMAL(38,0) with DIV (the chi2_independence
+    128-bit idiom): a'·B' ~ N² and the contrib numerator ~ N²·1e⁷ both
+    blow int64 at a few million strongly-drifted rows per snapshot —
+    exactly the regime the gate exists to flag (round-6 advisory).
+    lmic's input arrives as DECIMAL(38,0) and is cast to double inside
+    lmic, identical to the int64 path for counts below 2⁵³ products —
+    i.e. everywhere DuckDB's HUGEINT oracle also rounds the same ln().
+    Remaining budget: the DECIMAL(38,0) numerator caps snapshots at
+    ~10¹⁴ rows each (N²·1e⁸ < 10³⁸), far past any single-snapshot
+    reality."""
     from pyspark.sql import Window as _W
 
     from oasisdb_spark.pipeline.lm import lmic
 
     w = _W.partitionBy(F.lit(0))  # single-group window for the totals
-    a1 = F.col("base_cnt") + 1
-    b1 = F.col("cur_cnt") + 1
-    A1 = F.sum("base_cnt").over(w) + n_buckets
-    B1 = F.sum("cur_cnt").over(w) + n_buckets
-    ab = (a1 * B1).cast("long")
-    ba = (b1 * A1).cast("long")
+    # distinct names per column — Spark resolves case-insensitively by
+    # default, so a1/A1-style pairs would silently alias each other
+    sa = F.col("base_cnt") + 1  # smoothed bucket counts
+    sb = F.col("cur_cnt") + 1
+    ta = F.sum("base_cnt").over(w) + n_buckets  # smoothed totals
+    tb = F.sum("cur_cnt").over(w) + n_buckets
+    ab = F.expr("CAST(_sa AS DECIMAL(38,0)) * _tb")
+    ba = F.expr("CAST(_sb AS DECIMAL(38,0)) * _ta")
     contrib = F.expr(
-        "((_ab - _ba) * (_lab - _lba)) div (_A1 * _B1)"
+        "((_ab - _ba) * (_lab - _lba))"
+        " DIV (CAST(_ta AS DECIMAL(38,0)) * _tb)"
     )
     return (
-        counts.withColumn("_ab", ab)
+        counts.withColumn("_sa", sa.cast("long"))
+        .withColumn("_sb", sb.cast("long"))
+        .withColumn("_ta", ta.cast("long"))
+        .withColumn("_tb", tb.cast("long"))
+        .withColumn("_ab", ab)
         .withColumn("_ba", ba)
         .withColumn("_lab", lmic(F.col("_ab")))
         .withColumn("_lba", lmic(F.col("_ba")))
-        .withColumn("_A1", A1.cast("long"))
-        .withColumn("_B1", B1.cast("long"))
         .select(
             "bucket", "base_cnt", "cur_cnt",
             contrib.cast("long").alias("psi_contrib_micro"),
@@ -240,6 +272,7 @@ def psi_drift_stream(
     are ADDITIVE across batches, so the final counts — and every PSI
     contribution — equal the batch psi_drift exactly, and the batch
     oracle hash-matches the stream. Blocks until the stream drains."""
+    import shutil
     import tempfile
 
     if n_buckets < 2:
@@ -249,6 +282,14 @@ def psi_drift_stream(
         F.min(value_col).alias("_mn"), F.max(value_col).alias("_mx")
     ).first()
     mn, mx = row["_mn"], row["_mx"]
+    if mn is None or mx is None:
+        # fail BEFORE starting the stream: a NULL range would bucket
+        # every arriving row to NULL and KeyError inside foreachBatch,
+        # surfacing as an opaque StreamingQueryException (r06 advisory)
+        raise ValueError(
+            f"psi_drift_stream: baseline has no non-NULL {value_col!r} "
+            "values — no bucket range to score against"
+        )
     acc = {i: 0 for i in range(n_buckets)}
 
     def bucket_col() -> Column:
@@ -268,13 +309,17 @@ def psi_drift_stream(
         ):
             acc[r["bucket"]] += r["count"]
 
+    ckpt = tempfile.mkdtemp(prefix="psi_ckpt_")
     q = (
         stream.writeStream.foreachBatch(_fold)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="psi_ckpt_"))
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
     rng = baseline.where(F.col(value_col).isNotNull()).agg(
         F.min(value_col).alias("_mn"), F.max(value_col).alias("_mx")
     )

@@ -374,18 +374,26 @@ def cusum_stream(
             for c in scored.columns
             if not c.startswith("_")
         ]
-        scored.select(*out_cols).write.mode("append").parquet(out_dir)
-        # fold the carry: end-of-batch prefix total + all-time prefix min
-        last = (
-            scored.groupBy(*series_cols)
-            .agg(
-                F.max_by(p_up, F.struct(*order_cols)).alias("cs_up"),
-                F.min(m_up).alias("cm_up"),
-                F.max_by(p_dn, F.struct(*order_cols)).alias("cs_dn"),
-                F.min(m_dn).alias("cm_dn"),
+        # two actions consume the same joined+windowed plan (parquet
+        # append, then the carry fold) — persist so the batch is
+        # computed once per micro-batch, not twice (r06 advisory)
+        scored = scored.persist()
+        try:
+            scored.select(*out_cols).write.mode("append").parquet(out_dir)
+            # fold the carry: end-of-batch prefix total + all-time
+            # prefix min
+            last = (
+                scored.groupBy(*series_cols)
+                .agg(
+                    F.max_by(p_up, F.struct(*order_cols)).alias("cs_up"),
+                    F.min(m_up).alias("cm_up"),
+                    F.max_by(p_dn, F.struct(*order_cols)).alias("cs_dn"),
+                    F.min(m_dn).alias("cm_dn"),
+                )
+                .collect()
             )
-            .collect()
-        )
+        finally:
+            scored.unpersist()
         for r in last:
             k = tuple(r[c] for c in series_cols)
             state[k] = (r["cs_up"], r["cm_up"], r["cs_dn"], r["cm_dn"])
@@ -600,10 +608,24 @@ def time_weighted_avg(
     partial agg on (series, bucket). int64 budget |v|·width — cents ×
     a day of micros ≈ 10⁹·8.6e10 overflows; keep |v|·width < 2⁶³
     (at cents ≤ 10⁶ any width ≤ 10¹² µs ≈ 11 days is safe).
+
+    Bucketing is INTEGER FLOOR division (floor-corrected `div`, the
+    repo's exactness idiom — no float round-trip, so ts past 2⁵³ µs
+    stays exact and negative epoch micros land in the bucket whose
+    start is <= ts, matching DuckDB's `//`; the former float path
+    truncated toward zero, mis-bucketing pre-1970 timestamps —
+    round-6 advisory).
     """
-    b = (F.col(ts_col).cast("long") / F.lit(int(bucket_width_us))).cast(
-        "long"
-    ) * int(bucket_width_us)
+    width = int(bucket_width_us)
+    if width <= 0:
+        raise ValueError(
+            f"time_weighted_avg: bucket_width_us must be > 0, got {width}"
+        )
+    tsl = F.col(ts_col).cast("long")
+    q = F.expr(f"CAST({ts_col} AS LONG) div {width}")
+    # Spark's `div` truncates toward zero; floor = q-1 when a negative
+    # ts has a nonzero remainder (width > 0, so signs differ iff ts < 0)
+    b = F.when(tsl % width < 0, q - 1).otherwise(q) * width
     w = Window.partitionBy(*series_cols, "_bucket").orderBy(
         ts_col, *(tie_cols or [])
     )

@@ -35,8 +35,10 @@ Scale design (100 TB):
 - the model is B rows (default 4096 — the paper's 10k-bucket regime is
   one knob away), so SCORING broadcasts it: explode buckets, broadcast
   equi-join, one doc_id partial agg. The raw pool is never reshuffled;
-  selection is a TakeOrdered top-k (per-partition heaps, no sort
-  shuffle).
+  selection (dsir_select) is orderBy().limit(k) — the physical plan is
+  TakeOrderedAndProject (per-partition heaps merged at the driver, no
+  global sort shuffle; asserted by scripts/plan_audit.py, fixed per
+  ADVICE r05 from the earlier unpartitioned-Window form).
 """
 
 from __future__ import annotations

@@ -493,3 +493,59 @@ def test_rapid_repeats_flags_and_evidence(spark):
     b = sorted(tuple(r) for r in rapid_repeats(
         df.repartition(5), ["u", "amt"], "ts", "id", 10).collect())
     assert a == b
+
+
+def test_psi_from_counts_high_drift_millions_no_overflow(spark):
+    """r06 advisory: the contrib numerator ~ N²·1e⁷ overflowed int64 at
+    ~2M fully-drifted rows per snapshot; the DECIMAL(38,0) products
+    must now match Python's unbounded integers exactly."""
+    import math
+
+    from oasisdb_spark.operators.quality import _psi_from_counts
+
+    n = 10
+    # fully drifted: all baseline mass in bucket 0, all current in 9
+    rows = [(0, 2_000_000, 0), (9, 0, 2_000_000)] + [
+        (i, 0, 0) for i in range(1, 9)
+    ]
+    counts = spark.createDataFrame(rows, "bucket INT, base_cnt LONG, cur_cnt LONG")
+    got = {
+        r["bucket"]: r["psi_contrib_micro"]
+        for r in _psi_from_counts(counts, n).collect()
+    }
+    A1 = 2_000_000 + n
+    B1 = 2_000_000 + n
+
+    def lmic(x):
+        return int(round(math.log(float(x)) * 1e6))
+
+    for b, bc, cc in rows:
+        a1, b1 = bc + 1, cc + 1
+        want = ((a1 * B1 - b1 * A1) * (lmic(a1 * B1) - lmic(b1 * A1))) // (A1 * B1)
+        assert got[b] == want, b
+    # sanity: strong drift actually alarms
+    assert sum(got.values()) > 250_000
+
+
+def test_psi_drift_empty_baseline_raises_loudly(spark):
+    """r06 advisory: an all-NULL baseline must raise, not silently
+    score the current side against a NULL range."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from oasisdb_spark.operators.quality import psi_drift
+
+    b = spark.createDataFrame(
+        [(1, None), (2, None)], "id LONG, value DOUBLE"
+    )
+    c = spark.createDataFrame([(1, 5.0), (2, 6.0)], "id LONG, value DOUBLE")
+    with pytest.raises(Exception, match="no non-NULL"):
+        psi_drift(b, c, "value", n_buckets=4).collect()
+
+
+def test_psi_drift_stream_empty_baseline_valueerror(spark):
+    """The streaming twin must fail BEFORE starting the stream."""
+    from oasisdb_spark.operators.quality import psi_drift_stream
+
+    b = spark.createDataFrame([(1, None)], "id LONG, value DOUBLE")
+    with pytest.raises(ValueError, match="no non-NULL"):
+        psi_drift_stream(b, b, "value", n_buckets=4)

@@ -591,3 +591,24 @@ def test_time_weighted_avg_partitioning_invariant(spark):
         return sorted(tuple(r) for r in time_weighted_avg(d, "ts", "v", ["s"], 250).collect())
 
     assert run(df) == run(df.repartition(9)) == run(df.coalesce(1))
+
+
+def test_time_weighted_avg_negative_ts_floor_buckets(spark):
+    """r06 advisory: bucketing is floor division — negative epoch
+    micros land in the bucket whose START is <= ts (DuckDB `//`
+    semantics), not the truncate-toward-zero bucket."""
+    from oasisdb_spark.operators.timeseries import time_weighted_avg
+
+    W = 100
+    rows = [("s", -50, 8), ("s", -250, 4)]
+    df = spark.createDataFrame(rows, "s STRING, ts LONG, v LONG")
+    out = {r["bucket_us"]: r for r in time_weighted_avg(df, "ts", "v", ["s"], W).collect()}
+    # floor(-50/100) = -1 -> bucket -100 (truncation would say 0)
+    assert set(out) == {-100, -300}
+    # single obs at -50 holds until bucket end 0: weight 50
+    assert out[-100]["twap_den"] == 50 and out[-100]["twap_num"] == 8 * 50
+    assert out[-300]["twap_den"] == 50 and out[-300]["twap_num"] == 4 * 50
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bucket_width_us"):
+        time_weighted_avg(df, "ts", "v", ["s"], 0)
