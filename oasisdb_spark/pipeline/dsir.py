@@ -178,8 +178,10 @@ def dsir_score_broadcast(
     "score raw documents against a fixed target model as they arrive"
     deployment of DSIR. Python re-tokenization and md5 bucket hashing
     compute the identical integers as the Column path (the proven
-    minhash/lm UDF pattern; ASCII-corpora caveat as lm_score_broadcast),
-    so outputs are row-identical and the batch oracle applies."""
+    minhash/lm UDF pattern; dialect agreement pinned for arbitrary
+    UTF-8 by tests/test_token_dialect.py's exhaustive codepoint sweep,
+    as lm_score_broadcast), so outputs are row-identical and the batch
+    oracle applies."""
     import hashlib
     import re as _re
 

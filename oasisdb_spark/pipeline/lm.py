@@ -182,10 +182,14 @@ def lm_score_broadcast(
     the proven minhash-UDF pattern), so outputs are row-identical and
     the batch SQL oracle applies unchanged. NB the shared pattern is
     compiled by Python ``re`` here but by the JVM regex engine in
-    tokens(); the dialects agree on this ASCII character class, and
-    ``str.lower()`` matches ``F.lower`` for ASCII, so the
-    row-identical guarantee is unconditional for ASCII corpora only
-    (e.g. Unicode 'I-with-dot' case-folds differently per engine).
+    tokens(); tests/test_token_dialect.py pins their agreement
+    EMPIRICALLY — an exhaustive per-codepoint sweep (every Unicode
+    scalar value) plus context-sensitive case fixtures (final sigma,
+    Turkish İ, ligatures) show ``str.lower()``+``re.split`` and
+    ``F.lower``+``F.split`` produce identical token structure on the
+    shared ASCII separator class, so the row-identity holds for
+    arbitrary UTF-8 corpora on the pinned engine versions (the test
+    fails loudly if an engine upgrade ever changes a case mapping).
 
     Contract: the model must fit executor memory — prune with
     ``bigram_lm(min_count=...)``; the full-corpus-model path is the
