@@ -1114,6 +1114,30 @@ def main() -> None:
     print(f"== part_name_clusters blocked equi match, bounded labeling: {'OK' if ok else 'FAIL'}")
     failures += not ok
 
+    # 97. mutual_knn_pairs_ivf (VERDICT r06 #3): the sub-quadratic
+    # composition — the candidate join must be a cluster_id EQUI-join
+    # with the whole-base probe edge list never on the broadcast/build
+    # side (broadcast_probes=False; AQE may still promote the SMALL
+    # index side at fixture scale — BuildRight — which is fine and
+    # disappears at real index sizes), never a nested-loop/cartesian;
+    # probe ranking is one Arrow pass (a second MapInPandas is the
+    # index lineage's assign_clusters when the memo isn't cached);
+    # mutuality stays ONE pair-keyed partial agg — no self-join replay
+    plan = plan_of(m.queries()["mutual_knn_pairs_ivf"](spark, sf_dir))
+    probe_broadcast = any(
+        "BroadcastHashJoin [cluster_id" in ln and "BuildLeft" in ln
+        for ln in plan.splitlines()
+    )  # probes are the LEFT side of the join in knn_ivf
+    ok = (
+        "CartesianProduct" not in plan
+        and "BroadcastNestedLoopJoin" not in plan
+        and not probe_broadcast
+        and plan.count("MapInPandas") <= 2
+        and plan.count("partial_count") == 1  # the mutuality agg
+    )
+    print(f"== mutual_knn_pairs_ivf equi probe join (probes never broadcast), single pair agg: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
     print(f"\n{'ALL PLANS OK' if not failures else f'{failures} PLAN CHECKS FAILED'}")
     spark.stop()
     sys.exit(1 if failures else 0)

@@ -403,6 +403,7 @@ def main() -> None:
     curation_section(spark)
     text_round6_section(spark)
     batch4_section(spark)
+    mutual_ivf_section(spark)
     spark.stop()
 
 
@@ -485,10 +486,6 @@ def tpch_section(spark) -> None:
     print("|---|---|---|---|")
     for name, r in results.items():
         print(f"| {name} | {r['sf0.1']:.2f} | {r['sf1']:.2f} | {r['sf1']/r['sf0.1']:.1f}x |")
-
-
-if __name__ == "__main__":
-    main()
 
 
 SF1_FULL_DIR = "/tmp/oasis_scale_sf1_full"
@@ -581,3 +578,61 @@ def batch4_section(spark) -> None:
     print("|---|---|---|---|")
     for name, r in results.items():
         print(f"| {name} | {r['sf0.1']:.2f} | {r['sf1']:.2f} | {r['sf1']/r['sf0.1']:.1f}x |")
+
+
+def mutual_ivf_section(spark) -> None:
+    """mutual_knn_pairs_ivf at 10x (VERDICT r06 #3): the sub-quadratic
+    composition measured in its production shape — IVF built with
+    nlist = sqrt(N) at EACH scale (the standard coarse-quantizer
+    sizing), nprobe fixed at 4, so per-query candidates grow ~sqrt(N)
+    and total work ~N^1.5 (expected time ratio ~31.6x/10 = 3.2x per
+    data 10x once past fixed costs) instead of the GEMM scan's N^2.
+    The GEMM default is measured next to it for the honest comparison:
+    at fixture sizes BLAS constants can keep GEMM ahead on wall-clock;
+    the IVF path's claim is the ASYMPTOTE plus never collecting the
+    base to the driver (the GEMM kernel broadcasts the whole query
+    copy — a non-starter at 100M+ vectors)."""
+    import math
+
+    from oasisdb_spark.index.ivf import build_ivf
+    from oasisdb_spark.pipeline.mining import mutual_knn_pairs, mutual_knn_pairs_ivf
+
+    sf1 = build_sf1_full(spark)
+    results: dict[str, dict[str, float]] = {}
+    for tag, d in (("sf0.1", SF01_DIR), ("sf1", sf1)):
+        emb = spark.read.parquet(f"{d}/embeddings.parquet").select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+        )
+        n = emb.count()
+        nlist = max(16, int(math.isqrt(n)))
+        cent, idx = build_ivf(emb, nlist=nlist)
+        idx = idx.persist()
+        idx.count()
+        print(f"  {tag}: N={n}, nlist={nlist}")
+        thunks = {
+            "mutual_knn_pairs_ivf (nprobe=4)": lambda: mutual_knn_pairs_ivf(
+                emb, cent, idx, k=5, nprobe=4
+            ),
+            "mutual_knn_pairs (GEMM)": lambda: mutual_knn_pairs(
+                emb, k=5, scorer="gemm"
+            ),
+        }
+        for name, thunk in thunks.items():
+            force(thunk())  # warm
+            vals = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                force(thunk())
+                vals.append(time.perf_counter() - t0)
+            results.setdefault(name, {})[tag] = round(min(vals), 2)
+            print(f"  {tag:6s} {name:34s} {min(vals):7.2f} s", flush=True)
+        idx.unpersist()
+
+    print("\n| mutual-kNN plan | sf0.1 (s) | sf1 = 10x (s) | ratio |")
+    print("|---|---|---|---|")
+    for name, r in results.items():
+        print(f"| {name} | {r['sf0.1']:.2f} | {r['sf1']:.2f} | {r['sf1']/r['sf0.1']:.1f}x |")
+
+
+if __name__ == "__main__":
+    main()

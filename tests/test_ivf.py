@@ -151,3 +151,21 @@ def test_ivf_search_stats_counts_probed_candidates(spark, embeddings):
     assert all(r["n_probes"] == 4 and r["n_candidates"] == n for r in full)
     partial = {r["query_id"]: r for r in ivf_search_stats(q, cent, idx, nprobe=1).collect()}
     assert all(r["n_probes"] == 1 and 0 < r["n_candidates"] < n for r in partial.values())
+
+
+def test_knn_ivf_shuffled_probe_join_matches_broadcast(spark, embeddings):
+    """broadcast_probes=False (the whole-base self-kNN posture used by
+    mutual_knn_pairs_ivf) must return exactly the broadcast plan's
+    results — the flag changes the join strategy, never the rows."""
+    emb = embeddings.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    cent, idx = build_ivf(emb, nlist=8)
+    q = embeddings.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    a = sorted(map(tuple, knn_ivf(q, cent, idx, k=5, nprobe=8).collect()))
+    b = sorted(
+        map(tuple, knn_ivf(q, cent, idx, k=5, nprobe=8, broadcast_probes=False).collect())
+    )
+    assert a == b and a
