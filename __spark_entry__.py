@@ -4191,7 +4191,9 @@ def _mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _mutual_knn_pairs_ivf(spark: SparkSession, sf_dir: str, nprobe: int = 16) -> DataFrame:
+def _mutual_knn_pairs_ivf(
+    spark: SparkSession, sf_dir: str, nprobe: int = 16, kernel: str = "expr"
+) -> DataFrame:
     """Reciprocal kNN pairs over the IVF index — the sub-quadratic
     composition for bases the brute scan must not touch (VERDICT r06
     #3; pipeline/mining.py mutual_knn_pairs_ivf): self-kNN as the
@@ -4211,7 +4213,7 @@ def _mutual_knn_pairs_ivf(spark: SparkSession, sf_dir: str, nprobe: int = 16) ->
         F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
     )
     cent, idx = _ivf_memo(spark, sf_dir)
-    out = mutual_knn_pairs_ivf(emb, cent, idx, k=5, nprobe=nprobe)
+    out = mutual_knn_pairs_ivf(emb, cent, idx, k=5, nprobe=nprobe, kernel=kernel)
     return out.select(
         "id_a", "id_b", F.round(F.col("distance"), 3).alias("distance")
     )
@@ -5393,8 +5395,15 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mutual-kNN's scale path: probe-pruned self-kNN (nprobe=4) +
         # the shared mutuality tail — sub-quadratic vs the guarded GEMM
         # default; the exact tier is the driver's mutual_knn_pairs_ivf
-        # entry (full-probe), which shares this code path
-        "mutual_knn_pairs_ivf_probe": lambda s, d: _mutual_knn_pairs_ivf(s, d, nprobe=4),
+        # entry (full-probe, kernel='expr' for the oracle), which shares
+        # this code path. The bench plan uses the cogrouped per-cluster
+        # GEMM kernel: whole-base probes mean ~|base|²·nprobe/nlist
+        # candidate rows, where the interpreted fold expression is the
+        # bottleneck (sf0.1 min-of-2: expr 12.0 s, Arrow row-kernel
+        # 5.0 s, cogrouped GEMM measured below in BENCH files)
+        "mutual_knn_pairs_ivf_probe": lambda s, d: _mutual_knn_pairs_ivf(
+            s, d, nprobe=4, kernel="gemm"
+        ),
         # DSIR's Column/equi-join executable spec (the entry runs the
         # fused Arrow scorer — row-identical, test-pinned, ~5x faster;
         # same economics as minhash_signature_expr vs the fused frame)

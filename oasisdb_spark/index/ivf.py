@@ -236,7 +236,15 @@ def knn_ivf(
 
     kernel: 'expr' = oracle-bit-exact fold expression (default, fine
     while nprobe/nlist keeps candidates small); 'pandas' = Arrow-batched
-    numpy kernel for large candidate volumes (see distance_udf).
+    numpy kernel for large candidate volumes (see distance_udf);
+    'gemm' = cogrouped per-cluster GEMM (l2/ip/cos) — probes and index
+    cogroup on cluster_id and each cluster scores as ONE matrix
+    multiply with a local top-k trim, so each base vector crosses
+    Arrow once per CLUSTER instead of once per candidate row
+    (~|cluster| fewer vector transfers than 'pandas'; the right shape
+    for table-sized query sets like whole-base self-kNN). GEMM carries
+    the usual last-ulp summation noise vs the fold expression — keep
+    oracle-gated runs on 'expr'.
 
     id_filter: optional one-column (id) frame — filtered ANN: candidates
     are semi-joined against it AFTER probe pruning, so the filter costs
@@ -259,6 +267,8 @@ def knn_ivf(
         [r["centroid"] for r in centroids_df.orderBy("cluster_id").collect()], dtype=np.float32
     )
     probes = rank_probes(queries, centroids, nprobe, query_id_col, query_vec_col)
+    if kernel == "gemm":
+        return _knn_ivf_gemm(probes, index_df, k, space, id_filter)
     if broadcast_probes:
         probes = F.broadcast(probes)
     cand = apply_id_filter(probes.join(index_df, on="cluster_id"), id_filter)
@@ -269,6 +279,87 @@ def knn_ivf(
     )
     scored = cand.select("query_id", "id", dist.alias("distance"))
     return topk_per_query(scored, k)
+
+
+def _knn_ivf_gemm(
+    probes: DataFrame,
+    index_df: DataFrame,
+    k: int,
+    space: str,
+    id_filter: DataFrame | None,
+) -> DataFrame:
+    """The cogrouped per-cluster GEMM scorer behind knn_ivf's
+    kernel='gemm': probes (query_id, query_vec, cluster_id) cogroup
+    with the inverted lists on cluster_id; each cluster batch scores as
+    one float64 matrix multiply and emits only its local top-k per
+    query (candidates never materialize as rows), then the global
+    topk_per_query window merges the per-cluster shortlists —
+    <= nprobe·k rows per query reach the final shuffle. Arrow traffic
+    is |probes| + |index| vectors total, vs 2 vectors PER CANDIDATE
+    ROW in the join+UDF shape. Tie handling matches topk_per_query:
+    the local trim selects by (distance, id), so boundary ties survive
+    to the global merge in the same total order."""
+    if space not in ("l2", "ip", "cos"):
+        raise ValueError(
+            f"knn_ivf kernel='gemm' supports l2/ip/cos, got {space!r}; "
+            "use kernel='pandas' for hamming"
+        )
+    idx = index_df
+    if id_filter is not None:
+        idx = idx.join(id_filter.select("id"), on="id", how="left_semi")
+    qid_type = probes.schema["query_id"].dataType
+    id_type = idx.schema["id"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", qid_type, True),
+            T.StructField("id", id_type, True),
+            T.StructField("distance", T.DoubleType(), True),
+        ]
+    )
+
+    def _score(key, probe_pdf: pd.DataFrame, index_pdf: pd.DataFrame):
+        if len(probe_pdf) == 0 or len(index_pdf) == 0:
+            return pd.DataFrame({"query_id": [], "id": [], "distance": []})
+        Q = np.array(probe_pdf["query_vec"].tolist(), dtype=np.float64)
+        X = np.array(index_pdf["vector"].tolist(), dtype=np.float64)
+        G = X @ Q.T  # (nb, nq)
+        if space == "l2":
+            x_sq = (X**2).sum(axis=1)
+            q_sq = (Q**2).sum(axis=1)
+            # clamp: cancellation can push x²+q²-2xq slightly negative
+            D = np.maximum(x_sq[:, None] + q_sq[None, :] - 2.0 * G, 0.0)
+        elif space == "ip":
+            D = -G
+        else:  # cos
+            x_norm = np.sqrt((X**2).sum(axis=1))
+            q_norm = np.sqrt((Q**2).sum(axis=1))
+            denom = x_norm[:, None] * q_norm[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                D = np.where(denom > 0, 1.0 - G / denom, 1.0)
+        ids = index_pdf["id"].to_numpy()
+        # local top-k by (distance, id): pre-sort rows by id (stable),
+        # then argsort on distance keeps the id order among ties
+        order = np.argsort(ids, kind="stable")
+        ids, D = ids[order], D[order]
+        nb = len(ids)
+        kk = min(k, nb)
+        sel = np.argsort(D, axis=0, kind="stable")[:kk]  # (kk, nq)
+        nq = len(probe_pdf)
+        qids = probe_pdf["query_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(qids, kk),
+                "id": ids[sel.T.reshape(-1)],
+                "distance": D[sel.T.reshape(-1), np.repeat(np.arange(nq), kk)],
+            }
+        )
+
+    shortlists = (
+        probes.groupBy("cluster_id")
+        .cogroup(idx.groupBy("cluster_id"))
+        .applyInPandas(_score, schema=out_schema)
+    )
+    return topk_per_query(shortlists, k)
 
 
 def ivf_search_stats(

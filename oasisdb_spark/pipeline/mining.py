@@ -432,6 +432,7 @@ def mutual_knn_pairs_ivf(
     space: str = "l2",
     id_col: str = "id",
     vec_col: str = "vector",
+    kernel: str = "expr",
 ) -> DataFrame:
     """Reciprocal kNN pairs over an IVF index — the sub-quadratic
     composition for bases the brute scan cannot touch: self-kNN runs as
@@ -448,8 +449,15 @@ def mutual_knn_pairs_ivf(
     The whole base is the query set, so the probe edge list is NOT
     broadcast (knn_ivf's broadcast_probes=False path): the candidate
     join shuffles on cluster_id, co-located with the index's
-    cluster_id partitioning. Distances are the in-order float64 fold
-    expressions (oracle dialect). Self matches are dropped by id and
+    cluster_id partitioning. ``kernel``: 'expr' (default — in-order
+    float64 fold Columns, the oracle dialect; right for oracle-gated
+    runs and small candidate volumes), 'pandas' (Arrow row kernel), or
+    'gemm' (cogrouped per-cluster GEMM — the production shape for
+    whole-base self-kNN: |base|·nprobe/nlist·|base| candidate rows
+    never materialize; each cluster scores as one matrix multiply and
+    only local top-k shortlists reach the merge. Last-ulp
+    summation-order noise only — the same GEMM-twin contract the brute
+    scorer's 3dp rounding absorbs). Self matches are dropped by id and
     ranks recomputed over k+1 fetches, so a duplicate vector at
     distance 0 can never evict a true neighbor."""
     if space == "ip":
@@ -464,7 +472,7 @@ def mutual_knn_pairs_ivf(
     # fetch k+1 (self rides along at distance 0), drop self, re-rank
     raw = knn_ivf(
         q, centroids_df, index_df, k + 1, nprobe=nprobe, space=space,
-        broadcast_probes=False,
+        broadcast_probes=False, kernel=kernel,
     ).where(F.col("query_id") != F.col("id"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("distance").asc(), F.col("id").asc()

@@ -169,3 +169,30 @@ def test_knn_ivf_shuffled_probe_join_matches_broadcast(spark, embeddings):
         map(tuple, knn_ivf(q, cent, idx, k=5, nprobe=8, broadcast_probes=False).collect())
     )
     assert a == b and a
+
+
+def test_knn_ivf_gemm_kernel_matches_expr(spark, embeddings):
+    """kernel='gemm' (cogrouped per-cluster GEMM) must select the same
+    (query, id) rows as the fold-expression kernel at full AND partial
+    probes, with distances equal to rounding (GEMM-twin contract)."""
+    emb = embeddings.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    cent, idx = build_ivf(emb, nlist=8)
+    q = embeddings.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+    def rows(kernel, nprobe, id_filter=None):
+        out = knn_ivf(q, cent, idx, k=5, nprobe=nprobe, kernel=kernel, id_filter=id_filter)
+        return sorted(
+            (r["query_id"], r["id"], r["rank"], round(r["distance"], 6))
+            for r in out.collect()
+        )
+
+    for nprobe in (8, 2):
+        assert rows("gemm", nprobe) == rows("expr", nprobe), nprobe
+    flt = emb.filter(F.col("id") % 3 == 0).select("id")
+    assert rows("gemm", 8, flt) == rows("expr", 8, flt)
+    with pytest.raises(ValueError, match="gemm"):
+        knn_ivf(q, cent, idx, k=5, nprobe=8, space="hamming", kernel="gemm")
