@@ -56,26 +56,38 @@ _BLOCK = 2048  # pairwise prune is O(block²·d) — 2048 keeps it in-cache
 def _prune_block(X, S):
     """Return (survivors-of-X mask, survivors-of-S mask) under strict
     Pareto dominance, orienting every dimension as MINIMIZE. X is the
-    incoming block, S the kept candidate set (either may be empty)."""
+    incoming block, S the kept candidate set (either may be empty).
+
+    Order of checks is the block-nested-loops optimization (Börzsönyi
+    §5.1): the kept set is checked FIRST — it is small and strong, so
+    it kills most of the block at O(n_block·|S|·d) — and the O(n²·d)
+    within-block prune then runs over the few S-survivors only.
+    Correct because dominance is transitive: a row dominated by a kept
+    candidate stays excluded even if that candidate is itself later
+    dominated (its dominator dominates the row too). The first block
+    (S empty) pays the full quadratic once."""
     import numpy as np
 
     nx = X.shape[0]
     keep_x = np.ones(nx, dtype=bool)
-    # within-block: row i dominated by row j (j≠i)
-    if nx > 1:
-        le = (X[None, :, :] <= X[:, None, :]).all(2)
-        lt = (X[None, :, :] < X[:, None, :]).any(2)
-        keep_x = ~(le & lt).any(1)
+    # 1. cheap kill against the kept set
+    if S is not None and S.shape[0] > 0:
+        dom_x = (
+            (S[None, :, :] <= X[:, None, :]).all(2)
+            & (S[None, :, :] < X[:, None, :]).any(2)
+        ).any(1)
+        keep_x = ~dom_x
     Xs = X[keep_x]
+    # 2. within-block: survivor i dominated by survivor j (j≠i)
+    if Xs.shape[0] > 1:
+        le = (Xs[None, :, :] <= Xs[:, None, :]).all(2)
+        lt = (Xs[None, :, :] < Xs[:, None, :]).any(2)
+        keep_in = ~(le & lt).any(1)
+        keep_x[keep_x] = keep_in
+        Xs = Xs[keep_in]
     if S is None or S.shape[0] == 0:
         return keep_x, None
-    # cross prune, both directions (vs the within-block survivors only)
-    dom_x = (
-        (S[None, :, :] <= Xs[:, None, :]).all(2)
-        & (S[None, :, :] < Xs[:, None, :]).any(2)
-    ).any(1)
-    keep_x[keep_x] = ~dom_x
-    Xs = Xs[~dom_x]
+    # 3. back-prune the kept set against the block's survivors
     keep_s = ~(
         (Xs[None, :, :] <= S[:, None, :]).all(2)
         & (Xs[None, :, :] < S[:, None, :]).any(2)
