@@ -87,3 +87,26 @@ def test_skyline_candidate_cap_fails_loudly(spark):
     # and the exact same data succeeds with an adequate cap
     out = skyline(df, [("a", "min"), ("b", "min")], max_candidates=10_000)
     assert out.count() == 500
+
+
+def test_skyline_multiblock_fold_matches_brute(spark, monkeypatch):
+    """Exercise the kept-set-first prune order (r07 BNL optimization)
+    across MANY blocks in one partition: shrink the block size so the
+    400-row fixture folds through 7 blocks with a non-empty kept set,
+    including back-pruning of earlier keeps by later blocks."""
+    import oasisdb_spark.operators.skyline as sky
+
+    monkeypatch.setattr(sky, "_BLOCK", 64)
+    rng = random.Random(23)
+    rows = [
+        (i, rng.randrange(0, 25), rng.randrange(0, 25), rng.randrange(0, 25))
+        for i in range(400)
+    ]
+    # plant a late universal dominator so the kept set must shrink
+    rows.append((400, 0, 24, 0))
+    df = spark.createDataFrame(rows, "id LONG, a LONG, b LONG, c LONG")
+    dims = [("a", "min"), ("b", "max"), ("c", "min")]
+    want = brute(rows, [(1, "min"), (2, "max"), (3, "min")])
+    got = sorted(tuple(r) for r in sky.skyline(df.coalesce(1), dims).collect())
+    assert got == want
+    assert (400, 0, 24, 0) in got
