@@ -234,14 +234,18 @@ def main() -> None:
         "method": {
             "passes": passes,
             "sub_second_extra_pass": True,
-            "estimator": "min (min-of-3 for sub-second entries)",
+            "estimator": (
+                f"min of {passes} passes (+1 extra pass for sub-second entries)"
+            ),
         },
     }
     print(json.dumps(out))
     # the complete record, immune to stdout-tail truncation — the
     # judge/driver can read per-query numbers here when the one-line
-    # contract overflows their capture window
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w") as f:
+    # contract overflows their capture window. SF-stamped so a smoke at
+    # another scale factor can't clobber the canonical sf0.1 record.
+    fname = f"BENCH_LOCAL_sf{sf}.json" if str(sf).replace(".", "").isdigit() else "BENCH_LOCAL.json"
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), fname), "w") as f:
         json.dump(out, f, indent=1)
     spark.stop()
 

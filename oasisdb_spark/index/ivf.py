@@ -263,6 +263,10 @@ def knn_ivf(
     """
     from oasisdb_spark.functions.distance import distance_expr, distance_udf
 
+    if kernel not in ("expr", "pandas", "gemm"):
+        raise ValueError(
+            f"knn_ivf: kernel must be expr|pandas|gemm, got {kernel!r}"
+        )
     centroids = np.array(
         [r["centroid"] for r in centroids_df.orderBy("cluster_id").collect()], dtype=np.float32
     )

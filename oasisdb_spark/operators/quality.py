@@ -176,19 +176,8 @@ def psi_drift(
     def bucket_counts(df: DataFrame, out: str) -> DataFrame:
         v = F.col(value_col).cast("double")
         raw = F.floor((v - F.col("_mn")) * n_buckets / (F.col("_mx") - F.col("_mn")))
-        # an empty/all-NULL baseline has no range: raise loudly when a
-        # current-side row meets the NULL min/max (the baseline side
-        # can't reach this branch — its NOT NULL filter leaves no rows)
-        b = (
-            F.when(
-                F.col("_mn").isNull() | F.col("_mx").isNull(),
-                F.raise_error(
-                    f"psi_drift: baseline has no non-NULL {value_col!r} "
-                    "values — no bucket range to score against"
-                ),
-            )
-            .when(F.col("_mx") == F.col("_mn"), F.lit(0))
-            .otherwise(F.least(F.lit(n_buckets - 1), F.greatest(F.lit(0), raw)))
+        b = F.when(F.col("_mx") == F.col("_mn"), F.lit(0)).otherwise(
+            F.least(F.lit(n_buckets - 1), F.greatest(F.lit(0), raw))
         )
         return (
             df.where(F.col(value_col).isNotNull())
@@ -199,8 +188,23 @@ def psi_drift(
         )
 
     grid = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
+    # the degenerate-baseline guard rides the grid (always n_buckets
+    # rows), so it fires even when the CURRENT side is also empty —
+    # exactly matching psi_drift_stream's up-front ValueError (the
+    # r06-advisory edge; a guard inside bucket_counts would only
+    # evaluate when a current-side row exists)
     counts = (
-        grid.join(bucket_counts(baseline, "base_cnt"), "bucket", "left")
+        grid.crossJoin(F.broadcast(rng))
+        .select(
+            F.when(
+                F.col("_mn").isNull() | F.col("_mx").isNull(),
+                F.raise_error(
+                    f"psi_drift: baseline has no non-NULL {value_col!r} "
+                    "values — no bucket range to score against"
+                ),
+            ).otherwise(F.col("bucket")).alias("bucket")
+        )
+        .join(bucket_counts(baseline, "base_cnt"), "bucket", "left")
         .join(bucket_counts(current, "cur_cnt"), "bucket", "left")
         .select(
             "bucket",
@@ -320,18 +324,12 @@ def psi_drift_stream(
         q.awaitTermination()
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
-    rng = baseline.where(F.col(value_col).isNotNull()).agg(
-        F.min(value_col).alias("_mn"), F.max(value_col).alias("_mx")
-    )
-    v = F.col(value_col).cast("double")
-    raw = F.floor((v - F.col("_mn")) * n_buckets / (F.col("_mx") - F.col("_mn")))
-    b = F.when(F.col("_mx") == F.col("_mn"), F.lit(0)).otherwise(
-        F.least(F.lit(n_buckets - 1), F.greatest(F.lit(0), raw))
-    )
+    # baseline side buckets with the ALREADY-collected [mn, mx] inlined
+    # as literals (the exact values the guard scan produced) — no
+    # second min/max pass over the baseline table
     base_counts = (
         baseline.where(F.col(value_col).isNotNull())
-        .crossJoin(F.broadcast(rng))
-        .select(b.cast("int").alias("bucket"))
+        .select(bucket_col().alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("base_cnt"))
     )

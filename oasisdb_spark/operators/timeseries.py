@@ -622,10 +622,12 @@ def time_weighted_avg(
             f"time_weighted_avg: bucket_width_us must be > 0, got {width}"
         )
     tsl = F.col(ts_col).cast("long")
-    q = F.expr(f"CAST({ts_col} AS LONG) div {width}")
-    # Spark's `div` truncates toward zero; floor = q-1 when a negative
-    # ts has a nonzero remainder (width > 0, so signs differ iff ts < 0)
-    b = F.when(tsl % width < 0, q - 1).otherwise(q) * width
+    # bucket start = ts - pmod(ts, width): pmod's non-negative remainder
+    # gives FLOOR semantics directly (negative ts land in the bucket
+    # whose start <= ts, DuckDB `//` parity) with no division and no
+    # SQL-string interpolation of the column name (pure Column API, so
+    # names needing quoting keep working)
+    b = tsl - F.pmod(tsl, F.lit(width))
     w = Window.partitionBy(*series_cols, "_bucket").orderBy(
         ts_col, *(tie_cols or [])
     )

@@ -83,6 +83,7 @@ def knn_brute_batched(
     vec_col: str = "vector",
     max_query_rows: int = 65_536,
     gemm_dtype: str = "float32",
+    hard_query_cap: int | None = None,
 ) -> DataFrame:
     """Exact kNN via broadcast queries + per-batch GEMM + two-level top-k.
 
@@ -107,11 +108,22 @@ def knn_brute_batched(
     (noise ~1e-14 — use when downstream ROUNDS distances for a hash
     gate and a 1e-7 wobble could flip a rounding boundary, as
     mutual_knn_pairs does).
+
+    hard_query_cap: raise (instead of chunking) when the collected
+    query batch exceeds it — the loud-guard hook for callers whose
+    query set IS the base (mutual_knn_pairs' self-kNN): checking the
+    length of the collect this kernel pays anyway costs no extra job.
     """
     if space not in ("l2", "ip", "cos", "hamming"):
         raise ValueError(f"knn_brute_batched supports l2/ip/cos/hamming, got {space!r}")
     spark = base.sparkSession
     q_rows = queries.select(query_id_col, query_vec_col).collect()
+    if hard_query_cap is not None and len(q_rows) > hard_query_cap:
+        raise ValueError(
+            f"knn_brute_batched: query batch has {len(q_rows)} rows, over the "
+            f"caller's hard cap {hard_query_cap} — brute scoring at this size "
+            "is quadratic; use the IVF composition or raise the cap explicitly"
+        )
     if len(q_rows) > max_query_rows:
         out = None
         for lo in range(0, len(q_rows), max_query_rows):

@@ -375,15 +375,16 @@ def mutual_knn_pairs(
     skyline ``max_candidates`` discipline). Bases past the cap must use
     :func:`mutual_knn_pairs_ivf` (sub-quadratic: probe-pruned candidate
     generation, same mutuality tail; at nprobe=nlist it reproduces this
-    function exactly). The cap check is an early-abort limit scan —
-    cheap next to the quadratic work it guards."""
+    function exactly). The default GEMM scorer checks the cap for free
+    on the query collect it pays anyway (the query set IS the base);
+    only the expr scorer spends an early-abort limit scan."""
     if space == "ip":
         raise ValueError(
             "mutual_knn_pairs: inner product is not symmetric; use l2/cos/hamming"
         )
     if scorer not in ("gemm", "expr"):
         raise ValueError(f"mutual_knn_pairs: scorer must be gemm|expr, got {scorer!r}")
-    if base.limit(max_base_rows + 1).count() > max_base_rows:
+    if scorer == "expr" and base.limit(max_base_rows + 1).count() > max_base_rows:
         raise ValueError(
             f"mutual_knn_pairs: base exceeds max_base_rows={max_base_rows}; "
             "brute self-kNN is O(N²) — use mutual_knn_pairs_ivf (probe-pruned "
@@ -396,9 +397,11 @@ def mutual_knn_pairs(
     if scorer == "gemm":
         from oasisdb_spark.pipeline.ann import knn_brute_batched
 
-        # fetch k+1 (self rides along at distance 0), drop self, re-rank
+        # fetch k+1 (self rides along at distance 0), drop self, re-rank;
+        # the cap rides the kernel's query collect — no extra job
         raw = knn_brute_batched(
-            q, b, k + 1, space=space, gemm_dtype="float64"
+            q, b, k + 1, space=space, gemm_dtype="float64",
+            hard_query_cap=max_base_rows,
         ).where(
             F.col("query_id") != F.col("id")
         )

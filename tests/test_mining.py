@@ -337,6 +337,9 @@ def test_mutual_knn_base_guard_raises(spark):
     df = spark.createDataFrame(rows, "id LONG, vector ARRAY<DOUBLE>")
     with pytest.raises(ValueError, match="max_base_rows"):
         mutual_knn_pairs(df, k=2, scorer="expr", max_base_rows=10)
+    # the GEMM default checks the cap on its query collect (no extra job)
+    with pytest.raises(ValueError, match="hard cap"):
+        mutual_knn_pairs(df, k=2, scorer="gemm", max_base_rows=10)
     # raising the cap explicitly unblocks the same call
     assert mutual_knn_pairs(df, k=2, scorer="expr", max_base_rows=40).count() > 0
 
