@@ -4346,11 +4346,15 @@ def _docs_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot overflow at any corpus size (the fused product form dies at
     ~3e9 tokens). Two explode+partial-agg shuffles, two vocab equi-
     joins, scalar totals as 1-row broadcasts. The oracle recomputes
-    every count and every lmic term with the shared token dialect."""
+    every count and every lmic term with the shared token dialect.
+    parallelism spreads the single-file fixture before the explode
+    stages (counts are partitioning-invariant — the bigram_lm /
+    substring-stats precedent)."""
     from oasisdb_spark.pipeline.lm import pmi_collocations
 
     return pmi_collocations(
-        _table(spark, sf_dir, "documents"), text_col="text", min_count=2
+        _table(spark, sf_dir, "documents"), text_col="text", min_count=2,
+        parallelism=spark.sparkContext.defaultParallelism,
     )
 
 

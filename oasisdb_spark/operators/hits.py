@@ -23,7 +23,10 @@ get authority 0; without out-edges, hub 0.
 
 Scale: per pass, two edge-vs-score equi-joins (the score side is
 node-sized — broadcast when small) + two key-partial aggs + two scalar
-sums. Precondition (loud, not silent): S_a and S_h must stay below
+sums. The per-pass raw-score frames are localCheckpoint-ed (each feeds
+two actions: the scalar sum and the renorm; checkpoint blocks are
+node-sized and non-replicated — an executor loss mid-job fails the
+query and the batch job reruns, the standard iterative-batch trade). Precondition (loud, not silent): S_a and S_h must stay below
 2^63 — sum(h) * max_outdeg bounds them; with SCALE 1e12 that holds to
 ~10^6 average degree. Raw sums are exact regardless (decimal/HUGEINT);
 the guard is on the int64 downcast of scores, which renorm keeps at
@@ -74,9 +77,15 @@ def hits_integer(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("h").alias("araw"))
         )
+        # localCheckpoint: two actions consume this node-sized frame
+        # (the scalar sum, then renorm) — checkpointing materializes it
+        # once and cuts lineage WITHOUT the cached-plan path (a
+        # .persist() here measured 8x SLOWER: InMemoryRelation plans
+        # bypass AQE; localCheckpoint keeps downstream planning adaptive
+        # — measured 10.5 s -> 6.9 s at sf0.1)
         araw_all = g.nodes.join(araw, "node", "left").select(
             "node", F.coalesce("araw", F.lit(0)).cast("long").alias("araw")
-        )
+        ).localCheckpoint(eager=True)
         s_a = _wide_sum(araw_all, "araw")
         a = _renorm(araw_all, "araw", s_a, scale, "authority_scaled").persist()
         a.count()
@@ -92,7 +101,7 @@ def hits_integer(
         )
         hraw_all = g.nodes.join(hraw, "node", "left").select(
             "node", F.coalesce("hraw", F.lit(0)).cast("long").alias("hraw")
-        )
+        ).localCheckpoint(eager=True)  # same two-action split as araw_all
         s_h = _wide_sum(hraw_all, "hraw")
         nxt_h = _renorm(hraw_all, "hraw", s_h, scale, "h").persist()
         nxt_h.count()
