@@ -47,9 +47,23 @@ _TWO60 = float(1 << 60)
 def kmv_hash(col: Column | str) -> Column:
     """Uniform (0,1) double from the top 60 bits of md5 — identical in
     any engine with md5(): DuckDB equivalent
-    ('0x' || substr(md5(CAST(x AS VARCHAR)), 1, 15))::BIGINT / POW(2, 60)."""
+    ('0x' || substr(md5(CAST(x AS VARCHAR)), 1, 15))::BIGINT / POW(2, 60).
+    The integer hash is text.py's char_hash60 — the ONE cross-engine
+    md5-hash primitive (bit-equality verified there), reused so all
+    md5-derived operators stay in lockstep."""
+    from oasisdb_spark.pipeline.text import char_hash60
+
     c = F.col(col) if isinstance(col, str) else col
-    return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("long") / F.lit(_TWO60)
+    return char_hash60(c.cast("string")) / F.lit(_TWO60)
+
+
+def _salted_hash60(key_col: str, salt: str) -> Column:
+    """char_hash60 of (key || salt) — the shared selection key of
+    bottomk_sample / grouped_quantile_sketch (one primitive, not three
+    hand-synchronized copies)."""
+    from oasisdb_spark.pipeline.text import char_hash60
+
+    return char_hash60(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
 
 
 def kmv_distinct(
@@ -118,15 +132,22 @@ def heavy_hitters(
     GROUP BY / HAVING, which is what the oracle runs. The full-shuffle
     groupBy this replaces moves O(distinct values) rows; this moves
     O(partitions / phi) candidate rows plus one broadcast.
+
+    N counts NON-NULL values (SQL COUNT(value) semantics — nulls are
+    not values; the kmv_distinct precedent), matching
+    heavy_hitters_stream's additive row counter exactly, so the two
+    agree on threshold and share even on null-bearing inputs.
     """
     import math
 
     import pandas as pd
 
-    n = df.count()
+    if not (0.0 < phi <= 1.0):
+        raise ValueError(f"heavy_hitters: phi must be in (0, 1], got {phi}")
+    src = df.select(F.col(value_col).alias("_v")).where(F.col("_v").isNotNull())
+    n = src.count()
     thresh = max(1, math.ceil(phi * n))
     cap = max(1, math.ceil(2.0 / phi))
-    src = df.select(F.col(value_col).alias("_v")).where(F.col("_v").isNotNull())
 
     def _local(batches):
         # Misra–Gries per partition: merge each Arrow batch's exact
@@ -182,11 +203,7 @@ def bottomk_sample(
         raise ValueError(f"bottomk_sample: k must be >= 1, got {k}")
     if keep_cols is None:
         keep_cols = [c for c in df.columns]
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 15),
-        16,
-        10,
-    ).cast("long")
+    h = _salted_hash60(key_col, salt)
     return (
         df.select(*keep_cols)
         .withColumn("_h", h)
@@ -291,11 +308,7 @@ def grouped_quantile_sketch(
         if not (0 < num <= den):
             raise ValueError(f"grouped_quantile_sketch: bad quantile {num}/{den}")
     spark = df.sparkSession
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), 1, 15),
-        16,
-        10,
-    ).cast("long")
+    h = _salted_hash60(key_col, salt)
     wsamp = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
     sample = (
         df.where(F.col(value_col).isNotNull())

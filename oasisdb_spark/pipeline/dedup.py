@@ -46,6 +46,22 @@ __all__ = [
 
 MINHASH_K = 32          # signature length
 MINHASH_BANDS = 8       # 8 bands x 4 rows
+
+
+def _band_rows(k: int, bands: int) -> int:
+    """rows-per-band for LSH banding, validated loudly: bands must
+    divide k exactly, else the trailing k − (k//bands)·bands signature
+    values would be computed but never banded — silently changing the
+    b-band collision probability the caller tuned for."""
+    if bands < 1 or k < 1:
+        raise ValueError(f"minhash banding: k and bands must be >= 1, got k={k}, bands={bands}")
+    if k % bands != 0:
+        raise ValueError(
+            f"minhash banding: bands={bands} does not divide k={k}; "
+            f"{k - (k // bands) * bands} signature values would be "
+            "silently ignored — pick bands dividing k"
+        )
+    return k // bands
 MINHASH_P = 4294967311  # prime > 2^32; a*h32+b stays < 2^63
 MINHASH_H32 = 2147483647  # base hashes reduced mod 2^31-1
 
@@ -207,7 +223,7 @@ def minhash_lsh_dedup(
     accumulated caches slowing unrelated queries in a long session. Use
     eager mode whenever the pairs are consumed more than once or the
     caller outlives the call (memoized entries, services)."""
-    r = k // bands
+    r = _band_rows(k, bands)
     base = shingle_minhash_frame(df, id_col, text_col, n, k).persist()
     base.count()
     banded = base.select(
@@ -281,10 +297,13 @@ def minhash_candidate_pairs(
     candidate pair. Output: (doc_a, doc_b) distinct, doc_a < doc_b.
 
     The banded frame (doc_id, band_idx, band_key — tiny relative to the
-    corpus) is persisted before the self-join: the join broadcasts one
-    side, which would otherwise re-evaluate the whole signature plan —
-    i.e. re-MinHash the corpus — a second time."""
-    r = k // bands
+    corpus) is persisted AND eagerly materialized before the self-join:
+    a broadcast-build side starts scanning before a lazily-persisted
+    cache fills, which would re-evaluate the whole signature plan —
+    i.e. re-MinHash the corpus — a second time (the minhash_lsh_dedup
+    race, fixed the same way). The cache stays pinned for the caller's
+    downstream DAG — the documented lazy-mode trade."""
+    r = _band_rows(k, bands)
     sig = df.select(
         F.col(id_col).alias("doc_id"), minhash_signature(text_col, n, k).alias("sig")
     )
@@ -297,6 +316,7 @@ def minhash_candidate_pairs(
             )
         ).alias("band_idx", "band_key"),
     ).persist()
+    banded.count()
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -429,6 +449,7 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     blocking: DataFrame | None = None,
+    eager: bool = False,
 ) -> DataFrame:
     """Embedding near-dup: pairs with cosine similarity >= threshold.
     Output: (doc_a, doc_b, cos_sim), rounded to 6dp.
@@ -467,7 +488,9 @@ def embedding_neardup_pairs(
         return pairs.select("doc_a", "doc_b", sim.alias("cos_sim")).filter(
             F.col("cos_sim") >= threshold
         )
-    return allpairs_cosine_blocked(emb, threshold, id_col=id_col, vec_col=vec_col)
+    return allpairs_cosine_blocked(
+        emb, threshold, id_col=id_col, vec_col=vec_col, eager=eager
+    )
 
 
 def allpairs_cosine_blocked(
@@ -476,6 +499,7 @@ def allpairs_cosine_blocked(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_size: int | None = None,
+    eager: bool = False,
 ) -> DataFrame:
     """Exact all-pairs cosine >= threshold as a blocked matrix product.
 
@@ -485,9 +509,17 @@ def allpairs_cosine_blocked(
     blocks twice, so every task computes one A @ Bᵀ GEMM and emits only
     the surviving pairs. No row-level pair is ever materialized through
     a shuffle, and the plan contains only equi-joins. This is the
-    physical shape a BLAS cluster job would use; it keeps bit-exact
-    float64 sums (ordered k-dimension accumulation) so results match
-    the SQL oracle's in-order fold after 6dp rounding."""
+    physical shape a BLAS cluster job would use. Sums run in float64
+    through BLAS dgemm, whose blocked accumulation ORDER can differ
+    from the SQL oracle's in-order fold in the last ulps (the knn_brute
+    GEMM-twin contract) — identical pair sets after the 6dp rounding
+    except for inputs sitting exactly on a rounding knife-edge, which
+    real embeddings don't (test- and oracle-pinned on the fixture).
+
+    ``eager=True`` materializes the (output-sized) pair frame and
+    releases the packed-block cache before returning; the default lazy
+    mode keeps the corpus-scale packed cache pinned for the caller's
+    DAG — the minhash_lsh_dedup trade, documented there."""
     import numpy as np
     import pandas as pd
 
@@ -577,7 +609,12 @@ def allpairs_cosine_blocked(
             if outs:
                 yield pd.concat(outs, ignore_index=True)
 
-    return joined.mapInPandas(_gemm, "doc_a BIGINT, doc_b BIGINT, cos_sim DOUBLE")
+    out = joined.mapInPandas(_gemm, "doc_a BIGINT, doc_b BIGINT, cos_sim DOUBLE")
+    if eager:
+        out = out.persist()
+        out.count()
+        packed.unpersist()
+    return out
 
 
 def jaccard_pairs_prefix(
@@ -636,10 +673,20 @@ def jaccard_pairs_prefix(
     sh = h.select("doc_id", F.size("hs").alias("sz"), F.explode("hs").alias("sh"))
     df_tbl = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
     w = Window.partitionBy("doc_id").orderBy("_df", "sh")
+    # candidate-side thresholds subtract an epsilon before ceil/compare:
+    # float products can overshoot an exact integer (0.07 * 100 =
+    # 7.000000000000001), which would shorten the lemma-required prefix
+    # by one element / reject a legitimate size pair — silently LOSING
+    # true pairs. The epsilon only errs in the safe direction (a few
+    # extra candidates; the exact verify below kills false ones).
+    eps = 1e-9
     prefix = (
         sh.join(df_tbl, on="sh")
         .withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+        .filter(
+            F.col("_r")
+            <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(eps)) + 1
+        )
         .select("doc_id", "sz", "sh")
     )
     a = prefix.select(
@@ -652,8 +699,8 @@ def jaccard_pairs_prefix(
         a.join(b, on="sh")
         .filter(
             (F.col("doc_a") < F.col("doc_b"))
-            & (F.col("_szb") * F.lit(threshold) <= F.col("_sza"))
-            & (F.col("_sza") * F.lit(threshold) <= F.col("_szb"))
+            & (F.col("_szb") * F.lit(threshold) - F.lit(eps) <= F.col("_sza"))
+            & (F.col("_sza") * F.lit(threshold) - F.lit(eps) <= F.col("_szb"))
         )
         .select("doc_a", "doc_b")
         .distinct()
@@ -826,7 +873,13 @@ def duplicate_substring_stats(
             "doc_len",
             F.coalesce("_dc", F.lit(0)).cast("long").alias("dup_chars"),
             F.coalesce("_ns", F.lit(0)).cast("long").alias("dup_spans"),
-            (F.coalesce("_dc", F.lit(0)).cast("double") / F.col("doc_len")).alias("dup_ratio"),
+            # zero-length docs are clean by definition: 0.0, not 0/0 =
+            # NULL (which a `dup_ratio < x` gate would silently drop)
+            F.when(F.col("doc_len") == 0, F.lit(0.0))
+            .otherwise(
+                F.coalesce("_dc", F.lit(0)).cast("double") / F.col("doc_len")
+            )
+            .alias("dup_ratio"),
         )
     )
 

@@ -192,3 +192,50 @@ class TestJaccardPrefix:
         lo = jaccard_pairs_prefix(documents, threshold=0.3).count()
         hi = jaccard_pairs_prefix(documents, threshold=0.7).count()
         assert hi <= lo
+
+
+def test_jaccard_prefix_float_threshold_boundary(spark):
+    """r07 review: float products that overshoot an exact integer
+    (0.07 * 100 = 7.000000000000001) must not shorten the prefix or
+    reject legitimate size pairs — boundary pairs survive."""
+    from oasisdb_spark.pipeline.dedup import jaccard_pairs_prefix
+
+    # doc A: 7 tokens, all shared with doc B's 100 tokens.
+    # |A ∩ B| = 7, |A ∪ B| = 100 -> J = 0.07 exactly; the old float
+    # size filter (0.07 * 100 <= 7 evaluates FALSE) dropped the pair.
+    shared = [f"tok{i}" for i in range(7)]
+    filler = [f"fill{i}" for i in range(93)]
+    rows = [
+        (1, " ".join(shared)),
+        (2, " ".join(shared + filler)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = jaccard_pairs_prefix(df, threshold=0.07, n=1).collect()
+    assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in out] == [(1, 2, 0.07)]
+
+
+def test_minhash_bands_must_divide_k(spark):
+    """r07 review: bands not dividing k silently dropped trailing
+    signature values — now a loud ValueError."""
+    import pytest
+
+    from oasisdb_spark.pipeline.dedup import minhash_candidate_pairs, minhash_lsh_dedup
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id LONG, text STRING")
+    with pytest.raises(ValueError, match="does not divide"):
+        minhash_candidate_pairs(df, k=32, bands=5)
+    with pytest.raises(ValueError, match="does not divide"):
+        minhash_lsh_dedup(df, k=32, bands=5)
+
+
+def test_substring_stats_zero_length_doc_ratio_zero(spark):
+    """r07 review: empty docs report dup_ratio 0.0, never NULL (a
+    `dup_ratio < x` gate must keep them)."""
+    from oasisdb_spark.pipeline.dedup import duplicate_substring_stats
+
+    long_dup = "x" * 40
+    rows = [(1, ""), (2, long_dup + "a"), (3, long_dup + "b")]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r["doc_id"]: r for r in duplicate_substring_stats(df, min_length=30).collect()}
+    assert out[1]["doc_len"] == 0 and out[1]["dup_ratio"] == 0.0
+    assert out[2]["dup_ratio"] is not None

@@ -107,3 +107,20 @@ def test_stream_phi_validation(spark):
     df = spark.createDataFrame([(1,)], "v LONG")
     with _pytest.raises(ValueError):
         heavy_hitters_stream(df, "v", 0.0, verify_df=df)
+
+
+def test_batch_phi_validation_and_nonnull_n(spark):
+    """r07 review: batch phi gets the same (0,1] validation as the
+    stream, and N counts NON-NULL values (SQL COUNT(value) semantics),
+    so batch and stream agree on threshold/share with nulls present."""
+    import pytest
+
+    df = spark.createDataFrame([(1,), (1,), (None,), (None,), (None,)], "v BIGINT")
+    with pytest.raises(ValueError, match="phi"):
+        heavy_hitters(df, "v", 0.0)
+    with pytest.raises(ValueError, match="phi"):
+        heavy_hitters(df, "v", -0.5)
+    # 2 non-null rows, value 1 occurs 2x -> share 2/2 = 1.0 (was 2/5
+    # when N counted null rows)
+    out = {r["value"]: r["share"] for r in heavy_hitters(df, "v", 0.9).collect()}
+    assert out == {1: 1.0}
