@@ -5618,7 +5618,7 @@ WITH base AS (
   FROM q
 )
 SELECT doc_id, source, quality, CAST(q_rank AS INT) AS q_rank
-FROM r WHERE q_rank <= greatest(1, ceil(0.4 * _n))
+FROM r WHERE q_rank <= greatest(1, (2 * _n + 4) // 5)
 """
 
 
@@ -7372,14 +7372,16 @@ e AS (
   FROM d
 ),
 s AS (
-  SELECT doc_id,
+  SELECT doc_id, text, ok,
          CASE WHEN ok THEN substring(text, 1, CAST(start - 1 AS INT)) ELSE text END AS prefix,
          CASE WHEN ok THEN substring(text, CAST(start AS INT), CAST(mid_len AS INT)) ELSE '' END AS middle,
          CASE WHEN ok THEN substring(text, CAST(start + mid_len AS INT), CAST(L AS INT)) ELSE '' END AS suffix
   FROM e
 )
 SELECT doc_id, prefix, middle, suffix,
-       prefix || '<FIM_SUF>' || suffix || '<FIM_MID>' || middle AS fim_text
+       CASE WHEN ok
+            THEN prefix || '<FIM_SUF>' || suffix || '<FIM_MID>' || middle
+            ELSE text END AS fim_text
 FROM s
 """,
         # fractional repeat factors: base copies + an md5-threshold

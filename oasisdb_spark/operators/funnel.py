@@ -40,7 +40,10 @@ def max_funnel_stage(
     advance to stage k+1 at the first event strictly after the stage-k
     match whose type equals steps[k]. Pure Column expression
     (F.aggregate), so the whole funnel is one whole-stage-codegen pass
-    after the groupBy."""
+    after the groupBy. Callers must exclude NULL-timestamp events from
+    the sequence (funnel_steps/windowed_funnel filter them): a NULL ts
+    would match stage 1 and leave last_ts NULL, vacuously passing the
+    strictly-after check for every later event."""
     steps_lit = F.array(*[F.lit(s) for s in steps])
     n = len(steps)
     init = F.struct(
@@ -78,17 +81,22 @@ def funnel_steps(
     A user completes stage k when their event stream contains events of
     type ``steps[0] .. steps[k-1]`` at strictly increasing timestamps.
     Returns one row per stage: (step, step_name, n_users, conversion)
-    where conversion = n_users / stage-1 users, rounded to 6 places
-    (stage 1's conversion is vs all users that emitted any step event).
+    where conversion = n_users / stage-(k-1) users, rounded to 6 places
+    (stage 1 is the funnel baseline — its conversion is 1.0 by
+    definition, the convention the SQL oracle implements as c1/c1).
 
     Plan: filter to step types (scan-level pushdown) -> one shuffle on
     ``user_col`` collecting the sorted (ts, type) list -> fold to the
     max stage per user (Column expression, no Python) -> tiny rollup.
     Ties in ts never advance two stages (strict >), matching the SQL
-    oracle's chained min-timestamp CTEs exactly.
+    oracle's chained min-timestamp CTEs exactly. NULL-timestamp events
+    are DROPPED up front: they have no position in the order, and
+    letting them through would vacuously satisfy the strictly-after
+    check (a NULL last_ts admits everything) — silently inflating
+    completion counts (r07 review).
     """
     per_user = (
-        events.filter(F.col(type_col).isin(steps))
+        events.filter(F.col(type_col).isin(steps) & F.col(ts_col).isNotNull())
         .select(
             F.col(user_col).alias("user_id"),
             F.struct(F.col(ts_col).alias("ts"), F.col(type_col).alias("event_type")).alias("ev"),
@@ -103,12 +111,18 @@ def funnel_steps(
 def stage_rollup(per_user: DataFrame, steps: list[str], stage_col: str = "stage") -> DataFrame:
     """(user, stage) table → per-step completion counts + conversion —
     the funnel's final tiny aggregate, shared by the batch fold and the
-    streaming stateful operator (streaming/events.py funnel_stream)."""
+    streaming stateful operator (streaming/events.py funnel_stream).
+    Sums coalesce to 0 so an EMPTY per_user frame reports n_users=0 per
+    step (not one row of NULL counts — the global agg over zero rows
+    yields NULL sums); conversion stays NULL there (0/0)."""
     counts = (
         per_user.groupBy()
         .agg(
             *[
-                F.sum(F.when(F.col(stage_col) >= k, 1).otherwise(0)).alias(f"_s{k}")
+                F.coalesce(
+                    F.sum(F.when(F.col(stage_col) >= k, 1).otherwise(0)),
+                    F.lit(0),
+                ).alias(f"_s{k}")
                 for k in range(1, len(steps) + 1)
             ]
         )
@@ -155,7 +169,16 @@ def cohort_retention(
     joins back user-to-user (co-partitioned, no extra shuffle under
     AQE), then one rollup on (cohort, offset). ``max_offset`` prunes
     far-tail offsets before the rollup.
+
+    ``granularity``: 'day' or 'week' — the offset arithmetic needs a
+    FIXED day count per period, which months/years don't have (compose
+    date_trunc yourself for calendar-month cohorts).
     """
+    if granularity not in ("day", "week"):
+        raise ValueError(
+            f"cohort_retention: granularity must be 'day' or 'week', got "
+            f"{granularity!r} (offset arithmetic needs a fixed-length period)"
+        )
     unit_days = {"day": 1, "week": 7}[granularity]
     period = F.date_trunc(granularity, F.col(ts_col))
     acts = events.select(
@@ -422,6 +445,13 @@ def attribution_credits(
     """
     from pyspark.sql.window import Window
 
+    if not (0 <= u_edge <= 50):
+        raise ValueError(
+            f"attribution_credits: u_edge must be in [0, 50] (percent per "
+            f"edge touch; the middle share 100 - 2*u_edge must be >= 0), "
+            f"got {u_edge}"
+        )
+
     ev = df.select(
         F.col(user_col).alias("user"),
         F.col(ts_col).cast("long").alias("ts"),
@@ -537,10 +567,12 @@ def windowed_funnel(
     scan, ONE user-key shuffle collecting per-step sorted ts lists,
     then the nested-quantifier chain predicate per prefix length (a
     Column expression — stage = the longest prefix whose chain
-    exists), and the tiny stage rollup.
+    exists), and the tiny stage rollup. NULL-timestamp events are
+    dropped up front (no position in the order — the funnel_steps
+    contract).
     """
     seq = (
-        events.filter(F.col(type_col).isin(steps))
+        events.filter(F.col(type_col).isin(steps) & F.col(ts_col).isNotNull())
         .select(
             F.col(user_col).alias("user_id"),
             F.struct(

@@ -114,9 +114,19 @@ def quality_prune(
     the cut deterministic even though quality is coarse (step-function
     score, heavy ties). Returns (id, group, quality, q_rank) for the
     kept rows. At least one doc per group survives.
+
+    The cutoff ceil(keep_frac·n) is computed in EXACT integer
+    arithmetic over keep_frac's rational form ((num·n + den − 1) div
+    den): float products overshoot exact integers (0.4·5 =
+    2.0000000000000004 → ceil 3, not the documented 2) and engines
+    disagree on decimal-vs-double literal typing — the r07 review.
     """
     if not 0.0 < keep_frac <= 1.0:
         raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
+    from fractions import Fraction
+
+    frac = Fraction(float(keep_frac)).limit_denominator(1_000_000)
+    num, den = frac.numerator, frac.denominator
     stats = text_stats_cols(text_col)
     scored = docs.select(
         F.col(id_col),
@@ -131,7 +141,10 @@ def quality_prune(
             F.row_number().over(w).alias("q_rank"),
             F.count(F.lit(1)).over(wn).alias("_n"),
         )
-        .filter(F.col("q_rank") <= F.greatest(F.lit(1), F.ceil(F.lit(float(keep_frac)) * F.col("_n"))))
+        .filter(
+            F.col("q_rank")
+            <= F.greatest(F.lit(1), F.expr(f"({num} * _n + {den} - 1) div {den}"))
+        )
         .drop("_n")
     )
 
@@ -170,7 +183,9 @@ def token_budget_sample(
     t = docs.select(
         F.col(id_col),
         F.col(group_col),
-        token_count(text_col).cast("bigint").alias("n_tokens"),
+        # NULL text = 0 tokens (costs nothing against the budget) —
+        # never a NULL n_tokens exempt from accounting (r07 review)
+        F.coalesce(token_count(text_col).cast("bigint"), F.lit(0)).alias("n_tokens"),
         F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))).alias("_h"),
         budget_col.alias("_budget"),
     ).filter(F.col("_budget").isNotNull())
@@ -218,7 +233,7 @@ def sliding_chunks(
     ).filter(F.col("_n") > 0)
     exploded = t.select(
         id_col, "_tk", "_n",
-        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx", "_i"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
     )
     start = (F.col("chunk_idx") * stride).cast("bigint")
     end = F.least(start + chunk_len, F.col("_n").cast("bigint"))
@@ -273,7 +288,10 @@ def leakage_safe_split(
     )
     return g.select(
         "doc_id",
-        key.cast("bigint").alias("group_key"),
+        # natural key type — a bigint cast would crash under ANSI (or
+        # NULL out under legacy configs) for string/URL/hash doc ids,
+        # which the "any (doc_id, component) frame" contract promises
+        key.alias("group_key"),
         F.col("component").isNotNull().alias("is_clustered"),
         split.alias("split"),
     )
@@ -299,9 +317,12 @@ def fim_split(
     start is 1 + H(id, 'fim-pos') % (L - mid_len) — both from the
     md5-derived 60-bit hash DuckDB reproduces, so splits are stable
     across runs/engines/partitionings. Documents shorter than
-    ``min_chars`` pass through with the whole text as prefix (no FIM
-    transform — the paper applies FIM to a fraction of samples anyway).
-    Pure scan-stage Column arithmetic: no shuffle, no Python.
+    ``min_chars`` pass through with the whole text as prefix AND as
+    fim_text — genuinely untransformed, no sentinel markers (the paper
+    applies FIM to a fraction of samples anyway; injecting
+    '<FIM_SUF><FIM_MID>' after every short doc would corrupt the
+    non-FIM fraction — r07 review). Pure scan-stage Column arithmetic:
+    no shuffle, no Python.
     """
     if not 0 < mid_frac_max <= 0.9:
         raise ValueError("mid_frac_max must be in (0, 0.9]")
@@ -332,9 +353,12 @@ def fim_split(
         prefix.alias("prefix"),
         middle.alias("middle"),
         suffix.alias("suffix"),
-        F.concat(
-            prefix, F.lit("<FIM_SUF>"), suffix, F.lit("<FIM_MID>"), middle
-        ).alias("fim_text"),
+        F.when(
+            eligible,
+            F.concat(prefix, F.lit("<FIM_SUF>"), suffix, F.lit("<FIM_MID>"), middle),
+        )
+        .otherwise(F.col(text_col))
+        .alias("fim_text"),
     )
 
 

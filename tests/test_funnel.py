@@ -443,3 +443,44 @@ def test_windowed_funnel_random_brute_parity_and_invariance(spark):
         (k, sum(1 for v in want_stage.values() if v >= k)) for k in (1, 2, 3)
     ]
     assert base == run(df.repartition(9))
+
+
+def test_null_ts_events_never_advance_funnel(spark):
+    """r07 review: a NULL-timestamp event has no position in the order
+    — it must not match a stage (the old fold let it match stage 1 and
+    vacuously pass the strictly-after check for every later event)."""
+    from oasisdb_spark.operators.funnel import funnel_steps
+
+    rows = [(1, None, "view"), (1, "2024-01-01 08:00:00", "click")]
+    df = spark.createDataFrame(rows, "user_id LONG, ts STRING, event_type STRING").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type"
+    )
+    out = {r["step"]: r["n_users"] for r in funnel_steps(df, ["view", "click"]).collect()}
+    assert out == {1: 0, 2: 0}
+
+
+def test_stage_rollup_empty_input_reports_zeros(spark):
+    """r07 review: an empty per-user frame reports 0 users per step,
+    never one row of NULL counts."""
+    from oasisdb_spark.operators.funnel import funnel_steps
+
+    df = spark.createDataFrame([], "user_id LONG, ts TIMESTAMP, event_type STRING")
+    out = funnel_steps(df, ["view", "click"]).collect()
+    assert [(r["step"], r["n_users"]) for r in out] == [(1, 0), (2, 0)]
+
+
+def test_cohort_granularity_and_u_edge_validation(spark):
+    import pytest
+
+    from oasisdb_spark.operators.funnel import attribution_credits, cohort_retention
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 08:00:00", "view")], "user_id LONG, ts STRING, event_type STRING"
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type")
+    with pytest.raises(ValueError, match="granularity"):
+        cohort_retention(df, granularity="month")
+    with pytest.raises(ValueError, match="u_edge"):
+        attribution_credits(
+            df, "user_id", "ts", "user_id", "event_type", "view", ["click"],
+            lookback=3600, u_edge=60,
+        )

@@ -342,3 +342,49 @@ def test_topic_balanced_sample_validation(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id LONG, text STRING")
     with pytest.raises(ValueError, match="out of range"):
         topic_balanced_sample(docs, cap=1, n_buckets=0)
+
+
+def test_quality_prune_exact_rational_cutoff(spark):
+    """r07 review: the cutoff is exact integer arithmetic — a group of
+    5 at keep_frac=0.4 keeps ceil(2) = 2 docs, not the float path's
+    ceil(2.0000000000000004) = 3."""
+    from oasisdb_spark.pipeline.sampling import quality_prune
+
+    rows = [(i, "g", "some reasonable text here with words. " * (i + 2)) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING, text STRING")
+    out = quality_prune(df, keep_frac=0.4, group_col="source")
+    assert out.count() == 2
+
+
+def test_fim_passthrough_has_no_sentinels(spark):
+    """r07 review: ineligible (short) docs emit the untransformed text
+    as fim_text — no '<FIM_SUF><FIM_MID>' markers."""
+    from oasisdb_spark.pipeline.sampling import fim_split
+
+    df = spark.createDataFrame([(1, "tiny"), (2, None)], "doc_id LONG, text STRING")
+    out = {r["doc_id"]: r["fim_text"] for r in fim_split(df, min_chars=20).collect()}
+    assert out[1] == "tiny" and out[2] is None
+
+
+def test_token_budget_null_text_costs_zero(spark):
+    """r07 review: NULL-text docs count 0 tokens, never NULL."""
+    from oasisdb_spark.pipeline.sampling import token_budget_sample
+
+    rows = [(1, "en", "a b c d e f"), (2, "en", None), (3, "en", "a b c d e")]
+    df = spark.createDataFrame(rows, "doc_id LONG, lang STRING, text STRING")
+    out = {r["doc_id"]: r["n_tokens"] for r in token_budget_sample(df, budget=100).collect()}
+    assert out[2] == 0 and None not in out.values()
+
+
+def test_leakage_split_string_ids(spark):
+    """r07 review: string doc ids flow through group_key untouched —
+    no bigint cast crash under ANSI."""
+    from oasisdb_spark.pipeline.sampling import leakage_safe_split
+
+    docs = spark.createDataFrame([("doc-a",), ("doc-b",)], "doc_id STRING")
+    clusters = spark.createDataFrame(
+        [("doc-a", "doc-a")], "doc_id STRING, component STRING"
+    )
+    out = {r["doc_id"]: r for r in leakage_safe_split(docs, clusters).collect()}
+    assert out["doc-a"]["group_key"] == "doc-a" and out["doc-a"]["is_clustered"]
+    assert out["doc-b"]["group_key"] == "doc-b" and not out["doc-b"]["is_clustered"]
