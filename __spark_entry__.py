@@ -5569,7 +5569,7 @@ s AS (
            round(CAST(length(array_to_string(tk, '')) AS DOUBLE) / len(tk), 6)
          ELSE 0.0 END AS mean_word_len,
          CASE WHEN length(text) > 0 THEN
-           round(CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / length(text), 6)
+           round(CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / length(text), 6)
          ELSE 0.0 END AS symbol_ratio,
          len(list_intersect(list_distinct(tk), {en})) AS stopword_hits
   FROM t

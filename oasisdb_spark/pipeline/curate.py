@@ -44,7 +44,26 @@ __all__ = [
     "scrub_duplicate_lines",
     "source_mixture_weights",
     "gopher_filter_cols",
+    "gopher_stats_cols",
+    "gopher_flag_cols",
 ]
+
+
+def _token_lines(tk: Column, line_len: int) -> Column:
+    """Non-overlapping ``line_len``-token windows of a tokens array —
+    the ONE line definition line_dedup_stats (detection) and
+    scrub_duplicate_lines (removal) must share by construction.
+    Guard: sequence(0, -1) DESCENDS in Spark, so an empty doc would
+    fabricate two empty lines — emit an empty array instead (DuckDB's
+    range(0, 0) twin is naturally empty)."""
+    n_lines = F.ceil(F.size(tk) / F.lit(line_len)).cast("int")
+    return F.when(
+        F.size(tk) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda j: F.array_join(F.slice(tk, j * line_len + 1, line_len), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 # ---------------------------------------------------------------------------
 # PII redaction
@@ -77,7 +96,16 @@ def pii_count_cols(c: Column | str) -> dict[str, Column]:
 
     Pure `regexp_count` Column expressions: run in the scan stage, no
     shuffle, no Python. DuckDB twin:
-    `len(regexp_extract_all(text, pattern))`."""
+    `len(regexp_extract_all(text, pattern))`.
+
+    CONTRACT: each pattern counts INDEPENDENTLY on the raw text —
+    detection prevalence per type, not a replacement audit. Overlapping
+    PII (an IP-shaped string inside an email's local part) counts once
+    per matching type here, while scrub_pii's ORDERED single pass
+    redacts it once under the most-specific pattern — so
+    count('<IP>') in scrubbed text can be lower than sum(n_ipv4).
+    Reconcile audits against the scrubbed placeholders, not these
+    counts."""
     col = _col(c)
     return {f"n_{name}": F.regexp_count(col, F.lit(pat)) for name, pat in PII_PATTERNS.items()}
 
@@ -196,32 +224,36 @@ def line_dedup_stats(
     # project tokens ONCE — slicing a materialized array column is
     # cheap; slicing the tokens(text) expression inside the transform
     # lambda would re-tokenize per line (see _distinct_ngrams)
-    tk = F.col("__tk")
-    n_lines = F.ceil(F.size(tk) / F.lit(line_len)).cast("int")
-    # guard: sequence(0, -1) DESCENDS in Spark, so an empty doc would
-    # fabricate two empty lines — emit an empty array instead (DuckDB's
-    # range(0, 0) twin is naturally empty)
-    lines = F.when(
-        F.size(tk) > 0,
-        F.transform(
-            F.sequence(F.lit(0), n_lines - 1),
-            lambda j: F.array_join(F.slice(tk, j * line_len + 1, line_len), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    lines = _token_lines(F.col("__tk"), line_len)
     exploded = (
         df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("__tk"))
         .select("doc_id", F.explode(lines).alias("line"))
         .select("doc_id", char_hash60("line").alias("lh"))
     )
     freq = exploded.groupBy("lh").agg(F.count("*").alias("freq"))
-    return (
+    per_doc = (
         exploded.join(freq, on="lh")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_lines"),
             F.sum(F.when(F.col("freq") > 1, 1).otherwise(0)).alias("n_dup_lines"),
         )
-        .withColumn("dup_line_ratio", F.round(F.col("n_dup_lines") / F.col("n_lines"), 6))
+    )
+    # every input doc gets a row: empty/NULL-text docs have zero lines
+    # (explode emits nothing for them), so left-join them back with
+    # n_lines=0 and ratio 0.0 — a `dup_line_ratio > t` policy must SEE
+    # them, not silently pass them through (r07 review)
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce("n_lines", F.lit(0)).cast("bigint").alias("n_lines"),
+            F.coalesce("n_dup_lines", F.lit(0)).cast("bigint").alias("n_dup_lines"),
+            F.when(F.coalesce("n_lines", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(F.round(F.col("n_dup_lines") / F.col("n_lines"), 6))
+            .alias("dup_line_ratio"),
+        )
     )
 
 
@@ -253,16 +285,14 @@ def scrub_duplicate_lines(
     partial-agg groupBy finds hot hashes, a semi-join keeps only each
     doc's hot POSITIONS (a tiny per-doc int list), and the rebuild is
     a scan-stage index-filter over the original row. Shuffles carry
-    (hash, id) and (doc_id, pos) only."""
-    tk = F.col("__tk")
-    n_lines = F.ceil(F.size(tk) / F.lit(line_len)).cast("int")
-    lines = F.when(
-        F.size(tk) > 0,
-        F.transform(
-            F.sequence(F.lit(0), n_lines - 1),
-            lambda j: F.array_join(F.slice(tk, j * line_len + 1, line_len), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    (hash, id) and (doc_id, pos) only. Known trade: the tokenize+
+    explode lineage evaluates for both the hot aggregate and the
+    semi-join probe, and the rebuild re-tokenizes the base — 2-3 scan
+    passes total. A persisted/checkpointed exploded frame would trade
+    corpus-scale materialization for those passes; measure before
+    switching (the r07 HITS persist regression — cached plans bypass
+    AQE — is the cautionary precedent)."""
+    lines = _token_lines(F.col("__tk"), line_len)
     base = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("__tk"))
     exploded = base.select(
         "doc_id", F.posexplode(lines).alias("pos", "line")
@@ -349,7 +379,12 @@ def gopher_stats_cols(c: Column | str, tk: Column | None = None) -> dict[str, Co
         n_words > 0,
         F.length(F.array_join(tk, "")).cast("double") / n_words,
     ).otherwise(F.lit(0.0))
-    n_sym = F.length(F.regexp_replace(col, r"[A-Za-z0-9 ]", ""))
+    # keep-class spares ALL whitespace, not just literal space: a
+    # newline/tab/paragraph break is formatting, not a "symbol" — with
+    # the old [A-Za-z0-9 ] class, 80-char-line prose accrued ~1.2%
+    # symbol_ratio from newlines alone and list-formatted docs could
+    # cross max_symbol_ratio and be wrongly dropped (r07 review)
+    n_sym = F.length(F.regexp_replace(col, r"[A-Za-z0-9\s]", ""))
     symbol_ratio = F.when(
         F.length(col) > 0, n_sym.cast("double") / F.length(col)
     ).otherwise(F.lit(0.0))

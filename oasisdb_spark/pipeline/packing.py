@@ -50,7 +50,9 @@ def chunk_pack(
     t = docs.select(
         F.col(id_col),
         (F.col(id_col) % n_buckets).alias("bucket"),
-        token_count(text_col).cast("bigint").alias("n_tokens"),
+        # NULL text = 0 tokens (the sampling.py convention — a NULL
+        # n_tokens would NaN-poison the pandas fill accumulators)
+        F.coalesce(token_count(text_col).cast("bigint"), F.lit(0)).alias("n_tokens"),
     )
     w = (
         Window.partitionBy("bucket")
@@ -83,7 +85,9 @@ def greedy_pack(
     t = docs.select(
         F.col(id_col).alias("doc_id"),
         (F.col(id_col) % n_buckets).alias("bucket"),
-        token_count(text_col).cast("bigint").alias("n_tokens"),
+        # NULL text = 0 tokens (the sampling.py convention — a NULL
+        # n_tokens would NaN-poison the pandas fill accumulators)
+        F.coalesce(token_count(text_col).cast("bigint"), F.lit(0)).alias("n_tokens"),
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -134,7 +138,9 @@ def next_fit_pack(
     t = docs.select(
         F.col(id_col).alias("doc_id"),
         (F.col(id_col) % n_buckets).alias("bucket"),
-        token_count(text_col).cast("bigint").alias("n_tokens"),
+        # NULL text = 0 tokens (the sampling.py convention — a NULL
+        # n_tokens would NaN-poison the pandas fill accumulators)
+        F.coalesce(token_count(text_col).cast("bigint"), F.lit(0)).alias("n_tokens"),
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -84,10 +84,15 @@ def test_line_dedup_stats(spark):
     assert out[3]["n_lines"] == 1 and out[3]["n_dup_lines"] == 0
 
 
-def test_line_dedup_empty_doc_emits_no_lines(spark):
+def test_line_dedup_empty_doc_emits_zero_row(spark):
+    # r07 review: empty docs used to vanish from the output entirely —
+    # now they carry an explicit n_lines=0 / ratio 0.0 row so a
+    # dup_line_ratio policy sees them
     df = spark.createDataFrame([(1, ""), (2, "a b")], "doc_id BIGINT, text STRING")
-    rows = line_dedup_stats(df, line_len=2).collect()
-    assert [r["doc_id"] for r in rows] == [2]  # empty doc has no lines at all
+    out = {r["doc_id"]: r for r in line_dedup_stats(df, line_len=2).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["n_lines"] == 0 and out[1]["dup_line_ratio"] == 0.0
+    assert out[2]["n_lines"] == 1
 
 
 def test_source_mixture_weights(spark):
@@ -202,3 +207,29 @@ def test_scrub_duplicate_lines(spark):
     out2 = {r["doc_id"]: r["text"]
             for r in scrub_duplicate_lines(df, line_len=3, max_freq=2).collect()}
     assert out2[1] == "x y z" and out2[2] == "x y z" and out2[4] == ""
+
+
+def test_gopher_symbol_ratio_spares_whitespace(spark):
+    """r07 review: newlines/tabs are formatting, not symbols — prose
+    with paragraph breaks must not accrue symbol_ratio."""
+    from oasisdb_spark.pipeline.curate import gopher_stats_cols
+
+    text = ("the quick brown fox jumps over the lazy dog and it " * 3 + "\n") * 5
+    df = spark.createDataFrame([(1, text)], "doc_id LONG, text STRING")
+    r = df.select(*[v.alias(k) for k, v in gopher_stats_cols("text").items()]).first()
+    assert r["symbol_ratio"] == 0.0
+
+
+def test_line_dedup_stats_emits_rows_for_empty_docs(spark):
+    """r07 review: empty/NULL docs get an n_lines=0 / ratio 0.0 row —
+    a dup_line_ratio policy must see them."""
+    from oasisdb_spark.pipeline.curate import line_dedup_stats
+
+    boiler = "copy right footer text repeated everywhere always " * 3
+    rows = [(1, ""), (2, None), (3, boiler), (4, boiler)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r["doc_id"]: r for r in line_dedup_stats(df).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["n_lines"] == 0 and out[1]["dup_line_ratio"] == 0.0
+    assert out[2]["n_lines"] == 0 and out[2]["dup_line_ratio"] == 0.0
+    assert out[3]["n_dup_lines"] > 0

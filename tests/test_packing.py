@@ -81,3 +81,24 @@ def test_next_fit_invariants(spark):
     for seq in by_bucket.values():
         assert seq == sorted(seq)
         assert seq[0] == 0 and max(seq) == len(set(seq)) - 1
+
+
+def test_packers_null_text_counts_zero_tokens(spark):
+    """r07 review: a NULL-text doc is 0 tokens — the old NULL n_tokens
+    NaN-poisoned next_fit's running fill, cramming every later doc
+    into one over-capacity bin."""
+    from oasisdb_spark.pipeline.packing import greedy_pack, next_fit_pack
+
+    rows = [(1, "a b c d e"), (2, None)] + [(i, "w x y z q") for i in range(3, 9)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = next_fit_pack(df, capacity=10)
+    rows_out = out.collect()
+    assert all(r["n_tokens"] is not None for r in rows_out)
+    # no bin may exceed capacity (the NaN bug packed ~all docs in one)
+    import collections
+    fills = collections.Counter()
+    for r in rows_out:
+        fills[(r["bucket"] if "bucket" in out.columns else 0, r["bin_id"])] += r["n_tokens"]
+    assert max(fills.values()) <= 10
+    g = greedy_pack(df, capacity=10).collect()
+    assert all(r["n_tokens"] is not None for r in g)
