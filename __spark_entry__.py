@@ -3744,8 +3744,11 @@ def _events_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     events.value split into even/odd event_id halves, 10 fixed-width
     buckets over the baseline's [min, max], Laplace-smoothed integer
     counts, per-bucket micro-PSI via the lmic micro-nat log primitive —
-    pure int64 after bucketing, hash-exact. Same-distribution halves
-    gate near 0; total PSI = sum(psi_contrib_micro) * 1e-6."""
+    DECIMAL(38,0) intermediates with an integer DIV (the count×count×
+    lmic product can exceed int64; see operators/quality.py:217), the
+    final psi_contrib_micro cast back to int64 — hash-exact.
+    Same-distribution halves gate near 0; total PSI =
+    sum(psi_contrib_micro) * 1e-6."""
     from oasisdb_spark.operators.quality import psi_drift
 
     ev = _table(spark, sf_dir, "events")
@@ -5113,92 +5116,152 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # value-exact at sf0.01 AND sf0.001 in round 6 and re-verified this
     # round; rotation risk is plumbing only.
     #
-    # ROUND-8 ROTATION TODO (stage EARLY — the driver snapshots the
-    # window mid-round): first-driver-row backlog after a green r07 =
-    # exactly the 4 deferred streaming twins. Window = 2 anchors + the
-    # 4 twins + ALL 28 entries whose ONLY driver row is r04 (the
-    # CORRECTNESS_r0{1..6} sweep this round — single-green AND oldest:
-    # bloom_semijoin, bm25_search_indexed, cohort_retention,
-    # docs_gopher_stream, docs_lm_stream, docs_neardup_stream,
-    # event_funnel, events_funnel_stream, fuzzy_name_pairs,
-    # heavy_hitters, hybrid_search_indexed, image_dhash,
-    # jaccard_pairs_prefix, lm_perplexity, lsh_recall_eval,
-    # maxsim_search, perplexity_buckets, quality_prune, semantic_dedup,
-    # sequence_pack_bins, sequence_pack_chunks, sliding_chunks,
-    # substring_dup_stats, table_profile, token_budget_sample,
-    # training_corpus_pipeline, weighted_sample, zorder_scan) + the 13
-    # entries whose only driver row is r05 + 3 fill slots from the
-    # oldest double-green block (r03+r05, 35 entries — alphabetical
-    # head unless the r07 sweep says otherwise) = 2+4+28+13+3 = 50.
-    # Re-run the CORRECTNESS_r0{1..7} sweep before finalizing in case
-    # r07 rows differ from expectation.
+    # ROUND-8 ROTATION (EXECUTED as re-staged per VERDICT r07 #3 — the
+    # r07 gate came back 40/50, so the drafted r07-era plan was
+    # superseded): window = the 2 anchors + the 10 r07 hash-fail
+    # entries (driver-red on un-cast HUGEINT oracle columns, VERDICT
+    # r07 #1 — all 12 offending columns now CAST AS BIGINT, sweep
+    # re-verified zero HUGEINT/DECIMAL across all 197 oracles,
+    # tests/test_oracle_types.py pins it) + the 4 never-gated streaming
+    # twins (two of which SHARE the repaired cusum/ohlc oracles) + ALL
+    # 28 entries whose only driver row is r04 (the CORRECTNESS_r0{1..7}
+    # sweep this round confirms the r07-era list unchanged) + the 6
+    # alphabetically-first of the 13 r05-only entries
+    # (activity_hot_overlap, data_quality_gate, dedup_keep_best,
+    # events_hourly_gapfill, leakage_safe_split, line_scrub)
+    # = 2+10+4+28+6 = 50. Registry frozen at 197 (VERDICT r07 #4) —
+    # ZERO net-new entries this round.
+    #
+    # ROUND-9 ROTATION TODO (stage EARLY; re-run the sweep against
+    # CORRECTNESS_r08 before finalizing): assuming a green r08 the
+    # first-row backlog is 0 and the single-green backlog is the 7
+    # remaining r05-only entries (orders_snapshot_diff, pca_knn,
+    # quality_gate_stream, retrieval_rank_eval, shard_manifest,
+    # token_estimate, training_shards) + the 8 r06-only entries
+    # (docs_dsir_stream, docs_mining_stream, dsir_select,
+    # epoch_mixture, fim_samples, hard_negatives, hard_negatives_ivf,
+    # topic_balanced_sample). Window = 2 anchors + those 15 + 33 fill
+    # from the oldest double-green block (r03+r05, 35 entries, listed
+    # head-first behind the window below; the last 2 roll to r10)
+    # = 2+7+8+33 = 50.
     return {
-        # --- ROUND-7 WINDOW (positions 1-50) ---
+        # --- ROUND-8 WINDOW (positions 1-50) ---
         # anchors (1-2)
         "collection_lifecycle": _collection_lifecycle,
         "knn_ivfsq": _knn_ivfsq,
-        # round-6 batch-2 additions, first driver rows (3-18)
-        "kmeans_cells": _kmeans_cells,
-        "proto_prune": _proto_prune,
-        "cluster_balanced": _cluster_balanced,
-        "value_quantiles_sketch": _value_quantiles_sketch,
-        "winnow_fingerprints": _winnow_fingerprints,
-        "winnow_contamination": _winnow_contamination,
-        "bpe_merges": _bpe_merges,
-        "bpe_token_counts": _bpe_token_counts,
-        "events_quantiles_stream": _events_quantiles_stream,
-        "order_status_scd2": _order_status_scd2,
-        "event_type_quantiles": _event_type_quantiles,
-        "trade_pagerank": _trade_pagerank,
-        "contrastive_triplets": _contrastive_triplets,
+        # the 10 r07 hash-fail repairs, re-gated (3-12): driver-red in
+        # r07 on un-cast HUGEINT oracle columns only (rows+schema
+        # matched; VERDICT r07 #1) — oracles now CAST AS BIGINT
         "events_value_drift": _events_value_drift,
         "events_drift_stream": _events_drift_stream,
-        "trade_hits": _trade_hits,
-        # round-6 batch-3 BATCH additions, first driver rows (19-23)
         "events_ohlc": _events_ohlc,
-        "copurchase_pairs": _copurchase_pairs,
-        "copurchase_triangles": _copurchase_triangles,
-        "events_outliers": _events_outliers,
-        "mutual_knn_pairs": _mutual_knn_pairs,
-        # round-6 batch-4 BATCH additions, first driver rows (24-49)
         "events_cusum": _events_cusum,
-        "docs_pmi_collocations": _docs_pmi_collocations,
-        "lineitem_skyline": _lineitem_skyline,
-        "events_attribution": _events_attribution,
         "events_ohlc_daily": _events_ohlc_daily,
-        "orders_flag_overlap": _orders_flag_overlap,
         "event_type_transitions": _event_type_transitions,
-        "events_value_trend": _events_value_trend,
         "events_rolling_anomaly": _events_rolling_anomaly,
-        "events_session_paths": _events_session_paths,
         "customer_rfm": _customer_rfm,
         "events_chi2_gate": _events_chi2_gate,
-        "events_credit_split": _events_credit_split,
-        "langid_kappa": _langid_kappa,
-        "events_gapfill_interp": _events_gapfill_interp,
-        "copurchase_communities": _copurchase_communities,
-        "orders_benford": _orders_benford,
-        "copurchase_rules": _copurchase_rules,
-        "events_windowed_funnel": _events_windowed_funnel,
-        "events_seasonal_resid": _events_seasonal_resid,
-        "embedding_drift": _embedding_drift,
-        "events_rapid_repeats": _events_rapid_repeats,
-        "events_xcorr": _events_xcorr,
         "conversion_survival": _conversion_survival,
-        "events_twap": _events_twap,
-        "part_name_clusters": _part_name_clusters,
-        # round-7 addition, first driver row (50) — VERDICT r06 #3; the
-        # round's ONE net-new entry (growth frozen per VERDICT r06 #2)
-        "mutual_knn_pairs_ivf": _mutual_knn_pairs_ivf,
-        # --- behind the window ---
-        # the full r06 window: every entry below through
-        # q11_value_concentration has a green r06 driver row (the two
-        # anchors sit at positions 1-2 above)
-        "dsir_select": _dsir_select,
-        "hard_negatives": _hard_negatives,
+        # the 4 streaming twins, first driver rows (13-16) — deferred
+        # from r07; two SHARE the repaired cusum/ohlc oracles
+        "docs_heavy_stream": _docs_heavy_stream,
+        "events_ohlc_stream": _events_ohlc_stream,
+        "events_cusum_stream": _events_cusum_stream,
+        "events_seasonal_stream": _events_seasonal_stream,
+        # the 28 entries whose ONLY driver row is r04, re-gated
+        # (17-44; alphabetical)
+        "bloom_semijoin": _bloom_semijoin,
+        "bm25_search_indexed": _bm25_search_indexed,
+        "cohort_retention": _cohort_retention,
+        "docs_gopher_stream": _docs_gopher_stream,
+        "docs_lm_stream": _docs_lm_stream,
+        "docs_neardup_stream": _docs_neardup_stream,
+        "event_funnel": _event_funnel,
+        "events_funnel_stream": _events_funnel_stream,
+        "fuzzy_name_pairs": _fuzzy_name_pairs,
+        "heavy_hitters": _heavy_hitters,
+        "hybrid_search_indexed": _hybrid_search_indexed,
+        "image_dhash": _image_dhash,
+        "jaccard_pairs_prefix": _jaccard_pairs_prefix,
+        "lm_perplexity": _lm_perplexity,
+        "lsh_recall_eval": _lsh_recall_eval,
+        "maxsim_search": _maxsim_search,
+        "perplexity_buckets": _perplexity_buckets,
+        "quality_prune": _quality_prune,
+        "semantic_dedup": _semantic_dedup,
+        "sequence_pack_bins": _sequence_pack_bins,
+        "sequence_pack_chunks": _sequence_pack_chunks,
+        "sliding_chunks": _sliding_chunks,
+        "substring_dup_stats": _substring_dup_stats,
+        "table_profile": _table_profile,
+        "token_budget_sample": _token_budget_sample,
+        "training_corpus_pipeline": _training_corpus_pipeline,
+        "weighted_sample": _weighted_sample,
+        "zorder_scan": _zorder_scan,
+        # the 6 alphabetically-first r05-only entries, re-gated (45-50)
+        "activity_hot_overlap": _activity_hot_overlap,
+        "data_quality_gate": _data_quality_gate,
+        "dedup_keep_best": _dedup_keep_best,
+        "events_hourly_gapfill": _events_hourly_gapfill,
+        "leakage_safe_split": _leakage_safe_split,
+        "line_scrub": _line_scrub,
+        # --- behind the window (staleness-ordered: r09 pulls from the
+        # top of this section; see ROUND-9 ROTATION TODO above) ---
+        # the 7 remaining r05-only entries (r09 slots 3-9)
+        "orders_snapshot_diff": _orders_snapshot_diff,
+        "pca_knn": _pca_knn,
+        "quality_gate_stream": _quality_gate_stream,
+        "retrieval_rank_eval": _retrieval_rank_eval,
+        "shard_manifest": _shard_manifest,
+        "token_estimate": _token_estimate,
+        "training_shards": _training_shards,
+        # the 8 r06-only entries (r09 slots 10-17)
         "docs_dsir_stream": _docs_dsir_stream,
-        "fim_samples": _fim_samples,
+        "docs_mining_stream": _docs_mining_stream,
+        "dsir_select": _dsir_select,
         "epoch_mixture": _epoch_mixture,
+        "fim_samples": _fim_samples,
+        "hard_negatives": _hard_negatives,
+        "hard_negatives_ivf": _hard_negatives_ivf,
+        "topic_balanced_sample": _topic_balanced_sample,
+        # oldest double-green block: green in r03 AND r05 (35 entries;
+        # r09 takes the first 33 as fill, the last 2 roll to r10)
+        "q15_top_supplier": _q15_top_supplier,
+        "q16_supplier_counts": _q16_supplier_counts,
+        "q20_part_share_suppliers": _q20_part_share_suppliers,
+        "q21_last_to_ship": _q21_last_to_ship,
+        "q18_large_orders": _q18_large_orders,
+        "q19_disjunctive_revenue": _q19_disjunctive_revenue,
+        "q22_dormant_customers": _q22_dormant_customers,
+        "nation_balance_full_outer": _nation_balance_full_outer,
+        "orders_status_pivot": _orders_status_pivot,
+        "daily_activity_union": _daily_activity_union,
+        "stratified_sample_documents": _stratified_sample_documents,
+        "corpus_split": _corpus_split,
+        "dedup_clusters": _dedup_clusters,
+        "price_band_join": _price_band_join,
+        "sequence_pack_nextfit": _sequence_pack_nextfit,
+        "events_props_json": _events_props_json,
+        "events_segment_rollup_salted": _events_segment_rollup_salted,
+        "top_bigrams": _top_bigrams,
+        "frequent_users": _frequent_users,
+        "events_approx_distinct": _events_approx_distinct,
+        "hybrid_search_rrf": _hybrid_search,
+        "bm25_search": _bm25_search,
+        "price_quartiles": _price_quartiles,
+        "events_hourly": _events_hourly,
+        "events_rolling_1h": _events_rolling_1h,
+        "q2_cheapest_supplier": _q2_cheapest_supplier,
+        "events_sessionize": _events_sessionize,
+        "events_hourly_stream": _events_hourly_stream,
+        "events_enriched_stream": _events_enriched_stream,
+        "events_sessionize_stream": _events_sessionize_stream,
+        "events_dedup_stream": _events_dedup_stream,
+        "multimodal_decode": _multimodal_decode,
+        "multimodal_frames": _multimodal_frames,
+        "multimodal_audio": _multimodal_audio,
+        "multimodal_resize": _multimodal_resize,
+        # green in r02/r03 AND r06 (the r06-window double-greens)
         "pii_scrub": _pii_scrub,
         "ngram_contamination": _ngram_contamination,
         "line_dedup": _line_dedup,
@@ -5239,90 +5302,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q9_product_profit": _q9_product_profit,
         "q10_returned_items": _q10_returned_items,
         "q11_value_concentration": _q11_value_concentration,
-        "hard_negatives_ivf": _hard_negatives_ivf,
-        "docs_mining_stream": _docs_mining_stream,
-        "topic_balanced_sample": _topic_balanced_sample,
-        # every entry below has a green driver row in r04 or r05
-        # (COVERAGE.md maps entry -> gating rounds) ---
-        # round-4 additions + pca_knn, gated green in r05
-        "training_shards": _training_shards,
-        "shard_manifest": _shard_manifest,
-        "token_estimate": _token_estimate,
-        "retrieval_rank_eval": _retrieval_rank_eval,
-        "data_quality_gate": _data_quality_gate,
-        "orders_snapshot_diff": _orders_snapshot_diff,
-        "line_scrub": _line_scrub,
-        "quality_gate_stream": _quality_gate_stream,
-        "dedup_keep_best": _dedup_keep_best,
-        "events_hourly_gapfill": _events_hourly_gapfill,
-        "activity_hot_overlap": _activity_hot_overlap,
-        "leakage_safe_split": _leakage_safe_split,
-        "pca_knn": _pca_knn,
-        # green in r03 AND r05
-        "q15_top_supplier": _q15_top_supplier,
-        "q16_supplier_counts": _q16_supplier_counts,
-        "q20_part_share_suppliers": _q20_part_share_suppliers,
-        "q21_last_to_ship": _q21_last_to_ship,
-        "q18_large_orders": _q18_large_orders,
-        "q19_disjunctive_revenue": _q19_disjunctive_revenue,
-        "q22_dormant_customers": _q22_dormant_customers,
-        "nation_balance_full_outer": _nation_balance_full_outer,
-        "orders_status_pivot": _orders_status_pivot,
-        "daily_activity_union": _daily_activity_union,
-        "stratified_sample_documents": _stratified_sample_documents,
-        "corpus_split": _corpus_split,
-        "dedup_clusters": _dedup_clusters,
-        "price_band_join": _price_band_join,
-        "sequence_pack_nextfit": _sequence_pack_nextfit,
-        "events_props_json": _events_props_json,
-        "events_segment_rollup_salted": _events_segment_rollup_salted,
-        "top_bigrams": _top_bigrams,
-        "frequent_users": _frequent_users,
-        "events_approx_distinct": _events_approx_distinct,
-        "hybrid_search_rrf": _hybrid_search,
-        "bm25_search": _bm25_search,
-        "price_quartiles": _price_quartiles,
-        "events_hourly": _events_hourly,
-        "events_rolling_1h": _events_rolling_1h,
-        "q2_cheapest_supplier": _q2_cheapest_supplier,
-        "events_sessionize": _events_sessionize,
-        "events_hourly_stream": _events_hourly_stream,
-        "events_enriched_stream": _events_enriched_stream,
-        "events_sessionize_stream": _events_sessionize_stream,
-        "events_dedup_stream": _events_dedup_stream,
-        "multimodal_decode": _multimodal_decode,
-        "multimodal_frames": _multimodal_frames,
-        "multimodal_audio": _multimodal_audio,
-        "multimodal_resize": _multimodal_resize,
-        # green in r04 (some also r03)
-        "maxsim_search": _maxsim_search,
-        "docs_gopher_stream": _docs_gopher_stream,
-        "docs_neardup_stream": _docs_neardup_stream,
-        "quality_prune": _quality_prune,
-        "token_budget_sample": _token_budget_sample,
-        "sliding_chunks": _sliding_chunks,
-        "table_profile": _table_profile,
-        "bm25_search_indexed": _bm25_search_indexed,
-        "lsh_recall_eval": _lsh_recall_eval,
-        "hybrid_search_indexed": _hybrid_search_indexed,
-        "event_funnel": _event_funnel,
-        "cohort_retention": _cohort_retention,
-        "fuzzy_name_pairs": _fuzzy_name_pairs,
-        "bloom_semijoin": _bloom_semijoin,
-        "semantic_dedup": _semantic_dedup,
-        "heavy_hitters": _heavy_hitters,
-        "weighted_sample": _weighted_sample,
-        "zorder_scan": _zorder_scan,
-        "image_dhash": _image_dhash,
-        "events_funnel_stream": _events_funnel_stream,
-        "jaccard_pairs_prefix": _jaccard_pairs_prefix,
-        "substring_dup_stats": _substring_dup_stats,
-        "lm_perplexity": _lm_perplexity,
-        "perplexity_buckets": _perplexity_buckets,
-        "docs_lm_stream": _docs_lm_stream,
-        "sequence_pack_chunks": _sequence_pack_chunks,
-        "training_corpus_pipeline": _training_corpus_pipeline,
-        "sequence_pack_bins": _sequence_pack_bins,
         # green in r02 AND r04
         "knn_ivf": _knn_ivf,
         "knn_ivfpq": _knn_ivfpq,
@@ -5343,15 +5322,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _simhash,
         "langid": _langid,
         "text_stats": _text_stats,
-        # the four round-6 streaming twins, deferred to the r08 window
-        # (ROUND-8 TODO above) — each SHARES its batch operator's
-        # oracle, so the in-window batch rows this round already
-        # certify the shared SQL; check_oracle-verified locally in r06
-        # and re-verified this round
-        "docs_heavy_stream": _docs_heavy_stream,
-        "events_ohlc_stream": _events_ohlc_stream,
-        "events_cusum_stream": _events_cusum_stream,
-        "events_seasonal_stream": _events_seasonal_stream,
+        # green in r07 only (the freshest rows — lowest rotation
+        # priority; the r06 batch-2/3/4 additions + mutual_knn_pairs_ivf)
+        "kmeans_cells": _kmeans_cells,
+        "proto_prune": _proto_prune,
+        "cluster_balanced": _cluster_balanced,
+        "value_quantiles_sketch": _value_quantiles_sketch,
+        "winnow_fingerprints": _winnow_fingerprints,
+        "winnow_contamination": _winnow_contamination,
+        "bpe_merges": _bpe_merges,
+        "bpe_token_counts": _bpe_token_counts,
+        "events_quantiles_stream": _events_quantiles_stream,
+        "order_status_scd2": _order_status_scd2,
+        "event_type_quantiles": _event_type_quantiles,
+        "trade_pagerank": _trade_pagerank,
+        "contrastive_triplets": _contrastive_triplets,
+        "trade_hits": _trade_hits,
+        "copurchase_pairs": _copurchase_pairs,
+        "copurchase_triangles": _copurchase_triangles,
+        "events_outliers": _events_outliers,
+        "mutual_knn_pairs": _mutual_knn_pairs,
+        "docs_pmi_collocations": _docs_pmi_collocations,
+        "lineitem_skyline": _lineitem_skyline,
+        "events_attribution": _events_attribution,
+        "orders_flag_overlap": _orders_flag_overlap,
+        "events_value_trend": _events_value_trend,
+        "events_session_paths": _events_session_paths,
+        "events_credit_split": _events_credit_split,
+        "langid_kappa": _langid_kappa,
+        "events_gapfill_interp": _events_gapfill_interp,
+        "copurchase_communities": _copurchase_communities,
+        "orders_benford": _orders_benford,
+        "copurchase_rules": _copurchase_rules,
+        "events_windowed_funnel": _events_windowed_funnel,
+        "events_seasonal_resid": _events_seasonal_resid,
+        "embedding_drift": _embedding_drift,
+        "events_rapid_repeats": _events_rapid_repeats,
+        "events_xcorr": _events_xcorr,
+        "events_twap": _events_twap,
+        "part_name_clusters": _part_name_clusters,
+        "mutual_knn_pairs_ivf": _mutual_knn_pairs_ivf,
     }
 
 def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -5557,7 +5567,7 @@ def _gopher_filter_oracle() -> str:
     from oasisdb_spark.pipeline.text import STOPWORDS
 
     en = STOPWORDS["en"]
-    return f"""
+    return rf"""
 WITH t AS (
   SELECT doc_id, text,
          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS tk
@@ -5945,10 +5955,10 @@ _PSI_DRIFT_SQL = """
     tot AS (SELECT SUM(base_cnt) + 10 AS a1, SUM(cur_cnt) + 10 AS b1
             FROM counts)
     SELECT bucket, base_cnt, cur_cnt,
-           (((base_cnt + 1) * t.b1 - (cur_cnt + 1) * t.a1)
+           CAST((((base_cnt + 1) * t.b1 - (cur_cnt + 1) * t.a1)
             * (CAST(round(ln(((base_cnt + 1) * t.b1)::DOUBLE) * 1000000) AS BIGINT)
                - CAST(round(ln(((cur_cnt + 1) * t.a1)::DOUBLE) * 1000000) AS BIGINT)))
-           // (t.a1 * t.b1) AS psi_contrib_micro
+           // (t.a1 * t.b1) AS BIGINT) AS psi_contrib_micro
     FROM counts, tot t
 """
 
@@ -6270,7 +6280,8 @@ WITH v AS (
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 )
 SELECT event_id, event_type, ts_us, value_cents, target_cents,
-       cusum_up, cusum_dn,
+       CAST(cusum_up AS BIGINT) AS cusum_up,
+       CAST(cusum_dn AS BIGINT) AS cusum_dn,
        cusum_up > 15000 AS alarm_up, cusum_dn > 15000 AS alarm_dn
 FROM s
 """
@@ -6418,7 +6429,7 @@ SELECT event_type, bar_start,
        min(value) AS low,
        max(CASE WHEN rnd = 1 THEN value END) AS close,
        count(*) AS n_obs,
-       sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM r GROUP BY event_type, bar_start
 """,
         # market-basket pairs (operators/basket.py): distinct-first,
@@ -6562,7 +6573,7 @@ SELECT event_type, bar_start,
        min(value) AS low,
        max(CASE WHEN rnd = 1 THEN value END) AS close,
        count(*) AS n_obs,
-       sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM r GROUP BY event_type, bar_start
 """,
         # CUSUM (operators/timeseries.py cusum_changepoints): the
@@ -6699,7 +6710,7 @@ SELECT event_type, bar_start,
        min(value) AS low,
        max(CASE WHEN rnd = 1 THEN value END) AS close,
        count(*) AS n_obs,
-       sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM r GROUP BY event_type, bar_start
 """,
         # KMV set ops (functions/sketch.py kmv_set_ops): bottom-k
@@ -6755,7 +6766,7 @@ WITH e AS (
 ), f AS (
   SELECT *, sum(n_trans) OVER (PARTITION BY from_type) AS n_from FROM c
 )
-SELECT from_type, to_type, n_trans, n_from,
+SELECT from_type, to_type, n_trans, CAST(n_from AS BIGINT) AS n_from,
        CAST(round(ln(CAST(n_trans AS DOUBLE)) * 1000000) AS BIGINT)
        - CAST(round(ln(CAST(n_from AS DOUBLE)) * 1000000) AS BIGINT)
          AS lp_micro
@@ -6800,8 +6811,8 @@ WITH v AS (
                  ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING)
 )
 SELECT event_id, event_type, ts_us, y AS value_cents, n_win,
-       y * n_win - s AS dev_n,
-       n_win * q - s * s AS var_n,
+       CAST(y * n_win - s AS BIGINT) AS dev_n,
+       CAST(n_win * q - s * s AS BIGINT) AS var_n,
        CASE WHEN n_win >= 2 THEN
          (y * n_win - s) * (y * n_win - s) > 9 * (n_win * q - s * s)
          AND y * n_win - s > 0 END AS anomaly_up,
@@ -6845,7 +6856,7 @@ WITH per AS (
   SELECT o_custkey,
          max(CAST(o_orderdate AS DATE)) AS last_d,
          count(*) AS frequency,
-         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS monetary
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS monetary
   FROM orders GROUP BY 1
 ), anch AS (
   SELECT max(last_d) AS as_of FROM per
@@ -6879,7 +6890,10 @@ WITH cells AS (
          sum(observed) OVER () AS n_total
   FROM cells
 )
-SELECT event_type, hour_of_day, observed, row_tot, col_tot, n_total,
+SELECT event_type, hour_of_day, observed,
+       CAST(row_tot AS BIGINT) AS row_tot,
+       CAST(col_tot AS BIGINT) AS col_tot,
+       CAST(n_total AS BIGINT) AS n_total,
        CAST(((CAST(observed AS HUGEINT) * n_total
               - CAST(row_tot AS HUGEINT) * col_tot)
              * (CAST(observed AS HUGEINT) * n_total
@@ -7240,11 +7254,12 @@ WITH e AS (
          END AS step
   FROM risk WHERE d > 0
 )
-SELECT t, n_risk, d, c,
-       CASE WHEN n_risk = d THEN NULL ELSE
+SELECT t, CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT) AS d, CAST(c AS BIGINT) AS c,
+       CAST(CASE WHEN n_risk = d THEN NULL ELSE
          sum(step) OVER (ORDER BY t ASC
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-       END AS surv_log_micro
+       END AS BIGINT) AS surv_log_micro
 FROM ev_t
 """,
         # TWAP (operators/timeseries.py time_weighted_avg): identical

@@ -22,6 +22,76 @@ TABLES = [
 ]
 
 
+# --- type discipline (round-8, VERDICT r07 #2) -----------------------
+# The driver's hash canonicalization is type-sensitive to int128:
+# DuckDB widens sum(BIGINT) to HUGEINT and DECIMAL(38)//x to
+# HUGEINT/DECIMAL, and a HUGEINT oracle column hash-mismatches a
+# numerically-identical Spark bigint (10 driver-red rows in r07).
+# duckdb's Python client hands HUGEINT back as plain int, so a
+# value-only replica is blind to the class. After the value compare we
+# therefore DESCRIBE the oracle and diff against sdf.dtypes:
+#   FAIL — any HUGEINT/DECIMAL oracle column (the lethal class), or a
+#          cross-family mismatch (int vs double vs string ...).
+#   WARN — intra-family width drift (INTEGER vs BIGINT) and
+#          TIMESTAMP vs TIMESTAMP_NTZ, which CORRECTNESS_r02..r07
+#          show the driver tolerates (green entries carry both).
+
+_FAMILY = {
+    "tinyint": "int", "smallint": "int", "int": "int", "integer": "int",
+    "bigint": "int", "ubigint": "int", "uinteger": "int",
+    "usmallint": "int", "utinyint": "int",
+    "hugeint": "int128", "uhugeint": "int128",
+    "float": "float", "real": "float", "double": "float",
+    "varchar": "string", "string": "string", "text": "string",
+    "boolean": "bool", "bool": "bool",
+    "date": "date",
+    "timestamp": "ts", "timestamp_ntz": "ts",
+    "timestamp with time zone": "ts", "timestamptz": "ts",
+    "blob": "binary", "binary": "binary",
+}
+
+
+def _norm_type(t: str) -> str:
+    """Lower-case a DuckDB DESCRIBE / Spark dtypes type string into a
+    canonical token, preserving list/struct shape."""
+    t = t.strip().lower()
+    if t.endswith("[]"):  # duckdb list
+        return f"array<{_norm_type(t[:-2])}>"
+    if t.startswith("array<") and t.endswith(">"):
+        return f"array<{_norm_type(t[6:-1])}>"
+    if t.startswith("decimal"):
+        return "decimal"
+    # engine-synonym collapse (identical types, different names):
+    return {"varchar": "string", "text": "string", "integer": "int",
+            "real": "float", "bool": "boolean", "blob": "binary"}.get(t, t)
+
+
+def _family(t: str) -> str:
+    """Collapse a normalized type to its comparison family."""
+    if t.startswith("array<"):
+        return f"array<{_family(t[6:-1])}>"
+    if t.startswith(("struct", "map")):
+        return t  # compared verbatim
+    return _FAMILY.get(t, t)
+
+
+def type_diff(scols, sdtypes, dcols, ddtypes):
+    """Return (fatal, warns): lists of 'col: spark vs duck' strings."""
+    fatal, warns = [], []
+    duck = {c: _norm_type(t) for c, t in zip(dcols, ddtypes)}
+    for c, st in sdtypes:
+        if c not in duck:
+            continue
+        s, d = _norm_type(st), duck[c]
+        if "int128" in _family(d) or "decimal" in d:
+            fatal.append(f"{c}: spark={s} duck={d} (HUGEINT/DECIMAL)")
+        elif _family(s) != _family(d):
+            fatal.append(f"{c}: spark={s} duck={d} (family mismatch)")
+        elif s != d:
+            warns.append(f"{c}: spark={s} duck={d}")
+    return fatal, warns
+
+
 def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -69,13 +139,24 @@ def main():
         cur = con.execute(oracles[name])
         dcols = [d[0] for d in cur.description]
         drows = cur.fetchall()
+        desc = con.execute(f"DESCRIBE {oracles[name]}").fetchall()
+        fatal, warns = type_diff(
+            scols, sdf.dtypes, [r[0] for r in desc], [r[1] for r in desc]
+        )
         ok_schema = sorted(scols) == sorted(dcols)
         ok_count = len(srows) == len(drows)
         ok_vals = ok_schema and ok_count and rowset(srows, scols) == rowset(drows, dcols)
-        status = "OK" if (ok_schema and ok_count and ok_vals) else "FAIL"
-        print(f"{name:35s} {status}  rows {len(srows)}/{len(drows)} schema={ok_schema} values={ok_vals}")
+        ok_types = not fatal
+        status = "OK" if (ok_schema and ok_count and ok_vals and ok_types) else "FAIL"
+        print(f"{name:35s} {status}  rows {len(srows)}/{len(drows)} schema={ok_schema} values={ok_vals} types={ok_types}")
+        for w in warns:
+            print(f"    type-warn  {w}")
+        for f_ in fatal:
+            print(f"    TYPE-FATAL {f_}")
         if status == "FAIL":
             failures += 1
+            if fatal and ok_schema and ok_count and ok_vals:
+                pass  # type-only failure; already printed above
             if not ok_schema:
                 print(f"    spark cols: {scols}\n    duck  cols: {dcols}")
             elif ok_count:

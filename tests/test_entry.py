@@ -39,32 +39,44 @@ def test_registry_arithmetic_matches_coverage_doc():
     assert int(m.group(1)) == len(qs), (
         f"COVERAGE.md header says {m.group(1)} entries, registry has {len(qs)}"
     )
-    # the driver gates the first 50 entries; the round-7 window must
-    # contain the standing anchors, the entire no-driver-row backlog
-    # minus the four streaming twins deferred to r08 (each shares its
-    # batch oracle), and the round-7 addition at position 50
+    # the driver gates the first 50 entries; the round-8 window must
+    # contain the standing anchors, the 10 r07 hash-fail repairs
+    # (VERDICT r07 #1/#3), the 4 never-gated streaming twins, the 28
+    # r04-only re-greens, and the 6 alphabetically-first r05-only
+    # entries — 2+10+4+28+6 = 50 exactly
     window = list(qs)[:50]
     anchors = {"collection_lifecycle", "knn_ivfsq"}
-    batch2 = {
-        "kmeans_cells", "proto_prune", "cluster_balanced",
-        "value_quantiles_sketch", "winnow_fingerprints",
-        "winnow_contamination", "bpe_merges", "bpe_token_counts",
-        "events_quantiles_stream", "order_status_scd2",
-        "event_type_quantiles", "trade_pagerank", "contrastive_triplets",
-        "events_value_drift", "events_drift_stream", "trade_hits",
+    r07_red_repairs = {
+        "events_value_drift", "events_drift_stream", "events_ohlc",
+        "events_cusum", "events_ohlc_daily", "event_type_transitions",
+        "events_rolling_anomaly", "customer_rfm", "events_chi2_gate",
+        "conversion_survival",
     }
-    batch3_batch = {
-        "events_ohlc", "copurchase_pairs", "copurchase_triangles",
-        "events_outliers", "mutual_knn_pairs",
-    }
-    deferred_twins = {
+    streaming_twins = {
         "docs_heavy_stream", "events_ohlc_stream",
         "events_cusum_stream", "events_seasonal_stream",
     }
-    assert anchors | batch2 | batch3_batch <= set(window)
-    assert window[49] == "mutual_knn_pairs_ivf"
-    assert deferred_twins.isdisjoint(window)
-    assert deferred_twins <= set(qs)
+    r04_only = {
+        "bloom_semijoin", "bm25_search_indexed", "cohort_retention",
+        "docs_gopher_stream", "docs_lm_stream", "docs_neardup_stream",
+        "event_funnel", "events_funnel_stream", "fuzzy_name_pairs",
+        "heavy_hitters", "hybrid_search_indexed", "image_dhash",
+        "jaccard_pairs_prefix", "lm_perplexity", "lsh_recall_eval",
+        "maxsim_search", "perplexity_buckets", "quality_prune",
+        "semantic_dedup", "sequence_pack_bins", "sequence_pack_chunks",
+        "sliding_chunks", "substring_dup_stats", "table_profile",
+        "token_budget_sample", "training_corpus_pipeline",
+        "weighted_sample", "zorder_scan",
+    }
+    r05_head = {
+        "activity_hot_overlap", "data_quality_gate", "dedup_keep_best",
+        "events_hourly_gapfill", "leakage_safe_split", "line_scrub",
+    }
+    assert (
+        set(window)
+        == anchors | r07_red_repairs | streaming_twins | r04_only | r05_head
+    )
+    assert window[:2] == ["collection_lifecycle", "knn_ivfsq"]
 
 
 def test_every_registry_entry_named_in_coverage_doc():
