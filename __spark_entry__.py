@@ -277,7 +277,8 @@ WITH scored AS (
          row_number() OVER (PARTITION BY query_id ORDER BY distance ASC, id ASC) AS rank
   FROM scored
 )
-SELECT query_id, id, rank, distance{extra} FROM ranked{join} WHERE rank <= {k}
+SELECT query_id, id, CAST(rank AS INTEGER) AS rank, distance{extra}
+FROM ranked{join} WHERE rank <= {k}
 """
 
 _L2_SQL = (
@@ -971,7 +972,10 @@ WITH base AS (
          len(list_intersect(list_distinct(tk), {en})) AS stopword_hits
   FROM base
 )
-SELECT doc_id, n_chars, n_tokens, avg_word_len, alpha_ratio, digit_ratio, punct_ratio, stopword_hits,
+SELECT doc_id, CAST(n_chars AS INTEGER) AS n_chars,
+       CAST(n_tokens AS INTEGER) AS n_tokens,
+       avg_word_len, alpha_ratio, digit_ratio, punct_ratio,
+       CAST(stopword_hits AS INTEGER) AS stopword_hits,
        round(CAST((CASE WHEN n_chars BETWEEN 50 AND 20000 THEN 0.4 ELSE 0.0 END)
            + (CASE WHEN n_tokens >= 10 THEN 0.3 ELSE 0.0 END)
            + (CASE WHEN stopword_hits >= 2 THEN 0.2 ELSE 0.0 END)
@@ -2166,7 +2170,9 @@ _HYBRID_ORACLE = f"""
                          + CAST(1.0 AS DOUBLE)/(60+vec_rank), 8) AS rrf_score
               FROM r
             )
-            SELECT query_id, doc_id, rank, rrf_score, text_rank, vec_rank FROM (
+            SELECT query_id, doc_id, CAST(rank AS INTEGER) AS rank,
+                   rrf_score, CAST(text_rank AS INTEGER) AS text_rank,
+                   CAST(vec_rank AS INTEGER) AS vec_rank FROM (
               SELECT *, row_number() OVER (PARTITION BY query_id
                        ORDER BY rrf_score DESC, doc_id ASC) AS rank
               FROM f
@@ -2571,7 +2577,8 @@ ranked AS (
          row_number() OVER (PARTITION BY query_id ORDER BY distance ASC, id ASC) AS rank
   FROM sc
 )
-SELECT query_id, id, rank, round(distance, 3) AS distance FROM ranked WHERE rank <= 10
+SELECT query_id, id, CAST(rank AS INTEGER) AS rank,
+       round(distance, 3) AS distance FROM ranked WHERE rank <= 10
 """
 
 
@@ -5446,9 +5453,9 @@ WITH aug AS (
   FROM documents
 )
 SELECT doc_id,
-       len(regexp_extract_all(text, '{e}')) AS n_email,
-       len(regexp_extract_all(text, '{i}')) AS n_ipv4,
-       len(regexp_extract_all(text, '{p}')) AS n_phone,
+       CAST(len(regexp_extract_all(text, '{e}')) AS INTEGER) AS n_email,
+       CAST(len(regexp_extract_all(text, '{i}')) AS INTEGER) AS n_ipv4,
+       CAST(len(regexp_extract_all(text, '{p}')) AS INTEGER) AS n_phone,
        regexp_replace(regexp_replace(regexp_replace(text,
          '{e}', '{re_}', 'g'), '{i}', '{ri}', 'g'), '{p}', '{rp}', 'g') AS scrubbed
 FROM aug
@@ -5584,7 +5591,8 @@ s AS (
          len(list_intersect(list_distinct(tk), {en})) AS stopword_hits
   FROM t
 )
-SELECT doc_id, n_words, mean_word_len, symbol_ratio, stopword_hits,
+SELECT doc_id, CAST(n_words AS INTEGER) AS n_words, mean_word_len,
+       symbol_ratio, CAST(stopword_hits AS INTEGER) AS stopword_hits,
        (n_words BETWEEN 20 AND 100000) AS ok_words,
        (mean_word_len BETWEEN 2.0 AND 10.0) AS ok_word_len,
        (symbol_ratio <= 0.3) AS ok_symbols,
@@ -6289,7 +6297,7 @@ FROM s
 
 _SEASONAL_RESID_SQL = """
 WITH o AS (
-  SELECT event_id, event_type, hour(ts) AS hod,
+  SELECT event_id, event_type, CAST(hour(ts) AS INTEGER) AS hod,
          CAST(round(value * 100) AS BIGINT) AS value_cents
   FROM events WHERE value IS NOT NULL
 ), prof AS (
@@ -6870,8 +6878,11 @@ WITH per AS (
          6 - ntile(5) OVER (ORDER BY monetary DESC, o_custkey ASC) AS m_score
   FROM m
 )
-SELECT o_custkey, recency_days, frequency, monetary,
-       r_score, f_score, m_score,
+SELECT o_custkey, CAST(recency_days AS INTEGER) AS recency_days,
+       frequency, monetary,
+       CAST(r_score AS INTEGER) AS r_score,
+       CAST(f_score AS INTEGER) AS f_score,
+       CAST(m_score AS INTEGER) AS m_score,
        CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
          || CAST(m_score AS VARCHAR) AS segment
 FROM s
@@ -6881,7 +6892,8 @@ FROM s
         # identity (O-E)^2/E = (O*N-R*C)^2/(N*R*C) keeps it integral
         "events_chi2_gate": """
 WITH cells AS (
-  SELECT event_type, hour(ts) AS hour_of_day, count(*) AS observed
+  SELECT event_type, CAST(hour(ts) AS INTEGER) AS hour_of_day,
+         count(*) AS observed
   FROM events GROUP BY 1, 2
 ), m AS (
   SELECT *,
@@ -6925,7 +6937,7 @@ WITH e AS (
 )
 SELECT user, conversion_id, conversion_ts,
        CAST(pos AS INT) AS touch_pos, touch_id, touch_type, touch_ts,
-       n AS n_touches,
+       CAST(n AS INTEGER) AS n_touches,
        1 AS linear_num, n AS linear_den,
        CASE WHEN n = 1 THEN 1 WHEN n = 2 THEN 1
             WHEN pos = 1 OR pos = n THEN 40 * (n - 2)
@@ -7058,7 +7070,8 @@ WITH d AS (
 ), tot AS (
   SELECT CAST(sum(observed) AS BIGINT) AS n_total FROM m
 )
-SELECT m.category, m.observed, m.p_micro, tot.n_total,
+SELECT m.category, m.observed,
+       CAST(m.p_micro AS BIGINT) AS p_micro, tot.n_total,
        CASE WHEN m.p_micro IS NOT NULL THEN
          CAST(((CAST(m.observed AS HUGEINT) * 1000000
                 - CAST(tot.n_total AS HUGEINT) * m.p_micro)
@@ -7512,7 +7525,7 @@ WHERE q.label IS DISTINCT FROM e.label
               FROM toks
             )
             SELECT doc_id,
-                   len(tk) AS n_tokens,
+                   CAST(len(tk) AS INTEGER) AS n_tokens,
                    CASE WHEN len(tk) > 0
                         THEN round(CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 6)
                         ELSE 1.0 END AS token_diversity,
@@ -7549,7 +7562,7 @@ WHERE q.label IS DISTINCT FROM e.label
             extra=", lbl.label", join=" JOIN embeddings lbl ON ranked.id = lbl.vec_id",
         ),
         "vector_lookup": """
-            SELECT vec_id, label, len(embedding) AS dim,
+            SELECT vec_id, label, CAST(len(embedding) AS INTEGER) AS dim,
                    round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))), 4) AS norm_sq
             FROM embeddings WHERE vec_id = 42
         """,
@@ -7567,8 +7580,8 @@ WHERE q.label IS DISTINCT FROM e.label
                      list_prepend(CAST(0 AS BIGINT),
                        list_transform(tk, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 2147483647)),
                      (a, x) -> (a * 31 + x) % 2147483647) AS rolling_hash,
-                   len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS ws_tokens,
-                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
+                   CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS INTEGER) AS ws_tokens,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS bpe_tokens
             FROM toks
         """,
         "exact_dedup": """
@@ -7635,7 +7648,8 @@ WHERE q.label IS DISTINCT FROM e.label
             GROUP BY r_name, n_name
         """,
         "top3_orders_per_customer": """
-            SELECT o_custkey, o_orderkey, rank, o_totalprice FROM (
+            SELECT o_custkey, o_orderkey, CAST(rank AS INTEGER) AS rank,
+                   o_totalprice FROM (
               SELECT o_custkey, o_orderkey, o_totalprice,
                      row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
               FROM orders
@@ -7754,7 +7768,8 @@ WHERE q.label IS DISTINCT FROM e.label
             ORDER BY o_orderpriority
         """,
         "q7_nation_trade": """
-            SELECT supp_nation, cust_nation, l_year,
+            SELECT supp_nation, cust_nation,
+                   CAST(l_year AS INTEGER) AS l_year,
                    round(sum(volume), 2) AS revenue
             FROM (
               SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
@@ -7783,7 +7798,8 @@ WHERE q.label IS DISTINCT FROM e.label
               WHERE r_name = 'AFRICA'
               GROUP BY year(l_shipdate), n_name
             )
-            SELECT o_year, round(nation_rev, 2) AS nation_rev,
+            SELECT CAST(o_year AS INTEGER) AS o_year,
+                   round(nation_rev, 2) AS nation_rev,
                    round(total_rev, 2) AS total_rev,
                    round(nation_rev / total_rev, 4) AS mkt_share
             FROM (
@@ -7794,7 +7810,8 @@ WHERE q.label IS DISTINCT FROM e.label
             ORDER BY o_year
         """,
         "q9_product_profit": """
-            SELECT n_name AS nation, year(l_shipdate) AS o_year,
+            SELECT n_name AS nation,
+                   CAST(year(l_shipdate) AS INTEGER) AS o_year,
                    round(sum(l_extendedprice * (1 - l_discount)
                              - p_retailprice * l_quantity * 0.1), 2) AS sum_profit
             FROM lineitem
@@ -7840,7 +7857,7 @@ WHERE q.label IS DISTINCT FROM e.label
             ORDER BY custdist DESC, c_count DESC
         """,
         "q12_priority_shipping": """
-            SELECT year(l_shipdate) AS ship_year,
+            SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
                    CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
                    CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -7872,7 +7889,7 @@ WHERE q.label IS DISTINCT FROM e.label
                      round(tf * ln(CAST((SELECT count(DISTINCT source) FROM documents) AS DOUBLE) / df), 6) AS tfidf
               FROM tf JOIN idf ON tf.term = idf.term
             )
-            SELECT source, term, tfidf, rank FROM (
+            SELECT source, term, tfidf, CAST(rank AS INTEGER) AS rank FROM (
               SELECT *, row_number() OVER (PARTITION BY source ORDER BY tfidf DESC, term ASC) AS rank
               FROM scored
             ) WHERE rank <= 3
