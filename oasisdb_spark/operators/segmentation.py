@@ -69,9 +69,13 @@ def rfm_segments(
     # score n_tiles = best: recency ranks ascending (fewest days first),
     # frequency/monetary descending (largest first); the customer key
     # tie-break makes every quintile boundary deterministic
-    w_r = Window.orderBy(F.col("recency_days").asc(), key.asc())
-    w_f = Window.orderBy(F.col("frequency").desc(), key.asc())
-    w_m = Window.orderBy(F.col("monetary").desc(), key.asc())
+    # asc_nulls_last / desc_nulls_last: Spark's default asc sorts NULLs
+    # FIRST, which would hand a customer with no parseable order dates
+    # (recency NULL) the BEST recency quintile; missing metrics rank
+    # worst on every axis instead
+    w_r = Window.orderBy(F.col("recency_days").asc_nulls_last(), key.asc())
+    w_f = Window.orderBy(F.col("frequency").desc_nulls_last(), key.asc())
+    w_m = Window.orderBy(F.col("monetary").desc_nulls_last(), key.asc())
     n = int(n_tiles)
     scored = (
         per_cust.withColumn("r_score", (n + 1) - F.ntile(n).over(w_r))

@@ -57,9 +57,18 @@ def kaplan_meier(
     ``surv_log_micro`` is the cumulative micro-nat log of S(t) —
     ``exp(x/1e6)`` at display time, monotone non-increasing, exact-
     integer evidence columns alongside. Censoring-only times carry no
-    survival step and are folded into the ladder, not emitted.
+    survival step and are folded into the ladder, not emitted. Rows
+    with NULL duration or NULL event flag are dropped (undefined
+    observations — standard KM convention).
     """
     g = list(group_cols or [])
+    # NULL durations / event flags are undefined observations, not a
+    # duration: without this filter a t=NULL ladder row sorts FIRST in
+    # the ascending cumulative window (Spark asc = nulls first) and
+    # silently shifts every subsequent log-survival step
+    df = df.where(
+        F.col(duration_col).isNotNull() & F.col(event_col).isNotNull()
+    )
     per_t = df.groupBy(*g, F.col(duration_col).cast("long").alias("t")).agg(
         F.sum(F.when(F.col(event_col) == 1, 1).otherwise(0)).alias("d"),
         F.sum(F.when(F.col(event_col) == 0, 1).otherwise(0)).alias("c"),

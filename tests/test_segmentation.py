@@ -84,3 +84,21 @@ def test_rfm_as_of_and_partitioning_invariance(spark):
 
     big = df.union(df.select(F.col("c") + 10, "d", "amt"))
     assert run(big.repartition(5)) == run(big.coalesce(1))
+
+
+def test_rfm_null_metrics_rank_worst_not_best(spark):
+    """A customer whose order timestamps are all NULL has NULL recency;
+    Spark's default asc ordering puts NULLs FIRST, which before the r08
+    fix handed them the BEST recency quintile. They must rank worst on
+    every NULL metric instead."""
+    rows = [(c, dt.date(2024, 1, 1 + c), 100 + c) for c in range(1, 10)]
+    rows.append((99, None, None))  # no parseable date, no amount
+    df = spark.createDataFrame(rows, "cust LONG, d DATE, amt LONG")
+    out = {r["cust"]: r for r in
+           rfm_segments(df, "cust", "d", "amt").collect()}
+    bad = out[99]
+    assert bad["recency_days"] is None and bad["monetary"] is None
+    # worst tile on the NULL axes, never the best
+    assert bad["r_score"] == 1 and bad["m_score"] == 1
+    # every real customer keeps a valid 1..5 score
+    assert all(1 <= out[c]["r_score"] <= 5 for c in range(1, 10))

@@ -98,3 +98,17 @@ def test_km_grouped_curves_are_independent(spark):
             assert got[(grp, t)] == v, (grp, t)
     # the grouped run never mixes cohorts: B's t=3 has 4 at risk, not 7
     assert got[("B", 3)][0] == 4
+
+
+def test_km_drops_null_duration_and_event_rows(spark):
+    """NULL durations must not enter the ladder: before the r08 fix a
+    t=NULL row sorted FIRST in the ascending cumulative window (Spark
+    asc = nulls first) and shifted every later surv_log_micro."""
+    clean = [(5, 1), (8, 0), (10, 1), (15, 1)]
+    noisy = clean + [(None, 1), (None, 0), (7, None)]
+    df_c = spark.createDataFrame(clean, "dur LONG, ev LONG")
+    df_n = spark.createDataFrame(noisy, "dur LONG, ev LONG")
+    want = {r["t"]: tuple(r) for r in kaplan_meier(df_c, "dur", "ev").collect()}
+    got = {r["t"]: tuple(r) for r in kaplan_meier(df_n, "dur", "ev").collect()}
+    assert got == want
+    assert None not in got
