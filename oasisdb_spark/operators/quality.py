@@ -379,7 +379,10 @@ def grouped_median_exact(
     ranked = cnt.withColumn("_cum", F.sum("_k").over(w_cum)).withColumn(
         "_n", F.sum("_k").over(w_all)
     )
-    r = F.floor((F.col("_n") + 1) / 2).cast("long")
+    # integer div, not float-floor: (n+1)/2 through double is exact
+    # only below 2^53 rows/group — `div` is the repo's exactness idiom
+    # and matches the oracle's (n+1)//2 at any count
+    r = F.expr("(_n + 1) div 2")
     return ranked.where(
         (F.col("_cum") >= r) & (F.col("_cum") - F.col("_k") < r)
     ).select(*group_cols, F.col(value_col).alias(out_col))
