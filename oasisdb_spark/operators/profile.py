@@ -45,29 +45,40 @@ def profile_table(
     if not cols:
         raise ValueError("no columns to profile")
 
+    def _ref(c: str):
+        # backtick-quote so the EXACT column name resolves (bare F.col /
+        # df[...] re-parse dots as struct-field access); literal
+        # backticks escape by doubling, per SQL identifier rules
+        return F.col("`" + c.replace("`", "``") + "`")
+
     distinct = (
-        (lambda c: F.count_distinct(F.col(c)))
+        (lambda c: F.count_distinct(_ref(c)))
         if exact_distinct
-        else (lambda c: F.approx_count_distinct(c))
+        else (lambda c: F.approx_count_distinct(_ref(c)))
     )
+    # internal aliases are INDEX-based (the check_constraints rule):
+    # interpolating the column name would break on dots/backticks
+    # (F.col("__cnt_a.b") parses as a nested-field reference) and on
+    # case-only-distinct pairs ("A"/"a" collide under Spark's default
+    # case-insensitive resolution)
     aggs = [F.count(F.lit(1)).alias("__total")]
-    for c in cols:
+    for i, c in enumerate(cols):
         aggs += [
-            F.count(c).alias(f"__cnt_{c}"),
-            distinct(c).cast("bigint").alias(f"__nd_{c}"),
-            F.min(c).cast("string").alias(f"__min_{c}"),
-            F.max(c).cast("string").alias(f"__max_{c}"),
+            F.count(_ref(c)).alias(f"__cnt_{i}"),
+            distinct(c).cast("bigint").alias(f"__nd_{i}"),
+            F.min(_ref(c)).cast("string").alias(f"__min_{i}"),
+            F.max(_ref(c)).cast("string").alias(f"__max_{i}"),
         ]
     row = df.agg(*aggs)
     structs = [
         F.struct(
             F.lit(c).alias("column"),
             F.col("__total").alias("n_rows"),
-            (F.col("__total") - F.col(f"__cnt_{c}")).alias("n_nulls"),
-            F.col(f"__nd_{c}").alias("n_distinct"),
-            F.col(f"__min_{c}").alias("min_value"),
-            F.col(f"__max_{c}").alias("max_value"),
+            (F.col("__total") - F.col(f"__cnt_{i}")).alias("n_nulls"),
+            F.col(f"__nd_{i}").alias("n_distinct"),
+            F.col(f"__min_{i}").alias("min_value"),
+            F.col(f"__max_{i}").alias("max_value"),
         )
-        for c in cols
+        for i, c in enumerate(cols)
     ]
     return row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")

@@ -54,3 +54,18 @@ def test_profile_validation(frame):
         profile_table(frame, columns=["nope"])
     with pytest.raises(ValueError):
         profile_table(frame, columns=[])
+
+
+def test_profile_handles_dotted_and_case_colliding_names(spark):
+    """Internal aliases are index-based: a column literally named 'a.b'
+    must not be re-parsed as struct-field access, and case-only pairs
+    ('V'/'v') must not collide under Spark's case-insensitive
+    resolution (both broke the name-interpolated aliases)."""
+    df = spark.createDataFrame(
+        [(1, 2, 3), (4, None, 6)], ["`a.b`", "V", "v2"]
+    ).toDF("a.b", "V", "v2")
+    out = {r["column"]: r for r in profile_table(df).collect()}
+    assert set(out) == {"a.b", "V", "v2"}
+    assert out["a.b"]["n_rows"] == 2 and out["a.b"]["n_nulls"] == 0
+    assert out["V"]["n_nulls"] == 1 and out["V"]["n_distinct"] == 1
+    assert out["v2"]["min_value"] == "3" and out["v2"]["max_value"] == "6"
