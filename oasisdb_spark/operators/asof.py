@@ -47,7 +47,12 @@ def asof_join(
     greatest ``right.ts_col <= left.ts_col`` within the same key group;
     ``{right_prefix}{ts_col}`` carries the matched right timestamp.
     ``how='inner'`` drops left rows with no prior right row,
-    ``how='left'`` keeps them with nulls.
+    ``how='left'`` keeps them with nulls. The match is ROW-consistent:
+    all attached columns come from the single matched right row, even
+    when some of its fields are NULL. Right rows with NULL ``ts_col``
+    are unordered observations and never match; left rows with NULL
+    ``ts_col`` match nothing (dropped under inner, NULL-filled under
+    left).
     """
     if how not in ("inner", "left"):
         raise ValueError(f"asof_join how must be inner|left, got {how!r}")
@@ -55,16 +60,24 @@ def asof_join(
     payload = [c for c in right.columns if c not in keys and c != ts_col]
     out_cols = [f"{right_prefix}{c}" for c in payload + [ts_col]]
 
+    # the matched right row travels as ONE struct, so last(ignorenulls)
+    # carries the whole row or nothing: per-column LOCF would fill a
+    # NULL field of the matched row from an OLDER right row, silently
+    # mixing fields across rows. NULL-ts right rows are unordered
+    # observations and never match (they'd sort first and leak payload).
+    r_struct = F.struct(
+        *[F.col(c) for c in payload], F.col(ts_col).alias("__ts")
+    )
     l_tag = left.select(
         *keys, ts_col, F.lit(1).alias("__side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{right_prefix}{c}") for c in payload],
-        F.lit(None).cast(right.schema[ts_col].dataType).alias(f"{right_prefix}{ts_col}"),
+        F.lit(None).cast(
+            right.select(r_struct.alias("__r")).schema["__r"].dataType
+        ).alias("__r"),
         *[F.col(c).alias(f"__l_{c}") for c in left.columns if c not in keys and c != ts_col],
     )
-    r_tag = right.select(
+    r_tag = right.where(F.col(ts_col).isNotNull()).select(
         *keys, ts_col, F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"{right_prefix}{c}") for c in payload],
-        F.col(ts_col).alias(f"{right_prefix}{ts_col}"),
+        r_struct.alias("__r"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}")
           for c in left.columns if c not in keys and c != ts_col],
     )
@@ -74,13 +87,16 @@ def asof_join(
         .orderBy(F.col(ts_col).asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    u = l_tag.unionByName(r_tag)
-    for c in out_cols:
-        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    u = l_tag.unionByName(r_tag).withColumn(
+        "__r", F.last("__r", ignorenulls=True).over(w)
+    )
     res = u.filter(F.col("__side") == 1).drop("__side")
     for c in left.columns:
         if c not in keys and c != ts_col:
             res = res.withColumnRenamed(f"__l_{c}", c)
     if how == "inner":
-        res = res.filter(F.col(f"{right_prefix}{ts_col}").isNotNull())
+        res = res.filter(F.col("__r").isNotNull())
+    for c in payload:
+        res = res.withColumn(f"{right_prefix}{c}", F.col("__r")[c])
+    res = res.withColumn(f"{right_prefix}{ts_col}", F.col("__r")["__ts"])
     return res.select(*left.columns, *out_cols)

@@ -81,3 +81,33 @@ def test_bad_how_rejected(frames):
     trades, quotes = frames
     with pytest.raises(ValueError):
         asof_join(trades, quotes, on="sym", how="outer")
+
+
+def test_asof_match_is_row_consistent_with_null_fields(spark):
+    """All attached columns must come from THE matched right row: the
+    old per-column LOCF filled a NULL field of the matched row from an
+    older right row, silently mixing fields across rows."""
+    left = spark.createDataFrame([(1, 6), (1, 2)], "k LONG, ts LONG")
+    right = spark.createDataFrame(
+        [(1, 1, 7, "a"), (1, 5, None, "b")], "k LONG, ts LONG, x LONG, tag STRING"
+    )
+    out = {r["ts"]: r for r in
+           asof_join(left, right, on="k", ts_col="ts").collect()}
+    # ts=6 matches the ts=5 right row ENTIRELY: x must be its NULL,
+    # not the ts=1 row's 7
+    assert out[6]["r_ts"] == 5 and out[6]["r_tag"] == "b"
+    assert out[6]["r_x"] is None
+    assert out[2]["r_ts"] == 1 and out[2]["r_x"] == 7
+
+
+def test_asof_null_ts_right_rows_never_match(spark):
+    """A right row with NULL ts is unordered — it must not sort first
+    and leak payload into early left rows."""
+    left = spark.createDataFrame([(1, 3)], "k LONG, ts LONG")
+    right = spark.createDataFrame(
+        [(1, None, 99), (1, 10, 1)], "k LONG, ts LONG, x LONG"
+    )
+    inner = asof_join(left, right, on="k", ts_col="ts").collect()
+    assert inner == []  # only right row before ts=3 has NULL ts
+    lft = asof_join(left, right, on="k", ts_col="ts", how="left").collect()
+    assert len(lft) == 1 and lft[0]["r_x"] is None and lft[0]["r_ts"] is None
