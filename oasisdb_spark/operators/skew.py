@@ -45,6 +45,14 @@ def salted_join(
     the join key side being monotonically spread via
     ``spark_partition_id``-free xxhash64 of all left columns).
     """
+    if how not in ("inner", "left"):
+        # right/full outer would emit n_salts copies of every UNMATCHED
+        # right row (each replica fails the join independently) — a
+        # silent row-multiplication bug, so refuse loudly
+        raise ValueError(
+            f"salted_join: how must be inner|left, got {how!r} — the "
+            "replicated right side cannot express right/full outer"
+        )
     salt_col = (
         F.pmod(F.xxhash64(F.col(salt_source)), F.lit(n_salts))
         if salt_source
@@ -64,9 +72,13 @@ def salted_distinct_count(
     """Exact per-key distinct count as two partial-aggregated shuffles
     (groupBy(key, col) then groupBy(key)) — equivalent to
     ``count(DISTINCT col)`` but never funnels a hot key's full value
-    set through one task."""
+    set through one task. NULLs are excluded, matching COUNT(DISTINCT)
+    semantics exactly (the (key, NULL) group would otherwise count as
+    one extra "value"); keys whose values are ALL NULL therefore emit
+    no row, as COUNT(DISTINCT)-over-groupBy does for empty groups."""
     return (
         df.select(key, col)
+        .where(F.col(col).isNotNull())
         .groupBy(key, col)
         .agg(F.lit(1))
         .groupBy(key)

@@ -63,3 +63,24 @@ def test_salted_distinct_count_exact(spark):
         for r in df.groupBy("k").agg(F.countDistinct("v").alias("n")).collect()
     }
     assert got == want == {"a": 3, "b": 100}
+
+
+def test_salted_join_rejects_right_and_full_outer(skewed):
+    left, right = skewed
+    import pytest as _pt
+    for how in ("right", "full", "full_outer"):
+        with _pt.raises(ValueError, match="inner|left"):
+            salted_join(left, right, on="k", how=how)
+
+
+def test_salted_distinct_count_ignores_nulls_like_count_distinct(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, None), (2, None), (3, "x"), (3, "y")],
+        "k LONG, v STRING",
+    )
+    got = {r["k"]: r["n_distinct"]
+           for r in salted_distinct_count(df, "k", "v").collect()}
+    want = {r["k"]: r["n"] for r in
+            df.groupBy("k").agg(F.count_distinct("v").alias("n")).collect()
+            if r["n"] > 0}
+    assert got == want  # k=1 -> 1 (NULL excluded), k=2 absent, k=3 -> 2
