@@ -90,6 +90,7 @@ def connected_components(
     e.unpersist()
     labels = und.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id"))
     labels = labels.localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             und.join(labels.select(F.col("id").alias("b"), F.col("comp").alias("nbr_comp")), "b")
@@ -107,6 +108,18 @@ def connected_components(
         changed = stepped.filter(F.col("new_comp") < F.col("comp")).count()
         labels = stepped.select("id", F.col("new_comp").alias("comp"))
         if changed == 0:
+            converged = True
             break
     und.unpersist()
+    if not converged:
+        # hash-min needs O(diameter) rounds; exhausting max_iter means
+        # some component is still split across labels — returning them
+        # would be silently WRONG (near-clique dedup graphs converge in
+        # 2-3 rounds; a long-chain graph needs a bigger max_iter or a
+        # star-contraction variant)
+        raise RuntimeError(
+            f"connected_components: not converged after {max_iter} "
+            "rounds — raise max_iter (labels still propagating; the "
+            "graph's diameter exceeds the round budget)"
+        )
     return labels.select(F.col("id").alias(id_col), F.col("comp").alias(component_col))

@@ -176,3 +176,20 @@ def test_range_join_bucket_grid_line_and_reversed(spark):
         out = range_join(points, bands, "x", "lo", "hi", strategy=strategy, **kw)
         assert sorted((r["pid"], r["band"]) for r in out.collect()) == [
             (1, "on_grid"), (2, "on_grid")]
+
+
+def test_connected_components_raises_when_rounds_exhausted(spark):
+    """Exhausting max_iter means labels are still propagating —
+    returning them would silently split a component; the distributed
+    path must raise instead (the driver path needs no rounds)."""
+    import pytest as _pt
+
+    # a 12-node path graph has diameter 11 > max_iter=2
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "src LONG, dst LONG"
+    )
+    with _pt.raises(RuntimeError, match="not converged"):
+        connected_components(edges, max_iter=2, driver_cutover=0)
+    # with enough rounds the same graph labels to min id 0
+    out = connected_components(edges, max_iter=20, driver_cutover=0)
+    assert set(r["component"] for r in out.collect()) == {0}
