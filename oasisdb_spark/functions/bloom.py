@@ -129,6 +129,14 @@ def bloom_pruned_join(
     """Exact equi-join of fact-to-dim with a Bloom pre-prune on the fact
     side. Result rows are identical to the plain join (inner/semi);
     only the fact rows entering the shuffle change."""
+    if how not in ("inner", "semi", "left_semi", "leftsemi"):
+        # pruning the fact side changes the OUTER-join result (a fact
+        # row outside the filter must still appear NULL-extended under
+        # left/full) — only match-only joins keep the equivalence
+        raise ValueError(
+            f"bloom_pruned_join: how must be inner or a semi join, got "
+            f"{how!r} — outer joins lose the pruned fact rows"
+        )
     bloom = build_key_bloom(dim, dim_key, num_bits, num_hashes)
     pruned = bloom_prune(fact, fact_key, bloom, num_hashes)
     cond = pruned[fact_key] == dim[dim_key]

@@ -81,3 +81,18 @@ def test_pruned_join_on_tpch(spark, sf_dir):
         .groupBy("o_orderkey").agg(F.round(F.sum("l_extendedprice"), 2).alias("s"))
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_bloom_pruned_join_rejects_outer_modes(spark):
+    """Pruning the fact side breaks outer-join semantics (rows outside
+    the filter must still appear NULL-extended) — only inner/semi keep
+    the plain-join equivalence, so anything else must raise."""
+    import pytest as _pt
+
+    from oasisdb_spark.functions.bloom import bloom_pruned_join
+
+    fact = spark.createDataFrame([(1,), (2,)], "k LONG")
+    dim = spark.createDataFrame([(1,)], "d LONG")
+    for how in ("left", "full", "right"):
+        with _pt.raises(ValueError, match="semi"):
+            bloom_pruned_join(fact, dim, "k", "d", how=how)
