@@ -52,19 +52,29 @@ def zorder_key(
     """
     if len(cols) * bits > 63:
         raise ValueError(f"{len(cols)} cols x {bits} bits exceeds a long")
+    # index-based aliases + exact-name refs (the profile_table rule:
+    # dotted names must not re-parse, case-only pairs must not collide)
+    def _ref(c: str) -> Column:
+        return F.col("`" + c.replace("`", "``") + "`")
+
     stats = df.agg(
-        *[F.min(F.col(c).cast("double")).alias(f"min_{c}") for c in cols],
-        *[F.max(F.col(c).cast("double")).alias(f"max_{c}") for c in cols],
+        *[F.min(_ref(c).cast("double")).alias(f"min_{i}") for i, c in enumerate(cols)],
+        *[F.max(_ref(c).cast("double")).alias(f"max_{i}") for i, c in enumerate(cols)],
     ).collect()[0]
     n = len(cols)
     top = (1 << bits) - 1
     ranks = []
-    for c in cols:
-        lo, hi = stats[f"min_{c}"], stats[f"max_{c}"]
+    for i, c in enumerate(cols):
+        lo, hi = stats[f"min_{i}"], stats[f"max_{i}"]
+        if lo is None or hi is None:
+            # all-NULL column: no rank signal — constant 0, same as a
+            # constant column (previously a bare TypeError on hi - lo)
+            ranks.append(F.lit(0).cast("long"))
+            continue
         span = (hi - lo) or 1.0
         r = F.least(
             F.lit(top),
-            ((F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * F.lit(top + 1)).cast("long"),
+            ((_ref(c).cast("double") - F.lit(lo)) / F.lit(span) * F.lit(top + 1)).cast("long"),
         )
         ranks.append(F.coalesce(r, F.lit(0)))
     key = F.lit(0).cast("long")

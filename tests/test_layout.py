@@ -79,3 +79,19 @@ def test_key_range_and_determinism(spark, sf_dir):
     assert stats[0] >= 0 and stats[1] < (1 << 16)
     k2 = ev.repartition(9).select(zorder_key(ev, ["user_id", "value"], bits=8).alias("k"))
     assert sorted(r["k"] for r in k.collect()) == sorted(r["k"] for r in k2.collect())
+
+
+def test_zorder_key_all_null_and_dotted_columns(spark):
+    """An all-NULL z-column must rank constant-0 (previously a bare
+    TypeError on None arithmetic), and dotted column names must resolve
+    exactly (the profile_table aliasing rule)."""
+    from oasisdb_spark.sources.layout import zorder_key
+
+    df = spark.createDataFrame(
+        [(1, None), (7, None)], "a LONG, b LONG"
+    ).toDF("a.x", "b")
+    keys = [r["z"] for r in
+            df.select(zorder_key(df, ["a.x", "b"], bits=4).alias("z")).collect()]
+    assert len(keys) == 2 and all(isinstance(k, int) for k in keys)
+    # only the a.x dimension varies; b contributes constant 0 bits
+    assert keys[0] != keys[1]
