@@ -96,7 +96,12 @@ def ohlc_bars(
 
     Plan: scan-stage date_trunc + ONE partial-agg shuffle on
     (series, bar). No windows, no second pass.
+
+    Rows with a NULL ``ts_col`` are EXCLUDED (a tick without a
+    timestamp has no bar, and a NULL field inside the min_by/max_by
+    struct key has no defined order) — the asof_join convention.
     """
+    df = df.where(F.col(ts_col).isNotNull())
     key = F.struct(F.col(ts_col), *[F.col(c) for c in (tie_cols or [])])
     bar = F.date_format(
         F.date_trunc(bucket_width, F.col(ts_col)), "yyyy-MM-dd HH:mm:ss"
@@ -245,7 +250,15 @@ def grouped_trend(
     are covariance-scale (``n·Σxy − Σx·Σy = n²·cov``), the quantity
     with actual signal, and the cast fails loudly under ANSI rather
     than wrapping if a pathological series exceeds it.
+
+    Rows with a NULL x or y are DROPPED up front (complete-case OLS,
+    the standard convention): Spark's sum skips NULLs but count(*)
+    doesn't, so letting them through silently corrupts every moment --
+    ``n`` counts the row, the xy sum skips it, and the x/y sums each
+    skip it only when THEIR side is NULL, which can flip the slope's
+    sign (regression-pinned).
     """
+    df = df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
     x = F.col(x_col).cast("decimal(38,0)")
     y = F.col(y_col).cast("decimal(38,0)")
     agg = df.groupBy(*series_cols).agg(
@@ -426,9 +439,12 @@ def gapfill_interpolate(
         interp_den = (t1 − t0)
 
     (pure int64 for integer values and bucket ids — div once at
-    display time). Present rows emit (y·1 / 1); leading/trailing gaps,
-    which have no bracket on one side, emit NULLs — interpolation is
-    undefined there by definition (LOCF is the one-sided answer).
+    display time). Observed rows (non-gap, non-NULL value) emit (y·1 / 1);
+    present rows whose value is NULL interpolate exactly like gaps
+    (TimescaleDB ``interpolate()`` fills NULLs wherever they occur);
+    leading/trailing rows with no observed bracket on one side emit
+    NULLs — interpolation is undefined there by definition (LOCF is
+    the one-sided answer).
 
     Input is ``time_bucket_gapfill`` output (or any dense grid with a
     gap flag). Two window passes over the SAME (series, bucket) sort
@@ -447,7 +463,17 @@ def gapfill_interpolate(
         .orderBy(bucket_col)
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
-    present = F.when(~F.col(gap_col), F.struct(F.col(bucket_col).alias("t"), F.col(value_col).alias("y")))
+    # a bracket is a row with an actual OBSERVATION -- non-gap AND
+    # non-NULL value. A present row whose aggregate value is NULL must
+    # not bracket (it poisoned interp_num for every following gap with
+    # a NULL y0), and it interpolates like a gap instead of emitting
+    # (NULL, 1) -- TimescaleDB interpolate() fills NULLs wherever they
+    # occur in the grid (regression-pinned).
+    observed = ~F.col(gap_col) & F.col(value_col).isNotNull()
+    present = F.when(
+        observed,
+        F.struct(F.col(bucket_col).alias("t"), F.col(value_col).alias("y")),
+    )
     out = dense.withColumn(
         "_p", F.last(present, ignorenulls=True).over(w_prev)
     ).withColumn("_n", F.first(present, ignorenulls=True).over(w_next))
@@ -455,11 +481,11 @@ def gapfill_interpolate(
     t1, y1 = F.col("_n.t").cast("long"), F.col("_n.y").cast("long")
     t = F.col(bucket_col).cast("long")
     bracketed = F.col("_p").isNotNull() & F.col("_n").isNotNull()
-    # a present row brackets itself (t0 == t1 == t -> 0/0): emit (y, 1)
-    num = F.when(~F.col(gap_col), F.col(value_col).cast("long")).when(
+    # an observed row brackets itself (t0 == t1 == t -> 0/0): emit (y, 1)
+    num = F.when(observed, F.col(value_col).cast("long")).when(
         bracketed, y0 * (t1 - t0) + (y1 - y0) * (t - t0)
     )
-    den = F.when(~F.col(gap_col), F.lit(1).cast("long")).when(
+    den = F.when(observed, F.lit(1).cast("long")).when(
         bracketed, t1 - t0
     )
     return (
@@ -492,16 +518,39 @@ def seasonal_residuals(
 
     Shape: ONE (series, slot) partial agg over the scan — the profile
     frame is slot-cardinality (e.g. 24·|series| rows) — broadcast-
-    joined back to the raw rows. The raw table never reshuffles.
+    joined back to the raw rows (NULL-SAFE on the slot/series keys, so
+    the NULL-season group groupBy forms is actually reachable and no
+    input row vanishes). The raw table never reshuffles.
     int64 budget: |y|·n_slot must fit — cents × rows-per-slot, >10³
     headroom at any fixture-like scale; beyond that, DECIMAL widening
     as usual.
     """
-    prof = df.groupBy(*series_cols, season_col).agg(
+    keys = [*series_cols, season_col]
+    prof = df.groupBy(*keys).agg(
         F.sum(F.col(value_col).cast("long")).alias("slot_sum"),
         F.count(F.col(value_col)).alias("slot_n"),
     )
-    joined = df.join(F.broadcast(prof), on=[*series_cols, season_col])
+    # NULL-SAFE equi-join back (still a broadcast hash join -- <=> is a
+    # supported equi-key): groupBy forms a NULL-slot group, but a plain
+    # equi-join can never match it, so rows with a NULL season (or
+    # series) key silently vanished from the output (regression-pinned).
+    # The profile keys are renamed to index-based internals to dodge
+    # the self-derived-frame join ambiguity AND case-only collisions.
+    pfx = "_slot_k"
+    lowered = {c.lower() for c in df.columns}
+    while any(f"{pfx}{i}".lower() in lowered for i in range(len(keys))):
+        pfx = "_" + pfx
+    pnames = [f"{pfx}{i}" for i in range(len(keys))]
+    prof = prof.select(
+        *[F.col(f"`{k}`").alias(p) for k, p in zip(keys, pnames)],
+        "slot_sum",
+        "slot_n",
+    )
+    cond = None
+    for k, p in zip(keys, pnames):
+        c = F.col(f"`{k}`").eqNullSafe(F.col(p))
+        cond = c if cond is None else (cond & c)
+    joined = df.join(F.broadcast(prof), cond).drop(*pnames)
     y = F.col(value_col).cast("long")
     return joined.withColumn(
         "resid_num", y * F.col("slot_n") - F.col("slot_sum")
@@ -541,6 +590,13 @@ def grid_cross_correlation(
     """
     if max_lag < 0:
         raise ValueError(f"grid_cross_correlation: max_lag >= 0, got {max_lag}")
+    # complete pairs only: a NULL value (or NULL bucket) row must not
+    # pair at all -- Spark's sum skips NULLs but count(*) doesn't, so
+    # letting one side of a pair be NULL corrupts n vs the moment sums
+    # (same complete-case convention as grouped_trend; regression-pinned)
+    grid = grid.where(
+        F.col(value_col).isNotNull() & F.col(bucket_col).isNotNull()
+    )
     g1 = grid.select(
         F.col(series_col).alias("leader"),
         F.col(bucket_col).cast("long").alias("_t"),
@@ -621,6 +677,13 @@ def time_weighted_avg(
         raise ValueError(
             f"time_weighted_avg: bucket_width_us must be > 0, got {width}"
         )
+    # NULL observations are SKIPPED (TimescaleDB time_weight parity):
+    # the previous value's step extends through them to the next real
+    # observation. Leaving them in truncated the previous weight at the
+    # NULL's ts and then counted that weight in twap_den with no value
+    # contribution (regression-pinned). NULL-ts rows have no position
+    # on the step function at all -- same exclusion.
+    df = df.where(F.col(value_col).isNotNull() & F.col(ts_col).isNotNull())
     tsl = F.col(ts_col).cast("long")
     # bucket start = ts - pmod(ts, width): pmod's non-negative remainder
     # gives FLOOR semantics directly (negative ts land in the bucket

@@ -612,3 +612,102 @@ def test_time_weighted_avg_negative_ts_floor_buckets(spark):
 
     with _pytest.raises(ValueError, match="bucket_width_us"):
         time_weighted_avg(df, "ts", "v", ["s"], 0)
+
+
+# --- round-8 NULL-discipline regressions --------------------------------
+
+
+def test_grouped_trend_drops_null_moment_rows(spark):
+    # a NULL-y row used to be counted in n while every sum skipped it
+    # (inconsistently: sx kept its x!), flipping the slope's sign
+    from oasisdb_spark.operators.timeseries import grouped_trend
+
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20), ("a", 3, None), ("a", None, 99)],
+        "s STRING, x INT, y INT",
+    )
+    row = grouped_trend(df, "x", "y", ["s"]).collect()[0]
+    # complete pairs (1,10),(2,20): slope = 10 exactly
+    assert row["n"] == 2
+    assert (row["slope_num"], row["slope_den"]) == (10, 1)
+
+
+def test_cross_correlation_skips_null_values(spark):
+    # a NULL-value grid row must not form a pair at all (it inflated n
+    # against the NULL-skipping moment sums)
+    from oasisdb_spark.operators.timeseries import grid_cross_correlation
+
+    g = spark.createDataFrame(
+        [("a", 1, 1), ("a", 2, None), ("b", 1, 5), ("b", 2, 7)],
+        "s STRING, t INT, v INT",
+    )
+    out = {
+        (r["leader"], r["follower"], r["lag"]): r
+        for r in grid_cross_correlation(g, "s", "t", "v", 0).collect()
+    }
+    ab = out[("a", "b", 0)]
+    assert ab["n"] == 1 and ab["sum_x"] == 1 and ab["sum_y"] == 5
+    assert ab["cov_num"] == 0  # single pair: n*sxy - sx*sy = 5 - 5
+
+
+def test_gapfill_interpolate_null_present_row_does_not_bracket(spark):
+    # a present row with a NULL value poisoned every following gap's
+    # interp_num (NULL y0); it now interpolates like a gap itself
+    from oasisdb_spark.operators.timeseries import gapfill_interpolate
+
+    dense = spark.createDataFrame(
+        [("a", 1, 10, False), ("a", 2, None, False),
+         ("a", 3, None, True), ("a", 4, 40, False)],
+        "s STRING, b INT, v INT, is_gap BOOLEAN",
+    )
+    out = {r["b"]: r for r in
+           gapfill_interpolate(dense, "b", ["s"], "v").collect()}
+    # brackets are (1,10) and (4,40) for BOTH middle rows
+    assert (out[2]["interp_num"], out[2]["interp_den"]) == (60, 3)  # 20
+    assert (out[3]["interp_num"], out[3]["interp_den"]) == (90, 3)  # 30
+    assert (out[1]["interp_num"], out[1]["interp_den"]) == (10, 1)
+    assert (out[4]["interp_num"], out[4]["interp_den"]) == (40, 1)
+
+
+def test_seasonal_residuals_keeps_null_slot_rows(spark):
+    # groupBy forms a NULL-slot profile group but the old plain
+    # equi-join could never match it -- NULL-season rows vanished
+    from oasisdb_spark.operators.timeseries import seasonal_residuals
+
+    obs = spark.createDataFrame(
+        [("a", 1, 10), ("a", 1, 20), ("a", None, 30)],
+        "s STRING, slot INT, v INT",
+    )
+    out = seasonal_residuals(obs, "v", ["s"], "slot").collect()
+    assert len(out) == 3
+    nul = [r for r in out if r["slot"] is None][0]
+    # the NULL slot is its own group of one: residual 0/1
+    assert (nul["resid_num"], nul["resid_den"]) == (0, 1)
+
+
+def test_time_weighted_avg_skips_null_observations(spark):
+    # a NULL observation used to truncate the previous value's weight
+    # AND count its own weight in twap_den with no value contribution;
+    # LOCF now extends the previous value through it
+    from oasisdb_spark.operators.timeseries import time_weighted_avg
+
+    df = spark.createDataFrame(
+        [("a", 0, 10), ("a", 50, None), ("a", 80, 20)],
+        "s STRING, ts LONG, v INT",
+    )
+    row = time_weighted_avg(df, "ts", "v", ["s"], 100).collect()[0]
+    # v=10 holds [0,80) w=80; v=20 holds [80,100) w=20
+    assert (row["twap_num"], row["twap_den"]) == (1200, 100)
+    assert row["n_obs"] == 2
+
+
+def test_ohlc_bars_excludes_null_ts_rows(spark):
+    from oasisdb_spark.operators.timeseries import ohlc_bars
+
+    df = spark.createDataFrame(
+        [("a", _ts(0), 1, 5.0), ("a", _ts(10), 2, 9.0), ("a", None, 3, 99.0)],
+        "s STRING, ts TIMESTAMP, id LONG, v DOUBLE",
+    )
+    out = ohlc_bars(df, "ts", "v", ["s"], "hour", tie_cols=["id"]).collect()
+    assert len(out) == 1  # no NULL bar
+    assert out[0]["n_obs"] == 2 and out[0]["high"] == 9.0
