@@ -42,8 +42,16 @@ def _basket_items(
     item_col: str,
     max_basket_items: int | None,
 ) -> DataFrame:
+    # NULL baskets/items can never form a pair (the basket equi-join
+    # and the item_a < item_b filter both drop NULLs) -- but left in,
+    # they still inflate item supports, basket sizes, and nothing else,
+    # so confidence/lift denominators drift out of agreement with
+    # n_baskets (support could exceed it). Exclude them up front so
+    # every emitted count is over the same basket universe.
     items = df.select(
         F.col(basket_col).alias("_basket"), F.col(item_col).alias("_item")
+    ).where(
+        F.col("_basket").isNotNull() & F.col("_item").isNotNull()
     ).distinct()
     if max_basket_items is not None:
         sizes = items.groupBy("_basket").agg(
@@ -155,6 +163,12 @@ def association_rules(
     Returns (antecedent, consequent, pair_support, conf_num, conf_den,
     lift_num, lift_den) — lift shares its numerator across the two
     directions (lift is symmetric); confidence does not.
+
+    int64 budget: ``support_a·support_b`` and ``pair_support·n_baskets``
+    must fit (safe while every count stays below ~3·10⁹ — far past any
+    single-catalog item support); past that the cast fails LOUDLY under
+    ANSI rather than wrapping, and the caller widens to DECIMAL(38,0)
+    the way grouped_trend does.
     """
     if not 0 <= min_confidence_pct <= 100:
         raise ValueError(

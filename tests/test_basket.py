@@ -122,3 +122,19 @@ def test_association_rules_rationals_and_threshold(spark):
 
     with pytest.raises(ValueError, match="min_confidence_pct"):
         association_rules(pairs, min_confidence_pct=101)
+
+
+def test_null_baskets_and_items_excluded_from_all_counts(spark):
+    # NULL basket/item rows never form pairs, but they used to inflate
+    # item supports past n_baskets (confidence/lift denominators drift)
+    from oasisdb_spark.operators.basket import copurchase_pairs
+
+    df = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (None, "x"), (2, "x"), (2, None), (2, "y")],
+        "b INT, i STRING",
+    )
+    row = copurchase_pairs(df, "b", "i", 1).collect()[0]
+    assert (row["item_a"], row["item_b"]) == ("x", "y")
+    assert row["pair_support"] == 2
+    assert row["support_a"] == 2 and row["support_b"] == 2
+    assert row["n_baskets"] == 2
