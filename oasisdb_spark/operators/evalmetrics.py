@@ -52,9 +52,15 @@ def recall_at_k(
     present in ``truth`` — queries the results table missed entirely
     score 0, not absent (left join from truth keys).
     """
-    t = truth.filter(F.col(rank_col) <= k).select(query_col, id_col)
-    r = results.filter(F.col(rank_col) <= k).select(
-        query_col, id_col, F.lit(1).alias("_hit")
+    # distinct on BOTH sides: a duplicated (query, id) row -- the same
+    # id listed at two ranks <= k, or a duplicated truth row -- used to
+    # multiply through the join and push n_hits past k (recall > 1)
+    t = truth.filter(F.col(rank_col) <= k).select(query_col, id_col).distinct()
+    r = (
+        results.filter(F.col(rank_col) <= k)
+        .select(query_col, id_col)
+        .distinct()
+        .withColumn("_hit", F.lit(1))
     )
     return (
         t.join(r, on=[query_col, id_col], how="left")
@@ -84,9 +90,14 @@ def pair_retrieval_metrics(
 
     def norm(df: DataFrame) -> DataFrame:
         a, b = F.col(left_col), F.col(right_col)
-        return df.select(
-            F.least(a, b).alias("_a"), F.greatest(a, b).alias("_b")
-        ).distinct()
+        # drop one-sided-NULL pairs BEFORE normalizing: Spark's
+        # least/greatest skip NULLs, so (NULL, b) used to collapse to a
+        # fabricated self-pair (b, b) that could even spuriously HIT
+        return (
+            df.where(a.isNotNull() & b.isNotNull())
+            .select(F.least(a, b).alias("_a"), F.greatest(a, b).alias("_b"))
+            .distinct()
+        )
 
     t = norm(truth).withColumn("_t", F.lit(1))
     c = norm(candidates).withColumn("_c", F.lit(1))
@@ -139,10 +150,16 @@ def rank_eval_at_k(
         prefix.append(prefix[-1] + int(d))
     idcg_arr = F.array(*[F.lit(p) for p in prefix])  # idcg_arr[n+1] = ideal dcg of n hits
 
-    t = truth.filter(F.col(rank_col) <= k).select(query_col, id_col)
+    # dedup both sides: duplicate truth rows inflated _nt (wrong IDCG),
+    # and the same result id at two ranks <= k double-counted n_hits
+    # and dcg (recall/ndcg > 1 were reachable). A duplicated result id
+    # keeps its BEST rank -- the standard convention.
+    t = truth.filter(F.col(rank_col) <= k).select(query_col, id_col).distinct()
     n_t = t.groupBy(query_col).agg(F.count(F.lit(1)).alias("_nt"))
-    r = results.filter(F.col(rank_col) <= k).select(
-        query_col, id_col, F.col(rank_col).alias("_rnk")
+    r = (
+        results.filter(F.col(rank_col) <= k)
+        .groupBy(query_col, id_col)
+        .agg(F.min(rank_col).alias("_rnk"))
     )
     hits = (
         t.join(r, on=[query_col, id_col], how="inner")
@@ -208,8 +225,15 @@ def cohen_kappa(
         F.col(rater_a_col).alias("_a"), F.col(rater_b_col).alias("_b")
     ).agg(F.count(F.lit(1)).alias("_c"))
     tot = cells.agg(
-        F.sum("_c").cast("long").alias("n"),
-        F.sum(F.when(F.col("_a").eqNullSafe(F.col("_b")), F.col("_c")).otherwise(F.lit(0)))
+        F.coalesce(F.sum("_c"), F.lit(0)).cast("long").alias("n"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("_a").eqNullSafe(F.col("_b")), F.col("_c")
+                ).otherwise(F.lit(0))
+            ),
+            F.lit(0),
+        )
         .cast("long")
         .alias("agree"),
     )

@@ -122,3 +122,60 @@ def test_cohen_kappa_matches_sklearn_formula_and_edges(spark):
     # partitioning invariance
     r2 = cohen_kappa(df.repartition(7), "a", "b").collect()[0]
     assert tuple(r2) == tuple(r)
+
+
+# --- round-8 dup/NULL-discipline regressions -----------------------------
+
+
+def test_recall_at_k_dedups_duplicate_result_rows(spark):
+    from oasisdb_spark.operators.evalmetrics import recall_at_k
+
+    res = spark.createDataFrame(
+        [(1, 10, 1), (1, 10, 2), (1, 11, 3)], "query_id INT, id INT, rank INT"
+    )
+    tru = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)], "query_id INT, id INT, rank INT"
+    )
+    row = recall_at_k(res, tru, 3).collect()[0]
+    assert row["n_hits"] == 2  # was 3 (dup id double-counted)
+
+
+def test_rank_eval_dedups_and_caps_recall(spark):
+    from oasisdb_spark.operators.evalmetrics import rank_eval_at_k
+
+    res = spark.createDataFrame(
+        [(1, 10, 1), (1, 10, 2), (1, 11, 3)], "query_id INT, id INT, rank INT"
+    )
+    tru = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 11, 2)], "query_id INT, id INT, rank INT"
+    )
+    row = rank_eval_at_k(res, tru, 3).collect()[0]
+    assert row["n_hits"] == 2
+    assert row["recall"] == 1.0  # was 1.5
+    # dup result id keeps its best rank; dcg = disc[1] + disc[3]
+    from oasisdb_spark.operators.evalmetrics import DISCOUNT_MICRO
+
+    assert row["dcg_micro"] == DISCOUNT_MICRO[0] + DISCOUNT_MICRO[2]
+    assert row["ndcg"] <= 1.0
+
+
+def test_pair_metrics_drop_one_sided_null_pairs(spark):
+    from oasisdb_spark.operators.evalmetrics import pair_retrieval_metrics
+
+    cand = spark.createDataFrame(
+        [(None, "b"), ("a", "b")], "doc_a STRING, doc_b STRING"
+    )
+    tru = spark.createDataFrame(
+        [("a", "b"), ("b", "b")], "doc_a STRING, doc_b STRING"
+    )
+    row = pair_retrieval_metrics(cand, tru).collect()[0]
+    # (NULL, b) used to collapse to a fabricated (b, b) self-pair and HIT
+    assert row["n_candidates"] == 1 and row["n_hits"] == 1
+
+
+def test_cohen_kappa_empty_input_zero_counts(spark):
+    from oasisdb_spark.operators.evalmetrics import cohen_kappa
+
+    df = spark.createDataFrame([], "a STRING, b STRING")
+    row = cohen_kappa(df, "a", "b").collect()[0]
+    assert (row["n"], row["agree"], row["s_marginal"]) == (0, 0, 0)
