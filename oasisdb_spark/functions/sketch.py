@@ -204,8 +204,14 @@ def bottomk_sample(
     if keep_cols is None:
         keep_cols = [c for c in df.columns]
     h = _salted_hash60(key_col, salt)
+    # NULL keys have a NULL salted hash: Spark sorts NULLS FIRST asc
+    # (they'd hog every sample slot) while DuckDB sorts them LAST -- a
+    # cross-engine divergence on top of a broken sample. A row without
+    # an identity cannot be selected deterministically; exclude it (the
+    # COUNT(DISTINCT)/kmv precedent).
     return (
-        df.select(*keep_cols)
+        df.where(F.col(key_col).isNotNull())
+        .select(*keep_cols)
         .withColumn("_h", h)
         .orderBy(F.col("_h").asc(), F.col(key_col).asc())
         .limit(k)
@@ -311,7 +317,8 @@ def grouped_quantile_sketch(
     h = _salted_hash60(key_col, salt)
     wsamp = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
     sample = (
-        df.where(F.col(value_col).isNotNull())
+        # NULL keys excluded for the same reason as bottomk_sample
+        df.where(F.col(value_col).isNotNull() & F.col(key_col).isNotNull())
         .select(group_col, key_col, value_col)
         .withColumn("_srn", F.row_number().over(wsamp))
         .where(F.col("_srn") <= k)
@@ -571,10 +578,14 @@ def kmv_set_ops(
         F.round(est("_na", "_hka"), 4).alias("n_a_est"),
         F.round(est("_nb", "_hkb"), 4).alias("n_b_est"),
         F.round(union_raw, 4).alias("union_est"),
-        F.round(F.col("k_rho") / F.col("_nu"), 4).alias("jaccard_est"),
-        F.round((F.col("k_rho") / F.col("_nu")) * union_raw, 4).alias(
-            "intersect_est"
+        # try_divide: an empty union sketch (both inputs empty) yields
+        # NULL estimates instead of an ANSI DIVIDE_BY_ZERO crash
+        F.round(F.try_divide(F.col("k_rho"), F.col("_nu")), 4).alias(
+            "jaccard_est"
         ),
+        F.round(
+            F.try_divide(F.col("k_rho"), F.col("_nu")) * union_raw, 4
+        ).alias("intersect_est"),
         F.col("k_rho"),
         F.col("_nu").cast("long").alias("sketch_size"),
     )

@@ -291,3 +291,41 @@ def test_kmv_set_ops_small_sets_exact_and_invariant(spark):
         da.repartition(5), db.orderBy(F.rand(1)).coalesce(1), "v", k=64
     ).collect()[0]
     assert tuple(row2) == tuple(row)
+
+
+# --- round-8 NULL-key / empty-input regressions --------------------------
+
+
+def test_bottomk_sample_excludes_null_keys(spark):
+    # NULL keys hash to NULL and Spark sorts NULLS FIRST asc: they used
+    # to hog every sample slot (and DuckDB sorts NULLs LAST -- divergence)
+    from oasisdb_spark.functions.sketch import bottomk_sample
+
+    df = spark.createDataFrame(
+        [(None, 1), (None, 2), ("a", 3), ("b", 4)], "k STRING, v INT"
+    )
+    rows = bottomk_sample(df, "k", 2).collect()
+    assert sorted(r["k"] for r in rows) == ["a", "b"]
+
+
+def test_grouped_quantile_sketch_excludes_null_keys(spark):
+    from oasisdb_spark.functions.sketch import grouped_quantile_sketch
+
+    df = spark.createDataFrame(
+        [("g", None, 5), ("g", "a", 1), ("g", "b", 2), ("g", "c", 3)],
+        "grp STRING, k STRING, v INT",
+    )
+    out = grouped_quantile_sketch(df, "grp", "v", "k", k=8, qs=[(1, 2)])
+    row = out.collect()[0]
+    assert row["n_sample"] == 3  # NULL-key row not sampled
+    assert row["est"] == 2
+
+
+def test_kmv_set_ops_empty_inputs_null_estimates(spark):
+    from oasisdb_spark.functions.sketch import kmv_set_ops
+
+    e = spark.createDataFrame([], "v STRING")
+    row = kmv_set_ops(e, e, "v").collect()[0]
+    assert row["n_a_est"] == 0.0 and row["union_est"] == 0.0
+    assert row["jaccard_est"] is None and row["intersect_est"] is None
+    assert row["k_rho"] == 0 and row["sketch_size"] == 0
