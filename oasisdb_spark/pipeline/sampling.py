@@ -84,7 +84,12 @@ def weighted_sample(
     ).cast("long")
     u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
     key = F.log(u) / F.col(weight_col)
-    src = df.filter(F.col(weight_col) > 0).withColumn("_aes_key", key)
+    # rows without an id have no defined draw (md5(NULL) is NULL) and
+    # engines disagree on where NULL keys sort -- exclude them, the
+    # bottomk_sample convention
+    src = df.filter(
+        (F.col(weight_col) > 0) & F.col(id_col).isNotNull()
+    ).withColumn("_aes_key", key)
     if group_cols:
         w = Window.partitionBy(*group_cols).orderBy(
             F.col("_aes_key").desc(), F.col(id_col).asc()
@@ -188,7 +193,12 @@ def token_budget_sample(
         F.coalesce(token_count(text_col).cast("bigint"), F.lit(0)).alias("n_tokens"),
         F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))).alias("_h"),
         budget_col.alias("_budget"),
-    ).filter(F.col("_budget").isNotNull())
+    ).filter(
+        # NULL ids hash to NULL and Spark sorts NULLs FIRST asc while
+        # DuckDB sorts them LAST: such a row would hog the front of the
+        # sample on one engine only -- exclude (bottomk_sample precedent)
+        F.col("_budget").isNotNull() & F.col(id_col).isNotNull()
+    )
     order = Window.partitionBy(group_col).orderBy(F.col("_h").asc(), F.col(id_col).asc())
     w = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
@@ -276,8 +286,17 @@ def leakage_safe_split(
     sized left join (the cluster frame is dup-docs only) + a per-row
     classifier — one shuffle at any corpus size.
     """
+    # canonicalize the cluster frame: duplicate membership rows would
+    # silently multiply output rows through the join, and a doc listed
+    # under two components would get two contradictory splits -- take
+    # the min component per doc (deterministic; disjoint components are
+    # unaffected, overlapping ones merge toward the smaller id, the
+    # connected-components convention)
+    memb = clusters.select("doc_id", "component").groupBy("doc_id").agg(
+        F.min("component").alias("component")
+    )
     g = df.select(F.col(id_col).alias("doc_id")).join(
-        clusters.select("doc_id", "component"), on="doc_id", how="left"
+        memb, on="doc_id", how="left"
     )
     key = F.coalesce(F.col("component"), F.col("doc_id"))
     bucket = F.substring(F.md5(key.cast("string")), 1, 4)
@@ -450,6 +469,8 @@ def topic_balanced_sample(
 
     if not 1 <= n_buckets <= (1 << SIMHASH_BITS):
         raise ValueError(f"topic_balanced_sample: n_buckets={n_buckets} out of range")
+    if cap < 1:
+        raise ValueError(f"topic_balanced_sample: cap must be >= 1, got {cap}")
     bucket = (simhash_expr(text_col) % F.lit(n_buckets)).alias("topic_bucket")
     h = F.conv(
         F.substring(
@@ -460,7 +481,10 @@ def topic_balanced_sample(
     ).cast("bigint")
     w = Window.partitionBy("topic_bucket").orderBy(h.asc(), F.col(id_col).asc())
     return (
-        df.withColumn("topic_bucket", bucket)
+        # NULL ids excluded: their selection hash is NULL, which sorts
+        # FIRST in Spark and LAST in DuckDB (bottomk_sample precedent)
+        df.where(F.col(id_col).isNotNull())
+        .withColumn("topic_bucket", bucket)
         .withColumn("bucket_rank", F.row_number().over(w))
         .filter(F.col("bucket_rank") <= cap)
     )

@@ -388,3 +388,57 @@ def test_leakage_split_string_ids(spark):
     out = {r["doc_id"]: r for r in leakage_safe_split(docs, clusters).collect()}
     assert out["doc-a"]["group_key"] == "doc-a" and out["doc-a"]["is_clustered"]
     assert out["doc-b"]["group_key"] == "doc-b" and not out["doc-b"]["is_clustered"]
+
+
+# --- round-8 NULL-id / dup-cluster regressions ----------------------------
+
+
+def test_weighted_sample_excludes_null_ids(spark):
+    from oasisdb_spark.pipeline.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(None, 100.0), ("a", 1.0), ("b", 1.0)], "doc_id STRING, w DOUBLE"
+    )
+    rows = weighted_sample(df, "w", 2).collect()
+    assert sorted(r["doc_id"] for r in rows) == ["a", "b"]
+
+
+def test_token_budget_sample_excludes_null_ids(spark):
+    from oasisdb_spark.pipeline.sampling import token_budget_sample
+
+    df = spark.createDataFrame(
+        [(None, "en", "a b c"), ("d1", "en", "x y"), ("d2", "en", "z")],
+        "doc_id STRING, lang STRING, text STRING",
+    )
+    rows = token_budget_sample(df, 100).collect()
+    assert sorted(r["doc_id"] for r in rows) == ["d1", "d2"]
+
+
+def test_topic_balanced_sample_validates_cap_and_excludes_null_ids(spark):
+    import pytest
+
+    from oasisdb_spark.pipeline.sampling import topic_balanced_sample
+
+    df = spark.createDataFrame(
+        [(None, "same text"), ("a", "same text"), ("b", "same text")],
+        "doc_id STRING, text STRING",
+    )
+    with pytest.raises(ValueError, match="cap"):
+        topic_balanced_sample(df, cap=0)
+    rows = topic_balanced_sample(df, cap=1).collect()
+    assert all(r["doc_id"] is not None for r in rows)
+
+
+def test_leakage_safe_split_dedups_cluster_membership(spark):
+    from oasisdb_spark.pipeline.sampling import leakage_safe_split
+
+    df = spark.createDataFrame([("d1",), ("d2",)], "doc_id STRING")
+    clusters = spark.createDataFrame(
+        # d1 listed twice (dup row) and under two components
+        [("d1", "c1"), ("d1", "c1"), ("d1", "c0"), ("d2", "c2")],
+        "doc_id STRING, component STRING",
+    )
+    out = leakage_safe_split(df, clusters).collect()
+    assert len(out) == 2  # no row multiplication
+    d1 = [r for r in out if r["doc_id"] == "d1"][0]
+    assert d1["group_key"] == "c0"  # min component wins deterministically
