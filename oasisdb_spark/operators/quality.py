@@ -101,6 +101,13 @@ def snapshot_diff(
     ~48 bytes/row no matter how wide the table is. Aggregate the result
     by status for the promotion-gate summary, or anti-filter
     status != 'unchanged' for the change feed.
+
+    Contract: ``key_cols`` identify rows UNIQUELY on each side --
+    duplicate keys cross-product through the full-outer join (m x n
+    status rows per key), which is visible but not meaningful; dedup or
+    aggregate first. NULL keys never equi-match, so a NULL-key row
+    shows up as one `removed` plus one `added` -- surfacing the data
+    bug rather than hiding it.
     """
     if compare_cols is None:
         shared = set(old.columns) & set(new.columns)
@@ -367,6 +374,11 @@ def grouped_median_exact(
     (n+1) div 2."""
     from pyspark.sql.window import Window
 
+    # SQL median semantics: NULLs are not values. Left in, the NULL
+    # histogram bucket sorts FIRST in the ascending cumulative window
+    # (Spark asc = nulls first) and its count shifts every rank -- the
+    # median of {NULL, NULL, 1, 2, 3} came back 1 (regression-pinned).
+    df = df.where(F.col(value_col).isNotNull())
     cnt = df.groupBy(*group_cols, value_col).agg(
         F.count(F.lit(1)).alias("_k")
     )
@@ -453,6 +465,11 @@ def rolling_zscore_flags(
     dropped, so callers see the warm-up region). One sort shuffle per
     series — the frame is ROWS-bounded, so the window state is
     ``window_rows`` values regardless of series length.
+
+    NULL observations emit NULL flags, and their slot in the POSITIONAL
+    trailing frame still displaces older rows (count/sums skip them, so
+    n_win shrinks); pre-filter NULLs if the baseline should skip over
+    them instead.
 
     int64 budget: (y·window_rows)² and k_num²·window_rows·Σy² must
     stay below 2⁶³ — at cents ≤ 10⁶, windows ≤ 10³, k ≤ 10 the
@@ -634,9 +651,12 @@ def goodness_of_fit(
         "observed",
         "p_micro",
         "n_total",
-        F.when(F.col("p_micro").isNotNull(), contrib).alias(
-            "chi2_contrib_micro"
-        ),
+        # n_total = 0 (empty table): chi-square is undefined, not a
+        # DIVIDE_BY_ZERO crash -- every contrib is NULL, the same
+        # "undefined is surfaced, not fabricated" rule as p_micro NULL
+        F.when(
+            F.col("p_micro").isNotNull() & (F.col("n_total") > 0), contrib
+        ).alias("chi2_contrib_micro"),
     )
 
 

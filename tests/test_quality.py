@@ -549,3 +549,40 @@ def test_psi_drift_stream_empty_baseline_valueerror(spark):
     b = spark.createDataFrame([(1, None)], "id LONG, value DOUBLE")
     with pytest.raises(ValueError, match="no non-NULL"):
         psi_drift_stream(b, b, "value", n_buckets=4)
+
+
+# --- round-8 NULL/empty-input regressions ---------------------------------
+
+
+def test_grouped_median_ignores_null_values(spark):
+    # NULL histogram buckets sorted FIRST in the cumulative window and
+    # shifted every rank: median of {NULL, NULL, 1, 2, 3} came back 1
+    from oasisdb_spark.operators.quality import grouped_median_exact
+
+    df = spark.createDataFrame(
+        [("g", None), ("g", None), ("g", 1), ("g", 2), ("g", 3)],
+        "k STRING, v INT",
+    )
+    assert grouped_median_exact(df, "v", ["k"]).collect()[0]["median"] == 2
+
+
+def test_mad_outliers_with_null_values(spark):
+    from oasisdb_spark.operators.quality import mad_outliers
+
+    df = spark.createDataFrame(
+        [("g", None), ("g", 10), ("g", 11), ("g", 12), ("g", 13),
+         ("g", 14), ("g", 1000)],
+        "k STRING, v INT",
+    )
+    flagged = mad_outliers(df, "v", ["k"]).collect()
+    assert [r["v"] for r in flagged] == [1000]
+
+
+def test_goodness_of_fit_empty_table_null_contribs(spark):
+    from oasisdb_spark.operators.quality import BENFORD_MICRO, goodness_of_fit
+
+    e = spark.createDataFrame([], "d INT")
+    rows = goodness_of_fit(e, "d", BENFORD_MICRO).collect()
+    assert len(rows) == 9
+    assert all(r["observed"] == 0 and r["n_total"] == 0 for r in rows)
+    assert all(r["chi2_contrib_micro"] is None for r in rows)
