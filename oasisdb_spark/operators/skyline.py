@@ -139,10 +139,17 @@ def skyline(
     for _, d in dims:
         if d not in ("min", "max"):
             raise ValueError(f"skyline: direction must be min|max, got {d!r}")
+    from pyspark.sql.types import DoubleType, FloatType
+
     work = df
     ocols = []
     for i, (c, d) in enumerate(dims):
         work = work.where(F.col(c).isNotNull())
+        # NaN passes isNotNull but compares FALSE with everything, so a
+        # NaN row could never be dominated and would silently pollute
+        # the skyline -- dominance is as undefined on NaN as on NULL
+        if isinstance(work.schema[c].dataType, (DoubleType, FloatType)):
+            work = work.where(~F.isnan(F.col(c)))
         o = f"_sky_{i}"
         ocols.append(o)
         expr = F.col(c).cast("double")

@@ -110,3 +110,17 @@ def test_skyline_multiblock_fold_matches_brute(spark, monkeypatch):
     got = sorted(tuple(r) for r in sky.skyline(df.coalesce(1), dims).collect())
     assert got == want
     assert (400, 0, 24, 0) in got
+
+
+def test_skyline_drops_nan_dimensions(spark):
+    # NaN passes isNotNull but compares FALSE with everything: a NaN row
+    # could never be dominated and used to pollute the skyline
+    from oasisdb_spark.operators.skyline import skyline
+
+    df = spark.createDataFrame(
+        [(1, 1.0, 1.0), (2, float("nan"), 0.5), (3, 2.0, 2.0)],
+        "id INT, price DOUBLE, size DOUBLE",
+    )
+    rows = skyline(df, [("price", "min"), ("size", "max")]).collect()
+    ids = sorted(r["id"] for r in rows)
+    assert ids == [1, 3]  # NaN row excluded; 1 and 3 are incomparable
