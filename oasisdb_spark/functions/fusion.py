@@ -62,8 +62,11 @@ def hybrid_search_rrf(
     w_text = Window.partitionBy("query_id").orderBy(
         F.col("text_hits").desc(), F.col("doc_id").asc()
     )
+    # asc_nulls_last: a doc with a NULL vector has NULL distance, and
+    # Spark's plain asc sorts NULLs FIRST -- it would top every vector
+    # ranking (and DuckDB sorts NULLs LAST, a cross-engine divergence)
     w_vec = Window.partitionBy("query_id").orderBy(
-        F.col("dist").asc(), F.col("doc_id").asc()
+        F.col("dist").asc_nulls_last(), F.col("doc_id").asc()
     )
     ranked = scored.select(
         "query_id",

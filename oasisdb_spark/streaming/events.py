@@ -236,6 +236,10 @@ def funnel_stream(
     def fn(key, pdfs, state: GroupState):
         stage, last_us = state.get if state.exists else (0, None)
         for pdf in pdfs:
+            # NULL timestamps: NaT.astype(int64) is INT64_MIN, which
+            # would advance a stage with a garbage last_ts -- drop them,
+            # the batch funnel's convention
+            pdf = pdf.dropna(subset=[ts_col])
             if len(pdf) == 0:
                 continue
             pdf = pdf.sort_values([ts_col, id_col])

@@ -83,3 +83,23 @@ def test_rrf_fuse_validation(spark):
 
     with _pytest.raises(ValueError):
         rrf_fuse([])
+
+
+def test_null_vector_doc_ranks_last_not_first(spark):
+    # NULL vector -> NULL distance; plain asc sorted NULLs FIRST, so a
+    # vectorless doc used to top every vector ranking
+    docs = spark.createDataFrame(
+        [
+            (1, "apple", [0.0, 0.0]),
+            (2, "banana", None),
+            (3, "cherry", [1.0, 0.0]),
+        ],
+        "doc_id LONG, text STRING, vector ARRAY<FLOAT>",
+    )
+    queries = spark.createDataFrame(
+        [(0, [0.0, 0.0], ["zzz"])],
+        "query_id LONG, query_vec ARRAY<FLOAT>, query_terms ARRAY<STRING>",
+    )
+    out = {r["doc_id"]: r for r in hybrid_search_rrf(docs, queries, k=3).collect()}
+    assert out[2]["vec_rank"] == 3  # was 1
+    assert out[1]["vec_rank"] == 1 and out[3]["vec_rank"] == 2

@@ -323,3 +323,38 @@ def test_funnel_stream_state_carries_across_batches(spark, tmp_path):
     assert final[2] == 2   # click-before-view ignored; view then click counted
     # more than one micro-batch actually ran (one update row per user per batch)
     assert len(rows) >= 4
+
+
+def test_funnel_stream_ignores_null_timestamps(spark, tmp_path):
+    # NaT.astype(int64) is INT64_MIN: a NULL-ts event used to advance a
+    # stage with a garbage last_ts (batch funnel drops NULL ts)
+    import pandas as pd
+
+    from oasisdb_spark.streaming.events import EVENT_SCHEMA, funnel_stream, read_events_stream
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    rows = [
+        # user 7: NULL-ts 'view' must NOT advance; then a real funnel
+        (1, None, 7, "view", 1.0, "{}"),
+        (2, pd.Timestamp("2024-01-01 10:00:00"), 7, "view", 1.0, "{}"),
+        (3, pd.Timestamp("2024-01-01 10:01:00"), 7, "cart", 1.0, "{}"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"])
+    spark.createDataFrame(pdf, EVENT_SCHEMA).coalesce(1).write.parquet(str(src / "b0"))
+    ev = read_events_stream(spark, str(src / "b0"))
+    out_rows = {}
+
+    def sink(batch, _):
+        for r in batch.collect():
+            out_rows[r["user_id"]] = r["stage"]
+
+    q = (
+        funnel_stream(ev, ["view", "cart", "purchase"])
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert out_rows[7] == 2  # view@10:00 then cart@10:01; NULL row ignored
