@@ -181,7 +181,9 @@ def cohort_retention(
         )
     unit_days = {"day": 1, "week": 7}[granularity]
     period = F.date_trunc(granularity, F.col(ts_col))
-    acts = events.select(
+    # NULL-ts activity has no period: left in, it emitted garbage
+    # (cohort, NULL-offset) cells via datediff(NULL, cohort)
+    acts = events.where(F.col(ts_col).isNotNull()).select(
         F.col(user_col).alias("user_id"), period.alias("period")
     ).distinct()
     firsts = acts.groupBy("user_id").agg(F.min("period").alias("cohort"))
@@ -257,7 +259,13 @@ def attribute_conversions(
         F.col(ts_col).cast("long").alias("ts"),
         F.col(id_col).alias("id"),
         F.col(type_col).alias("etype"),
-    ).where(F.col(type_col).isin([conversion_type, *touch_types]))
+    ).where(
+        # NULL-ts rows have no position in the value-range window (they
+        # form a NULL peer group that only sees other NULL rows) -- the
+        # funnel_steps NULL-ts contract applies to the whole module
+        F.col(type_col).isin([conversion_type, *touch_types])
+        & F.col(ts_col).isNotNull()
+    )
     is_touch = F.col("etype").isin(list(touch_types))
     key = F.struct(F.col("ts"), F.col("id"))
     payload = F.struct(
@@ -326,7 +334,10 @@ def event_transitions(
 
     w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
     pairs = (
+        # NULL-ts events have no position in the (ts, id) total order
+        # (Spark sorts them FIRST, fabricating transitions out of them)
         df.select(user_col, ts_col, id_col, type_col)
+        .where(F.col(ts_col).isNotNull())
         .withColumn("_prev", F.lag(type_col).over(w))
         .where(F.col("_prev").isNotNull())
         .groupBy(
@@ -380,7 +391,11 @@ def session_paths(
         prev.isNull() | ((F.col(ts_col) - prev) > int(gap)), 1
     ).otherwise(0)
     sess = (
+        # NULL-ts rows sort FIRST and then MERGE with the first real
+        # session (ts - NULL is NULL, which never exceeds the gap) --
+        # corrupting its path string; they have no session position
         df.select(user_col, ts_col, id_col, type_col)
+        .where(F.col(ts_col).isNotNull())
         .withColumn("_sess", F.sum(new_sess).over(cum))
     )
     paths = sess.groupBy(user_col, "_sess").agg(
@@ -457,7 +472,11 @@ def attribution_credits(
         F.col(ts_col).cast("long").alias("ts"),
         F.col(id_col).alias("id"),
         F.col(type_col).alias("etype"),
-    ).where(F.col(type_col).isin([conversion_type, *touch_types]))
+    ).where(
+        # NULL-ts exclusion: the attribute_conversions contract
+        F.col(type_col).isin([conversion_type, *touch_types])
+        & F.col(ts_col).isNotNull()
+    )
     is_touch = F.col("etype").isin(list(touch_types))
     payload = F.when(
         is_touch,

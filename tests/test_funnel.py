@@ -484,3 +484,60 @@ def test_cohort_granularity_and_u_edge_validation(spark):
             df, "user_id", "ts", "user_id", "event_type", "view", ["click"],
             lookback=3600, u_edge=60,
         )
+
+
+# --- round-8 NULL-ts uniformity regressions --------------------------------
+
+
+def test_session_paths_ignore_null_ts_rows(spark):
+    # a NULL-ts row sorted FIRST and merged into the first real session
+    # (ts - NULL never exceeds the gap), corrupting its path string
+    from oasisdb_spark.operators.funnel import session_paths
+
+    df = spark.createDataFrame(
+        [(1, None, 1, "x"), (1, 100, 2, "a"), (1, 110, 3, "b")],
+        "u INT, t LONG, i INT, e STRING",
+    )
+    rows = session_paths(df, "u", "t", "i", "e", gap=50).collect()
+    assert len(rows) == 1 and rows[0]["path"] == "a>b"
+
+
+def test_event_transitions_ignore_null_ts_rows(spark):
+    from oasisdb_spark.operators.funnel import event_transitions
+
+    df = spark.createDataFrame(
+        [(1, None, 1, "x"), (1, 100, 2, "a"), (1, 110, 3, "b")],
+        "u INT, t LONG, i INT, e STRING",
+    )
+    rows = event_transitions(df, "u", "t", "i", "e").collect()
+    # only a->b; the NULL-ts 'x' used to fabricate x->a
+    assert len(rows) == 1
+    assert (rows[0]["from_type"], rows[0]["to_type"]) == ("a", "b")
+
+
+def test_attribution_ignores_null_ts_rows(spark):
+    from oasisdb_spark.operators.funnel import attribute_conversions
+
+    df = spark.createDataFrame(
+        [(1, None, 1, "click"), (1, 100, 2, "click"), (1, 150, 3, "buy")],
+        "u INT, t LONG, i INT, e STRING",
+    )
+    rows = attribute_conversions(
+        df, "u", "t", "i", "e", "buy", ["click"], lookback=100
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_touches"] == 1 and rows[0]["last_touch_id"] == 2
+
+
+def test_cohort_retention_ignores_null_ts_rows(spark):
+    import datetime as dt
+
+    from oasisdb_spark.operators.funnel import cohort_retention
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1)), (1, None), (1, dt.datetime(2024, 1, 8))],
+        "user_id INT, ts TIMESTAMP",
+    )
+    rows = cohort_retention(df, granularity="week").collect()
+    # offsets 0 and 1 only -- no NULL-offset garbage cell
+    assert sorted(r["offset"] for r in rows) == [0, 1]
