@@ -115,7 +115,14 @@ def fit_pca(df: DataFrame, vec_col: str = "embedding", n_components: int = 16) -
         if n:
             yield pd.DataFrame({"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]})
 
-    rows = df.select(vec_col).mapInPandas(partials, schema=schema).collect()
+    # NULL vectors carry no moments (and np.asarray on a None row dies
+    # with an opaque executor error) -- exclude, the SQL-agg convention
+    rows = (
+        df.select(vec_col)
+        .where(F.col(vec_col).isNotNull())
+        .mapInPandas(partials, schema=schema)
+        .collect()
+    )
     if not rows:
         raise ValueError("fit_pca: empty input")
     n = sum(r["n"] for r in rows)
@@ -234,7 +241,12 @@ def fit_pca_quantized(
         if n:
             yield pd.DataFrame({"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]})
 
-    rows = df.select(vec_col).mapInPandas(partials, schema=schema).collect()
+    rows = (
+        df.select(vec_col)
+        .where(F.col(vec_col).isNotNull())
+        .mapInPandas(partials, schema=schema)
+        .collect()
+    )
     if not rows:
         raise ValueError("fit_pca_quantized: empty input")
     d = len(rows[0]["s"])
@@ -276,6 +288,29 @@ def pca_project_quantized(
         mean_q, comp_q = b_mean.value, b_comp.value
         for pdf in batches:
             if len(pdf) == 0:
+                continue
+            # NULL vectors project to NULL instead of dying inside
+            # np.asarray with an opaque executor error
+            mask = pdf[vec_col].notna().to_numpy()
+            if not mask.all():
+                out = pdf[keep_cols].copy()
+                res: list = [None] * len(pdf)
+                if mask.any():
+                    xq = quantize_vectors_np(
+                        np.asarray(pdf[vec_col][mask].tolist())
+                    )
+                    raw = (xq - mean_q) @ comp_q
+                    if np.abs(raw).max(initial=0) >= PCA_OFF:
+                        raise ValueError(
+                            "pca_project_quantized: |raw projection| >= "
+                            "PCA_OFF; input vectors exceed the ~unit-scale "
+                            "range the fixed-point rescale assumes"
+                        )
+                    pm = (raw + PCA_OFF) // PCA_SC - PCA_OFF // PCA_SC
+                    for idx, row in zip(np.nonzero(mask)[0], pm):
+                        res[idx] = row
+                out[out_col] = res
+                yield out
                 continue
             xq = quantize_vectors_np(np.asarray(pdf[vec_col].tolist()))
             raw = (xq - mean_q) @ comp_q  # int64
@@ -327,10 +362,15 @@ def pca_project(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            x = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
-            p = (x - mean) @ comp
             out = pdf[keep_cols].copy()
-            out[out_col] = list(p)
+            mask = pdf[vec_col].notna().to_numpy()
+            res: list = [None] * len(pdf)
+            if mask.any():
+                x = np.asarray(pdf[vec_col][mask].tolist(), dtype=np.float64)
+                p = (x - mean) @ comp
+                for idx, row in zip(np.nonzero(mask)[0], p):
+                    res[idx] = row
+            out[out_col] = res
             yield out
 
     return df.select(*keep_cols, vec_col).mapInPandas(proj, schema=out_schema)

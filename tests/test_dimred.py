@@ -143,3 +143,32 @@ def test_quantized_projection_matches_numpy_and_rescale_semantics(spark):
             for r in pca_project(df, fmodel).collect()}
     for i in range(0, len(x), 17):
         assert np.allclose(np.asarray(got[i]) / PCA_SX, fgot[i], atol=1e-4)
+
+
+def test_pca_tolerates_null_vectors(spark):
+    # a NULL embedding used to die inside np.asarray with an opaque
+    # executor error; fits skip it, projections carry NULL through
+    import numpy as np
+
+    from oasisdb_spark.functions.dimred import (
+        fit_pca,
+        fit_pca_quantized,
+        pca_project,
+        pca_project_quantized,
+    )
+
+    rows = [(i, [float(i), float(i % 3), 1.0, 0.0]) for i in range(20)]
+    rows.append((99, None))
+    df = spark.createDataFrame(rows, "id INT, embedding ARRAY<DOUBLE>")
+
+    m = fit_pca(df, n_components=2)
+    clean = df.where("embedding IS NOT NULL")
+    m2 = fit_pca(clean, n_components=2)
+    assert np.allclose(m.mean, m2.mean)
+
+    out = {r["id"]: r["proj"] for r in pca_project(df, m).collect()}
+    assert out[99] is None and out[0] is not None
+
+    mq = fit_pca_quantized(df, n_components=2)
+    outq = {r["id"]: r["proj"] for r in pca_project_quantized(df, mq).collect()}
+    assert outq[99] is None and len(outq[0]) == 2
