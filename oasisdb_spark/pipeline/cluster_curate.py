@@ -134,6 +134,11 @@ def kmeans_fit_quantized(
     """
     if k < 1 or iters < 1:
         raise ValueError(f"kmeans_fit_quantized: need k>=1, iters>=1, got {k}, {iters}")
+    # NULL vectors carry no moments and np.asarray dies opaquely on a
+    # None row -- exclude them from seeding and every Lloyd pass (the
+    # fit_pca convention); a NULL id would also break the first-k rule
+    # (Spark sorts NULLs first, DuckDB last)
+    df = df.where(F.col(vec_col).isNotNull() & F.col(id_col).isNotNull())
     seed_rows = df.select(id_col, vec_col).orderBy(F.col(id_col).asc()).limit(k).collect()
     if len(seed_rows) < k:
         raise ValueError(f"kmeans_fit_quantized: k={k} but only {len(seed_rows)} rows")
@@ -220,7 +225,14 @@ def assign_clusters_quantized(
             out["d2"] = d2
             yield out
 
-    return df.select(*keep_cols, vec_col).mapInPandas(assign, schema=out_schema)
+    # a row without an embedding has no cell: excluded (documented
+    # contract -- the ohlc_bars NULL-ts convention; np.asarray would
+    # otherwise die opaquely on the None row)
+    return (
+        df.where(F.col(vec_col).isNotNull())
+        .select(*keep_cols, vec_col)
+        .mapInPandas(assign, schema=out_schema)
+    )
 
 
 def kmeans_cells(
@@ -298,7 +310,12 @@ def cluster_balanced_sample(
     SimHash. Returns input columns + (cluster, c_rank)."""
     if cap < 1:
         raise ValueError(f"cluster_balanced_sample: cap must be >= 1, got {cap}")
-    asg = assign_clusters_quantized(df, model, vec_col=vec_col).drop("d2")
+    # NULL ids hash to NULL and would hog the front of every cell's
+    # sample (Spark asc = nulls first; DuckDB sorts them last) -- the
+    # bottomk_sample exclusion
+    asg = assign_clusters_quantized(
+        df.where(F.col(id_col).isNotNull()), model, vec_col=vec_col
+    ).drop("d2")
     h = F.conv(
         F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 15),
         16,

@@ -192,3 +192,27 @@ def test_fixture_smoke(spark, embeddings):
     assert sum(per_cluster.values()) == n
     kept = prototype_prune(embeddings, model, 1, 4).count()
     assert 0 < kept < n
+
+
+def test_cluster_curate_tolerates_null_rows(spark):
+    # NULL vectors/ids used to die opaquely inside np.asarray (or hog
+    # the balanced sample via a NULL selection hash)
+    from oasisdb_spark.pipeline.cluster_curate import (
+        assign_clusters_quantized,
+        cluster_balanced_sample,
+        kmeans_fit_quantized,
+    )
+
+    rows = [(i, [float(i % 4), 1.0]) for i in range(12)]
+    rows += [(99, None), (None, [0.5, 0.5])]
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+
+    m = kmeans_fit_quantized(df, k=2, iters=2)
+    clean = df.where("embedding IS NOT NULL AND vec_id IS NOT NULL")
+    m2 = kmeans_fit_quantized(clean, k=2, iters=2)
+    assert (m.centroids == m2.centroids).all()
+
+    asg = assign_clusters_quantized(df, m, keep_cols=["vec_id"]).collect()
+    assert len(asg) == 13  # the NULL-embedding row is excluded
+    bal = cluster_balanced_sample(df, m, cap=3).collect()
+    assert all(r["vec_id"] is not None for r in bal)
