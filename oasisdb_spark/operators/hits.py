@@ -68,6 +68,8 @@ def hits_integer(
     build_graph). Hubs initialize uniform at SCALE // N."""
     if iters < 1:
         raise ValueError(f"hits_integer: iters must be >= 1, got {iters}")
+    if g.n < 1:
+        raise ValueError("hits_integer: empty graph (no nodes)")
     n = g.n
     h = g.nodes.withColumn("h", F.lit(scale // n).cast("long")).persist()
     a = None

@@ -64,9 +64,15 @@ def build_graph(
     edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
 ) -> GraphTopology:
     """Materialize the static graph artifacts (each persisted):
-    duplicate edges and self-loop duplicates collapse via distinct."""
+    duplicate edges and self-loop duplicates collapse via distinct.
+    Edges with a NULL endpoint are EXCLUDED: a NULL is not a node --
+    left in, it inflated N, classified as dangling, yet never matched
+    the rank join (equi-joins drop NULL keys), so its mass silently
+    vanished from every pass."""
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).where(
+        F.col("src").isNotNull() & F.col("dst").isNotNull()
     ).distinct().persist()
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -98,6 +104,8 @@ def pagerank_iterate(
         raise ValueError(f"pagerank_iterate: iters must be >= 1, got {iters}")
     if not (0 < d_num <= d_den):
         raise ValueError(f"pagerank_iterate: bad damping {d_num}/{d_den}")
+    if g.n < 1:
+        raise ValueError("pagerank_iterate: empty graph (no nodes)")
     n = g.n
     r = g.nodes.withColumn(
         "rank_scaled", F.lit(scale // n).cast("long")

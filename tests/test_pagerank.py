@@ -181,3 +181,31 @@ def test_hits_bad_params(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         hits_integer(g, iters=0)
+
+
+def test_build_graph_excludes_null_endpoint_edges(spark):
+    # a NULL endpoint inflated N and was classified dangling, yet never
+    # matched the rank join -- its mass silently vanished every pass
+    from oasisdb_spark.operators.pagerank import build_graph, pagerank_iterate
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (None, 1), (2, None)], "src INT, dst INT"
+    )
+    g = build_graph(edges)
+    assert g.n == 2 and not g.has_dangling
+    clean = build_graph(spark.createDataFrame([(1, 2), (2, 1)], "src INT, dst INT"))
+    r1 = {r["node"]: r["rank_scaled"] for r in pagerank_iterate(g, iters=2).collect()}
+    r2 = {r["node"]: r["rank_scaled"] for r in pagerank_iterate(clean, iters=2).collect()}
+    assert r1 == r2
+    g.unpersist(); clean.unpersist()
+
+
+def test_pagerank_empty_graph_raises(spark):
+    import pytest
+
+    from oasisdb_spark.operators.pagerank import build_graph, pagerank_iterate
+
+    g = build_graph(spark.createDataFrame([], "src INT, dst INT"))
+    with pytest.raises(ValueError, match="empty graph"):
+        pagerank_iterate(g)
+    g.unpersist()
