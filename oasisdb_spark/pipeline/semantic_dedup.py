@@ -58,8 +58,15 @@ def semantic_dedup(
     ``row_chunk`` bounds per-task memory: a cluster of c rows computes
     its c x c similarities in (row_chunk x c) strips, so peak extra
     memory is row_chunk*c*8 bytes regardless of cluster size.
+
+    Rows with a NULL id or NULL embedding are EXCLUDED (no verdict row):
+    similarity is undefined without a vector, the smaller-id keep rule
+    is undefined without an id, and np.array would otherwise die
+    opaquely on the None row (the cluster_curate convention).
     """
-    src = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_vec"))
+    src = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_vec")
+    ).where(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull())
     if n_clusters <= 1:
         assigned = src.withColumn("cluster_id", F.lit(0))
     else:

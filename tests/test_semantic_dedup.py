@@ -31,3 +31,16 @@ def test_embedding_centroid_drift_exact_and_detects_shift(spark):
     out2 = {r["dim"]: tuple(r) for r in embedding_centroid_drift(
         da.repartition(3), db.coalesce(1)).collect()}
     assert out2 == {d: tuple(out[d]) for d in out}
+
+
+def test_semantic_dedup_excludes_null_rows(spark):
+    # NULL embeddings/ids used to die opaquely inside np.array
+    from oasisdb_spark.pipeline.semantic_dedup import semantic_dedup
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, None), (None, [0.0, 1.0])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    rows = {r["vec_id"]: r for r in semantic_dedup(df, threshold=0.95).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["kept"] and not rows[2]["kept"]
