@@ -178,7 +178,9 @@ def knn_binq(
             })
 
     scored = code_df.mapInPandas(_scan, schema=out_schema)
-    w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(), F.col("id").asc())
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("distance").asc_nulls_last(), F.col("id").asc()
+    )
     top = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= shortlist)
 
     if refine_base is None:
@@ -203,7 +205,11 @@ def knn_binq(
     exact = cand.select(
         "query_id", "id", distance_expr(space, "query_vec", "vector").alias("distance")
     )
-    w2 = Window.partitionBy("query_id").orderBy(F.col("distance").asc(), F.col("id").asc())
+    # asc_nulls_last: a NULL refine vector yields a NULL exact distance,
+    # which must rank WORST (the topk_per_query rule)
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("distance").asc_nulls_last(), F.col("id").asc()
+    )
     return (
         exact.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)

@@ -39,8 +39,15 @@ def topk_per_query(
 ) -> DataFrame:
     """Top-k rows per query, ordered by (distance, id) — the id tiebreak
     makes results deterministic where the reference's full-sort order on
-    ties is unspecified (flat.go:125 sort.Slice is not stable)."""
-    w = Window.partitionBy(query_col).orderBy(F.col(dist_col).asc(), F.col(id_col).asc())
+    ties is unspecified (flat.go:125 sort.Slice is not stable).
+
+    asc_nulls_last: a NULL distance (a base row with a NULL vector
+    through the Column-expression kernels) must rank WORST -- Spark's
+    plain asc sorts NULLs first, which would put vectorless rows at the
+    top of every result and diverge from DuckDB's NULLS LAST."""
+    w = Window.partitionBy(query_col).orderBy(
+        F.col(dist_col).asc_nulls_last(), F.col(id_col).asc()
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -46,3 +46,17 @@ def test_knn_flat_plan_broadcasts_queries(spark, tiny_vectors):
     the base table is never shuffled for the distance stage)."""
     plan = knn_flat(_queries(spark, [1]), tiny_vectors, k=3)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_null_base_vector_ranks_last(spark):
+    # NULL vector -> NULL distance; plain asc sorted it FIRST (and
+    # DuckDB sorts NULLs LAST -- cross-engine divergence)
+    from oasisdb_spark.index.flat import knn_flat
+
+    base = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, None), (3, [1.0, 0.0])],
+        "id LONG, vector ARRAY<FLOAT>",
+    )
+    q = spark.createDataFrame([(0, [0.0, 0.0])], "query_id LONG, query_vec ARRAY<FLOAT>")
+    rows = {r["rank"]: r["id"] for r in knn_flat(q, base, k=3).collect()}
+    assert rows[1] == 1 and rows[2] == 3 and rows[3] == 2
