@@ -43,6 +43,12 @@ def scd2_history(
     column's value at the version's opening observation."""
     if not order_cols:
         raise ValueError("scd2_history: order_cols must be non-empty")
+    # an observation with a NULL order value has no position on the
+    # validity timeline (and Spark sorts NULLs first while DuckDB sorts
+    # them last -- effective_from/version would diverge cross-engine):
+    # excluded, the NULL-ts convention of the sequence operators
+    for c in order_cols:
+        df = df.where(F.col(c).isNotNull())
     w = Window.partitionBy(key_col).orderBy(*[F.col(c).asc() for c in order_cols])
     prev: Column = F.lag(F.col(attr_col)).over(w)
     first_row = F.row_number().over(w) == 1

@@ -75,3 +75,21 @@ def test_bad_params_raise(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/orders.parquet")
     with pytest.raises(ValueError):
         scd2_history(docs, "o_custkey", [], "o_orderstatus")
+
+
+def test_scd2_ignores_null_order_rows(spark):
+    # a NULL-ts observation sorted FIRST and opened a bogus version with
+    # a NULL effective_from (DuckDB sorts NULLs last -- divergence too)
+    from oasisdb_spark.operators.scd import scd2_history
+
+    df = spark.createDataFrame(
+        [(1, None, 0, "a"), (1, 10, 1, "a"), (1, 20, 2, "b")],
+        "k INT, ts LONG, i INT, attr STRING",
+    )
+    rows = sorted(
+        scd2_history(df, "k", ["ts", "i"], "attr").collect(),
+        key=lambda r: r["version"],
+    )
+    assert len(rows) == 2
+    assert rows[0]["effective_from"] == 10 and rows[0]["version"] == 1
+    assert rows[1]["effective_from"] == 20 and rows[1]["effective_to"] is None
