@@ -355,11 +355,27 @@ class Catalog:
         return self.spark.read.parquet(p)
 
     def _validate_dims(self, df: DataFrame, dimension: int) -> DataFrame:
-        """Ingest-time dimension assertion (document.go:70-73,280-285)."""
-        bad = df.filter(F.size("vector") != dimension).limit(1).collect()
+        """Ingest-time row assertion (document.go:70-73,280-285).
+
+        A NULL vector must NOT pass: size(NULL) != d evaluates to NULL
+        and the filter silently dropped it, letting the row through to
+        crash index builds deep in np.array (the Go reference rejects a
+        nil slice as a dimension mismatch — len(nil)=0). A NULL id is
+        rejected too: the newest-wins merge and every point lookup key
+        on id, so an id-less document is unaddressable."""
+        bad = df.filter(
+            F.col("id").isNull()
+            | F.col("vector").isNull()
+            | (F.size("vector") != dimension)
+        ).limit(1).collect()
         if bad:
+            if bad[0]["id"] is None:
+                raise errors.ErrInvalidParams("document id must be non-NULL")
+            got = (
+                "NULL" if bad[0]["vector"] is None else len(bad[0]["vector"])
+            )
             raise errors.ErrDimensionMismatch(
-                f"vector dimension {len(bad[0]['vector'])} != collection dimension {dimension}"
+                f"vector dimension {got} != collection dimension {dimension}"
             )
         return df
 

@@ -140,3 +140,21 @@ def test_gc_grace_measured_from_supersession(spark, catalog):
     os.utime(gen1, (old, old))
     catalog.upsert_documents("g", _docs(spark))
     assert not os.path.exists(gen1)
+
+
+def test_null_vector_and_null_id_rejected_at_ingest(catalog, spark):
+    # size(NULL) != d is NULL, so a NULL vector used to PASS the
+    # dimension gate and crash index builds deep in np.array; a NULL id
+    # is unaddressable (newest-wins merge and lookups key on id)
+    catalog.create_collection("cnull", dimension=4, index_type="flat")
+    nv = spark.createDataFrame(
+        [("1", None, None)], "id STRING, vector ARRAY<FLOAT>, parameters MAP<STRING,STRING>"
+    )
+    with pytest.raises(errors.ErrDimensionMismatch, match="NULL"):
+        catalog.upsert_documents("cnull", nv)
+    ni = spark.createDataFrame(
+        [(None, [1.0, 2.0, 3.0, 4.0], None)],
+        "id STRING, vector ARRAY<FLOAT>, parameters MAP<STRING,STRING>",
+    )
+    with pytest.raises(errors.ErrInvalidParams, match="id"):
+        catalog.upsert_documents("cnull", ni)
