@@ -51,7 +51,12 @@ def connected_components(
     """
     from pyspark.sql import types as T
 
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).persist()
+    # a NULL endpoint is not a vertex (the build_graph convention): the
+    # driver path would die on a None-vs-int comparison and the
+    # distributed path would emit a phantom (NULL, NULL) label row
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+        F.col("a").isNotNull() & F.col("b").isNotNull()
+    ).persist()
     n_edges = e.count()  # also materializes the (possibly expensive) pair pipeline
     if n_edges <= driver_cutover:
         pairs = e.collect()

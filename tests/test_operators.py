@@ -193,3 +193,15 @@ def test_connected_components_raises_when_rounds_exhausted(spark):
     # with enough rounds the same graph labels to min id 0
     out = connected_components(edges, max_iter=20, driver_cutover=0)
     assert set(r["component"] for r in out.collect()) == {0}
+
+
+def test_connected_components_null_endpoint_edges_excluded(spark):
+    # driver path died on a None-vs-int comparison; distributed path
+    # emitted a phantom (NULL, NULL) row
+    from oasisdb_spark.operators.connected_components import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (None, 3), (2, None)], "src INT, dst INT"
+    )
+    rows = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert rows == {1: 1, 2: 1}
