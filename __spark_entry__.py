@@ -2236,12 +2236,24 @@ def _events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles per group (order statistics)."""
+    """Exact interpolated percentiles per group (order statistics),
+    computed over integer CENTS so every quartile is bit-exact: at
+    p in {1/4, 1/2, 3/4} the interpolation fraction is a multiple of
+    1/4, so lo + (hi-lo)*frac over cents ints is EXACTLY representable
+    in a double on both engines (quarter-cent granularity, no rounding
+    step anywhere). The former round(percentile(price), 2) form was a
+    latent boundary bug: the sf0.001 R-group median interpolates to
+    exactly 52724.245 (stored 52724.2449...95), where Spark's
+    HALF_UP-on-the-binary-double round gives .24 and DuckDB's round
+    gives .25 -- engines legitimately disagree at x.xx5, so the fix is
+    to never round a float, the repo's micro-unit discipline."""
     li = _table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 2).alias("p25"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 2).alias("p50"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 2).alias("p75"),
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    obs = li.select("l_returnflag", cents.alias("_c"))
+    return obs.groupBy("l_returnflag").agg(
+        F.percentile("_c", F.lit(0.25)).alias("p25_cents"),
+        F.percentile("_c", F.lit(0.5)).alias("p50_cents"),
+        F.percentile("_c", F.lit(0.75)).alias("p75_cents"),
     )
 
 
@@ -8348,11 +8360,14 @@ WHERE q.label IS DISTINCT FROM e.label
             )
             SELECT status, count(*) AS n_keys FROM d GROUP BY status
         """,
+        # quartiles over integer cents: quarter-cent interpolants are
+        # exactly representable doubles on both engines (no rounding --
+        # round() itself diverges cross-engine at x.xx5 boundaries)
         "price_quartiles": """
             SELECT l_returnflag,
-                   round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
-                   round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-                   round(quantile_cont(l_extendedprice, 0.75), 2) AS p75
+                   quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.25) AS p25_cents,
+                   quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5) AS p50_cents,
+                   quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.75) AS p75_cents
             FROM lineitem GROUP BY l_returnflag
         """,
         "events_hourly": """
