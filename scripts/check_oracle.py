@@ -106,8 +106,19 @@ def rowset(rows, cols):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    # --vanilla: run the Spark side on a BARE SparkSession (default
+    # configs, like the driver's harness) instead of the repo's tuned
+    # get_spark(). The driver's gate session is vanilla, so a query
+    # that silently depends on session.py configs (shuffle partitions,
+    # Arrow, broadcast threshold, nanosAsLong retry path, UTC tz)
+    # passes the tuned replica yet fails the real gate — this flag is
+    # how we see what the driver sees (verify-skill gotcha #1).
+    vanilla = "--vanilla" in argv
+    if vanilla:
+        argv.remove("--vanilla")
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     # generated oracles (pca_knn derives its quantized model from the
     # gate fixture) must target the same sf as this run
@@ -115,9 +126,16 @@ def main():
 
     os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
 
-    from oasisdb_spark.session import get_spark
+    if vanilla:
+        from pyspark.sql import SparkSession
 
-    spark = get_spark("check_oracle")
+        spark = SparkSession.builder.master("local[8]").appName(
+            "check_oracle_vanilla"
+        ).getOrCreate()
+    else:
+        from oasisdb_spark.session import get_spark
+
+        spark = get_spark("check_oracle")
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
