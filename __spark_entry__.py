@@ -5175,18 +5175,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # = 2+10+4+28+6 = 50. Registry frozen at 197 (VERDICT r07 #4) —
     # ZERO net-new entries this round.
     #
-    # ROUND-9 ROTATION TODO (stage EARLY; re-run the sweep against
-    # CORRECTNESS_r08 before finalizing): assuming a green r08 the
-    # first-row backlog is 0 and the single-green backlog is the 7
-    # remaining r05-only entries (orders_snapshot_diff, pca_knn,
-    # quality_gate_stream, retrieval_rank_eval, shard_manifest,
-    # token_estimate, training_shards) + the 8 r06-only entries
-    # (docs_dsir_stream, docs_mining_stream, dsir_select,
-    # epoch_mixture, fim_samples, hard_negatives, hard_negatives_ivf,
-    # topic_balanced_sample). Window = 2 anchors + those 15 + 33 fill
-    # from the oldest double-green block (r03+r05, 35 entries, listed
-    # head-first behind the window below; the last 2 roll to r10)
-    # = 2+7+8+33 = 50.
+    # ROUND-9 ROTATION TODO (stage EARLY; run
+    # `python scripts/rotation_audit.py --next 50` against
+    # CORRECTNESS_r08 before finalizing — the staging arithmetic is now
+    # mechanical). The audit ranks by LATEST green round, which
+    # corrects the r07-era hand draft: that draft tracked "only green
+    # round" and so missed 19 entries BEHIND the window whose latest
+    # green is r04 (green in r02 AND r04 — knn_ivf, knn_ivfpq,
+    # knn_lsh, knn_hamming_packed, auto_embed, doc_repetition,
+    # order_count_distribution, q12_priority_shipping,
+    # q14_promo_revenue, knn_flat_l2, search_documents_filtered,
+    # vector_lookup, exact_dedup, minhash_signatures,
+    # minhash_lsh_pairs, embedding_neardup, simhash, langid,
+    # text_stats) — these are STALER than the draft's r05/r06-only
+    # picks and go first. Assuming a green r08: window = 2 anchors +
+    # those 19 r04-latest + the 29 stalest r05-latest (the audit
+    # prints them in order) = 50; any r08 red/no-row entries preempt
+    # from the front.
     return {
         # --- ROUND-8 WINDOW (positions 1-50) ---
         # anchors (1-2)
