@@ -1,0 +1,151 @@
+"""Mechanical round-over-round bench comparison, encoding BASELINE.md's
+noise-floor rules so structural moves are separated from jitter by the
+same discipline every round:
+
+  - single QUERY deltas under 1.3x are noise (controlled A/B showed the
+    same tree re-measuring +-30% on sub-second entries),
+  - FAMILY subtotals and the shared-set total are the signal, with a
+    ~±10% session band,
+  - families are only comparable over their SHARED query set (new
+    queries in a family make its subtotal additive, not a regression —
+    the r07 mutual_knn lesson).
+
+Usage: python scripts/bench_diff.py OLD.json NEW.json [--band 1.10]
+
+Accepts both the bench CLI's own JSON (with "queries"/"families") and
+the driver's BENCH_r*.json wrapper (whose "tail" holds the JSON line).
+Exit 1 iff some family's SHARED-query subtotal moved beyond the band
+AND beyond 0.5 s absolute — the "needs a look" signal, not proof of a
+regression (BASELINE.md: confirm with a controlled A/B before acting).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def load(path: str) -> dict:
+    d = json.load(open(path))
+    if "queries" not in d and "tail" in d:
+        # driver wrapper: the bench JSON line lives in "tail", usually
+        # TRUNCATED at the front (the driver keeps the last few KB).
+        # Salvage what survives: the full object if present, else the
+        # "queries"/"families" sub-objects by regex.
+        import re
+
+        tail = d["tail"]
+        start = tail.rfind('{"metric"')
+        if start >= 0:
+            line = tail[start:].strip().splitlines()[0]
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                pass
+        out = {}
+        for key in ("queries", "families"):
+            m = re.search(r'"%s": \{(.*?)\}' % key, tail, re.S)
+            if m:
+                out[key] = {
+                    k: float(v)
+                    for k, v in re.findall(r'"([a-z0-9_]+)": ([0-9.]+)', m.group(1))
+                }
+        m = re.search(r'"value": ([0-9.]+)', tail)
+        if m:
+            out["value"] = float(m.group(1))
+        if out:
+            print(f"note: {path} tail is truncated — salvaged "
+                  f"{len(out.get('queries', {}))} query / "
+                  f"{len(out.get('families', {}))} family timings")
+            return out
+    return d
+
+
+def main() -> None:
+    argv = [a for a in sys.argv[1:]]
+    band = 1.10
+    if "--band" in argv:
+        i = argv.index("--band")
+        band = float(argv[i + 1])
+        del argv[i : i + 2]
+    if len(argv) != 2:
+        raise SystemExit(__doc__)
+    old, new = load(argv[0]), load(argv[1])
+    oq, nq = old.get("queries", {}), new.get("queries", {})
+
+    if len(oq) < 50 or len(nq) < 50:
+        # a truncated driver tail: per-query maps are partial, so diff
+        # the family subtotals directly (additive-member caveat applies
+        # — cross-check the family's membership before reading a move
+        # as a regression)
+        of, nf = old.get("families", {}), new.get("families", {})
+        fshared = sorted(set(of) & set(nf))
+        ot, nt = sum(of[f] for f in fshared), sum(nf[f] for f in fshared)
+        print(f"shared families: {len(fshared)}  subtotal {ot:.1f} -> "
+              f"{nt:.1f} s ({nt / ot:.2f}x)" if ot else "no shared families")
+        flagged = 0
+        for f in fshared:
+            if of[f] <= 0:
+                continue
+            r = nf[f] / of[f]
+            if (r > band or r < 1 / band) and abs(nf[f] - of[f]) > 0.5:
+                flagged += 1
+                print(f"  {f:20s} {of[f]:7.2f} -> {nf[f]:7.2f}  ({r:.2f}x)")
+        if not flagged:
+            print("  no family beyond the band")
+        sys.exit(1 if flagged else 0)
+
+    shared = sorted(set(oq) & set(nq))
+    added = sorted(set(nq) - set(oq))
+    removed = sorted(set(oq) - set(nq))
+    ot = sum(oq[q] for q in shared)
+    nt = sum(nq[q] for q in shared)
+    print(f"shared queries: {len(shared)}  subtotal {ot:.1f} -> {nt:.1f} s "
+          f"({nt / ot:.2f}x)" if ot else "no shared queries")
+    if added:
+        print(f"added ({len(added)}): {', '.join(added)}")
+    if removed:
+        print(f"removed ({len(removed)}): {', '.join(removed)}")
+
+    # family subtotals over shared queries only: recompute from the
+    # query map so additive entries can't masquerade as regressions
+    try:
+        sys.path.insert(0, __file__.rsplit("/", 2)[0])
+        from bench import FAMILIES  # the live family map
+    except Exception:
+        FAMILIES = {}
+    flagged = 0
+    if FAMILIES:
+        print("\nfamily (shared-query subtotals, |move| > band AND > 0.5 s):")
+        for fam, members in FAMILIES.items():
+            ms = [q for q in members if q in oq and q in nq]
+            if not ms:
+                continue
+            o = sum(oq[q] for q in ms)
+            n = sum(nq[q] for q in ms)
+            if o <= 0:
+                continue
+            r = n / o
+            if (r > band or r < 1 / band) and abs(n - o) > 0.5:
+                flagged += 1
+                print(f"  {fam:20s} {o:7.2f} -> {n:7.2f}  ({r:.2f}x)  "
+                      f"[{len(ms)} shared queries]")
+        if not flagged:
+            print("  none beyond the band")
+
+    print("\nquery moves beyond 1.3x (noise threshold — informational):")
+    noisy = 0
+    for q in shared:
+        if oq[q] <= 0:
+            continue
+        r = nq[q] / oq[q]
+        if (r > 1.3 or r < 1 / 1.3) and abs(nq[q] - oq[q]) > 0.3:
+            noisy += 1
+            print(f"  {q:35s} {oq[q]:7.2f} -> {nq[q]:7.2f}  ({r:.2f}x)")
+    if not noisy:
+        print("  none")
+    sys.exit(1 if flagged else 0)
+
+
+if __name__ == "__main__":
+    main()
