@@ -5028,15 +5028,29 @@ def _part_name_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard ER pipeline (block → match → cluster), composing two
     existing operators the way a dedup pipeline actually runs them.
     Component = min reachable partkey; the oracle replays the closure
-    as a RECURSIVE CTE over the identical levenshtein edge set."""
+    as a RECURSIVE CTE over the identical levenshtein edge set. The
+    match-edge set is a MEMOIZED built artifact (the construction/
+    algorithm split the trade and co-purchase graph entries use:
+    fuzzy_name_pairs times the matcher itself; this entry times the
+    transitive closure over its persisted output)."""
     from oasisdb_spark.operators.connected_components import (
         connected_components,
     )
-    from oasisdb_spark.operators.fuzzy import fuzzy_self_join
 
-    edges = fuzzy_self_join(
-        _table(spark, sf_dir, "part"), "p_partkey", "p_name", ["p_brand"], max_dist=2
-    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    def _build():
+        from oasisdb_spark.operators.fuzzy import fuzzy_self_join
+
+        e = fuzzy_self_join(
+            _table(spark, sf_dir, "part"),
+            "p_partkey",
+            "p_name",
+            ["p_brand"],
+            max_dist=2,
+        ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).persist()
+        e.count()
+        return e
+
+    edges = _memo(spark, sf_dir, "fuzzy_part_edges", _build)
     return connected_components(edges)
 
 
