@@ -1138,6 +1138,21 @@ def main() -> None:
     print(f"== mutual_knn_pairs_ivf equi probe join (probes never broadcast), single pair agg: {'OK' if ok else 'FAIL'}")
     failures += not ok
 
+    # 98. build-once graph artifacts (round 8): an algorithm entry that
+    # composes on a memoized persisted frame must actually READ it
+    # (InMemoryTableScan) instead of replaying construction — the
+    # bench's construction/algorithm split, asserted so it cannot
+    # silently unravel (a dropped memo would re-run the basket
+    # self-join inside the timed plan). Only the triangle entry is
+    # plan-checkable: the two connected-components consumers take the
+    # driver union-find cutover at fixture scale, so their RETURNED
+    # plan is a LocalTableScan either way (the memoized edge frame is
+    # consumed eagerly inside the operator).
+    plan = plan_of(m.queries()["copurchase_triangles"](spark, sf_dir))
+    ok = "InMemoryTableScan" in plan
+    print(f"== copurchase_triangles composes on the persisted built artifact: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
     print(f"\n{'ALL PLANS OK' if not failures else f'{failures} PLAN CHECKS FAILED'}")
     spark.stop()
     sys.exit(1 if failures else 0)
