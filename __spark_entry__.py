@@ -4078,14 +4078,17 @@ def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _copurchase_graph_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build-once co-purchase support frame (operators/basket.py
-    copurchase_edges at min_support=1 — every co-occurring part pair
-    with its exact basket count), persisted: the shared graph core the
-    triangle and community entries FILTER (support >= 2 / >= 3) instead
-    of each re-running the lineitem basket self-join. Same index-build
-    split as the trade-graph memo: the timed economics of the graph
-    entries are the ALGORITHM passes over a built artifact, which is
-    also how the three consumers would share the frame in production
-    (one cached pair table, per-view support thresholds)."""
+    copurchase_edges at min_support=2 — the loosest threshold any
+    consumer reads, so no discarded support-1 rows sit in cache),
+    persisted: the shared graph core the triangle (support >= 2) and
+    community (support >= 3) entries FILTER instead of each re-running
+    the lineitem basket self-join. Same index-build split as the
+    trade-graph memo: the timed economics of the graph entries are the
+    ALGORITHM passes over a built artifact — one cached pair table,
+    per-view support thresholds. (copurchase_pairs deliberately does
+    NOT consume it: that entry measures pair-mining construction
+    itself, the same split as fuzzy_name_pairs vs part_name_clusters.)
+    Plan-audit check 98 pins the memo keys behaviorally."""
     from oasisdb_spark.operators.basket import copurchase_edges
 
     def _build():
@@ -4093,7 +4096,7 @@ def _copurchase_graph_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
             _table(spark, sf_dir, "lineitem"),
             basket_col="l_orderkey",
             item_col="l_partkey",
-            min_support=1,
+            min_support=2,
         ).persist()
         g.count()
         return g
@@ -4779,8 +4782,9 @@ def _copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected_components.py hash-min / union-find cutover) over the
     support-≥3 co-purchase graph (operators/basket.py copurchase_edges
     as the sparsifier) — the classic 'bought-together families' merch
-    view, and the third consumer of the shared graph core (triangles,
-    communities, plus the pair decorations). Component = min reachable
+    view, and the second consumer of the shared memoized graph core
+    (with triangles; the pair-decoration entries measure construction
+    itself and deliberately rebuild). Component = min reachable
     partkey; the oracle replays the transitive closure as a RECURSIVE
     CTE — algorithm-independence is the cross-check. Composes on the
     MEMOIZED co-purchase support frame (_copurchase_graph_memo,

@@ -14,15 +14,45 @@ Usage: python scripts/bench_diff.py OLD.json NEW.json [--band 1.10]
 
 Accepts both the bench CLI's own JSON (with "queries"/"families") and
 the driver's BENCH_r*.json wrapper (whose "tail" holds the JSON line).
-Exit 1 iff some family's SHARED-query subtotal moved beyond the band
-AND beyond 0.5 s absolute — the "needs a look" signal, not proof of a
-regression (BASELINE.md: confirm with a controlled A/B before acting).
+
+Exit codes:
+  0 — evaluated; no family's SHARED-query subtotal moved beyond the
+      band AND 0.5 s absolute. Also used for the families-only
+      fallback (truncated wrapper tails), which is INFORMATIONAL: raw
+      family subtotals cannot distinguish a regression from an added
+      member, so that path never flags.
+  1 — evaluated on full query maps; some family's shared-query
+      subtotal moved beyond the band — the "needs a look" signal, not
+      proof of a regression (BASELINE.md: confirm with a controlled
+      A/B before acting).
+  2 — could not evaluate (unsalvageable input, or the FAMILIES map
+      could not be read).
 """
 
 from __future__ import annotations
 
+import ast
 import json
+import os
 import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def load_families() -> dict:
+    """The live family map, read TEXTUALLY from bench.py's FAMILIES
+    literal (ast parse) — importing bench would drag in pyspark and
+    __spark_entry__, and a silent import failure here would disable
+    the script's only exit-1 signal."""
+    tree = ast.parse(open(os.path.join(REPO, "bench.py")).read())
+    for node in ast.walk(tree):
+        if isinstance(node, ast.AnnAssign) or isinstance(node, ast.Assign):
+            targets = [node.target] if isinstance(node, ast.AnnAssign) else node.targets
+            for t in targets:
+                if isinstance(t, ast.Name) and t.id == "FAMILIES" and node.value:
+                    return ast.literal_eval(node.value)
+    print("ERROR: bench.py FAMILIES literal not found — cannot evaluate")
+    sys.exit(2)
 
 
 def load(path: str) -> dict:
@@ -75,25 +105,33 @@ def main() -> None:
 
     if len(oq) < 50 or len(nq) < 50:
         # a truncated driver tail: per-query maps are partial, so diff
-        # the family subtotals directly (additive-member caveat applies
-        # — cross-check the family's membership before reading a move
-        # as a regression)
+        # the RAW family subtotals. This is informational only — a raw
+        # subtotal cannot distinguish a regression from a query ADDED
+        # to the family (the r07 mutual_knn lesson) — so this path
+        # reports moves but never exits 1.
         of, nf = old.get("families", {}), new.get("families", {})
         fshared = sorted(set(of) & set(nf))
+        if not fshared:
+            print("ERROR: no comparable data survived in either input "
+                  "(no full query map, no shared families) — cannot evaluate")
+            sys.exit(2)
         ot, nt = sum(of[f] for f in fshared), sum(nf[f] for f in fshared)
         print(f"shared families: {len(fshared)}  subtotal {ot:.1f} -> "
-              f"{nt:.1f} s ({nt / ot:.2f}x)" if ot else "no shared families")
-        flagged = 0
+              f"{nt:.1f} s ({nt / ot:.2f}x)")
+        print("NOTE: raw family subtotals (query maps truncated) — moves "
+              "below may be ADDED members, not regressions; informational, "
+              "exit 0 either way")
+        moved = 0
         for f in fshared:
             if of[f] <= 0:
                 continue
             r = nf[f] / of[f]
             if (r > band or r < 1 / band) and abs(nf[f] - of[f]) > 0.5:
-                flagged += 1
+                moved += 1
                 print(f"  {f:20s} {of[f]:7.2f} -> {nf[f]:7.2f}  ({r:.2f}x)")
-        if not flagged:
+        if not moved:
             print("  no family beyond the band")
-        sys.exit(1 if flagged else 0)
+        sys.exit(0)
 
     shared = sorted(set(oq) & set(nq))
     added = sorted(set(nq) - set(oq))
@@ -109,29 +147,24 @@ def main() -> None:
 
     # family subtotals over shared queries only: recompute from the
     # query map so additive entries can't masquerade as regressions
-    try:
-        sys.path.insert(0, __file__.rsplit("/", 2)[0])
-        from bench import FAMILIES  # the live family map
-    except Exception:
-        FAMILIES = {}
+    FAMILIES = load_families()  # raises SystemExit(2) if unreadable
     flagged = 0
-    if FAMILIES:
-        print("\nfamily (shared-query subtotals, |move| > band AND > 0.5 s):")
-        for fam, members in FAMILIES.items():
-            ms = [q for q in members if q in oq and q in nq]
-            if not ms:
-                continue
-            o = sum(oq[q] for q in ms)
-            n = sum(nq[q] for q in ms)
-            if o <= 0:
-                continue
-            r = n / o
-            if (r > band or r < 1 / band) and abs(n - o) > 0.5:
-                flagged += 1
-                print(f"  {fam:20s} {o:7.2f} -> {n:7.2f}  ({r:.2f}x)  "
-                      f"[{len(ms)} shared queries]")
-        if not flagged:
-            print("  none beyond the band")
+    print("\nfamily (shared-query subtotals, |move| > band AND > 0.5 s):")
+    for fam, members in FAMILIES.items():
+        ms = [q for q in members if q in oq and q in nq]
+        if not ms:
+            continue
+        o = sum(oq[q] for q in ms)
+        n = sum(nq[q] for q in ms)
+        if o <= 0:
+            continue
+        r = n / o
+        if (r > band or r < 1 / band) and abs(n - o) > 0.5:
+            flagged += 1
+            print(f"  {fam:20s} {o:7.2f} -> {n:7.2f}  ({r:.2f}x)  "
+                  f"[{len(ms)} shared queries]")
+    if not flagged:
+        print("  none beyond the band")
 
     print("\nquery moves beyond 1.3x (noise threshold — informational):")
     noisy = 0

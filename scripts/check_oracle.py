@@ -2,7 +2,11 @@
 entry on Spark and its oracle_sql() on DuckDB at sf0.01, compare
 row-count, schema (column names), and order-insensitive values.
 
-Usage: python scripts/check_oracle.py [sf_dir] [query_name ...]
+Usage: python scripts/check_oracle.py [--vanilla] [sf_dir] [query_name ...]
+
+--vanilla runs the Spark side on a bare default-config SparkSession
+(the external gate's session shape) instead of the repo's tuned
+get_spark() — see the flag's comment in main().
 """
 
 from __future__ import annotations

@@ -1138,20 +1138,24 @@ def main() -> None:
     print(f"== mutual_knn_pairs_ivf equi probe join (probes never broadcast), single pair agg: {'OK' if ok else 'FAIL'}")
     failures += not ok
 
-    # 98. build-once graph artifacts (round 8): an algorithm entry that
-    # composes on a memoized persisted frame must actually READ it
-    # (InMemoryTableScan) instead of replaying construction — the
-    # bench's construction/algorithm split, asserted so it cannot
-    # silently unravel (a dropped memo would re-run the basket
-    # self-join inside the timed plan). Only the triangle entry is
-    # plan-checkable: the two connected-components consumers take the
-    # driver union-find cutover at fixture scale, so their RETURNED
-    # plan is a LocalTableScan either way (the memoized edge frame is
-    # consumed eagerly inside the operator).
-    plan = plan_of(m.queries()["copurchase_triangles"](spark, sf_dir))
-    ok = "InMemoryTableScan" in plan
-    print(f"== copurchase_triangles composes on the persisted built artifact: {'OK' if ok else 'FAIL'}")
-    failures += not ok
+    # 98. build-once graph artifacts (round 8): the graph-algorithm
+    # entries must register their construction output as a memoized
+    # persisted artifact instead of replaying it per call — the bench's
+    # construction/algorithm split, asserted so it cannot silently
+    # unravel. A plan-string check cannot see this (InMemoryRelation
+    # prints its cached child plan, so "lineitem" appears either way,
+    # and the CC consumers return driver-built LocalTableScans), so the
+    # check is behavioral: after invoking each entry, its memo key must
+    # be present in the registry's build-once cache.
+    for entry, memo_kind in (
+        ("copurchase_triangles", "copurchase_graph"),
+        ("copurchase_communities", "copurchase_graph"),
+        ("part_name_clusters", "fuzzy_part_edges"),
+    ):
+        m.queries()[entry](spark, sf_dir).count()
+        ok = (id(spark), sf_dir, memo_kind) in m._INDEX_MEMO
+        print(f"== {entry} composes on the memoized '{memo_kind}' artifact: {'OK' if ok else 'FAIL'}")
+        failures += not ok
 
     print(f"\n{'ALL PLANS OK' if not failures else f'{failures} PLAN CHECKS FAILED'}")
     spark.stop()
