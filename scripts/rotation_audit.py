@@ -12,14 +12,45 @@ arithmetic mechanical and auditable:
   - entries with NO green driver row yet (must be in the next window),
   - staleness ranking (oldest most-recent-green first — the re-green
     queue the next window fills up with),
+  - CHURN ranking (VERDICT r08 #1): an entry whose code or oracle
+    changed since its latest green driver row needs re-gating MORE than
+    an unchanged-but-stale one.  The driver's gate snapshot runs at an
+    unknown instant WITHIN its round (the winnow memo refactor landed
+    before the r07-close commit yet after the r07 gate had run), so a
+    green row from round N is only safely attributed to the tree at
+    round N's START — the audit therefore diffs each entry against the
+    commit that closed round N-1 (CORRECTNESS_r{N-1}.json's add
+    commit).  This over-flags churn that landed before the snapshot
+    (costing re-gate slots, never a missed re-gate) on three surfaces:
+      (a) the entry function's span in __spark_entry__.py, plus every
+          module-level helper it references transitively within the
+          entry file (memo builders, loaders, shared kernels),
+      (b) its oracle_sql() string,
+      (c) the oasisdb_spark/ module files its closure imports, expanded
+          through the package's internal import graph (a change to
+          pipeline/text.py flags every entry whose imports reach it).
+    Churned entries preempt the staleness queue in --next proposals.
   - what the CURRENT first-50 window covers, and which of its entries
     are first-timers vs re-greens,
   - red rows per round (diagnosis stays in VERDICT/COVERAGE; this just
     surfaces them).
 
-Usage: python scripts/rotation_audit.py [--next N]
-  --next N   also propose the next window: all never-green entries,
-             then the stalest re-greens, filling to N (default 50).
+Usage: python scripts/rotation_audit.py [--next N] [--churn]
+                                        [--since COMMIT]
+  --next N       also propose the next window: anchors, never-green
+                 entries, churned-since-green entries (stalest first),
+                 then unchanged re-greens by staleness, filling to N
+                 (default 50).
+  --churn        print the per-entry churn report (implied by --next).
+  --since COMMIT override the per-entry baseline with ONE explicit
+                 commit for every entry — use at round close to ask
+                 "what changed during THIS round after the window was
+                 staged" when pre-staging the following round.
+
+Caveat: the conservative baseline means an entry repaired early in
+round N and then gated green that same round still shows as churned;
+its position in the churn queue is last (staleness-ordered), so the
+over-flag costs nothing until genuinely-stale churn has drained.
 
 Read-only; exits 0 always (it reports, the staging decision is human).
 """
@@ -30,18 +61,20 @@ import glob
 import json
 import os
 import re
+import subprocess
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENTRY_FILE = "__spark_entry__.py"
 
 
 def registry_order() -> list[str]:
     """Parse the queries() registration order from __spark_entry__.py
     WITHOUT importing it (no pyspark needed): the dict literal's
     '"name": _fn,' lines in source order."""
-    src = open(os.path.join(REPO, "__spark_entry__.py")).read()
+    src = open(os.path.join(REPO, ENTRY_FILE)).read()
     m = re.search(r"\ndef queries\(\).*?return \{(.*?)\n    \}", src, re.S)
     if not m:
         raise SystemExit("could not locate the queries() dict literal")
@@ -67,12 +100,229 @@ def is_green(row: dict) -> bool:
     )
 
 
+# ---------------------------------------------------------------------------
+# Churn detection (VERDICT r08 #1)
+# ---------------------------------------------------------------------------
+
+
+def _git(*args: str) -> str:
+    return subprocess.run(
+        ["git", *args], cwd=REPO, capture_output=True, text=True, check=True
+    ).stdout
+
+
+def round_commits() -> dict[int, str]:
+    """Round N -> the commit that ADDED CORRECTNESS_r{N}.json (the
+    driver's round-close record commit)."""
+    out = {}
+    for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rel = os.path.basename(f)
+        rnd = int(re.search(r"_r(\d+)\.json$", rel).group(1))
+        log = _git("log", "--diff-filter=A", "--format=%H", "--", rel).split()
+        if log:
+            out[rnd] = log[-1]  # oldest add wins if the file was re-added
+    return out
+
+
+def parse_spans(src: str) -> dict[str, str]:
+    """Top-level 'def name(...)' spans of a source text, name -> text
+    (span runs to the next top-level def or EOF, so decorators between
+    functions ride with the following span — fine for diff purposes)."""
+    hits = list(re.finditer(r"^def ([A-Za-z_][A-Za-z0-9_]*)\(", src, re.M))
+    spans = {}
+    for i, m in enumerate(hits):
+        end = hits[i + 1].start() if i + 1 < len(hits) else len(src)
+        spans[m.group(1)] = src[m.start() : end]
+    return spans
+
+
+def parse_registry_fns(src: str) -> dict[str, str]:
+    """Registry name -> entry function name, from the queries() dict.
+    Lambda-bound entries (e.g. 'knn_flat_cos': lambda s, d:
+    _knn_flat(s, d, "cos")) resolve to the function the lambda calls."""
+    m = re.search(r"\ndef queries\(\).*?return \{(.*?)\n    \}", src, re.S)
+    if not m:
+        return {}
+    out = dict(re.findall(r'^\s{8}"([a-z0-9_]+)": (\w+),', m.group(1), re.M))
+    out.update(re.findall(
+        r'^\s{8}"([a-z0-9_]+)": lambda [a-z, ]+: (\w+)\(', m.group(1), re.M))
+    return out
+
+
+def parse_oracles(src: str) -> dict[str, str]:
+    """Registry name -> oracle SQL text, by exec'ing the module text
+    (regexing multi-line SQL literals out of source is brittle; the
+    module is import-side-effect-free by driver contract)."""
+    ns: dict = {}
+    exec(compile(src, "<entry-generation>", "exec"), ns)
+    return dict(ns["oracle_sql"]())
+
+
+def code_only(text: str) -> str:
+    """Strip triple-quoted strings (docstrings cite function names in
+    prose) and # comments, so reference scans see code only."""
+    text = re.sub(r'""".*?"""|\'\'\'.*?\'\'\'', "", text, flags=re.S)
+    return re.sub(r"#[^\n]*", "", text)
+
+
+def closure_fns(spans: dict[str, str], root: str) -> set[str]:
+    """Transitive set of top-level functions reachable from `root` via
+    CODE references inside span texts.  Only `_`-prefixed helpers are
+    followed — the registry/driver surfaces (queries, bench_queries,
+    oracle_sql, entry) reference every function and would make each
+    closure the whole file."""
+    seen, todo = set(), [root]
+    while todo:
+        fn = todo.pop()
+        if fn in seen or fn not in spans:
+            continue
+        seen.add(fn)
+        body = code_only(spans[fn])
+        for other in spans:
+            if (other not in seen and other.startswith("_")
+                    and re.search(rf"\b{re.escape(other)}\b", body)):
+                todo.append(other)
+    return seen
+
+
+def module_files(text: str) -> set[str]:
+    """oasisdb_spark module files referenced by a source text (dotted
+    references + 'from oasisdb_spark import a, b' forms), as repo-
+    relative paths."""
+    mods = {m.group(0) for m in re.finditer(r"\boasisdb_spark(?:\.[a-zA-Z0-9_]+)+", text)}
+    for m in re.finditer(r"from oasisdb_spark import ([a-zA-Z0-9_, ]+)", text):
+        for name in m.group(1).split(","):
+            if name.strip():
+                mods.add("oasisdb_spark." + name.strip())
+    files = set()
+    for mod in mods:
+        p = mod.replace(".", "/")
+        if os.path.isfile(os.path.join(REPO, p + ".py")):
+            files.add(p + ".py")
+        elif os.path.isdir(os.path.join(REPO, p)):
+            files.add(p + "/__init__.py")
+        else:
+            # 'oasisdb_spark.index.ivf.knn_ivf'-style attribute tail:
+            # walk back to the longest real module prefix
+            parts = p.split("/")
+            while len(parts) > 1:
+                parts.pop()
+                q = "/".join(parts)
+                if os.path.isfile(os.path.join(REPO, q + ".py")):
+                    files.add(q + ".py")
+                    break
+    return files
+
+
+def package_reverse_closure(changed: set[str]) -> set[str]:
+    """Expand a set of changed oasisdb_spark files to every package file
+    whose internal imports (transitively) reach one of them."""
+    graph: dict[str, set[str]] = {}
+    for path in glob.glob(os.path.join(REPO, "oasisdb_spark", "**", "*.py"), recursive=True):
+        rel = os.path.relpath(path, REPO)
+        graph[rel] = module_files(code_only(open(path).read())) - {rel}
+    affected = set(changed)
+    moved = True
+    while moved:
+        moved = False
+        for rel, deps in graph.items():
+            if rel not in affected and deps & affected:
+                affected.add(rel)
+                moved = True
+    return affected
+
+
+class Generation:
+    """Parsed view of __spark_entry__.py at one commit (or worktree)."""
+
+    def __init__(self, src: str):
+        self.spans = parse_spans(src)
+        self.fns = parse_registry_fns(src)
+        try:
+            self.oracles = parse_oracles(src)
+        except Exception as exc:  # old generation no longer exec-able
+            print(f"  [churn] WARNING: could not exec generation: {exc}")
+            self.oracles = {}
+
+
+def entry_churn(names: list[str], greens: dict[str, list[int]],
+                since: str | None = None) -> dict[str, list[str]]:
+    """Registry name -> list of churn reasons ('' list = unchanged since
+    its latest green).  Entries with no green row are skipped (they are
+    never-green and already preempt everything)."""
+    commits = round_commits()
+    head = Generation(open(os.path.join(REPO, ENTRY_FILE)).read())
+
+    # distinct baselines to diff against: round N's green row is only
+    # safely attributed to the tree at round N's START (see module
+    # docstring), i.e. the commit that closed round N-1
+    base_of: dict[str, str] = {}
+    for n in names:
+        if not greens[n]:
+            continue
+        base = since if since else commits.get(max(greens[n]) - 1)
+        if base:
+            base_of[n] = base
+
+    gens: dict[str, Generation] = {}
+    changed_files: dict[str, set[str]] = {}
+    for sha in sorted(set(base_of.values())):
+        try:
+            gens[sha] = Generation(_git("show", f"{sha}:{ENTRY_FILE}"))
+        except subprocess.CalledProcessError:
+            gens[sha] = Generation("")
+        diff = _git("diff", "--name-only", sha, "HEAD", "--", "oasisdb_spark/")
+        changed_files[sha] = package_reverse_closure(
+            {f for f in diff.split() if f.endswith(".py")}
+        )
+
+    churn: dict[str, list[str]] = {}
+    for n, sha in base_of.items():
+        old = gens[sha]
+        reasons = []
+        fn = head.fns.get(n)
+        if not fn:
+            continue
+        closure = closure_fns(head.spans, fn)
+        touched = sorted(  # docstring/comment-only edits don't count
+            f for f in closure
+            if code_only(head.spans.get(f, "")) != code_only(old.spans.get(f, ""))
+        )
+        if touched:
+            reasons.append("entry-fns: " + ", ".join(touched[:4])
+                           + ("…" if len(touched) > 4 else ""))
+        if old.oracles and head.oracles.get(n) != old.oracles.get(n):
+            reasons.append("oracle-sql")
+        deps = set()
+        for f in closure:
+            deps |= module_files(code_only(head.spans[f]))
+        hit = sorted(deps & changed_files[sha])
+        if hit:
+            reasons.append("modules: " + ", ".join(
+                os.path.basename(f) for f in hit[:5])
+                + ("…" if len(hit) > 5 else ""))
+        churn[n] = reasons
+    return churn
+
+
 def main() -> None:
     argv = sys.argv[1:]
     next_n = None
+    since = None
+    want_churn = "--churn" in argv
     if "--next" in argv:
         i = argv.index("--next")
-        next_n = int(argv[i + 1]) if len(argv) > i + 1 else 50
+        next_n = 50
+        if len(argv) > i + 1:
+            try:
+                next_n = int(argv[i + 1])
+            except ValueError:
+                pass  # non-numeric follower (flag/typo): keep default 50
+    if "--since" in argv:
+        i = argv.index("--since")
+        if len(argv) <= i + 1:
+            raise SystemExit("--since requires a commit argument")
+        since = argv[i + 1]
 
     names = registry_order()
     rounds = load_rounds()
@@ -129,20 +379,47 @@ def main() -> None:
     for n in stalest_behind[:15]:
         print(f"  latest green r{max(greens[n]):02d}  {n}")
 
+    churn: dict[str, list[str]] = {}
+    if want_churn or next_n:
+        churn = entry_churn(names, greens, since=since)
+        changed = [n for n in names if churn.get(n)]
+        label = f"since {since}" if since else "since their latest-green round commit"
+        print(f"\nchurned entries ({len(changed)}) — code or oracle changed {label}:")
+        for n in sorted(changed, key=lambda n: (max(greens[n]), names.index(n))):
+            print(f"  r{max(greens[n]):02d}  {n:35s} {'; '.join(churn[n])}")
+
     if next_n:
         proposal = [n for n in names[:2]]  # standing anchors stay
         proposal += [n for n in never if n not in proposal]
+        # churned entries preempt the pure-staleness queue: DIRECT churn
+        # (the entry's own function span or oracle SQL changed) before
+        # module-dep-only churn, each tier stalest first — direct churn
+        # is the entry's own semantics; module churn is the (wider,
+        # more conservative) transitive-import signal
+        def direct(n: str) -> bool:
+            return any(r.startswith(("entry-fns", "oracle-sql"))
+                       for r in churn.get(n, []))
+
+        churned_q = [n for n in regreens if churn.get(n) and n not in proposal]
+        for n in sorted(churned_q, key=lambda n: (not direct(n),
+                                                  max(greens[n]),
+                                                  names.index(n))):
+            if len(proposal) >= next_n:
+                break
+            proposal.append(n)
         for n in regreens:
             if len(proposal) >= next_n:
                 break
             if n not in proposal:
                 proposal.append(n)
+        n_churned = len([n for n in churned_q if n in proposal])
         print(f"\nproposed next window ({len(proposal[:next_n])} entries; "
               f"2 anchors + {len([n for n in never if n not in names[:2]])} "
-              f"never-green + stalest re-greens):")
+              f"never-green + {n_churned} churned + stalest re-greens):")
         for i, n in enumerate(proposal[:next_n], 1):
             tag = "NEVER-GREEN" if not greens[n] else f"r{max(greens[n]):02d}"
-            print(f"  {i:2d}. {n:35s} {tag}")
+            flag = "  CHURNED: " + "; ".join(churn[n]) if churn.get(n) else ""
+            print(f"  {i:2d}. {n:35s} {tag}{flag}")
 
 
 if __name__ == "__main__":
