@@ -5193,31 +5193,115 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # = 2+10+4+28+6 = 50. Registry frozen at 197 (VERDICT r07 #4) —
     # ZERO net-new entries this round.
     #
-    # ROUND-9 ROTATION TODO (stage EARLY; run
-    # `python scripts/rotation_audit.py --next 50` against
-    # CORRECTNESS_r08 before finalizing — the staging arithmetic is now
-    # mechanical). The audit ranks by LATEST green round, which
-    # corrects the r07-era hand draft: that draft tracked "only green
-    # round" and so missed 19 entries BEHIND the window whose latest
-    # green is r04 (green in r02 AND r04 — knn_ivf, knn_ivfpq,
-    # knn_lsh, knn_hamming_packed, auto_embed, doc_repetition,
-    # order_count_distribution, q12_priority_shipping,
-    # q14_promo_revenue, knn_flat_l2, search_documents_filtered,
-    # vector_lookup, exact_dedup, minhash_signatures,
-    # minhash_lsh_pairs, embedding_neardup, simhash, langid,
-    # text_stats) — these are STALER than the draft's r05/r06-only
-    # picks and go first. Assuming a green r08: window = 2 anchors +
-    # those 19 r04-latest + the 29 stalest r05-latest (the audit
-    # prints them in order) = 50; any r08 red/no-row entries preempt
+    # ROUND-9 ROTATION (EXECUTED — supersedes the r08-era draft below
+    # per VERDICT r08 #1: staleness alone is blind to code churn). The
+    # r08-era draft (2 anchors + 19 r04-latest + 29 stalest r05-latest)
+    # would have re-gated 48 unchanged-but-stale entries while leaving
+    # every entry whose code or oracle changed in round 8 holding a
+    # green row for the PREVIOUS generation of its code. rotation_audit
+    # is now change-aware: it git-diffs each entry's function-span
+    # closure, oracle SQL, and transitively-imported oasisdb_spark
+    # modules against the commit that OPENED its latest-green round
+    # (the gate snapshot instant within a round is unknowable, so
+    # round-start is the safe attribution). Window = 2 anchors + the 38
+    # stalest DIRECT-churned entries (own span / oracle SQL changed —
+    # r04-latest knn tier + cast-pinned oracles + memo refactors +
+    # price_quartiles' breaking schema) + the 9 VERDICT-named NULL-
+    # hardening/memo-touched r07-latest force-includes + 1 stalest
+    # module-churned fill = 50. Deliberately deferred to r10 (named in
+    # the verdict's direct tier but displaced by the force-includes):
+    # knn_flat_cos/ip/hamming (share _knn_flat with the gated
+    # knn_flat_l2) and q7/q8/q9 (cast-pin-only churn, same pattern as
+    # the 12 cast repairs gated green in r08).
+    #
+    # ROUND-10 ROTATION TODO (stage EARLY): re-run
+    # `python scripts/rotation_audit.py --next 50` — the behind-window
+    # section below is pre-ordered as the r10 queue (remaining direct-
+    # churned, then module-churned, then unchanged, stalest first), but
+    # round-9 churn reshuffles it; any r09 red/no-row entries preempt
     # from the front.
     return {
-        # --- ROUND-8 WINDOW (positions 1-50) ---
+        # --- ROUND-9 WINDOW (positions 1-50) — staged from the
+        # change-aware churn ranking (scripts/rotation_audit.py,
+        # VERDICT r08 #1): an entry whose code or oracle changed
+        # since its latest green driver row preempts the pure-
+        # staleness queue; DIRECT churn (own function span / oracle
+        # SQL) outranks transitive module churn. ---
         # anchors (1-2)
         "collection_lifecycle": _collection_lifecycle,
         "knn_ivfsq": _knn_ivfsq,
-        # the 10 r07 hash-fail repairs, re-gated (3-12): driver-red in
-        # r07 on un-cast HUGEINT oracle columns only (rows+schema
-        # matched; VERDICT r07 #1) — oracles now CAST AS BIGINT
+        # direct churn since latest green, stalest first (3-40):
+        # the round-8 int-width oracle cast pins (most of the
+        # oracle-sql tags), the memo/compose refactors
+        # (copurchase_triangles/communities, part_name_clusters,
+        # docs_pmi_collocations, minhash_lsh_pairs, pca_knn,
+        # mutual_knn_pairs_ivf), and the price_quartiles BREAKING
+        # schema change (MIGRATING.md)
+        "knn_ivf": _knn_ivf,
+        "knn_ivfpq": _knn_ivfpq,
+        "knn_lsh": _knn_lsh,
+        "knn_hamming_packed": _knn_hamming_packed,
+        "auto_embed": _auto_embed,
+        "doc_repetition": _doc_repetition,
+        "q12_priority_shipping": _q12_priority_shipping,
+        "knn_flat_l2": lambda s, d: _knn_flat(s, d, "l2"),
+        "search_documents_filtered": _search_documents_filtered,
+        "vector_lookup": _vector_lookup,
+        "minhash_lsh_pairs": _minhash_lsh_pairs,
+        "text_stats": _text_stats,
+        "pca_knn": _pca_knn,
+        "retrieval_rank_eval": _retrieval_rank_eval,
+        "hybrid_search_rrf": _hybrid_search,
+        "price_quartiles": _price_quartiles,
+        "docs_mining_stream": _docs_mining_stream,
+        "fim_samples": _fim_samples,
+        "hard_negatives": _hard_negatives,
+        "hard_negatives_ivf": _hard_negatives_ivf,
+        "topic_balanced_sample": _topic_balanced_sample,
+        "pii_scrub": _pii_scrub,
+        "gopher_filter": _gopher_filter,
+        "search_filtered_ivf": _search_filtered_ivf,
+        "curation_pipeline": _curation_pipeline,
+        "knn_binq": _knn_binq,
+        "tfidf_top_terms": _tfidf_top_terms,
+        "knn_brute": _knn_brute,
+        "doc_fingerprint": _doc_fingerprint,
+        "top3_orders_per_customer": _top3_orders_per_customer,
+        "copurchase_triangles": _copurchase_triangles,
+        "docs_pmi_collocations": _docs_pmi_collocations,
+        "events_credit_split": _events_credit_split,
+        "copurchase_communities": _copurchase_communities,
+        "orders_benford": _orders_benford,
+        "events_seasonal_resid": _events_seasonal_resid,
+        "part_name_clusters": _part_name_clusters,
+        "mutual_knn_pairs_ivf": _mutual_knn_pairs_ivf,
+        # VERDICT r08 #1 named force-includes (41-49): the NULL-
+        # hardening-touched / memo-refactored r07-latest set (module-
+        # churn tier; winnow_contamination shows NO churn since its
+        # r07 gate under the audit — included anyway as named)
+        "winnow_contamination": _winnow_contamination,
+        "lineitem_skyline": _lineitem_skyline,
+        "order_status_scd2": _order_status_scd2,
+        "events_twap": _events_twap,
+        "copurchase_pairs": _copurchase_pairs,
+        "copurchase_rules": _copurchase_rules,
+        "events_outliers": _events_outliers,
+        "cluster_balanced": _cluster_balanced,
+        "events_gapfill_interp": _events_gapfill_interp,
+        # stalest round-8 module-churned fill (50)
+        "orders_snapshot_diff": _orders_snapshot_diff,
+        # --- BEHIND THE WINDOW (positions 51-197): ordered as the
+        # r10 re-gate queue — remaining direct-churned, then module-
+        # churned, then unchanged, stalest first (VERDICT r08 #7;
+        # re-run rotation_audit.py --next 50 at r10 staging time:
+        # round-9 churn reshuffles this) ---
+        # direct-churned
+        "knn_flat_cos": lambda s, d: _knn_flat(s, d, "cos"),
+        "knn_flat_ip": lambda s, d: _knn_flat(s, d, "ip"),
+        "knn_flat_hamming": lambda s, d: _knn_flat(s, d, "hamming"),
+        "q7_nation_trade": _q7_nation_trade,
+        "q8_market_share": _q8_market_share,
+        "q9_product_profit": _q9_product_profit,
         "events_value_drift": _events_value_drift,
         "events_drift_stream": _events_drift_stream,
         "events_ohlc": _events_ohlc,
@@ -5228,70 +5312,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_rfm": _customer_rfm,
         "events_chi2_gate": _events_chi2_gate,
         "conversion_survival": _conversion_survival,
-        # the 4 streaming twins, first driver rows (13-16) — deferred
-        # from r07; two SHARE the repaired cusum/ohlc oracles
-        "docs_heavy_stream": _docs_heavy_stream,
         "events_ohlc_stream": _events_ohlc_stream,
         "events_cusum_stream": _events_cusum_stream,
         "events_seasonal_stream": _events_seasonal_stream,
-        # the 28 entries whose ONLY driver row is r04, re-gated
-        # (17-44; alphabetical)
-        "bloom_semijoin": _bloom_semijoin,
-        "bm25_search_indexed": _bm25_search_indexed,
-        "cohort_retention": _cohort_retention,
         "docs_gopher_stream": _docs_gopher_stream,
-        "docs_lm_stream": _docs_lm_stream,
-        "docs_neardup_stream": _docs_neardup_stream,
-        "event_funnel": _event_funnel,
-        "events_funnel_stream": _events_funnel_stream,
-        "fuzzy_name_pairs": _fuzzy_name_pairs,
-        "heavy_hitters": _heavy_hitters,
         "hybrid_search_indexed": _hybrid_search_indexed,
-        "image_dhash": _image_dhash,
-        "jaccard_pairs_prefix": _jaccard_pairs_prefix,
-        "lm_perplexity": _lm_perplexity,
-        "lsh_recall_eval": _lsh_recall_eval,
         "maxsim_search": _maxsim_search,
-        "perplexity_buckets": _perplexity_buckets,
-        "quality_prune": _quality_prune,
-        "semantic_dedup": _semantic_dedup,
-        "sequence_pack_bins": _sequence_pack_bins,
-        "sequence_pack_chunks": _sequence_pack_chunks,
-        "sliding_chunks": _sliding_chunks,
-        "substring_dup_stats": _substring_dup_stats,
-        "table_profile": _table_profile,
-        "token_budget_sample": _token_budget_sample,
-        "training_corpus_pipeline": _training_corpus_pipeline,
-        "weighted_sample": _weighted_sample,
-        "zorder_scan": _zorder_scan,
-        # the 6 alphabetically-first r05-only entries, re-gated (45-50)
-        "activity_hot_overlap": _activity_hot_overlap,
-        "data_quality_gate": _data_quality_gate,
         "dedup_keep_best": _dedup_keep_best,
-        "events_hourly_gapfill": _events_hourly_gapfill,
-        "leakage_safe_split": _leakage_safe_split,
-        "line_scrub": _line_scrub,
-        # --- behind the window (staleness-ordered: r09 pulls from the
-        # top of this section; see ROUND-9 ROTATION TODO above) ---
-        # the 7 remaining r05-only entries (r09 slots 3-9)
-        "orders_snapshot_diff": _orders_snapshot_diff,
-        "pca_knn": _pca_knn,
+        # module-dep-churned
+        "exact_dedup": _exact_dedup,
+        "minhash_signatures": _minhash_signatures,
+        "embedding_neardup": _embedding_neardup,
+        "simhash": _simhash,
+        "langid": _langid,
         "quality_gate_stream": _quality_gate_stream,
-        "retrieval_rank_eval": _retrieval_rank_eval,
         "shard_manifest": _shard_manifest,
         "token_estimate": _token_estimate,
-        "training_shards": _training_shards,
-        # the 8 r06-only entries (r09 slots 10-17)
+        "dedup_clusters": _dedup_clusters,
+        "price_band_join": _price_band_join,
+        "sequence_pack_nextfit": _sequence_pack_nextfit,
+        "events_segment_rollup_salted": _events_segment_rollup_salted,
+        "top_bigrams": _top_bigrams,
+        "events_approx_distinct": _events_approx_distinct,
+        "events_dedup_stream": _events_dedup_stream,
         "docs_dsir_stream": _docs_dsir_stream,
-        "docs_mining_stream": _docs_mining_stream,
         "dsir_select": _dsir_select,
         "epoch_mixture": _epoch_mixture,
-        "fim_samples": _fim_samples,
-        "hard_negatives": _hard_negatives,
-        "hard_negatives_ivf": _hard_negatives_ivf,
-        "topic_balanced_sample": _topic_balanced_sample,
-        # oldest double-green block: green in r03 AND r05 (35 entries;
-        # r09 takes the first 33 as fill, the last 2 roll to r10)
+        "ngram_contamination": _ngram_contamination,
+        "line_dedup": _line_dedup,
+        "source_mixture": _source_mixture,
+        "ngram_jaccard_pairs": _ngram_jaccard_pairs,
+        "cross_source_leakage": _cross_source_leakage,
+        "events_asof_join": _events_asof_join,
+        "kmeans_cells": _kmeans_cells,
+        "proto_prune": _proto_prune,
+        "value_quantiles_sketch": _value_quantiles_sketch,
+        "events_quantiles_stream": _events_quantiles_stream,
+        "event_type_quantiles": _event_type_quantiles,
+        "trade_pagerank": _trade_pagerank,
+        "contrastive_triplets": _contrastive_triplets,
+        "trade_hits": _trade_hits,
+        "mutual_knn_pairs": _mutual_knn_pairs,
+        "events_attribution": _events_attribution,
+        "orders_flag_overlap": _orders_flag_overlap,
+        "events_value_trend": _events_value_trend,
+        "events_session_paths": _events_session_paths,
+        "langid_kappa": _langid_kappa,
+        "events_windowed_funnel": _events_windowed_funnel,
+        "embedding_drift": _embedding_drift,
+        "events_rapid_repeats": _events_rapid_repeats,
+        "events_xcorr": _events_xcorr,
+        "docs_heavy_stream": _docs_heavy_stream,
+        "bloom_semijoin": _bloom_semijoin,
+        "cohort_retention": _cohort_retention,
+        "event_funnel": _event_funnel,
+        "events_funnel_stream": _events_funnel_stream,
+        "heavy_hitters": _heavy_hitters,
+        "lsh_recall_eval": _lsh_recall_eval,
+        "quality_prune": _quality_prune,
+        "semantic_dedup": _semantic_dedup,
+        "sliding_chunks": _sliding_chunks,
+        "table_profile": _table_profile,
+        "token_budget_sample": _token_budget_sample,
+        "weighted_sample": _weighted_sample,
+        "zorder_scan": _zorder_scan,
+        "data_quality_gate": _data_quality_gate,
+        "events_hourly_gapfill": _events_hourly_gapfill,
+        "leakage_safe_split": _leakage_safe_split,
+        # unchanged since latest green
+        "order_count_distribution": _order_count_distribution,
+        "q14_promo_revenue": _q14_promo_revenue,
+        "training_shards": _training_shards,
         "q15_top_supplier": _q15_top_supplier,
         "q16_supplier_counts": _q16_supplier_counts,
         "q20_part_share_suppliers": _q20_part_share_suppliers,
@@ -5304,17 +5395,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_activity_union": _daily_activity_union,
         "stratified_sample_documents": _stratified_sample_documents,
         "corpus_split": _corpus_split,
-        "dedup_clusters": _dedup_clusters,
-        "price_band_join": _price_band_join,
-        "sequence_pack_nextfit": _sequence_pack_nextfit,
         "events_props_json": _events_props_json,
-        "events_segment_rollup_salted": _events_segment_rollup_salted,
-        "top_bigrams": _top_bigrams,
         "frequent_users": _frequent_users,
-        "events_approx_distinct": _events_approx_distinct,
-        "hybrid_search_rrf": _hybrid_search,
         "bm25_search": _bm25_search,
-        "price_quartiles": _price_quartiles,
         "events_hourly": _events_hourly,
         "events_rolling_1h": _events_rolling_1h,
         "q2_cheapest_supplier": _q2_cheapest_supplier,
@@ -5322,33 +5405,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_stream": _events_hourly_stream,
         "events_enriched_stream": _events_enriched_stream,
         "events_sessionize_stream": _events_sessionize_stream,
-        "events_dedup_stream": _events_dedup_stream,
         "multimodal_decode": _multimodal_decode,
         "multimodal_frames": _multimodal_frames,
         "multimodal_audio": _multimodal_audio,
         "multimodal_resize": _multimodal_resize,
-        # green in r02/r03 AND r06 (the r06-window double-greens)
-        "pii_scrub": _pii_scrub,
-        "ngram_contamination": _ngram_contamination,
-        "line_dedup": _line_dedup,
-        "source_mixture": _source_mixture,
-        "gopher_filter": _gopher_filter,
-        "search_filtered_ivf": _search_filtered_ivf,
-        "curation_pipeline": _curation_pipeline,
-        "knn_binq": _knn_binq,
         "doc_length_histogram": _doc_length_histogram,
-        "tfidf_top_terms": _tfidf_top_terms,
-        "knn_flat_cos": lambda s, d: _knn_flat(s, d, "cos"),
-        "knn_flat_ip": lambda s, d: _knn_flat(s, d, "ip"),
-        "knn_flat_hamming": lambda s, d: _knn_flat(s, d, "hamming"),
-        "knn_brute": _knn_brute,
-        "doc_fingerprint": _doc_fingerprint,
-        "ngram_jaccard_pairs": _ngram_jaccard_pairs,
-        "cross_source_leakage": _cross_source_leakage,
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_shipping_priority": _q3_shipping_priority,
         "q5_nation_revenue": _q5_nation_revenue,
-        "top3_orders_per_customer": _top3_orders_per_customer,
         "customer_running_spend": _customer_running_spend,
         "part_brand_rollup": _part_brand_rollup,
         "customers_no_big_orders": _customers_no_big_orders,
@@ -5360,74 +5424,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "click_no_purchase_days": _click_no_purchase_days,
         "events_lead_lag": _events_lead_lag,
         "part_brand_cube": _part_brand_cube,
-        "events_asof_join": _events_asof_join,
         "q17_small_qty_revenue": _q17_small_qty_revenue,
         "q4_late_orders": _q4_late_orders,
-        "q7_nation_trade": _q7_nation_trade,
-        "q8_market_share": _q8_market_share,
-        "q9_product_profit": _q9_product_profit,
         "q10_returned_items": _q10_returned_items,
         "q11_value_concentration": _q11_value_concentration,
-        # green in r02 AND r04
-        "knn_ivf": _knn_ivf,
-        "knn_ivfpq": _knn_ivfpq,
-        "knn_lsh": _knn_lsh,
-        "knn_hamming_packed": _knn_hamming_packed,
-        "auto_embed": _auto_embed,
-        "doc_repetition": _doc_repetition,
-        "order_count_distribution": _order_count_distribution,
-        "q12_priority_shipping": _q12_priority_shipping,
-        "q14_promo_revenue": _q14_promo_revenue,
-        "knn_flat_l2": lambda s, d: _knn_flat(s, d, "l2"),
-        "search_documents_filtered": _search_documents_filtered,
-        "vector_lookup": _vector_lookup,
-        "exact_dedup": _exact_dedup,
-        "minhash_signatures": _minhash_signatures,
-        "minhash_lsh_pairs": _minhash_lsh_pairs,
-        "embedding_neardup": _embedding_neardup,
-        "simhash": _simhash,
-        "langid": _langid,
-        "text_stats": _text_stats,
-        # green in r07 only (the freshest rows — lowest rotation
-        # priority; the r06 batch-2/3/4 additions + mutual_knn_pairs_ivf)
-        "kmeans_cells": _kmeans_cells,
-        "proto_prune": _proto_prune,
-        "cluster_balanced": _cluster_balanced,
-        "value_quantiles_sketch": _value_quantiles_sketch,
         "winnow_fingerprints": _winnow_fingerprints,
-        "winnow_contamination": _winnow_contamination,
         "bpe_merges": _bpe_merges,
         "bpe_token_counts": _bpe_token_counts,
-        "events_quantiles_stream": _events_quantiles_stream,
-        "order_status_scd2": _order_status_scd2,
-        "event_type_quantiles": _event_type_quantiles,
-        "trade_pagerank": _trade_pagerank,
-        "contrastive_triplets": _contrastive_triplets,
-        "trade_hits": _trade_hits,
-        "copurchase_pairs": _copurchase_pairs,
-        "copurchase_triangles": _copurchase_triangles,
-        "events_outliers": _events_outliers,
-        "mutual_knn_pairs": _mutual_knn_pairs,
-        "docs_pmi_collocations": _docs_pmi_collocations,
-        "lineitem_skyline": _lineitem_skyline,
-        "events_attribution": _events_attribution,
-        "orders_flag_overlap": _orders_flag_overlap,
-        "events_value_trend": _events_value_trend,
-        "events_session_paths": _events_session_paths,
-        "events_credit_split": _events_credit_split,
-        "langid_kappa": _langid_kappa,
-        "events_gapfill_interp": _events_gapfill_interp,
-        "copurchase_communities": _copurchase_communities,
-        "orders_benford": _orders_benford,
-        "copurchase_rules": _copurchase_rules,
-        "events_windowed_funnel": _events_windowed_funnel,
-        "events_seasonal_resid": _events_seasonal_resid,
-        "embedding_drift": _embedding_drift,
-        "events_rapid_repeats": _events_rapid_repeats,
-        "events_xcorr": _events_xcorr,
-        "events_twap": _events_twap,
-        "part_name_clusters": _part_name_clusters,
-        "mutual_knn_pairs_ivf": _mutual_knn_pairs_ivf,
+        "bm25_search_indexed": _bm25_search_indexed,
+        "docs_lm_stream": _docs_lm_stream,
+        "docs_neardup_stream": _docs_neardup_stream,
+        "fuzzy_name_pairs": _fuzzy_name_pairs,
+        "image_dhash": _image_dhash,
+        "jaccard_pairs_prefix": _jaccard_pairs_prefix,
+        "lm_perplexity": _lm_perplexity,
+        "perplexity_buckets": _perplexity_buckets,
+        "sequence_pack_bins": _sequence_pack_bins,
+        "sequence_pack_chunks": _sequence_pack_chunks,
+        "substring_dup_stats": _substring_dup_stats,
+        "training_corpus_pipeline": _training_corpus_pipeline,
+        "activity_hot_overlap": _activity_hot_overlap,
+        "line_scrub": _line_scrub,
     }
 
 def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

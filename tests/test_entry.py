@@ -39,42 +39,40 @@ def test_registry_arithmetic_matches_coverage_doc():
     assert int(m.group(1)) == len(qs), (
         f"COVERAGE.md header says {m.group(1)} entries, registry has {len(qs)}"
     )
-    # the driver gates the first 50 entries; the round-8 window must
-    # contain the standing anchors, the 10 r07 hash-fail repairs
-    # (VERDICT r07 #1/#3), the 4 never-gated streaming twins, the 28
-    # r04-only re-greens, and the 6 alphabetically-first r05-only
-    # entries — 2+10+4+28+6 = 50 exactly
+    # the driver gates the first 50 entries; the round-9 window
+    # (VERDICT r08 #1, change-aware staging) must contain the standing
+    # anchors, the 38 stalest direct-churned entries (own function span
+    # or oracle SQL changed since their latest green driver row), the
+    # 9 verdict-named NULL-hardening/memo-touched r07-latest
+    # force-includes, and 1 stalest module-churned fill — 2+38+9+1 = 50
     window = list(qs)[:50]
     anchors = {"collection_lifecycle", "knn_ivfsq"}
-    r07_red_repairs = {
-        "events_value_drift", "events_drift_stream", "events_ohlc",
-        "events_cusum", "events_ohlc_daily", "event_type_transitions",
-        "events_rolling_anomaly", "customer_rfm", "events_chi2_gate",
-        "conversion_survival",
+    direct_churned = {
+        "knn_ivf", "knn_ivfpq", "knn_lsh", "knn_hamming_packed",
+        "auto_embed", "doc_repetition", "q12_priority_shipping",
+        "knn_flat_l2", "search_documents_filtered", "vector_lookup",
+        "minhash_lsh_pairs", "text_stats", "pca_knn",
+        "retrieval_rank_eval", "hybrid_search_rrf", "price_quartiles",
+        "docs_mining_stream", "fim_samples", "hard_negatives",
+        "hard_negatives_ivf", "topic_balanced_sample", "pii_scrub",
+        "gopher_filter", "search_filtered_ivf", "curation_pipeline",
+        "knn_binq", "tfidf_top_terms", "knn_brute", "doc_fingerprint",
+        "top3_orders_per_customer", "copurchase_triangles",
+        "docs_pmi_collocations", "events_credit_split",
+        "copurchase_communities", "orders_benford",
+        "events_seasonal_resid", "part_name_clusters",
+        "mutual_knn_pairs_ivf",
     }
-    streaming_twins = {
-        "docs_heavy_stream", "events_ohlc_stream",
-        "events_cusum_stream", "events_seasonal_stream",
+    named_force_includes = {
+        "winnow_contamination", "lineitem_skyline", "order_status_scd2",
+        "events_twap", "copurchase_pairs", "copurchase_rules",
+        "events_outliers", "cluster_balanced", "events_gapfill_interp",
     }
-    r04_only = {
-        "bloom_semijoin", "bm25_search_indexed", "cohort_retention",
-        "docs_gopher_stream", "docs_lm_stream", "docs_neardup_stream",
-        "event_funnel", "events_funnel_stream", "fuzzy_name_pairs",
-        "heavy_hitters", "hybrid_search_indexed", "image_dhash",
-        "jaccard_pairs_prefix", "lm_perplexity", "lsh_recall_eval",
-        "maxsim_search", "perplexity_buckets", "quality_prune",
-        "semantic_dedup", "sequence_pack_bins", "sequence_pack_chunks",
-        "sliding_chunks", "substring_dup_stats", "table_profile",
-        "token_budget_sample", "training_corpus_pipeline",
-        "weighted_sample", "zorder_scan",
-    }
-    r05_head = {
-        "activity_hot_overlap", "data_quality_gate", "dedup_keep_best",
-        "events_hourly_gapfill", "leakage_safe_split", "line_scrub",
-    }
+    module_churned_fill = {"orders_snapshot_diff"}
     assert (
         set(window)
-        == anchors | r07_red_repairs | streaming_twins | r04_only | r05_head
+        == anchors | direct_churned | named_force_includes
+        | module_churned_fill
     )
     assert window[:2] == ["collection_lifecycle", "knn_ivfsq"]
 
