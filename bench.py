@@ -1,7 +1,11 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "families": {family: sec}, "sf": ...}.
+compact JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"families": {family: sec}, "sf": ..., "n_queries": N,
+"per_query_record": "BENCH_LOCAL_sf*.json"}.  The full per-query map is
+written to that committed record file — the driver captures only the
+tail of stdout, and the 160+-entry per-query dict would overflow it
+(VERDICT r08 #4).
 
 Queries are grouped into FAMILIES so regressions localize round-over-
 round (the relational tier runs the full 22-query TPC-H-shape sweep as
@@ -219,11 +223,13 @@ def main() -> None:
         for fam, members in FAMILIES.items()
     }
     sf = SF_DIR.rstrip("/").split("sf")[-1]
-    # Key order matters: the driver records only the TAIL of stdout
-    # (2000 chars — BENCH_r0{3..6}.json all show parsed=None because
-    # the per-query dict pushed the aggregates off the front), so the
-    # big per-query dict goes FIRST and the aggregate fields
-    # (families, value, sf, method) go LAST where the tail keeps them.
+    # The driver records only the TAIL of stdout (~4 KB), and the
+    # 160+-entry per-query dict is bigger than that — every
+    # BENCH_r0{3..8}.json shows parsed=None because the line's head
+    # (or tail) was cut no matter the key order.  VERDICT r08 #4 fix:
+    # stdout carries ONE COMPACT JSON line (total + families + method —
+    # always well under the capture window), and the full per-query
+    # map goes to the committed BENCH_LOCAL_sf*.json record only.
     out = {
         "metric": "headline_queries_total_sec",
         "queries": timings,
@@ -239,7 +245,13 @@ def main() -> None:
             ),
         },
     }
-    print(json.dumps(out))
+    compact = {k: v for k, v in out.items() if k != "queries"}
+    compact["n_queries"] = len(timings)
+    compact["per_query_record"] = (
+        f"BENCH_LOCAL_sf{sf}.json"
+        if str(sf).replace(".", "").isdigit() else "BENCH_LOCAL.json"
+    )
+    print(json.dumps(compact))
     # the complete record, immune to stdout-tail truncation — the
     # judge/driver can read per-query numbers here when the one-line
     # contract overflows their capture window. SF-stamped so a smoke at
