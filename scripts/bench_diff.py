@@ -18,9 +18,13 @@ the driver's BENCH_r*.json wrapper (whose "tail" holds the JSON line).
 Exit codes:
   0 — evaluated; no family's SHARED-query subtotal moved beyond the
       band AND 0.5 s absolute. Also used for the families-only
-      fallback (truncated wrapper tails), which is INFORMATIONAL: raw
-      family subtotals cannot distinguish a regression from an added
-      member, so that path never flags.
+      fallback, which is INFORMATIONAL: raw family subtotals cannot
+      distinguish a regression from an added member, so that path
+      never flags. The fallback is taken only for salvaged/truncated
+      wrapper tails or records with no per-query map at all (the
+      driver's compact line); a small-but-COMPLETE query map (e.g.
+      one family deliberately re-measured) takes the full-map path
+      and can exit 1.
   1 — evaluated on full query maps; some family's shared-query
       subtotal moved beyond the band — the "needs a look" signal, not
       proof of a regression (BASELINE.md: confirm with a controlled
@@ -87,6 +91,7 @@ def load(path: str) -> dict:
             print(f"note: {path} tail is truncated — salvaged "
                   f"{len(out.get('queries', {}))} query / "
                   f"{len(out.get('families', {}))} family timings")
+            out["_salvaged"] = True
             return out
     return d
 
@@ -103,12 +108,18 @@ def main() -> None:
     old, new = load(argv[0]), load(argv[1])
     oq, nq = old.get("queries", {}), new.get("queries", {})
 
-    if len(oq) < 50 or len(nq) < 50:
-        # a truncated driver tail: per-query maps are partial, so diff
-        # the RAW family subtotals. This is informational only — a raw
-        # subtotal cannot distinguish a regression from a query ADDED
-        # to the family (the r07 mutual_knn lesson) — so this path
-        # reports moves but never exits 1.
+    salvaged = "_salvaged" in old or "_salvaged" in new
+    if salvaged or not oq or not nq:
+        # a truncated/salvaged driver tail, or a record with no
+        # per-query map at all (the compact driver line): per-query
+        # data is partial or absent, so diff the RAW family subtotals.
+        # This is informational only — a raw subtotal cannot
+        # distinguish a regression from a query ADDED to the family
+        # (the r07 mutual_knn lesson) — so this path reports moves but
+        # never exits 1.  A SMALL-but-complete query map (e.g. one
+        # family deliberately re-measured) takes the full-map path
+        # below and CAN exit 1 — salvage state, not map size, picks
+        # the path (VERDICT r08 advice).
         of, nf = old.get("families", {}), new.get("families", {})
         fshared = sorted(set(of) & set(nf))
         if not fshared:
@@ -136,6 +147,12 @@ def main() -> None:
     shared = sorted(set(oq) & set(nq))
     added = sorted(set(nq) - set(oq))
     removed = sorted(set(oq) - set(nq))
+    if not shared:
+        # disjoint full query maps: nothing was actually compared, so
+        # 'clean' would be a lie — unevaluable, like the fshared case
+        print("ERROR: the two full query maps share no queries — "
+              "cannot evaluate")
+        sys.exit(2)
     ot = sum(oq[q] for q in shared)
     nt = sum(nq[q] for q in shared)
     print(f"shared queries: {len(shared)}  subtotal {ot:.1f} -> {nt:.1f} s "

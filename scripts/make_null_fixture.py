@@ -1,0 +1,99 @@
+"""Generate the NULL-injected oracle fixture tier (VERDICT r08 #2).
+
+The round-8 NULL/NaN hardening sweep fixed ~20 semantic bugs (NULL
+histogram buckets shifting exact medians, NULL keys hogging
+deterministic-sample slots, NULL baskets inflating support counts, …)
+that the CLEAN sf fixtures can never exercise end-to-end — that
+discipline lived only in unit tests.  This script derives an
+`sf0.001-null` variant of the driver fixture deterministically, so
+`check_oracle.py` can run the whole registry Spark-vs-DuckDB on data
+that actually contains NULLs:
+
+  - every column of every table is eligible (keys, measures, strings,
+    timestamps, the embedding list — NULL keys and NULL vectors are
+    exactly the classes the hardening sweep fixed);
+  - a cell [table, column, row] goes NULL iff
+    md5(f"{table}.{column}.{row}") % RATE_DEN == 0 (~2.7% per column),
+    so the fixture is a pure function of the source fixture — nothing
+    random, nothing committed;
+  - values that stay are byte-identical to the source fixture.
+
+NaN is deliberately NOT injected: both engines read the same parquet,
+but NaN breaks order-insensitive value hashing (NaN != NaN) in the
+comparer itself, which would flag comparer artifacts, not engine bugs.
+NULL is the class the r08 sweep showed finds real divergences.
+
+Usage: python scripts/make_null_fixture.py [SRC_DIR] [DST_DIR]
+  defaults: /root/testdata/sf0.001  ->  <repo>/.nullfix/sf0.001-null
+
+Run `python scripts/check_oracle.py <repo>/.nullfix/sf0.001-null` for
+the sweep; NULLSWEEP.md records each round's result.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+RATE_DEN = 37  # ~2.7% of cells per column
+
+
+def null_mask(table: str, column: str, n: int) -> pa.Array:
+    """Deterministic per-cell NULL mask: md5 of 'table.column.row'."""
+    flags = [
+        int.from_bytes(
+            hashlib.md5(f"{table}.{column}.{i}".encode()).digest()[:8], "big"
+        ) % RATE_DEN == 0
+        for i in range(n)
+    ]
+    return pa.array(flags, type=pa.bool_())
+
+
+def inject(src: str, dst: str, table: str) -> dict[str, int]:
+    t = pq.read_table(os.path.join(src, f"{table}.parquet"))
+    n = t.num_rows
+    cols, counts = [], {}
+    for field in t.schema:
+        col = t.column(field.name).combine_chunks()
+        mask = null_mask(table, field.name, n)
+        out = pc.if_else(mask, pa.nulls(n, type=field.type), col)
+        counts[field.name] = out.null_count
+        cols.append(out)
+    pq.write_table(
+        pa.table(cols, schema=t.schema),
+        os.path.join(dst, f"{table}.parquet"),
+    )
+    return counts
+
+
+def main() -> None:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    dst = (
+        sys.argv[2]
+        if len(sys.argv) > 2
+        else os.path.join(repo, ".nullfix", "sf0.001-null")
+    )
+    os.makedirs(dst, exist_ok=True)
+    total = 0
+    for table in TABLES:
+        counts = inject(src, dst, table)
+        injected = sum(counts.values())
+        total += injected
+        print(f"{table:12s} {injected:5d} NULL cells  "
+              + ", ".join(f"{c}={v}" for c, v in counts.items() if v))
+    print(f"wrote {dst}: {total} NULL cells total")
+
+
+if __name__ == "__main__":
+    main()
