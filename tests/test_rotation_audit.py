@@ -32,3 +32,67 @@ def test_green_history_covers_every_round_file():
     assert rounds, "no CORRECTNESS_r*.json files found"
     for rnd, rows in rounds.items():
         assert len(rows) == 50, f"r{rnd:02d} gate window should be 50 rows"
+
+
+def test_registry_fn_parser_resolves_lambdas():
+    """Every registry entry must resolve to a diffable function name —
+    including the lambda-bound knn_flat_* variants (a lambda entry the
+    parser can't resolve would silently drop out of churn tracking)."""
+    ra = _load_audit()
+    src = open("/root/repo/__spark_entry__.py").read()
+    fns = ra.parse_registry_fns(src)
+    names = ra.registry_order()
+    unresolved = [n for n in names if n not in fns]
+    assert unresolved == [], unresolved
+    assert fns["knn_flat_cos"] == "_knn_flat"
+    assert fns["knn_flat_l2"] == "_knn_flat"
+
+
+def test_code_only_strips_docstrings_and_comments():
+    ra = _load_audit()
+    src = 'def f():\n    """mentions _helper in prose"""\n    x = 1  # _other\n    return _real(x)\n'
+    stripped = ra.code_only(src)
+    assert "_helper" not in stripped
+    assert "_other" not in stripped
+    assert "_real" in stripped
+
+
+def test_closure_follows_code_references_not_prose():
+    """The closure BFS must follow helpers referenced in CODE and must
+    NOT explode through docstring mentions or the registry surfaces
+    (queries/bench_queries reference every function)."""
+    ra = _load_audit()
+    spans = {
+        "_entry": 'def _entry(s, d):\n    """see bench_queries and _prose_only"""\n    return _helper(s)\n',
+        "_helper": "def _helper(s):\n    return _memo(s)\n",
+        "_memo": "def _memo(s):\n    return s\n",
+        "_prose_only": "def _prose_only():\n    return 1\n",
+        "bench_queries": "def bench_queries():\n    return {'x': _entry}\n",
+    }
+    assert ra.closure_fns(spans, "_entry") == {"_entry", "_helper", "_memo"}
+
+
+def test_module_files_maps_imports_and_attribute_tails():
+    ra = _load_audit()
+    text = (
+        "from oasisdb_spark.pipeline.dedup import simhash_expr\n"
+        "import oasisdb_spark.index.ivf\n"
+        "x = oasisdb_spark.index.flat.topk_per_query\n"
+    )
+    files = ra.module_files(text)
+    assert "oasisdb_spark/pipeline/dedup.py" in files
+    assert "oasisdb_spark/index/ivf.py" in files
+    assert "oasisdb_spark/index/flat.py" in files
+
+
+def test_live_window_entries_have_no_unresolvable_churn_closure():
+    """Every first-50 window entry's closure must be non-empty and
+    resolve within the live entry file (a closure that silently comes
+    back empty would make churn detection vacuously pass)."""
+    ra = _load_audit()
+    src = open("/root/repo/__spark_entry__.py").read()
+    spans = ra.parse_spans(src)
+    fns = ra.parse_registry_fns(src)
+    for name in ra.registry_order()[:50]:
+        closure = ra.closure_fns(spans, fns[name])
+        assert fns[name] in closure, name
