@@ -6152,8 +6152,13 @@ def _pca_knn_oracle_sql() -> str:
 
     sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     con = duckdb.connect()
+    # NULL vectors carry no moments — same exclusion as the Spark-side
+    # fit_pca_quantized (a NULL-injected fixture otherwise kills the
+    # model precompute inside np.asarray); order-irrelevant for the
+    # moment reduction but kept deterministic
     emb = con.execute(
-        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' ORDER BY vec_id"
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+        "WHERE embedding IS NOT NULL ORDER BY vec_id"
     ).fetchnumpy()
     con.close()
     xq = quantize_vectors_np(np.asarray([list(e) for e in emb["embedding"]]))
@@ -6229,7 +6234,8 @@ def _kmeans_oracle_ctes(k: int = 8, iters: int = 4) -> str:
     sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     con = duckdb.connect()
     d = con.execute(
-        f"SELECT len(embedding) FROM '{sf_dir}/embeddings.parquet' LIMIT 1"
+        f"SELECT len(embedding) FROM '{sf_dir}/embeddings.parquet' "
+        "WHERE embedding IS NOT NULL LIMIT 1"
     ).fetchone()[0]
     con.close()
     parts = [

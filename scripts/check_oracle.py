@@ -152,16 +152,32 @@ def main():
     for name, fn in qs.items():
         if only and name not in only:
             continue
-        sdf = fn(spark, sf_dir)
-        scols = sdf.columns
-        srows = [tuple(r) for r in sdf.collect()]
+        # per-entry error capture, like the driver's "err" row field —
+        # an adversarial fixture (the NULL tier) can make an entry
+        # raise by DESIGN (e.g. NULL-vector ingest rejection), and one
+        # such entry must not abort the rest of the sweep
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as exc:
+            failures += 1
+            msg = str(exc).splitlines()[0][:140]
+            print(f"{name:35s} ERROR(spark)  {type(exc).__name__}: {msg}")
+            continue
         if name not in oracles:
             print(f"{name:35s} rows-only: {len(srows)} rows (no oracle)")
             continue
-        cur = con.execute(oracles[name])
-        dcols = [d[0] for d in cur.description]
-        drows = cur.fetchall()
-        desc = con.execute(f"DESCRIBE {oracles[name]}").fetchall()
+        try:
+            cur = con.execute(oracles[name])
+            dcols = [d[0] for d in cur.description]
+            drows = cur.fetchall()
+            desc = con.execute(f"DESCRIBE {oracles[name]}").fetchall()
+        except Exception as exc:
+            failures += 1
+            msg = str(exc).splitlines()[0][:140]
+            print(f"{name:35s} ERROR(duckdb)  {type(exc).__name__}: {msg}")
+            continue
         fatal, warns = type_diff(
             scols, sdf.dtypes, [r[0] for r in desc], [r[1] for r in desc]
         )
