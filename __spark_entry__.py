@@ -46,13 +46,26 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _emb_base(spark, sf_dir):
+    """Indexable base vectors: rows with NULL id or NULL vector are
+    excluded — the same contract the catalog enforces at ingest
+    (ErrDimensionMismatch / id rejection), applied at the raw-table
+    boundary so every index build and brute-force scan sees only
+    indexable rows. The ANN oracles carry the matching exclusion
+    (_EMB_NONNULL)."""
     emb = _table(spark, sf_dir, "embeddings")
-    return emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
+    return emb.where(
+        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+    ).select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
 
 
 def _emb_queries(spark, sf_dir, n):
+    """Query vectors: same indexability contract as _emb_base (a NULL
+    query vector has no meaningful neighbors; vec_id < n already
+    excludes NULL ids by SQL comparison semantics)."""
     emb = _table(spark, sf_dir, "embeddings")
-    return emb.filter(F.col("vec_id") < n).select(
+    return emb.filter(F.col("vec_id") < n).where(
+        F.col("embedding").isNotNull()
+    ).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
 
@@ -267,10 +280,18 @@ def _vector_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Indexable-rows contract, oracle side (mirrors _emb_base/_emb_queries):
+# NULL ids and NULL vectors never enter vector search.
+_EMB_NONNULL = (
+    "(SELECT * FROM embeddings"
+    " WHERE vec_id IS NOT NULL AND embedding IS NOT NULL)"
+)
+
 _KNN_ORACLE_TMPL = """
 WITH scored AS (
   SELECT q.vec_id AS query_id, e.vec_id AS id, {dist} AS distance
-  FROM (SELECT * FROM embeddings WHERE vec_id < {nq}) q
+  FROM (SELECT * FROM embeddings
+        WHERE vec_id < {nq} AND embedding IS NOT NULL) q
   CROSS JOIN {base} e
 ), ranked AS (
   SELECT query_id, id, distance,
@@ -318,6 +339,10 @@ def _collection_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oasisdb_spark.search import build_index, search_vectors
 
     emb = _table(spark, sf_dir, "embeddings")
+    # a client prepares INDEXABLE documents: the catalog rejects NULL
+    # ids/vectors at ingest by contract, so the workflow filters them
+    # (and probes dimensionality on a non-NULL row)
+    emb = emb.where(F.col("vec_id").isNotNull() & F.col("embedding").isNotNull())
     dim = emb.select(F.size("embedding").alias("d")).first()["d"]
     cat = Catalog(spark, tempfile.mkdtemp(prefix="oasis_wh_"))
     cat.create_collection("demo", dimension=dim, index_type="ivf_flat",
@@ -7566,35 +7591,37 @@ WHERE q.label IS DISTINCT FROM e.label
   AND {_L2_SQL} < 1.8
 """,
         "topic_balanced_sample": _topic_balance_oracle(),
-        "knn_flat_l2": _KNN_ORACLE_TMPL.format(dist=_L2_SQL, nq=10, k=10, base="embeddings", extra="", join=""),
-        "knn_flat_cos": _KNN_ORACLE_TMPL.format(dist=_COS_SQL, nq=10, k=10, base="embeddings", extra="", join=""),
-        "knn_flat_ip": _KNN_ORACLE_TMPL.format(dist=f"-({_DOT_SQL})", nq=10, k=10, base="embeddings", extra="", join=""),
-        "knn_flat_hamming": _KNN_ORACLE_TMPL.format(dist=_HAM_SQL, nq=10, k=10, base="embeddings", extra="", join=""),
+        "knn_flat_l2": _KNN_ORACLE_TMPL.format(dist=_L2_SQL, nq=10, k=10, base=_EMB_NONNULL, extra="", join=""),
+        "knn_flat_cos": _KNN_ORACLE_TMPL.format(dist=_COS_SQL, nq=10, k=10, base=_EMB_NONNULL, extra="", join=""),
+        "knn_flat_ip": _KNN_ORACLE_TMPL.format(dist=f"-({_DOT_SQL})", nq=10, k=10, base=_EMB_NONNULL, extra="", join=""),
+        "knn_flat_hamming": _KNN_ORACLE_TMPL.format(dist=_HAM_SQL, nq=10, k=10, base=_EMB_NONNULL, extra="", join=""),
         "collection_lifecycle": _KNN_ORACLE_TMPL.format(
-            dist=_L2_SQL, nq=3, k=5, base="(SELECT * FROM embeddings WHERE vec_id < 300)",
+            dist=_L2_SQL, nq=3, k=5,
+            base="(SELECT * FROM embeddings"
+                 " WHERE vec_id < 300 AND embedding IS NOT NULL)",
             extra="", join="",
         ),
         "knn_brute": f"""
             SELECT query_id, id, rank, round(distance, 3) AS distance FROM (
-              {_KNN_ORACLE_TMPL.format(dist=_L2_SQL, nq=10, k=10, base="embeddings", extra="", join="")}
+              {_KNN_ORACLE_TMPL.format(dist=_L2_SQL, nq=10, k=10, base=_EMB_NONNULL, extra="", join="")}
             )
         """,
         # exact-mode approximate indexes: nprobe=nlist (ivf, ivfpq+full
         # refine) / 8 hash tables (lsh) make each ≡ Flat, so the L2
         # oracle applies end-to-end; approximate-setting quality is
         # recall-tested (RECALL.md, tests/)
-        "knn_ivf": _KNN_ORACLE_TMPL.format(dist=_L2_SQL, nq=10, k=10, base="embeddings", extra="", join=""),
-        "knn_ivfpq": _KNN_ORACLE_TMPL.format(dist=_L2_SQL, nq=10, k=10, base="embeddings", extra="", join=""),
-        "knn_ivfsq": _KNN_ORACLE_TMPL.format(dist=_L2_SQL, nq=10, k=10, base="embeddings", extra="", join=""),
-        "knn_binq": _KNN_ORACLE_TMPL.format(dist=_L2_SQL, nq=10, k=10, base="embeddings", extra="", join=""),
+        "knn_ivf": _KNN_ORACLE_TMPL.format(dist=_L2_SQL, nq=10, k=10, base=_EMB_NONNULL, extra="", join=""),
+        "knn_ivfpq": _KNN_ORACLE_TMPL.format(dist=_L2_SQL, nq=10, k=10, base=_EMB_NONNULL, extra="", join=""),
+        "knn_ivfsq": _KNN_ORACLE_TMPL.format(dist=_L2_SQL, nq=10, k=10, base=_EMB_NONNULL, extra="", join=""),
+        "knn_binq": _KNN_ORACLE_TMPL.format(dist=_L2_SQL, nq=10, k=10, base=_EMB_NONNULL, extra="", join=""),
         "maxsim_search": _MAXSIM_ORACLE,
         "knn_lsh": f"""
             SELECT query_id, id, rank, round(distance, 3) AS distance FROM (
-              {_KNN_ORACLE_TMPL.format(dist=_L2_SQL, nq=10, k=10, base="embeddings", extra="", join="")}
+              {_KNN_ORACLE_TMPL.format(dist=_L2_SQL, nq=10, k=10, base=_EMB_NONNULL, extra="", join="")}
             )
         """,
         "knn_hamming_packed": _KNN_ORACLE_TMPL.format(
-            dist=_HAM_BIN_SQL, nq=10, k=10, base="embeddings", extra="", join="",
+            dist=_HAM_BIN_SQL, nq=10, k=10, base=_EMB_NONNULL, extra="", join="",
         ),
         "doc_repetition": f"""
             WITH {_TOKS_CTE},
@@ -8658,7 +8685,7 @@ WHERE q.label IS DISTINCT FROM e.label
             ),
             vs AS (
               SELECT id AS doc_id, rank AS rnk
-              FROM ({_KNN_ORACLE_TMPL.format(dist=_L2_SQL, nq=1, k=50, base="embeddings", extra="", join="")})
+              FROM ({_KNN_ORACLE_TMPL.format(dist=_L2_SQL, nq=1, k=50, base=_EMB_NONNULL, extra="", join="")})
             ),
             u AS (
               SELECT doc_id, 1.0 / (60 + rnk) AS c FROM bm
