@@ -651,6 +651,14 @@ _TOKS_CTE = (
     "toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),"
     " x -> x != '') AS tk FROM documents)"
 )
+# corpus-membership variant for PAIR/SET dedup oracles: NULL-id / NULL-
+# text docs are not corpus members (pipeline/dedup.py exclusion) — the
+# row-preserving per-doc oracles keep _TOKS_CTE
+_TOKS_NN_CTE = (
+    "toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),"
+    " x -> x != '') AS tk FROM documents"
+    " WHERE doc_id IS NOT NULL AND text IS NOT NULL)"
+)
 _SHINGLES_CTE = (
     "sh AS (SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 3 THEN"
     " list_transform(range(1, len(tk)-1), i -> array_to_string(tk[CAST(i AS INT):CAST(i+2 AS INT)], ' '))"
@@ -770,6 +778,9 @@ def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oasisdb_spark.pipeline.dedup import minhash_signature
 
     docs = _table(spark, sf_dir, "documents")
+    # corpus-membership contract (pipeline/dedup.py): NULL-id/NULL-text
+    # docs have no signature
+    docs = docs.where(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
     return docs.select(
         "doc_id", F.posexplode(minhash_signature("text")).alias("i", "sig")
     )
@@ -838,7 +849,7 @@ def _minhash_oracle() -> str:
 
     a, b = minhash_coeffs()
     return f"""
-WITH {_TOKS_CTE}, {_SHINGLES_CTE}, {_SHASH_CTE}
+WITH {_TOKS_NN_CTE}, {_SHINGLES_CTE}, {_SHASH_CTE}
 SELECT doc_id, CAST(i AS INT) AS i,
        list_min(list_transform(hs, h -> (({a})[CAST(i+1 AS INT)] * h + ({b})[CAST(i+1 AS INT)]) % {MINHASH_P})) AS sig
 FROM shh, range(32) t(i)
@@ -859,11 +870,11 @@ pairs AS (
 )"""
     if not with_banding:
         return f"""
-WITH {_TOKS_CTE}, {_SHINGLES_CTE}, {jacc}
+WITH {_TOKS_NN_CTE}, {_SHINGLES_CTE}, {jacc}
 SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.5
 """
     return f"""
-WITH {_TOKS_CTE}, {_SHINGLES_CTE}, {_SHASH_CTE},
+WITH {_TOKS_NN_CTE}, {_SHINGLES_CTE}, {_SHASH_CTE},
 sig AS (
   SELECT doc_id,
          list_transform(range(0, {MINHASH_K}), i ->
@@ -2583,6 +2594,10 @@ def _maxsim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oasisdb_spark.pipeline.late_interaction import maxsim_topk
 
     emb = _table(spark, sf_dir, "embeddings")
+    # slice only indexable rows: _token_vecs() of a NULL embedding is
+    # [NULL x 4] — a non-NULL list of NULL tokens — so the exclusion
+    # must happen BEFORE synthesis (mirrors the oracle's qt/dt WHERE)
+    emb = emb.where(F.col("vec_id").isNotNull() & F.col("embedding").isNotNull())
     base = emb.select(F.col("vec_id").alias("id"), _token_vecs().alias("vectors"))
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), _token_vecs().alias("query_vecs")
@@ -2594,12 +2609,14 @@ _MAXSIM_ORACLE = """
 WITH qt AS (
   SELECT vec_id AS query_id, t.i AS qt_idx,
          embedding[CAST(t.i*16+1 AS INT):CAST(t.i*16+16 AS INT)] AS qv
-  FROM embeddings, unnest(range(0, 4)) t(i) WHERE vec_id < 10
+  FROM embeddings, unnest(range(0, 4)) t(i)
+  WHERE vec_id < 10 AND embedding IS NOT NULL
 ),
 dt AS (
   SELECT vec_id AS id,
          embedding[CAST(t.i*16+1 AS INT):CAST(t.i*16+16 AS INT)] AS dv
   FROM embeddings, unnest(range(0, 4)) t(i)
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
 ),
 sim AS (
   SELECT qt.query_id, qt.qt_idx, dt.id,
@@ -2888,8 +2905,14 @@ def _pca_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "pca16q",
         lambda: fit_pca_quantized(_table(spark, sf_dir, "embeddings"), n_components=16),
     )
+    # indexable-rows contract: NULL embeddings project to NULL (the
+    # library's pass-through), but NULL projections / NULL ids cannot
+    # be kNN candidates — Spark ranks NULLs first, SQL last, so they
+    # must not reach the ranking at all
     projected = pca_project_quantized(
         _table(spark, sf_dir, "embeddings"), model, out_col="proj"
+    ).where(
+        F.col("vec_id").isNotNull() & F.col("proj").isNotNull()
     ).select("vec_id", "proj")
     queries = projected.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("proj").alias("query_vec")
@@ -6208,6 +6231,7 @@ def _pca_knn_oracle_sql() -> str:
           SELECT vec_id, r.i AS i,
                  CAST(floor(CAST(embedding[r.i] AS DOUBLE) * {float(PCA_SX)} + 0.5) AS BIGINT) AS xq
           FROM embeddings, range(1, {d + 1}) r(i)
+          WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
         ),
         proj AS (
           -- |raw| >= PCA_OFF would desync the floor rescale from the
@@ -6268,6 +6292,9 @@ def _kmeans_oracle_ctes(k: int = 8, iters: int = 4) -> str:
           SELECT vec_id, r.i AS dim,
                  CAST(floor(CAST(embedding[r.i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS x
           FROM embeddings, range(1, {d + 1}) r(i)
+          -- identifiable+indexable rows only: mirrors the Spark fit's
+          -- exclusion and the consumers' NULL-id exclusion
+          WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
         )""",
         # |xq| >= KM_LIMIT would desync the int64 distance / floor-div
         # update from the Spark side; fail loudly exactly as
@@ -6281,7 +6308,9 @@ def _kmeans_oracle_ctes(k: int = 8, iters: int = 4) -> str:
         )""",
         f"""init AS (
           SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster
-          FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+          FROM (SELECT vec_id FROM embeddings
+                WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+                ORDER BY vec_id LIMIT {k})
         )""",
         "cent0 AS (SELECT i.cluster, p.dim, p.x AS c FROM init i JOIN pts p USING (vec_id))",
     ]
@@ -6601,7 +6630,7 @@ SELECT node, count(*) AS n_triangles FROM (
         "mutual_knn_pairs": f"""
 WITH scored AS (
   SELECT q.vec_id AS query_id, e.vec_id AS id, {_L2_SQL} AS distance
-  FROM embeddings q CROSS JOIN embeddings e
+  FROM {_EMB_NONNULL} q CROSS JOIN {_EMB_NONNULL} e
   WHERE q.vec_id <> e.vec_id
 ), nn AS (
   SELECT query_id, id, distance FROM (
@@ -6619,7 +6648,7 @@ FROM nn GROUP BY 1, 2 HAVING count(*) = 2
         "mutual_knn_pairs_ivf": f"""
 WITH scored AS (
   SELECT q.vec_id AS query_id, e.vec_id AS id, {_L2_SQL} AS distance
-  FROM embeddings q CROSS JOIN embeddings e
+  FROM {_EMB_NONNULL} q CROSS JOIN {_EMB_NONNULL} e
   WHERE q.vec_id <> e.vec_id
 ), nn AS (
   SELECT query_id, id, distance FROM (
@@ -7566,8 +7595,9 @@ SELECT query_id, id, CAST(rank AS INT) AS rank, distance FROM ranked WHERE rank 
 WITH scored AS (
   SELECT q.vec_id AS query_id, e.vec_id AS id, {_L2_SQL} AS distance,
          q.label AS qlabel, e.label AS blabel
-  FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
-  CROSS JOIN embeddings e
+  FROM (SELECT * FROM embeddings
+        WHERE vec_id < 10 AND embedding IS NOT NULL) q
+  CROSS JOIN {_EMB_NONNULL} e
 ), shortlist AS (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY distance ASC, id ASC) AS srank
   FROM scored
@@ -7585,8 +7615,9 @@ SELECT query_id, id, CAST(rank AS INT) AS rank, distance FROM kept WHERE rank <=
         # because the Arrow pass folds dimensions in order
         "docs_mining_stream": f"""
 SELECT q.vec_id AS query_id, e.vec_id AS id, {_L2_SQL} AS distance
-FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
-CROSS JOIN embeddings e
+FROM (SELECT * FROM embeddings
+      WHERE vec_id < 10 AND embedding IS NOT NULL) q
+CROSS JOIN {_EMB_NONNULL} e
 WHERE q.label IS DISTINCT FROM e.label
   AND {_L2_SQL} < 1.8
 """,
@@ -7667,7 +7698,8 @@ WHERE q.label IS DISTINCT FROM e.label
             FROM documents WHERE doc_id < 200
         """,
         "search_documents_filtered": _KNN_ORACLE_TMPL.format(
-            dist=_L2_SQL, nq=5, k=5, base="(SELECT * FROM embeddings WHERE label = 1)",
+            dist=_L2_SQL, nq=5, k=5, base="(SELECT * FROM embeddings WHERE label = 1"
+                 " AND vec_id IS NOT NULL AND embedding IS NOT NULL)",
             extra=", lbl.label", join=" JOIN embeddings lbl ON ranked.id = lbl.vec_id",
         ),
         "vector_lookup": """
@@ -7721,7 +7753,7 @@ WHERE q.label IS DISTINCT FROM e.label
                            ELSE list_sum(list_transform(list_zip(a.embedding, b.embedding),
                                 p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))
                                 / ({_NORM_SQL.format(v='a.embedding')} * {_NORM_SQL.format(v='b.embedding')}) END, 6) AS cos_sim
-              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              FROM {_EMB_NONNULL} a JOIN {_EMB_NONNULL} b ON a.vec_id < b.vec_id
             ) WHERE cos_sim >= 0.4
         """,
         "bm25_search": _BM25_ORACLE,
@@ -8599,7 +8631,8 @@ WHERE q.label IS DISTINCT FROM e.label
         # filtered base) — same trick as knn_ivf
         "search_filtered_ivf": _KNN_ORACLE_TMPL.format(
             dist=_L2_SQL, nq=10, k=10,
-            base="(SELECT * FROM embeddings WHERE label = 1)", extra="", join="",
+            base="(SELECT * FROM embeddings WHERE label = 1"
+                 " AND vec_id IS NOT NULL AND embedding IS NOT NULL)", extra="", join="",
         ),
         "pii_scrub": _pii_scrub_oracle(),
         "ngram_contamination": _ngram_contamination_oracle(),
@@ -8796,14 +8829,14 @@ FROM scores s JOIN documents d USING (doc_id)
                              ELSE list_sum(list_transform(list_zip(a.embedding, b.embedding),
                                   p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))
                                   / ({_NORM_SQL.format(v='a.embedding')} * {_NORM_SQL.format(v='b.embedding')}) END, 6) AS cos_sim
-                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                FROM {_EMB_NONNULL} a JOIN {_EMB_NONNULL} b ON a.vec_id < b.vec_id
               ) WHERE cos_sim >= 0.4
             ),
             d AS (SELECT doc_b AS vec_id, count(*) AS n FROM p GROUP BY doc_b)
             SELECT e.vec_id, CAST(0 AS INT) AS cluster_id,
                    CAST(coalesce(d.n, 0) AS INT) AS n_dups,
                    coalesce(d.n, 0) = 0 AS kept
-            FROM embeddings e LEFT JOIN d ON e.vec_id = d.vec_id
+            FROM {_EMB_NONNULL} e LEFT JOIN d ON e.vec_id = d.vec_id
         """,
         # heavy_hitters' candidates+verify plan is result-identical to
         # the exact GROUP BY / HAVING — that equality IS the check

@@ -245,6 +245,10 @@ def kmeans_cells(
     — k*d rows. The cell map a curation run records next to its outputs
     (and the first hash-oracled view of a distributed k-means FIT:
     earlier kmeans oracles only ever checked exact-mode searches)."""
+    # identifiable-rows contract: a NULL id cannot be curated (and the
+    # SQL oracle's GROUP BY vec_id would collapse all NULL-id rows into
+    # one) — the same exclusion kmeans_fit_quantized applies
+    df = df.where(F.col(id_col).isNotNull())
     spark = df.sparkSession
     cent_long = spark.createDataFrame(
         [
@@ -284,6 +288,9 @@ def prototype_prune(
     """
     if not (0 <= drop_num and 0 < drop_den):
         raise ValueError(f"prototype_prune: bad fraction {drop_num}/{drop_den}")
+    # identifiable-rows contract (see kmeans_cells): NULL ids can't be
+    # pruned or survive — and they'd poison the (d2, id) tie-break
+    df = df.where(F.col(id_col).isNotNull())
     asg = assign_clusters_quantized(df, model, vec_col=vec_col)
     w = Window.partitionBy("cluster").orderBy(F.col("d2").asc(), F.col(id_col).asc())
     wc = Window.partitionBy("cluster")

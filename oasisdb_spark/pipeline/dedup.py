@@ -164,6 +164,11 @@ def shingle_minhash_frame(
     the text is shingled and hashed exactly once per doc. Integers are
     identical to the expression path (same md5-derived 31-bit hashes,
     same int64 LCG arithmetic), so DuckDB oracles still hash-match."""
+    # corpus-membership contract: a NULL id cannot name a pair endpoint
+    # and NULL text has no shingles — excluded on both engine sides
+    # (the oracle's non-null toks CTE mirrors this); a Python kernel
+    # would otherwise hash NULL as "" and pair every NULL doc together
+    df = df.where(F.col(id_col).isNotNull() & F.col(text_col).isNotNull())
     a, b = minhash_coeffs(k)
     A = np.array(a, dtype=np.int64)[:, None]
     B = np.array(b, dtype=np.int64)[:, None]
@@ -361,6 +366,11 @@ def jaccard_pairs(
     opt-in — pass None explicitly for the exact uncapped join (only
     defensible at oracle scale, or after the MinHash-LSH pipeline whose
     banding is frequency-insensitive)."""
+    # corpus-membership contract: a NULL id cannot name a pair endpoint
+    # and NULL text has no shingles — excluded on both engine sides
+    # (the oracle's non-null toks CTE mirrors this); a Python kernel
+    # would otherwise hash NULL as "" and pair every NULL doc together
+    df = df.where(F.col(id_col).isNotNull() & F.col(text_col).isNotNull())
     if candidates is not None:
         h = df.select(F.col(id_col).alias("doc_id"), shingle_hashes(text_col, n).alias("hs"))
         joined = (
@@ -466,6 +476,11 @@ def embedding_neardup_pairs(
       compute distributed as (N/B)² balanced tasks — the correct shape
       for exact all-pairs; at corpus scale pass `blocking` instead."""
     from oasisdb_spark.functions.distance import cosine_distance
+
+    # indexable-rows contract (the _emb_base convention): NULL ids
+    # cannot name a pair endpoint, NULL vectors have no similarity
+    # (and kill the GEMM packer inside np.asarray)
+    emb = emb.where(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull())
 
     if blocking is not None:
         a = emb.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("va"))
@@ -666,6 +681,11 @@ def jaccard_pairs_prefix(
     pairs above threshold, KBs not corpus-scale); unpersist it when
     done if calling in a loop.
     """
+    # corpus-membership contract: a NULL id cannot name a pair endpoint
+    # and NULL text has no shingles — excluded on both engine sides
+    # (the oracle's non-null toks CTE mirrors this); a Python kernel
+    # would otherwise hash NULL as "" and pair every NULL doc together
+    df = df.where(F.col(id_col).isNotNull() & F.col(text_col).isNotNull())
     if parallelism:
         df = df.repartition(parallelism)
     h = df.select(F.col(id_col).alias("doc_id"), shingle_hashes(text_col, n).alias("hs")).persist()

@@ -53,6 +53,14 @@ def maxsim_topk(
     (id, vectors ARRAY<ARRAY<FLOAT>>). Empty token lists score 0.
     max_query_tokens bounds the broadcast query matrix."""
     spark = queries.sparkSession
+    # indexable-rows contract (the _emb_base convention): NULL ids /
+    # NULL token-vector lists are excluded on both sides (EMPTY lists
+    # stay: they are defined to score 0 on the base side and rejected
+    # on the query side below)
+    queries = queries.where(
+        F.col(query_id_col).isNotNull() & F.col(query_vecs_col).isNotNull()
+    )
+    base = base.where(F.col(id_col).isNotNull() & F.col(vecs_col).isNotNull())
     q_rows = queries.select(query_id_col, query_vecs_col).collect()
     qids = [r[query_id_col] for r in q_rows]
     q_mats = [np.array(r[query_vecs_col] or [], dtype=np.float64) for r in q_rows]
@@ -92,10 +100,15 @@ def maxsim_topk(
             if len(pdf) == 0:
                 continue
             # Arrow yields nested columns as ndarrays-of-ndarrays; `v or
-            # []` is ambiguous on those — test length explicitly
+            # []` is ambiguous on those — test length explicitly. NULL
+            # token elements inside a non-NULL list are dropped (they
+            # carry no similarity; an all-NULL list degrades to the
+            # empty-list score-0 path instead of poisoning the packer
+            # with a ragged object array)
             d_mats = [
-                np.array(list(v), dtype=np.float64) if v is not None and len(v) else
-                np.zeros((0, 0))
+                np.array([t for t in v if t is not None], dtype=np.float64)
+                if v is not None and len(v) and any(t is not None for t in v)
+                else np.zeros((0, 0))
                 for v in pdf["vectors"]
             ]
             d_lens = np.array([len(m) for m in d_mats], dtype=np.int64)

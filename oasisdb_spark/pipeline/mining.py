@@ -89,6 +89,15 @@ def mine_candidates_broadcast(
             "(l2/ip are in-order-fold reproducible; cosine needs the "
             "batch path's normalized fold)"
         )
+    # indexable-rows contract (the _emb_base convention): NULL ids /
+    # NULL vectors can be neither queries nor candidates — and a NULL
+    # vector kills both np.asarray packers below. .where() is
+    # streaming-safe (stateless filter), so the same exclusion guards
+    # the structured-streaming callers.
+    df = df.where(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull())
+    queries = queries.where(
+        F.col(query_id_col).isNotNull() & F.col(query_vec_col).isNotNull()
+    )
     q_cols = [query_id_col, query_vec_col] + ([neq_pair[0]] if neq_pair else [])
     q_rows = queries.select(*q_cols).collect()
     if not q_rows:
@@ -384,6 +393,10 @@ def mutual_knn_pairs(
         )
     if scorer not in ("gemm", "expr"):
         raise ValueError(f"mutual_knn_pairs: scorer must be gemm|expr, got {scorer!r}")
+    # indexable-rows contract: a NULL id cannot name a pair endpoint and
+    # a NULL vector has no neighbors (and kills the GEMM packer inside
+    # np.asarray) — exclude, the _emb_base convention
+    base = base.where(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull())
     if scorer == "expr" and base.limit(max_base_rows + 1).count() > max_base_rows:
         raise ValueError(
             f"mutual_knn_pairs: base exceeds max_base_rows={max_base_rows}; "
@@ -469,6 +482,9 @@ def mutual_knn_pairs_ivf(
         )
     from oasisdb_spark.index.ivf import knn_ivf
 
+    # indexable-rows contract (the _emb_base convention): NULL ids /
+    # NULL vectors cannot be pair endpoints or probe queries
+    base = base.where(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull())
     q = base.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
     )
