@@ -4402,7 +4402,13 @@ def _events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oasisdb_spark.operators.timeseries import cusum_changepoints
     from oasisdb_spark.sources.tables import event_time_micros
 
-    ev0 = _table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    # complete-case + sequenceable ticks: NULL value carries no
+    # observation, NULL ts cannot be ordered (the ohlc_bars NULL-ts
+    # contract) — these five order-sensitive entries share the filter,
+    # their oracles carry the matching WHERE
+    ev0 = _table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
     ev = ev0.select(
         "event_id",
         "event_type",
@@ -4593,7 +4599,13 @@ def _events_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oasisdb_spark.operators.quality import rolling_zscore_flags
     from oasisdb_spark.sources.tables import event_time_micros
 
-    ev0 = _table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    # complete-case + sequenceable ticks: NULL value carries no
+    # observation, NULL ts cannot be ordered (the ohlc_bars NULL-ts
+    # contract) — these five order-sensitive entries share the filter,
+    # their oracles carry the matching WHERE
+    ev0 = _table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
     ev = ev0.select(
         "event_id",
         "event_type",
@@ -4689,7 +4701,13 @@ def _events_cusum_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oasisdb_spark.operators.timeseries import cusum_stream
     from oasisdb_spark.sources.tables import event_time_micros
 
-    ev0 = _table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    # complete-case + sequenceable ticks: NULL value carries no
+    # observation, NULL ts cannot be ordered (the ohlc_bars NULL-ts
+    # contract) — these five order-sensitive entries share the filter,
+    # their oracles carry the matching WHERE
+    ev0 = _table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
     ev = ev0.select(
         "event_id",
         "event_type",
@@ -4924,7 +4942,11 @@ def _events_seasonal_resid(spark: SparkSession, sf_dir: str) -> DataFrame:
     residual table hashed."""
     from oasisdb_spark.operators.timeseries import seasonal_residuals
 
-    ev = _table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    # hour-of-day of a NULL ts is undefined — the residual entry keeps
+    # the events-time convention (ts non-null), matching its oracle
+    ev = _table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
     obs = ev.select(
         "event_id",
         "event_type",
@@ -4961,7 +4983,13 @@ def _events_rapid_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oasisdb_spark.operators.quality import rapid_repeats
     from oasisdb_spark.sources.tables import event_time_micros
 
-    ev0 = _table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    # complete-case + sequenceable ticks: NULL value carries no
+    # observation, NULL ts cannot be ordered (the ohlc_bars NULL-ts
+    # contract) — these five order-sensitive entries share the filter,
+    # their oracles carry the matching WHERE
+    ev0 = _table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
     ev = ev0.select(
         "event_id",
         "user_id",
@@ -5056,7 +5084,13 @@ def _events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oasisdb_spark.operators.timeseries import time_weighted_avg
     from oasisdb_spark.sources.tables import event_time_micros
 
-    ev0 = _table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    # complete-case + sequenceable ticks: NULL value carries no
+    # observation, NULL ts cannot be ordered (the ohlc_bars NULL-ts
+    # contract) — these five order-sensitive entries share the filter,
+    # their oracles carry the matching WHERE
+    ev0 = _table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
     ev = ev0.select(
         "event_id",
         "event_type",
@@ -5121,7 +5155,11 @@ def _events_seasonal_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import time
     import uuid
 
-    ev = _table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    # events-time convention (matches the batch twin): value + ts
+    # non-null, so hod is never NULL on the stream
+    ev = _table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
     obs = ev.select(
         "event_id",
         "event_type",
@@ -5162,8 +5200,18 @@ def _events_seasonal_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("latestFirst", "false")
         .parquet(d)
     )
-    prof_bc = F.broadcast(spark.createDataFrame(prof_rows, prof.schema))
-    scored = stream.join(prof_bc, on=["event_type", "hod"]).select(
+    prof_df = spark.createDataFrame(prof_rows, prof.schema).withColumnsRenamed(
+        {"event_type": "p_event_type", "hod": "p_hod"}
+    )
+    # NULL-safe on event_type: the NULL series is a real group in the
+    # batch twin's profile join — a plain stream-static equi-join would
+    # silently drop it
+    prof_bc = F.broadcast(prof_df)
+    scored = stream.join(
+        prof_bc,
+        stream["event_type"].eqNullSafe(prof_bc["p_event_type"])
+        & (stream["hod"] == prof_bc["p_hod"]),
+    ).select(
         "event_id",
         "event_type",
         "hod",
@@ -6032,7 +6080,7 @@ _QUANTILE_SKETCH_SQL = """
       SELECT event_id, value FROM (
         SELECT event_id, value,
                ('0x' || substr(md5(event_id::VARCHAR || 'bottomk'), 1, 15))::BIGINT AS h
-        FROM events WHERE value IS NOT NULL
+        FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL
       ) ORDER BY h, event_id LIMIT 512
     ),
     r AS (
@@ -6398,7 +6446,7 @@ _CUSUM_SQL = """
 WITH v AS (
   SELECT event_id, event_type, epoch_us(ts) AS ts_us,
          CAST(round(value * 100) AS BIGINT) AS value_cents
-  FROM events WHERE value IS NOT NULL
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
 ), cnt AS (
   SELECT event_type, value_cents, count(*) AS k FROM v GROUP BY 1, 2
 ), ranked AS (
@@ -6414,13 +6462,13 @@ WITH v AS (
 ), p AS (
   SELECT *, sum(dev - 2000) OVER w AS pu, sum(-dev - 2000) OVER w AS pd
   FROM d
-  WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id NULLS FIRST
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 ), s AS (
   SELECT *, pu - least(0, min(pu) OVER w) AS cusum_up,
             pd - least(0, min(pd) OVER w) AS cusum_dn
   FROM p
-  WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id NULLS FIRST
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 )
 SELECT event_id, event_type, ts_us, value_cents, target_cents,
@@ -6435,7 +6483,7 @@ _SEASONAL_RESID_SQL = """
 WITH o AS (
   SELECT event_id, event_type, CAST(hour(ts) AS INTEGER) AS hod,
          CAST(round(value * 100) AS BIGINT) AS value_cents
-  FROM events WHERE value IS NOT NULL
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
 ), prof AS (
   SELECT event_type, hod,
          CAST(sum(value_cents) AS BIGINT) AS slot_sum,
@@ -6446,7 +6494,11 @@ SELECT o.event_id, o.event_type, o.hod, o.value_cents,
        p.slot_sum, p.slot_n,
        o.value_cents * p.slot_n - p.slot_sum AS resid_num,
        p.slot_n AS resid_den
-FROM o JOIN prof p USING (event_type, hod)
+FROM o JOIN prof p
+  -- NULL-safe: the NULL event_type series is a real group on the
+  -- Spark side (operators/timeseries.py seasonal profile join)
+  ON p.event_type IS NOT DISTINCT FROM o.event_type
+ AND p.hod IS NOT DISTINCT FROM o.hod
 """
 
 
@@ -6498,7 +6550,10 @@ def oracle_sql() -> dict[str, str]:
                          PARTITION BY event_type
                          ORDER BY ('0x' || substr(md5(event_id::VARCHAR || 'bottomk'), 1, 15))::BIGINT,
                                   event_id) AS srn
-                FROM events WHERE value IS NOT NULL
+                -- NULL sample keys are excluded (the bottomk_sample
+                -- contract): below the cap they would otherwise ride
+                -- along on NULLS-LAST ordering
+                FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL
               ) WHERE srn <= 256
             ),
             r AS (
@@ -6562,10 +6617,13 @@ WITH r AS (
          strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bar_start,
          value,
          row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
-                            ORDER BY ts ASC, event_id ASC) AS rn,
+                            ORDER BY ts ASC, event_id ASC NULLS FIRST) AS rn,
          row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
-                            ORDER BY ts DESC, event_id DESC) AS rnd
+                            ORDER BY ts DESC, event_id DESC NULLS LAST) AS rnd
   FROM events
+  -- a tick without a timestamp has no bar (operators/timeseries.py
+  -- ohlc_bars NULL-ts contract); tie-break NULLS mirror Spark ordering
+  WHERE ts IS NOT NULL
 )
 SELECT event_type, bar_start,
        max(CASE WHEN rn = 1 THEN value END) AS open,
@@ -6706,10 +6764,13 @@ WITH r AS (
          strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bar_start,
          value,
          row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
-                            ORDER BY ts ASC, event_id ASC) AS rn,
+                            ORDER BY ts ASC, event_id ASC NULLS FIRST) AS rn,
          row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
-                            ORDER BY ts DESC, event_id DESC) AS rnd
+                            ORDER BY ts DESC, event_id DESC NULLS LAST) AS rnd
   FROM events
+  -- a tick without a timestamp has no bar (operators/timeseries.py
+  -- ohlc_bars NULL-ts contract); tie-break NULLS mirror Spark ordering
+  WHERE ts IS NOT NULL
 )
 SELECT event_type, bar_start,
        max(CASE WHEN rn = 1 THEN value END) AS open,
@@ -6843,10 +6904,13 @@ WITH r AS (
          strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bar_start,
          value,
          row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
-                            ORDER BY ts ASC, event_id ASC) AS rn,
+                            ORDER BY ts ASC, event_id ASC NULLS FIRST) AS rn,
          row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
-                            ORDER BY ts DESC, event_id DESC) AS rnd
+                            ORDER BY ts DESC, event_id DESC NULLS LAST) AS rnd
   FROM events
+  -- a tick without a timestamp has no bar (operators/timeseries.py
+  -- ohlc_bars NULL-ts contract); tie-break NULLS mirror Spark ordering
+  WHERE ts IS NOT NULL
 )
 SELECT event_type, bar_start,
        max(CASE WHEN rn = 1 THEN value END) AS open,
@@ -6924,7 +6988,7 @@ WITH o AS (
   SELECT event_type,
          date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
          CAST(round(value * 100) AS BIGINT) AS y
-  FROM events WHERE value IS NOT NULL
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
 ), a AS (
   SELECT event_type, count(*) AS n,
          sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
@@ -6945,13 +7009,13 @@ FROM a
 WITH v AS (
   SELECT event_id, event_type, epoch_us(ts) AS ts_us,
          CAST(round(value * 100) AS BIGINT) AS y
-  FROM events WHERE value IS NOT NULL
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
 ), w AS (
   SELECT *, count(y) OVER win AS n_win,
          COALESCE(sum(y) OVER win, 0) AS s,
          COALESCE(sum(y * y) OVER win, 0) AS q
   FROM v
-  WINDOW win AS (PARTITION BY event_type ORDER BY ts_us, event_id
+  WINDOW win AS (PARTITION BY event_type ORDER BY ts_us, event_id NULLS FIRST
                  ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING)
 )
 SELECT event_id, event_type, ts_us, y AS value_cents, n_win,
@@ -6972,22 +7036,25 @@ FROM w
 WITH e AS (
   SELECT user_id AS u, epoch_us(ts) AS ts_us, event_id, event_type
   FROM events
+  -- NULL-ts rows have no session position (operators/funnel.py
+  -- session_paths exclusion)
+  WHERE ts IS NOT NULL
 ), l AS (
-  SELECT *, lag(ts_us) OVER (PARTITION BY u ORDER BY ts_us, event_id) AS prev
+  SELECT *, lag(ts_us) OVER (PARTITION BY u ORDER BY ts_us, event_id NULLS FIRST) AS prev
   FROM e
 ), s AS (
   SELECT *, sum(CASE WHEN prev IS NULL OR ts_us - prev > 1800000000
                      THEN 1 ELSE 0 END)
-            OVER (PARTITION BY u ORDER BY ts_us, event_id
+            OVER (PARTITION BY u ORDER BY ts_us, event_id NULLS FIRST
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
   FROM l
 ), r AS (
   SELECT *, row_number() OVER (PARTITION BY u, sess
-                               ORDER BY ts_us, event_id) AS rn
+                               ORDER BY ts_us, event_id NULLS FIRST) AS rn
   FROM s
 ), p AS (
   SELECT u, sess,
-         string_agg(event_type, '>' ORDER BY ts_us, event_id) AS path
+         string_agg(event_type, '>' ORDER BY ts_us, event_id NULLS FIRST) AS path
   FROM r WHERE rn <= 8 GROUP BY u, sess
 )
 SELECT path, count(*) AS n_sessions FROM p GROUP BY path
@@ -7132,7 +7199,7 @@ WITH h AS (
   SELECT event_type,
          CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_id,
          CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
-  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2
 ), span AS (
   SELECT event_type, min(hour_id) AS lo, max(hour_id) AS hi FROM h GROUP BY 1
 ), dense AS (
@@ -7317,14 +7384,14 @@ FROM sa FULL OUTER JOIN sb USING (dim)
 WITH e AS (
   SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
          CAST(round(value * 100) AS BIGINT) AS value_cents
-  FROM events WHERE value IS NOT NULL
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
 ), l AS (
   SELECT *,
          lag(event_id) OVER w AS prev_id,
          ts_us - lag(ts_us) OVER w AS gap
   FROM e
   WINDOW w AS (PARTITION BY user_id, event_type, value_cents
-               ORDER BY ts_us, event_id)
+               ORDER BY ts_us, event_id NULLS FIRST)
 )
 SELECT event_id, user_id, event_type, ts_us, value_cents, prev_id, gap,
        CASE WHEN gap IS NOT NULL THEN gap <= 600000000 END
@@ -7339,7 +7406,7 @@ WITH h AS (
   SELECT event_type,
          CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_id,
          CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
-  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2
 ), span AS (
   SELECT event_type, min(hour_id) AS lo, max(hour_id) AS hi FROM h GROUP BY 1
 ), dense AS (
@@ -7417,13 +7484,13 @@ FROM ev_t
 WITH e AS (
   SELECT event_id, event_type, epoch_us(ts) AS ts_us,
          CAST(round(value * 100) AS BIGINT) AS value_cents
-  FROM events WHERE value IS NOT NULL
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
 ), b AS (
   SELECT *, (ts_us // 3600000000) * 3600000000 AS bucket_us FROM e
 ), wts AS (
   SELECT *,
          COALESCE(lead(ts_us) OVER (PARTITION BY event_type, bucket_us
-                                    ORDER BY ts_us, event_id),
+                                    ORDER BY ts_us, event_id NULLS FIRST),
                   bucket_us + 3600000000) - ts_us AS w
   FROM b
 )

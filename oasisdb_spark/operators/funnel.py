@@ -398,25 +398,25 @@ def session_paths(
         .where(F.col(ts_col).isNotNull())
         .withColumn("_sess", F.sum(new_sess).over(cum))
     )
-    paths = sess.groupBy(user_col, "_sess").agg(
-        F.concat_ws(
-            ">",
-            F.transform(
-                F.slice(
-                    F.sort_array(
-                        F.collect_list(
-                            F.struct(
-                                F.col(ts_col), F.col(id_col), F.col(type_col)
-                            )
-                        )
-                    ),
-                    1,
-                    int(max_steps),
-                ),
-                lambda s: s[type_col],
+    steps = F.transform(
+        F.slice(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col(ts_col), F.col(id_col), F.col(type_col))
+                )
             ),
-        ).alias("path")
+            1,
+            int(max_steps),
+        ),
+        lambda s: s[type_col],
     )
+    # concat_ws skips NULL step labels (the SQL string_agg contract),
+    # but a session with ZERO labeled steps must be a NULL path, not ''
+    # — string_agg over no non-NULL values is NULL
+    path = F.when(
+        F.size(F.filter(steps, lambda t: t.isNotNull())) == 0, F.lit(None)
+    ).otherwise(F.concat_ws(">", steps))
+    paths = sess.groupBy(user_col, "_sess").agg(path.alias("path"))
     return (
         paths.groupBy("path")
         .agg(F.count(F.lit(1)).alias("n_sessions"))
