@@ -1327,7 +1327,9 @@ def _events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie determinism."""
     from oasisdb_spark.operators import asof_join
 
-    ev = _table(spark, sf_dir, "events")
+    # events-time convention: an as-of match needs a timestamp on both
+    # sides
+    ev = _table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
     clicks = (
         ev.filter(F.col("event_type") == "click")
@@ -2419,7 +2421,10 @@ def _events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch twin of the streaming session operator (streaming/events.py)."""
     from oasisdb_spark.sources.tables import event_time_micros
 
-    ev = _table(spark, sf_dir, "events")
+    # events-time convention: NULL-ts rows have no session position
+    # (they sort NULLS-FIRST into the first session on Spark but
+    # NULLS-LAST on SQL engines)
+    ev = _table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     # gap compared at microsecond resolution: equivalent to the oracle's
     # fractional epoch(ts) difference > 1800 s, and timezone-independent
@@ -5046,7 +5051,10 @@ def _conversion_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oasisdb_spark.operators.survival import kaplan_meier
     from oasisdb_spark.sources.tables import event_time_seconds
 
-    ev = _table(spark, sf_dir, "events")
+    # a survival subject needs an identity: the NULL-user rows would
+    # pool into one phantom subject under the per-user window (the
+    # oracle's user join never matches them)
+    ev = _table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
     sec = event_time_seconds(ev)
     base = ev.select(
         "user_id", "event_type", sec.alias("ts_s"), "event_id"
@@ -5869,7 +5877,9 @@ def _table_profile_oracle() -> str:
 
 _FUNNEL_ORACLE = """
     WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
-                WHERE event_type = 'view' GROUP BY user_id),
+                WHERE event_type = 'view'
+                  AND ts IS NOT NULL AND user_id IS NOT NULL
+                GROUP BY user_id),
     s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 ON e.user_id = s1.user_id
            WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id),
     s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 ON e.user_id = s2.user_id
@@ -6864,7 +6874,9 @@ WHERE NOT EXISTS (
 WITH e AS (
   SELECT user_id AS user, epoch_us(ts) AS ts, event_id AS id,
          event_type AS etype
-  FROM events WHERE event_type IN ('purchase', 'click', 'view')
+  FROM events
+  -- NULL-ts events have no sequence position (kernel parity)
+  WHERE event_type IN ('purchase', 'click', 'view') AND ts IS NOT NULL
 ), conv AS (
   SELECT * FROM e WHERE etype = 'purchase'
 ), t AS (
@@ -6873,9 +6885,9 @@ WITH e AS (
   SELECT c.id AS conversion_id,
          t.id AS t_id, t.etype AS t_type, t.ts AS t_ts,
          row_number() OVER (PARTITION BY c.id
-                            ORDER BY t.ts DESC, t.id DESC) AS rl,
+                            ORDER BY t.ts DESC, t.id DESC NULLS LAST) AS rl,
          row_number() OVER (PARTITION BY c.id
-                            ORDER BY t.ts ASC, t.id ASC) AS rf,
+                            ORDER BY t.ts ASC, t.id ASC NULLS FIRST) AS rf,
          count(*) OVER (PARTITION BY c.id) AS n
   FROM conv c
   JOIN t ON t.user = c.user
@@ -6966,8 +6978,9 @@ FROM agg
 WITH e AS (
   SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
          lag(event_type) OVER (PARTITION BY user_id
-                               ORDER BY epoch_us(ts), event_id) AS prev
+                               ORDER BY epoch_us(ts), event_id NULLS FIRST) AS prev
   FROM events
+  WHERE ts IS NOT NULL
 ), c AS (
   SELECT prev AS from_type, event_type AS to_type, count(*) AS n_trans
   FROM e WHERE prev IS NOT NULL GROUP BY 1, 2
@@ -7944,10 +7957,12 @@ WHERE q.label IS DISTINCT FROM e.label
         """,
         "events_asof_join": """
             WITH p AS (
-              SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase' AND ts IS NOT NULL
             ), c AS (
               SELECT user_id, ts, max(event_id) AS click_id
-              FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+              FROM events WHERE event_type = 'click' AND ts IS NOT NULL
+              GROUP BY user_id, ts
             )
             SELECT p.event_id, p.user_id, c.click_id AS r_click_id,
                    CAST(epoch(date_trunc('second', p.ts)) AS BIGINT)
@@ -8495,7 +8510,8 @@ WHERE q.label IS DISTINCT FROM e.label
             SELECT CAST(user_id % 4 AS INT) AS segment,
                    count(*) AS n_events,
                    round(sum(value), 2) AS sum_value
-            FROM events GROUP BY 1
+            -- inner-join semantics: NULL user_id never matches the dim
+            FROM events WHERE user_id IS NOT NULL GROUP BY 1
         """,
         "top_bigrams": """
             WITH toks AS (
@@ -8624,6 +8640,7 @@ WHERE q.label IS DISTINCT FROM e.label
                      CASE WHEN lag(ts) OVER w IS NULL THEN 1
                           WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_sess
               FROM events
+              WHERE ts IS NOT NULL
               WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
             ), s AS (
               SELECT user_id, value,
@@ -8643,6 +8660,7 @@ WHERE q.label IS DISTINCT FROM e.label
                      CASE WHEN lag(ts) OVER w IS NULL THEN 1
                           WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_sess
               FROM events
+              WHERE ts IS NOT NULL
               WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
             ), s AS (
               SELECT user_id, value,
@@ -8856,7 +8874,8 @@ SELECT s.doc_id, d.source, s.avg_logp,
 FROM scores s JOIN documents d USING (doc_id)
 """,
         "cohort_retention": """
-            WITH acts AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS period FROM events),
+            WITH acts AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS period
+                          FROM events WHERE ts IS NOT NULL),
             firsts AS (SELECT user_id, min(period) AS cohort FROM acts GROUP BY user_id),
             cells AS (SELECT a.user_id, f.cohort,
                              CAST(date_diff('day', f.cohort, a.period) AS INT) AS "offset"

@@ -75,7 +75,15 @@ def asof_join(
         ).alias("__r"),
         *[F.col(c).alias(f"__l_{c}") for c in left.columns if c not in keys and c != ts_col],
     )
-    r_tag = right.where(F.col(ts_col).isNotNull()).select(
+    # SQL join semantics on the equi-keys: a NULL key never matches
+    # (the union/window plan would otherwise pair NULL-key left rows
+    # with NULL-key right rows inside the NULL partition); NULL-key
+    # LEFT rows then find no right row — dropped under inner,
+    # NULL-filled under left, exactly like a real join
+    r_keep = F.col(ts_col).isNotNull()
+    for k in keys:
+        r_keep = r_keep & F.col(k).isNotNull()
+    r_tag = right.where(r_keep).select(
         *keys, ts_col, F.lit(0).alias("__side"),
         r_struct.alias("__r"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}")

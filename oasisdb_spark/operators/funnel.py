@@ -96,7 +96,14 @@ def funnel_steps(
     completion counts (r07 review).
     """
     per_user = (
-        events.filter(F.col(type_col).isin(steps) & F.col(ts_col).isNotNull())
+        # NULL users pool into one phantom journey under groupBy (the
+        # SQL oracle's join-chained funnel never matches them) — a
+        # journey needs an identifiable user
+        events.filter(
+            F.col(type_col).isin(steps)
+            & F.col(ts_col).isNotNull()
+            & F.col(user_col).isNotNull()
+        )
         .select(
             F.col(user_col).alias("user_id"),
             F.struct(F.col(ts_col).alias("ts"), F.col(type_col).alias("event_type")).alias("ev"),
