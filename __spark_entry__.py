@@ -705,7 +705,8 @@ SELECT d.doc_id,
        CASE WHEN COALESCE(matched.m, 0) > 0
             THEN CAST(matched.lp AS DOUBLE) / 1000000 / matched.m
             ELSE 0.0 END AS avg_logp
-FROM documents d
+-- identifiable docs only: lm_score's per-doc groupBy requires an id
+FROM (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL) d
 LEFT JOIN n_tbl USING (doc_id)
 LEFT JOIN matched USING (doc_id)
 """
@@ -926,7 +927,7 @@ def _topic_balance_oracle(cap: int = 12, n_buckets: int = 64) -> str:
         for k in range(SIMHASH_BITS)
     )
     return f"""
-WITH {_TOKS_CTE},
+WITH {_TOKS_NN_CTE},
 hs0 AS (SELECT doc_id, list_distinct(list_transform(tk, t -> {h60})) AS hs FROM toks),
 sh AS (SELECT doc_id, ({terms}) % {n_buckets} AS topic_bucket FROM hs0),
 r AS (
@@ -1033,7 +1034,10 @@ WITH t0 AS (
   FROM t0
 )
 SELECT doc_id,
-       CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+       -- NULL text has no stopword evidence: 'und', exactly like empty
+       -- text (the Spark expression's NULL-score path)
+       CASE WHEN greatest(s_de, s_en, s_es, s_fr) IS NULL THEN 'und'
+            WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
             WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
             WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
             WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
@@ -4079,7 +4083,9 @@ def _bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = [
         (r["left_sym"], r["right_sym"]) for r in _bpe_merges_memo(spark, sf_dir)
     ]
-    docs = _table(spark, sf_dir, "documents")
+    # identifiable docs only (the lm_score contract): the oracle's
+    # per-doc GROUP BY pools NULL ids into one phantom row
+    docs = _table(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
     return docs.select(
         "doc_id", bpe_segment_expr("text", merges).alias("bpe_tokens")
     )
@@ -5657,7 +5663,7 @@ def _ngram_grams_cte(n: int) -> str:
 def _ngram_contamination_oracle(n: int = 8) -> str:
     gh = _H60.format(s="gram")
     return f"""
-WITH {_TOKS_CTE},
+WITH {_TOKS_NN_CTE},
 {_ngram_grams_cte(n)},
 evh AS (SELECT doc_id, {gh} AS gh FROM (SELECT doc_id, unnest(grams) AS gram FROM g WHERE source = 'src0')),
 trh AS (SELECT DISTINCT {gh} AS gh FROM (SELECT unnest(grams) AS gram FROM g WHERE source != 'src0')),
@@ -5673,7 +5679,7 @@ FROM tot LEFT JOIN hits USING (doc_id)
 def _line_dedup_oracle(line_len: int = 12) -> str:
     lh = _H60.format(s="line")
     return f"""
-WITH {_TOKS_CTE},
+WITH {_TOKS_NN_CTE},
 lines AS (
   SELECT doc_id, unnest(list_transform(range(0, CAST(ceil(len(tk) / {line_len}.0) AS INT)),
     j -> array_to_string(tk[CAST(j*{line_len}+1 AS INT):CAST(j*{line_len}+{line_len} AS INT)], ' '))) AS line
@@ -5694,7 +5700,7 @@ def _line_scrub_oracle(line_len: int = 12, max_freq: int = 1) -> str:
     position order; boilerplate-only and empty docs come back ''."""
     lh = _H60.format(s="line")
     return f"""
-WITH {_TOKS_CTE},
+WITH {_TOKS_NN_CTE},
 lines AS (
   SELECT doc_id, j AS pos,
          array_to_string(tk[CAST(j*{line_len}+1 AS INT):CAST(j*{line_len}+{line_len} AS INT)], ' ') AS line
@@ -5709,7 +5715,9 @@ kept AS (
   GROUP BY h.doc_id
 )
 SELECT d.doc_id, coalesce(k.text, '') AS text
-FROM documents d LEFT JOIN kept k USING (doc_id)
+FROM (SELECT doc_id FROM documents
+      WHERE doc_id IS NOT NULL AND text IS NOT NULL) d
+LEFT JOIN kept k USING (doc_id)
 """
 
 
@@ -5811,7 +5819,8 @@ WITH base AS (
   FROM s
 ), r AS (
   SELECT doc_id, source, quality,
-         row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS q_rank,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY quality DESC, doc_id NULLS FIRST) AS q_rank,
          count(*) OVER (PARTITION BY source) AS _n
   FROM q
 )
@@ -6079,7 +6088,8 @@ seg AS (
   )
 )
 SELECT d.doc_id, COALESCE(SUM(s.n), 0)::BIGINT AS bpe_tokens
-FROM documents d LEFT JOIN seg s USING (doc_id) GROUP BY 1"""
+FROM (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL) d
+LEFT JOIN seg s USING (doc_id) GROUP BY 1"""
 
 
 # shared by value_quantiles_sketch and its streaming twin: DuckDB
@@ -6218,7 +6228,9 @@ scored AS (
 )
 SELECT d.doc_id, CAST(COALESCE(s.n_feats, 0) AS BIGINT) AS n_feats,
        CAST(COALESCE(s.w, 0) AS BIGINT) AS weight_micro
-FROM documents d LEFT JOIN scored s USING (doc_id)
+-- identifiable docs only (the lm_score contract)
+FROM (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL) d
+LEFT JOIN scored s USING (doc_id)
 """
 
 
@@ -7180,7 +7192,8 @@ WITH t0 AS (
   FROM t0
 ), pred AS (
   SELECT lang AS a,
-         CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+         CASE WHEN greatest(s_de, s_en, s_es, s_fr) IS NULL THEN 'und'
+              WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
               WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
               WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
               WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
@@ -7797,10 +7810,12 @@ WHERE q.label IS DISTINCT FROM e.label
             )
             SELECT doc_id,
                    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5,
-                   list_reduce(
+                   -- NULL text -> NULL hash (Spark's aggregate over a
+                   -- NULL array); DuckDB's list_prepend(0, NULL) = [0]
+                   CASE WHEN tk IS NULL THEN NULL ELSE list_reduce(
                      list_prepend(CAST(0 AS BIGINT),
                        list_transform(tk, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 2147483647)),
-                     (a, x) -> (a * 31 + x) % 2147483647) AS rolling_hash,
+                     (a, x) -> (a * 31 + x) % 2147483647) END AS rolling_hash,
                    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS INTEGER) AS ws_tokens,
                    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS bpe_tokens
             FROM toks
@@ -8424,9 +8439,11 @@ WHERE q.label IS DISTINCT FROM e.label
         "sequence_pack_chunks": """
             WITH t AS (
               SELECT doc_id, doc_id % 8 AS bucket,
-                     len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                                     x -> x != '')) AS n_tokens
-              FROM documents
+                     -- NULL text packs as an EMPTY document (0 tokens,
+                     -- the budget convention) — mirror Spark's coalesce
+                     COALESCE(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                     x -> x != '')), 0) AS n_tokens
+              FROM documents WHERE doc_id IS NOT NULL
             ), c AS (
               SELECT *, sum(n_tokens) OVER (
                 PARTITION BY bucket ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
@@ -8452,9 +8469,10 @@ WHERE q.label IS DISTINCT FROM e.label
                        PARTITION BY bucket ORDER BY n_tokens DESC, doc_id) AS rn
               FROM (
                 SELECT doc_id,
-                       len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                                       x -> x != ''))::BIGINT AS n_tokens
-                FROM documents
+                       -- NULL text = empty document (budget convention)
+                       COALESCE(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                       x -> x != '')), 0)::BIGINT AS n_tokens
+                FROM documents WHERE doc_id IS NOT NULL
               )
             ), walk AS (
               SELECT bucket, rn, doc_id, n_tokens, 0::BIGINT AS bin_id,
@@ -8480,10 +8498,12 @@ WHERE q.label IS DISTINCT FROM e.label
         "sequence_pack_nextfit": """
             WITH RECURSIVE t AS (
               SELECT doc_id, doc_id % 8 AS bucket,
-                     len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                                     x -> x != ''))::BIGINT AS n_tokens,
+                     -- NULL text = empty document (budget convention);
+                     -- NULL ids cannot be packed (kernel parity)
+                     COALESCE(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                     x -> x != '')), 0)::BIGINT AS n_tokens,
                      row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
-              FROM documents
+              FROM documents WHERE doc_id IS NOT NULL
             ), walk AS (
               SELECT bucket, rn, doc_id, n_tokens, 0::BIGINT AS bin_id, n_tokens AS fill
               FROM t WHERE rn = 1
@@ -8773,7 +8793,9 @@ WHERE q.label IS DISTINCT FROM e.label
             SELECT doc_id,
                    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
                                         x -> x != '')) AS BIGINT) AS n_ws_tokens,
-                   CAST(len(regexp_extract_all(text, '\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]+')) AS BIGINT) AS n_pretokens,
+                   -- pretokens coalesce NULL text to '' (empty document,
+                   -- the budget convention) — mirror the 0
+                   CAST(coalesce(len(regexp_extract_all(text, '\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]+')), 0) AS BIGINT) AS n_pretokens,
                    CAST(coalesce(list_sum(list_transform(
                      regexp_extract_all(text, '\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]+'),
                      p -> (length(p)+3)//4)), 0) AS BIGINT) AS bpe_est

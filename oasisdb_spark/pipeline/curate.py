@@ -170,6 +170,9 @@ def ngram_contamination(
     Reference parity: the reference has no decontamination operator;
     this extends its document search surface (SURVEY §2.4 extension).
     """
+    # corpus-membership contract on both frames
+    train = train.where(F.col(id_col).isNotNull() & F.col(text_col).isNotNull())
+    eval_df = eval_df.where(F.col(id_col).isNotNull() & F.col(text_col).isNotNull())
     ev = (
         eval_df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("tk"))
         .select("doc_id", F.explode(_distinct_ngrams(F.col("tk"), n)).alias("gram"))
@@ -224,6 +227,9 @@ def line_dedup_stats(
     # project tokens ONCE — slicing a materialized array column is
     # cheap; slicing the tokens(text) expression inside the transform
     # lambda would re-tokenize per line (see _distinct_ngrams)
+    # corpus-membership contract (pipeline/dedup.py): NULL-id /
+    # NULL-text docs are not corpus members
+    df = df.where(F.col(id_col).isNotNull() & F.col(text_col).isNotNull())
     lines = _token_lines(F.col("__tk"), line_len)
     exploded = (
         df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("__tk"))
@@ -292,6 +298,9 @@ def scrub_duplicate_lines(
     corpus-scale materialization for those passes; measure before
     switching (the r07 HITS persist regression — cached plans bypass
     AQE — is the cautionary precedent)."""
+    # corpus-membership contract (pipeline/dedup.py): NULL-id /
+    # NULL-text docs are not corpus members
+    df = df.where(F.col(id_col).isNotNull() & F.col(text_col).isNotNull())
     lines = _token_lines(F.col("__tk"), line_len)
     base = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("__tk"))
     exploded = base.select(

@@ -135,6 +135,10 @@ def dsir_score(
     (id_col, n_feats, weight_micro). Feature-less documents (empty
     text) keep weight_micro = 0. The model (<= B rows) broadcasts; the
     only shuffle is the per-doc partial agg."""
+    # identifiable docs only: per-doc scores/ranks need an id (the
+    # oracle joins on doc_id; groupBy would pool NULL ids) — the
+    # lm_score contract
+    df = df.where(F.col(id_col).isNotNull())
     feats = df.select(
         F.col(id_col), F.explode(hashed_ngram_buckets(text_col, n_buckets)).alias("bucket")
     )
@@ -182,6 +186,10 @@ def dsir_score_broadcast(
     UTF-8 by tests/test_token_dialect.py's exhaustive codepoint sweep,
     as lm_score_broadcast), so outputs are row-identical and the batch
     oracle applies."""
+    # identifiable docs only: per-doc scores/ranks need an id (the
+    # oracle joins on doc_id; groupBy would pool NULL ids) — the
+    # lm_score contract
+    df = df.where(F.col(id_col).isNotNull())
     import hashlib
     import re as _re
 
@@ -237,6 +245,10 @@ def dsir_select(
     final sort to a single partition; WindowGroupLimit only trimmed
     each input partition to k first). sel_rank is then a row_number
     over the k surviving rows — a trivial single-partition window."""
+    # identifiable docs only: per-doc scores/ranks need an id (the
+    # oracle joins on doc_id; groupBy would pool NULL ids) — the
+    # lm_score contract
+    df = df.where(F.col(id_col).isNotNull())
     from pyspark.sql import Window
 
     score_fn = dsir_score_broadcast if scorer == "broadcast" else dsir_score

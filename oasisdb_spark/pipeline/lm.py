@@ -116,6 +116,11 @@ def lm_score(
     because exp() is engine-dependent at the ulp level while this frame
     is exactly comparable. Low avg_logp == surprising text (gibberish,
     boilerplate soup); the CCNet gate keeps the middle band."""
+    # per-document scores need a document identity: groupBy(doc_id)
+    # would pool every NULL-id doc into ONE phantom row (the oracle's
+    # per-doc join never matches them). Model TRAINING (bigram_lm)
+    # still sees the full corpus — only scoring requires identity.
+    df = df.where(F.col(id_col).isNotNull())
     if parallelism:
         df = df.repartition(parallelism)
     docbg = df.select(
@@ -198,6 +203,9 @@ def lm_score_broadcast(
 
     from oasisdb_spark.pipeline.text import _TOKEN_SEP
 
+    # identifiable docs only — the lm_score contract (streaming-safe
+    # stateless filter)
+    df = df.where(F.col(id_col).isNotNull())
     lut = {r["bg"]: r["lp_micro"] for r in model.select("bg", "lp_micro").collect()}
     bc = df.sparkSession.sparkContext.broadcast(lut)
 

@@ -47,6 +47,10 @@ def chunk_pack(
     chunks floor((cum-n)/seq_len) .. floor((cum-1)/seq_len). Empty docs
     attach to the chunk at their stream position.
     """
+    # identifiable docs only (greedy/next-fit parity): the cumulative
+    # window orders by id, and NULL ids make the tie-order — hence the
+    # chunk boundaries — engine-ambiguous
+    docs = docs.where(F.col(id_col).isNotNull())
     t = docs.select(
         F.col(id_col),
         (F.col(id_col) % n_buckets).alias("bucket"),
@@ -82,6 +86,10 @@ def greedy_pack(
     ids; sum(n_tokens) per bin <= capacity whenever every member fits
     the capacity individually.
     """
+    # identifiable docs only: a packed sequence references documents
+    # by id (the oracle's per-bucket recursion joins on it) — NULL
+    # ids cannot be packed
+    docs = docs.where(F.col(id_col).isNotNull())
     t = docs.select(
         F.col(id_col).alias("doc_id"),
         (F.col(id_col) % n_buckets).alias("bucket"),
@@ -135,6 +143,10 @@ def next_fit_pack(
 
     Returns (id_col, bucket, n_tokens, bin_id), bucket-local bin ids.
     """
+    # identifiable docs only: a packed sequence references documents
+    # by id (the oracle's per-bucket recursion joins on it) — NULL
+    # ids cannot be packed
+    docs = docs.where(F.col(id_col).isNotNull())
     t = docs.select(
         F.col(id_col).alias("doc_id"),
         (F.col(id_col) % n_buckets).alias("bucket"),

@@ -465,6 +465,9 @@ def topic_balanced_sample(
     (and/or pre-aggregate per-bucket counts) so buckets stay
     executor-sized.
     """
+    # corpus-membership contract (pipeline/dedup.py): NULL-id /
+    # NULL-text docs are not corpus members
+    df = df.where(F.col(id_col).isNotNull() & F.col(text_col).isNotNull())
     from oasisdb_spark.pipeline.dedup import SIMHASH_BITS, simhash_expr
 
     if not 1 <= n_buckets <= (1 << SIMHASH_BITS):
