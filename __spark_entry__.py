@@ -261,7 +261,12 @@ def _search_documents_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oasisdb_spark.index.flat import knn_flat
 
     emb = _table(spark, sf_dir, "embeddings")
-    base = emb.filter(F.col("label") == 1).select(
+    # indexable-rows contract (_emb_base): NULL ids would rank on NULL
+    # distance and then vanish in the label join
+    base = emb.filter(
+        (F.col("label") == 1)
+        & F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+    ).select(
         F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
     )
     res = knn_flat(_emb_queries(spark, sf_dir, 5), base, k=5)
@@ -1061,6 +1066,8 @@ _BM25_ORACLE_TMPL = """
       SELECT doc_id,
              list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS tk
       FROM documents
+      -- corpus members only (index/text.py build_text_index contract)
+      WHERE doc_id IS NOT NULL AND text IS NOT NULL
     ),
     dl AS (SELECT doc_id, len(tk) AS dl, tk FROM toks),
     stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
@@ -1090,7 +1097,11 @@ def _bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode pass computes tf; df/N/avgdl are tiny broadcast aggregates;
     scoring is pure JVM arithmetic; top-20 via TakeOrdered. Scores round
     to 6dp so cross-engine ln/division agree."""
-    docs = _table(spark, sf_dir, "documents")
+    # corpus members only (the build_text_index contract — NULL rows
+    # skew n_docs/avgdl and shift every score)
+    docs = _table(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
     toks = docs.select(
         "doc_id",
         F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != "").alias("tk"),
@@ -1697,7 +1708,16 @@ def _q21_last_to_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number==1 with a strictly-smaller lead — which also replaces
     the follow-up count-the-last-lines groupBy. All three window
     specs share one (l_orderkey, l_shipdate desc) sort."""
-    li = _table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    # waiting-supplier attribution needs all three fields: a NULL
+    # orderkey groups nothing, a NULL suppkey names nobody, a NULL
+    # shipdate has no order in the last-to-ship ranking
+    li = _table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    ).where(
+        F.col("l_orderkey").isNotNull()
+        & F.col("l_suppkey").isNotNull()
+        & F.col("l_shipdate").isNotNull()
+    )
     whole = Window.partitionBy("l_orderkey").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
@@ -5920,6 +5940,9 @@ def _pagerank_oracle_sql(iters: int = 5, scale: int = 10**12,
         """eb AS MATERIALIZED (
   SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  -- NULL-endpoint edges are excluded (operators/pagerank.py
+  -- build_graph): 'c' || NULL is NULL, which would mint a NULL node
+  WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL
 )""",
         "e AS MATERIALIZED (SELECT src, dst FROM eb UNION SELECT dst, src FROM eb)",
         "nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e)",
@@ -6548,8 +6571,12 @@ def oracle_sql() -> dict[str, str]:
                      lag(o_orderstatus) OVER w AS prev,
                      row_number() OVER w AS rn
               FROM orders
+              -- observations with NULL order values have no position on
+              -- the validity timeline (operators/scd.py exclusion)
+              WHERE o_orderdate IS NOT NULL AND o_orderkey IS NOT NULL
               WINDOW w AS (PARTITION BY o_custkey
-                           ORDER BY o_orderdate, o_orderkey)
+                           ORDER BY o_orderdate NULLS FIRST,
+                                    o_orderkey NULLS FIRST)
             ),
             opens AS (
               SELECT * FROM ob
@@ -6561,7 +6588,8 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER w2 :: INT AS version
             FROM opens
             WINDOW w2 AS (PARTITION BY o_custkey
-                          ORDER BY o_orderdate, o_orderkey)
+                          ORDER BY o_orderdate NULLS FIRST,
+                                   o_orderkey NULLS FIRST)
         """,
         # per-group bottom-256 sample + integer ceil-rank order stats
         "event_type_quantiles": """
@@ -6661,6 +6689,8 @@ FROM r GROUP BY event_type, bar_start
         "copurchase_pairs": """
 WITH items AS (
   SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+  -- basket rows need both endpoints (operators/basket.py)
+  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
 ), sup AS (
   SELECT i, count(*) AS s FROM items GROUP BY i
 ), nb AS (
@@ -6687,6 +6717,8 @@ CROSS JOIN nb
         "copurchase_triangles": """
 WITH items AS (
   SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+  -- basket rows need both endpoints (operators/basket.py)
+  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
 ), e AS (
   SELECT a.i AS x, c.i AS y
   FROM items a JOIN items c USING (b)
@@ -7264,6 +7296,8 @@ FROM br
         "copurchase_communities": """
 WITH RECURSIVE items AS (
   SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+  -- basket rows need both endpoints (operators/basket.py)
+  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
 ), e AS (
   SELECT a.i AS x, b.i AS y FROM items a JOIN items b USING (b)
   WHERE a.i < b.i GROUP BY 1, 2 HAVING count(*) >= 3
@@ -7315,6 +7349,8 @@ FROM m CROSS JOIN tot
         "copurchase_rules": """
 WITH items AS (
   SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+  -- basket rows need both endpoints (operators/basket.py)
+  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
 ), sup AS (
   SELECT i, count(*) AS s FROM items GROUP BY 1
 ), nb AS (
@@ -7783,7 +7819,9 @@ WHERE q.label IS DISTINCT FROM e.label
             FROM r WHERE (_n < 64 AND _r = _n) OR _r = 64
         """,
         "auto_embed": """
-            SELECT doc_id, 32 AS dim,
+            SELECT doc_id,
+                   -- NULL text is un-embeddable: NULL vector, NULL dim
+                   CASE WHEN text IS NULL THEN NULL ELSE 32 END AS dim,
                    list_sum(list_transform(range(0, 32), i ->
                      CAST(((('0x' || substr(md5(text || ':' || CAST(i AS VARCHAR)), 1, 15))::BIGINT % 2001) - 1000)
                           * ((('0x' || substr(md5(text || ':' || CAST(i AS VARCHAR)), 1, 15))::BIGINT % 2001) - 1000)
@@ -7893,7 +7931,8 @@ WHERE q.label IS DISTINCT FROM e.label
         """,
         "customer_running_spend": """
             SELECT o_custkey, o_orderkey,
-                   round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                   round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey ASC NULLS FIRST
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
             FROM orders
         """,
@@ -8124,7 +8163,9 @@ WHERE q.label IS DISTINCT FROM e.label
             ),
             scored AS (
               SELECT source, tf.term AS term,
-                     round(tf * ln(CAST((SELECT count(DISTINCT source) FROM documents) AS DOUBLE) / df), 6) AS tfidf
+                     -- count(*) over a DISTINCT subquery: the NULL source
+                     -- IS a corpus group (Spark's distinct().count())
+                     round(tf * ln(CAST((SELECT count(*) FROM (SELECT DISTINCT source FROM documents)) AS DOUBLE) / df), 6) AS tfidf
               FROM tf JOIN idf ON tf.term = idf.term
             )
             SELECT source, term, tfidf, CAST(rank AS INTEGER) AS rank FROM (
@@ -8180,13 +8221,18 @@ WHERE q.label IS DISTINCT FROM e.label
             ORDER BY s_suppkey
         """,
         "q21_last_to_ship": """
-            WITH per AS (
+            WITH li AS (
+              SELECT l_orderkey, l_suppkey, l_shipdate FROM lineitem
+              WHERE l_orderkey IS NOT NULL AND l_suppkey IS NOT NULL
+                AND l_shipdate IS NOT NULL
+            ),
+            per AS (
               SELECT l_orderkey, count(DISTINCT l_suppkey) AS ns, max(l_shipdate) AS mx
-              FROM lineitem GROUP BY l_orderkey
+              FROM li GROUP BY l_orderkey
             ),
             last AS (
               SELECT l.l_orderkey, l.l_suppkey
-              FROM lineitem l JOIN per p
+              FROM li l JOIN per p
                 ON l.l_orderkey = p.l_orderkey AND l.l_shipdate = p.mx
               WHERE p.ns > 1
             ),
@@ -8580,15 +8626,22 @@ WHERE q.label IS DISTINCT FROM e.label
               FROM orders WHERE o_orderkey % 101 = 0
             ),
             d AS (
-              SELECT CASE WHEN o.o_orderkey IS NULL THEN 'added'
-                          WHEN n.o_orderkey IS NULL THEN 'removed'
+              -- presence is tested on per-side markers, NOT on the key:
+              -- an OLD row whose key IS NULL never joins, and testing
+              -- o.o_orderkey IS NULL would misclassify it as 'added'
+              -- (it is a REMOVED row — snapshot_diff's NULL-key
+              -- surfacing contract)
+              SELECT CASE WHEN o._in_old IS NULL THEN 'added'
+                          WHEN n._in_new IS NULL THEN 'removed'
                           WHEN o.o_custkey IS NOT DISTINCT FROM n.o_custkey
                            AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
                            AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
                            AND o.o_orderdate IS NOT DISTINCT FROM n.o_orderdate
                            AND o.o_orderpriority IS NOT DISTINCT FROM n.o_orderpriority
                           THEN 'unchanged' ELSE 'changed' END AS status
-              FROM orders o FULL OUTER JOIN newt n ON o.o_orderkey = n.o_orderkey
+              FROM (SELECT *, TRUE AS _in_old FROM orders) o
+              FULL OUTER JOIN (SELECT *, TRUE AS _in_new FROM newt) n
+                ON o.o_orderkey = n.o_orderkey
             )
             SELECT status, count(*) AS n_keys FROM d GROUP BY status
         """,

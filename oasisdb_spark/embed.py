@@ -122,6 +122,10 @@ def auto_embed(
     """Auto-embed rule (document.go:55-68): embed iff the embedding flag
     is set and the vector is absent; otherwise keep the given vector."""
     cond = F.col(vector_col).isNull() | (F.size(vector_col) == 0)
+    # NULL text is un-embeddable: the vector stays NULL (and ingest
+    # rejects vectorless docs) instead of silently embedding "" — every
+    # NULL doc would otherwise share one constant vector
+    cond = cond & F.col(text_col).isNotNull()
     if flag_col is not None:
         cond = cond & (F.col(flag_col) == F.lit("true"))
     return df.withColumn(

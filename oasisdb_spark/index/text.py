@@ -45,6 +45,10 @@ def build_text_index(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> dict[str, DataFrame]:
     """One corpus pass → the four index frames (see module docstring)."""
+    # corpus-membership contract (pipeline/dedup.py): a NULL id cannot
+    # be a retrieval result and NULL text has no tokens — and both
+    # would skew n_docs/avgdl, shifting EVERY BM25 score in the corpus
+    docs = docs.where(F.col(id_col).isNotNull() & F.col(text_col).isNotNull())
     base = docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("tk"))
     doclens = base.select("doc_id", F.size("tk").alias("dl"))
     postings = (
