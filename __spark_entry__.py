@@ -2320,7 +2320,9 @@ def _price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _table(spark, sf_dir, "events")
+    # events-time convention: NULL-ts rows have no hour bucket (the
+    # streaming twin's window() drops them; twin-identical oracles)
+    ev = _table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     return (
         ev.groupBy(
             F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
@@ -8658,7 +8660,9 @@ WHERE q.label IS DISTINCT FROM e.label
         "events_hourly": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
                    event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
-            FROM events GROUP BY 1, 2
+            -- NULL-ts rows have no hour bucket (the streaming twin's
+            -- window() drops them; events-time convention)
+            FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
         """,
         "events_enriched_stream": """
             WITH dim AS (
@@ -8669,6 +8673,7 @@ WHERE q.label IS DISTINCT FROM e.label
             SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, segment,
                    count(*) AS n_events, round(sum(value), 2) AS sum_value
             FROM events JOIN dim USING (user_id)
+            WHERE ts IS NOT NULL
             GROUP BY day, segment
         """,
         # streaming twin: hour-aligned tumbling windows over the full
@@ -8676,7 +8681,9 @@ WHERE q.label IS DISTINCT FROM e.label
         "events_hourly_stream": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
                    event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
-            FROM events GROUP BY 1, 2
+            -- NULL-ts rows have no hour bucket (the streaming twin's
+            -- window() drops them; events-time convention)
+            FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
         """,
         "events_rolling_1h": """
             SELECT user_id, event_id,
@@ -8750,7 +8757,11 @@ WHERE q.label IS DISTINCT FROM e.label
         "events_dedup_stream": """
             SELECT event_type, count(*) AS n_events,
                    round(sum(value), 2) AS sum_value
-            FROM events GROUP BY event_type
+            -- dedup needs an identity and an event time (streaming/
+            -- events.py dedup_stream contract)
+            FROM events
+            WHERE event_id IS NOT NULL AND ts IS NOT NULL
+            GROUP BY event_type
         """,
         # multimodal: the fixture's pixel colors / amplitudes derive from
         # md5 of the media id (make_media), so the oracle recomputes what

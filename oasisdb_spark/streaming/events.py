@@ -114,6 +114,13 @@ def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     (events/sec x watermark), not the full stream history — the only
     formulation that survives an unbounded stream. Duplicates arriving
     within the watermark window are dropped; the first arrival wins."""
+    # a NULL id is not a duplicate of another NULL id (Spark's
+    # dropDuplicates treats NULL keys as equal and would collapse ALL
+    # NULL-id rows to one), and a NULL ts never passes the watermark —
+    # both are excluded, the identity + events-time contracts
+    events = events.where(
+        F.col("event_id").isNotNull() & F.col("ts").isNotNull()
+    )
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
@@ -222,6 +229,11 @@ def funnel_stream(
 
     State per user is two scalars; at scale it lives partitioned in the
     state store, checkpointed, never on the driver."""
+    # batch-twin parity (operators/funnel.py funnel_steps): a journey
+    # needs an identifiable user and timestamped steps
+    events = events.where(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    )
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 

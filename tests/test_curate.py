@@ -221,15 +221,17 @@ def test_gopher_symbol_ratio_spares_whitespace(spark):
 
 
 def test_line_dedup_stats_emits_rows_for_empty_docs(spark):
-    """r07 review: empty/NULL docs get an n_lines=0 / ratio 0.0 row —
-    a dup_line_ratio policy must see them."""
+    """EMPTY docs get an n_lines=0 / ratio 0.0 row — a dup_line_ratio
+    policy must see them (r07 review). NULL-text docs are NOT corpus
+    members (round-9 NULL-fixture convention, shared with the shingle/
+    jaccard family): they are excluded, not zero-scored — handle them
+    at the quality gate upstream."""
     from oasisdb_spark.pipeline.curate import line_dedup_stats
 
     boiler = "copy right footer text repeated everywhere always " * 3
     rows = [(1, ""), (2, None), (3, boiler), (4, boiler)]
     df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
     out = {r["doc_id"]: r for r in line_dedup_stats(df).collect()}
-    assert set(out) == {1, 2, 3, 4}
+    assert set(out) == {1, 3, 4}
     assert out[1]["n_lines"] == 0 and out[1]["dup_line_ratio"] == 0.0
-    assert out[2]["n_lines"] == 0 and out[2]["dup_line_ratio"] == 0.0
     assert out[3]["n_dup_lines"] > 0
