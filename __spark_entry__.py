@@ -5348,10 +5348,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #
     # ROUND-10 ROTATION TODO (stage EARLY): re-run
     # `python scripts/rotation_audit.py --next 50` — the behind-window
-    # section below is pre-ordered as the r10 queue (remaining direct-
-    # churned, then module-churned, then unchanged, stalest first), but
-    # round-9 churn reshuffles it; any r09 red/no-row entries preempt
-    # from the front.
+    # section below is pre-ordered as the ROUND-8-era r10 queue, but
+    # the round-9 NULL-fixture campaign churned 125 entries (100 with
+    # direct entry-fn/oracle churn; `--churn --since <r09 close
+    # commit>` reproduces the count), so the audit's live ranking WILL
+    # reshuffle it. Two mitigating signals for staging judgment: the
+    # r09 window (all 50 entries) was re-verified vanilla-session
+    # value-exact + type-clean at sf0.01 on the FINAL round-9 tree
+    # after the campaign, and the whole registry swept 197/197 at
+    # sf0.001 on BOTH the clean and NULL fixtures (NULLSWEEP.md). Any
+    # r09 red/no-row entries still preempt from the front.
     return {
         # --- ROUND-9 WINDOW (positions 1-50) — staged from the
         # change-aware churn ranking (scripts/rotation_audit.py,
