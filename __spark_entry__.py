@@ -2122,10 +2122,16 @@ _HYBRID_TERMS = {0: ["the", "data", "model", "spark", "query"],
 _QUALITY_GATE_ORACLE = """
     WITH a AS (
       SELECT count(*) AS n,
-        CAST(sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END) AS BIGINT) AS v_qty,
-        CAST(sum(CASE WHEN l_discount BETWEEN 0 AND 0.08 THEN 0 ELSE 1 END) AS BIGINT) AS v_disc,
-        CAST(sum(CASE WHEN l_tax BETWEEN 0 AND 0.08 THEN 0 ELSE 1 END) AS BIGINT) AS v_tax,
-        CAST(sum(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END) AS BIGINT) AS v_price,
+        -- NaN violates every float constraint explicitly (DuckDB's
+        -- columnar NaN BETWEEN disagrees with its constant folding)
+        CAST(sum(CASE WHEN isnan(l_quantity) THEN 1
+                      WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END) AS BIGINT) AS v_qty,
+        CAST(sum(CASE WHEN isnan(l_discount) THEN 1
+                      WHEN l_discount BETWEEN 0 AND 0.08 THEN 0 ELSE 1 END) AS BIGINT) AS v_disc,
+        CAST(sum(CASE WHEN isnan(l_tax) THEN 1
+                      WHEN l_tax BETWEEN 0 AND 0.08 THEN 0 ELSE 1 END) AS BIGINT) AS v_tax,
+        CAST(sum(CASE WHEN isnan(l_extendedprice) THEN 1
+                      WHEN l_extendedprice > 0 THEN 0 ELSE 1 END) AS BIGINT) AS v_price,
         CAST(sum(CASE WHEN l_linenumber BETWEEN 1 AND 7 THEN 0 ELSE 1 END) AS BIGINT) AS v_ln
       FROM lineitem
     )
@@ -2310,7 +2316,10 @@ def _price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     gives .25 -- engines legitimately disagree at x.xx5, so the fix is
     to never round a float, the repo's micro-unit discipline."""
     li = _table(spark, sf_dir, "lineitem")
-    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    # try_cast: NaN quantizes to NULL on BOTH engines (percentile /
+    # quantile_cont skip NULLs) — the complete-case convention at the
+    # cents boundary without changing row counts
+    cents = F.round(F.col("l_extendedprice") * 100).try_cast("long")
     obs = li.select("l_returnflag", cents.alias("_c"))
     return obs.groupBy("l_returnflag").agg(
         F.percentile("_c", F.lit(0.25)).alias("p25_cents"),
@@ -3085,8 +3094,10 @@ def _bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-order sum independent of partition/accumulation order, so the
     # hash compare is exact (double sums round-trip differently at the
     # .xx5 representation edge)
-    rev = F.col("l_extendedprice").cast("decimal(14,2)") * (
-        F.lit(1).cast("decimal(14,2)") - F.col("l_discount").cast("decimal(14,2)")
+    # try_cast: a NaN price/discount contributes no revenue (NULL —
+    # both engines' sum skips it) instead of an ANSI overflow
+    rev = F.col("l_extendedprice").try_cast("decimal(14,2)") * (
+        F.lit(1).cast("decimal(14,2)") - F.col("l_discount").try_cast("decimal(14,2)")
     )
     return (
         bloom_pruned_join(li, orders, "l_orderkey", "o_orderkey", num_bits=1 << 18)
@@ -3172,7 +3183,7 @@ def _zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("sum_value"),
+            F.sum(F.col("value").try_cast("decimal(14,2)")).cast("double").alias("sum_value"),
         )
     )
 
@@ -3366,11 +3377,16 @@ def _line_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lineitem_constraints() -> dict:
+    # NaN is explicit in every float constraint: Spark ranks NaN
+    # greatest (NaN > 0 is TRUE — a NaN price would silently pass
+    # 'positive_price'), and DuckDB's columnar NaN comparisons disagree
+    # with its own constant folding — a gate must flag NaN, never
+    # depend on either engine's NaN-comparison quirks
     return {
-        "qty_range": F.col("l_quantity").between(1, 50),
-        "discount_range": F.col("l_discount").between(0, 0.08),
-        "tax_range": F.col("l_tax").between(0, 0.08),
-        "positive_price": F.col("l_extendedprice") > 0,
+        "qty_range": ~F.isnan("l_quantity") & F.col("l_quantity").between(1, 50),
+        "discount_range": ~F.isnan("l_discount") & F.col("l_discount").between(0, 0.08),
+        "tax_range": ~F.isnan("l_tax") & F.col("l_tax").between(0, 0.08),
+        "positive_price": ~F.isnan("l_extendedprice") & (F.col("l_extendedprice") > 0),
         "linenumber_range": F.col("l_linenumber").between(1, 7),
     }
 
@@ -4221,7 +4237,7 @@ def _events_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = (
         _table(spark, sf_dir, "events")
-        .where(F.col("value").isNotNull())
+        .where(F.col("value").isNotNull() & ~F.isnan("value"))
         .select(
             "event_id",
             "event_type",
@@ -4440,7 +4456,7 @@ def _events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     # contract) — these five order-sensitive entries share the filter,
     # their oracles carry the matching WHERE
     ev0 = _table(spark, sf_dir, "events").where(
-        F.col("value").isNotNull() & F.col("ts").isNotNull()
+        F.col("value").isNotNull() & ~F.isnan("value") & F.col("ts").isNotNull()
     )
     ev = ev0.select(
         "event_id",
@@ -4509,9 +4525,9 @@ def _lineitem_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _table(spark, sf_dir, "lineitem").select(
         "l_orderkey",
         "l_linenumber",
-        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
-        F.round(F.col("l_discount") * 100).cast("long").alias("discount_pct"),
-        F.col("l_quantity").cast("long").alias("quantity"),
+        F.round(F.col("l_extendedprice") * 100).try_cast("long").alias("price_cents"),
+        F.round(F.col("l_discount") * 100).try_cast("long").alias("discount_pct"),
+        F.col("l_quantity").try_cast("long").alias("quantity"),
     )
     return skyline(
         li,
@@ -4610,7 +4626,7 @@ def _events_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical normal-equation arithmetic."""
     from oasisdb_spark.operators.timeseries import grouped_trend
 
-    ev = _table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    ev = _table(spark, sf_dir, "events").where(F.col("value").isNotNull() & ~F.isnan("value"))
     obs = ev.select(
         "event_type",
         F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias(
@@ -4637,7 +4653,7 @@ def _events_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # contract) — these five order-sensitive entries share the filter,
     # their oracles carry the matching WHERE
     ev0 = _table(spark, sf_dir, "events").where(
-        F.col("value").isNotNull() & F.col("ts").isNotNull()
+        F.col("value").isNotNull() & ~F.isnan("value") & F.col("ts").isNotNull()
     )
     ev = ev0.select(
         "event_id",
@@ -4692,7 +4708,7 @@ def _customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _table(spark, sf_dir, "orders").select(
         "o_custkey",
         "o_orderdate",
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+        F.round(F.col("o_totalprice") * 100).try_cast("long").alias("price_cents"),
     )
     return rfm_segments(o, "o_custkey", "o_orderdate", "price_cents")
 
@@ -4739,7 +4755,7 @@ def _events_cusum_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # contract) — these five order-sensitive entries share the filter,
     # their oracles carry the matching WHERE
     ev0 = _table(spark, sf_dir, "events").where(
-        F.col("value").isNotNull() & F.col("ts").isNotNull()
+        F.col("value").isNotNull() & ~F.isnan("value") & F.col("ts").isNotNull()
     )
     ev = ev0.select(
         "event_id",
@@ -4862,7 +4878,7 @@ def _events_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         time_bucket_gapfill,
     )
 
-    ev = _table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    ev = _table(spark, sf_dir, "events").where(F.col("value").isNotNull() & ~F.isnan("value"))
     hourly = ev.groupBy(
         "event_type",
         F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("hour_id"),
@@ -4911,7 +4927,10 @@ def _orders_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     the correct answer, and the hashed per-digit evidence shows it."""
     from oasisdb_spark.operators.quality import BENFORD_MICRO, goodness_of_fit
 
-    o = _table(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1)
+    # NaN compares GREATER than 1 on both engines — exclude explicitly
+    o = _table(spark, sf_dir, "orders").where(
+        (F.col("o_totalprice") >= 1) & ~F.isnan("o_totalprice")
+    )
     digits = o.select(
         F.substring(F.floor("o_totalprice").cast("long").cast("string"), 1, 1)
         .cast("long")
@@ -4978,7 +4997,7 @@ def _events_seasonal_resid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hour-of-day of a NULL ts is undefined — the residual entry keeps
     # the events-time convention (ts non-null), matching its oracle
     ev = _table(spark, sf_dir, "events").where(
-        F.col("value").isNotNull() & F.col("ts").isNotNull()
+        F.col("value").isNotNull() & ~F.isnan("value") & F.col("ts").isNotNull()
     )
     obs = ev.select(
         "event_id",
@@ -5021,7 +5040,7 @@ def _events_rapid_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # contract) — these five order-sensitive entries share the filter,
     # their oracles carry the matching WHERE
     ev0 = _table(spark, sf_dir, "events").where(
-        F.col("value").isNotNull() & F.col("ts").isNotNull()
+        F.col("value").isNotNull() & ~F.isnan("value") & F.col("ts").isNotNull()
     )
     ev = ev0.select(
         "event_id",
@@ -5053,7 +5072,7 @@ def _events_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         time_bucket_gapfill,
     )
 
-    ev = _table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    ev = _table(spark, sf_dir, "events").where(F.col("value").isNotNull() & ~F.isnan("value"))
     hourly = ev.groupBy(
         "event_type",
         F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("hour_id"),
@@ -5125,7 +5144,7 @@ def _events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # contract) — these five order-sensitive entries share the filter,
     # their oracles carry the matching WHERE
     ev0 = _table(spark, sf_dir, "events").where(
-        F.col("value").isNotNull() & F.col("ts").isNotNull()
+        F.col("value").isNotNull() & ~F.isnan("value") & F.col("ts").isNotNull()
     )
     ev = ev0.select(
         "event_id",
@@ -5194,7 +5213,7 @@ def _events_seasonal_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # events-time convention (matches the batch twin): value + ts
     # non-null, so hod is never NULL on the stream
     ev = _table(spark, sf_dir, "events").where(
-        F.col("value").isNotNull() & F.col("ts").isNotNull()
+        F.col("value").isNotNull() & ~F.isnan("value") & F.col("ts").isNotNull()
     )
     obs = ev.select(
         "event_id",
@@ -6154,7 +6173,7 @@ _QUANTILE_SKETCH_SQL = """
 _PSI_DRIFT_SQL = """
     WITH rngg AS (
       SELECT MIN(value) AS mn, MAX(value) AS mx
-      FROM events WHERE value IS NOT NULL AND event_id % 2 = 0
+      FROM events WHERE value IS NOT NULL AND NOT isnan(value) AND event_id % 2 = 0
     ),
     bc AS (
       SELECT bucket, COUNT(*)::BIGINT AS base_cnt FROM (
@@ -6163,7 +6182,7 @@ _PSI_DRIFT_SQL = """
                  FLOOR((value::DOUBLE - r.mn) * 10 / (r.mx - r.mn))))::INT
                END AS bucket
         FROM events, rngg r
-        WHERE value IS NOT NULL AND event_id % 2 = 0
+        WHERE value IS NOT NULL AND NOT isnan(value) AND event_id % 2 = 0
       ) GROUP BY 1
     ),
     cc AS (
@@ -6173,7 +6192,7 @@ _PSI_DRIFT_SQL = """
                  FLOOR((value::DOUBLE - r.mn) * 10 / (r.mx - r.mn))))::INT
                END AS bucket
         FROM events, rngg r
-        WHERE value IS NOT NULL AND event_id % 2 = 1
+        WHERE value IS NOT NULL AND NOT isnan(value) AND event_id % 2 = 1
       ) GROUP BY 1
     ),
     grid AS (SELECT unnest(range(0, 10))::INT AS bucket),
@@ -6499,7 +6518,7 @@ _CUSUM_SQL = """
 WITH v AS (
   SELECT event_id, event_type, epoch_us(ts) AS ts_us,
          CAST(round(value * 100) AS BIGINT) AS value_cents
-  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value) AND ts IS NOT NULL
 ), cnt AS (
   SELECT event_type, value_cents, count(*) AS k FROM v GROUP BY 1, 2
 ), ranked AS (
@@ -6536,7 +6555,7 @@ _SEASONAL_RESID_SQL = """
 WITH o AS (
   SELECT event_id, event_type, CAST(hour(ts) AS INTEGER) AS hod,
          CAST(round(value * 100) AS BIGINT) AS value_cents
-  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value) AND ts IS NOT NULL
 ), prof AS (
   SELECT event_type, hod,
          CAST(sum(value_cents) AS BIGINT) AS slot_sum,
@@ -6673,7 +6692,8 @@ def oracle_sql() -> dict[str, str]:
 WITH r AS (
   SELECT event_type,
          strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bar_start,
-         value,
+         -- NaN prices normalize to NULL (ohlc_bars kernel contract)
+         CASE WHEN isnan(value) THEN NULL ELSE value END AS value,
          row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
                             ORDER BY ts ASC, event_id ASC NULLS FIRST) AS rn,
          row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
@@ -6788,7 +6808,8 @@ FROM nn GROUP BY 1, 2 HAVING count(*) = 2
         "events_outliers": """
 WITH v AS (
   SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS value_cents
-  FROM events WHERE value IS NOT NULL
+  -- NaN carries no observation (the NULL complete-case convention)
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
 ), cnt AS (
   SELECT event_type, value_cents, count(*) AS k FROM v GROUP BY 1, 2
 ), ranked AS (
@@ -6824,7 +6845,8 @@ WHERE d.dev_cents > 3 * mad.mad_cents
 WITH r AS (
   SELECT event_type,
          strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bar_start,
-         value,
+         -- NaN prices normalize to NULL (ohlc_bars kernel contract)
+         CASE WHEN isnan(value) THEN NULL ELSE value END AS value,
          row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
                             ORDER BY ts ASC, event_id ASC NULLS FIRST) AS rn,
          row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
@@ -6901,12 +6923,17 @@ CROSS JOIN n_u CROSS JOIN n_bg
         "lineitem_skyline": """
 WITH p AS (
   SELECT l_orderkey, l_linenumber,
-         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
-         CAST(round(l_discount * 100) AS BIGINT) AS discount_pct,
-         CAST(l_quantity AS BIGINT) AS quantity
+         TRY_CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+         TRY_CAST(round(l_discount * 100) AS BIGINT) AS discount_pct,
+         TRY_CAST(l_quantity AS BIGINT) AS quantity
   FROM lineitem
+  -- NaN dimensions are excluded like NULLs (operators/skyline.py):
+  -- after the TRY_CASTs a NaN dim IS NULL, so the complete-case filter
+  -- must run on the casted values
   WHERE l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
     AND l_quantity IS NOT NULL
+    AND NOT isnan(l_extendedprice) AND NOT isnan(l_discount)
+    AND NOT isnan(l_quantity)
 )
 SELECT * FROM p a
 WHERE NOT EXISTS (
@@ -6966,7 +6993,8 @@ LEFT JOIN firstt f ON f.conversion_id = c.id
 WITH r AS (
   SELECT event_type,
          strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bar_start,
-         value,
+         -- NaN prices normalize to NULL (ohlc_bars kernel contract)
+         CASE WHEN isnan(value) THEN NULL ELSE value END AS value,
          row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
                             ORDER BY ts ASC, event_id ASC NULLS FIRST) AS rn,
          row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
@@ -7053,7 +7081,7 @@ WITH o AS (
   SELECT event_type,
          date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
          CAST(round(value * 100) AS BIGINT) AS y
-  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value) AND ts IS NOT NULL
 ), a AS (
   SELECT event_type, count(*) AS n,
          sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
@@ -7074,7 +7102,7 @@ FROM a
 WITH v AS (
   SELECT event_id, event_type, epoch_us(ts) AS ts_us,
          CAST(round(value * 100) AS BIGINT) AS y
-  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value) AND ts IS NOT NULL
 ), w AS (
   SELECT *, count(y) OVER win AS n_win,
          COALESCE(sum(y) OVER win, 0) AS s,
@@ -7132,7 +7160,7 @@ WITH per AS (
   SELECT o_custkey,
          max(CAST(o_orderdate AS DATE)) AS last_d,
          count(*) AS frequency,
-         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS monetary
+         CAST(sum(TRY_CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS monetary
   FROM orders GROUP BY 1
 ), anch AS (
   SELECT max(last_d) AS as_of FROM per
@@ -7265,7 +7293,7 @@ WITH h AS (
   SELECT event_type,
          CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_id,
          CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
-  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value) AND ts IS NOT NULL GROUP BY 1, 2
 ), span AS (
   SELECT event_type, min(hour_id) AS lo, max(hour_id) AS hi FROM h GROUP BY 1
 ), dense AS (
@@ -7326,7 +7354,7 @@ SELECT src AS id, min(dst) AS component FROM reach GROUP BY 1
 WITH d AS (
   SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
               AS BIGINT) AS category
-  FROM orders WHERE o_totalprice >= 1
+  FROM orders WHERE o_totalprice >= 1 AND NOT isnan(o_totalprice)
 ), obs AS (
   SELECT category, count(*) AS observed FROM d GROUP BY 1
 ), grid AS (
@@ -7454,7 +7482,7 @@ FROM sa FULL OUTER JOIN sb USING (dim)
 WITH e AS (
   SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
          CAST(round(value * 100) AS BIGINT) AS value_cents
-  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value) AND ts IS NOT NULL
 ), l AS (
   SELECT *,
          lag(event_id) OVER w AS prev_id,
@@ -7476,7 +7504,7 @@ WITH h AS (
   SELECT event_type,
          CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_id,
          CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
-  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value) AND ts IS NOT NULL GROUP BY 1, 2
 ), span AS (
   SELECT event_type, min(hour_id) AS lo, max(hour_id) AS hi FROM h GROUP BY 1
 ), dense AS (
@@ -7554,7 +7582,7 @@ FROM ev_t
 WITH e AS (
   SELECT event_id, event_type, epoch_us(ts) AS ts_us,
          CAST(round(value * 100) AS BIGINT) AS value_cents
-  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value) AND ts IS NOT NULL
 ), b AS (
   SELECT *, (ts_us // 3600000000) * 3600000000 AS bucket_us FROM e
 ), wts AS (
@@ -8658,9 +8686,9 @@ WHERE q.label IS DISTINCT FROM e.label
         # round() itself diverges cross-engine at x.xx5 boundaries)
         "price_quartiles": """
             SELECT l_returnflag,
-                   quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.25) AS p25_cents,
-                   quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5) AS p50_cents,
-                   quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.75) AS p75_cents
+                   quantile_cont(TRY_CAST(round(l_extendedprice * 100) AS BIGINT), 0.25) AS p25_cents,
+                   quantile_cont(TRY_CAST(round(l_extendedprice * 100) AS BIGINT), 0.5) AS p50_cents,
+                   quantile_cont(TRY_CAST(round(l_extendedprice * 100) AS BIGINT), 0.75) AS p75_cents
             FROM lineitem GROUP BY l_returnflag
         """,
         "events_hourly": """
@@ -8991,8 +9019,9 @@ FROM scores s JOIN documents d USING (doc_id)
         # by the exact join) — the oracle proves exactly that
         "bloom_semijoin": """
             SELECT o.o_orderkey,
-                   CAST(sum(CAST(l.l_extendedprice AS DECIMAL(14,2))
-                            * (CAST(1 AS DECIMAL(14,2)) - CAST(l.l_discount AS DECIMAL(14,2)))) AS DOUBLE) AS revenue,
+                   CAST(sum(CASE WHEN isnan(l.l_extendedprice) OR isnan(l.l_discount) THEN NULL
+                                 ELSE CAST(l.l_extendedprice AS DECIMAL(14,2))
+                                      * (CAST(1 AS DECIMAL(14,2)) - CAST(l.l_discount AS DECIMAL(14,2))) END) AS DOUBLE) AS revenue,
                    count(*) AS n_items
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
             WHERE o.o_orderpriority = '1-URGENT'
@@ -9043,7 +9072,7 @@ FROM scores s JOIN documents d USING (doc_id)
         # accumulation-order-independent)
         "zorder_scan": """
             SELECT user_id, count(*) AS n_events,
-                   CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+                   CAST(sum(CASE WHEN isnan(value) THEN NULL ELSE CAST(value AS DECIMAL(14,2)) END) AS DOUBLE) AS sum_value
             FROM events
             WHERE user_id BETWEEN 10 AND 60 AND value > 100
             GROUP BY user_id

@@ -176,7 +176,12 @@ def psi_drift(
     if n_buckets < 2:
         raise ValueError(f"psi_drift: n_buckets must be >= 2, got {n_buckets}")
     spark = baseline.sparkSession
-    rng = baseline.where(F.col(value_col).isNotNull()).agg(
+    # NaN is not a value: it has no bucket (Spark ranks NaN greatest —
+    # it would silently clamp into the top bin AND poison the baseline
+    # max) — the complete-case convention extended to NaN
+    rng = baseline.where(
+        F.col(value_col).isNotNull() & ~F.isnan(value_col)
+    ).agg(
         F.min(value_col).alias("_mn"), F.max(value_col).alias("_mx")
     )
 
@@ -187,7 +192,7 @@ def psi_drift(
             F.least(F.lit(n_buckets - 1), F.greatest(F.lit(0), raw))
         )
         return (
-            df.where(F.col(value_col).isNotNull())
+            df.where(F.col(value_col).isNotNull() & ~F.isnan(value_col))
             .crossJoin(F.broadcast(rng))
             .select(b.cast("int").alias("bucket"))
             .groupBy("bucket")
@@ -289,7 +294,11 @@ def psi_drift_stream(
     if n_buckets < 2:
         raise ValueError(f"psi_drift_stream: n_buckets must be >= 2, got {n_buckets}")
     spark = baseline.sparkSession
-    row = baseline.where(F.col(value_col).isNotNull()).agg(
+    # NaN is not a value (the batch psi_drift convention): it would
+    # poison the baseline max and clamp into the top bin
+    row = baseline.where(
+        F.col(value_col).isNotNull() & ~F.isnan(value_col)
+    ).agg(
         F.min(value_col).alias("_mn"), F.max(value_col).alias("_mx")
     ).first()
     mn, mx = row["_mn"], row["_mx"]
@@ -312,7 +321,7 @@ def psi_drift_stream(
 
     def _fold(batch_df: DataFrame, _bid: int) -> None:
         for r in (
-            batch_df.where(F.col(value_col).isNotNull())
+            batch_df.where(F.col(value_col).isNotNull() & ~F.isnan(value_col))
             .select(bucket_col().alias("bucket"))
             .groupBy("bucket")
             .count()
@@ -335,7 +344,7 @@ def psi_drift_stream(
     # as literals (the exact values the guard scan produced) — no
     # second min/max pass over the baseline table
     base_counts = (
-        baseline.where(F.col(value_col).isNotNull())
+        baseline.where(F.col(value_col).isNotNull() & ~F.isnan(value_col))
         .select(bucket_col().alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("base_cnt"))

@@ -102,6 +102,16 @@ def ohlc_bars(
     struct key has no defined order) — the asof_join convention.
     """
     df = df.where(F.col(ts_col).isNotNull())
+    # NaN prices are corrupt observations: normalized to NULL so the
+    # min/max/first/last aggregates SKIP them (Spark would otherwise
+    # rank NaN greatest — 'high' = NaN forever) while the tick still
+    # counts in n_obs; float columns only (the cast below is a no-op
+    # guard for integer measures)
+    if dict(df.dtypes).get(value_col) in ("double", "float"):
+        df = df.withColumn(
+            value_col,
+            F.when(F.isnan(value_col), F.lit(None)).otherwise(F.col(value_col)),
+        )
     key = F.struct(F.col(ts_col), *[F.col(c) for c in (tie_cols or [])])
     bar = F.date_format(
         F.date_trunc(bucket_width, F.col(ts_col)), "yyyy-MM-dd HH:mm:ss"

@@ -57,9 +57,16 @@ def zorder_key(
     def _ref(c: str) -> Column:
         return F.col("`" + c.replace("`", "``") + "`")
 
+    # NaN-guarded range: Spark's min/max rank NaN GREATEST (a single
+    # NaN would make hi=NaN -> span NaN -> every rank NaN); NaN rows
+    # rank like NULLs instead (coalesce-to-0 below via try_cast)
+    def _finite(c: str) -> Column:
+        v = _ref(c).cast("double")
+        return F.when(~F.isnan(v), v)
+
     stats = df.agg(
-        *[F.min(_ref(c).cast("double")).alias(f"min_{i}") for i, c in enumerate(cols)],
-        *[F.max(_ref(c).cast("double")).alias(f"max_{i}") for i, c in enumerate(cols)],
+        *[F.min(_finite(c)).alias(f"min_{i}") for i, c in enumerate(cols)],
+        *[F.max(_finite(c)).alias(f"max_{i}") for i, c in enumerate(cols)],
     ).collect()[0]
     n = len(cols)
     top = (1 << bits) - 1
@@ -74,7 +81,7 @@ def zorder_key(
         span = (hi - lo) or 1.0
         r = F.least(
             F.lit(top),
-            ((_ref(c).cast("double") - F.lit(lo)) / F.lit(span) * F.lit(top + 1)).cast("long"),
+            ((_ref(c).cast("double") - F.lit(lo)) / F.lit(span) * F.lit(top + 1)).try_cast("long"),
         )
         ranks.append(F.coalesce(r, F.lit(0)))
     key = F.lit(0).cast("long")

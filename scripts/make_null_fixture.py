@@ -23,8 +23,16 @@ but NaN breaks order-insensitive value hashing (NaN != NaN) in the
 comparer itself, which would flag comparer artifacts, not engine bugs.
 NULL is the class the r08 sweep showed finds real divergences.
 
-Usage: python scripts/make_null_fixture.py [SRC_DIR] [DST_DIR]
+Usage: python scripts/make_null_fixture.py [--nan] [SRC_DIR] [DST_DIR]
   defaults: /root/testdata/sf0.001  ->  <repo>/.nullfix/sf0.001-null
+  --nan: additionally inject NaN into scalar DOUBLE columns
+         (md5(f"nan.{{table}}.{{column}}.{{row}}") % 41 == 0, disjoint
+         hash stream from the NULL mask) and default the output to
+         <repo>/.nullfix/sf0.001-nan. check_oracle's canon() treats
+         NaN as equal to itself, so the comparer is NaN-clean; the
+         tier probes Spark-vs-SQL NaN ordering/aggregation semantics
+         (Spark sorts NaN greatest and NaN==NaN in groupBy — engines
+         differ in filters and comparisons).
 
 Run `python scripts/check_oracle.py <repo>/.nullfix/sf0.001-null` for
 the sweep; NULLSWEEP.md records each round's result.
@@ -46,6 +54,7 @@ TABLES = [
 ]
 
 RATE_DEN = 37  # ~2.7% of cells per column
+NAN_DEN = 41   # ~2.4% of surviving double cells per column (--nan)
 
 
 def null_mask(table: str, column: str, n: int) -> pa.Array:
@@ -59,7 +68,19 @@ def null_mask(table: str, column: str, n: int) -> pa.Array:
     return pa.array(flags, type=pa.bool_())
 
 
-def inject(src: str, dst: str, table: str) -> dict[str, int]:
+def nan_mask(table: str, column: str, n: int) -> pa.Array:
+    """Deterministic per-cell NaN mask — a hash stream disjoint from
+    the NULL mask's, so NaN lands on cells the NULL pass spared."""
+    flags = [
+        int.from_bytes(
+            hashlib.md5(f"nan.{table}.{column}.{i}".encode()).digest()[:8], "big"
+        ) % NAN_DEN == 0
+        for i in range(n)
+    ]
+    return pa.array(flags, type=pa.bool_())
+
+
+def inject(src: str, dst: str, table: str, with_nan: bool = False) -> dict[str, int]:
     t = pq.read_table(os.path.join(src, f"{table}.parquet"))
     n = t.num_rows
     cols, counts = [], {}
@@ -68,6 +89,12 @@ def inject(src: str, dst: str, table: str) -> dict[str, int]:
         mask = null_mask(table, field.name, n)
         out = pc.if_else(mask, pa.nulls(n, type=field.type), col)
         counts[field.name] = out.null_count
+        if with_nan and pa.types.is_float64(field.type):
+            nm = nan_mask(table, field.name, n)
+            out = pc.if_else(nm, pa.scalar(float("nan"), type=field.type), out)
+            counts[field.name + "+nan"] = pc.sum(
+                pc.and_(nm, pc.is_valid(out))
+            ).as_py() or 0
         cols.append(out)
     pq.write_table(
         pa.table(cols, schema=t.schema),
@@ -78,21 +105,22 @@ def inject(src: str, dst: str, table: str) -> dict[str, int]:
 
 def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    dst = (
-        sys.argv[2]
-        if len(sys.argv) > 2
-        else os.path.join(repo, ".nullfix", "sf0.001-null")
-    )
+    argv = list(sys.argv[1:])
+    with_nan = "--nan" in argv
+    if with_nan:
+        argv.remove("--nan")
+    src = argv[0] if argv else "/root/testdata/sf0.001"
+    default = "sf0.001-nan" if with_nan else "sf0.001-null"
+    dst = argv[1] if len(argv) > 1 else os.path.join(repo, ".nullfix", default)
     os.makedirs(dst, exist_ok=True)
     total = 0
     for table in TABLES:
-        counts = inject(src, dst, table)
+        counts = inject(src, dst, table, with_nan=with_nan)
         injected = sum(counts.values())
         total += injected
-        print(f"{table:12s} {injected:5d} NULL cells  "
+        print(f"{table:12s} {injected:5d} injected cells  "
               + ", ".join(f"{c}={v}" for c, v in counts.items() if v))
-    print(f"wrote {dst}: {total} NULL cells total")
+    print(f"wrote {dst}: {total} NULL{'+NaN' if with_nan else ''} cells total")
 
 
 if __name__ == "__main__":
