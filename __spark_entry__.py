@@ -52,9 +52,11 @@ def _emb_base(spark, sf_dir):
     boundary so every index build and brute-force scan sees only
     indexable rows. The ANN oracles carry the matching exclusion
     (_EMB_NONNULL)."""
+    from oasisdb_spark.functions.distance import vector_indexable
+
     emb = _table(spark, sf_dir, "embeddings")
     return emb.where(
-        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+        F.col("vec_id").isNotNull() & vector_indexable("embedding")
     ).select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
 
 
@@ -62,9 +64,11 @@ def _emb_queries(spark, sf_dir, n):
     """Query vectors: same indexability contract as _emb_base (a NULL
     query vector has no meaningful neighbors; vec_id < n already
     excludes NULL ids by SQL comparison semantics)."""
+    from oasisdb_spark.functions.distance import vector_indexable
+
     emb = _table(spark, sf_dir, "embeddings")
     return emb.filter(F.col("vec_id") < n).where(
-        F.col("embedding").isNotNull()
+        vector_indexable("embedding")
     ).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -263,9 +267,11 @@ def _search_documents_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _table(spark, sf_dir, "embeddings")
     # indexable-rows contract (_emb_base): NULL ids would rank on NULL
     # distance and then vanish in the label join
+    from oasisdb_spark.functions.distance import vector_indexable
+
     base = emb.filter(
         (F.col("label") == 1)
-        & F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+        & F.col("vec_id").isNotNull() & vector_indexable("embedding")
     ).select(
         F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
     )
@@ -289,14 +295,20 @@ def _vector_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # NULL ids and NULL vectors never enter vector search.
 _EMB_NONNULL = (
     "(SELECT * FROM embeddings"
-    " WHERE vec_id IS NOT NULL AND embedding IS NOT NULL)"
+    " WHERE vec_id IS NOT NULL AND embedding IS NOT NULL"
+    " AND len(list_filter(embedding, x -> isnan(x))) = 0)"
+)
+# bare indexability predicate for oracles with their own FROM shapes
+_EMB_OK = (
+    "{v} IS NOT NULL AND len(list_filter({v}, x -> isnan(x))) = 0"
 )
 
 _KNN_ORACLE_TMPL = """
 WITH scored AS (
   SELECT q.vec_id AS query_id, e.vec_id AS id, {dist} AS distance
   FROM (SELECT * FROM embeddings
-        WHERE vec_id < {nq} AND embedding IS NOT NULL) q
+        WHERE vec_id < {nq} AND embedding IS NOT NULL
+          AND len(list_filter(embedding, x -> isnan(x))) = 0) q
   CROSS JOIN {base} e
 ), ranked AS (
   SELECT query_id, id, distance,
@@ -347,7 +359,9 @@ def _collection_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a client prepares INDEXABLE documents: the catalog rejects NULL
     # ids/vectors at ingest by contract, so the workflow filters them
     # (and probes dimensionality on a non-NULL row)
-    emb = emb.where(F.col("vec_id").isNotNull() & F.col("embedding").isNotNull())
+    from oasisdb_spark.functions.distance import vector_indexable
+
+    emb = emb.where(F.col("vec_id").isNotNull() & vector_indexable("embedding"))
     dim = emb.select(F.size("embedding").alias("d")).first()["d"]
     cat = Catalog(spark, tempfile.mkdtemp(prefix="oasis_wh_"))
     cat.create_collection("demo", dimension=dim, index_type="ivf_flat",
@@ -2637,7 +2651,9 @@ def _maxsim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # slice only indexable rows: _token_vecs() of a NULL embedding is
     # [NULL x 4] — a non-NULL list of NULL tokens — so the exclusion
     # must happen BEFORE synthesis (mirrors the oracle's qt/dt WHERE)
-    emb = emb.where(F.col("vec_id").isNotNull() & F.col("embedding").isNotNull())
+    from oasisdb_spark.functions.distance import vector_indexable
+
+    emb = emb.where(F.col("vec_id").isNotNull() & vector_indexable("embedding"))
     base = emb.select(F.col("vec_id").alias("id"), _token_vecs().alias("vectors"))
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), _token_vecs().alias("query_vecs")
@@ -2651,12 +2667,14 @@ WITH qt AS (
          embedding[CAST(t.i*16+1 AS INT):CAST(t.i*16+16 AS INT)] AS qv
   FROM embeddings, unnest(range(0, 4)) t(i)
   WHERE vec_id < 10 AND embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> isnan(x))) = 0
 ),
 dt AS (
   SELECT vec_id AS id,
          embedding[CAST(t.i*16+1 AS INT):CAST(t.i*16+16 AS INT)] AS dv
   FROM embeddings, unnest(range(0, 4)) t(i)
   WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> isnan(x))) = 0
 ),
 sim AS (
   SELECT qt.query_id, qt.qt_idx, dt.id,
@@ -6326,7 +6344,9 @@ def _pca_knn_oracle_sql() -> str:
     # moment reduction but kept deterministic
     emb = con.execute(
         f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
-        "WHERE embedding IS NOT NULL ORDER BY vec_id"
+        "WHERE embedding IS NOT NULL "
+        "AND len(list_filter(embedding, x -> isnan(x))) = 0 "
+        "ORDER BY vec_id"
     ).fetchnumpy()
     con.close()
     xq = quantize_vectors_np(np.asarray([list(e) for e in emb["embedding"]]))
@@ -6352,6 +6372,7 @@ def _pca_knn_oracle_sql() -> str:
                  CAST(floor(CAST(embedding[r.i] AS DOUBLE) * {float(PCA_SX)} + 0.5) AS BIGINT) AS xq
           FROM embeddings, range(1, {d + 1}) r(i)
           WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+            AND len(list_filter(embedding, x -> isnan(x))) = 0
         ),
         proj AS (
           -- |raw| >= PCA_OFF would desync the floor rescale from the
@@ -6413,8 +6434,10 @@ def _kmeans_oracle_ctes(k: int = 8, iters: int = 4) -> str:
                  CAST(floor(CAST(embedding[r.i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS x
           FROM embeddings, range(1, {d + 1}) r(i)
           -- identifiable+indexable rows only: mirrors the Spark fit's
-          -- exclusion and the consumers' NULL-id exclusion
+          -- exclusion and the consumers' NULL-id exclusion; a NaN
+          -- component poisons the int64 quantization
           WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+            AND len(list_filter(embedding, x -> isnan(x))) = 0
         )""",
         # |xq| >= KM_LIMIT would desync the int64 distance / floor-div
         # update from the Spark side; fail loudly exactly as
@@ -6430,6 +6453,7 @@ def _kmeans_oracle_ctes(k: int = 8, iters: int = 4) -> str:
           SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster
           FROM (SELECT vec_id FROM embeddings
                 WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+                  AND len(list_filter(embedding, x -> isnan(x))) = 0
                 ORDER BY vec_id LIMIT {k})
         )""",
         "cent0 AS (SELECT i.cluster, p.dim, p.x AS c FROM init i JOIN pts p USING (vec_id))",
@@ -7462,6 +7486,8 @@ WITH ex AS (
                                                  AS DOUBLE) * 1000000)
                                       AS BIGINT)))) AS s
   FROM embeddings WHERE label IN (0, 1)
+    AND embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> isnan(x))) = 0
 ), a AS (
   SELECT s.dim AS dim, s.q AS q FROM ex WHERE label = 0
 ), b AS (
@@ -7794,7 +7820,8 @@ WHERE q.label IS DISTINCT FROM e.label
         "collection_lifecycle": _KNN_ORACLE_TMPL.format(
             dist=_L2_SQL, nq=3, k=5,
             base="(SELECT * FROM embeddings"
-                 " WHERE vec_id < 300 AND embedding IS NOT NULL)",
+                 " WHERE vec_id < 300 AND embedding IS NOT NULL"
+                 " AND len(list_filter(embedding, x -> isnan(x))) = 0)",
             extra="", join="",
         ),
         "knn_brute": f"""
@@ -7866,7 +7893,8 @@ WHERE q.label IS DISTINCT FROM e.label
         """,
         "search_documents_filtered": _KNN_ORACLE_TMPL.format(
             dist=_L2_SQL, nq=5, k=5, base="(SELECT * FROM embeddings WHERE label = 1"
-                 " AND vec_id IS NOT NULL AND embedding IS NOT NULL)",
+                 " AND vec_id IS NOT NULL AND embedding IS NOT NULL"
+                 " AND len(list_filter(embedding, x -> isnan(x))) = 0)",
             extra=", lbl.label", join=" JOIN embeddings lbl ON ranked.id = lbl.vec_id",
         ),
         "vector_lookup": """
@@ -8835,7 +8863,8 @@ WHERE q.label IS DISTINCT FROM e.label
         "search_filtered_ivf": _KNN_ORACLE_TMPL.format(
             dist=_L2_SQL, nq=10, k=10,
             base="(SELECT * FROM embeddings WHERE label = 1"
-                 " AND vec_id IS NOT NULL AND embedding IS NOT NULL)", extra="", join="",
+                 " AND vec_id IS NOT NULL AND embedding IS NOT NULL"
+                 " AND len(list_filter(embedding, x -> isnan(x))) = 0)", extra="", join="",
         ),
         "pii_scrub": _pii_scrub_oracle(),
         "ngram_contamination": _ngram_contamination_oracle(),

@@ -32,6 +32,8 @@ from dataclasses import dataclass
 from typing import Iterator
 
 import numpy as np
+
+from oasisdb_spark.functions.distance import vector_indexable
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -119,7 +121,7 @@ def fit_pca(df: DataFrame, vec_col: str = "embedding", n_components: int = 16) -
     # with an opaque executor error) -- exclude, the SQL-agg convention
     rows = (
         df.select(vec_col)
-        .where(F.col(vec_col).isNotNull())
+        .where(vector_indexable(vec_col))
         .mapInPandas(partials, schema=schema)
         .collect()
     )
@@ -243,7 +245,7 @@ def fit_pca_quantized(
 
     rows = (
         df.select(vec_col)
-        .where(F.col(vec_col).isNotNull())
+        .where(vector_indexable(vec_col))
         .mapInPandas(partials, schema=schema)
         .collect()
     )
@@ -291,7 +293,13 @@ def pca_project_quantized(
                 continue
             # NULL vectors project to NULL instead of dying inside
             # np.asarray with an opaque executor error
-            mask = pdf[vec_col].notna().to_numpy()
+            # indexable vectors only: NULL rows AND rows with a NaN
+            # component project to NULL (a NaN poisons the int64
+            # quantization)
+            mask = np.array([
+                v is not None and not np.isnan(np.asarray(v, dtype=np.float64)).any()
+                for v in pdf[vec_col]
+            ])
             if not mask.all():
                 out = pdf[keep_cols].copy()
                 res: list = [None] * len(pdf)
@@ -363,7 +371,13 @@ def pca_project(
             if len(pdf) == 0:
                 continue
             out = pdf[keep_cols].copy()
-            mask = pdf[vec_col].notna().to_numpy()
+            # indexable vectors only: NULL rows AND rows with a NaN
+            # component project to NULL (a NaN poisons the int64
+            # quantization)
+            mask = np.array([
+                v is not None and not np.isnan(np.asarray(v, dtype=np.float64)).any()
+                for v in pdf[vec_col]
+            ])
             res: list = [None] * len(pdf)
             if mask.any():
                 x = np.asarray(pdf[vec_col][mask].tolist(), dtype=np.float64)

@@ -27,6 +27,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 __all__ = [
+    "vector_indexable",
     "l2_squared",
     "dot",
     "inner_product_distance",
@@ -40,6 +41,18 @@ __all__ = [
 
 def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
+
+
+def vector_indexable(c: Column | str) -> Column:
+    """The indexable-rows vector predicate (NULLSWEEP.md): a vector is
+    indexable iff it is non-NULL and contains no NaN component. One
+    poisoned component makes every distance NaN — and the engines
+    DISAGREE on NaN comparisons (DuckDB's columnar NaN compare even
+    disagrees with its own constant folding), so a NaN vector must
+    never reach a ranking. SQL twin:
+    ``v IS NOT NULL AND len(list_filter(v, x -> isnan(x))) = 0``."""
+    v = _col(c)
+    return v.isNotNull() & ~F.exists(v, lambda x: F.isnan(x.cast("double")))
 
 
 def l2_squared(a: Column | str, b: Column | str) -> Column:

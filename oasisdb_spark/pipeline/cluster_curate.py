@@ -50,6 +50,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from oasisdb_spark.functions.dimred import quantize_vectors_np
+from oasisdb_spark.functions.distance import vector_indexable
 
 __all__ = [
     "QuantizedKMeansModel",
@@ -138,7 +139,7 @@ def kmeans_fit_quantized(
     # None row -- exclude them from seeding and every Lloyd pass (the
     # fit_pca convention); a NULL id would also break the first-k rule
     # (Spark sorts NULLs first, DuckDB last)
-    df = df.where(F.col(vec_col).isNotNull() & F.col(id_col).isNotNull())
+    df = df.where(vector_indexable(vec_col) & F.col(id_col).isNotNull())
     seed_rows = df.select(id_col, vec_col).orderBy(F.col(id_col).asc()).limit(k).collect()
     if len(seed_rows) < k:
         raise ValueError(f"kmeans_fit_quantized: k={k} but only {len(seed_rows)} rows")
@@ -229,7 +230,7 @@ def assign_clusters_quantized(
     # contract -- the ohlc_bars NULL-ts convention; np.asarray would
     # otherwise die opaquely on the None row)
     return (
-        df.where(F.col(vec_col).isNotNull())
+        df.where(vector_indexable(vec_col))
         .select(*keep_cols, vec_col)
         .mapInPandas(assign, schema=out_schema)
     )

@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from oasisdb_spark.functions.distance import vector_indexable
 from oasisdb_spark.pipeline.text import char_hash60, normalize_text, tokens
 
 __all__ = [
@@ -480,7 +481,7 @@ def embedding_neardup_pairs(
     # indexable-rows contract (the _emb_base convention): NULL ids
     # cannot name a pair endpoint, NULL vectors have no similarity
     # (and kill the GEMM packer inside np.asarray)
-    emb = emb.where(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull())
+    emb = emb.where(F.col(id_col).isNotNull() & vector_indexable(vec_col))
 
     if blocking is not None:
         a = emb.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("va"))

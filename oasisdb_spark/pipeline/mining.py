@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from oasisdb_spark.functions.distance import distance_expr
+from oasisdb_spark.functions.distance import distance_expr, vector_indexable
 from oasisdb_spark.index.flat import topk_per_query
 
 __all__ = [
@@ -94,9 +94,9 @@ def mine_candidates_broadcast(
     # vector kills both np.asarray packers below. .where() is
     # streaming-safe (stateless filter), so the same exclusion guards
     # the structured-streaming callers.
-    df = df.where(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull())
+    df = df.where(F.col(id_col).isNotNull() & vector_indexable(vec_col))
     queries = queries.where(
-        F.col(query_id_col).isNotNull() & F.col(query_vec_col).isNotNull()
+        F.col(query_id_col).isNotNull() & vector_indexable(query_vec_col)
     )
     q_cols = [query_id_col, query_vec_col] + ([neq_pair[0]] if neq_pair else [])
     q_rows = queries.select(*q_cols).collect()
@@ -396,7 +396,7 @@ def mutual_knn_pairs(
     # indexable-rows contract: a NULL id cannot name a pair endpoint and
     # a NULL vector has no neighbors (and kills the GEMM packer inside
     # np.asarray) — exclude, the _emb_base convention
-    base = base.where(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull())
+    base = base.where(F.col(id_col).isNotNull() & vector_indexable(vec_col))
     if scorer == "expr" and base.limit(max_base_rows + 1).count() > max_base_rows:
         raise ValueError(
             f"mutual_knn_pairs: base exceeds max_base_rows={max_base_rows}; "
@@ -484,7 +484,7 @@ def mutual_knn_pairs_ivf(
 
     # indexable-rows contract (the _emb_base convention): NULL ids /
     # NULL vectors cannot be pair endpoints or probe queries
-    base = base.where(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull())
+    base = base.where(F.col(id_col).isNotNull() & vector_indexable(vec_col))
     q = base.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
     )

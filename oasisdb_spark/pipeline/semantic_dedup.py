@@ -34,6 +34,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from oasisdb_spark.functions.distance import vector_indexable
+
 __all__ = ["semantic_dedup", "embedding_centroid_drift"]
 
 _OUT_SCHEMA = "vec_id BIGINT, cluster_id INT, n_dups INT, kept BOOLEAN"
@@ -66,7 +68,7 @@ def semantic_dedup(
     """
     src = emb.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_vec")
-    ).where(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull())
+    ).where(F.col(id_col).isNotNull() & vector_indexable(vec_col))
     if n_clusters <= 1:
         assigned = src.withColumn("cluster_id", F.lit(0))
     else:
@@ -144,6 +146,9 @@ def embedding_centroid_drift(
     """
 
     def side(d: DataFrame, s_name: str, n_name: str) -> DataFrame:
+        # indexable vectors only: one NaN component is an ANSI overflow
+        # in the micro-unit quantization
+        d = d.where(vector_indexable(vec_col))
         comp = d.select(
             F.posexplode(F.col(vec_col)).alias("dim", "_x")
         ).select(

@@ -95,6 +95,24 @@ def inject(src: str, dst: str, table: str, with_nan: bool = False) -> dict[str, 
             counts[field.name + "+nan"] = pc.sum(
                 pc.and_(nm, pc.is_valid(out))
             ).as_py() or 0
+        elif with_nan and (
+            pa.types.is_list(field.type)
+            and pa.types.is_floating(field.type.value_type)
+        ):
+            # NaN ELEMENTS inside float vectors (corrupt embeddings):
+            # rows on the nan_mask get element row%dim set to NaN —
+            # one poisoned component is all a GEMM/argsort needs
+            nm = nan_mask(table, field.name, n)
+            py = out.to_pylist()
+            n_hit = 0
+            for i, flag in enumerate(nm.to_pylist()):
+                if flag and py[i]:
+                    v = list(py[i])
+                    v[i % len(v)] = float("nan")
+                    py[i] = v
+                    n_hit += 1
+            out = pa.array(py, type=field.type)
+            counts[field.name + "+nan"] = n_hit
         cols.append(out)
     pq.write_table(
         pa.table(cols, schema=t.schema),
