@@ -291,16 +291,20 @@ def _vector_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Indexable-rows contract, oracle side (mirrors _emb_base/_emb_queries):
-# NULL ids and NULL vectors never enter vector search.
-_EMB_NONNULL = (
-    "(SELECT * FROM embeddings"
-    " WHERE vec_id IS NOT NULL AND embedding IS NOT NULL"
-    " AND len(list_filter(embedding, x -> isnan(x))) = 0)"
-)
-# bare indexability predicate for oracles with their own FROM shapes
+# Indexable-rows contract, oracle side (mirrors _emb_base/_emb_queries
+# via functions/distance.py vector_indexable): a vector is indexable
+# iff non-NULL with no NaN AND no NULL component (ADVICE r09 — the
+# element-NULL case slipped through both engines' twins before).
+# _EMB_OK is the bare predicate for oracles with their own FROM
+# shapes; _EMB_NONNULL derives from it so the two can never drift
+# (tests/test_oracle_types.py pins that every inlined occurrence in
+# oracle_sql() matches _EMB_OK verbatim).
 _EMB_OK = (
-    "{v} IS NOT NULL AND len(list_filter({v}, x -> isnan(x))) = 0"
+    "{v} IS NOT NULL AND len(list_filter({v}, x -> x IS NULL OR isnan(x))) = 0"
+)
+_EMB_NONNULL = (
+    "(SELECT * FROM embeddings WHERE vec_id IS NOT NULL AND "
+    + _EMB_OK.format(v="embedding") + ")"
 )
 
 _KNN_ORACLE_TMPL = """
@@ -308,7 +312,7 @@ WITH scored AS (
   SELECT q.vec_id AS query_id, e.vec_id AS id, {dist} AS distance
   FROM (SELECT * FROM embeddings
         WHERE vec_id < {nq} AND embedding IS NOT NULL
-          AND len(list_filter(embedding, x -> isnan(x))) = 0) q
+          AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0) q
   CROSS JOIN {base} e
 ), ranked AS (
   SELECT query_id, id, distance,
@@ -2667,14 +2671,14 @@ WITH qt AS (
          embedding[CAST(t.i*16+1 AS INT):CAST(t.i*16+16 AS INT)] AS qv
   FROM embeddings, unnest(range(0, 4)) t(i)
   WHERE vec_id < 10 AND embedding IS NOT NULL
-    AND len(list_filter(embedding, x -> isnan(x))) = 0
+    AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0
 ),
 dt AS (
   SELECT vec_id AS id,
          embedding[CAST(t.i*16+1 AS INT):CAST(t.i*16+16 AS INT)] AS dv
   FROM embeddings, unnest(range(0, 4)) t(i)
   WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
-    AND len(list_filter(embedding, x -> isnan(x))) = 0
+    AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0
 ),
 sim AS (
   SELECT qt.query_id, qt.qt_idx, dt.id,
@@ -5383,103 +5387,93 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # knn_flat_l2) and q7/q8/q9 (cast-pin-only churn, same pattern as
     # the 12 cast repairs gated green in r08).
     #
-    # ROUND-10 ROTATION TODO (stage EARLY): re-run
+    # ROUND-10 ROTATION (EXECUTED verbatim from the live audit —
+    # VERDICT r09 #1): `rotation_audit.py --next 50` on the final
+    # round-9 tree ranked 145 churned entries (the NULL/NaN campaign's
+    # backlog); window = 2 anchors + the 48 stalest churned, direct
+    # churn before module churn. The verdict-named r09 deferrals all
+    # land inside at their natural churn rank (knn_flat_cos/ip/hamming
+    # 19-21, q7/q8/q9 22-24). r09 came back 50/50 green, so no red
+    # rows preempt. Remaining backlog after a green r10: 95 churned
+    # entries, pre-ordered behind the window as the r11 queue.
+    #
+    # ROUND-11 ROTATION TODO (stage EARLY): re-run
     # `python scripts/rotation_audit.py --next 50` — the behind-window
-    # section below is pre-ordered as the ROUND-8-era r10 queue, but
-    # the round-9 NULL-fixture campaign churned 125 entries (100 with
-    # direct entry-fn/oracle churn; `--churn --since <r09 close
-    # commit>` reproduces the count), so the audit's live ranking WILL
-    # reshuffle it. Two mitigating signals for staging judgment: the
-    # r09 window (all 50 entries) was re-verified vanilla-session
-    # value-exact + type-clean at sf0.01 on the FINAL round-9 tree
-    # after the campaign, and the whole registry swept 197/197 at
-    # sf0.001 on BOTH the clean and NULL fixtures (NULLSWEEP.md). Any
-    # r09 red/no-row entries still preempt from the front.
+    # section below is the audit's post-r10 queue (95 still-churned
+    # stalest-first, then unchanged), but round-10 edits reshuffle it.
+    # Any r10 red/no-row entries preempt from the front.
     return {
-        # --- ROUND-9 WINDOW (positions 1-50) — staged from the
-        # change-aware churn ranking (scripts/rotation_audit.py,
-        # VERDICT r08 #1): an entry whose code or oracle changed
-        # since its latest green driver row preempts the pure-
-        # staleness queue; DIRECT churn (own function span / oracle
-        # SQL) outranks transitive module churn. ---
+        # --- ROUND-10 WINDOW (positions 1-50) — staged from the
+        # LIVE change-aware churn ranking on the final round-9 tree
+        # (scripts/rotation_audit.py --next 50; VERDICT r09 #1). The
+        # round-9 NULL/NaN campaign left 145 entries with code or
+        # oracle churn since their latest-green round commit; this
+        # window burns the 48 stalest (direct churn outranks module
+        # churn; ties by registry order). The verdict-named r09
+        # deferrals land at their natural churn rank:
+        # knn_flat_cos/ip/hamming (19-21), q7/q8/q9 (22-24). ---
         # anchors (1-2)
         "collection_lifecycle": _collection_lifecycle,
         "knn_ivfsq": _knn_ivfsq,
-        # direct churn since latest green, stalest first (3-40):
-        # the round-8 int-width oracle cast pins (most of the
-        # oracle-sql tags), the memo/compose refactors
-        # (copurchase_triangles/communities, part_name_clusters,
-        # docs_pmi_collocations, minhash_lsh_pairs, pca_knn,
-        # mutual_knn_pairs_ivf), and the price_quartiles BREAKING
-        # schema change (MIGRATING.md)
-        "knn_ivf": _knn_ivf,
-        "knn_ivfpq": _knn_ivfpq,
-        "knn_lsh": _knn_lsh,
-        "knn_hamming_packed": _knn_hamming_packed,
-        "auto_embed": _auto_embed,
-        "doc_repetition": _doc_repetition,
-        "q12_priority_shipping": _q12_priority_shipping,
-        "knn_flat_l2": lambda s, d: _knn_flat(s, d, "l2"),
-        "search_documents_filtered": _search_documents_filtered,
-        "vector_lookup": _vector_lookup,
-        "minhash_lsh_pairs": _minhash_lsh_pairs,
-        "text_stats": _text_stats,
-        "pca_knn": _pca_knn,
-        "retrieval_rank_eval": _retrieval_rank_eval,
-        "hybrid_search_rrf": _hybrid_search,
-        "price_quartiles": _price_quartiles,
-        "docs_mining_stream": _docs_mining_stream,
-        "fim_samples": _fim_samples,
-        "hard_negatives": _hard_negatives,
-        "hard_negatives_ivf": _hard_negatives_ivf,
-        "topic_balanced_sample": _topic_balanced_sample,
-        "pii_scrub": _pii_scrub,
-        "gopher_filter": _gopher_filter,
-        "search_filtered_ivf": _search_filtered_ivf,
-        "curation_pipeline": _curation_pipeline,
-        "knn_binq": _knn_binq,
-        "tfidf_top_terms": _tfidf_top_terms,
-        "knn_brute": _knn_brute,
-        "doc_fingerprint": _doc_fingerprint,
-        "top3_orders_per_customer": _top3_orders_per_customer,
-        "copurchase_triangles": _copurchase_triangles,
-        "docs_pmi_collocations": _docs_pmi_collocations,
-        "events_credit_split": _events_credit_split,
-        "copurchase_communities": _copurchase_communities,
-        "orders_benford": _orders_benford,
-        "events_seasonal_resid": _events_seasonal_resid,
-        "part_name_clusters": _part_name_clusters,
-        "mutual_knn_pairs_ivf": _mutual_knn_pairs_ivf,
-        # VERDICT r08 #1 named force-includes (41-49): the NULL-
-        # hardening-touched / memo-refactored r07-latest set (module-
-        # churn tier; winnow_contamination shows NO churn since its
-        # r07 gate under the audit — included anyway as named)
-        "winnow_contamination": _winnow_contamination,
-        "lineitem_skyline": _lineitem_skyline,
-        "order_status_scd2": _order_status_scd2,
-        "events_twap": _events_twap,
-        "copurchase_pairs": _copurchase_pairs,
-        "copurchase_rules": _copurchase_rules,
-        "events_outliers": _events_outliers,
-        "cluster_balanced": _cluster_balanced,
-        "events_gapfill_interp": _events_gapfill_interp,
-        # stalest round-8 module-churned fill (50)
-        "orders_snapshot_diff": _orders_snapshot_diff,
-        # --- BEHIND THE WINDOW (positions 51-197): ordered as the
-        # r10 re-gate queue — remaining direct-churned, then module-
-        # churned, then unchanged, stalest first (VERDICT r08 #7;
-        # re-run rotation_audit.py --next 50 at r10 staging time:
-        # round-9 churn reshuffles this) ---
-        # direct-churned
+        # churned since latest green, stalest first (3-50): the
+        # r04/r05-latest dedup+text+streaming block, the r06-latest
+        # deferrals, the r07-latest sketch/graph/funnel block, and
+        # the r08-latest drift/OHLC head
+        "minhash_signatures": _minhash_signatures,
+        "embedding_neardup": _embedding_neardup,
+        "langid": _langid,
+        "quality_gate_stream": _quality_gate_stream,
+        "token_estimate": _token_estimate,
+        "dedup_clusters": _dedup_clusters,
+        "sequence_pack_nextfit": _sequence_pack_nextfit,
+        "events_segment_rollup_salted": _events_segment_rollup_salted,
+        "events_dedup_stream": _events_dedup_stream,
+        "q21_last_to_ship": _q21_last_to_ship,
+        "bm25_search": _bm25_search,
+        "events_hourly": _events_hourly,
+        "events_sessionize": _events_sessionize,
+        "events_hourly_stream": _events_hourly_stream,
+        "events_enriched_stream": _events_enriched_stream,
+        "events_sessionize_stream": _events_sessionize_stream,
         "knn_flat_cos": lambda s, d: _knn_flat(s, d, "cos"),
         "knn_flat_ip": lambda s, d: _knn_flat(s, d, "ip"),
         "knn_flat_hamming": lambda s, d: _knn_flat(s, d, "hamming"),
         "q7_nation_trade": _q7_nation_trade,
         "q8_market_share": _q8_market_share,
         "q9_product_profit": _q9_product_profit,
+        "docs_dsir_stream": _docs_dsir_stream,
+        "dsir_select": _dsir_select,
+        "ngram_contamination": _ngram_contamination,
+        "line_dedup": _line_dedup,
+        "ngram_jaccard_pairs": _ngram_jaccard_pairs,
+        "cross_source_leakage": _cross_source_leakage,
+        "events_asof_join": _events_asof_join,
+        "customer_running_spend": _customer_running_spend,
+        "kmeans_cells": _kmeans_cells,
+        "proto_prune": _proto_prune,
+        "value_quantiles_sketch": _value_quantiles_sketch,
+        "events_quantiles_stream": _events_quantiles_stream,
+        "event_type_quantiles": _event_type_quantiles,
+        "trade_pagerank": _trade_pagerank,
+        "mutual_knn_pairs": _mutual_knn_pairs,
+        "events_attribution": _events_attribution,
+        "events_value_trend": _events_value_trend,
+        "events_session_paths": _events_session_paths,
+        "langid_kappa": _langid_kappa,
+        "embedding_drift": _embedding_drift,
+        "events_rapid_repeats": _events_rapid_repeats,
+        "events_xcorr": _events_xcorr,
+        "bpe_token_counts": _bpe_token_counts,
         "events_value_drift": _events_value_drift,
         "events_drift_stream": _events_drift_stream,
         "events_ohlc": _events_ohlc,
+        # --- BEHIND THE WINDOW (positions 51-197): pre-ordered as
+        # the ROUND-11 re-gate queue (95 still-churned entries
+        # first — remaining backlog after this window gates green —
+        # then unchanged-since-green, stalest first). Re-run
+        # rotation_audit.py --next 50 at r11 staging time: round-10
+        # edits reshuffle this. ---
+        # still-churned (the post-r10 backlog), stalest first
         "events_cusum": _events_cusum,
         "events_ohlc_daily": _events_ohlc_daily,
         "event_type_transitions": _event_type_transitions,
@@ -5494,74 +5488,94 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search_indexed": _hybrid_search_indexed,
         "maxsim_search": _maxsim_search,
         "dedup_keep_best": _dedup_keep_best,
-        # module-dep-churned
-        "exact_dedup": _exact_dedup,
-        "minhash_signatures": _minhash_signatures,
-        "embedding_neardup": _embedding_neardup,
-        "simhash": _simhash,
-        "langid": _langid,
-        "quality_gate_stream": _quality_gate_stream,
-        "shard_manifest": _shard_manifest,
-        "token_estimate": _token_estimate,
-        "dedup_clusters": _dedup_clusters,
-        "price_band_join": _price_band_join,
-        "sequence_pack_nextfit": _sequence_pack_nextfit,
-        "events_segment_rollup_salted": _events_segment_rollup_salted,
-        "top_bigrams": _top_bigrams,
-        "events_approx_distinct": _events_approx_distinct,
-        "events_dedup_stream": _events_dedup_stream,
-        "docs_dsir_stream": _docs_dsir_stream,
-        "dsir_select": _dsir_select,
-        "epoch_mixture": _epoch_mixture,
-        "ngram_contamination": _ngram_contamination,
-        "line_dedup": _line_dedup,
-        "source_mixture": _source_mixture,
-        "ngram_jaccard_pairs": _ngram_jaccard_pairs,
-        "cross_source_leakage": _cross_source_leakage,
-        "events_asof_join": _events_asof_join,
-        "kmeans_cells": _kmeans_cells,
-        "proto_prune": _proto_prune,
-        "value_quantiles_sketch": _value_quantiles_sketch,
-        "events_quantiles_stream": _events_quantiles_stream,
-        "event_type_quantiles": _event_type_quantiles,
-        "trade_pagerank": _trade_pagerank,
-        "contrastive_triplets": _contrastive_triplets,
-        "trade_hits": _trade_hits,
-        "mutual_knn_pairs": _mutual_knn_pairs,
-        "events_attribution": _events_attribution,
-        "orders_flag_overlap": _orders_flag_overlap,
-        "events_value_trend": _events_value_trend,
-        "events_session_paths": _events_session_paths,
-        "langid_kappa": _langid_kappa,
-        "events_windowed_funnel": _events_windowed_funnel,
-        "embedding_drift": _embedding_drift,
-        "events_rapid_repeats": _events_rapid_repeats,
-        "events_xcorr": _events_xcorr,
-        "docs_heavy_stream": _docs_heavy_stream,
         "bloom_semijoin": _bloom_semijoin,
         "cohort_retention": _cohort_retention,
         "event_funnel": _event_funnel,
         "events_funnel_stream": _events_funnel_stream,
-        "heavy_hitters": _heavy_hitters,
         "lsh_recall_eval": _lsh_recall_eval,
         "quality_prune": _quality_prune,
         "semantic_dedup": _semantic_dedup,
+        "zorder_scan": _zorder_scan,
+        "data_quality_gate": _data_quality_gate,
+        "leakage_safe_split": _leakage_safe_split,
+        "bm25_search_indexed": _bm25_search_indexed,
+        "docs_lm_stream": _docs_lm_stream,
+        "docs_neardup_stream": _docs_neardup_stream,
+        "jaccard_pairs_prefix": _jaccard_pairs_prefix,
+        "lm_perplexity": _lm_perplexity,
+        "perplexity_buckets": _perplexity_buckets,
+        "sequence_pack_bins": _sequence_pack_bins,
+        "sequence_pack_chunks": _sequence_pack_chunks,
+        "line_scrub": _line_scrub,
+        "knn_ivf": _knn_ivf,
+        "knn_ivfpq": _knn_ivfpq,
+        "knn_lsh": _knn_lsh,
+        "knn_hamming_packed": _knn_hamming_packed,
+        "auto_embed": _auto_embed,
+        "knn_flat_l2": lambda s, d: _knn_flat(s, d, "l2"),
+        "search_documents_filtered": _search_documents_filtered,
+        "vector_lookup": _vector_lookup,
+        "minhash_lsh_pairs": _minhash_lsh_pairs,
+        "pca_knn": _pca_knn,
+        "price_quartiles": _price_quartiles,
+        "docs_mining_stream": _docs_mining_stream,
+        "hard_negatives_ivf": _hard_negatives_ivf,
+        "topic_balanced_sample": _topic_balanced_sample,
+        "search_filtered_ivf": _search_filtered_ivf,
+        "curation_pipeline": _curation_pipeline,
+        "knn_binq": _knn_binq,
+        "tfidf_top_terms": _tfidf_top_terms,
+        "knn_brute": _knn_brute,
+        "doc_fingerprint": _doc_fingerprint,
+        "copurchase_triangles": _copurchase_triangles,
+        "copurchase_communities": _copurchase_communities,
+        "orders_benford": _orders_benford,
+        "events_seasonal_resid": _events_seasonal_resid,
+        "mutual_knn_pairs_ivf": _mutual_knn_pairs_ivf,
+        "lineitem_skyline": _lineitem_skyline,
+        "order_status_scd2": _order_status_scd2,
+        "events_twap": _events_twap,
+        "copurchase_pairs": _copurchase_pairs,
+        "copurchase_rules": _copurchase_rules,
+        "events_outliers": _events_outliers,
+        "cluster_balanced": _cluster_balanced,
+        "events_gapfill_interp": _events_gapfill_interp,
+        "orders_snapshot_diff": _orders_snapshot_diff,
+        "exact_dedup": _exact_dedup,
+        "simhash": _simhash,
+        "shard_manifest": _shard_manifest,
+        "price_band_join": _price_band_join,
+        "top_bigrams": _top_bigrams,
+        "events_approx_distinct": _events_approx_distinct,
+        "epoch_mixture": _epoch_mixture,
+        "source_mixture": _source_mixture,
+        "contrastive_triplets": _contrastive_triplets,
+        "trade_hits": _trade_hits,
+        "orders_flag_overlap": _orders_flag_overlap,
+        "events_windowed_funnel": _events_windowed_funnel,
+        "docs_heavy_stream": _docs_heavy_stream,
+        "heavy_hitters": _heavy_hitters,
         "sliding_chunks": _sliding_chunks,
         "table_profile": _table_profile,
         "token_budget_sample": _token_budget_sample,
         "weighted_sample": _weighted_sample,
-        "zorder_scan": _zorder_scan,
-        "data_quality_gate": _data_quality_gate,
         "events_hourly_gapfill": _events_hourly_gapfill,
-        "leakage_safe_split": _leakage_safe_split,
-        # unchanged since latest green
+        "substring_dup_stats": _substring_dup_stats,
+        "retrieval_rank_eval": _retrieval_rank_eval,
+        "hybrid_search_rrf": _hybrid_search,
+        "fim_samples": _fim_samples,
+        "hard_negatives": _hard_negatives,
+        "pii_scrub": _pii_scrub,
+        "gopher_filter": _gopher_filter,
+        "docs_pmi_collocations": _docs_pmi_collocations,
+        "events_credit_split": _events_credit_split,
+        # unchanged since latest green, stalest first
         "order_count_distribution": _order_count_distribution,
         "q14_promo_revenue": _q14_promo_revenue,
         "training_shards": _training_shards,
         "q15_top_supplier": _q15_top_supplier,
         "q16_supplier_counts": _q16_supplier_counts,
         "q20_part_share_suppliers": _q20_part_share_suppliers,
-        "q21_last_to_ship": _q21_last_to_ship,
         "q18_large_orders": _q18_large_orders,
         "q19_disjunctive_revenue": _q19_disjunctive_revenue,
         "q22_dormant_customers": _q22_dormant_customers,
@@ -5572,14 +5586,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": _corpus_split,
         "events_props_json": _events_props_json,
         "frequent_users": _frequent_users,
-        "bm25_search": _bm25_search,
-        "events_hourly": _events_hourly,
         "events_rolling_1h": _events_rolling_1h,
         "q2_cheapest_supplier": _q2_cheapest_supplier,
-        "events_sessionize": _events_sessionize,
-        "events_hourly_stream": _events_hourly_stream,
-        "events_enriched_stream": _events_enriched_stream,
-        "events_sessionize_stream": _events_sessionize_stream,
         "multimodal_decode": _multimodal_decode,
         "multimodal_frames": _multimodal_frames,
         "multimodal_audio": _multimodal_audio,
@@ -5588,7 +5596,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_shipping_priority": _q3_shipping_priority,
         "q5_nation_revenue": _q5_nation_revenue,
-        "customer_running_spend": _customer_running_spend,
         "part_brand_rollup": _part_brand_rollup,
         "customers_no_big_orders": _customers_no_big_orders,
         "suppliers_with_max_qty_items": _suppliers_with_max_qty_items,
@@ -5605,21 +5612,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_value_concentration": _q11_value_concentration,
         "winnow_fingerprints": _winnow_fingerprints,
         "bpe_merges": _bpe_merges,
-        "bpe_token_counts": _bpe_token_counts,
-        "bm25_search_indexed": _bm25_search_indexed,
-        "docs_lm_stream": _docs_lm_stream,
-        "docs_neardup_stream": _docs_neardup_stream,
         "fuzzy_name_pairs": _fuzzy_name_pairs,
         "image_dhash": _image_dhash,
-        "jaccard_pairs_prefix": _jaccard_pairs_prefix,
-        "lm_perplexity": _lm_perplexity,
-        "perplexity_buckets": _perplexity_buckets,
-        "sequence_pack_bins": _sequence_pack_bins,
-        "sequence_pack_chunks": _sequence_pack_chunks,
-        "substring_dup_stats": _substring_dup_stats,
         "training_corpus_pipeline": _training_corpus_pipeline,
         "activity_hot_overlap": _activity_hot_overlap,
-        "line_scrub": _line_scrub,
+        "doc_repetition": _doc_repetition,
+        "q12_priority_shipping": _q12_priority_shipping,
+        "text_stats": _text_stats,
+        "top3_orders_per_customer": _top3_orders_per_customer,
+        "part_name_clusters": _part_name_clusters,
+        "winnow_contamination": _winnow_contamination,
     }
 
 def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -6345,7 +6347,7 @@ def _pca_knn_oracle_sql() -> str:
     emb = con.execute(
         f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
         "WHERE embedding IS NOT NULL "
-        "AND len(list_filter(embedding, x -> isnan(x))) = 0 "
+        "AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0 "
         "ORDER BY vec_id"
     ).fetchnumpy()
     con.close()
@@ -6372,7 +6374,7 @@ def _pca_knn_oracle_sql() -> str:
                  CAST(floor(CAST(embedding[r.i] AS DOUBLE) * {float(PCA_SX)} + 0.5) AS BIGINT) AS xq
           FROM embeddings, range(1, {d + 1}) r(i)
           WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
-            AND len(list_filter(embedding, x -> isnan(x))) = 0
+            AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0
         ),
         proj AS (
           -- |raw| >= PCA_OFF would desync the floor rescale from the
@@ -6437,7 +6439,7 @@ def _kmeans_oracle_ctes(k: int = 8, iters: int = 4) -> str:
           -- exclusion and the consumers' NULL-id exclusion; a NaN
           -- component poisons the int64 quantization
           WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
-            AND len(list_filter(embedding, x -> isnan(x))) = 0
+            AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0
         )""",
         # |xq| >= KM_LIMIT would desync the int64 distance / floor-div
         # update from the Spark side; fail loudly exactly as
@@ -6453,7 +6455,7 @@ def _kmeans_oracle_ctes(k: int = 8, iters: int = 4) -> str:
           SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster
           FROM (SELECT vec_id FROM embeddings
                 WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
-                  AND len(list_filter(embedding, x -> isnan(x))) = 0
+                  AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0
                 ORDER BY vec_id LIMIT {k})
         )""",
         "cent0 AS (SELECT i.cluster, p.dim, p.x AS c FROM init i JOIN pts p USING (vec_id))",
@@ -7487,7 +7489,7 @@ WITH ex AS (
                                       AS BIGINT)))) AS s
   FROM embeddings WHERE label IN (0, 1)
     AND embedding IS NOT NULL
-    AND len(list_filter(embedding, x -> isnan(x))) = 0
+    AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0
 ), a AS (
   SELECT s.dim AS dim, s.q AS q FROM ex WHERE label = 0
 ), b AS (
@@ -7821,7 +7823,7 @@ WHERE q.label IS DISTINCT FROM e.label
             dist=_L2_SQL, nq=3, k=5,
             base="(SELECT * FROM embeddings"
                  " WHERE vec_id < 300 AND embedding IS NOT NULL"
-                 " AND len(list_filter(embedding, x -> isnan(x))) = 0)",
+                 " AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0)",
             extra="", join="",
         ),
         "knn_brute": f"""
@@ -7894,7 +7896,7 @@ WHERE q.label IS DISTINCT FROM e.label
         "search_documents_filtered": _KNN_ORACLE_TMPL.format(
             dist=_L2_SQL, nq=5, k=5, base="(SELECT * FROM embeddings WHERE label = 1"
                  " AND vec_id IS NOT NULL AND embedding IS NOT NULL"
-                 " AND len(list_filter(embedding, x -> isnan(x))) = 0)",
+                 " AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0)",
             extra=", lbl.label", join=" JOIN embeddings lbl ON ranked.id = lbl.vec_id",
         ),
         "vector_lookup": """
@@ -8864,7 +8866,7 @@ WHERE q.label IS DISTINCT FROM e.label
             dist=_L2_SQL, nq=10, k=10,
             base="(SELECT * FROM embeddings WHERE label = 1"
                  " AND vec_id IS NOT NULL AND embedding IS NOT NULL"
-                 " AND len(list_filter(embedding, x -> isnan(x))) = 0)", extra="", join="",
+                 " AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0)", extra="", join="",
         ),
         "pii_scrub": _pii_scrub_oracle(),
         "ngram_contamination": _ngram_contamination_oracle(),

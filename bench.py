@@ -223,13 +223,17 @@ def main() -> None:
         for fam, members in FAMILIES.items()
     }
     sf = SF_DIR.rstrip("/").split("sf")[-1]
-    # The driver records only the TAIL of stdout (~4 KB), and the
-    # 160+-entry per-query dict is bigger than that — every
-    # BENCH_r0{3..8}.json shows parsed=None because the line's head
-    # (or tail) was cut no matter the key order.  VERDICT r08 #4 fix:
-    # stdout carries ONE COMPACT JSON line (total + families + method —
-    # always well under the capture window), and the full per-query
-    # map goes to the committed BENCH_LOCAL_sf*.json record only.
+    # The driver records only the LAST 2,000 CHARS of stdout (measured:
+    # BENCH_r09.json tail length == 2000) and parses the final line.
+    # The r08-era "one compact line" still overflowed by 58 chars once
+    # the family map passed 100 entries (VERDICT r09 wrong #1), so the
+    # contract is now TWO lines (VERDICT r09 #2): the families map on
+    # its own PRECEDING line (head-truncation of that line is tolerable
+    # — bench_diff's salvager recovers the surviving fragment), then a
+    # final line well under the window with just
+    # {metric, value, unit, sf, method, n_queries, per_query_record}.
+    # The full per-query map goes to the committed BENCH_LOCAL_sf*.json
+    # record only.
     out = {
         "metric": "headline_queries_total_sec",
         "queries": timings,
@@ -245,13 +249,18 @@ def main() -> None:
             ),
         },
     }
-    compact = {k: v for k, v in out.items() if k != "queries"}
+    compact = {k: v for k, v in out.items() if k not in ("queries", "families")}
     compact["n_queries"] = len(timings)
     compact["per_query_record"] = (
         f"BENCH_LOCAL_sf{sf}.json"
         if str(sf).replace(".", "").isdigit() else "BENCH_LOCAL.json"
     )
-    print(json.dumps(compact))
+    final_line = json.dumps(compact)
+    # tripwire: the final line must fit the driver's capture window
+    # with generous headroom; tests/test_bench_contract.py pins this
+    assert len(final_line) <= 1500, len(final_line)
+    print(json.dumps({"families": families}))
+    print(final_line)
     # the complete record, immune to stdout-tail truncation — the
     # judge/driver can read per-query numbers here when the one-line
     # contract overflows their capture window. SF-stamped so a smoke at

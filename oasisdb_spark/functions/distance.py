@@ -45,14 +45,21 @@ def _col(c: Column | str) -> Column:
 
 def vector_indexable(c: Column | str) -> Column:
     """The indexable-rows vector predicate (NULLSWEEP.md): a vector is
-    indexable iff it is non-NULL and contains no NaN component. One
-    poisoned component makes every distance NaN — and the engines
-    DISAGREE on NaN comparisons (DuckDB's columnar NaN compare even
-    disagrees with its own constant folding), so a NaN vector must
-    never reach a ranking. SQL twin:
-    ``v IS NOT NULL AND len(list_filter(v, x -> isnan(x))) = 0``."""
+    indexable iff it is non-NULL and contains no NaN and no NULL
+    component. One poisoned component makes every distance NaN — and
+    the engines DISAGREE on NaN comparisons (DuckDB's columnar NaN
+    compare even disagrees with its own constant folding), so a NaN
+    vector must never reach a ranking. NULL components are excluded
+    for the same reason (ADVICE r09): Spark's ``isnan(NULL)`` is false
+    and DuckDB's ``list_filter`` drops NULL predicate results, so
+    without the explicit check an element-NULL vector slips through
+    BOTH SQL twins and then becomes NaN inside the numpy GEMM packers.
+    SQL twin: ``v IS NOT NULL AND
+    len(list_filter(v, x -> x IS NULL OR isnan(x))) = 0``."""
     v = _col(c)
-    return v.isNotNull() & ~F.exists(v, lambda x: F.isnan(x.cast("double")))
+    return v.isNotNull() & ~F.exists(
+        v, lambda x: x.isNull() | F.isnan(x.cast("double"))
+    )
 
 
 def l2_squared(a: Column | str, b: Column | str) -> Column:

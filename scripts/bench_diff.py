@@ -59,23 +59,56 @@ def load_families() -> dict:
     sys.exit(2)
 
 
+def _salvage_fragment(text: str) -> dict:
+    """Recover "name": number pairs from a (possibly HEAD-truncated)
+    tail fragment where the '"families": {' / '"queries": {' markers
+    may be cut off (VERDICT r09 #2: the r9 driver tail starts
+    mid-families-map). Keys are classified against the live FAMILIES
+    literal: family names -> families, member query names -> queries;
+    unknown keys are dropped (they may be half-truncated)."""
+    import re
+
+    fams = load_families()
+    members = {m for ms in fams.values() for m in ms}
+    out: dict = {}
+    for k, v in re.findall(r'"([a-z0-9_]+)": ([0-9.]+)', text):
+        if k in fams:
+            out.setdefault("families", {})[k] = float(v)
+        elif k in members:
+            out.setdefault("queries", {})[k] = float(v)
+    return out
+
+
 def load(path: str) -> dict:
     d = json.load(open(path))
     if "queries" not in d and "tail" in d:
-        # driver wrapper: the bench JSON line lives in "tail", usually
-        # TRUNCATED at the front (the driver keeps the last few KB).
-        # Salvage what survives: the full object if present, else the
-        # "queries"/"families" sub-objects by regex.
+        # driver wrapper: the bench stdout lives in "tail", the LAST
+        # ~2,000 chars only — the head is usually cut. Salvage order:
+        # (1) the final compact line if intact; (2) families/queries
+        # sub-objects whose markers survive; (3) a marker-less
+        # HEAD-TRUNCATED fragment, keys classified via FAMILIES.
         import re
 
         tail = d["tail"]
         start = tail.rfind('{"metric"')
+        parsed = None
         if start >= 0:
             line = tail[start:].strip().splitlines()[0]
             try:
-                return json.loads(line)
+                parsed = json.loads(line)
             except json.JSONDecodeError:
-                pass
+                parsed = None
+        if parsed is not None and "families" not in parsed:
+            # two-line contract (bench.py r10+): families ride the
+            # preceding line; recover whatever fragment survives
+            frag = _salvage_fragment(tail[:start])
+            if frag.get("families"):
+                parsed["families"] = frag["families"]
+                parsed["_salvaged"] = True
+                print(f"note: {path} families line head-truncated — "
+                      f"salvaged {len(frag['families'])} family timings")
+        if parsed is not None:
+            return parsed
         out = {}
         for key in ("queries", "families"):
             m = re.search(r'"%s": \{(.*?)\}' % key, tail, re.S)
@@ -84,6 +117,10 @@ def load(path: str) -> dict:
                     k: float(v)
                     for k, v in re.findall(r'"([a-z0-9_]+)": ([0-9.]+)', m.group(1))
                 }
+        if not out:
+            # no marker survived — the r9-style fully-head-truncated
+            # single line; classify bare pairs against FAMILIES
+            out = _salvage_fragment(tail)
         m = re.search(r'"value": ([0-9.]+)', tail)
         if m:
             out["value"] = float(m.group(1))

@@ -130,6 +130,17 @@ def main():
 
     os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
 
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    # a typo'd entry name must NOT read as green (VERDICT r09 wrong #2:
+    # the `only` filter previously just never matched and the sweep
+    # exited 0 with zero output); checked before the Spark session so
+    # the failure is immediate
+    unknown = only - set(qs)
+    if unknown:
+        print(f"ERROR: unknown entry name(s): {', '.join(sorted(unknown))}")
+        sys.exit(2)
+
     if vanilla:
         from pyspark.sql import SparkSession
 
@@ -146,8 +157,6 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:

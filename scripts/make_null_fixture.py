@@ -16,7 +16,11 @@ that actually contains NULLs:
     md5(f"{table}.{column}.{row}") % RATE_DEN == 0 (~2.7% per column),
     so the fixture is a pure function of the source fixture — nothing
     random, nothing committed;
-  - values that stay are byte-identical to the source fixture.
+  - values that stay are byte-identical to the source fixture;
+  - float-vector columns additionally get ELEMENT-level NULLs on a
+    third disjoint hash stream (md5(f"enull.{{t}}.{{c}}.{{row}}") %
+    41 == 0, element row%dim set to NULL) — ADVICE r09: an element-
+    NULL vector previously slipped through both indexability twins.
 
 NaN is deliberately NOT injected: both engines read the same parquet,
 but NaN breaks order-insensitive value hashing (NaN != NaN) in the
@@ -80,6 +84,22 @@ def nan_mask(table: str, column: str, n: int) -> pa.Array:
     return pa.array(flags, type=pa.bool_())
 
 
+def elemnull_mask(table: str, column: str, n: int) -> pa.Array:
+    """Deterministic per-row element-NULL mask for float-vector
+    columns — a third disjoint hash stream ('enull.'). ADVICE r09:
+    Spark's isnan(NULL) is false and DuckDB's list_filter drops NULL
+    predicate results, so a vector with a NULL *component* slipped
+    through both indexability twins untested; this stream makes the
+    NULL tier exercise that path."""
+    flags = [
+        int.from_bytes(
+            hashlib.md5(f"enull.{table}.{column}.{i}".encode()).digest()[:8], "big"
+        ) % NAN_DEN == 0
+        for i in range(n)
+    ]
+    return pa.array(flags, type=pa.bool_())
+
+
 def inject(src: str, dst: str, table: str, with_nan: bool = False) -> dict[str, int]:
     t = pq.read_table(os.path.join(src, f"{table}.parquet"))
     n = t.num_rows
@@ -89,6 +109,24 @@ def inject(src: str, dst: str, table: str, with_nan: bool = False) -> dict[str, 
         mask = null_mask(table, field.name, n)
         out = pc.if_else(mask, pa.nulls(n, type=field.type), col)
         counts[field.name] = out.null_count
+        if not with_nan and (
+            pa.types.is_list(field.type)
+            and pa.types.is_floating(field.type.value_type)
+        ):
+            # NULL ELEMENTS inside float vectors (NULL tier only; the
+            # NaN tier corrupts the same column with NaN elements):
+            # rows on the elemnull_mask get element row%dim set to NULL
+            em = elemnull_mask(table, field.name, n)
+            py = out.to_pylist()
+            n_hit = 0
+            for i, flag in enumerate(em.to_pylist()):
+                if flag and py[i]:
+                    v = list(py[i])
+                    v[i % len(v)] = None
+                    py[i] = v
+                    n_hit += 1
+            out = pa.array(py, type=field.type)
+            counts[field.name + "+enull"] = n_hit
         if with_nan and pa.types.is_float64(field.type):
             nm = nan_mask(table, field.name, n)
             out = pc.if_else(nm, pa.scalar(float("nan"), type=field.type), out)

@@ -152,7 +152,15 @@ def parse_registry_fns(src: str) -> dict[str, str]:
 def parse_oracles(src: str) -> dict[str, str]:
     """Registry name -> oracle SQL text, by exec'ing the module text
     (regexing multi-line SQL literals out of source is brittle; the
-    module is import-side-effect-free by driver contract)."""
+    module is import-side-effect-free by driver contract).
+
+    NOTE (ADVICE r09): for `--since`/churn runs this executes the
+    module-level code of HISTORICAL commits at audit time. The
+    contract is only guaranteed for HEAD; old generations are this
+    repo's own git history (same trust domain as `git checkout`), so
+    exec is acceptable — but a generation that raises is treated as
+    UNREADABLE and every entry baselined on it is conservatively
+    flagged (Generation.oracles_ok), never silently skipped."""
     ns: dict = {}
     exec(compile(src, "<entry-generation>", "exec"), ns)
     return dict(ns["oracle_sql"]())
@@ -238,11 +246,15 @@ class Generation:
     def __init__(self, src: str):
         self.spans = parse_spans(src)
         self.fns = parse_registry_fns(src)
+        self.oracles_ok = True
         try:
             self.oracles = parse_oracles(src)
         except Exception as exc:  # old generation no longer exec-able
+            # ADVICE r09: an unreadable baseline must flag, not skip —
+            # entry_churn treats oracles_ok=False as unknown-and-churned
             print(f"  [churn] WARNING: could not exec generation: {exc}")
             self.oracles = {}
+            self.oracles_ok = False
 
 
 def entry_churn(names: list[str], greens: dict[str, list[int]],
@@ -257,12 +269,26 @@ def entry_churn(names: list[str], greens: dict[str, list[int]],
     # safely attributed to the tree at round N's START (see module
     # docstring), i.e. the commit that closed round N-1
     base_of: dict[str, str] = {}
+    root_commit = None
     for n in names:
         if not greens[n]:
             continue
         base = since if since else commits.get(max(greens[n]) - 1)
-        if base:
-            base_of[n] = base
+        if not base:
+            # ADVICE r09: an entry whose N-1 close commit is missing
+            # (latest green is round 1, or the prior round file has no
+            # add-commit) must not silently drop out of churn tracking
+            # — baseline it at the repo root commit, the maximally
+            # conservative choice (everything since counts as churn)
+            if root_commit is None:
+                root_commit = _git(
+                    "rev-list", "--max-parents=0", "HEAD"
+                ).split()[0]
+                print(f"  [churn] note: no r{max(greens[n]) - 1:02d} close "
+                      f"commit for {n} (+ any same-round peers) — "
+                      f"baselining at the repo root commit")
+            base = root_commit
+        base_of[n] = base
 
     gens: dict[str, Generation] = {}
     changed_files: dict[str, set[str]] = {}
@@ -291,7 +317,11 @@ def entry_churn(names: list[str], greens: dict[str, list[int]],
         if touched:
             reasons.append("entry-fns: " + ", ".join(touched[:4])
                            + ("…" if len(touched) > 4 else ""))
-        if old.oracles and head.oracles.get(n) != old.oracles.get(n):
+        if not old.oracles_ok:
+            # unreadable baseline: oracle churn is UNKNOWN — flag it
+            # (conservative; ADVICE r09: never a missed re-gate)
+            reasons.append("oracle-sql: baseline unreadable")
+        elif old.oracles and head.oracles.get(n) != old.oracles.get(n):
             reasons.append("oracle-sql")
         deps = set()
         for f in closure:

@@ -80,3 +80,57 @@ def test_fallback_families_path_is_informational(tmp_path):
     p = _run(a, b, tmp_path)
     assert p.returncode == 0, p.stdout + p.stderr
     assert "informational" in p.stdout
+
+
+def test_two_line_contract_head_truncated_families(tmp_path):
+    # bench.py r10+ contract (VERDICT r09 #2): families ride their own
+    # PRECEDING line; the driver's 2,000-char tail may cut that line's
+    # head. The salvager must attach the surviving family fragment to
+    # the intact final compact line.
+    fam_names = list(_families())[:4]
+    fams = {f: 1.0 + i for i, f in enumerate(fam_names)}
+    fam_line = json.dumps({"families": fams})
+    final = json.dumps(
+        {"metric": "headline_queries_total_sec", "value": 10.0,
+         "unit": "sec", "sf": 0.1, "n_queries": 161,
+         "per_query_record": "BENCH_LOCAL_sf0.1.json"}
+    )
+    # cut the families line's head past the '"families": {' marker
+    cut = fam_line[len('{"families": {"') + len(fam_names[0]) + 6:]
+    a = {"tail": cut + "\n" + final + "\n"}
+    b = {"tail": fam_line + "\n" + final + "\n"}
+    p = _run(a, b, tmp_path)
+    assert p.returncode == 0, p.stdout + p.stderr
+    assert "salvaged" in p.stdout
+    assert "shared families" in p.stdout
+
+
+def test_markerless_head_truncated_single_line_salvage(tmp_path):
+    # the r9-style failure: ONE compact line whose head (including the
+    # '"families": {' marker AND '{"metric"') is cut. Bare pairs must
+    # be classified against the live FAMILIES literal.
+    fam_names = list(_families())[:5]
+    pairs = ", ".join(f'"{f}": {1.0 + i}' for i, f in enumerate(fam_names))
+    tail_a = (pairs[20:] + ', "value": 15.0, "unit": "sec", '
+              '"sf": 0.1, "n_queries": 161}')
+    tail_b = (pairs[20:] + ', "value": 15.5, "unit": "sec", '
+              '"sf": 0.1, "n_queries": 161}')
+    p = _run({"tail": tail_a}, {"tail": tail_b}, tmp_path)
+    assert p.returncode == 0, p.stdout + p.stderr
+    assert "salvaged" in p.stdout
+    assert "shared families" in p.stdout
+
+
+def test_r09_driver_record_now_salvages():
+    # the actual regression artifact: BENCH_r09.json (parsed=null,
+    # head-truncated mid-families tail) must yield family timings
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_diff", os.path.join(REPO, "scripts", "bench_diff.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    d = mod.load(os.path.join(REPO, "BENCH_r09.json"))
+    assert d.get("_salvaged")
+    assert len(d.get("families", {})) >= 70, len(d.get("families", {}))

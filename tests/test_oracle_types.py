@@ -118,3 +118,35 @@ def test_type_diff_family_mismatch_is_fatal_but_width_is_warn():
         ["s", "i"], ["VARCHAR", "INTEGER"],
     )
     assert not fatal and not warns
+
+
+def test_indexability_predicate_never_drifts_from_emb_ok():
+    """ADVICE r09: _EMB_OK is the single source of truth for the
+    vector-indexability predicate. Several oracles inline it inside
+    their own FROM shapes; this pins every inlined occurrence (any
+    list_filter over a vector column) to _EMB_OK's exact form —
+    including the element-NULL clause — so a future edit to the
+    contract cannot leave a stale copy behind."""
+    import re
+
+    import __spark_entry__ as entry
+
+    tmpl = entry._EMB_OK
+    # the predicate tail for any vector column name
+    want = re.escape(
+        tmpl.format(v="VEC").split("len(")[1].replace("VEC", "£")
+    ).replace("£", r"(\w+)")
+    oracles = entry.oracle_sql()
+    hits = 0
+    for name, sql in oracles.items():
+        norm = re.sub(r"\s+", " ", sql)
+        for m in re.finditer(r"len\(list_filter\((\w+), x -> [^)]*\)\)[^,\n]*", norm):
+            frag = m.group(0)
+            col = m.group(1)
+            if col == "embedding" or "isnan" in frag:
+                assert re.match(r"len\(" + want, frag), (
+                    f"{name}: inlined indexability predicate drifted "
+                    f"from _EMB_OK: {frag!r}"
+                )
+                hits += 1
+    assert hits >= 10, hits  # the kNN tier alone inlines it this often

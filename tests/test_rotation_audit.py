@@ -96,3 +96,51 @@ def test_live_window_entries_have_no_unresolvable_churn_closure():
     for name in ra.registry_order()[:50]:
         closure = ra.closure_fns(spans, fns[name])
         assert fns[name] in closure, name
+
+
+def test_unreadable_baseline_generation_flags_not_skips():
+    """ADVICE r09: a historical entry-file generation that fails to
+    exec must make oracle churn UNKNOWN-AND-FLAGGED for entries
+    baselined on it — never silently unchanged."""
+    ra = _load_audit()
+    g = ra.Generation("this is not python !!!")
+    assert g.oracles == {} and g.oracles_ok is False
+    # empty source (the missing-file fallback) is likewise unreadable
+    g2 = ra.Generation("")
+    assert g2.oracles_ok is False
+    # and a readable generation keeps oracles_ok
+    ok = ra.Generation(
+        "def oracle_sql():\n    return {'a': 'SELECT 1'}\n"
+    )
+    assert ok.oracles_ok is True and ok.oracles == {"a": "SELECT 1"}
+
+
+def test_unreadable_baseline_reason_counts_as_direct_churn():
+    """The 'oracle-sql: baseline unreadable' reason must rank in the
+    DIRECT churn tier (it starts with 'oracle-sql'), so a conservative
+    flag preempts like a real oracle edit."""
+    reason = "oracle-sql: baseline unreadable"
+    assert reason.startswith(("entry-fns", "oracle-sql"))
+
+
+def test_missing_prior_round_commit_falls_back_to_root(monkeypatch):
+    """ADVICE r09: an entry whose latest green is round 1 (no round-0
+    close commit) must baseline at the repo root commit instead of
+    dropping out of churn tracking."""
+    ra = _load_audit()
+
+    calls = {}
+    real_git = ra._git
+
+    def fake_git(*args):
+        if args[0] == "rev-list":
+            calls["root"] = True
+        return real_git(*args)
+
+    monkeypatch.setattr(ra, "_git", fake_git)
+    monkeypatch.setattr(ra, "round_commits", lambda: {})  # no close commits
+    names = ["collection_lifecycle"]
+    churn = ra.entry_churn(names, {"collection_lifecycle": [1]})
+    assert calls.get("root"), "root-commit fallback never engaged"
+    # vs the root commit EVERYTHING has churned — the entry must appear
+    assert churn.get("collection_lifecycle"), churn
