@@ -225,3 +225,47 @@ def test_zorder_key_survives_nan(spark):
     )
     keys = df.select(zorder_key(df, ["a", "b"], bits=4).alias("z")).collect()
     assert all(r["z"] is not None for r in keys)
+
+
+def test_vector_indexable_excludes_element_nulls(spark):
+    """ADVICE r09: a vector with a NULL *component* must be
+    non-indexable on the Spark side (Spark's isnan(NULL) is false, so
+    without the explicit isNull clause it slipped through to the numpy
+    packers, where None becomes NaN mid-ranking). The SQL twin's
+    'x IS NULL OR isnan(x)' is pinned by the fixture sweep and
+    tests/test_oracle_types.py."""
+    from oasisdb_spark.functions.distance import vector_indexable
+
+    rows = [
+        (1, [1.0, 2.0]),            # indexable
+        (2, None),                  # NULL vector
+        (3, [1.0, None]),           # element NULL — the r09 hole
+        (4, [float("nan"), 2.0]),   # element NaN
+        (5, []),                    # empty is indexable (dim guard is
+                                    # the ingest layer's job)
+    ]
+    df = spark.createDataFrame(rows, "id LONG, vector ARRAY<DOUBLE>")
+    keep = [r["id"] for r in
+            df.where(vector_indexable("vector")).select("id").collect()]
+    assert sorted(keep) == [1, 5]
+
+
+def test_knn_flat_never_ranks_element_null_vectors(spark):
+    """End-to-end: an element-NULL base vector must not appear in any
+    kNN result (previously it reached the GEMM packers as NaN and
+    poisoned distances engine-dependently)."""
+    from oasisdb_spark.index.flat import knn_flat
+
+    base = spark.createDataFrame(
+        [(10, [0.0, 0.0]), (11, [1.0, None]), (12, [3.0, 4.0])],
+        "id LONG, vector ARRAY<DOUBLE>",
+    ).where(
+        __import__(
+            "oasisdb_spark.functions.distance", fromlist=["vector_indexable"]
+        ).vector_indexable("vector")
+    )
+    queries = spark.createDataFrame(
+        [(0, [0.0, 0.0])], "query_id LONG, query_vec ARRAY<DOUBLE>"
+    )
+    got = {r["id"] for r in knn_flat(queries, base, k=3).collect()}
+    assert got == {10, 12}
