@@ -74,6 +74,17 @@ def search_lsh(
         F.col(query_id_col).alias("query_id"),
         array_to_vector(F.col(query_vec_col)).alias("features"),
     )
+    # Materialization boundary (round-10 NaN-sweep crash): MLlib's
+    # approxSimilarityJoin adds `size(hashes) > 0 AND isnotnull(hashes)`
+    # above its transform; Catalyst pushes that below this Project,
+    # substituting hashes -> hashUDF(arrayToVector(vec)) into the
+    # scan-level Filter, where common-subexpression elimination then
+    # evaluates the scala UDF EAGERLY — before the caller's
+    # vector_indexable null-guard conjuncts — and NPEs on a NULL
+    # vector. The persisted base side is immune for exactly this
+    # reason (InMemoryRelation blocks pushdown), so give the (tiny,
+    # ≤ a few hundred rows) query side the same boundary.
+    q = q.persist()
     joined = model.approxSimilarityJoin(q, hashed_base, float("inf"), distCol="l2_dist")
     scored = joined.select(
         F.col("datasetA.query_id").alias("query_id"),

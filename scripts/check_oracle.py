@@ -121,6 +121,11 @@ def main():
     vanilla = "--vanilla" in argv
     if vanilla:
         argv.remove("--vanilla")
+    # --window: shorthand for the driver's gate scope — the FIRST 50
+    # registry entries (saves typing 50 names each staging re-check)
+    window = "--window" in argv
+    if window:
+        argv.remove("--window")
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
 
@@ -140,6 +145,8 @@ def main():
     if unknown:
         print(f"ERROR: unknown entry name(s): {', '.join(sorted(unknown))}")
         sys.exit(2)
+    if window:
+        only |= set(list(qs)[:50])
 
     if vanilla:
         from pyspark.sql import SparkSession
