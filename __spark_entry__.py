@@ -7789,7 +7789,7 @@ WITH scored AS (
   SELECT q.vec_id AS query_id, e.vec_id AS id, {_L2_SQL} AS distance,
          q.label AS qlabel, e.label AS blabel
   FROM (SELECT * FROM embeddings
-        WHERE vec_id < 10 AND embedding IS NOT NULL) q
+        WHERE vec_id < 10 AND {_EMB_OK.format(v="embedding")}) q
   CROSS JOIN {_EMB_NONNULL} e
 ), shortlist AS (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY distance ASC, id ASC) AS srank
@@ -7809,7 +7809,7 @@ SELECT query_id, id, CAST(rank AS INT) AS rank, distance FROM kept WHERE rank <=
         "docs_mining_stream": f"""
 SELECT q.vec_id AS query_id, e.vec_id AS id, {_L2_SQL} AS distance
 FROM (SELECT * FROM embeddings
-      WHERE vec_id < 10 AND embedding IS NOT NULL) q
+      WHERE vec_id < 10 AND {_EMB_OK.format(v="embedding")}) q
 CROSS JOIN {_EMB_NONNULL} e
 WHERE q.label IS DISTINCT FROM e.label
   AND {_L2_SQL} < 1.8

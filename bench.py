@@ -1,11 +1,13 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-compact JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"families": {family: sec}, "sf": ..., "n_queries": N,
-"per_query_record": "BENCH_LOCAL_sf*.json"}.  The full per-query map is
-written to that committed record file — the driver captures only the
-tail of stdout, and the 160+-entry per-query dict would overflow it
-(VERDICT r08 #4).
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+TWO JSON lines (VERDICT r09 #2): first {"families": {family: sec}} on
+its own line, then a FINAL line ≤ 1,500 chars with {"metric": ...,
+"value": total_sec, "unit": "sec", "sf": ..., "method": ...,
+"n_queries": N, "per_query_record": "BENCH_LOCAL_sf*.json"}. The
+driver captures the last 2,000 chars of stdout and json-parses the
+final line; head-truncation of the families line is salvaged by
+scripts/bench_diff.py. The full per-query map is written to the
+committed record file — a 160+-entry dict overflows any line.
 
 Queries are grouped into FAMILIES so regressions localize round-over-
 round (the relational tier runs the full 22-query TPC-H-shape sweep as
@@ -256,18 +258,21 @@ def main() -> None:
         if str(sf).replace(".", "").isdigit() else "BENCH_LOCAL.json"
     )
     final_line = json.dumps(compact)
-    # tripwire: the final line must fit the driver's capture window
-    # with generous headroom; tests/test_bench_contract.py pins this
-    assert len(final_line) <= 1500, len(final_line)
-    print(json.dumps({"families": families}))
-    print(final_line)
     # the complete record, immune to stdout-tail truncation — the
-    # judge/driver can read per-query numbers here when the one-line
+    # judge/driver can read per-query numbers here when the stdout
     # contract overflows their capture window. SF-stamped so a smoke at
     # another scale factor can't clobber the canonical sf0.1 record.
+    # Written (and the families line printed) BEFORE the length
+    # tripwire below, so an overflow aborts the stdout contract — not
+    # the multi-minute run's results (round-10 self-review).
     fname = f"BENCH_LOCAL_sf{sf}.json" if str(sf).replace(".", "").isdigit() else "BENCH_LOCAL.json"
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), fname), "w") as f:
         json.dump(out, f, indent=1)
+    print(json.dumps({"families": families}))
+    # tripwire: the final line must fit the driver's capture window
+    # with generous headroom; tests/test_bench_contract.py pins this
+    assert len(final_line) <= 1500, len(final_line)
+    print(final_line)
     spark.stop()
 
 

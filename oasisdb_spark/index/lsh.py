@@ -70,21 +70,29 @@ def search_lsh(
     """Search step over a fitted model + pre-hashed base."""
     from pyspark.ml.functions import array_to_vector
 
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        array_to_vector(F.col(query_vec_col)).alias("features"),
-    )
-    # Materialization boundary (round-10 NaN-sweep crash): MLlib's
+    # Pushdown barrier (round-10 NaN-sweep crash): MLlib's
     # approxSimilarityJoin adds `size(hashes) > 0 AND isnotnull(hashes)`
-    # above its transform; Catalyst pushes that below this Project,
-    # substituting hashes -> hashUDF(arrayToVector(vec)) into the
-    # scan-level Filter, where common-subexpression elimination then
-    # evaluates the scala UDF EAGERLY — before the caller's
+    # above its transform; Catalyst pushes that below the features
+    # Project, substituting hashes -> hashUDF(arrayToVector(vec)) into
+    # the scan-level Filter, where common-subexpression elimination
+    # then evaluates the scala UDF EAGERLY — before the caller's
     # vector_indexable null-guard conjuncts — and NPEs on a NULL
-    # vector. The persisted base side is immune for exactly this
-    # reason (InMemoryRelation blocks pushdown), so give the (tiny,
-    # ≤ a few hundred rows) query side the same boundary.
-    q = q.persist()
+    # vector. The persisted base side is immune because an
+    # InMemoryRelation blocks pushdown; the query side gets an
+    # identity mapInPandas instead: Catalyst cannot push predicates
+    # through a Python eval node, and unlike persist() it is lazy,
+    # distributed, and leaves no CacheManager entry to leak across
+    # repeated searches in one session. The barrier sits BEFORE
+    # array_to_vector (VectorUDT does not cross Arrow), so rows
+    # reaching the scala UDF are exactly the caller-filtered ones.
+    q_src = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("_vec_arr"),
+    )
+    q_src = q_src.mapInPandas(lambda it: it, q_src.schema)
+    q = q_src.select(
+        "query_id", array_to_vector(F.col("_vec_arr")).alias("features")
+    )
     joined = model.approxSimilarityJoin(q, hashed_base, float("inf"), distCol="l2_dist")
     scored = joined.select(
         F.col("datasetA.query_id").alias("query_id"),

@@ -70,8 +70,14 @@ def _salvage_fragment(text: str) -> dict:
 
     fams = load_families()
     members = {m for ms in fams.values() for m in ms}
+    # keys that name BOTH a family and a member query (e.g.
+    # semantic_dedup) can't be classified from a bare fragment — drop
+    # them rather than record a query timing as a family subtotal
+    ambiguous = set(fams) & members
     out: dict = {}
     for k, v in re.findall(r'"([a-z0-9_]+)": ([0-9.]+)', text):
+        if k in ambiguous:
+            continue
         if k in fams:
             out.setdefault("families", {})[k] = float(v)
         elif k in members:

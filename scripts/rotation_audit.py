@@ -270,6 +270,7 @@ def entry_churn(names: list[str], greens: dict[str, list[int]],
     # docstring), i.e. the commit that closed round N-1
     base_of: dict[str, str] = {}
     root_commit = None
+    root_based: dict[int, list[str]] = {}
     for n in names:
         if not greens[n]:
             continue
@@ -284,11 +285,17 @@ def entry_churn(names: list[str], greens: dict[str, list[int]],
                 root_commit = _git(
                     "rev-list", "--max-parents=0", "HEAD"
                 ).split()[0]
-                print(f"  [churn] note: no r{max(greens[n]) - 1:02d} close "
-                      f"commit for {n} (+ any same-round peers) — "
-                      f"baselining at the repo root commit")
+            root_based.setdefault(max(greens[n]) - 1, []).append(n)
             base = root_commit
         base_of[n] = base
+    for rnd, ns in sorted(root_based.items()):
+        # every affected entry is named, grouped by the missing round,
+        # so a window staged from this printout can tell a fallback
+        # baseline from real churn (round-10 self-review)
+        print(f"  [churn] note: no r{rnd:02d} close commit — baselining "
+              f"{len(ns)} entr{'y' if len(ns) == 1 else 'ies'} at the "
+              f"repo root commit: {', '.join(ns[:8])}"
+              + ("…" if len(ns) > 8 else ""))
 
     gens: dict[str, Generation] = {}
     changed_files: dict[str, set[str]] = {}

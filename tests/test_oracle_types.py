@@ -150,3 +150,27 @@ def test_indexability_predicate_never_drifts_from_emb_ok():
                 )
                 hits += 1
     assert hits >= 10, hits  # the kNN tier alone inlines it this often
+
+
+def test_no_bare_embedding_nonnull_in_oracles():
+    """Complement to the drift test above (round-10 self-review): that
+    test pins sites that ALREADY contain a list_filter — a MISSING
+    element-NULL/NaN clause is invisible to it. In rendered oracle SQL
+    the indexability contract means 'embedding IS NOT NULL' must
+    always be immediately followed by the _EMB_OK list_filter clause;
+    a bare occurrence is an under-guarded query/base side (the
+    hard_negatives_ivf / docs_mining_stream class)."""
+    import re
+
+    import __spark_entry__ as entry
+
+    offenders = []
+    for name, sql in entry.oracle_sql().items():
+        norm = re.sub(r"\s+", " ", sql)
+        for m in re.finditer(r"embedding IS NOT NULL(.{0,90})", norm):
+            tail = m.group(1)
+            if not tail.lstrip().startswith(
+                "AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0"
+            ):
+                offenders.append((name, tail[:70]))
+    assert offenders == [], offenders
