@@ -327,6 +327,18 @@ _L2_SQL = (
     "list_sum(list_transform(list_zip(q.embedding, e.embedding),"
     " p -> (CAST(p[1] AS DOUBLE)-CAST(p[2] AS DOUBLE))*(CAST(p[1] AS DOUBLE)-CAST(p[2] AS DOUBLE))))"
 )
+# NULL-propagating twin for oracles whose entries RANK unfiltered rows
+# instead of excluding them (hard_negatives' r09 contract: NULL-id /
+# NULL-distance rows simply rank last on both engines). DuckDB's
+# list_sum SKIPS NULL elements — an element-NULL vector would get a
+# smaller PARTIAL distance and jump into top-k, while Spark's in-order
+# expression fold null-propagates to a NULL distance. The CASE
+# restores NULL-propagation (round-10 NULL-tier catch).
+_L2_SQL_NULLPROP = (
+    "CASE WHEN len(list_filter(q.embedding, x -> x IS NULL)) > 0"
+    " OR len(list_filter(e.embedding, x -> x IS NULL)) > 0"
+    f" THEN NULL ELSE {_L2_SQL} END"
+)
 _DOT_SQL = (
     "list_sum(list_transform(list_zip(q.embedding, e.embedding),"
     " p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))"
@@ -2237,11 +2249,21 @@ _HYBRID_ORACLE = f"""
                           ELSE {_HYBRID_TERMS[1]!r} END AS terms
               FROM embeddings WHERE vec_id < 2
             ), s AS (
+              -- element-NULL guard (round-10 NULL tier): DuckDB's
+              -- list_sum SKIPS NULL elements, so a vector with a NULL
+              -- component would get a smaller PARTIAL distance and
+              -- jump up the ranking; Spark's in-order expression fold
+              -- null-propagates to a NULL distance (ranked last by
+              -- asc_nulls_last). CASE restores NULL-propagation.
               SELECT q.query_id, d.doc_id,
                      len(list_intersect(d.toks, q.terms)) AS text_hits,
-                     list_sum(list_transform(list_zip(q.embedding, d.embedding),
-                       p -> (CAST(p[1] AS DOUBLE)-CAST(p[2] AS DOUBLE))
-                            *(CAST(p[1] AS DOUBLE)-CAST(p[2] AS DOUBLE)))) AS dist
+                     CASE WHEN len(list_filter(q.embedding, x -> x IS NULL)) > 0
+                            OR len(list_filter(d.embedding, x -> x IS NULL)) > 0
+                          THEN NULL
+                          ELSE list_sum(list_transform(list_zip(q.embedding, d.embedding),
+                            p -> (CAST(p[1] AS DOUBLE)-CAST(p[2] AS DOUBLE))
+                                 *(CAST(p[1] AS DOUBLE)-CAST(p[2] AS DOUBLE))))
+                     END AS dist
               FROM d, q
             ), r AS (
               SELECT query_id, doc_id,
@@ -7657,7 +7679,7 @@ SELECT src AS id, min(dst) AS component FROM reach GROUP BY 1
         # singleton-label anchors
         "contrastive_triplets": f"""
 WITH pos_scored AS (
-  SELECT q.vec_id AS query_id, e.vec_id AS id, {_L2_SQL} AS distance
+  SELECT q.vec_id AS query_id, e.vec_id AS id, {_L2_SQL_NULLPROP} AS distance
   FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
   CROSS JOIN embeddings e
   WHERE q.label = e.label AND q.vec_id <> e.vec_id
@@ -7668,7 +7690,7 @@ WITH pos_scored AS (
         FROM pos_scored)
   WHERE rn = 1
 ), neg_scored AS (
-  SELECT q.vec_id AS query_id, e.vec_id AS id, {_L2_SQL} AS distance
+  SELECT q.vec_id AS query_id, e.vec_id AS id, {_L2_SQL_NULLPROP} AS distance
   FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
   CROSS JOIN embeddings e
   WHERE q.label IS DISTINCT FROM e.label
@@ -7765,7 +7787,7 @@ FROM n_tbl WHERE n >= 1
         # is excluded — `<>` would silently drop both
         "hard_negatives": f"""
 WITH scored AS (
-  SELECT q.vec_id AS query_id, e.vec_id AS id, {_L2_SQL} AS distance
+  SELECT q.vec_id AS query_id, e.vec_id AS id, {_L2_SQL_NULLPROP} AS distance
   FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
   CROSS JOIN embeddings e
   WHERE q.label IS DISTINCT FROM e.label
@@ -7900,8 +7922,15 @@ WHERE q.label IS DISTINCT FROM e.label
             extra=", lbl.label", join=" JOIN embeddings lbl ON ranked.id = lbl.vec_id",
         ),
         "vector_lookup": """
+            -- element-NULL guard: Spark's F.aggregate fold
+            -- null-propagates to a NULL norm; DuckDB's list_sum would
+            -- SKIP the NULL element and emit a partial norm
             SELECT vec_id, label, CAST(len(embedding) AS INTEGER) AS dim,
-                   round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))), 4) AS norm_sq
+                   CASE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0
+                        THEN NULL
+                        ELSE round(list_sum(list_transform(embedding,
+                               x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))), 4)
+                   END AS norm_sq
             FROM embeddings WHERE vec_id = 42
         """,
         "text_stats": _text_stats_oracle(),

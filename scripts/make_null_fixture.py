@@ -90,9 +90,15 @@ def elemnull_mask(table: str, column: str, n: int) -> pa.Array:
     Spark's isnan(NULL) is false and DuckDB's list_filter drops NULL
     predicate results, so a vector with a NULL *component* slipped
     through both indexability twins untested; this stream makes the
-    NULL tier exercise that path."""
+    NULL tier exercise that path.
+
+    Row 7 is ALWAYS hit: every kNN-family entry draws its query set
+    from the low vec_ids (vec_id < 10 / < 5 / < 2 is not hit, so 7
+    covers the widest query filter), and the round-10 sweep showed the
+    hash stream alone can miss the whole query range — which is
+    exactly where the hard_negatives/hybrid divergences hid."""
     flags = [
-        int.from_bytes(
+        i == 7 or int.from_bytes(
             hashlib.md5(f"enull.{table}.{column}.{i}".encode()).digest()[:8], "big"
         ) % NAN_DEN == 0
         for i in range(n)
