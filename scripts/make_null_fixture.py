@@ -92,13 +92,14 @@ def elemnull_mask(table: str, column: str, n: int) -> pa.Array:
     through both indexability twins untested; this stream makes the
     NULL tier exercise that path.
 
-    Row 7 is ALWAYS hit: every kNN-family entry draws its query set
-    from the low vec_ids (vec_id < 10 / < 5 / < 2 is not hit, so 7
-    covers the widest query filter), and the round-10 sweep showed the
-    hash stream alone can miss the whole query range — which is
-    exactly where the hard_negatives/hybrid divergences hid."""
+    Rows 1 and 7 are ALWAYS hit: every kNN-family entry draws its
+    query set from the low vec_ids (vec_id < 2 / < 5 / < 10 — row 1 is
+    inside ALL of them, row 7 inside the common nq=10 set), and the
+    round-10 sweep showed the hash stream alone can miss the whole
+    query range — which is exactly where the hard_negatives/hybrid
+    divergences hid."""
     flags = [
-        i == 7 or int.from_bytes(
+        i in (1, 7) or int.from_bytes(
             hashlib.md5(f"enull.{table}.{column}.{i}".encode()).digest()[:8], "big"
         ) % NAN_DEN == 0
         for i in range(n)
