@@ -7686,7 +7686,7 @@ WITH pos_scored AS (
 ), pos AS (
   SELECT query_id, id AS pos_id, distance AS pos_distance
   FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                     ORDER BY distance ASC, id ASC) AS rn
+                                     ORDER BY distance ASC, id ASC NULLS FIRST) AS rn
         FROM pos_scored)
   WHERE rn = 1
 ), neg_scored AS (
@@ -7698,7 +7698,7 @@ WITH pos_scored AS (
   SELECT query_id, id AS neg_id, CAST(rn AS INT) AS neg_rank,
          distance AS neg_distance
   FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                     ORDER BY distance ASC, id ASC) AS rn
+                                     ORDER BY distance ASC, id ASC NULLS FIRST) AS rn
         FROM neg_scored)
   WHERE rn <= 3
 )
@@ -7792,8 +7792,11 @@ WITH scored AS (
   CROSS JOIN embeddings e
   WHERE q.label IS DISTINCT FROM e.label
 ), ranked AS (
+  -- id ASC NULLS FIRST: Spark's plain asc id-tiebreak sorts NULL ids
+  -- first; only visible when a whole query's distances are NULL (an
+  -- element-NULL query vector), exposed by the forced fixture rows
   SELECT query_id, id, distance,
-         row_number() OVER (PARTITION BY query_id ORDER BY distance ASC, id ASC) AS rank
+         row_number() OVER (PARTITION BY query_id ORDER BY distance ASC, id ASC NULLS FIRST) AS rank
   FROM scored
 )
 SELECT query_id, id, CAST(rank AS INT) AS rank, distance FROM ranked WHERE rank <= 10
