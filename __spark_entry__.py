@@ -5419,83 +5419,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rows preempt. Remaining backlog after a green r10: 95 churned
     # entries, pre-ordered behind the window as the r11 queue.
     #
-    # ROUND-11 ROTATION TODO (stage EARLY): re-run
+    # ROUND-11 ROTATION (EXECUTED verbatim from the live audit —
+    # VERDICT r10 #1): `rotation_audit.py --next 50` on the post-r10
+    # tree ranked 109 churned entries (the r10 element-NULL campaign
+    # landed after the r10 window was staged and re-churned the whole
+    # vector surface, including both anchors); window = 2 anchors +
+    # the 48 stalest churned, direct churn before module churn. The
+    # verdict-named r07/r08 analytics families land at ranks 3-10.
+    # r10 came back 50/50 green, so no red rows preempt. Remaining
+    # backlog after a green r11: 61 churned entries, pre-ordered
+    # behind the window as the r12 queue.
+    #
+    # ROUND-12 ROTATION TODO (stage EARLY): re-run
     # `python scripts/rotation_audit.py --next 50` — the behind-window
-    # section below is the audit's post-r10 queue (95 still-churned
-    # stalest-first, then unchanged), but round-10 edits reshuffle it.
-    # Any r10 red/no-row entries preempt from the front.
+    # section below is the audit's post-r11 queue (61 still-churned
+    # stalest-first, then unchanged), but round-11 edits reshuffle it.
+    # Any r11 red/no-row entries preempt from the front.
     return {
-        # --- ROUND-10 WINDOW (positions 1-50) — staged from the
-        # LIVE change-aware churn ranking on the final round-9 tree
-        # (scripts/rotation_audit.py --next 50; VERDICT r09 #1). The
-        # round-9 NULL/NaN campaign left 145 entries with code or
-        # oracle churn since their latest-green round commit; this
-        # window burns the 48 stalest (direct churn outranks module
-        # churn; ties by registry order). The verdict-named r09
-        # deferrals land at their natural churn rank:
-        # knn_flat_cos/ip/hamming (19-21), q7/q8/q9 (22-24). ---
+        # --- ROUND-11 WINDOW (positions 1-50) — staged verbatim from
+        # the LIVE change-aware churn ranking on the post-r10 tree
+        # (scripts/rotation_audit.py --next 50; VERDICT r10 #1). The
+        # element-NULL campaign left 109 entries churned since their
+        # latest-green round commit; this window burns the 48 stalest
+        # (direct churn outranks module churn; ties by registry order).
+        # The verdict-named r07/r08 analytics families front-load at
+        # ranks 3-10 (contrastive_triplets, events_cusum,
+        # events_ohlc_daily, event_type_transitions,
+        # events_rolling_anomaly, customer_rfm, events_chi2_gate,
+        # conversion_survival). ---
         # anchors (1-2)
         "collection_lifecycle": _collection_lifecycle,
         "knn_ivfsq": _knn_ivfsq,
         # churned since latest green, stalest first (3-50): the
-        # r04/r05-latest dedup+text+streaming block, the r06-latest
-        # deferrals, the r07-latest sketch/graph/funnel block, and
-        # the r08-latest drift/OHLC head
-        "minhash_signatures": _minhash_signatures,
-        "embedding_neardup": _embedding_neardup,
-        "langid": _langid,
-        "quality_gate_stream": _quality_gate_stream,
-        "token_estimate": _token_estimate,
-        "dedup_clusters": _dedup_clusters,
-        "sequence_pack_nextfit": _sequence_pack_nextfit,
-        "events_segment_rollup_salted": _events_segment_rollup_salted,
-        "events_dedup_stream": _events_dedup_stream,
-        "q21_last_to_ship": _q21_last_to_ship,
-        "bm25_search": _bm25_search,
-        "events_hourly": _events_hourly,
-        "events_sessionize": _events_sessionize,
-        "events_hourly_stream": _events_hourly_stream,
-        "events_enriched_stream": _events_enriched_stream,
-        "events_sessionize_stream": _events_sessionize_stream,
-        "knn_flat_cos": lambda s, d: _knn_flat(s, d, "cos"),
-        "knn_flat_ip": lambda s, d: _knn_flat(s, d, "ip"),
-        "knn_flat_hamming": lambda s, d: _knn_flat(s, d, "hamming"),
-        "q7_nation_trade": _q7_nation_trade,
-        "q8_market_share": _q8_market_share,
-        "q9_product_profit": _q9_product_profit,
-        "docs_dsir_stream": _docs_dsir_stream,
-        "dsir_select": _dsir_select,
-        "ngram_contamination": _ngram_contamination,
-        "line_dedup": _line_dedup,
-        "ngram_jaccard_pairs": _ngram_jaccard_pairs,
-        "cross_source_leakage": _cross_source_leakage,
-        "events_asof_join": _events_asof_join,
-        "customer_running_spend": _customer_running_spend,
-        "kmeans_cells": _kmeans_cells,
-        "proto_prune": _proto_prune,
-        "value_quantiles_sketch": _value_quantiles_sketch,
-        "events_quantiles_stream": _events_quantiles_stream,
-        "event_type_quantiles": _event_type_quantiles,
-        "trade_pagerank": _trade_pagerank,
-        "mutual_knn_pairs": _mutual_knn_pairs,
-        "events_attribution": _events_attribution,
-        "events_value_trend": _events_value_trend,
-        "events_session_paths": _events_session_paths,
-        "langid_kappa": _langid_kappa,
-        "embedding_drift": _embedding_drift,
-        "events_rapid_repeats": _events_rapid_repeats,
-        "events_xcorr": _events_xcorr,
-        "bpe_token_counts": _bpe_token_counts,
-        "events_value_drift": _events_value_drift,
-        "events_drift_stream": _events_drift_stream,
-        "events_ohlc": _events_ohlc,
-        # --- BEHIND THE WINDOW (positions 51-197): pre-ordered as
-        # the ROUND-11 re-gate queue (95 still-churned entries
-        # first — remaining backlog after this window gates green —
-        # then unchanged-since-green, stalest first). Re-run
-        # rotation_audit.py --next 50 at r11 staging time: round-10
-        # edits reshuffle this. ---
-        # still-churned (the post-r10 backlog), stalest first
+        # r07/r08-latest analytics+streaming block, then the r09-
+        # latest vector surface re-churned by the element-NULL
+        # campaign (knn tiers, auto_embed, vector_lookup, pca_knn)
+        "contrastive_triplets": _contrastive_triplets,
         "events_cusum": _events_cusum,
         "events_ohlc_daily": _events_ohlc_daily,
         "event_type_transitions": _event_type_transitions,
@@ -5543,6 +5502,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_mining_stream": _docs_mining_stream,
         "hard_negatives_ivf": _hard_negatives_ivf,
         "topic_balanced_sample": _topic_balanced_sample,
+        # --- BEHIND THE WINDOW (positions 51-197): pre-ordered as
+        # the ROUND-12 re-gate queue (61 still-churned entries
+        # first — remaining backlog after this window gates green —
+        # then unchanged-since-green, stalest first). Re-run
+        # rotation_audit.py --next 50 at r12 staging time: round-11
+        # edits reshuffle this. ---
+        # still-churned (the post-r11 backlog), stalest first
         "search_filtered_ivf": _search_filtered_ivf,
         "curation_pipeline": _curation_pipeline,
         "knn_binq": _knn_binq,
@@ -5563,6 +5529,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_balanced": _cluster_balanced,
         "events_gapfill_interp": _events_gapfill_interp,
         "orders_snapshot_diff": _orders_snapshot_diff,
+        "retrieval_rank_eval": _retrieval_rank_eval,
+        "hybrid_search_rrf": _hybrid_search,
+        "hard_negatives": _hard_negatives,
+        "embedding_neardup": _embedding_neardup,
+        "knn_flat_cos": lambda s, d: _knn_flat(s, d, "cos"),
+        "knn_flat_ip": lambda s, d: _knn_flat(s, d, "ip"),
+        "knn_flat_hamming": lambda s, d: _knn_flat(s, d, "hamming"),
+        "kmeans_cells": _kmeans_cells,
+        "proto_prune": _proto_prune,
+        "mutual_knn_pairs": _mutual_knn_pairs,
+        "embedding_drift": _embedding_drift,
         "exact_dedup": _exact_dedup,
         "simhash": _simhash,
         "shard_manifest": _shard_manifest,
@@ -5571,7 +5548,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_approx_distinct": _events_approx_distinct,
         "epoch_mixture": _epoch_mixture,
         "source_mixture": _source_mixture,
-        "contrastive_triplets": _contrastive_triplets,
         "trade_hits": _trade_hits,
         "orders_flag_overlap": _orders_flag_overlap,
         "events_windowed_funnel": _events_windowed_funnel,
@@ -5583,14 +5559,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": _weighted_sample,
         "events_hourly_gapfill": _events_hourly_gapfill,
         "substring_dup_stats": _substring_dup_stats,
-        "retrieval_rank_eval": _retrieval_rank_eval,
-        "hybrid_search_rrf": _hybrid_search,
         "fim_samples": _fim_samples,
-        "hard_negatives": _hard_negatives,
         "pii_scrub": _pii_scrub,
         "gopher_filter": _gopher_filter,
         "docs_pmi_collocations": _docs_pmi_collocations,
         "events_credit_split": _events_credit_split,
+        "minhash_signatures": _minhash_signatures,
+        "dedup_clusters": _dedup_clusters,
+        "ngram_jaccard_pairs": _ngram_jaccard_pairs,
+        "cross_source_leakage": _cross_source_leakage,
         # unchanged since latest green, stalest first
         "order_count_distribution": _order_count_distribution,
         "q14_promo_revenue": _q14_promo_revenue,
@@ -5644,6 +5621,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top3_orders_per_customer": _top3_orders_per_customer,
         "part_name_clusters": _part_name_clusters,
         "winnow_contamination": _winnow_contamination,
+        "langid": _langid,
+        "quality_gate_stream": _quality_gate_stream,
+        "token_estimate": _token_estimate,
+        "sequence_pack_nextfit": _sequence_pack_nextfit,
+        "events_segment_rollup_salted": _events_segment_rollup_salted,
+        "events_dedup_stream": _events_dedup_stream,
+        "q21_last_to_ship": _q21_last_to_ship,
+        "bm25_search": _bm25_search,
+        "events_hourly": _events_hourly,
+        "events_sessionize": _events_sessionize,
+        "events_hourly_stream": _events_hourly_stream,
+        "events_enriched_stream": _events_enriched_stream,
+        "events_sessionize_stream": _events_sessionize_stream,
+        "q7_nation_trade": _q7_nation_trade,
+        "q8_market_share": _q8_market_share,
+        "q9_product_profit": _q9_product_profit,
+        "docs_dsir_stream": _docs_dsir_stream,
+        "dsir_select": _dsir_select,
+        "ngram_contamination": _ngram_contamination,
+        "line_dedup": _line_dedup,
+        "events_asof_join": _events_asof_join,
+        "customer_running_spend": _customer_running_spend,
+        "value_quantiles_sketch": _value_quantiles_sketch,
+        "events_quantiles_stream": _events_quantiles_stream,
+        "event_type_quantiles": _event_type_quantiles,
+        "trade_pagerank": _trade_pagerank,
+        "events_attribution": _events_attribution,
+        "events_value_trend": _events_value_trend,
+        "events_session_paths": _events_session_paths,
+        "langid_kappa": _langid_kappa,
+        "events_rapid_repeats": _events_rapid_repeats,
+        "events_xcorr": _events_xcorr,
+        "bpe_token_counts": _bpe_token_counts,
+        "events_value_drift": _events_value_drift,
+        "events_drift_stream": _events_drift_stream,
+        "events_ohlc": _events_ohlc,
     }
 
 def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

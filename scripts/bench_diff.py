@@ -75,7 +75,12 @@ def _salvage_fragment(text: str) -> dict:
     # them rather than record a query timing as a family subtotal
     ambiguous = set(fams) & members
     out: dict = {}
-    for k, v in re.findall(r'"([a-z0-9_]+)": ([0-9.]+)', text):
+    # the float pattern accepts an exponent (ADVICE r10): json.dumps
+    # emits e-notation below 1e-4, so a sub-0.1ms timing in a
+    # truncated tail would otherwise be dropped or mis-parsed
+    for k, v in re.findall(
+        r'"([a-z0-9_]+)": ([0-9.]+(?:[eE][+-]?[0-9]+)?)', text
+    ):
         if k in ambiguous:
             continue
         if k in fams:

@@ -114,12 +114,22 @@ def inject(src: str, dst: str, table: str, with_nan: bool = False) -> dict[str, 
     for field in t.schema:
         col = t.column(field.name).combine_chunks()
         mask = null_mask(table, field.name, n)
+        is_float_vec = pa.types.is_list(field.type) and pa.types.is_floating(
+            field.type.value_type
+        )
+        if is_float_vec and not with_nan and n > 7:
+            # ADVICE r10: the rows-1/7 element-NULL guarantee below is
+            # silently voided if the whole-vector mask NULLs those rows
+            # first (the element pass skips NULL vectors). The current
+            # hash streams spare them (so this is bit-identical today),
+            # but exempting them makes the guarantee structural against
+            # any future RATE_DEN/column change.
+            m = mask.to_pylist()
+            m[1] = m[7] = False
+            mask = pa.array(m, type=pa.bool_())
         out = pc.if_else(mask, pa.nulls(n, type=field.type), col)
         counts[field.name] = out.null_count
-        if not with_nan and (
-            pa.types.is_list(field.type)
-            and pa.types.is_floating(field.type.value_type)
-        ):
+        if not with_nan and is_float_vec:
             # NULL ELEMENTS inside float vectors (NULL tier only; the
             # NaN tier corrupts the same column with NaN elements):
             # rows on the elemnull_mask get element row%dim set to NULL
@@ -134,6 +144,14 @@ def inject(src: str, dst: str, table: str, with_nan: bool = False) -> dict[str, 
                     n_hit += 1
             out = pa.array(py, type=field.type)
             counts[field.name + "+enull"] = n_hit
+            # The docstring's promise, enforced (ADVICE r10): rows 1
+            # and 7 — the ones inside every kNN query filter — carry
+            # an element-NULL after injection, whatever the masks did.
+            for i in (1, 7):
+                if i < n:
+                    assert py[i] is not None and any(
+                        e is None for e in py[i]
+                    ), f"{table}.{field.name} row {i} lost forced element-NULL"
         if with_nan and pa.types.is_float64(field.type):
             nm = nan_mask(table, field.name, n)
             out = pc.if_else(nm, pa.scalar(float("nan"), type=field.type), out)

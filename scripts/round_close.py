@@ -38,8 +38,11 @@ def run(name: str, cmd: list[str]) -> tuple[str, int, float, str]:
     os.makedirs(LOGDIR, exist_ok=True)
     log = os.path.join(LOGDIR, f"{name}.log")
     with open(log, "w") as f:
+        # stderr joins the log (ADVICE r10): tracebacks, pytest import
+        # errors, and Spark failures go to stderr — a crashed stage
+        # must leave a diagnosable log, not an empty one
         p = subprocess.run(
-            cmd, cwd=REPO, stdout=f, stderr=subprocess.DEVNULL
+            cmd, cwd=REPO, stdout=f, stderr=subprocess.STDOUT
         )
     return name, p.returncode, time.time() - t0, log
 
@@ -57,6 +60,10 @@ STAGES: dict[str, list[list[str]]] = {
     "plans": [[PY, "scripts/plan_audit.py"]],
     "pytest": [[PY, "-m", "pytest", "tests/", "-x", "-q"]],
     "bench": [[PY, "bench.py"]],
+    # live churn backlog on the CURRENT tree (VERDICT r10 #1/#2's
+    # staleness loop): COVERAGE.md's window paragraph is refreshed
+    # from THIS number at close — never hand-written mid-round
+    "churn": [[PY, "scripts/rotation_audit.py", "--churn"]],
 }
 
 
@@ -108,6 +115,18 @@ def main() -> None:
         status = "OK" if rc == 0 else ("MOVED" if advisory else f"FAIL(rc={rc})")
         bad += 0 if (rc == 0 or advisory) else 1
         print(f"  {name:12s} {status:10s} {dt:7.1f}s  {log}")
+    churn_log = os.path.join(LOGDIR, "churn.log")
+    if "churn" not in skip and os.path.exists(churn_log):
+        import re
+        m = re.search(
+            r"churned entries \((\d+)\)", open(churn_log).read()
+        )
+        if m:
+            print(
+                f"\n  live churn backlog on this tree: {m.group(1)} "
+                "entries — refresh COVERAGE.md's window paragraph "
+                "from THIS number (VERDICT r10 #2)"
+            )
     print(f"\n{'ALL STAGES OK' if bad == 0 else f'{bad} STAGE(S) FAILED'}")
     sys.exit(1 if bad else 0)
 

@@ -134,3 +134,20 @@ def test_r09_driver_record_now_salvages():
     d = mod.load(os.path.join(REPO, "BENCH_r09.json"))
     assert d.get("_salvaged")
     assert len(d.get("families", {})) >= 70, len(d.get("families", {}))
+
+
+def test_salvage_accepts_scientific_notation(tmp_path):
+    # ADVICE r10: json.dumps emits e-notation below 1e-4; a sub-0.1ms
+    # timing in a truncated tail must parse, not drop or mis-parse.
+    fam_names = list(_families())[:3]
+    vals = ["1.5e-05", "2.0", "3.25E+00"]
+    pairs = ", ".join(f'"{f}": {v}' for f, v in zip(fam_names, vals))
+    tail = (pairs[5:] + ', "value": 5.2, "unit": "sec", '
+            '"sf": 0.1, "n_queries": 161}')
+    p = _run({"tail": tail}, {"tail": tail}, tmp_path)
+    assert p.returncode == 0, p.stdout + p.stderr
+    # all three families (incl. the e-notation ones) must be shared
+    assert "salvaged" in p.stdout
+    import re
+    m = re.search(r"shared families: (\d+)", p.stdout)
+    assert m and int(m.group(1)) == 2, p.stdout  # first pair's head is cut
