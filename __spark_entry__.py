@@ -3809,6 +3809,34 @@ def _kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of IVF probe pruning at nprobe 1/2/4/8 over the
+    integer-exact k-means fit (operators/recall.py; VERDICT r10 #4):
+    the ONE quality dimension the exact-mode kNN entries never gate —
+    they run at nprobe=nlist where probing is lossless. The DuckDB
+    oracle replays the whole pipeline (Lloyd's fit, base assignment,
+    query probe ranking, candidate top-k, flat ground truth) and must
+    reproduce every per-query hit count and candidate count. Reference
+    parity: recall-as-correctness, benchmarks/run_benchmarks.py:126-142."""
+    from oasisdb_spark.operators.recall import ivf_probe_recall_quantized
+
+    return ivf_probe_recall_quantized(
+        _table(spark, sf_dir, "embeddings"), _kmeans_model_memo(spark, sf_dir)
+    )
+
+
+def _binq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the RAW binary-quantization shortlist — sign-bit
+    hamming ranking, no exact refine (operators/recall.py; VERDICT r10
+    #4): the quality knn_binq's exact-mode entry never sees (its
+    refine covers the whole base). Integer thresholds (positive-offset
+    floor-div means) make the codes, the hamming ranking, and the flat
+    ground truth replayable bit-for-bit by the SQL oracle."""
+    from oasisdb_spark.operators.recall import binq_shortlist_recall_quantized
+
+    return binq_shortlist_recall_quantized(_table(spark, sf_dir, "embeddings"))
+
+
 def _proto_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4-style prototypicality pruning (Tirumala et al. 2023 /
     SSL-prototypes, Sorscher et al. 2022; pipeline/cluster_curate.py):
@@ -5450,7 +5478,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # anchors (1-2)
         "collection_lifecycle": _collection_lifecycle,
         "knn_ivfsq": _knn_ivfsq,
-        # churned since latest green, stalest first (3-50): the
+        # never-green (3-4): the round-11 recall-curve additions
+        # (VERDICT r10 #4 — the ONE dimension exact-mode entries never
+        # gate; the registry freeze lifts ONLY for these, 197 -> 199).
+        # Never-green entries precede churned in the audit's ranking,
+        # displacing the two least-stale churned (hard_negatives_ivf,
+        # topic_balanced_sample) to the front of the r12 queue.
+        "ivf_recall_curve": _ivf_recall_curve,
+        "binq_recall": _binq_recall,
+        # churned since latest green, stalest first (5-50): the
         # r07/r08-latest analytics+streaming block, then the r09-
         # latest vector surface re-churned by the element-NULL
         # campaign (knn tiers, auto_embed, vector_lookup, pca_knn)
@@ -5500,15 +5536,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_knn": _pca_knn,
         "price_quartiles": _price_quartiles,
         "docs_mining_stream": _docs_mining_stream,
+        # --- BEHIND THE WINDOW (positions 51-199): pre-ordered as
+        # the ROUND-12 re-gate queue (63 still-churned entries
+        # first — remaining backlog after this window gates green;
+        # the first two are the least-stale churned the recall
+        # additions displaced — then unchanged-since-green, stalest
+        # first). Re-run rotation_audit.py --next 50 at r12 staging
+        # time: round-11 edits reshuffle this. ---
+        # still-churned (the post-r11 backlog), stalest first
         "hard_negatives_ivf": _hard_negatives_ivf,
         "topic_balanced_sample": _topic_balanced_sample,
-        # --- BEHIND THE WINDOW (positions 51-197): pre-ordered as
-        # the ROUND-12 re-gate queue (61 still-churned entries
-        # first — remaining backlog after this window gates green —
-        # then unchanged-since-green, stalest first). Re-run
-        # rotation_audit.py --next 50 at r12 staging time: round-11
-        # edits reshuffle this. ---
-        # still-churned (the post-r11 backlog), stalest first
         "search_filtered_ivf": _search_filtered_ivf,
         "curation_pipeline": _curation_pipeline,
         "knn_binq": _knn_binq,
@@ -6548,6 +6585,128 @@ def _kmeans_cells_oracle(k: int = 8, iters: int = 4) -> str:
     """
 
 
+def _ivf_recall_curve_oracle(
+    k: int = 10, nq: int = 10, nprobes: tuple[int, ...] = (1, 2, 4, 8)
+) -> str:
+    """Replays the ENTIRE ivf_recall_curve pipeline in SQL: the
+    kmeans CTE chain (fit + final assignment fasg + cent4), query
+    probe ranking with the d2-then-low-cluster tie-break
+    (_assign_int's argmin rule), candidate pruning per nprobe, int64
+    candidate top-k, flat ground-truth top-k, and the hit counts."""
+    np_values = ", ".join(f"({p})" for p in nprobes)
+    return f"""
+        {_kmeans_oracle_ctes(8, 4)},
+        qp AS (SELECT vec_id AS query_id, dim, x FROM pts WHERE vec_id < {nq}),
+        qc AS (
+          SELECT q.query_id, c.cluster, SUM((q.x - c.c) * (q.x - c.c)) AS d2
+          FROM qp q JOIN cent4 c USING (dim) GROUP BY 1, 2
+        ),
+        probes AS (
+          SELECT query_id, cluster,
+                 row_number() OVER (PARTITION BY query_id ORDER BY d2, cluster) AS pr
+          FROM qc
+        ),
+        pairs AS (
+          SELECT q.query_id, p.vec_id AS id, SUM((q.x - p.x) * (q.x - p.x)) AS d2
+          FROM qp q JOIN pts p USING (dim) GROUP BY 1, 2
+        ),
+        exact AS (
+          SELECT query_id, id FROM (
+            SELECT query_id, id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY d2, id) AS rn
+            FROM pairs) WHERE rn <= {k}
+        ),
+        cand AS (
+          SELECT pb.query_id, f.vec_id AS id, pb.pr
+          FROM probes pb JOIN fasg f ON f.cluster = pb.cluster
+        ),
+        np(nprobe) AS (VALUES {np_values}),
+        approx AS (
+          SELECT n.nprobe, c.query_id, c.id,
+                 row_number() OVER (
+                   PARTITION BY n.nprobe, c.query_id ORDER BY pa.d2, c.id) AS rn,
+                 COUNT(*) OVER (PARTITION BY n.nprobe, c.query_id) AS n_cand
+          FROM np n
+          JOIN cand c ON c.pr <= n.nprobe
+          JOIN pairs pa ON pa.query_id = c.query_id AND pa.id = c.id
+        )
+        SELECT CAST(a.nprobe AS INT) AS nprobe, a.query_id,
+               CAST(MAX(a.n_cand) AS BIGINT) AS n_cand,
+               CAST(SUM(CASE WHEN e.id IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS hits,
+               CAST({k} AS INT) AS k
+        FROM approx a LEFT JOIN exact e ON e.query_id = a.query_id AND e.id = a.id
+        WHERE a.rn <= {k}
+        GROUP BY 1, 2
+    """
+
+
+def _binq_recall_oracle(k: int = 10, nq: int = 10) -> str:
+    """Sign-bit shortlist recall in SQL: quantized points, integer
+    floor-div per-dim mean thresholds (the kmeans centroid-update
+    trick: positive dividend makes trunc == floor), hamming ranking
+    with id tie-break, flat int64 ground truth, hit counts. The pts
+    CTEs restate the kmeans chain's (kept inline so this new oracle
+    churns no kmeans entry); the indexability text is _EMB_OK."""
+    from oasisdb_spark.pipeline.cluster_curate import KM_LIMIT
+
+    import os
+
+    import duckdb
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    d = con.execute(
+        f"SELECT len(embedding) FROM '{sf_dir}/embeddings.parquet' "
+        "WHERE embedding IS NOT NULL LIMIT 1"
+    ).fetchone()[0]
+    con.close()
+    emb_ok = _EMB_OK.format(v="embedding")
+    return f"""
+        WITH pts AS (
+          SELECT vec_id, r.i AS dim,
+                 CAST(floor(CAST(embedding[r.i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS x
+          FROM embeddings, range(1, {d + 1}) r(i)
+          WHERE vec_id IS NOT NULL AND {emb_ok}
+        ),
+        thr AS (
+          SELECT dim,
+                 CAST((SUM(x) + {KM_LIMIT}::HUGEINT * COUNT(*)) // COUNT(*) - {KM_LIMIT} AS BIGINT) AS t
+          FROM pts GROUP BY dim
+        ),
+        bits AS (
+          SELECT p.vec_id, p.dim, p.x > t.t AS b FROM pts p JOIN thr t USING (dim)
+        ),
+        qb AS (SELECT vec_id AS query_id, dim, b FROM bits WHERE vec_id < {nq}),
+        ham AS (
+          SELECT q.query_id, b.vec_id AS id,
+                 SUM(CASE WHEN q.b <> b.b THEN 1 ELSE 0 END) AS ham
+          FROM qb q JOIN bits b USING (dim) GROUP BY 1, 2
+        ),
+        approx AS (
+          SELECT query_id, id FROM (
+            SELECT query_id, id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY ham, id) AS rn
+            FROM ham) WHERE rn <= {k}
+        ),
+        qp AS (SELECT vec_id AS query_id, dim, x FROM pts WHERE vec_id < {nq}),
+        pairs AS (
+          SELECT q.query_id, p.vec_id AS id, SUM((q.x - p.x) * (q.x - p.x)) AS d2
+          FROM qp q JOIN pts p USING (dim) GROUP BY 1, 2
+        ),
+        exact AS (
+          SELECT query_id, id FROM (
+            SELECT query_id, id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY d2, id) AS rn
+            FROM pairs) WHERE rn <= {k}
+        )
+        SELECT a.query_id,
+               CAST(SUM(CASE WHEN e.id IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS hits,
+               CAST({k} AS INT) AS k
+        FROM approx a LEFT JOIN exact e ON e.query_id = a.query_id AND e.id = a.id
+        GROUP BY 1
+    """
+
+
 def _proto_prune_oracle(k: int = 8, iters: int = 4, num: int = 1, den: int = 4) -> str:
     return f"""
         {_kmeans_oracle_ctes(k, iters)},
@@ -6641,6 +6800,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pca_knn": _pca_knn_oracle_sql(),
         "kmeans_cells": _kmeans_cells_oracle(),
+        "ivf_recall_curve": _ivf_recall_curve_oracle(),
+        "binq_recall": _binq_recall_oracle(),
         "proto_prune": _proto_prune_oracle(),
         "cluster_balanced": _cluster_balanced_oracle(),
         # the sketch's ESTIMATES are value-gated: DuckDB recomputes the

@@ -172,6 +172,9 @@ FAMILIES: dict[str, list[str]] = {
     "survival": ["conversion_survival"],
     "twap": ["events_twap"],
     "er_clusters": ["part_name_clusters"],
+    # round-11 additions (additive — earlier families untouched):
+    # recall certification of the approximate tiers (VERDICT r10 #4)
+    "recall_cert": ["ivf_recall_curve", "binq_recall"],
 }
 
 

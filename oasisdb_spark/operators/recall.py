@@ -1,0 +1,238 @@
+"""Cross-engine-certifiable recall@k for the approximate index tiers.
+
+The exact-mode driver entries (knn_ivf at nprobe=nlist, knn_binq at
+refine_factor covering the base) certify the MACHINERY of each tier but
+never its APPROXIMATION QUALITY — there, recall curves lived only in
+RECALL.md / pytest (VERDICT r10 #4: "the ONE quality dimension the
+exact-mode gate never certifies"). These operators make recall itself a
+deterministic, hash-gateable quantity, mirroring the reference's
+recall-as-correctness pattern (benchmarks/run_benchmarks.py:126-142:
+ground truth by brute force, recall@10 by set intersection) — but
+cross-engine: an independent SQL engine re-derives the SAME integers.
+
+Float ANN recall is NOT oracle-able (float reductions differ in the
+last ulp, and MLlib's LSH seeds its projections in scala RNG), so both
+operators run in the integer-exact idiom of pipeline/cluster_curate.py:
+vectors quantize to int64 micro-units (floor(x*1e6 + 0.5) — bit-equal
+in IEEE double on both engines), every distance / threshold /
+tie-break is integer arithmetic, and the companion DuckDB oracles
+replay the ENTIRE computation (including the Lloyd's fit, via the
+kmeans CTE chain) from the raw parquet. The recall these entries pin
+is the real thing: probe pruning and sign-bit quantization lose
+neighbors for geometric reasons, not float ones, so the integer twin
+exhibits the same recall curve as the float production tier
+(index/ivf.py, index/binq.py) at the same settings.
+
+Scale shape: these are EVALUATION operators — nq is a bounded query
+sample (the reference uses 100), so the brute-force ground-truth pass
+is nq * N pair rows, the inherent cost of recall certification, not a
+production search path. The base-side assignment reuses the one-scan
+Arrow GEMM of assign_clusters_quantized; everything downstream is
+integer expressions inside whole-stage codegen (exploded dim-joins
+against a broadcast nq*d query frame), one window shuffle per top-k.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from oasisdb_spark.functions.distance import vector_indexable
+from oasisdb_spark.pipeline.cluster_curate import (
+    KM_LIMIT,
+    QuantizedKMeansModel,
+    assign_clusters_quantized,
+)
+
+__all__ = ["ivf_probe_recall_quantized", "binq_shortlist_recall_quantized"]
+
+
+def _quantized_points(df: DataFrame, id_col: str, vec_col: str, out_id: str) -> DataFrame:
+    """Long-form quantized coordinates (out_id, dim, x): one row per
+    (vector, dimension), x = floor(double(e)*1e6 + 0.5) as int64 —
+    bit-identical to quantize_vectors_np / the oracle's pts CTE.
+    dim is 1-based (the oracle's range(1, d+1) convention; dims only
+    ever join within-engine, so the base matters only for sanity)."""
+    return (
+        df.where(F.col(id_col).isNotNull() & vector_indexable(vec_col))
+        .select(F.col(id_col).alias(out_id), F.posexplode(vec_col).alias("pos", "e"))
+        .select(
+            out_id,
+            (F.col("pos") + F.lit(1)).alias("dim"),
+            F.floor(F.col("e").cast("double") * 1e6 + 0.5).cast("long").alias("x"),
+        )
+    )
+
+
+def _pair_d2(qpts: DataFrame, pts: DataFrame) -> DataFrame:
+    """Exact int64 squared-L2 for every (query, base) pair via the
+    dim-join: (query_id, id, d2). qpts is nq*d rows — broadcast, so
+    the join is a map-side scan of pts; one (query_id, id) shuffle."""
+    return (
+        F.broadcast(qpts)
+        .join(pts, "dim")
+        .groupBy("query_id", "id")
+        .agg(F.sum((F.col("qx") - F.col("x")) * (F.col("qx") - F.col("x"))).alias("d2"))
+    )
+
+
+def _topk(pairs: DataFrame, order, k: int, extra_partition=()) -> DataFrame:
+    """rank<=k per query by the given integer ordering (id tiebreak is
+    part of `order`) — WindowGroupLimit-trimmable."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*extra_partition, "query_id").orderBy(*order)
+    return pairs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+
+
+def ivf_probe_recall_quantized(
+    emb: DataFrame,
+    model: QuantizedKMeansModel,
+    nprobes: tuple[int, ...] = (1, 2, 4, 8),
+    k: int = 10,
+    nq: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """recall@k of IVF probe pruning at each production nprobe, as
+    deterministic integers: (nprobe, query_id, n_cand, hits, k).
+
+    The coarse quantizer is the integer-exact Lloyd's fit
+    (kmeans_fit_quantized — the same model the kmeans_cells driver
+    entry hash-gates), so the DuckDB oracle can replay fit, base
+    assignment, query probe ranking (d2 then low-cluster tie-break,
+    exactly _assign_int's argmin rule), candidate pruning, and both
+    top-k sets, and must reproduce every hit count. Candidates are
+    scored by exact int64 L2 (IVF-Flat semantics: the index prunes
+    WHICH rows are scored, never how — index/ivf.py:218); ground truth
+    is the same distance over the whole base. Self-matches count, as
+    in the Flat entries. n_cand pins the pruning itself (how many rows
+    each probe setting actually scanned), hits/k is the recall."""
+    pts = _quantized_points(emb, id_col, vec_col, "id")
+    qpts = (
+        _quantized_points(emb.filter(F.col(id_col) < nq), id_col, vec_col, "query_id")
+        .withColumnRenamed("x", "qx")
+    )
+
+    # base assignment: one Arrow GEMM scan (production path)
+    assign = assign_clusters_quantized(emb, model, vec_col=vec_col, keep_cols=[id_col])
+    assign = assign.where(F.col(id_col).isNotNull()).select(
+        F.col(id_col).alias("id"), "cluster"
+    )
+
+    # query -> centroid probe ranking: k*d centroid rows, broadcast
+    spark = emb.sparkSession
+    cent_rows = [
+        (int(c), int(d) + 1, int(model.centroids[c, d]))
+        for c in range(model.k)
+        for d in range(model.dim)
+    ]
+    cent = spark.createDataFrame(cent_rows, "cluster int, dim int, c long")
+    probes = (
+        qpts.join(F.broadcast(cent), "dim")
+        .groupBy("query_id", "cluster")
+        .agg(F.sum((F.col("qx") - F.col("c")) * (F.col("qx") - F.col("c"))).alias("d2"))
+    )
+    from pyspark.sql import Window
+
+    probes = probes.withColumn(
+        "pr",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("cluster").asc())
+        ),
+    ).select("query_id", "cluster", "pr")
+
+    cand = probes.join(assign, "cluster").select("query_id", "id", "pr")
+    pairs = _pair_d2(qpts, pts)
+    exact = _topk(pairs, [F.col("d2").asc(), F.col("id").asc()], k).select(
+        "query_id", "id"
+    )
+
+    per_np = []
+    for nprobe in nprobes:
+        c_np = cand.where(F.col("pr") <= nprobe).select("query_id", "id")
+        scored = c_np.join(pairs, ["query_id", "id"])
+        n_cand = scored.groupBy("query_id").agg(F.count("*").alias("n_cand"))
+        approx = _topk(scored, [F.col("d2").asc(), F.col("id").asc()], k).select(
+            "query_id", "id"
+        )
+        hits = (
+            approx.join(exact.withColumn("hit", F.lit(1)), ["query_id", "id"], "left")
+            .groupBy("query_id")
+            .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("hits"))
+        )
+        per_np.append(
+            n_cand.join(hits, "query_id").select(
+                F.lit(nprobe).cast("int").alias("nprobe"),
+                "query_id",
+                "n_cand",
+                F.col("hits").cast("int").alias("hits"),
+                F.lit(k).cast("int").alias("k"),
+            )
+        )
+    return reduce(DataFrame.unionByName, per_np)
+
+
+def binq_shortlist_recall_quantized(
+    emb: DataFrame,
+    k: int = 10,
+    nq: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """recall@k of the raw binary-quantization shortlist — sign-bit
+    codes ranked by hamming distance, NO exact refine — as
+    deterministic integers: (query_id, hits, k).
+
+    This is the quality knn_binq's exact-mode driver entry never sees
+    (its refine_factor*k covers the whole base): how much neighbor
+    structure one bit per dimension retains BEFORE the re-rank
+    (index/binq.py's production shortlist at refine_factor=8 is the
+    float twin, recall-tested in tests/test_binq.py). Thresholds are
+    per-dim integer means of the quantized micro-units with the
+    positive-offset floor-division of the kmeans centroid update
+    (trunc == floor because the dividend is positive), so the DuckDB
+    oracle derives identical bits; hamming ties break by id, both
+    engines. The int64 threshold sum bounds N at ~9e10 rows —
+    evaluation-scale; production binq trains on a capped sample
+    (index/binq.py TRAIN_SAMPLE_CAP)."""
+    pts = _quantized_points(emb, id_col, vec_col, "id")
+    thr = pts.groupBy("dim").agg(
+        F.expr(
+            f"CAST((sum(x) + {KM_LIMIT}L * count(*)) DIV count(*) - {KM_LIMIT}L AS LONG)"
+        ).alias("t")
+    )
+    bits = pts.join(F.broadcast(thr), "dim").select(
+        "id", "dim", (F.col("x") > F.col("t")).alias("b")
+    )
+    qbits = (
+        bits.where(F.col("id") < nq)
+        .select(F.col("id").alias("query_id"), "dim", F.col("b").alias("qb"))
+    )
+    ham = (
+        F.broadcast(qbits)
+        .join(bits, "dim")
+        .groupBy("query_id", "id")
+        .agg(
+            F.sum(F.when(F.col("qb") != F.col("b"), 1).otherwise(0)).alias("ham")
+        )
+    )
+    approx = _topk(ham, [F.col("ham").asc(), F.col("id").asc()], k).select(
+        "query_id", "id"
+    )
+
+    qpts = (
+        _quantized_points(emb.filter(F.col(id_col) < nq), id_col, vec_col, "query_id")
+        .withColumnRenamed("x", "qx")
+    )
+    exact = _topk(
+        _pair_d2(qpts, pts), [F.col("d2").asc(), F.col("id").asc()], k
+    ).select("query_id", "id")
+    return (
+        approx.join(exact.withColumn("hit", F.lit(1)), ["query_id", "id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("int").alias("hits"))
+        .select("query_id", "hits", F.lit(k).cast("int").alias("k"))
+    )

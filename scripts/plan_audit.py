@@ -1138,6 +1138,25 @@ def main() -> None:
     print(f"== mutual_knn_pairs_ivf equi probe join (probes never broadcast), single pair agg: {'OK' if ok else 'FAIL'}")
     failures += not ok
 
+    # 97b. recall certification entries (round 11): every dim-join
+    # broadcasts the bounded side (the nq*d query frame / k*d centroid
+    # frame / d-row threshold frame) against the streamed base — never
+    # a cartesian or a nested-loop — and every top-k window is
+    # WindowGroupLimit-trimmed so rank>k rows die before the final
+    # shuffle. The ground-truth pass is nq*N pair rows BY DESIGN
+    # (evaluation operator, bounded nq), but it must stay an equi-join
+    # GEMM shape, not an unconstrained product.
+    for name in ("ivf_recall_curve", "binq_recall"):
+        plan = plan_of(m.queries()[name](spark, sf_dir))
+        ok = (
+            "CartesianProduct" not in plan
+            and "BroadcastNestedLoopJoin" not in plan
+            and "BroadcastHashJoin" in plan
+            and "WindowGroupLimit" in plan
+        )
+        print(f"== {name} broadcast dim-joins, trimmed top-k, no cartesian: {'OK' if ok else 'FAIL'}")
+        failures += not ok
+
     # 98. build-once graph artifacts (round 8): the graph-algorithm
     # entries must register their construction output as a memoized
     # persisted artifact instead of replaying it per call — the bench's

@@ -26,10 +26,10 @@ def test_registry_arithmetic_matches_coverage_doc():
     import re
 
     qs, os_ = entry.queries(), entry.oracle_sql()
-    # 196 through r06 + mutual_knn_pairs_ivf, the ONE round-7 addition
-    # (VERDICT r06 #2/#3 — growth frozen until the first-row backlog
-    # clears)
-    assert len(qs) == 197
+    # 196 through r06 + mutual_knn_pairs_ivf (r07) + the two round-11
+    # recall-curve entries — the ONE sanctioned freeze lift (VERDICT
+    # r10 #4: "registry may grow past 197 only this way")
+    assert len(qs) == 199
     # ZERO unoracled entries (since round 5)
     assert set(qs) - set(os_) == set()
     # COVERAGE.md's header must state the exact registry size
@@ -39,41 +39,45 @@ def test_registry_arithmetic_matches_coverage_doc():
     assert int(m.group(1)) == len(qs), (
         f"COVERAGE.md header says {m.group(1)} entries, registry has {len(qs)}"
     )
-    # the driver gates the first 50 entries; the round-10 window
-    # (VERDICT r09 #1) was staged verbatim from the live change-aware
-    # churn ranking on the final round-9 tree: the standing anchors +
-    # the 48 stalest entries whose code or oracle churned since their
-    # latest-green round commit (the NULL/NaN-campaign backlog),
-    # direct churn outranking module churn. The verdict-named r09
-    # deferrals sit at their natural churn rank inside the window.
+    # the driver gates the first 50 entries; the round-11 window
+    # (VERDICT r10 #1/#4) is the standing anchors + the two never-green
+    # recall-curve additions (never-green precedes churned in the
+    # audit's ranking) + the 46 stalest entries whose code or oracle
+    # churned since their latest-green round commit (the element-NULL-
+    # campaign backlog), direct churn outranking module churn. The
+    # verdict-named r07/r08 analytics families sit at ranks 5-12.
     window = list(qs)[:50]
     anchors = {"collection_lifecycle", "knn_ivfsq"}
-    churned_48 = {
-        "minhash_signatures", "embedding_neardup", "langid",
-        "quality_gate_stream", "token_estimate", "dedup_clusters",
-        "sequence_pack_nextfit", "events_segment_rollup_salted",
-        "events_dedup_stream", "q21_last_to_ship", "bm25_search",
-        "events_hourly", "events_sessionize", "events_hourly_stream",
-        "events_enriched_stream", "events_sessionize_stream",
-        "knn_flat_cos", "knn_flat_ip", "knn_flat_hamming",
-        "q7_nation_trade", "q8_market_share", "q9_product_profit",
-        "docs_dsir_stream", "dsir_select", "ngram_contamination",
-        "line_dedup", "ngram_jaccard_pairs", "cross_source_leakage",
-        "events_asof_join", "customer_running_spend", "kmeans_cells",
-        "proto_prune", "value_quantiles_sketch",
-        "events_quantiles_stream", "event_type_quantiles",
-        "trade_pagerank", "mutual_knn_pairs", "events_attribution",
-        "events_value_trend", "events_session_paths", "langid_kappa",
-        "embedding_drift", "events_rapid_repeats", "events_xcorr",
-        "bpe_token_counts", "events_value_drift",
-        "events_drift_stream", "events_ohlc",
+    never_green = {"ivf_recall_curve", "binq_recall"}
+    churned_46 = {
+        "contrastive_triplets", "events_cusum", "events_ohlc_daily",
+        "event_type_transitions", "events_rolling_anomaly",
+        "customer_rfm", "events_chi2_gate", "conversion_survival",
+        "events_ohlc_stream", "events_cusum_stream",
+        "events_seasonal_stream", "docs_gopher_stream",
+        "hybrid_search_indexed", "maxsim_search", "dedup_keep_best",
+        "bloom_semijoin", "cohort_retention", "event_funnel",
+        "events_funnel_stream", "lsh_recall_eval", "quality_prune",
+        "semantic_dedup", "zorder_scan", "data_quality_gate",
+        "leakage_safe_split", "bm25_search_indexed", "docs_lm_stream",
+        "docs_neardup_stream", "jaccard_pairs_prefix", "lm_perplexity",
+        "perplexity_buckets", "sequence_pack_bins",
+        "sequence_pack_chunks", "line_scrub", "knn_ivf", "knn_ivfpq",
+        "knn_lsh", "knn_hamming_packed", "auto_embed", "knn_flat_l2",
+        "search_documents_filtered", "vector_lookup",
+        "minhash_lsh_pairs", "pca_knn", "price_quartiles",
+        "docs_mining_stream",
     }
-    assert set(window) == anchors | churned_48
-    assert window[:2] == ["collection_lifecycle", "knn_ivfsq"]
-    # the named r09 deferrals must be inside the gate window
-    deferred = {"knn_flat_cos", "knn_flat_ip", "knn_flat_hamming",
-                "q7_nation_trade", "q8_market_share", "q9_product_profit"}
-    assert deferred <= set(window)
+    assert set(window) == anchors | never_green | churned_46
+    assert window[:4] == ["collection_lifecycle", "knn_ivfsq",
+                          "ivf_recall_curve", "binq_recall"]
+    # the verdict-named r07/r08 analytics families front-load the
+    # churned block (ranks 5-12)
+    assert window[4:12] == [
+        "contrastive_triplets", "events_cusum", "events_ohlc_daily",
+        "event_type_transitions", "events_rolling_anomaly",
+        "customer_rfm", "events_chi2_gate", "conversion_survival",
+    ]
 
 
 def test_every_registry_entry_named_in_coverage_doc():
