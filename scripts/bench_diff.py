@@ -126,13 +126,16 @@ def load(path: str) -> dict:
             if m:
                 out[key] = {
                     k: float(v)
-                    for k, v in re.findall(r'"([a-z0-9_]+)": ([0-9.]+)', m.group(1))
+                    for k, v in re.findall(
+                        r'"([a-z0-9_]+)": ([0-9.]+(?:[eE][+-]?[0-9]+)?)',
+                        m.group(1),
+                    )
                 }
         if not out:
             # no marker survived — the r9-style fully-head-truncated
             # single line; classify bare pairs against FAMILIES
             out = _salvage_fragment(tail)
-        m = re.search(r'"value": ([0-9.]+)', tail)
+        m = re.search(r'"value": ([0-9.]+(?:[eE][+-]?[0-9]+)?)', tail)
         if m:
             out["value"] = float(m.group(1))
         if out:

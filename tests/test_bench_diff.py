@@ -136,6 +136,22 @@ def test_r09_driver_record_now_salvages():
     assert len(d.get("families", {})) >= 70, len(d.get("families", {}))
 
 
+def test_marker_path_salvage_accepts_scientific_notation(tmp_path):
+    # same ADVICE r10 class, other code path: when the "families"/
+    # "queries" MARKER survives truncation (no intact final metric
+    # line), the sub-object findall and the "value" fallback must also
+    # accept e-notation
+    fams = list(_families().items())
+    fam, member = fams[0][0], fams[0][1][0]
+    tail = ('"queries": {"%s": 3.1e-05}, "families": {"%s": 1.5e-05}, '
+            '"value": 9.5e-01, "unit": "sec"}' % (member, fam))
+    p = _run({"tail": tail}, {"tail": tail}, tmp_path)
+    assert p.returncode == 0, p.stdout + p.stderr
+    import re
+    m = re.search(r"shared families: (\d+)", p.stdout)
+    assert m and int(m.group(1)) == 1, p.stdout
+
+
 def test_salvage_accepts_scientific_notation(tmp_path):
     # ADVICE r10: json.dumps emits e-notation below 1e-4; a sub-0.1ms
     # timing in a truncated tail must parse, not drop or mis-parse.
