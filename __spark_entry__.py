@@ -3837,6 +3837,22 @@ def _binq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binq_shortlist_recall_quantized(_table(spark, sf_dir, "embeddings"))
 
 
+def _lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of random-hyperplane bucket pruning at 2/4/8 hash
+    tables (operators/recall.py; VERDICT r10 #4 — "lsh at production
+    tables"): the quality dimension knn_lsh's exact-mode entry (16
+    tables = measured recall 1.0) never gates. MLlib's scala-RNG
+    projections are not replayable by any other engine, so the twin
+    uses seeded integer hyperplanes (hyperparameters, inlined
+    identically into both engines) and positive-offset floor-div
+    bucketing; the DuckDB oracle re-derives every bucket, candidate
+    set, per-query candidate count and hit count. Reference parity:
+    recall-as-correctness, benchmarks/run_benchmarks.py:126-142."""
+    from oasisdb_spark.operators.recall import lsh_bucket_recall_quantized
+
+    return lsh_bucket_recall_quantized(_table(spark, sf_dir, "embeddings"))
+
+
 def _proto_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4-style prototypicality pruning (Tirumala et al. 2023 /
     SSL-prototypes, Sorscher et al. 2022; pipeline/cluster_curate.py):
@@ -5536,13 +5552,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_knn": _pca_knn,
         "price_quartiles": _price_quartiles,
         "docs_mining_stream": _docs_mining_stream,
-        # --- BEHIND THE WINDOW (positions 51-199): pre-ordered as
-        # the ROUND-12 re-gate queue (63 still-churned entries
-        # first — remaining backlog after this window gates green;
-        # the first two are the least-stale churned the recall
-        # additions displaced — then unchanged-since-green, stalest
-        # first). Re-run rotation_audit.py --next 50 at r12 staging
-        # time: round-11 edits reshuffle this. ---
+        # --- BEHIND THE WINDOW (positions 51-200): pre-ordered as
+        # the ROUND-12 re-gate queue. lsh_recall_curve leads — the
+        # third recall-certification entry (VERDICT r10 #4 freeze
+        # lift), added after the r11 window was staged and verified,
+        # so it waits its turn as never-green rank 1 of r12 rather
+        # than destabilize a verified window. Then the 63
+        # still-churned entries (remaining backlog after this window
+        # gates green; the first two are the least-stale churned the
+        # recall additions displaced), then unchanged-since-green,
+        # stalest first. Re-run rotation_audit.py --next 50 at r12
+        # staging time: round-11 edits reshuffle this. ---
+        "lsh_recall_curve": _lsh_recall_curve,
         # still-churned (the post-r11 backlog), stalest first
         "hard_negatives_ivf": _hard_negatives_ivf,
         "topic_balanced_sample": _topic_balanced_sample,
@@ -6707,6 +6728,95 @@ def _binq_recall_oracle(k: int = 10, nq: int = 10) -> str:
     """
 
 
+def _lsh_recall_oracle(
+    k: int = 10,
+    nq: int = 10,
+    n_tables: tuple[int, ...] = (2, 4, 8),
+    bucket_w: int = 5_000_000,
+    seed: int = 7,
+) -> str:
+    """Random-hyperplane bucket recall in SQL: the seeded integer
+    hyperplanes are inlined as a VALUES list (hyperparameters, the
+    same constants lsh_bucket_recall_quantized broadcasts — what the
+    oracle certifies is the bucketing, candidate union over tables,
+    exact int64 ranking and hit counting built on them). Bucket id is
+    (g.x + OFF*w) // w - OFF: positive dividend, so DuckDB's
+    truncating // equals floor, matching Spark DIV. The pts CTE
+    restates the quantization inline (churns no kmeans entry)."""
+    from oasisdb_spark.operators.recall import lsh_projections
+
+    import os
+
+    import duckdb
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    d = con.execute(
+        f"SELECT len(embedding) FROM '{sf_dir}/embeddings.parquet' "
+        "WHERE embedding IS NOT NULL LIMIT 1"
+    ).fetchone()[0]
+    con.close()
+    off = 1 << 20
+    g = lsh_projections(d, max(n_tables), seed=seed)
+    proj_vals = ", ".join(
+        f"({t + 1}, {dim + 1}, {int(g[t, dim])})"
+        for t in range(max(n_tables))
+        for dim in range(d)
+    )
+    nt_vals = ", ".join(f"({t})" for t in n_tables)
+    emb_ok = _EMB_OK.format(v="embedding")
+    return f"""
+        WITH pts AS (
+          SELECT vec_id, r.i AS dim,
+                 CAST(floor(CAST(embedding[r.i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS x
+          FROM embeddings, range(1, {d + 1}) r(i)
+          WHERE vec_id IS NOT NULL AND {emb_ok}
+        ),
+        proj(tbl, dim, g) AS (VALUES {proj_vals}),
+        dots AS (
+          SELECT p.vec_id AS id, pr.tbl, SUM(pr.g * p.x) AS dot
+          FROM pts p JOIN proj pr ON pr.dim = p.dim GROUP BY 1, 2
+        ),
+        bkt AS (
+          SELECT id, tbl, (dot + {off * bucket_w}) // {bucket_w} - {off} AS b FROM dots
+        ),
+        qb AS (SELECT id AS query_id, tbl, b FROM bkt WHERE id < {nq}),
+        nt(n_tables) AS (VALUES {nt_vals}),
+        cand AS (
+          SELECT DISTINCT n.n_tables, q.query_id, b2.id
+          FROM nt n
+          JOIN qb q ON q.tbl <= n.n_tables
+          JOIN bkt b2 ON b2.tbl = q.tbl AND b2.b = q.b
+        ),
+        qp AS (SELECT vec_id AS query_id, dim, x FROM pts WHERE vec_id < {nq}),
+        pairs AS (
+          SELECT q.query_id, p.vec_id AS id, SUM((q.x - p.x) * (q.x - p.x)) AS d2
+          FROM qp q JOIN pts p ON p.dim = q.dim GROUP BY 1, 2
+        ),
+        exact AS (
+          SELECT query_id, id FROM (
+            SELECT query_id, id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY d2, id) AS rn
+            FROM pairs) WHERE rn <= {k}
+        ),
+        approx AS (
+          SELECT c.n_tables, c.query_id, c.id,
+                 row_number() OVER (
+                   PARTITION BY c.n_tables, c.query_id ORDER BY pa.d2, c.id) AS rn,
+                 COUNT(*) OVER (PARTITION BY c.n_tables, c.query_id) AS n_cand
+          FROM cand c
+          JOIN pairs pa ON pa.query_id = c.query_id AND pa.id = c.id
+        )
+        SELECT CAST(a.n_tables AS INT) AS n_tables, a.query_id,
+               CAST(MAX(a.n_cand) AS BIGINT) AS n_cand,
+               CAST(SUM(CASE WHEN e.id IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS hits,
+               CAST({k} AS INT) AS k
+        FROM approx a LEFT JOIN exact e ON e.query_id = a.query_id AND e.id = a.id
+        WHERE a.rn <= {k}
+        GROUP BY 1, 2
+    """
+
+
 def _proto_prune_oracle(k: int = 8, iters: int = 4, num: int = 1, den: int = 4) -> str:
     return f"""
         {_kmeans_oracle_ctes(k, iters)},
@@ -6802,6 +6912,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_cells": _kmeans_cells_oracle(),
         "ivf_recall_curve": _ivf_recall_curve_oracle(),
         "binq_recall": _binq_recall_oracle(),
+        "lsh_recall_curve": _lsh_recall_oracle(),
         "proto_prune": _proto_prune_oracle(),
         "cluster_balanced": _cluster_balanced_oracle(),
         # the sketch's ESTIMATES are value-gated: DuckDB recomputes the

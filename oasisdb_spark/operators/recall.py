@@ -46,7 +46,12 @@ from oasisdb_spark.pipeline.cluster_curate import (
     assign_clusters_quantized,
 )
 
-__all__ = ["ivf_probe_recall_quantized", "binq_shortlist_recall_quantized"]
+__all__ = [
+    "ivf_probe_recall_quantized",
+    "binq_shortlist_recall_quantized",
+    "lsh_bucket_recall_quantized",
+    "lsh_projections",
+]
 
 
 def _quantized_points(df: DataFrame, id_col: str, vec_col: str, out_id: str) -> DataFrame:
@@ -236,3 +241,120 @@ def binq_shortlist_recall_quantized(
         .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("int").alias("hits"))
         .select("query_id", "hits", F.lit(k).cast("int").alias("k"))
     )
+
+
+def lsh_projections(d: int, n_tables: int = 8, seed: int = 7, lo: int = -8, hi: int = 8):
+    """Deterministic integer hyperplanes for the LSH recall twin: one
+    length-d int64 row per hash table, entries uniform in [lo, hi] from
+    numpy RandomState(seed). The projections are HYPERPARAMETERS of the
+    operator (like k or nprobe), not derived state, so the Spark entry
+    and the SQL oracle both inline the same constants — what the oracle
+    certifies is the bucketing, candidate generation, ranking and
+    recall counting built on them. MLlib's BucketedRandomProjectionLSH
+    (index/lsh.py, the production float tier) draws unit Gaussians from
+    a scala RNG that no other engine can replay; seeded integer
+    hyperplanes are the cross-engine-certifiable analogue."""
+    import numpy as np
+
+    rs = np.random.RandomState(seed)
+    return rs.randint(lo, hi + 1, size=(n_tables, d)).astype("int64")
+
+
+def lsh_bucket_recall_quantized(
+    emb: DataFrame,
+    n_tables: tuple[int, ...] = (2, 4, 8),
+    k: int = 10,
+    nq: int = 10,
+    bucket_w: int = 5_000_000,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """recall@k of random-hyperplane bucket pruning at each table
+    count, as deterministic integers: (n_tables, query_id, n_cand,
+    hits, k).
+
+    The production LSH tier (index/lsh.py wrapping MLlib's
+    BucketedRandomProjectionLSH; reference parity hnsw-capability per
+    SURVEY Q6) prunes to rows sharing a bucket floor(x.g/w) with the
+    query in ANY hash table, then ranks candidates exactly. This twin
+    runs the same scheme in the integer-exact idiom: int64 micro-unit
+    points, seeded integer hyperplanes (lsh_projections), bucket id
+    (g.x + OFF*w) DIV w - OFF with a positive-offset dividend so Spark
+    DIV and DuckDB // (both truncating) agree with floor on both
+    engines, candidate = same (table, bucket) pair for any table index
+    <= n_tables, exact int64 L2 over candidates, hits vs flat ground
+    truth. More tables can only add candidates, so per-query n_cand and
+    hits are non-decreasing in n_tables (pinned in tests); the query's
+    own buckets always contain the query, so hits >= 1.
+
+    int64 bounds: |x| < KM_LIMIT (1e8, the engine-wide quantization
+    contract), |g| <= 8, d = 64 -> |g.x| <= 5.12e10; the 1<<20 offset
+    times bucket_w stays ~5e12, far inside int64."""
+    OFF = 1 << 20
+    pts = _quantized_points(emb, id_col, vec_col, "id")
+    qpts = (
+        _quantized_points(emb.filter(F.col(id_col) < nq), id_col, vec_col, "query_id")
+        .withColumnRenamed("x", "qx")
+    )
+
+    spark = emb.sparkSession
+    first = emb.where(vector_indexable(vec_col)).select(F.size(vec_col)).first()
+    d = first[0] if first else 0
+    t_max = max(n_tables)
+    g = lsh_projections(d, t_max, seed=seed)
+    proj_rows = [
+        (t + 1, dim + 1, int(g[t, dim])) for t in range(t_max) for dim in range(d)
+    ]
+    proj = spark.createDataFrame(proj_rows, "tbl int, dim int, g long")
+
+    # bucket per (row, table): dim-join against the broadcast t_max*d
+    # hyperplane frame, one (id, tbl) partial-aggregated shuffle
+    bkt = (
+        pts.join(F.broadcast(proj), "dim")
+        .groupBy("id", "tbl")
+        .agg(F.sum(F.col("g") * F.col("x")).alias("dot"))
+        .select(
+            "id",
+            "tbl",
+            F.expr(f"(dot + {OFF * bucket_w}L) DIV {bucket_w}L - {OFF}L").alias("b"),
+        )
+    )
+    qb = (
+        bkt.where(F.col("id") < nq)
+        .select(F.col("id").alias("query_id"), "tbl", "b")
+    )
+
+    pairs = _pair_d2(qpts, pts)
+    exact = _topk(pairs, [F.col("d2").asc(), F.col("id").asc()], k).select(
+        "query_id", "id"
+    )
+
+    per_t = []
+    for t in n_tables:
+        cand = (
+            F.broadcast(qb.where(F.col("tbl") <= t))
+            .join(bkt.where(F.col("tbl") <= t), ["tbl", "b"])
+            .select("query_id", "id")
+            .distinct()
+        )
+        scored = cand.join(pairs, ["query_id", "id"])
+        n_cand = scored.groupBy("query_id").agg(F.count("*").alias("n_cand"))
+        approx = _topk(scored, [F.col("d2").asc(), F.col("id").asc()], k).select(
+            "query_id", "id"
+        )
+        hits = (
+            approx.join(exact.withColumn("hit", F.lit(1)), ["query_id", "id"], "left")
+            .groupBy("query_id")
+            .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("hits"))
+        )
+        per_t.append(
+            n_cand.join(hits, "query_id").select(
+                F.lit(t).cast("int").alias("n_tables"),
+                "query_id",
+                "n_cand",
+                F.col("hits").cast("int").alias("hits"),
+                F.lit(k).cast("int").alias("k"),
+            )
+        )
+    return reduce(DataFrame.unionByName, per_t)

@@ -1146,7 +1146,7 @@ def main() -> None:
     # shuffle. The ground-truth pass is nq*N pair rows BY DESIGN
     # (evaluation operator, bounded nq), but it must stay an equi-join
     # GEMM shape, not an unconstrained product.
-    for name in ("ivf_recall_curve", "binq_recall"):
+    for name in ("ivf_recall_curve", "binq_recall", "lsh_recall_curve"):
         plan = plan_of(m.queries()[name](spark, sf_dir))
         ok = (
             "CartesianProduct" not in plan

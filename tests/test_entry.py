@@ -26,10 +26,13 @@ def test_registry_arithmetic_matches_coverage_doc():
     import re
 
     qs, os_ = entry.queries(), entry.oracle_sql()
-    # 196 through r06 + mutual_knn_pairs_ivf (r07) + the two round-11
-    # recall-curve entries — the ONE sanctioned freeze lift (VERDICT
-    # r10 #4: "registry may grow past 197 only this way")
-    assert len(qs) == 199
+    # 196 through r06 + mutual_knn_pairs_ivf (r07) + the three
+    # round-11 recall-curve entries — the ONE sanctioned freeze lift
+    # (VERDICT r10 #4: "registry may grow past 197 only this way").
+    # Two sit in the r11 window; lsh_recall_curve (added after the
+    # window was staged and verified) leads the r12 queue at pos 51.
+    assert len(qs) == 200
+    assert list(qs)[50] == "lsh_recall_curve"
     # ZERO unoracled entries (since round 5)
     assert set(qs) - set(os_) == set()
     # COVERAGE.md's header must state the exact registry size

@@ -99,3 +99,51 @@ def test_queries_need_indexable_vectors(spark, km_model, embeddings):
         base.unionByName(broken), km_model, nprobes=(1,), k=5, nq=10
     )
     assert out.count() == 0  # no indexable query rows below nq
+
+
+@pytest.fixture(scope="module")
+def lsh_curve(embeddings):
+    from oasisdb_spark.operators.recall import lsh_bucket_recall_quantized
+
+    rows = lsh_bucket_recall_quantized(embeddings, n_tables=(2, 4, 8), k=10, nq=10).collect()
+    assert rows
+    return rows
+
+
+def test_lsh_recall_monotone_in_tables(lsh_curve):
+    # the candidate set is a union over tables: per-query hits and
+    # n_cand are non-decreasing in n_tables
+    by_q = {}
+    for r in lsh_curve:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["n_tables"])
+        for a, b in zip(rs, rs[1:]):
+            assert a["hits"] <= b["hits"], f"query {q}: recall dropped as tables grew"
+            assert a["n_cand"] <= b["n_cand"], f"query {q}: candidates shrank"
+
+
+def test_lsh_recall_lossy_but_self_hitting(lsh_curve, embeddings):
+    # bucket pruning must be real (n_cand < base) and lossy at 2
+    # tables (sf0.001/sf0.01 observed 0.56), yet the query's own
+    # buckets always contain the query itself
+    from pyspark.sql import functions as F
+
+    n_base = embeddings.where(
+        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+    ).count()
+    two = [r for r in lsh_curve if r["n_tables"] == 2]
+    assert sum(r["hits"] for r in two) < sum(r["k"] for r in two)
+    assert all(r["hits"] >= 1 for r in two)
+    assert all(r["n_cand"] < n_base for r in two)
+
+
+def test_lsh_projections_deterministic():
+    import numpy as np
+
+    from oasisdb_spark.operators.recall import lsh_projections
+
+    a, b = lsh_projections(64, 8, seed=7), lsh_projections(64, 8, seed=7)
+    assert np.array_equal(a, b)
+    assert a.dtype == np.int64 and a.shape == (8, 64)
+    assert a.min() >= -8 and a.max() <= 8
