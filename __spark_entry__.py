@@ -3853,6 +3853,36 @@ def _lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucket_recall_quantized(_table(spark, sf_dir, "embeddings"))
 
 
+def _pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of RAW product-quantization ADC ranking — m=4
+    integer-exact subspace codebooks, asymmetric distances, no exact
+    refine (operators/recall.py; VERDICT r10 #4): the distortion
+    knn_ivfpq's exact-mode entry always refines away. Completes the
+    four approximation axes (IVF prunes rows, BinQ/LSH coarsen the
+    representation, PQ distorts the distance itself). The DuckDB
+    oracle replays all m Lloyd's fits via the subspace-keyed kmeans
+    CTE chain, the encoding, the ADC sums and both top-k sets.
+    Reference parity: recall-as-correctness,
+    benchmarks/run_benchmarks.py:126-142. The codebooks are a
+    build-once memoized artifact (the bench memo convention — a pure
+    deterministic integer function of the table, like kmq8x4); this
+    entry measures encoding + ADC ranking, the algorithm."""
+    from oasisdb_spark.operators.recall import (
+        fit_pq_codebooks,
+        pq_adc_recall_quantized,
+    )
+
+    models = _memo(
+        spark, sf_dir, "pqm4x8x2",
+        lambda: fit_pq_codebooks(
+            _table(spark, sf_dir, "embeddings"), m=4, ksub=8, iters=2
+        ),
+    )
+    return pq_adc_recall_quantized(
+        _table(spark, sf_dir, "embeddings"), models=models
+    )
+
+
 def _proto_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4-style prototypicality pruning (Tirumala et al. 2023 /
     SSL-prototypes, Sorscher et al. 2022; pipeline/cluster_curate.py):
@@ -5552,18 +5582,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_knn": _pca_knn,
         "price_quartiles": _price_quartiles,
         "docs_mining_stream": _docs_mining_stream,
-        # --- BEHIND THE WINDOW (positions 51-200): pre-ordered as
-        # the ROUND-12 re-gate queue. lsh_recall_curve leads — the
-        # third recall-certification entry (VERDICT r10 #4 freeze
-        # lift), added after the r11 window was staged and verified,
-        # so it waits its turn as never-green rank 1 of r12 rather
-        # than destabilize a verified window. Then the 63
-        # still-churned entries (remaining backlog after this window
-        # gates green; the first two are the least-stale churned the
-        # recall additions displaced), then unchanged-since-green,
-        # stalest first. Re-run rotation_audit.py --next 50 at r12
-        # staging time: round-11 edits reshuffle this. ---
+        # --- BEHIND THE WINDOW (positions 51-201): pre-ordered as
+        # the ROUND-12 re-gate queue. lsh_recall_curve and
+        # pq_adc_recall lead — the third and fourth recall-
+        # certification entries (VERDICT r10 #4 freeze lift), added
+        # after the r11 window was staged and verified, so they wait
+        # their turn as never-green ranks 1-2 of r12 rather than
+        # destabilize a verified window. Then the 63 still-churned
+        # entries (remaining backlog after this window gates green;
+        # the first two are the least-stale churned the recall
+        # additions displaced), then unchanged-since-green, stalest
+        # first. Re-run rotation_audit.py --next 50 at r12 staging
+        # time: round-11 edits reshuffle this. ---
         "lsh_recall_curve": _lsh_recall_curve,
+        "pq_adc_recall": _pq_adc_recall,
         # still-churned (the post-r11 backlog), stalest first
         "hard_negatives_ivf": _hard_negatives_ivf,
         "topic_balanced_sample": _topic_balanced_sample,
@@ -6817,6 +6849,144 @@ def _lsh_recall_oracle(
     """
 
 
+def _pq_adc_recall_oracle(
+    k: int = 10, nq: int = 10, m: int = 4, ksub: int = 8, iters: int = 2
+) -> str:
+    """PQ ADC recall in SQL: the kmeans CTE chain generalized with a
+    subspace grouping key (sub = (dim-1) // dsub; dim DETERMINES sub,
+    so the dim-joins stay within-subspace with no extra predicate),
+    replaying all m Lloyd's fits at once — first-ksub-ids init (the
+    seed rows are the same for every subspace because seeding keys on
+    vec_id), positive-offset floor-div update, empty clusters keep
+    their centroid. Then encoding (argmin with the d2-then-low-cluster
+    tie-break per (vec, sub)), the ADC table (exact query subvectors
+    vs every code centroid), asymmetric distances as int64 sums over
+    subspaces, top-k by (adc, id), hits vs the flat ground truth."""
+    from oasisdb_spark.pipeline.cluster_curate import KM_LIMIT
+
+    import os
+
+    import duckdb
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    d = con.execute(
+        f"SELECT len(embedding) FROM '{sf_dir}/embeddings.parquet' "
+        "WHERE embedding IS NOT NULL LIMIT 1"
+    ).fetchone()[0]
+    con.close()
+    if d % m:
+        raise ValueError(f"pq_adc_recall oracle: dim {d} not divisible by m={m}")
+    dsub = d // m
+    emb_ok = _EMB_OK.format(v="embedding")
+    parts = [
+        f"""pts0 AS (
+          SELECT vec_id, r.i AS dim,
+                 CAST((r.i - 1) // {dsub} AS INT) AS sub,
+                 CAST(floor(CAST(embedding[r.i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS x
+          FROM embeddings, range(1, {d + 1}) r(i)
+          WHERE vec_id IS NOT NULL AND {emb_ok}
+        )""",
+        f"""pts AS (
+          SELECT vec_id, dim, sub,
+                 CASE WHEN abs(x) >= {KM_LIMIT}
+                      THEN CAST(error('pq oracle: |xq| >= KM_LIMIT') AS BIGINT)
+                      ELSE x END AS x
+          FROM pts0
+        )""",
+        f"""init AS (
+          SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster
+          FROM (SELECT DISTINCT vec_id FROM pts ORDER BY vec_id LIMIT {ksub})
+        )""",
+        """cent0 AS (
+          SELECT p.sub, i.cluster, p.dim, p.x AS c
+          FROM init i JOIN pts p USING (vec_id)
+        )""",
+    ]
+    for t in range(1, iters + 1):
+        parts += [
+            f"""dist{t} AS (
+              SELECT p.vec_id, c.sub, c.cluster, SUM((p.x - c.c) * (p.x - c.c)) AS d2
+              FROM pts p JOIN cent{t - 1} c ON c.dim = p.dim
+              GROUP BY 1, 2, 3
+            )""",
+            f"""asg{t} AS (
+              SELECT vec_id, sub, cluster FROM (
+                SELECT vec_id, sub, cluster,
+                       row_number() OVER (
+                         PARTITION BY vec_id, sub ORDER BY d2, cluster) AS rn
+                FROM dist{t}) WHERE rn = 1
+            )""",
+            f"""upd{t} AS (
+              SELECT a.sub, a.cluster, p.dim, SUM(p.x) AS s, COUNT(*) AS n
+              FROM asg{t} a JOIN pts p ON p.vec_id = a.vec_id AND p.sub = a.sub
+              GROUP BY 1, 2, 3
+            )""",
+            f"""cent{t} AS (
+              SELECT c.sub, c.cluster, c.dim,
+                     CASE WHEN u.n IS NULL THEN c.c
+                          ELSE CAST((u.s + {KM_LIMIT}::HUGEINT * u.n) // u.n - {KM_LIMIT} AS BIGINT)
+                     END AS c
+              FROM cent{t - 1} c
+              LEFT JOIN upd{t} u ON u.cluster = c.cluster AND u.dim = c.dim
+            )""",
+        ]
+    parts += [
+        f"""fdist AS (
+          SELECT p.vec_id, c.sub, c.cluster, SUM((p.x - c.c) * (p.x - c.c)) AS d2
+          FROM pts p JOIN cent{iters} c ON c.dim = p.dim
+          GROUP BY 1, 2, 3
+        )""",
+        """codes AS (
+          SELECT vec_id AS id, sub, cluster FROM (
+            SELECT vec_id, sub, cluster,
+                   row_number() OVER (
+                     PARTITION BY vec_id, sub ORDER BY d2, cluster) AS rn
+            FROM fdist) WHERE rn = 1
+        )""",
+        f"""qd AS (
+          SELECT q.vec_id AS query_id, c.sub, c.cluster,
+                 SUM((q.x - c.c) * (q.x - c.c)) AS qd2
+          FROM pts q JOIN cent{iters} c ON c.dim = q.dim
+          WHERE q.vec_id < {nq}
+          GROUP BY 1, 2, 3
+        )""",
+        """adc AS (
+          SELECT qd.query_id, co.id, SUM(qd.qd2) AS adc
+          FROM codes co JOIN qd ON qd.sub = co.sub AND qd.cluster = co.cluster
+          GROUP BY 1, 2
+        )""",
+        f"""approx AS (
+          SELECT query_id, id FROM (
+            SELECT query_id, id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY adc, id) AS rn
+            FROM adc) WHERE rn <= {k}
+        )""",
+        f"""qp AS (SELECT vec_id AS query_id, dim, x FROM pts WHERE vec_id < {nq})""",
+        """pairs AS (
+          SELECT q.query_id, p.vec_id AS id, SUM((q.x - p.x) * (q.x - p.x)) AS d2
+          FROM qp q JOIN pts p ON p.dim = q.dim GROUP BY 1, 2
+        )""",
+        f"""exact AS (
+          SELECT query_id, id FROM (
+            SELECT query_id, id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY d2, id) AS rn
+            FROM pairs) WHERE rn <= {k}
+        )""",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+        SELECT a.query_id,
+               CAST(SUM(CASE WHEN e.id IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS hits,
+               CAST({k} AS INT) AS k
+        FROM approx a LEFT JOIN exact e ON e.query_id = a.query_id AND e.id = a.id
+        GROUP BY 1
+    """
+    )
+
+
 def _proto_prune_oracle(k: int = 8, iters: int = 4, num: int = 1, den: int = 4) -> str:
     return f"""
         {_kmeans_oracle_ctes(k, iters)},
@@ -6913,6 +7083,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_recall_curve": _ivf_recall_curve_oracle(),
         "binq_recall": _binq_recall_oracle(),
         "lsh_recall_curve": _lsh_recall_oracle(),
+        "pq_adc_recall": _pq_adc_recall_oracle(),
         "proto_prune": _proto_prune_oracle(),
         "cluster_balanced": _cluster_balanced_oracle(),
         # the sketch's ESTIMATES are value-gated: DuckDB recomputes the

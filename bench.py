@@ -174,7 +174,8 @@ FAMILIES: dict[str, list[str]] = {
     "er_clusters": ["part_name_clusters"],
     # round-11 additions (additive — earlier families untouched):
     # recall certification of the approximate tiers (VERDICT r10 #4)
-    "recall_cert": ["ivf_recall_curve", "binq_recall", "lsh_recall_curve"],
+    "recall_cert": ["ivf_recall_curve", "binq_recall", "lsh_recall_curve",
+                    "pq_adc_recall"],
 }
 
 

@@ -1146,7 +1146,8 @@ def main() -> None:
     # shuffle. The ground-truth pass is nq*N pair rows BY DESIGN
     # (evaluation operator, bounded nq), but it must stay an equi-join
     # GEMM shape, not an unconstrained product.
-    for name in ("ivf_recall_curve", "binq_recall", "lsh_recall_curve"):
+    for name in ("ivf_recall_curve", "binq_recall", "lsh_recall_curve",
+                 "pq_adc_recall"):
         plan = plan_of(m.queries()[name](spark, sf_dir))
         ok = (
             "CartesianProduct" not in plan
@@ -1170,6 +1171,7 @@ def main() -> None:
         ("copurchase_triangles", "copurchase_graph"),
         ("copurchase_communities", "copurchase_graph"),
         ("part_name_clusters", "fuzzy_part_edges"),
+        ("pq_adc_recall", "pqm4x8x2"),
     ):
         m.queries()[entry](spark, sf_dir).count()
         ok = (id(spark), sf_dir, memo_kind) in m._INDEX_MEMO

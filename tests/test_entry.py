@@ -26,13 +26,14 @@ def test_registry_arithmetic_matches_coverage_doc():
     import re
 
     qs, os_ = entry.queries(), entry.oracle_sql()
-    # 196 through r06 + mutual_knn_pairs_ivf (r07) + the three
+    # 196 through r06 + mutual_knn_pairs_ivf (r07) + the four
     # round-11 recall-curve entries — the ONE sanctioned freeze lift
     # (VERDICT r10 #4: "registry may grow past 197 only this way").
-    # Two sit in the r11 window; lsh_recall_curve (added after the
-    # window was staged and verified) leads the r12 queue at pos 51.
-    assert len(qs) == 200
-    assert list(qs)[50] == "lsh_recall_curve"
+    # Two sit in the r11 window; lsh_recall_curve and pq_adc_recall
+    # (added after the window was staged and verified) lead the r12
+    # queue at positions 51-52.
+    assert len(qs) == 201
+    assert list(qs)[50:52] == ["lsh_recall_curve", "pq_adc_recall"]
     # ZERO unoracled entries (since round 5)
     assert set(qs) - set(os_) == set()
     # COVERAGE.md's header must state the exact registry size

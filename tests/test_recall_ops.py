@@ -147,3 +147,40 @@ def test_lsh_projections_deterministic():
     assert np.array_equal(a, b)
     assert a.dtype == np.int64 and a.shape == (8, 64)
     assert a.min() >= -8 and a.max() <= 8
+
+
+def test_pq_adc_recall_bounds(embeddings):
+    from oasisdb_spark.operators.recall import pq_adc_recall_quantized
+
+    rows = pq_adc_recall_quantized(embeddings, m=4, ksub=8, iters=2, k=10, nq=10).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["hits"] <= r["k"]
+    # ADC distortion must be real (sf0.01 observed 0.32) but a 4x8
+    # codebook retains SOME neighbor structure — both directions must
+    # hold or the entry is degenerate
+    total = sum(r["hits"] for r in rows)
+    assert 0 < total < sum(r["k"] for r in rows)
+
+
+def test_pq_adc_exact_when_codebook_holds_every_point(spark):
+    # degenerate-exactness anchor: ksub = N makes every point its own
+    # centroid (first-k init seeds all rows; Lloyd's fixes them), so
+    # codes reproduce the base exactly and ADC == the exact distance
+    # -> recall@k = 1. The PQ analogue of IVF's nprobe=nlist.
+    from oasisdb_spark.operators.recall import pq_adc_recall_quantized
+
+    n, d = 20, 8
+    rows = [(i, [float(i * 7 % 13 + j * (i % 5)) for j in range(d)]) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = pq_adc_recall_quantized(emb, m=2, ksub=n, iters=1, k=5, nq=4).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r["hits"] == r["k"], f"query {r['query_id']} not exact at ksub=N"
+
+
+def test_pq_adc_rejects_indivisible_subspaces(embeddings):
+    from oasisdb_spark.operators.recall import pq_adc_recall_quantized
+
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_adc_recall_quantized(embeddings, m=3)
