@@ -424,6 +424,20 @@ def main() -> None:
         print(f"\nchurned entries ({len(changed)}) — code or oracle changed {label}:")
         for n in sorted(changed, key=lambda n: (max(greens[n]), names.index(n))):
             print(f"  r{max(greens[n]):02d}  {n:35s} {'; '.join(churn[n])}")
+        # The figure COVERAGE.md's window paragraph quotes (VERDICT r10
+        # #2): churned entries the CURRENT window does not cover — what
+        # remains as the next round's re-green queue if the gate greens
+        # the window as staged. Printed directly so round_close.py's
+        # paste block (and the human refreshing COVERAGE.md) never does
+        # the in-window subtraction by hand.
+        behind = [n for n in changed if n not in window]
+        nv_behind = [n for n in never if n not in window]
+        print(
+            f"behind-window backlog: {len(behind)} churned"
+            + (f" + {len(nv_behind)} never-green ({', '.join(nv_behind)})"
+               if nv_behind else "")
+            + f" ({len(changed) - len(behind)} of the churned are in-window)"
+        )
 
     if next_n:
         proposal = [n for n in names[:2]]  # standing anchors stay

@@ -118,15 +118,17 @@ def main() -> None:
     churn_log = os.path.join(LOGDIR, "churn.log")
     if "churn" not in skip and os.path.exists(churn_log):
         import re
-        m = re.search(
-            r"churned entries \((\d+)\)", open(churn_log).read()
-        )
+        text = open(churn_log).read()
+        m = re.search(r"churned entries \((\d+)\)", text)
+        b = re.search(r"behind-window backlog: (.+)", text)
         if m:
             print(
                 f"\n  live churn backlog on this tree: {m.group(1)} "
                 "entries — refresh COVERAGE.md's window paragraph "
                 "from THIS number (VERDICT r10 #2)"
             )
+        if b:
+            print(f"  {b.group(0)}")
     print(f"\n{'ALL STAGES OK' if bad == 0 else f'{bad} STAGE(S) FAILED'}")
     sys.exit(1 if bad else 0)
 
