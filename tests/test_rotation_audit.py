@@ -144,3 +144,26 @@ def test_missing_prior_round_commit_falls_back_to_root(monkeypatch):
     assert calls.get("root"), "root-commit fallback never engaged"
     # vs the root commit EVERYTHING has churned — the entry must appear
     assert churn.get("collection_lifecycle"), churn
+
+
+def test_churn_report_carries_the_lines_round_close_regexes(monkeypatch, capsys):
+    """round_close.py lifts two lines out of churn.log by regex —
+     'churned entries (N)' and 'behind-window backlog: ...'. If either
+    print drifts, the paste block silently loses its backlog figures
+    (the numbers COVERAGE.md's window paragraph is refreshed from), so
+    pin the coupling here against a live --churn run."""
+    import re
+
+    monkeypatch.setattr("sys.argv", ["rotation_audit.py", "--churn"])
+    _load_audit().main()
+    out = capsys.readouterr().out
+    m = re.search(r"churned entries \((\d+)\)", out)
+    b = re.search(
+        r"behind-window backlog: (\d+) churned"
+        r"(?: \+ (\d+) never-green \([^)]*\))?"
+        r" \((\d+) of the churned are in-window\)",
+        out,
+    )
+    assert m and b
+    # the decomposition must reconcile with the total
+    assert int(b.group(1)) + int(b.group(3)) == int(m.group(1))
