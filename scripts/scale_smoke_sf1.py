@@ -28,7 +28,11 @@ from pyspark.sql import functions as F  # noqa: E402
 
 SF01_DIR = "/root/testdata/sf0.1"
 SF1_DIR = "/tmp/oasis_scale_sf1"
-N_SF1 = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
+_num_args = [a for a in sys.argv[1:] if a.isdigit()]
+N_SF1 = int(_num_args[0]) if _num_args else 50_000
+# non-numeric args select sections by name (e.g. `recall_section`);
+# with none given, main() runs the full historical sweep
+ONLY_SECTIONS = {a for a in sys.argv[1:] if not a.isdigit()}
 
 
 def build_sf1(spark) -> str:
@@ -373,6 +377,12 @@ def main() -> None:
     spark = get_spark("oasisdb_scale_smoke_sf1")
     spark.sparkContext.setLogLevel("ERROR")
 
+    if ONLY_SECTIONS:
+        for name in sorted(ONLY_SECTIONS):
+            globals()[name](spark)
+        spark.stop()
+        return
+
     sf1 = build_sf1(spark)
     scales = {
         "sf0.1": spark.read.parquet(f"{SF01_DIR}/documents.parquet"),
@@ -404,6 +414,7 @@ def main() -> None:
     text_round6_section(spark)
     batch4_section(spark)
     mutual_ivf_section(spark)
+    recall_section(spark)
     spark.stop()
 
 
@@ -632,6 +643,68 @@ def mutual_ivf_section(spark) -> None:
         idx.unpersist()
 
     print("\n| mutual-kNN plan | sf0.1 (s) | sf1 = 10x (s) | ratio |")
+    print("|---|---|---|---|")
+    for name, r in results.items():
+        print(f"| {name} | {r['sf0.1']:.2f} | {r['sf1']:.2f} | {r['sf1']/r['sf0.1']:.1f}x |")
+
+
+def recall_section(spark) -> None:
+    """Round-11 recall-certification operators at 10x the vector count
+    (operators/recall.py). These are EVALUATION ops whose dominant term
+    is the brute-force ground-truth pass — nq * N pair rows with nq
+    FIXED (the production audit posture) — so the honest expectation is
+    ~linear in N, with the builds (integer Lloyd's, PQ codebooks) also
+    one-scan-per-iter linear. Run at the driver entries' exact knobs
+    (k=8 coarse fit, nprobe 1/2/4/8, 2/4/8 LSH tables, m=4/ksub=8 PQ,
+    nq=10, k=10) so the table certifies the scaling of the shapes the
+    gate actually hashes."""
+    from oasisdb_spark.operators.recall import (
+        binq_shortlist_recall_quantized,
+        fit_pq_codebooks,
+        ivf_probe_recall_quantized,
+        lsh_bucket_recall_quantized,
+        pq_adc_recall_quantized,
+    )
+    from oasisdb_spark.pipeline.cluster_curate import kmeans_fit_quantized
+
+    results: dict[str, dict[str, float]] = {}
+    for tag, path in (
+        ("sf0.1", f"{SF01_DIR}/embeddings.parquet"),
+        ("sf1", build_sf1_embeddings(spark)),
+    ):
+        emb = spark.read.parquet(path).persist()
+        n = emb.count()
+        print(f"  {tag}: N={n}", flush=True)
+
+        t0 = time.perf_counter()
+        km = kmeans_fit_quantized(emb, k=8, iters=4)
+        results.setdefault("kmeans_fit_quantized[k=8,iters=4]", {})[tag] = round(
+            time.perf_counter() - t0, 2
+        )
+        t0 = time.perf_counter()
+        pqm = fit_pq_codebooks(emb, m=4, ksub=8, iters=2)
+        results.setdefault("fit_pq_codebooks[m=4,ksub=8]", {})[tag] = round(
+            time.perf_counter() - t0, 2
+        )
+
+        thunks = {
+            "ivf_recall_curve[nprobe=1..8]": lambda: ivf_probe_recall_quantized(emb, km),
+            "binq_recall": lambda: binq_shortlist_recall_quantized(emb),
+            "lsh_recall_curve[tables=2/4/8]": lambda: lsh_bucket_recall_quantized(emb),
+            "pq_adc_recall": lambda: pq_adc_recall_quantized(emb, models=pqm),
+        }
+        for name, thunk in thunks.items():
+            force(thunk())  # warm
+            vals = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                force(thunk())
+                vals.append(time.perf_counter() - t0)
+            results.setdefault(name, {})[tag] = round(min(vals), 2)
+            print(f"  {tag:6s} {name:34s} {min(vals):7.2f} s", flush=True)
+        emb.unpersist()
+
+    print("\n| recall-cert op | sf0.1 (s) | sf1 = 10x (s) | ratio |")
     print("|---|---|---|---|")
     for name, r in results.items():
         print(f"| {name} | {r['sf0.1']:.2f} | {r['sf1']:.2f} | {r['sf1']/r['sf0.1']:.1f}x |")
