@@ -184,3 +184,34 @@ def test_pq_adc_rejects_indivisible_subspaces(embeddings):
 
     with pytest.raises(ValueError, match="not divisible"):
         pq_adc_recall_quantized(embeddings, m=3)
+
+
+def test_recall_rows_partitioning_invariant(spark, embeddings):
+    """The hash-gate property one level up from the kmeans-fit pin
+    (test_cluster_curate.test_fit_partitioning_invariant): the FULL
+    recall-entry row set — codebook fits, encodings, ADC/hamming
+    rankings, tie-breaks, hit counts — must be bit-identical under any
+    input partitioning, or the driver's value hash would flake with
+    file-split layout. Exercised on the two refine-free axes (binq:
+    threshold means; pq: per-subspace Lloyd's + ADC top-k), whose
+    whole pipeline re-derives from int64 partial sums."""
+    from oasisdb_spark.operators.recall import (
+        fit_pq_codebooks,
+        pq_adc_recall_quantized,
+    )
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    one, seven = embeddings.repartition(1), embeddings.repartition(7)
+    assert canon(binq_shortlist_recall_quantized(one, nq=5)) == canon(
+        binq_shortlist_recall_quantized(seven, nq=5)
+    )
+    m1 = fit_pq_codebooks(one, m=4, ksub=8, iters=2)
+    m7 = fit_pq_codebooks(seven, m=4, ksub=8, iters=2)
+    assert [c.centroids.tolist() for c in m1] == [
+        c.centroids.tolist() for c in m7
+    ]
+    assert canon(pq_adc_recall_quantized(one, nq=5, models=m1)) == canon(
+        pq_adc_recall_quantized(seven, nq=5, models=m7)
+    )
