@@ -9,6 +9,8 @@ one summary block to paste into NULLSWEEP.md. Stages, in order:
      sf0.001 (the strongest local correctness signal ahead of the
      driver gate),
   3. the 50-entry gate-window replica at sf0.01 (--window --vanilla),
+     then the FULL registry at sf0.01 (gate-scale clearance for the
+     next round's queue, not just the staged window),
   4. plan_audit (scale/shape assertions),
   5. pytest,
   6. bench.py at the canonical sf0.1 + bench_diff vs the committed
@@ -57,6 +59,12 @@ STAGES: dict[str, list[list[str]]] = {
     "nan": [[PY, "scripts/check_oracle.py", "--vanilla", ".nullfix/sf0.001-nan"]],
     "window": [[PY, "scripts/check_oracle.py", "--vanilla", "--window",
                 "/root/testdata/sf0.01"]],
+    # FULL registry at the gate's own scale factor (round 11): the
+    # window stage only re-proves the first 50 at sf0.01; this clears
+    # the entire next-round queue at gate scale (~25 min — skip with
+    # --skip=fullsf001 when iterating)
+    "fullsf001": [[PY, "scripts/check_oracle.py", "--vanilla",
+                   "/root/testdata/sf0.01"]],
     "plans": [[PY, "scripts/plan_audit.py"]],
     "pytest": [[PY, "-m", "pytest", "tests/", "-x", "-q"]],
     "bench": [[PY, "bench.py"]],

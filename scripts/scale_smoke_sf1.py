@@ -374,6 +374,10 @@ def text_round6_section(spark) -> None:
 def main() -> None:
     from oasisdb_spark.session import get_spark
 
+    unknown = {s for s in ONLY_SECTIONS if not callable(globals().get(s))}
+    if unknown:
+        raise SystemExit(f"unknown section(s): {', '.join(sorted(unknown))}")
+
     spark = get_spark("oasisdb_scale_smoke_sf1")
     spark.sparkContext.setLogLevel("ERROR")
 
