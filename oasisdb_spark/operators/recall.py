@@ -34,8 +34,6 @@ against a broadcast nq*d query frame), one window shuffle per top-k.
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -152,34 +150,47 @@ def ivf_probe_recall_quantized(
     ).select("query_id", "cluster", "pr")
 
     cand = probes.join(assign, "cluster").select("query_id", "id", "pr")
-    pairs = _pair_d2(qpts, pts)
+    # ONE keyed plan instead of a per-nprobe union: the original
+    # per-nprobe loop re-embedded the whole ground-truth GEMM + dim-join
+    # subtree in every branch (4 nprobes -> 176 Exchange nodes / 16
+    # Python nodes in the sf0.1 plan; guide §2.4 "remove shuffles
+    # outright"). The nq*N pair-distance frame is localCheckpoint-ed —
+    # it feeds the exact top-k AND every candidate scoring — and nprobe
+    # becomes a GROUPING KEY (scan-stage explode of the constant list),
+    # so candidate counting, top-k trimming (WindowGroupLimit on
+    # (nprobe, query_id)) and hit counting each run once. Row set is
+    # identical: pr <= nprobe filter per exploded key == the old
+    # per-branch filters. Checkpoint blocks are nq*N rows — the bounded
+    # evaluation-scale frame the module docstring already budgets.
+    pairs = _pair_d2(qpts, pts).localCheckpoint(eager=True)
     exact = _topk(pairs, [F.col("d2").asc(), F.col("id").asc()], k).select(
-        "query_id", "id"
+        "query_id", "id", F.lit(1).alias("hit")
     )
-
-    per_np = []
-    for nprobe in nprobes:
-        c_np = cand.where(F.col("pr") <= nprobe).select("query_id", "id")
-        scored = c_np.join(pairs, ["query_id", "id"])
-        n_cand = scored.groupBy("query_id").agg(F.count("*").alias("n_cand"))
-        approx = _topk(scored, [F.col("d2").asc(), F.col("id").asc()], k).select(
-            "query_id", "id"
-        )
-        hits = (
-            approx.join(exact.withColumn("hit", F.lit(1)), ["query_id", "id"], "left")
-            .groupBy("query_id")
-            .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("hits"))
-        )
-        per_np.append(
-            n_cand.join(hits, "query_id").select(
-                F.lit(nprobe).cast("int").alias("nprobe"),
-                "query_id",
-                "n_cand",
-                F.col("hits").cast("int").alias("hits"),
-                F.lit(k).cast("int").alias("k"),
-            )
-        )
-    return reduce(DataFrame.unionByName, per_np)
+    np_col = F.explode(
+        F.array(*[F.lit(int(np_)).cast("int") for np_ in nprobes])
+    ).alias("nprobe")
+    scored = (
+        cand.join(F.broadcast(pairs), ["query_id", "id"])
+        .select("query_id", "id", "pr", "d2", np_col)
+        .where(F.col("pr") <= F.col("nprobe"))
+        .localCheckpoint(eager=True)
+    )
+    n_cand = scored.groupBy("nprobe", "query_id").agg(F.count("*").alias("n_cand"))
+    approx = _topk(
+        scored, [F.col("d2").asc(), F.col("id").asc()], k, extra_partition=("nprobe",)
+    ).select("nprobe", "query_id", "id")
+    hits = (
+        approx.join(F.broadcast(exact), ["query_id", "id"], "left")
+        .groupBy("nprobe", "query_id")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("hits"))
+    )
+    return n_cand.join(hits, ["nprobe", "query_id"]).select(
+        "nprobe",
+        "query_id",
+        "n_cand",
+        F.col("hits").cast("int").alias("hits"),
+        F.lit(k).cast("int").alias("k"),
+    )
 
 
 def binq_shortlist_recall_quantized(
@@ -205,7 +216,10 @@ def binq_shortlist_recall_quantized(
     engines. The int64 threshold sum bounds N at ~9e10 rows —
     evaluation-scale; production binq trains on a capped sample
     (index/binq.py TRAIN_SAMPLE_CAP)."""
-    pts = _quantized_points(emb, id_col, vec_col, "id")
+    # pts feeds the threshold agg, the bit codes AND the ground-truth
+    # pass; bits feed the query slice and the hamming join — checkpoint
+    # both so each explode/agg runs once (guide §2.4), N*d-row blocks
+    pts = _quantized_points(emb, id_col, vec_col, "id").localCheckpoint(eager=True)
     thr = pts.groupBy("dim").agg(
         F.expr(
             f"CAST((sum(x) + {KM_LIMIT}L * count(*)) DIV count(*) - {KM_LIMIT}L AS LONG)"
@@ -213,7 +227,7 @@ def binq_shortlist_recall_quantized(
     )
     bits = pts.join(F.broadcast(thr), "dim").select(
         "id", "dim", (F.col("x") > F.col("t")).alias("b")
-    )
+    ).localCheckpoint(eager=True)
     qbits = (
         bits.where(F.col("id") < nq)
         .select(F.col("id").alias("query_id"), "dim", F.col("b").alias("qb"))
@@ -312,6 +326,15 @@ def lsh_bucket_recall_quantized(
 
     # bucket per (row, table): dim-join against the broadcast t_max*d
     # hyperplane frame, one (id, tbl) partial-aggregated shuffle
+    # ONE keyed plan instead of a per-table-count union (the same
+    # restructure as ivf_probe_recall_quantized — the old loop re-ran
+    # the bucket dim-join and the nq*N ground-truth pass per branch:
+    # 144 Exchange nodes in the sf0.1 plan). The bucket frame and the
+    # pair-distance frame are localCheckpoint-ed; a (query, id) match
+    # at hash table `tbl` is a candidate for every n_tables >= tbl, so
+    # min-matching-table is the grouping-friendly form and n_tables
+    # becomes a scan-stage exploded key. Row set identical: the old
+    # per-t `tbl <= t` join + distinct == `min(tbl) <= t` dedup.
     bkt = (
         pts.join(F.broadcast(proj), "dim")
         .groupBy("id", "tbl")
@@ -321,45 +344,53 @@ def lsh_bucket_recall_quantized(
             "tbl",
             F.expr(f"(dot + {OFF * bucket_w}L) DIV {bucket_w}L - {OFF}L").alias("b"),
         )
+        .localCheckpoint(eager=True)
     )
     qb = (
         bkt.where(F.col("id") < nq)
         .select(F.col("id").alias("query_id"), "tbl", "b")
     )
 
-    pairs = _pair_d2(qpts, pts)
+    pairs = _pair_d2(qpts, pts).localCheckpoint(eager=True)
     exact = _topk(pairs, [F.col("d2").asc(), F.col("id").asc()], k).select(
-        "query_id", "id"
+        "query_id", "id", F.lit(1).alias("hit")
     )
-
-    per_t = []
-    for t in n_tables:
-        cand = (
-            F.broadcast(qb.where(F.col("tbl") <= t))
-            .join(bkt.where(F.col("tbl") <= t), ["tbl", "b"])
-            .select("query_id", "id")
-            .distinct()
-        )
-        scored = cand.join(pairs, ["query_id", "id"])
-        n_cand = scored.groupBy("query_id").agg(F.count("*").alias("n_cand"))
-        approx = _topk(scored, [F.col("d2").asc(), F.col("id").asc()], k).select(
-            "query_id", "id"
-        )
-        hits = (
-            approx.join(exact.withColumn("hit", F.lit(1)), ["query_id", "id"], "left")
-            .groupBy("query_id")
-            .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("hits"))
-        )
-        per_t.append(
-            n_cand.join(hits, "query_id").select(
-                F.lit(t).cast("int").alias("n_tables"),
-                "query_id",
-                "n_cand",
-                F.col("hits").cast("int").alias("hits"),
-                F.lit(k).cast("int").alias("k"),
-            )
-        )
-    return reduce(DataFrame.unionByName, per_t)
+    t_col = F.explode(
+        F.array(*[F.lit(int(t)).cast("int") for t in n_tables])
+    ).alias("n_tables")
+    match_min = (
+        F.broadcast(qb)
+        .join(bkt, ["tbl", "b"])
+        .groupBy("query_id", "id")
+        .agg(F.min("tbl").alias("_mt"))
+    )
+    scored = (
+        match_min.join(F.broadcast(pairs), ["query_id", "id"])
+        .select("query_id", "id", "_mt", "d2", t_col)
+        .where(F.col("_mt") <= F.col("n_tables"))
+        .localCheckpoint(eager=True)
+    )
+    n_cand = scored.groupBy("n_tables", "query_id").agg(
+        F.count("*").alias("n_cand")
+    )
+    approx = _topk(
+        scored,
+        [F.col("d2").asc(), F.col("id").asc()],
+        k,
+        extra_partition=("n_tables",),
+    ).select("n_tables", "query_id", "id")
+    hits = (
+        approx.join(F.broadcast(exact), ["query_id", "id"], "left")
+        .groupBy("n_tables", "query_id")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("hits"))
+    )
+    return n_cand.join(hits, ["n_tables", "query_id"]).select(
+        "n_tables",
+        "query_id",
+        "n_cand",
+        F.col("hits").cast("int").alias("hits"),
+        F.lit(k).cast("int").alias("k"),
+    )
 
 
 def fit_pq_codebooks(
@@ -445,7 +476,9 @@ def pq_adc_recall_quantized(
     ]
     cent = spark.createDataFrame(cent_rows, "sub int, cluster int, dim int, c long")
 
-    pts = _quantized_points(emb, id_col, vec_col, "id")
+    # pts feeds the per-subspace encode AND the ground-truth pass —
+    # checkpoint so the N*d explode runs once (guide §2.4)
+    pts = _quantized_points(emb, id_col, vec_col, "id").localCheckpoint(eager=True)
     qpts = (
         _quantized_points(emb.filter(F.col(id_col) < nq), id_col, vec_col, "query_id")
         .withColumnRenamed("x", "qx")
