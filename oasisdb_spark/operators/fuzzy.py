@@ -87,30 +87,40 @@ def fuzzy_self_join(
         F.col(id_col).alias("_id"), F.col(text_col).alias("_txt"),
         F.length(text_col).alias("_len"), *block_cols,
     )
-    if filter_mode == "segment":
-        pairs = _segment_candidates(base, block_cols, max_dist)
-    elif filter_mode == "qgram":
-        pairs = _qgram_prefix_candidates(base, block_cols, max_dist)
-    elif filter_mode == "length":
+    dist = F.levenshtein(F.col("_txt_a"), F.col("_txt_b"), max_dist)
+    if filter_mode == "length":
+        # texts ride the block join directly: the candidate set is
+        # near-quadratic per block here, so two extra attach joins of
+        # that fat frame (the candidate-generation modes' shape) cost
+        # more than carrying the short strings through the one block
+        # shuffle — measured at sf0.1 this halves the entry (2 fewer
+        # joins over the ~8M-row candidate frame; guide §2.4)
         a = base.select(
-            F.col("_id").alias("id_a"), F.col("_len").alias("_len_a"), *block_cols
+            F.col("_id").alias("id_a"), F.col("_txt").alias("_txt_a"),
+            F.col("_len").alias("_len_a"), *block_cols,
         )
         b = base.select(
-            F.col("_id").alias("id_b"), F.col("_len").alias("_len_b"), *block_cols
+            F.col("_id").alias("id_b"), F.col("_txt").alias("_txt_b"),
+            F.col("_len").alias("_len_b"), *block_cols,
         )
-        pairs = (
+        return (
             a.join(b, on=block_cols, how="inner")
             .filter(
                 (F.col("id_a") < F.col("id_b"))
                 & (F.abs(F.col("_len_a") - F.col("_len_b")) <= max_dist)
             )
-            .select("id_a", "id_b", *block_cols)
+            .withColumn("dist", dist)
+            .filter(F.col("dist") >= 0)  # bounded form returns -1 past threshold
+            .select("id_a", "id_b", *block_cols, "dist")
         )
+    if filter_mode == "segment":
+        pairs = _segment_candidates(base, block_cols, max_dist)
+    elif filter_mode == "qgram":
+        pairs = _qgram_prefix_candidates(base, block_cols, max_dist)
     else:
         raise ValueError(f"unknown filter_mode {filter_mode!r}")
     ta = base.select(F.col("_id").alias("id_a"), F.col("_txt").alias("_txt_a"))
     tb = base.select(F.col("_id").alias("id_b"), F.col("_txt").alias("_txt_b"))
-    dist = F.levenshtein(F.col("_txt_a"), F.col("_txt_b"), max_dist)
     return (
         pairs.join(ta, on="id_a").join(tb, on="id_b")
         .withColumn("dist", dist)
@@ -224,23 +234,33 @@ def fuzzy_join(
         F.col(right_id).alias("_id"), F.col(right_text).alias("_txt"),
         F.length(right_text).alias("_len"), *block_cols,
     )
+    dist = F.levenshtein(F.col("_txt_l"), F.col("_txt_r"), max_dist)
     if filter_mode == "qgram":
         pairs = _qgram_prefix_pairs(a, b, block_cols, max_dist).select(
             F.col("id_a").alias("id_l"), F.col("id_b").alias("id_r"), *block_cols
         )
     elif filter_mode == "length":
-        pa = a.select(F.col("_id").alias("id_l"), F.col("_len").alias("_len_l"), *block_cols)
-        pb = b.select(F.col("_id").alias("id_r"), F.col("_len").alias("_len_r"), *block_cols)
-        pairs = (
+        # same text-fusion as fuzzy_self_join's length mode: skip the
+        # two attach joins over the near-quadratic candidate frame
+        pa = a.select(
+            F.col("_id").alias("id_l"), F.col("_txt").alias("_txt_l"),
+            F.col("_len").alias("_len_l"), *block_cols,
+        )
+        pb = b.select(
+            F.col("_id").alias("id_r"), F.col("_txt").alias("_txt_r"),
+            F.col("_len").alias("_len_r"), *block_cols,
+        )
+        return (
             pa.join(pb, on=block_cols, how="inner")
             .filter(F.abs(F.col("_len_l") - F.col("_len_r")) <= max_dist)
-            .select("id_l", "id_r", *block_cols)
+            .withColumn("dist", dist)
+            .filter(F.col("dist") >= 0)
+            .select("id_l", "id_r", *block_cols, "dist")
         )
     else:
         raise ValueError(f"unknown filter_mode {filter_mode!r}")
     ta = a.select(F.col("_id").alias("id_l"), F.col("_txt").alias("_txt_l"))
     tb = b.select(F.col("_id").alias("id_r"), F.col("_txt").alias("_txt_r"))
-    dist = F.levenshtein(F.col("_txt_l"), F.col("_txt_r"), max_dist)
     return (
         pairs.join(ta, on="id_l").join(tb, on="id_r")
         .withColumn("dist", dist)
