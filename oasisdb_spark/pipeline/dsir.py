@@ -62,17 +62,36 @@ __all__ = [
 DSIR_BUCKETS = 4096
 
 
+def _ngram_strings(c: Column | str) -> Column:
+    """The unigram+bigram bag as STRINGS (order/multiplicity preserved);
+    empty/NULL text yields an empty bag."""
+    t = tokens(c)
+    # NULL text -> empty bag (concat of a NULL array is NULL)
+    return F.coalesce(F.concat(t, bigram_expr(c)), F.array().cast("array<string>"))
+
+
 def hashed_ngram_buckets(c: Column | str, n_buckets: int = DSIR_BUCKETS) -> Column:
     """Hashed unigram+bigram feature buckets WITH MULTIPLICITY (a bag,
     not a set — DSIR counts every occurrence). Bucket id =
     char_hash60(gram) % B, the md5-derived 60-bit hash DuckDB reproduces
     bit-for-bit; empty/NULL text yields an empty bag."""
-    t = tokens(c)
-    return F.transform(
-        # NULL text -> empty bag (concat of a NULL array is NULL)
-        F.coalesce(F.concat(t, bigram_expr(c)), F.array().cast("array<string>")),
-        lambda g: char_hash60(g) % n_buckets,
-    )
+    return F.transform(_ngram_strings(c), lambda g: char_hash60(g) % n_buckets)
+
+
+def _bucket_rows(
+    df: DataFrame, text_col: str, n_buckets: int, *keep_cols: str
+) -> DataFrame:
+    """(keep_cols..., bucket): one row per feature occurrence. The gram
+    STRINGS explode first and the md5 bucket hash evaluates as a
+    top-level projection over the exploded rows — inside whole-stage
+    codegen — instead of inside the `transform` lambda, which Spark
+    evaluates interpreted per element (guide §4: HOF lambdas don't
+    codegen; measured ~2x on the scoring pass at sf0.1). Values are
+    identical to explode(hashed_ngram_buckets(...)) by construction."""
+    return df.select(
+        *[F.col(k) for k in keep_cols],
+        F.explode(_ngram_strings(text_col)).alias("_gram"),
+    ).select(*keep_cols, (char_hash60("_gram") % n_buckets).alias("bucket"))
 
 
 def dsir_model(
@@ -94,7 +113,7 @@ def dsir_model(
 
     def counts(df: DataFrame, out: str) -> DataFrame:
         return (
-            df.select(F.explode(hashed_ngram_buckets(text_col, n_buckets)).alias("bucket"))
+            _bucket_rows(df, text_col, n_buckets)
             .groupBy("bucket")
             .agg(F.count(F.lit(1)).alias(out))
         )
@@ -139,9 +158,7 @@ def dsir_score(
     # oracle joins on doc_id; groupBy would pool NULL ids) — the
     # lm_score contract
     df = df.where(F.col(id_col).isNotNull())
-    feats = df.select(
-        F.col(id_col), F.explode(hashed_ngram_buckets(text_col, n_buckets)).alias("bucket")
-    )
+    feats = _bucket_rows(df, text_col, n_buckets, id_col)
     scored = (
         feats.join(F.broadcast(model.select("bucket", "lr_micro")), on="bucket", how="left")
         .groupBy(id_col)
