@@ -478,6 +478,14 @@ def embedding_neardup_pairs(
       for exact all-pairs; at corpus scale pass `blocking` instead."""
     from oasisdb_spark.functions.distance import cosine_distance
 
+    # block-count UPPER BOUND from the pre-filter frame: a count with no
+    # referenced columns is a near-free empty-projection scan (parquet
+    # row-group counts), where counting the filtered frame would
+    # deserialize every vector just to size the GEMM blocks (guide §1.2:
+    # don't spend a full pass on a decision a bound settles — phantom
+    # block ids from the overcount vanish in the inner block-pair join)
+    n_hint = emb.count()
+
     # indexable-rows contract (the _emb_base convention): NULL ids
     # cannot name a pair endpoint, NULL vectors have no similarity
     # (and kill the GEMM packer inside np.asarray)
@@ -505,7 +513,7 @@ def embedding_neardup_pairs(
             F.col("cos_sim") >= threshold
         )
     return allpairs_cosine_blocked(
-        emb, threshold, id_col=id_col, vec_col=vec_col, eager=eager
+        emb, threshold, id_col=id_col, vec_col=vec_col, eager=eager, n_hint=n_hint
     )
 
 
@@ -516,6 +524,7 @@ def allpairs_cosine_blocked(
     vec_col: str = "embedding",
     block_size: int | None = None,
     eager: bool = False,
+    n_hint: int | None = None,
 ) -> DataFrame:
     """Exact all-pairs cosine >= threshold as a blocked matrix product.
 
@@ -539,15 +548,18 @@ def allpairs_cosine_blocked(
     import numpy as np
     import pandas as pd
 
+    import math
+
     spark = emb.sparkSession
     src = emb.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("vec"))
+    # n is only used to SIZE blocks and enumerate block-pair candidates,
+    # so any upper bound works (see n_hint in embedding_neardup_pairs):
+    # overcounted block ids simply find no packed row in the inner join.
+    n = n_hint if n_hint is not None else src.count()
     if block_size is None:
         # auto-size: enough block pairs to occupy the cluster ((n/B)²/2
         # >= ~8 tasks/core), capped at 4096 so per-task GEMMs stay
         # cache-friendly and block payloads stay ~1 MB-scale
-        import math
-
-        n = src.count()
         par = max(spark.sparkContext.defaultParallelism, 1)
         block_size = min(4096, max(256, math.ceil(n / (4 * par))))
     # deterministic, dense block ids: order by doc_id (one window shuffle;
@@ -577,10 +589,16 @@ def allpairs_cosine_blocked(
     packed = blocked.groupBy("block_id").applyInPandas(
         _pack, "block_id INT, ids ARRAY<BIGINT>, mat BINARY, norms ARRAY<DOUBLE>, n INT, dim INT"
     ).persist()
-    n_blocks = packed.count()
+    # block ids are dense 0..ceil(n_rows/B)-1 by construction (row_number),
+    # so the candidate grid is pure arithmetic — no blocking job to count
+    # the packed frame (guide §1.2: remove whole passes first). With an
+    # n_hint upper bound the tail candidates are phantoms the inner join
+    # drops; the pack stage itself now first runs inside the final job's
+    # broadcast build (persist makes the second build reuse it).
+    n_blocks = max(math.ceil(n / block_size), 0)
     pairs = spark.createDataFrame(
         [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)], "bi INT, bj INT"
-    )
+    ) if n_blocks else spark.createDataFrame([], "bi INT, bj INT")
     joined = (
         pairs.join(packed.select(
             F.col("block_id").alias("bi"), F.col("ids").alias("ids_a"),
