@@ -53,13 +53,21 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     one final count shuffle. All equi-joins; wedge fanout bounded by
     the √m orientation theorem.
 
-    The canonical edge frame is persisted (memory-and-disk): it feeds
-    the degree agg once and the oriented frame three times (two wedge
-    legs + the closure probe); without the pin, every downstream
-    reference would re-run the upstream edge-construction plan — fatal
-    when the edges come from an expensive build like a basket
-    self-join. Edge-list-sized state, spillable."""
-    canon = canonical_edges(edges, src, dst).persist()
+    The canonical edge frame and the oriented frame are materialized
+    with localCheckpoint: canon feeds the degree agg once and the
+    oriented frame, and the oriented frame feeds THREE consumers (two
+    wedge legs + the closure probe) — without the pin, every
+    downstream reference would re-run the upstream edge-construction
+    plan, fatal when the edges come from an expensive build like a
+    basket self-join. localCheckpoint rather than persist because
+    persist keeps the full logical lineage: with the oriented frame
+    referenced three times the plan grew to 1,641 lines / 174
+    Exchange nodes at sf0.1 and the optimizer replanned the whole
+    edge build per reference (the guide's plan-truncation advice);
+    checkpointing collapses each reference to an RDD scan. Blocks are
+    edge-list-sized and non-replicated — executor loss reruns the
+    batch job, the same trade as the pagerank/HITS passes."""
+    canon = canonical_edges(edges, src, dst).localCheckpoint(eager=True)
     deg = (
         canon.select(F.col("a").alias("n"))
         .unionAll(canon.select(F.col("b").alias("n")))
@@ -81,6 +89,7 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
             .alias("e")
         )
         .select("e.u", "e.v")
+        .localCheckpoint(eager=True)
     )
     # wedges at the apex u: unordered neighbor pairs (v < w keeps each
     # wedge once; closure probes both orientations of the closing edge)
