@@ -95,6 +95,48 @@ def _memo(spark: SparkSession, sf_dir: str, kind: str, build):
     return _INDEX_MEMO[key]
 
 
+def _stream_shuffle(spark: SparkSession):
+    """Bounded shuffle/state partitioning for the availableNow stream
+    drains (OPTIMIZATION r12, guide §2.2/§6 small-files): stateful
+    streaming operators pin their state-store layout to
+    spark.sql.shuffle.partitions at first batch and are NOT covered by
+    AQE partition coalescing (AQE never replans a stateful stream), so
+    a session default sized for batch scans (200 vanilla / core count
+    tuned) makes every micro-batch open+commit that many state-store
+    delta files and sink tasks for state whose cardinality here is a
+    bounded grid (time buckets × types, fixture-scale user/key counts)
+    — measured 12.9 s → 4.0 s on events_ohlc_stream at sf0.1. Scales
+    with the cluster (defaultParallelism/4, floor 8) rather than a
+    local constant; deployments with genuinely large keyed state
+    override via OASISDB_STREAM_SHUFFLE_PARTITIONS. Restored after the
+    drain so batch post-processing keeps the session's planning
+    defaults."""
+    import contextlib
+    import os
+
+    @contextlib.contextmanager
+    def _cm():
+        key = "spark.sql.shuffle.partitions"
+        old = spark.conf.get(key)
+        n = os.environ.get("OASISDB_STREAM_SHUFFLE_PARTITIONS") or str(
+            max(8, spark.sparkContext.defaultParallelism // 4)
+        )
+        spark.conf.set(key, n)
+        try:
+            yield
+        finally:
+            spark.conf.set(key, old)
+
+    return _cm()
+
+
+def _drain_stream(spark: SparkSession, writer) -> None:
+    """start() + awaitTermination() under _stream_shuffle (the writer
+    must be fully configured, trigger included)."""
+    with _stream_shuffle(spark):
+        writer.start().awaitTermination()
+
+
 def _ivf_memo(spark: SparkSession, sf_dir: str):
     """Build-once IVF over the embeddings fixture (nlist=16), persisted —
     shared by the knn_ivf and search_filtered_ivf entries."""
@@ -448,11 +490,11 @@ def _events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
     )
     name = f"events_hourly_stream_{uuid.uuid4().hex[:8]}"
-    q = (
+    _drain_stream(
+        spark,
         agg.writeStream.format("memory").queryName(name)
-        .outputMode("complete").trigger(availableNow=True).start()
+        .outputMode("complete").trigger(availableNow=True),
     )
-    q.awaitTermination()
     return spark.table(name).select(
         F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
         "event_type", "n_events", "sum_value",
@@ -483,11 +525,11 @@ def _events_enriched_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
     )
     name = f"events_enriched_stream_{uuid.uuid4().hex[:8]}"
-    q = (
+    _drain_stream(
+        spark,
         agg.writeStream.format("memory").queryName(name)
-        .outputMode("complete").trigger(availableNow=True).start()
+        .outputMode("complete").trigger(availableNow=True),
     )
-    q.awaitTermination()
     return spark.table(name).select(
         F.date_format(F.col("win.start"), "yyyy-MM-dd").alias("day"),
         "segment", "n_events", "sum_value",
@@ -509,11 +551,11 @@ def _events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
     )
     name = f"events_sessionize_stream_{uuid.uuid4().hex[:8]}"
-    q = (
+    _drain_stream(
+        spark,
         agg.writeStream.format("memory").queryName(name)
-        .outputMode("complete").trigger(availableNow=True).start()
+        .outputMode("complete").trigger(availableNow=True),
     )
-    q.awaitTermination()
     w = Window.partitionBy("user_id").orderBy(F.col("sess.start").asc())
     return spark.table(name).select(
         "user_id", F.row_number().over(w).cast("bigint").alias("sess_id"),
@@ -573,12 +615,12 @@ def _events_funnel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(d)
     )
     name = f"events_funnel_stream_{uuid.uuid4().hex[:8]}"
-    q = (
+    _drain_stream(
+        spark,
         funnel_stream(ev, steps)
         .writeStream.format("memory").queryName(name)
-        .outputMode("update").trigger(availableNow=True).start()
+        .outputMode("update").trigger(availableNow=True),
     )
-    q.awaitTermination()
     per_user = spark.table(name).groupBy("user_id").agg(F.max("stage").alias("stage"))
     return stage_rollup(per_user, steps)
 
@@ -596,12 +638,12 @@ def _events_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _stage_events_stream(spark, sf_dir, copies=2)
     name = f"events_dedup_stream_{uuid.uuid4().hex[:8]}"
-    q = (
+    _drain_stream(
+        spark,
         dedup_stream(ev)
         .writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(availableNow=True).start()
+        .outputMode("append").trigger(availableNow=True),
     )
-    q.awaitTermination()
     return (
         spark.table(name)
         .groupBy("event_type")
@@ -2646,11 +2688,11 @@ def _docs_gopher_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("*", *[c.alias(k) for k, c in gopher_flag_cols().items()])
     )
     name = f"docs_gopher_stream_{uuid.uuid4().hex[:8]}"
-    q = (
+    _drain_stream(
+        spark,
         proj.writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(availableNow=True).start()
+        .outputMode("append").trigger(availableNow=True),
     )
-    q.awaitTermination()
     return spark.table(name)
 
 
@@ -2778,11 +2820,11 @@ def _docs_neardup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["doc_a", "doc_b"])
     )
     name = f"docs_neardup_stream_{uuid.uuid4().hex[:8]}"
-    q = (
+    _drain_stream(
+        spark,
         cand.writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(availableNow=True).start()
+        .outputMode("append").trigger(availableNow=True),
     )
-    q.awaitTermination()
     static.unpersist()
     return spark.table(name)
 
@@ -2817,11 +2859,11 @@ def _docs_lm_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(stream_dir)
     scored = lm_score_broadcast(stream, model)
     name = f"docs_lm_stream_{uuid.uuid4().hex[:8]}"
-    q = (
+    _drain_stream(
+        spark,
         scored.writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(availableNow=True).start()
+        .outputMode("append").trigger(availableNow=True),
     )
-    q.awaitTermination()
     return spark.table(name)
 
 
@@ -2857,11 +2899,11 @@ def _docs_dsir_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(stream_dir)
     scored = dsir_score_broadcast(stream, model, const, n_buckets=512)
     name = f"docs_dsir_stream_{uuid.uuid4().hex[:8]}"
-    q = (
+    _drain_stream(
+        spark,
         scored.writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(availableNow=True).start()
+        .outputMode("append").trigger(availableNow=True),
     )
-    q.awaitTermination()
     return spark.table(name)
 
 
@@ -3467,11 +3509,11 @@ def _quality_gate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.schema(schema).parquet(stream_dir)
     gated = check_constraints(stream, _lineitem_constraints())
     name = f"li_quality_stream_{uuid.uuid4().hex[:8]}"
-    q = (
+    _drain_stream(
+        spark,
         gated.writeStream.format("memory").queryName(name)
-        .outputMode("complete").trigger(availableNow=True).start()
+        .outputMode("complete").trigger(availableNow=True),
     )
-    q.awaitTermination()
     return spark.table(name)
 
 
@@ -3747,11 +3789,11 @@ def _docs_mining_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         neq_pair=("qlabel", "label"), id_col="id", vec_col="vector",
     )
     name = f"docs_mining_stream_{uuid.uuid4().hex[:8]}"
-    q = (
+    _drain_stream(
+        spark,
         cands.writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(availableNow=True).start()
+        .outputMode("append").trigger(availableNow=True),
     )
-    q.awaitTermination()
     return spark.table(name).select(
         "query_id", "id", F.col("distance").cast("double").alias("distance")
     )
@@ -4035,9 +4077,10 @@ def _events_drift_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("latestFirst", "false")
         .parquet(d)
     )
-    return psi_drift_stream(
-        ev.where(F.col("event_id") % 2 == 0), stream, "value", n_buckets=10
-    )
+    with _stream_shuffle(spark):
+        return psi_drift_stream(
+            ev.where(F.col("event_id") % 2 == 0), stream, "value", n_buckets=10
+        )
 
 
 def _contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4194,7 +4237,8 @@ def _events_quantiles_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("latestFirst", "false")
         .parquet(d)
     )
-    return quantile_sketch_stream(stream, "value", "event_id", k=512)
+    with _stream_shuffle(spark):
+        return quantile_sketch_stream(stream, "value", "event_id", k=512)
 
 
 def _bpe_merges_memo(spark: SparkSession, sf_dir: str):
@@ -4425,9 +4469,10 @@ def _docs_heavy_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         _table(spark, sf_dir, "documents")
         .select(F.explode(tokens("text")).alias("token"))
     )
-    return heavy_hitters_stream(
-        stream, "token", phi=0.005, verify_df=verify
-    )
+    with _stream_shuffle(spark):
+        return heavy_hitters_stream(
+            stream, "token", phi=0.005, verify_df=verify
+        )
 
 
 def _mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4542,14 +4587,13 @@ def _events_ohlc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     name = f"events_ohlc_stream_{uuid.uuid4().hex[:8]}"
-    q = (
+    _drain_stream(
+        spark,
         bars.writeStream.format("memory")
         .queryName(name)
         .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
     )
-    q.awaitTermination()
     return spark.table(name)
 
 
@@ -4914,18 +4958,19 @@ def _events_cusum_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(d)
     )
     out_dir = tempfile.mkdtemp(prefix="events_cusum_scored_")
-    q = cusum_stream(
-        stream,
-        "value_cents",
-        ["event_type"],
-        ["ts_us", "event_id"],
-        targets,
-        slack=2000,
-        threshold=15000,
-        out_dir=out_dir,
-        query_name=f"events_cusum_stream_{os.path.basename(d)}",
-    )
-    q.awaitTermination()
+    with _stream_shuffle(spark):
+        q = cusum_stream(
+            stream,
+            "value_cents",
+            ["event_type"],
+            ["ts_us", "event_id"],
+            targets,
+            slack=2000,
+            threshold=15000,
+            out_dir=out_dir,
+            query_name=f"events_cusum_stream_{os.path.basename(d)}",
+        )
+        q.awaitTermination()
     return spark.read.parquet(out_dir).select(
         "event_id",
         "event_type",
@@ -5397,14 +5442,13 @@ def _events_seasonal_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("slot_n").alias("resid_den"),
     )
     name = f"events_seasonal_stream_{uuid.uuid4().hex[:8]}"
-    q = (
+    _drain_stream(
+        spark,
         scored.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
     )
-    q.awaitTermination()
     return spark.table(name)
 
 
