@@ -77,13 +77,24 @@ def minhash_coeffs(k: int = MINHASH_K) -> tuple[list[int], list[int]]:
 
 def shingles(c: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles of the token stream (space-joined), distinct.
-    Docs shorter than n tokens yield their full token-join as 1 shingle."""
+    Docs shorter than n tokens yield their full token-join as 1 shingle.
+
+    Grams build by zipping n shifted slices — O(n_tokens) total. The
+    previous per-index `slice(t, i, n)` inside a transform lambda
+    re-evaluated `t` per element; with `t` the unmaterialized
+    tokens(text) expression that re-tokenized the document once per
+    shingle — O(n²) regex work (the text.py _distinct_ngrams lesson).
+    Same space-joined grams in the same positional order, so the
+    array_distinct first-occurrence order is unchanged."""
     t = tokens(c)
     sz = F.size(t)
     full = F.array(F.concat_ws(" ", t))
-    grams = F.transform(
-        F.sequence(F.lit(1), sz - (n - 1)), lambda i: F.concat_ws(" ", F.slice(t, i, n))
-    )
+    cnt = F.greatest(sz - (n - 1), F.lit(0))
+    grams = F.slice(t, n, cnt)
+    for j in range(n - 1, 0, -1):
+        grams = F.zip_with(
+            F.slice(t, j, cnt), grams, lambda x, y: F.concat(x, F.lit(" "), y)
+        )
     return F.array_distinct(F.when(sz >= n, grams).otherwise(full))
 
 

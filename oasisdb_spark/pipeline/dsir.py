@@ -47,7 +47,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from oasisdb_spark.pipeline.lm import bigram_expr, lmic
+from oasisdb_spark.pipeline.lm import bigram_expr, bigrams_of, lmic
 from oasisdb_spark.pipeline.text import char_hash60, tokens
 
 __all__ = [
@@ -86,12 +86,21 @@ def _bucket_rows(
     top-level projection over the exploded rows — inside whole-stage
     codegen — instead of inside the `transform` lambda, which Spark
     evaluates interpreted per element (guide §4: HOF lambdas don't
-    codegen; measured ~2x on the scoring pass at sf0.1). Values are
-    identical to explode(hashed_ngram_buckets(...)) by construction."""
-    return df.select(
-        *[F.col(k) for k in keep_cols],
-        F.explode(_ngram_strings(text_col)).alias("_gram"),
-    ).select(*keep_cols, (char_hash60("_gram") % n_buckets).alias("bucket"))
+    codegen; measured ~2x on the scoring pass at sf0.1). The token
+    array is projected ONCE per row before the gram build (slicing a
+    materialized array column is cheap; the tokens(text) expression
+    inside the bigram slices would re-tokenize per reference — the
+    curate.py _token_lines convention). Values are identical to
+    explode(hashed_ngram_buckets(...)) by construction."""
+    grams = F.coalesce(
+        F.concat(F.col("_tk"), bigrams_of(F.col("_tk"))),
+        F.array().cast("array<string>"),
+    )
+    return (
+        df.select(*[F.col(k) for k in keep_cols], tokens(text_col).alias("_tk"))
+        .select(*[F.col(k) for k in keep_cols], F.explode(grams).alias("_gram"))
+        .select(*keep_cols, (char_hash60("_gram") % n_buckets).alias("bucket"))
+    )
 
 
 def dsir_model(
