@@ -13,20 +13,21 @@ Dialect: L1-normalized HITS with fixed iterations. Per pass t:
 where S_a / S_h are the exact integer sums of araw/hraw. The renorm
 products exceed int64, so they evaluate in 128-bit integer space on
 BOTH engines — Spark DECIMAL(38,0) `DIV`, DuckDB HUGEINT `//` —
-verified bit-equal. The per-pass sums are computed as exact
-wide-integer aggregates (Spark decimal sum collected to a Python int,
-DuckDB HUGEINT sum in a scalar subquery): one scalar per side per
-pass, the same bounded-driver-state shape as PageRank's dangling mass.
+verified bit-equal. The per-pass sums are exact wide-integer
+aggregates (Spark DECIMAL(38,0) sum as a one-row broadcast frame in
+the plan, DuckDB HUGEINT sum in a scalar subquery) — the driver never
+collects them, so the full iteration runs as one composed job.
 Classic HITS normalizes by L2; the L1 form keeps every step integer
 and changes only the scale, not the ranking. Nodes without in-edges
 get authority 0; without out-edges, hub 0.
 
 Scale: per pass, two edge-vs-score equi-joins (the score side is
 node-sized — broadcast when small) + two key-partial aggs + two scalar
-sums. The per-pass raw-score frames are localCheckpoint-ed (each feeds
-two actions: the scalar sum and the renorm; checkpoint blocks are
-node-sized and non-replicated — an executor loss mid-job fails the
-query and the batch job reruns, the standard iterative-batch trade). Precondition (loud, not silent): S_a and S_h must stay below
+sums. The per-pass raw-score frames are lazily localCheckpoint-ed
+(each feeds two plan branches: the scalar-total agg and the renorm;
+checkpoint blocks are node-sized and non-replicated — an executor
+loss mid-job fails the query and the batch job reruns, the standard
+iterative-batch trade). Precondition (loud, not silent): S_a and S_h must stay below
 2^63 — sum(h) * max_outdeg bounds them; with SCALE 1e12 that holds to
 ~10^6 average degree. Raw sums are exact regardless (decimal/HUGEINT);
 the guard is on the int64 downcast of scores, which renorm keeps at
@@ -43,21 +44,29 @@ from oasisdb_spark.operators.pagerank import GraphTopology
 __all__ = ["hits_integer"]
 
 
-def _renorm(df: DataFrame, raw_col: str, total: int, scale: int, out: str) -> DataFrame:
-    if total <= 0:
-        # degenerate graph (no edges contributed): all scores zero
-        return df.select("node", F.lit(0).cast("long").alias(out))
-    return df.select(
+def _renorm_lazy(df: DataFrame, raw_col: str, scale: int, out: str) -> DataFrame:
+    """L1 renorm with the pass total as a BROADCAST SCALAR FRAME
+    (OPTIMIZATION r12, guide §1.2 fewer passes): the exact decimal sum
+    rides the plan as a one-row crossJoin instead of a per-pass
+    collect, so the whole iteration composes into one job — no
+    blocking driver barrier per side per pass. Bit-equal to the
+    collected-int form: same DECIMAL(38,0) sum, same 128-bit DIV; a
+    NULL/<=0 total (degenerate graph: no edges contributed) yields
+    all-zero scores exactly like the old early-return."""
+    tot = df.agg(F.sum(F.col(raw_col).cast("decimal(38,0)")).alias("_tot"))
+    return df.crossJoin(F.broadcast(tot)).select(
         "node",
-        F.expr(
-            f"CAST((CAST({raw_col} AS DECIMAL(38,0)) * {scale}) DIV {total} AS BIGINT)"
-        ).alias(out),
+        F.when(
+            F.coalesce(F.col("_tot"), F.lit(0).cast("decimal(38,0)")) <= 0,
+            F.lit(0).cast("long"),
+        )
+        .otherwise(
+            F.expr(
+                f"CAST((CAST({raw_col} AS DECIMAL(38,0)) * {scale}) DIV _tot AS BIGINT)"
+            )
+        )
+        .alias(out),
     )
-
-
-def _wide_sum(df: DataFrame, col: str) -> int:
-    v = df.agg(F.sum(F.col(col).cast("decimal(38,0)"))).first()[0]
-    return int(v) if v is not None else 0
 
 
 def hits_integer(
@@ -71,7 +80,7 @@ def hits_integer(
     if g.n < 1:
         raise ValueError("hits_integer: empty graph (no nodes)")
     n = g.n
-    h = g.nodes.withColumn("h", F.lit(scale // n).cast("long")).persist()
+    h = g.nodes.withColumn("h", F.lit(scale // n).cast("long"))
     a = None
     for _ in range(iters):
         araw = (
@@ -79,18 +88,21 @@ def hits_integer(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("h").alias("araw"))
         )
-        # localCheckpoint: two actions consume this node-sized frame
-        # (the scalar sum, then renorm) — checkpointing materializes it
-        # once and cuts lineage WITHOUT the cached-plan path (a
-        # .persist() here measured 8x SLOWER: InMemoryRelation plans
-        # bypass AQE; localCheckpoint keeps downstream planning adaptive
-        # — measured 10.5 s -> 6.9 s at sf0.1)
+        # LAZY localCheckpoint: the raw frame feeds TWO plan branches
+        # (the renorm numerator and its scalar-total crossJoin side) —
+        # the checkpoint computes ONCE inside the final job and cuts
+        # lineage, so the branch duplication stays node-sized instead
+        # of doubling the whole upstream subtree per pass. NOT a
+        # .persist(): InMemoryRelation plans bypass AQE (measured 8x
+        # slower in the r11 form). With the renorm total now a
+        # broadcast scalar frame (_renorm_lazy) the 3-pass loop runs
+        # as ONE composed job — no per-pass collect/count barriers;
+        # measured 8.8 s -> 6.6 s on trade_hits at sf0.1, output
+        # bit-identical (exceptAll both ways).
         araw_all = g.nodes.join(araw, "node", "left").select(
             "node", F.coalesce("araw", F.lit(0)).cast("long").alias("araw")
-        ).localCheckpoint(eager=True)
-        s_a = _wide_sum(araw_all, "araw")
-        a = _renorm(araw_all, "araw", s_a, scale, "authority_scaled").persist()
-        a.count()
+        ).localCheckpoint(eager=False)
+        a = _renorm_lazy(araw_all, "araw", scale, "authority_scaled")
         hraw = (
             g.e.join(
                 a.withColumnRenamed("node", "dst").withColumnRenamed(
@@ -103,12 +115,8 @@ def hits_integer(
         )
         hraw_all = g.nodes.join(hraw, "node", "left").select(
             "node", F.coalesce("hraw", F.lit(0)).cast("long").alias("hraw")
-        ).localCheckpoint(eager=True)  # same two-action split as araw_all
-        s_h = _wide_sum(hraw_all, "hraw")
-        nxt_h = _renorm(hraw_all, "hraw", s_h, scale, "h").persist()
-        nxt_h.count()
-        h.unpersist()
-        h = nxt_h
+        ).localCheckpoint(eager=False)  # same two-branch split as araw_all
+        h = _renorm_lazy(hraw_all, "hraw", scale, "h")
     out = a.join(
         h.withColumnRenamed("h", "hub_scaled"), "node"
     ).select("node", "authority_scaled", "hub_scaled")
