@@ -488,18 +488,40 @@ def rolling_zscore_flags(
 
     if window_rows < 1:
         raise ValueError(f"rolling_zscore_flags: window_rows must be >= 1")
-    w = (
+    # The trailing-frame aggregates are evaluated as RUNNING prefix
+    # aggregates differenced with lag: Spark re-aggregates a sliding
+    # ROWS frame from scratch on every row (O(window_rows) per row in
+    # SlidingWindowFunctionFrame), while an UNBOUNDED PRECEDING frame
+    # and lag() are both O(1) per row. count/sum over rows
+    # [i-W, i-1] equal prefix[i-1] - prefix[i-W-1] exactly (integer
+    # sums; count skips NULL observations on both formulations, and
+    # the empty/all-NULL frame's pinned 0 falls out of the 0-default
+    # lags), so the emitted values are bit-identical. All frames share
+    # one (series, order) sort shuffle, same as before.
+    W = int(window_rows)
+    w_run = (
         Window.partitionBy(*series_cols)
         .orderBy(*order_cols)
-        .rowsBetween(-int(window_rows), -1)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    w_ord = Window.partitionBy(*series_cols).orderBy(*order_cols)
     y = F.col(value_col).cast("long")
+
+    def trailing(prefix_col: str) -> F.Column:
+        return F.lag(prefix_col, 1, 0).over(w_ord) - F.lag(
+            prefix_col, W + 1, 0
+        ).over(w_ord)
+
     out = (
-        df.withColumn("n_win", F.count(y).over(w))
-        # empty frames sum to NULL; pin them to 0 so the warm-up rows
+        df.withColumn("_pc", F.count(y).over(w_run))
+        # empty prefixes sum to NULL; pin them to 0 so the warm-up rows
         # carry well-defined (0, 0) evidence columns
-        .withColumn("_s", F.coalesce(F.sum(y).over(w), F.lit(0)))
-        .withColumn("_q", F.coalesce(F.sum(y * y).over(w), F.lit(0)))
+        .withColumn("_ps", F.coalesce(F.sum(y).over(w_run), F.lit(0)))
+        .withColumn("_pq", F.coalesce(F.sum(y * y).over(w_run), F.lit(0)))
+        .withColumn("n_win", trailing("_pc"))
+        .withColumn("_s", trailing("_ps"))
+        .withColumn("_q", trailing("_pq"))
+        .drop("_pc", "_ps", "_pq")
     )
     dev_n = y * F.col("n_win") - F.col("_s")
     var_n = F.col("n_win") * F.col("_q") - F.col("_s") * F.col("_s")
