@@ -556,7 +556,15 @@ def kmv_set_ops(
             .limit(k)
         )
 
-    ha, hb = sk(df_a), sk(df_b)
+    # each side sketch is referenced three times (its own estimator agg,
+    # the union re-trim, the rho semi-joins); left lazy, every reference
+    # replays the full raw-side scan — 8 input scans at sf0.1. The
+    # sketches are <= k rows, so lazy localCheckpoints truncate the
+    # repeated subtrees to RDD scans: each raw side is scanned exactly
+    # once. Rows unchanged.
+    ha, hb = sk(df_a).localCheckpoint(eager=False), sk(df_b).localCheckpoint(
+        eager=False
+    )
     u = ha.union(hb).distinct().orderBy("_h").limit(k)
     a_agg = ha.agg(F.count(F.lit(1)).alias("_na"), F.max("_h").alias("_hka"))
     b_agg = hb.agg(F.count(F.lit(1)).alias("_nb"), F.max("_h").alias("_hkb"))

@@ -154,7 +154,17 @@ def rank_eval_at_k(
     # and the same result id at two ranks <= k double-counted n_hits
     # and dcg (recall/ndcg > 1 were reachable). A duplicated result id
     # keeps its BEST rank -- the standard convention.
-    t = truth.filter(F.col(rank_col) <= k).select(query_col, id_col).distinct()
+    # t is referenced twice (the IDCG denominator agg and the hit
+    # join); left lazy, the WHOLE truth plan — typically an expensive
+    # ranking query — is replayed per reference. The pruned frame is
+    # <= queries x k rows at any scale, so a lazy localCheckpoint
+    # truncates the replay for free. Rows unchanged.
+    t = (
+        truth.filter(F.col(rank_col) <= k)
+        .select(query_col, id_col)
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     n_t = t.groupBy(query_col).agg(F.count(F.lit(1)).alias("_nt"))
     r = (
         results.filter(F.col(rank_col) <= k)
