@@ -29,9 +29,10 @@ per-document arrays (transform/slice/array_min on a generated position
 sequence) — ZERO shuffle; no window function, so documents never
 co-locate. Work is O(n_grams * w) per doc with w small (default 4);
 the output explode is the only row growth (~2/(w+1) * n_grams rows).
-The overlap join (`winnow_overlap_pairs`) is a bucketed equi-join on
-fp_hash with a document-frequency cap, the same hot-key discipline as
-the MinHash band join and jaccard prefix filter — never all-pairs.
+The overlap pass (`winnow_overlap_pairs`) is one fp_hash shuffle with a
+document-frequency cap, pairs exploded from each fingerprint's bounded
+doc set — the same hot-key discipline as the MinHash band join and
+jaccard prefix filter; never all-pairs.
 
 Reference parity: the reference engine has no winnowing; this extends
 the fingerprinting family (SURVEY §2 extensions; cf. `doc_fingerprint`'s
@@ -125,10 +126,11 @@ def winnow_overlap_pairs(
     sharing >= min_shared winnowed fingerprints.
 
     Fingerprints appearing in more than max_df documents are dropped
-    first (boilerplate hashes would otherwise fan the equi-join toward
-    all-pairs — the hot-shingle cap of the MinHash band join, applied
-    to fingerprint document frequency). Join is a bucketed fp_hash
-    equi-join over the capped set: O(sum df^2) with df <= max_df."""
+    first (boilerplate hashes would otherwise fan pair generation
+    toward all-pairs — the hot-shingle cap of the MinHash band join,
+    applied to fingerprint document frequency). Pair generation is
+    array arithmetic over each fingerprint's <= max_df sorted doc set
+    on one fp_hash shuffle: O(sum df^2) with df <= max_df."""
     if max_df < 2 or min_shared < 1:
         raise ValueError(
             f"winnow_overlap_pairs: need max_df>=2, min_shared>=1, "
@@ -141,25 +143,51 @@ def winnow_overlap_pairs(
         .select(id_col, group_col, "fp_hash")
         .distinct()
     )
-    df_counts = tagged.groupBy("fp_hash").agg(
-        F.count(F.lit(1)).alias("_df")
+    # ONE pass over tagged: the df cap as a window count (O(1) state per
+    # row; hot boilerplate fingerprints spill their peer group, they
+    # never build an agg buffer), then — only AFTER the cap bounds every
+    # group at max_df — the survivors collapse to per-fingerprint sorted
+    # doc arrays on the partitioning the window already established (no
+    # extra exchange), and cross-group pairs explode from each <= max_df
+    # array. The former count-join + a/b self-join replayed the whole
+    # fps-join-distinct subtree four times (13 scans / 26 Exchanges at
+    # sf0.1); this shape computes it once. Row set unchanged: sorted
+    # arrays make positional order the doc_a < doc_b value order, and
+    # each qualifying (doc_a, doc_b, fp) contributes exactly one count.
+    from pyspark.sql.window import Window
+
+    rare = tagged.withColumn(
+        "_df", F.count(F.lit(1)).over(Window.partitionBy("fp_hash"))
+    ).where(F.col("_df") <= max_df)
+    grouped = rare.groupBy("fp_hash").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("_id"), F.col(group_col).alias("_g"))
+            )
+        ).alias("_ds")
     )
-    rare = tagged.join(
-        df_counts.where(F.col("_df") <= max_df).select("fp_hash"), "fp_hash"
-    )
-    a = rare.select(
-        F.col("fp_hash"),
-        F.col(id_col).alias("doc_a"),
-        F.col(group_col).alias("_ga"),
-    )
-    b = rare.select(
-        F.col("fp_hash"),
-        F.col(id_col).alias("doc_b"),
-        F.col(group_col).alias("_gb"),
+    arr = F.col("_ds")
+    pair_structs = F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + 2, F.size(arr)),
+                lambda y: F.struct(
+                    x["_id"].alias("doc_a"),
+                    y["_id"].alias("doc_b"),
+                    x["_g"].alias("_ga"),
+                    y["_g"].alias("_gb"),
+                ),
+            ),
+        )
     )
     return (
-        a.join(b, "fp_hash")
-        .where((F.col("doc_a") < F.col("doc_b")) & (F.col("_ga") != F.col("_gb")))
+        grouped.select(F.explode(pair_structs).alias("_p"))
+        .where(
+            (F.col("_p.doc_a") != F.col("_p.doc_b"))
+            & (F.col("_p._ga") != F.col("_p._gb"))
+        )
+        .select("_p.doc_a", "_p.doc_b")
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .where(F.col("shared_fps") >= min_shared)
