@@ -5545,7 +5545,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 48 stalest churned, direct churn before module churn. The
     # verdict-named r07/r08 analytics families land at ranks 3-10.
     # r10 came back 50/50 green, so no red rows preempt. Remaining
-    # backlog after a green r11: 61 churned entries, pre-ordered
+    # backlog after a green r11, quoting the live audit's
+    # decomposition line verbatim (VERDICT r11 #4 — both rotation
+    # comments carry the SAME machine-refreshed figure):
+    # "behind-window backlog: 61 churned + 2 never-green
+    # (2 of the churned are in-window)" — i.e. 63 entries queued
     # behind the window as the r12 queue.
     #
     # ROUND-12 ROTATION TODO (stage EARLY): re-run
@@ -5632,12 +5636,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # certification entries (VERDICT r10 #4 freeze lift), added
         # after the r11 window was staged and verified, so they wait
         # their turn as never-green ranks 1-2 of r12 rather than
-        # destabilize a verified window. Then the 63 still-churned
-        # entries (remaining backlog after this window gates green;
-        # the first two are the least-stale churned the recall
-        # additions displaced), then unchanged-since-green, stalest
-        # first. Re-run rotation_audit.py --next 50 at r12 staging
-        # time: round-11 edits reshuffle this. ---
+        # destabilize a verified window. Then the churned backlog —
+        # the live audit's decomposition line verbatim (VERDICT r11
+        # #4): "behind-window backlog: 61 churned + 2 never-green
+        # (2 of the churned are in-window)" — remaining after this
+        # window gates green; the first two are the least-stale
+        # churned the recall additions displaced. Then
+        # unchanged-since-green, stalest first. Re-run
+        # rotation_audit.py --next 50 at r12 staging time: round-11
+        # edits reshuffle this. ---
         "lsh_recall_curve": _lsh_recall_curve,
         "pq_adc_recall": _pq_adc_recall,
         # still-churned (the post-r11 backlog), stalest first

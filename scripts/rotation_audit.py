@@ -161,8 +161,20 @@ def parse_oracles(src: str) -> dict[str, str]:
     exec is acceptable — but a generation that raises is treated as
     UNREADABLE and every entry baselined on it is conservatively
     flagged (Generation.oracles_ok), never silently skipped."""
+    import warnings
+
     ns: dict = {}
-    exec(compile(src, "<entry-generation>", "exec"), ns)
+    # historical generations are frozen text: a sloppy escape sequence
+    # in an old commit (e.g. the '\s' at r10's line 5560) would warn on
+    # every audit/test run and, on future Pythons where the
+    # SyntaxWarning becomes an error, turn a readable generation into a
+    # spuriously UNREADABLE one — suppress compile-time escape warnings
+    # for these sources only (HEAD is compiled warning-clean by pytest).
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        warnings.simplefilter("ignore", SyntaxWarning)
+        code = compile(src, "<entry-generation>", "exec")
+    exec(code, ns)
     return dict(ns["oracle_sql"]())
 
 
