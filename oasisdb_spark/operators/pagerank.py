@@ -117,7 +117,20 @@ def pagerank_iterate(
             F.col("dst").alias("node"),
             F.expr("rank_scaled div deg").alias("c"),
         )
-        in_sum = contribs.groupBy("node").agg(F.sum("c").alias("in_v"))
+        # a zero contribution per node folds the "nodes with no
+        # in-edges" fill into the SAME aggregation: sum(0 + contribs)
+        # = in_v exactly, and no-in-edge nodes emit 0 (what the former
+        # nodes-left-join's coalesce produced) — one partial-agg
+        # shuffle per pass instead of an agg plus a broadcast join
+        # (OPTIMIZATION r12, guide §1.2/§2.4: 5 fewer broadcast-build
+        # driver jobs across a 5-pass run).
+        in_sum = (
+            contribs.unionByName(
+                g.nodes.select("node", F.lit(0).cast("long").alias("c"))
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_v"))
+        )
         dangling = (
             (
                 g.dangling_nodes.join(r, "node")
@@ -129,18 +142,15 @@ def pagerank_iterate(
             else 0
         )
         dang_share = int(dangling) // n
-        nxt = (
-            g.nodes.join(in_sum, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.expr(
-                        f"({d_num} * (coalesce(in_v, CAST(0 AS BIGINT)) "
-                        f"+ CAST({dang_share} AS BIGINT))) div {d_den}"
-                    )
-                ).cast("long").alias("rank_scaled"),
-            )
+        nxt = in_sum.select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(
+                    f"({d_num} * (coalesce(in_v, CAST(0 AS BIGINT)) "
+                    f"+ CAST({dang_share} AS BIGINT))) div {d_den}"
+                )
+            ).cast("long").alias("rank_scaled"),
         )
         if lazy:
             # OPTIMIZATION r12 (guide §1.2: remove whole passes): with
