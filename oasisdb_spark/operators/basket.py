@@ -9,20 +9,15 @@ operator so every emitted column is an exact count.
 
 Plan shape, and why it scales:
 
-- baskets collapse to per-basket SORTED DISTINCT item arrays first
-  (one basket-keyed partial-agg shuffle — collect_set dedups map-side):
-  pair generation must count baskets, not rows, and the grouped frame
-  is the ONE pass every consumer (pairs, item supports, basket count,
-  size cap) derives from — the former shape re-ran a (basket, item)
-  DISTINCT scan per consumer.
-- pair generation is array arithmetic over the sorted basket array
-  (each element paired with every later one — sortedness makes
-  positional order the ``item_a < item_b`` value order), exploded and
-  partial-agg counted: the same C(n_items, 2) rows the old basket-key
-  self-equi-join produced, without the join or its second shuffle.
-  The ``max_basket_items`` guard drops pathological mega-baskets (the
-  one crawler session touching every SKU) with a plain array-size
-  filter, the same hot-key capping discipline as
+- baskets dedup first (``(basket, item)`` DISTINCT — one partial-agg
+  shuffle): pair generation must count baskets, not rows, and the
+  dedup also collapses the multiplicity blow-up BEFORE the join.
+- pair generation is a SELF-EQUI-JOIN on the basket key with
+  ``item_a < item_b`` — co-located by the basket-key shuffle, never
+  all-pairs across baskets. Per-basket cost is C(n_items, 2); the
+  ``max_basket_items`` guard drops pathological mega-baskets (the one
+  crawler session touching every SKU) with an exact group-size
+  pre-filter, the same hot-key capping discipline as
   ``winnow_overlap_pairs``'s max_df. At TPC-H-like basket sizes
   (<= 7 lines/order) the fanout is a constant factor.
 - supports: one groupBy on the pair key (map-side combine), then two
@@ -41,53 +36,32 @@ from pyspark.sql import functions as F
 __all__ = ["copurchase_edges", "copurchase_pairs", "association_rules"]
 
 
-def _basket_arrays(
+def _basket_items(
     df: DataFrame,
     basket_col: str,
     item_col: str,
     max_basket_items: int | None,
 ) -> DataFrame:
-    # NULL baskets/items can never form a pair (collect_set and the
-    # item_a < item_b rule both drop NULLs) -- but left in, they would
-    # still inflate item supports, basket sizes, and nothing else, so
-    # confidence/lift denominators drift out of agreement with
+    # NULL baskets/items can never form a pair (the basket equi-join
+    # and the item_a < item_b filter both drop NULLs) -- but left in,
+    # they still inflate item supports, basket sizes, and nothing else,
+    # so confidence/lift denominators drift out of agreement with
     # n_baskets (support could exceed it). Exclude them up front so
     # every emitted count is over the same basket universe.
-    #
-    # ONE basket-keyed partial-agg shuffle (collect_set dedups map-side)
-    # replaces the former (basket, item) DISTINCT: every consumer --
-    # pair generation, item supports, the basket count, the size cap --
-    # derives from this frame with array arithmetic, so the raw table
-    # is scanned once per build instead of once per consumer.
-    baskets = (
-        df.select(
-            F.col(basket_col).alias("_basket"), F.col(item_col).alias("_item")
-        )
-        .where(F.col("_basket").isNotNull() & F.col("_item").isNotNull())
-        .groupBy("_basket")
-        .agg(F.array_sort(F.collect_set("_item")).alias("_items"))
-    )
+    items = df.select(
+        F.col(basket_col).alias("_basket"), F.col(item_col).alias("_item")
+    ).where(
+        F.col("_basket").isNotNull() & F.col("_item").isNotNull()
+    ).distinct()
     if max_basket_items is not None:
-        baskets = baskets.where(F.size("_items") <= max_basket_items)
-    return baskets
-
-
-def _pair_structs(items: F.Column) -> F.Column:
-    """All (item_a, item_b) combinations with a < b from one basket's
-    SORTED distinct item array: for the i-th element, pair it with
-    every later element (slice past i) -- sortedness makes positional
-    order the value order, so a < b holds by construction. Per-basket
-    cost is C(n_items, 2), exactly the rows the old self-equi-join
-    produced, without re-shuffling the basket key."""
-    return F.flatten(
-        F.transform(
-            items,
-            lambda x, i: F.transform(
-                F.slice(items, i + 2, F.size(items)),
-                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
-            ),
+        sizes = items.groupBy("_basket").agg(
+            F.count(F.lit(1)).alias("_sz")
         )
-    )
+        items = items.join(
+            sizes.where(F.col("_sz") <= max_basket_items).select("_basket"),
+            on="_basket",
+        )
+    return items
 
 
 def copurchase_edges(
@@ -106,10 +80,12 @@ def copurchase_edges(
         raise ValueError(
             f"copurchase_edges: min_support must be >= 1, got {min_support}"
         )
-    baskets = _basket_arrays(df, basket_col, item_col, max_basket_items)
+    items = _basket_items(df, basket_col, item_col, max_basket_items)
+    a = items.select(F.col("_basket"), F.col("_item").alias("item_a"))
+    b = items.select(F.col("_basket"), F.col("_item").alias("item_b"))
     return (
-        baskets.select(F.explode(_pair_structs(F.col("_items"))).alias("_p"))
-        .select("_p.item_a", "_p.item_b")
+        a.join(b, on="_basket")
+        .where(F.col("item_a") < F.col("item_b"))
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("pair_support"))
         .where(F.col("pair_support") >= min_support)
@@ -130,26 +106,16 @@ def copurchase_pairs(
     is the total basket count, constant across rows.
 
     ``max_basket_items`` drops baskets with more distinct items than
-    the cap before pair generation (exact array-size filter on the
-    grouped basket frame — no extra pass)."""
-    # the support/denominator side shares ONE basket-array build: a
-    # lazy localCheckpoint truncates it so item supports and the basket
-    # count do not each replay the scan+agg subtree. (copurchase_edges
-    # stays a separate plan-identical call so a session that memoized
-    # the edge graph substitutes its cached frame for the whole pair
-    # subtree.)
-    baskets = _basket_arrays(
-        df, basket_col, item_col, max_basket_items
-    ).localCheckpoint(eager=False)
-    item_support = (
-        baskets.select(F.explode("_items").alias("_item"))
-        .groupBy("_item")
-        .agg(F.count(F.lit(1)).alias("_support"))
+    the cap before pair generation (exact size pre-filter, one extra
+    count over the same basket-key partitioning)."""
+    items = _basket_items(df, basket_col, item_col, max_basket_items)
+    item_support = items.groupBy("_item").agg(
+        F.count(F.lit(1)).alias("_support")
     )
     # scalar as a 1-row broadcast, not a driver action — the operator
     # stays fully lazy/composable
-    n_baskets = baskets.agg(
-        F.count(F.lit(1)).cast("long").alias("n_baskets")
+    n_baskets = items.agg(
+        F.count_distinct(F.col("_basket")).cast("long").alias("n_baskets")
     )
     pairs = copurchase_edges(
         df, basket_col, item_col, min_support, max_basket_items
