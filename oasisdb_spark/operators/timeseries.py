@@ -397,47 +397,18 @@ def cusum_stream(
             for c in scored.columns
             if not c.startswith("_")
         ]
-        # ONE action per micro-batch (OPTIMIZATION r12, guide §1.2 fewer
-        # passes): the carry fold — end-of-batch prefix total + all-time
-        # prefix min per series — rides the parquet append as observe()
-        # metrics instead of a second job over a persisted batch. The
-        # series key set is closed (targets define it; the inner
-        # baseline join admits nothing else), so one conditional
-        # aggregate per (series, stat) is exact: when() nulls exclude
-        # other series' rows from min/max_by, and a series absent from
-        # the batch observes NULL ⇒ its carry is left untouched,
-        # exactly like the groupBy fold it replaces. Falls back to the
-        # persisted two-action fold when the series set is too wide for
-        # an observe list (observe cost is per-expr on every row).
+        # Two actions over one persisted batch: the parquet append and
+        # a bounded groupBy collect for the carry (end-of-batch prefix
+        # total + all-time prefix min per series). An observe()-based
+        # one-action fold was tried in r12 and MEASURED SLOWER
+        # (12.6 s vs 8.6 s on events_cusum_stream at sf0.1, min of 3):
+        # Observation only takes global aggregates, so per-series
+        # carries need n_series x 4 conditional when()/max_by
+        # expressions evaluated on EVERY row in the row-at-a-time
+        # CollectMetrics node — per-row CPU that costs more than the
+        # second job over the persisted (memory-resident) batch ever
+        # did. The persisted fold also has no series-cardinality cap.
         ordk = F.struct(*order_cols)
-        if len(tgt_rows) <= 64:
-            from pyspark.sql import Observation
-
-            keys = [tuple(r[c] for c in series_cols) for r in tgt_rows]
-            exprs = []
-            for i, k in enumerate(keys):
-                cond = None
-                for c, v in zip(series_cols, k):
-                    e = F.col(c) == F.lit(v)
-                    cond = e if cond is None else (cond & e)
-                exprs += [
-                    F.max_by(F.when(cond, p_up), F.when(cond, ordk)).alias(f"cs_up_{i}"),
-                    F.min(F.when(cond, m_up)).alias(f"cm_up_{i}"),
-                    F.max_by(F.when(cond, p_dn), F.when(cond, ordk)).alias(f"cs_dn_{i}"),
-                    F.min(F.when(cond, m_dn)).alias(f"cm_dn_{i}"),
-                ]
-            obs = Observation(f"cusum_carry_{batch_id}")
-            scored.observe(obs, *exprs).select(*out_cols).write.mode(
-                "append"
-            ).parquet(out_dir)
-            got = obs.get
-            for i, k in enumerate(keys):
-                if got[f"cs_up_{i}"] is not None:
-                    state[k] = (
-                        got[f"cs_up_{i}"], got[f"cm_up_{i}"],
-                        got[f"cs_dn_{i}"], got[f"cm_dn_{i}"],
-                    )
-            return
         scored = scored.persist()
         try:
             scored.select(*out_cols).write.mode("append").parquet(out_dir)
