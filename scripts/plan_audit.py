@@ -715,14 +715,21 @@ def main() -> None:
     print(f"== events_value_drift scan-stage bucketing, bucket-key aggs only: {'OK' if ok else 'FAIL'}")
     failures += not ok
 
-    # 65. trade_hits: same pass contract as pagerank — equi hash joins
-    # of edges vs node-sized score frames, never nested-loop/cartesian
+    # 65. trade_hits: pass contract after the r12 lazy renorm — the two
+    # L1 totals ride the plan as ONE-ROW broadcast crossJoins over the
+    # lazily checkpointed raw-score frames (node-sized RDD scans), so
+    # EXACTLY two BroadcastNestedLoopJoin nodes appear (Cross with a
+    # one-row build side — benign by construction; a third would mean a
+    # real nested-loop snuck in) and never a CartesianProduct. The
+    # per-pass edge-vs-score joins stay equi-hash inside the
+    # checkpointed subtrees (output identity exceptAll-pinned in tests).
     plan = plan_of(m.queries()["trade_hits"](spark, sf_dir))
     ok = (
         "CartesianProduct" not in plan
-        and "BroadcastNestedLoopJoin" not in plan
+        and plan.count("BroadcastNestedLoopJoin") == 2
+        and plan.count("Scan ExistingRDD") >= 2
     )
-    print(f"== trade_hits equi-join passes, no nested loops: {'OK' if ok else 'FAIL'}")
+    print(f"== trade_hits lazy renorm scalars only, no cartesian: {'OK' if ok else 'FAIL'}")
     failures += not ok
 
     # 66. events_ohlc: the whole bar (open/high/low/close/count/cents)
@@ -770,17 +777,42 @@ def main() -> None:
     print(f"== copurchase_triangles equi-only wedge/closure joins: {'OK' if ok else 'FAIL'}")
     failures += not ok
 
-    # 69. events_outliers: BOTH median passes collapse to per-value
-    # histograms before their windows (two partial_count aggregates —
-    # the windows sort distinct values, never raw rows), and the
-    # median/MAD frames join back as group-keyed equi joins
+    # 69. events_outliers: the median/MAD frames are group-cardinality
+    # lazy checkpoints (r12 — each histogram+window subtree runs once
+    # and truncates to an RDD scan), joined back as group-keyed equi
+    # joins; the raw table never range-partitions (no global sort).
     plan = plan_of(m.queries()["events_outliers"](spark, sf_dir))
     ok = (
-        plan.count("partial_count") >= 2
+        plan.count("Scan ExistingRDD") >= 2
         and "CartesianProduct" not in plan
         and "Exchange rangepartitioning" not in plan
     )
-    print(f"== events_outliers histogram-first medians, equi joins: {'OK' if ok else 'FAIL'}")
+    print(f"== events_outliers checkpointed medians, equi joins: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
+    # 69b. the median machinery itself stays histogram-first (the shape
+    # check 69 asserted on the entry before the r12 checkpoint hid the
+    # subtree): per-(group, value) partial_count aggregate before the
+    # distinct-value window — the raw rows never range-sort.
+    from oasisdb_spark.operators.quality import grouped_median_exact
+
+    ev69 = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .where(F.col("value").isNotNull() & ~F.isnan("value"))
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+        )
+    )
+    plan = plan_of(
+        grouped_median_exact(ev69, "value_cents", ["event_type"], out_col="median")
+    )
+    ok = (
+        plan.count("partial_count") >= 1
+        and "Exchange rangepartitioning" not in plan
+        and "CartesianProduct" not in plan
+    )
+    print(f"== grouped_median_exact histogram-first (no raw sort): {'OK' if ok else 'FAIL'}")
     failures += not ok
 
     # 70. mutual_knn_pairs: the GEMM scan kernel (ONE MapInPandas pass
@@ -865,12 +897,16 @@ def main() -> None:
     print(f"== events_ohlc_daily bar cascade (no raw re-sort): {'OK' if ok else 'FAIL'}")
     failures += not ok
 
-    # 76. orders_flag_overlap: both sketch sides are
-    # TakeOrderedAndProject (per-partition bottom-k heaps — never a
-    # global sort shuffle of the raw distinct-hash frames)
+    # 76. orders_flag_overlap: both side sketches are <= k-row lazy
+    # checkpoints (r12 — each raw side's TakeOrderedAndProject heap
+    # scan runs ONCE inside its checkpoint; the estimator/union/rho
+    # branches read the RDD), so the final plan shows the two RDD
+    # scans plus the union re-trim's bottom-k heap — and never a
+    # global sort shuffle of a raw frame.
     plan = plan_of(m.queries()["orders_flag_overlap"](spark, sf_dir))
     ok = (
-        plan.count("TakeOrderedAndProject") >= 3  # A, B, union re-trim
+        plan.count("TakeOrderedAndProject") >= 1  # union re-trim
+        and plan.count("Scan ExistingRDD") >= 2  # the two side sketches
         and "Exchange rangepartitioning" not in plan
         and "CartesianProduct" not in plan
     )
