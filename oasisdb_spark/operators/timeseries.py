@@ -337,14 +337,18 @@ def cusum_stream(
         raise ValueError("cusum_stream: targets must be (series..., target)")
     tcol = tcols[0]
     spark = stream.sparkSession
+    # Rebuilt from the collected rows (NOT the `targets` plan, which
+    # would recompute its aggregation every batch) ONCE per drain, not
+    # per micro-batch: createDataFrame is a driver-side RDD build +
+    # analysis pass, ~0.4 s per call on the bench host (OPTIMIZATION
+    # r12, guide §4 heavyweight init once). Same rows, same schema,
+    # same broadcast per batch job.
+    tgt_df = spark.createDataFrame(tgt_rows, targets.schema)
 
     def process(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        b = batch.join(
-            F.broadcast(spark.createDataFrame(tgt_rows, targets.schema)),
-            on=series_cols,
-        )
+        b = batch.join(F.broadcast(tgt_df), on=series_cols)
         w = (
             Window.partitionBy(*series_cols)
             .orderBy(*order_cols)
