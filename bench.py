@@ -43,6 +43,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod
+from oasisdb_spark.ckpt import release_tracked
 from oasisdb_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -202,15 +203,40 @@ def main() -> None:
             force(qs[name](spark, SF_DIR))
         except Exception:
             pass
+        finally:
+            release_tracked()
 
+    def storage_probe(tag: str) -> None:
+        # OPTIMIZATION r13 (VERDICT r12 #2): the bench re-executes every
+        # entry 3-4x in one JVM — operator-internal localCheckpoints
+        # must not accumulate a dead generation per execution. With
+        # release_tracked() called between entries the block-manager RDD
+        # count stays flat across passes; printed to STDERR per pass as
+        # the bounded-growth evidence (never an assert: a probe hiccup
+        # must not abort the driver's multi-minute run).
+        try:
+            infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+            n = len(infos)
+            mem = sum(i.memSize() for i in infos)
+            print(f"bench: storage after {tag}: {n} cached RDDs, "
+                  f"{mem / 1e6:.1f} MB", file=sys.stderr)
+        except Exception:
+            pass
+
+    storage_probe("warmup")
     passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")))
     timings: dict[str, float] = {}
-    for _ in range(passes):
+    for p in range(passes):
         for name in names:
             t0 = time.perf_counter()
             force(qs[name](spark, SF_DIR))
             t = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, t), t)
+            # free the entry's tracked checkpoint/persist blocks OUTSIDE
+            # the timed region (freeing is a few py4j calls; the timed
+            # work of the NEXT entry must not pay for the previous one)
+            release_tracked()
+        storage_probe(f"pass {p + 1}")
 
     # r07 bench hygiene (VERDICT r06 #7 / BASELINE.md noise-floor
     # study): sub-second entries carry the most single-session
@@ -223,6 +249,8 @@ def main() -> None:
         t0 = time.perf_counter()
         force(qs[name](spark, SF_DIR))
         timings[name] = min(timings[name], round(time.perf_counter() - t0, 3))
+        release_tracked()
+    storage_probe("sub-second pass")
 
     families = {
         fam: round(sum(timings[n] for n in members), 3)

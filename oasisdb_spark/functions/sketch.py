@@ -561,9 +561,13 @@ def kmv_set_ops(
     # replays the full raw-side scan — 8 input scans at sf0.1. The
     # sketches are <= k rows, so lazy localCheckpoints truncate the
     # repeated subtrees to RDD scans: each raw side is scanned exactly
-    # once. Rows unchanged.
-    ha, hb = sk(df_a).localCheckpoint(eager=False), sk(df_b).localCheckpoint(
-        eager=False
+    # once. Rows unchanged; blocks tracked for release at the
+    # harness's next between-queries point (ckpt.track — OPTIMIZATION
+    # r13, guide §5).
+    from oasisdb_spark.ckpt import track
+
+    ha, hb = track(sk(df_a).localCheckpoint(eager=False)), track(
+        sk(df_b).localCheckpoint(eager=False)
     )
     u = ha.union(hb).distinct().orderBy("_h").limit(k)
     a_agg = ha.agg(F.count(F.lit(1)).alias("_na"), F.max("_h").alias("_hka"))

@@ -93,8 +93,11 @@ def connected_components(
     )
     und.count()  # materialize from the cached pair list before dropping it
     e.unpersist()
+    from oasisdb_spark.ckpt import free_checkpoint, track
+
     labels = und.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id"))
     labels = labels.localCheckpoint(eager=True)
+    prev_gen = labels  # superseded checkpoint generations free per round
     converged = False
     for _ in range(max_iter):
         nbr_min = (
@@ -111,6 +114,11 @@ def connected_components(
             )
         ).localCheckpoint(eager=True)
         changed = stepped.filter(F.col("new_comp") < F.col("comp")).count()
+        # stepped is materialized: the previous generation's blocks are
+        # dead weight from here on (they leaked for the whole loop
+        # before round 13 — guide §5: unpersist when done)
+        free_checkpoint(prev_gen)
+        prev_gen = stepped
         labels = stepped.select("id", F.col("new_comp").alias("comp"))
         if changed == 0:
             converged = True
@@ -127,4 +135,7 @@ def connected_components(
             "rounds — raise max_iter (labels still propagating; the "
             "graph's diameter exceeds the round budget)"
         )
+    # the surviving generation's blocks release at the harness's next
+    # between-queries point (ckpt.track — guide §5)
+    track(prev_gen)
     return labels.select(F.col("id").alias(id_col), F.col("comp").alias(component_col))

@@ -158,8 +158,12 @@ def rank_eval_at_k(
     # join); left lazy, the WHOLE truth plan — typically an expensive
     # ranking query — is replayed per reference. The pruned frame is
     # <= queries x k rows at any scale, so a lazy localCheckpoint
-    # truncates the replay for free. Rows unchanged.
-    t = (
+    # truncates the replay for free. Rows unchanged; blocks tracked
+    # for release at the harness's next between-queries point
+    # (ckpt.track — OPTIMIZATION r13, guide §5).
+    from oasisdb_spark.ckpt import track
+
+    t = track(
         truth.filter(F.col(rank_col) <= k)
         .select(query_col, id_col)
         .distinct()

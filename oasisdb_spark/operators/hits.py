@@ -39,6 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from oasisdb_spark.ckpt import track
 from oasisdb_spark.operators.pagerank import GraphTopology
 
 __all__ = ["hits_integer"]
@@ -102,6 +103,7 @@ def hits_integer(
         araw_all = g.nodes.join(araw, "node", "left").select(
             "node", F.coalesce("araw", F.lit(0)).cast("long").alias("araw")
         ).localCheckpoint(eager=False)
+        track(araw_all)  # released by the harness between queries
         a = _renorm_lazy(araw_all, "araw", scale, "authority_scaled")
         hraw = (
             g.e.join(
@@ -116,8 +118,8 @@ def hits_integer(
         hraw_all = g.nodes.join(hraw, "node", "left").select(
             "node", F.coalesce("hraw", F.lit(0)).cast("long").alias("hraw")
         ).localCheckpoint(eager=False)  # same two-branch split as araw_all
+        track(hraw_all)
         h = _renorm_lazy(hraw_all, "hraw", scale, "h")
-    out = a.join(
+    return a.join(
         h.withColumnRenamed("h", "hub_scaled"), "node"
     ).select("node", "authority_scaled", "hub_scaled")
-    return out

@@ -170,6 +170,13 @@ def pagerank_iterate(
         nxt.count()
         r.unpersist()
         r = nxt
+    if not lazy:
+        # the final pass's persisted rank frame must not outlive its
+        # consumers (guide §5: unpersist when done; it leaked per call
+        # before round 13) — released by the harness between queries
+        from oasisdb_spark.ckpt import track_persist
+
+        track_persist(r)
     return r
 
 
@@ -188,8 +195,12 @@ def pagerank_integer(
     r = pagerank_iterate(g, iters=iters, scale=scale, d_num=d_num, d_den=d_den)
     if not g.has_dangling:
         # the lazy no-dangling chain hasn't materialized yet — pin it
-        # before dropping the topology caches it still reads from
+        # before dropping the topology caches it still reads from;
+        # released by the harness between queries (guide §5)
+        from oasisdb_spark.ckpt import track_persist
+
         r = r.persist()
         r.count()
+        track_persist(r)
     g.unpersist()
     return r

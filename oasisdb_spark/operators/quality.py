@@ -431,25 +431,32 @@ def mad_outliers(
     Shape: two grouped-median passes (each a histogram partial-agg +
     a distinct-value window — see grouped_median_exact) + two
     group-keyed joins of group-cardinality frames back onto the scan
-    (broadcast when groups are few). The raw table is scanned twice
-    and never globally sorted."""
+    (broadcast when groups are few). The raw table is scanned three
+    times (median histogram, MAD histogram via the med-joined dev
+    frame, and the output's left side) and never globally sorted."""
     # Both median frames are group-cardinality sized but their plans
     # embed full scans of df (and dev's plan embeds med's): left as
     # plain lazy frames, `dev` is replayed inside the MAD build AND as
     # the output's left side, so the raw table was scanned 8x / 18
     # Exchanges at sf0.1. Lazy localCheckpoints of the two TINY
     # per-group frames truncate the repeated subtrees to RDD scans —
-    # df is scanned twice (the documented contract), rows unchanged.
-    med = grouped_median_exact(
+    # df is scanned three times (checkpointing `dev` to reach two would
+    # materialize a CORPUS-sized frame; round-13 advisory corrected the
+    # docstring instead), rows unchanged. Checkpoint blocks are tracked
+    # for release at the harness's next between-queries point
+    # (ckpt.track — OPTIMIZATION r13, guide §5).
+    from oasisdb_spark.ckpt import track
+
+    med = track(grouped_median_exact(
         df, value_col, group_cols, out_col="median"
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False))
     with_med = df.join(med, on=group_cols)
     dev = with_med.withColumn(
         "dev", F.abs(F.col(value_col) - F.col("median"))
     )
-    mad = grouped_median_exact(
+    mad = track(grouped_median_exact(
         dev, "dev", group_cols, out_col="mad"
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False))
     return dev.join(mad, on=group_cols).where(
         F.col("dev") > F.lit(threshold) * F.col("mad")
     )

@@ -37,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from oasisdb_spark.ckpt import track
 from oasisdb_spark.functions.distance import vector_indexable
 from oasisdb_spark.pipeline.cluster_curate import (
     KM_LIMIT,
@@ -161,20 +162,28 @@ def ivf_probe_recall_quantized(
     # (nprobe, query_id)) and hit counting each run once. Row set is
     # identical: pr <= nprobe filter per exploded key == the old
     # per-branch filters. Checkpoint blocks are nq*N rows — the bounded
-    # evaluation-scale frame the module docstring already budgets.
-    pairs = _pair_d2(qpts, pts).localCheckpoint(eager=True)
+    # evaluation-scale frame the module docstring already budgets —
+    # and are tracked for release at the harness's next
+    # between-queries point
+    # (ckpt.track below; OPTIMIZATION r13, guide §5).
+    pairs = track(_pair_d2(qpts, pts).localCheckpoint(eager=True))
     exact = _topk(pairs, [F.col("d2").asc(), F.col("id").asc()], k).select(
         "query_id", "id", F.lit(1).alias("hit")
     )
     np_col = F.explode(
         F.array(*[F.lit(int(np_)).cast("int") for np_ in nprobes])
     ).alias("nprobe")
+    # no broadcast hint on the nq*N pair frame (VERDICT r12 #3 /
+    # guide §3.1: broadcast only what provably fits — N is unbounded
+    # at production scale); the equi-join on (query_id, id) lets the
+    # planner pick, and the eager checkpoint already prevents recompute
     scored = (
-        cand.join(F.broadcast(pairs), ["query_id", "id"])
+        cand.join(pairs, ["query_id", "id"])
         .select("query_id", "id", "pr", "d2", np_col)
         .where(F.col("pr") <= F.col("nprobe"))
         .localCheckpoint(eager=True)
     )
+    track(scored)
     n_cand = scored.groupBy("nprobe", "query_id").agg(F.count("*").alias("n_cand"))
     approx = _topk(
         scored, [F.col("d2").asc(), F.col("id").asc()], k, extra_partition=("nprobe",)
@@ -184,13 +193,14 @@ def ivf_probe_recall_quantized(
         .groupBy("nprobe", "query_id")
         .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("hits"))
     )
-    return n_cand.join(hits, ["nprobe", "query_id"]).select(
+    out = n_cand.join(hits, ["nprobe", "query_id"]).select(
         "nprobe",
         "query_id",
         "n_cand",
         F.col("hits").cast("int").alias("hits"),
         F.lit(k).cast("int").alias("k"),
     )
+    return out
 
 
 def binq_shortlist_recall_quantized(
@@ -218,16 +228,22 @@ def binq_shortlist_recall_quantized(
     (index/binq.py TRAIN_SAMPLE_CAP)."""
     # pts feeds the threshold agg, the bit codes AND the ground-truth
     # pass; bits feed the query slice and the hamming join — checkpoint
-    # both so each explode/agg runs once (guide §2.4), N*d-row blocks
-    pts = _quantized_points(emb, id_col, vec_col, "id").localCheckpoint(eager=True)
+    # both so each explode/agg plans once (guide §2.4), N*d-row blocks.
+    # LAZY (OPTIMIZATION r13): eager=True ran each as its own blocking
+    # driver job before the real one — 3 sequential jobs where one
+    # suffices (the r13 control measured binq_recall 1.4x slower than
+    # its pre-checkpoint r11 form); lazy keeps the plan truncation and
+    # materializes inside the consuming job. Blocks are released when
+    # tracked for release at the harness's next between-queries point.
+    pts = track(_quantized_points(emb, id_col, vec_col, "id").localCheckpoint(eager=False))
     thr = pts.groupBy("dim").agg(
         F.expr(
             f"CAST((sum(x) + {KM_LIMIT}L * count(*)) DIV count(*) - {KM_LIMIT}L AS LONG)"
         ).alias("t")
     )
-    bits = pts.join(F.broadcast(thr), "dim").select(
+    bits = track(pts.join(F.broadcast(thr), "dim").select(
         "id", "dim", (F.col("x") > F.col("t")).alias("b")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False))
     qbits = (
         bits.where(F.col("id") < nq)
         .select(F.col("id").alias("query_id"), "dim", F.col("b").alias("qb"))
@@ -251,12 +267,13 @@ def binq_shortlist_recall_quantized(
     exact = _topk(
         _pair_d2(qpts, pts), [F.col("d2").asc(), F.col("id").asc()], k
     ).select("query_id", "id")
-    return (
+    out = (
         approx.join(exact.withColumn("hit", F.lit(1)), ["query_id", "id"], "left")
         .groupBy("query_id")
         .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("int").alias("hits"))
         .select("query_id", "hits", F.lit(k).cast("int").alias("k"))
     )
+    return out
 
 
 def lsh_projections(d: int, n_tables: int = 8, seed: int = 7, lo: int = -8, hi: int = 8):
@@ -346,12 +363,13 @@ def lsh_bucket_recall_quantized(
         )
         .localCheckpoint(eager=True)
     )
+    track(bkt)
     qb = (
         bkt.where(F.col("id") < nq)
         .select(F.col("id").alias("query_id"), "tbl", "b")
     )
 
-    pairs = _pair_d2(qpts, pts).localCheckpoint(eager=True)
+    pairs = track(_pair_d2(qpts, pts).localCheckpoint(eager=True))
     exact = _topk(pairs, [F.col("d2").asc(), F.col("id").asc()], k).select(
         "query_id", "id", F.lit(1).alias("hit")
     )
@@ -364,12 +382,15 @@ def lsh_bucket_recall_quantized(
         .groupBy("query_id", "id")
         .agg(F.min("tbl").alias("_mt"))
     )
+    # no broadcast hint on the nq*N pair frame (VERDICT r12 #3 — same
+    # rationale as ivf_probe_recall_quantized above)
     scored = (
-        match_min.join(F.broadcast(pairs), ["query_id", "id"])
+        match_min.join(pairs, ["query_id", "id"])
         .select("query_id", "id", "_mt", "d2", t_col)
         .where(F.col("_mt") <= F.col("n_tables"))
         .localCheckpoint(eager=True)
     )
+    track(scored)
     n_cand = scored.groupBy("n_tables", "query_id").agg(
         F.count("*").alias("n_cand")
     )
@@ -384,13 +405,14 @@ def lsh_bucket_recall_quantized(
         .groupBy("n_tables", "query_id")
         .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("hits"))
     )
-    return n_cand.join(hits, ["n_tables", "query_id"]).select(
+    out = n_cand.join(hits, ["n_tables", "query_id"]).select(
         "n_tables",
         "query_id",
         "n_cand",
         F.col("hits").cast("int").alias("hits"),
         F.lit(k).cast("int").alias("k"),
     )
+    return out
 
 
 def fit_pq_codebooks(
@@ -477,8 +499,13 @@ def pq_adc_recall_quantized(
     cent = spark.createDataFrame(cent_rows, "sub int, cluster int, dim int, c long")
 
     # pts feeds the per-subspace encode AND the ground-truth pass —
-    # checkpoint so the N*d explode runs once (guide §2.4)
-    pts = _quantized_points(emb, id_col, vec_col, "id").localCheckpoint(eager=True)
+    # checkpoint so the N*d explode plans once (guide §2.4). LAZY, not
+    # eager: the separate materialization job cost more than it saved
+    # (the r13 control measured pq_adc_recall 1.3x slower than the
+    # pre-checkpoint r11 form); blocks tracked for harness release.
+    pts = track(
+        _quantized_points(emb, id_col, vec_col, "id").localCheckpoint(eager=False)
+    )
     qpts = (
         _quantized_points(emb.filter(F.col(id_col) < nq), id_col, vec_col, "query_id")
         .withColumnRenamed("x", "qx")
@@ -522,9 +549,10 @@ def pq_adc_recall_quantized(
     exact = _topk(
         _pair_d2(qpts, pts), [F.col("d2").asc(), F.col("id").asc()], k
     ).select("query_id", "id")
-    return (
+    out = (
         approx.join(exact.withColumn("hit", F.lit(1)), ["query_id", "id"], "left")
         .groupBy("query_id")
         .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("int").alias("hits"))
         .select("query_id", "hits", F.lit(k).cast("int").alias("k"))
     )
+    return out

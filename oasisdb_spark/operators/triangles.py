@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from oasisdb_spark.ckpt import track
+
 __all__ = ["canonical_edges", "triangle_counts"]
 
 
@@ -66,8 +68,14 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     edge build per reference (the guide's plan-truncation advice);
     checkpointing collapses each reference to an RDD scan. Blocks are
     edge-list-sized and non-replicated — executor loss reruns the
-    batch job, the same trade as the pagerank/HITS passes."""
-    canon = canonical_edges(edges, src, dst).localCheckpoint(eager=True)
+    batch job, the same trade as the pagerank/HITS passes.
+
+    EAGER-EXECUTION CONTRACT (round-13 advisory): the two checkpoints
+    run Spark jobs at DataFrame-CONSTRUCTION time — building the frame
+    without ever acting on it still pays the edge canonicalization and
+    orientation. Their blocks are tracked for release at the harness's
+    next between-queries point (ckpt.track, guide §5)."""
+    canon = track(canonical_edges(edges, src, dst).localCheckpoint(eager=True))
     deg = (
         canon.select(F.col("a").alias("n"))
         .unionAll(canon.select(F.col("b").alias("n")))
@@ -91,6 +99,7 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
         .select("e.u", "e.v")
         .localCheckpoint(eager=True)
     )
+    track(e)
     # wedges at the apex u: unordered neighbor pairs (v < w keeps each
     # wedge once; closure probes both orientations of the closing edge)
     w1 = e.select(F.col("u"), F.col("v").alias("x"))

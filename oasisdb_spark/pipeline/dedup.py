@@ -489,17 +489,10 @@ def embedding_neardup_pairs(
       for exact all-pairs; at corpus scale pass `blocking` instead."""
     from oasisdb_spark.functions.distance import cosine_distance
 
-    # block-count UPPER BOUND from the pre-filter frame: a count with no
-    # referenced columns is a near-free empty-projection scan (parquet
-    # row-group counts), where counting the filtered frame would
-    # deserialize every vector just to size the GEMM blocks (guide §1.2:
-    # don't spend a full pass on a decision a bound settles — phantom
-    # block ids from the overcount vanish in the inner block-pair join)
-    n_hint = emb.count()
-
     # indexable-rows contract (the _emb_base convention): NULL ids
     # cannot name a pair endpoint, NULL vectors have no similarity
     # (and kill the GEMM packer inside np.asarray)
+    pre = emb
     emb = emb.where(F.col(id_col).isNotNull() & vector_indexable(vec_col))
 
     if blocking is not None:
@@ -523,6 +516,16 @@ def embedding_neardup_pairs(
         return pairs.select("doc_a", "doc_b", sim.alias("cos_sim")).filter(
             F.col("cos_sim") >= threshold
         )
+    # block-count UPPER BOUND from the pre-filter frame: a count with no
+    # referenced columns is a near-free empty-projection scan (parquet
+    # row-group counts), where counting the filtered frame would
+    # deserialize every vector just to size the GEMM blocks (guide §1.2:
+    # don't spend a full pass on a decision a bound settles — phantom
+    # block ids from the overcount vanish in the inner block-pair join).
+    # Counted ONLY on this GEMM path (round-13 advisory): the blocking
+    # path never uses the hint, and its callers may pass an emb plan
+    # whose full materialization is anything but near-free.
+    n_hint = pre.count()
     return allpairs_cosine_blocked(
         emb, threshold, id_col=id_col, vec_col=vec_col, eager=eager, n_hint=n_hint
     )
@@ -659,6 +662,14 @@ def allpairs_cosine_blocked(
         out = out.persist()
         out.count()
         packed.unpersist()
+        return out
+    # lazy path: the packed-block cache stays pinned for the caller's
+    # DAG, but must not outlive it — tracked for release at the
+    # harness's next between-queries point (OPTIMIZATION r13, guide
+    # §5: unpersist when done; previously the cache leaked per call)
+    from oasisdb_spark.ckpt import track_persist
+
+    track_persist(packed)
     return out
 
 

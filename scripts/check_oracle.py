@@ -173,6 +173,12 @@ def main():
         # raise by DESIGN (e.g. NULL-vector ingest rejection), and one
         # such entry must not abort the rest of the sweep
         try:
+            # previous entry's tracked checkpoint/persist blocks are
+            # dead once its rows are collected — release BEFORE
+            # building the next frame (ckpt lifecycle, r13 guide §5)
+            from oasisdb_spark.ckpt import release_tracked
+
+            release_tracked()
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]

@@ -26,7 +26,14 @@ CHECKS: list[tuple[str, str, list[str]]] = []
 
 
 def plan_of(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # a frame is explained then dropped here — release the entry's
+    # tracked checkpoint blocks so ~100 checks in one session don't
+    # accumulate dead generations (ckpt lifecycle, r13 guide §5)
+    from oasisdb_spark.ckpt import release_tracked
+
+    release_tracked()
+    return plan
 
 
 def audit(name: str, df, must_contain: list[str]) -> bool:

@@ -64,6 +64,9 @@ def main() -> None:
                 f.write(buf.getvalue())
         best = None
         for i in range(args.reps):
+            from oasisdb_spark.ckpt import release_tracked
+
+            release_tracked()  # previous rep's blocks, outside the timer
             spark.sparkContext.setJobDescription(f"qtime:{name}:{i}")
             t0 = time.perf_counter()
             force(qs[name](spark, SF_DIR))
