@@ -143,22 +143,29 @@ def winnow_overlap_pairs(
         .select(id_col, group_col, "fp_hash")
         .distinct()
     )
-    # ONE pass over tagged: the df cap as a window count (O(1) state per
-    # row; hot boilerplate fingerprints spill their peer group, they
-    # never build an agg buffer), then — only AFTER the cap bounds every
-    # group at max_df — the survivors collapse to per-fingerprint sorted
-    # doc arrays on the partitioning the window already established (no
-    # extra exchange), and cross-group pairs explode from each <= max_df
-    # array. The former count-join + a/b self-join replayed the whole
-    # fps-join-distinct subtree four times (13 scans / 26 Exchanges at
-    # sf0.1); this shape computes it once. Row set unchanged: sorted
-    # arrays make positional order the doc_a < doc_b value order, and
-    # each qualifying (doc_a, doc_b, fp) contributes exactly one count.
-    from pyspark.sql.window import Window
-
-    rare = tagged.withColumn(
-        "_df", F.count(F.lit(1)).over(Window.partitionBy("fp_hash"))
-    ).where(F.col("_df") <= max_df)
+    # df cap as a map-side-combinable AGG + semi-join (round 13,
+    # guide §2.5): the round-12 form counted with a window partitioned
+    # by fp_hash over the raw tagged frame — co-locating every
+    # occurrence of exactly the hot boilerplate fingerprints the cap
+    # exists to drop, one straggler sort per hot key at corpus scale.
+    # The groupBy count pre-aggregates map-side (a hot key reaches its
+    # reducer as a handful of partial counts, never raw rows) and the
+    # semi-join removes hot keys BEFORE the collect_list below, so no
+    # agg buffer ever sees a group larger than max_df. Costs one extra
+    # replay of the tagged subtree (2 scans — still half the round-11
+    # form's 4 / 26 Exchanges); the cross-group pairs then explode
+    # from each <= max_df sorted doc array exactly as before. Row set
+    # unchanged: the window count and the grouped count agree on every
+    # fp_hash, sorted arrays make positional order the doc_a < doc_b
+    # value order, and each qualifying (doc_a, doc_b, fp) contributes
+    # exactly one count.
+    rare_keys = (
+        tagged.groupBy("fp_hash")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") <= max_df)
+        .select("fp_hash")
+    )
+    rare = tagged.join(rare_keys, "fp_hash", "left_semi")
     grouped = rare.groupBy("fp_hash").agg(
         F.array_sort(
             F.collect_list(
