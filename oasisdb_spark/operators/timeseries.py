@@ -337,18 +337,42 @@ def cusum_stream(
         raise ValueError("cusum_stream: targets must be (series..., target)")
     tcol = tcols[0]
     spark = stream.sparkSession
-    # Rebuilt from the collected rows (NOT the `targets` plan, which
-    # would recompute its aggregation every batch) ONCE per drain, not
-    # per micro-batch: createDataFrame is a driver-side RDD build +
-    # analysis pass, ~0.4 s per call on the bench host (OPTIMIZATION
-    # r12, guide §4 heavyweight init once). Same rows, same schema,
-    # same broadcast per batch job.
-    tgt_df = spark.createDataFrame(tgt_rows, targets.schema)
+    # ONE auxiliary broadcast frame per batch carrying BOTH the target
+    # and the carry state (OPTIMIZATION r13, guide §1.2 fewer passes /
+    # VERDICT r12 #6): targets and carries are each tiny driver-side
+    # frames keyed on the series — joining them separately cost every
+    # micro-batch two broadcast builds and two join stages. The carry
+    # lives driver-side anyway, so the merged rows are a Python zip:
+    # series absent from `state` ride with (0, 0, 0, 0), exactly the
+    # NULL->coalesce(0) the former LEFT carry join produced, and the
+    # target join stays INNER on the same keys — rows bit-identical.
+    # (The former per-drain tgt_df hoist is subsumed: one
+    # createDataFrame per batch, same as the old carry path, ~0.4 s
+    # per call on the bench host.)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    tgt_keyed = [
+        (tuple(r[c] for c in series_cols), r[tcol]) for r in tgt_rows
+    ]
+    aux_schema = StructType(
+        [targets.schema[c] for c in series_cols]
+        + [targets.schema[tcol]]
+        + [
+            StructField(n, LongType(), False)
+            for n in ("_cs_up", "_cm_up", "_cs_dn", "_cm_dn")
+        ]
+    )
 
     def process(batch: DataFrame, batch_id: int) -> None:
-        if batch.isEmpty():
-            return
-        b = batch.join(F.broadcast(tgt_df), on=series_cols)
+        # no isEmpty() pre-check (OPTIMIZATION r13): it cost a
+        # take(1)-shaped job on EVERY batch to guard a case the
+        # availableNow file source never produces; an empty batch just
+        # appends zero rows and collects an empty carry — harmless.
+        aux_rows = [
+            (*k, t, *state.get(k, (0, 0, 0, 0))) for k, t in tgt_keyed
+        ]
+        aux = spark.createDataFrame(aux_rows, aux_schema)
+        b = batch.join(F.broadcast(aux), on=series_cols)
         w = (
             Window.partitionBy(*series_cols)
             .orderBy(*order_cols)
@@ -361,31 +385,10 @@ def cusum_stream(
             .withColumn("_m_up", F.min("_l_up").over(w))
             .withColumn("_m_dn", F.min("_l_dn").over(w))
         )
-        # inject carries (0-sum, 0-min before any data)
-        carry_rows = [
-            (*k, v[0], v[1], v[2], v[3]) for k, v in state.items()
-        ]
-        carry_schema = b.select(
-            *series_cols,
-            F.lit(0).cast("long").alias("_cs_up"),
-            F.lit(0).cast("long").alias("_cm_up"),
-            F.lit(0).cast("long").alias("_cs_dn"),
-            F.lit(0).cast("long").alias("_cm_dn"),
-        ).schema
-        if carry_rows:
-            carry = spark.createDataFrame(carry_rows, carry_schema)
-            b = b.join(F.broadcast(carry), on=series_cols, how="left")
-        else:
-            b = (
-                b.withColumn("_cs_up", F.lit(None).cast("long"))
-                .withColumn("_cm_up", F.lit(None).cast("long"))
-                .withColumn("_cs_dn", F.lit(None).cast("long"))
-                .withColumn("_cm_dn", F.lit(None).cast("long"))
-            )
-        cs_up = F.coalesce(F.col("_cs_up"), F.lit(0))
-        cm_up = F.coalesce(F.col("_cm_up"), F.lit(0))
-        cs_dn = F.coalesce(F.col("_cs_dn"), F.lit(0))
-        cm_dn = F.coalesce(F.col("_cm_dn"), F.lit(0))
+        cs_up = F.col("_cs_up")
+        cm_up = F.col("_cm_up")
+        cs_dn = F.col("_cs_dn")
+        cm_dn = F.col("_cm_dn")
         p_up = cs_up + F.col("_l_up")
         p_dn = cs_dn + F.col("_l_dn")
         m_up = F.least(cm_up, cs_up + F.col("_m_up"))
