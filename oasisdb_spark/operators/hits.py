@@ -13,25 +13,39 @@ Dialect: L1-normalized HITS with fixed iterations. Per pass t:
 where S_a / S_h are the exact integer sums of araw/hraw. The renorm
 products exceed int64, so they evaluate in 128-bit integer space on
 BOTH engines — Spark DECIMAL(38,0) `DIV`, DuckDB HUGEINT `//` —
-verified bit-equal. The per-pass sums are exact wide-integer
-aggregates (Spark DECIMAL(38,0) sum as a one-row broadcast frame in
-the plan, DuckDB HUGEINT sum in a scalar subquery) — the driver never
-collects them, so the full iteration runs as one composed job.
+verified bit-equal. The per-pass sums are computed as exact
+wide-integer aggregates (Spark decimal sum collected to a Python int,
+DuckDB HUGEINT sum in a scalar subquery): one scalar per side per
+pass, the same bounded-driver-state shape as PageRank's dangling mass.
 Classic HITS normalizes by L2; the L1 form keeps every step integer
 and changes only the scale, not the ranking. Nodes without in-edges
 get authority 0; without out-edges, hub 0.
 
 Scale: per pass, two edge-vs-score equi-joins (the score side is
 node-sized — broadcast when small) + two key-partial aggs + two scalar
-sums. The per-pass raw-score frames are lazily localCheckpoint-ed
-(each feeds two plan branches: the scalar-total agg and the renorm;
-checkpoint blocks are node-sized and non-replicated — an executor
-loss mid-job fails the query and the batch job reruns, the standard
-iterative-batch trade). Precondition (loud, not silent): S_a and S_h must stay below
-2^63 — sum(h) * max_outdeg bounds them; with SCALE 1e12 that holds to
-~10^6 average degree. Raw sums are exact regardless (decimal/HUGEINT);
-the guard is on the int64 downcast of scores, which renorm keeps at
-<= SCALE by construction.
+sums. The per-pass raw-score frames are localCheckpoint-ed (each feeds
+two actions: the scalar sum and the renorm; checkpoint blocks are
+node-sized and non-replicated — an executor loss mid-job fails the
+query and the batch job reruns, the standard iterative-batch trade)
+and tracked for release at the harness's next between-queries point
+(ckpt.track, guide §5). Precondition (loud, not silent): S_a and S_h
+must stay below 2^63 — sum(h) * max_outdeg bounds them; with SCALE
+1e12 that holds to ~10^6 average degree. Raw sums are exact regardless
+(decimal/HUGEINT); the guard is on the int64 downcast of scores, which
+renorm keeps at <= SCALE by construction.
+
+Form history (OPTIMIZATION r13, VERDICT r12 #3): round 12 composed the
+whole iteration into one job by riding each pass total as a one-row
+broadcast crossJoin — and measured SLOWER in every full-bench record
+(r11 collected form 5.2-5.7 s, composed 6.5-8.7 s at sf0.1): the six
+lazy-checkpoint broadcast exchanges serialize exactly like collect
+barriers (pass t+1 depends on pass t either way), but each adds a
+BroadcastNestedLoopJoin that streams every node row per pass. This
+form returns to collected scalars while keeping two r12-era savings:
+no per-pass persist+count of the renormed frames (the renorm is a
+trivial projection over the checkpointed raw — replaying it into the
+next join is cheaper than six more blocking jobs), and checkpoint
+blocks are released instead of leaked.
 """
 
 from __future__ import annotations
@@ -45,29 +59,21 @@ from oasisdb_spark.operators.pagerank import GraphTopology
 __all__ = ["hits_integer"]
 
 
-def _renorm_lazy(df: DataFrame, raw_col: str, scale: int, out: str) -> DataFrame:
-    """L1 renorm with the pass total as a BROADCAST SCALAR FRAME
-    (OPTIMIZATION r12, guide §1.2 fewer passes): the exact decimal sum
-    rides the plan as a one-row crossJoin instead of a per-pass
-    collect, so the whole iteration composes into one job — no
-    blocking driver barrier per side per pass. Bit-equal to the
-    collected-int form: same DECIMAL(38,0) sum, same 128-bit DIV; a
-    NULL/<=0 total (degenerate graph: no edges contributed) yields
-    all-zero scores exactly like the old early-return."""
-    tot = df.agg(F.sum(F.col(raw_col).cast("decimal(38,0)")).alias("_tot"))
-    return df.crossJoin(F.broadcast(tot)).select(
+def _renorm(df: DataFrame, raw_col: str, total: int, scale: int, out: str) -> DataFrame:
+    if total <= 0:
+        # degenerate graph (no edges contributed): all scores zero
+        return df.select("node", F.lit(0).cast("long").alias(out))
+    return df.select(
         "node",
-        F.when(
-            F.coalesce(F.col("_tot"), F.lit(0).cast("decimal(38,0)")) <= 0,
-            F.lit(0).cast("long"),
-        )
-        .otherwise(
-            F.expr(
-                f"CAST((CAST({raw_col} AS DECIMAL(38,0)) * {scale}) DIV _tot AS BIGINT)"
-            )
-        )
-        .alias(out),
+        F.expr(
+            f"CAST((CAST({raw_col} AS DECIMAL(38,0)) * {scale}) DIV {total} AS BIGINT)"
+        ).alias(out),
     )
+
+
+def _wide_sum(df: DataFrame, col: str) -> int:
+    v = df.agg(F.sum(F.col(col).cast("decimal(38,0)"))).first()[0]
+    return int(v) if v is not None else 0
 
 
 def hits_integer(
@@ -89,22 +95,18 @@ def hits_integer(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("h").alias("araw"))
         )
-        # LAZY localCheckpoint: the raw frame feeds TWO plan branches
-        # (the renorm numerator and its scalar-total crossJoin side) —
-        # the checkpoint computes ONCE inside the final job and cuts
-        # lineage, so the branch duplication stays node-sized instead
-        # of doubling the whole upstream subtree per pass. NOT a
-        # .persist(): InMemoryRelation plans bypass AQE (measured 8x
-        # slower in the r11 form). With the renorm total now a
-        # broadcast scalar frame (_renorm_lazy) the 3-pass loop runs
-        # as ONE composed job — no per-pass collect/count barriers;
-        # measured 8.8 s -> 6.6 s on trade_hits at sf0.1, output
-        # bit-identical (exceptAll both ways).
+        # localCheckpoint: the node-sized raw frame feeds the scalar
+        # sum, the renorm into the next join AND (last pass) the output
+        # join — checkpointing materializes it once and cuts lineage
+        # WITHOUT the cached-plan path (a .persist() here measured 8x
+        # SLOWER: InMemoryRelation plans bypass AQE; localCheckpoint
+        # keeps downstream planning adaptive)
         araw_all = g.nodes.join(araw, "node", "left").select(
             "node", F.coalesce("araw", F.lit(0)).cast("long").alias("araw")
-        ).localCheckpoint(eager=False)
+        ).localCheckpoint(eager=True)
         track(araw_all)  # released by the harness between queries
-        a = _renorm_lazy(araw_all, "araw", scale, "authority_scaled")
+        s_a = _wide_sum(araw_all, "araw")
+        a = _renorm(araw_all, "araw", s_a, scale, "authority_scaled")
         hraw = (
             g.e.join(
                 a.withColumnRenamed("node", "dst").withColumnRenamed(
@@ -117,9 +119,10 @@ def hits_integer(
         )
         hraw_all = g.nodes.join(hraw, "node", "left").select(
             "node", F.coalesce("hraw", F.lit(0)).cast("long").alias("hraw")
-        ).localCheckpoint(eager=False)  # same two-branch split as araw_all
+        ).localCheckpoint(eager=True)  # same two-action split as araw_all
         track(hraw_all)
-        h = _renorm_lazy(hraw_all, "hraw", scale, "h")
+        s_h = _wide_sum(hraw_all, "hraw")
+        h = _renorm(hraw_all, "hraw", s_h, scale, "h")
     return a.join(
         h.withColumnRenamed("h", "hub_scaled"), "node"
     ).select("node", "authority_scaled", "hub_scaled")

@@ -600,15 +600,22 @@ def allpairs_cosine_blocked(
             }
         )
 
+    from oasisdb_spark.ckpt import track
+
     packed = blocked.groupBy("block_id").applyInPandas(
         _pack, "block_id INT, ids ARRAY<BIGINT>, mat BINARY, norms ARRAY<DOUBLE>, n INT, dim INT"
-    ).persist()
+    ).localCheckpoint(eager=True)
+    track(packed)
     # block ids are dense 0..ceil(n_rows/B)-1 by construction (row_number),
     # so the candidate grid is pure arithmetic — no blocking job to count
     # the packed frame (guide §1.2: remove whole passes first). With an
     # n_hint upper bound the tail candidates are phantoms the inner join
-    # drops; the pack stage itself now first runs inside the final job's
-    # broadcast build (persist makes the second build reuse it).
+    # drops. packed is an EAGER localCheckpoint, not a lazy persist
+    # (round-13 advisory): the final job references it as TWO broadcast
+    # builds, and under AQE independent broadcast exchanges materialize
+    # concurrently — a lazily cached pack stage could execute twice
+    # before either populates the cache; the checkpoint runs it exactly
+    # once and both builds scan the stored blocks.
     n_blocks = max(math.ceil(n / block_size), 0)
     pairs = spark.createDataFrame(
         [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)], "bi INT, bj INT"
@@ -661,15 +668,20 @@ def allpairs_cosine_blocked(
     if eager:
         out = out.persist()
         out.count()
-        packed.unpersist()
-        return out
-    # lazy path: the packed-block cache stays pinned for the caller's
-    # DAG, but must not outlive it — tracked for release at the
-    # harness's next between-queries point (OPTIMIZATION r13, guide
-    # §5: unpersist when done; previously the cache leaked per call)
-    from oasisdb_spark.ckpt import track_persist
+        # packed is NOT freed here even though the output is pinned:
+        # an evicted out-partition recomputes through packed's
+        # checkpoint, and a freed checkpoint fails that recompute
+        # outright (unlike the old unpersist, which merely made it
+        # slow). Both release together at the harness's next
+        # between-queries point (track above / track_persist here).
+        from oasisdb_spark.ckpt import track_persist
 
-    track_persist(packed)
+        track_persist(out)
+        return out
+    # lazy path: packed's checkpoint blocks stay valid for the caller's
+    # DAG and release at the harness's next between-queries point
+    # (track above — OPTIMIZATION r13, guide §5: unpersist when done;
+    # previously the cache leaked per call)
     return out
 
 
