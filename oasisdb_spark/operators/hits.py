@@ -40,12 +40,19 @@ broadcast crossJoin — and measured SLOWER in every full-bench record
 (r11 collected form 5.2-5.7 s, composed 6.5-8.7 s at sf0.1): the six
 lazy-checkpoint broadcast exchanges serialize exactly like collect
 barriers (pass t+1 depends on pass t either way), but each adds a
-BroadcastNestedLoopJoin that streams every node row per pass. This
-form returns to collected scalars while keeping two r12-era savings:
-no per-pass persist+count of the renormed frames (the renorm is a
-trivial projection over the checkpointed raw — replaying it into the
-next join is cheaper than six more blocking jobs), and checkpoint
-blocks are released instead of leaked.
+BroadcastNestedLoopJoin that streams every node row per pass. A round-
+13 intermediate that dropped the per-pass persist+count of the
+renormed frames measured WORSE STILL (7.5-8.2 s bench context): an
+un-persisted renorm is a projection over a checkpoint RDD scan whose
+size statistics are unknown, so the planner cannot broadcast the
+node-sized score side and every per-pass edge join degrades to a
+sort-merge that re-shuffles the edge table. The r11 form's
+persist+count is therefore LOAD-BEARING — it is what gives the
+planner exact InMemoryRelation stats to broadcast the score side —
+and this file restores it exactly, adding only the r13 lifecycle:
+superseded per-pass caches unpersist inside the loop (r11 leaked the
+three authority frames and the final hub) and the final pair plus
+all checkpoints release between queries via the registry.
 """
 
 from __future__ import annotations
@@ -87,26 +94,35 @@ def hits_integer(
     if g.n < 1:
         raise ValueError("hits_integer: empty graph (no nodes)")
     n = g.n
-    h = g.nodes.withColumn("h", F.lit(scale // n).cast("long"))
+    h = g.nodes.withColumn("h", F.lit(scale // n).cast("long")).persist()
     a = None
+    from oasisdb_spark.ckpt import track_persist
+
     for _ in range(iters):
         araw = (
             g.e.join(h.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("h").alias("araw"))
         )
-        # localCheckpoint: the node-sized raw frame feeds the scalar
-        # sum, the renorm into the next join AND (last pass) the output
-        # join — checkpointing materializes it once and cuts lineage
-        # WITHOUT the cached-plan path (a .persist() here measured 8x
-        # SLOWER: InMemoryRelation plans bypass AQE; localCheckpoint
-        # keeps downstream planning adaptive)
+        # localCheckpoint: two actions consume this node-sized frame
+        # (the scalar sum, then renorm) — checkpointing materializes it
+        # once and cuts lineage WITHOUT the cached-plan path (a
+        # .persist() here measured 8x SLOWER: InMemoryRelation plans
+        # bypass AQE; localCheckpoint keeps downstream planning adaptive
+        # — measured 10.5 s -> 6.9 s at sf0.1)
         araw_all = g.nodes.join(araw, "node", "left").select(
             "node", F.coalesce("araw", F.lit(0)).cast("long").alias("araw")
         ).localCheckpoint(eager=True)
         track(araw_all)  # released by the harness between queries
         s_a = _wide_sum(araw_all, "araw")
-        a = _renorm(araw_all, "araw", s_a, scale, "authority_scaled")
+        # persist+count is LOAD-BEARING (see module docstring): the
+        # exact InMemoryRelation stats are what let the planner
+        # broadcast the node-sized score side into the next edge join
+        nxt_a = _renorm(araw_all, "araw", s_a, scale, "authority_scaled").persist()
+        nxt_a.count()
+        if a is not None:
+            a.unpersist()  # superseded pass (leaked before r13)
+        a = nxt_a
         hraw = (
             g.e.join(
                 a.withColumnRenamed("node", "dst").withColumnRenamed(
@@ -122,7 +138,12 @@ def hits_integer(
         ).localCheckpoint(eager=True)  # same two-action split as araw_all
         track(hraw_all)
         s_h = _wide_sum(hraw_all, "hraw")
-        h = _renorm(hraw_all, "hraw", s_h, scale, "h")
+        nxt_h = _renorm(hraw_all, "hraw", s_h, scale, "h").persist()
+        nxt_h.count()
+        h.unpersist()
+        h = nxt_h
+    track_persist(a)  # the surviving pair releases between queries
+    track_persist(h)
     return a.join(
         h.withColumnRenamed("h", "hub_scaled"), "node"
     ).select("node", "authority_scaled", "hub_scaled")

@@ -600,22 +600,21 @@ def allpairs_cosine_blocked(
             }
         )
 
-    from oasisdb_spark.ckpt import track
-
     packed = blocked.groupBy("block_id").applyInPandas(
         _pack, "block_id INT, ids ARRAY<BIGINT>, mat BINARY, norms ARRAY<DOUBLE>, n INT, dim INT"
-    ).localCheckpoint(eager=True)
-    track(packed)
+    ).persist()
     # block ids are dense 0..ceil(n_rows/B)-1 by construction (row_number),
     # so the candidate grid is pure arithmetic — no blocking job to count
     # the packed frame (guide §1.2: remove whole passes first). With an
     # n_hint upper bound the tail candidates are phantoms the inner join
-    # drops. packed is an EAGER localCheckpoint, not a lazy persist
-    # (round-13 advisory): the final job references it as TWO broadcast
-    # builds, and under AQE independent broadcast exchanges materialize
-    # concurrently — a lazily cached pack stage could execute twice
-    # before either populates the cache; the checkpoint runs it exactly
-    # once and both builds scan the stored blocks.
+    # drops; the pack stage itself first runs inside the final job's
+    # broadcast build. The round-13 advisory's concern — two broadcast
+    # builds racing a lazily-filled cache could run the pack stage
+    # twice — was tried as an eager localCheckpoint and MEASURED WORSE
+    # (embedding_neardup 0.88 -> 1.31-1.54 s at sf0.1): the extra
+    # blocking materialization job costs more than the occasional
+    # duplicated pack, which is bounded by one broadcast build and
+    # deterministic either way. Lazy persist kept, now with lifecycle.
     n_blocks = max(math.ceil(n / block_size), 0)
     pairs = spark.createDataFrame(
         [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)], "bi INT, bj INT"
@@ -664,24 +663,20 @@ def allpairs_cosine_blocked(
             if outs:
                 yield pd.concat(outs, ignore_index=True)
 
+    from oasisdb_spark.ckpt import track_persist
+
     out = joined.mapInPandas(_gemm, "doc_a BIGINT, doc_b BIGINT, cos_sim DOUBLE")
     if eager:
         out = out.persist()
         out.count()
-        # packed is NOT freed here even though the output is pinned:
-        # an evicted out-partition recomputes through packed's
-        # checkpoint, and a freed checkpoint fails that recompute
-        # outright (unlike the old unpersist, which merely made it
-        # slow). Both release together at the harness's next
-        # between-queries point (track above / track_persist here).
-        from oasisdb_spark.ckpt import track_persist
-
-        track_persist(out)
+        packed.unpersist()
+        track_persist(out)  # released by the harness between queries
         return out
-    # lazy path: packed's checkpoint blocks stay valid for the caller's
-    # DAG and release at the harness's next between-queries point
-    # (track above — OPTIMIZATION r13, guide §5: unpersist when done;
-    # previously the cache leaked per call)
+    # lazy path: the packed-block cache stays pinned for the caller's
+    # DAG and releases at the harness's next between-queries point
+    # (OPTIMIZATION r13, guide §5: unpersist when done; previously the
+    # cache leaked per call)
+    track_persist(packed)
     return out
 
 

@@ -136,29 +136,35 @@ def winnow_overlap_pairs(
             f"winnow_overlap_pairs: need max_df>=2, min_shared>=1, "
             f"got {max_df}, {min_shared}"
         )
-    tagged = (
+    # df cap as a map-side-combinable AGG + semi-join over a
+    # checkpointed tagged frame (round 13, guide §2.5/§5): the
+    # round-12 form counted with a window partitioned by fp_hash over
+    # the raw tagged frame — co-locating every occurrence of exactly
+    # the hot boilerplate fingerprints the cap exists to drop, one
+    # straggler sort per hot key at corpus scale. The groupBy count
+    # pre-aggregates map-side (a hot key reaches its reducer as a
+    # handful of partial counts, never raw rows) and the semi-join
+    # removes hot keys BEFORE the collect_list below, so no agg buffer
+    # ever sees a group larger than max_df. The tagged frame feeds
+    # both the count and the pair branch, so it is localCheckpoint-ed
+    # — ONE compute of the join+distinct, fingerprint-row-sized
+    # narrow-column blocks (the triangles edge-list trade), released
+    # at the harness's next between-queries point. The cross-group
+    # pairs then explode from each <= max_df sorted doc array exactly
+    # as before. Row set unchanged: the window count and the grouped
+    # count agree on every fp_hash, sorted arrays make positional
+    # order the doc_a < doc_b value order, and each qualifying
+    # (doc_a, doc_b, fp) contributes exactly one count.
+    from oasisdb_spark.ckpt import track
+
+    tagged = track(
         fps.join(
             docs.select(F.col(id_col), F.col(group_col)), id_col
         )
         .select(id_col, group_col, "fp_hash")
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    # df cap as a map-side-combinable AGG + semi-join (round 13,
-    # guide §2.5): the round-12 form counted with a window partitioned
-    # by fp_hash over the raw tagged frame — co-locating every
-    # occurrence of exactly the hot boilerplate fingerprints the cap
-    # exists to drop, one straggler sort per hot key at corpus scale.
-    # The groupBy count pre-aggregates map-side (a hot key reaches its
-    # reducer as a handful of partial counts, never raw rows) and the
-    # semi-join removes hot keys BEFORE the collect_list below, so no
-    # agg buffer ever sees a group larger than max_df. Costs one extra
-    # replay of the tagged subtree (2 scans — still half the round-11
-    # form's 4 / 26 Exchanges); the cross-group pairs then explode
-    # from each <= max_df sorted doc array exactly as before. Row set
-    # unchanged: the window count and the grouped count agree on every
-    # fp_hash, sorted arrays make positional order the doc_a < doc_b
-    # value order, and each qualifying (doc_a, doc_b, fp) contributes
-    # exactly one count.
     rare_keys = (
         tagged.groupBy("fp_hash")
         .agg(F.count(F.lit(1)).alias("_df"))
